@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the engine.
+  *
+  * Local mode mirrors the reference's operating envelope (LocalExecutor,
+  * 32 slots — /root/reference/airflow.cfg:51,93) but the configuration is
+  * written for a real cluster: AQE on (runtime re-plan / skew-join at the
+  * 100 TB north star), shuffle partitions sized to cores locally (a
+  * cluster deployment overrides via --conf), UTC session time zone
+  * (matches /root/reference/airflow.cfg:43 `default_timezone = utc`).
+  */
+object GraftSession {
+
+  /** Number of local cores; driver overrides via SPARK_GRAFT_CPUS. */
+  def cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+  def local(appName: String = "graft", cores: Int = cpus): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // Small dims (region/nation/supplier/part at test SFs) broadcast;
+      // 64 MB keeps even sf-scaled dims on the broadcast path.
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply engine defaults to an externally built session (e.g. Verify/Bench). */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark
+  }
+}
