@@ -1,0 +1,117 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.functions.SimilarityFunctions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`array<float>`, 64-dim, unit-norm).
+  *
+  * Two tiers, as a real 100 TB pipeline would run them:
+  *  - brute-force cosine top-k — the exact baseline. Query set broadcast
+  *    against the corpus (corpus stays partitioned, never shuffled);
+  *    ranking via per-partition window → TakeOrdered-style pruning.
+  *  - sign-LSH bucketed — the scale path: corpus and queries hashed to
+  *    an 8-bit deterministic hyperplane bucket; candidate generation is
+  *    an equi-join on the bucket key (hash exchange on a tiny int)
+  *    instead of a cross join.
+  *
+  * Both sides (Spark & DuckDB oracle) compute cosine with identical
+  * double-precision left-to-right folds, so ranks are bit-stable.
+  */
+object SimilarityQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** DuckDB: strict left-to-right dot product of 64-dim double lists. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce([$a[i] * $b[i] FOR i IN range(1, 65)], (x, y) -> x + y)"
+
+  private val embDoubleSql =
+    "SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings"
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ----------------------------------------------------- brute force
+    // Exact top-10 cosine neighbors for query vectors vec_id < 5.
+    GraftQuery(
+      "q_ann_bruteforce",
+      s"""WITH e AS ($embDoubleSql),
+         |n AS (SELECT vec_id, v,
+         |        sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+         |s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |        ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+         |      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+         |      WHERE q.vec_id < 5),
+         |r AS (SELECT q_id, n_id, cos,
+         |        CAST(row_number() OVER (PARTITION BY q_id
+         |               ORDER BY cos DESC, n_id) AS INTEGER) AS rank
+         |      FROM s)
+         |SELECT q_id, n_id, rank, round(cos, 4) AS cosine
+         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("cv"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id"))
+      // broadcast the (tiny) query set; corpus never shuffles for the
+      // join — only the per-query top-k ranking exchanges.
+      c.join(broadcast(q), col("n_id") =!= col("q_id"))
+        .withColumn("cos", cosine(col("qv"), col("cv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("n_id"),
+          col("rank").cast(IntegerType).as("rank"),
+          round(col("cos"), 4).as("cosine"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+
+    // ------------------------------------------------------- LSH bucket
+    // Bucketed ANN: 8 deterministic hyperplane sign bits (coordinate
+    // differences) → bucket; per-query top-3 within the bucket. Recall
+    // is partial by design — the point is the candidate set shrinks from
+    // |corpus| to |bucket| (~1/256), turning ANN into an equi-join.
+    GraftQuery(
+      "q_ann_lsh",
+      s"""WITH e AS ($embDoubleSql),
+         |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm,
+         |        CAST(list_sum([CASE WHEN v[2*i + 1] > v[2*i + 2]
+         |                            THEN CAST(2 ** i AS BIGINT) ELSE 0 END
+         |                       FOR i IN range(0, 8)]) AS BIGINT) AS bucket
+         |      FROM e),
+         |s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, q.bucket,
+         |        ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+         |      FROM n q JOIN n c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |      WHERE q.vec_id < 20),
+         |r AS (SELECT q_id, n_id, bucket, cos,
+         |        CAST(row_number() OVER (PARTITION BY q_id
+         |               ORDER BY cos DESC, n_id) AS INTEGER) AS rank
+         |      FROM s)
+         |SELECT q_id, n_id, bucket, rank, round(cos, 4) AS cosine
+         |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          signBucket(col("embedding"), 8).as("bucket"))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          col("bucket"))
+      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("cv"),
+        col("bucket").as("cbucket"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id"))
+      q.join(c, col("bucket") === col("cbucket") && col("n_id") =!= col("q_id"))
+        .withColumn("cos", cosine(col("qv"), col("cv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("n_id"), col("bucket"),
+          col("rank").cast(IntegerType).as("rank"),
+          round(col("cos"), 4).as("cosine"))
+        .orderBy(col("q_id"), col("rank"))
+    })
+}

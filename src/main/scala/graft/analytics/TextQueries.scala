@@ -1,0 +1,105 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis surface for training-data pipelines: token statistics,
+  * BPE-ish subword counting, n-gram heuristic language ID and quality
+  * scoring — all over the `documents` table, all pure Catalyst
+  * expressions that run in the scan stage (no UDFs, no shuffle beyond
+  * the final ORDER BY the oracle needs).
+  *
+  * DuckDB mirrors: `regexp_count` ≙ `len(regexp_extract_all(...))`;
+  * Java and RE2 agree on every pattern used here (`\S`, `\b`,
+  * char classes, alternation).
+  */
+object TextQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** DuckDB count-of-matches fragment. */
+  private def reCount(expr: String, pat: String): String =
+    s"len(regexp_extract_all($expr, '$pat'))"
+
+  private val langScoreSql: Seq[(String, String)] =
+    LangStopwords.map { case (l, ws) =>
+      l -> reCount("lower(text)", ws.mkString("\\b(", "|", ")\\b"))
+    }
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ------------------------------------------------------------ tokens
+    // Token counting: whitespace tokens, BPE-ish subwords (letter runs /
+    // digit runs / single marks), distinct-token and 3-gram-shingle
+    // cardinalities. Counting via regexp_count never materializes the
+    // token arrays — a pure scan-stage projection.
+    GraftQuery(
+      "q_token_stats",
+      s"""SELECT doc_id,
+         |  ${reCount("text", "\\S+")} AS n_tokens,
+         |  ${reCount("lower(text)", "[a-z]+|[0-9]+|[^a-z0-9\\s]")} AS n_subwords,
+         |  len(list_distinct(regexp_extract_all(lower(text), '\\S+'))) AS n_distinct_tokens,
+         |  len(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+         |                     FOR i IN range(1, greatest(len(ts) - 1, 1))])) AS n_shingles
+         |FROM (SELECT *, regexp_extract_all(lower(text), '\\S+') AS ts FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          subwordCount(col("text")).as("n_subwords"),
+          size(array_distinct(tokens(lower(col("text"))))).as("n_distinct_tokens"),
+          size(array_distinct(shingles(lower(col("text")), 3))).as("n_shingles"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------ lang ID
+    // Stopword-vote language ID (classic function-word heuristic). The
+    // prediction is argmax of per-language stopword hits, first-listed
+    // language wins ties, 'und' when no hits at all.
+    GraftQuery(
+      "q_lang_id", {
+        val scores = langScoreSql.map { case (l, sql) => s"$sql AS s_$l" }
+        val best = langScoreSql.map(l => s"s_${l._1}").mkString("greatest(", ", ", ")")
+        val total = langScoreSql.map(l => s"s_${l._1}").mkString(" + ")
+        val cases = langScoreSql.map { case (l, _) =>
+          s"WHEN ($total) > 0 AND s_$l = $best THEN '$l'"
+        }.mkString(" ")
+        s"""SELECT doc_id, lang, lang_pred, s_en
+           |FROM (SELECT doc_id, lang,
+           |        CASE $cases ELSE 'und' END AS lang_pred, s_en
+           |      FROM (SELECT doc_id, lang, ${scores.mkString(", ")} FROM documents))
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          langId(col("text")).as("lang_pred"),
+          langScore(col("text"), "en").as("s_en"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------ quality
+    // Heuristic quality score: length saturation × alpha ratio ×
+    // punctuation sanity, identical double arithmetic on both sides.
+    GraftQuery(
+      "q_quality_score",
+      s"""SELECT doc_id,
+         |  round(
+         |    least(1.0, CAST(${reCount("text", "\\S+")} AS DOUBLE) / 64.0)
+         |    * (CASE WHEN length(text) > 0
+         |            THEN CAST(${reCount("text", "[A-Za-z]")} AS DOUBLE) / CAST(length(text) AS DOUBLE)
+         |            ELSE 0.0 END)
+         |    * (CASE WHEN length(text) > 0
+         |            THEN greatest(0.0, 1.0 - (CAST(${reCount("text", "[.,;:!?]")} AS DOUBLE)
+         |                                      / CAST(length(text) AS DOUBLE)) * 4.0)
+         |            ELSE 0.0 END), 4) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(qualityScore(col("text")), 4).as("quality"))
+        .orderBy(col("doc_id"))
+    })
+}

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, shingling, language ID, quality scoring, token counting
+  * and document fingerprinting. All pure Catalyst expressions (no UDFs)
+  * so the whole pipeline stays inside whole-stage codegen — at 100 TB
+  * these run in the scan stage with zero extra shuffles.
+  *
+  * Every function has an exact SQL mirror (see analytics.TextQueries)
+  * so the DuckDB oracle can hash-check it.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens as an array (order-preserving, duplicates kept). */
+  def tokens(text: Column): Column =
+    regexp_extract_all(text, lit("(\\S+)"), lit(1))
+
+  /** Token count without array materialization (codegen-friendly). */
+  def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
+
+  /** BPE-ish subword count: letter runs, digit runs, and single
+    * non-alphanumeric marks each count as one token — a deterministic
+    * stand-in for a real BPE vocab that tracks its token count closely.
+    */
+  def subwordCount(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+
+  /** Word n-gram shingles (space-joined), empty array when the document
+    * has fewer than n tokens. Distinctness is the caller's choice
+    * (near-dup setups want set semantics → array_distinct).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Language-ID stopword lists (tiny, deterministic n-gram heuristic —
+    * the classic "count function words" approach).
+    */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "is"),
+    "de" -> Seq("der", "die", "und"),
+    "es" -> Seq("el", "la", "que"),
+    "fr" -> Seq("le", "les", "et"),
+    "it" -> Seq("il", "che", "di"))
+
+  private def stopwordRe(words: Seq[String]): String =
+    words.mkString("\\b(", "|", ")\\b")
+
+  /** Per-language stopword hit count. */
+  def langScore(text: Column, lang: String): Column =
+    regexp_count(lower(text),
+      lit(stopwordRe(LangStopwords.find(_._1 == lang).get._2)))
+
+  /** Heuristic language ID: argmax of stopword hits with fixed priority
+    * order (list order breaks ties); "und" (undetermined) when no
+    * stopword hits at all.
+    */
+  def langId(text: Column): Column = {
+    val scores = LangStopwords.map { case (l, _) => l -> langScore(text, l) }
+    val total = scores.map(_._2).reduce(_ + _)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((l, s), rest) =>
+      when(total > 0 && s === best, lit(l)).otherwise(rest)
+    }
+  }
+
+  /** English stopword ratio — one input to quality scoring. */
+  def stopwordCount(text: Column): Column = langScore(text, "en")
+
+  /** Heuristic quality score in [0,1]: length saturation × word-shape
+    * plausibility × punctuation sanity. Deterministic double arithmetic,
+    * rounded to 4 decimals at the edge by callers.
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nWords = tokenCount(text).cast("double")
+    val nAlpha = regexp_count(text, lit("[A-Za-z]")).cast("double")
+    val nPunct = regexp_count(text, lit("[.,;:!?]")).cast("double")
+    val lengthSat = least(lit(1.0), nWords / lit(64.0))
+    val alphaRatio = when(nChars > 0, nAlpha / nChars).otherwise(lit(0.0))
+    val punctPenalty = when(nChars > 0,
+      greatest(lit(0.0), lit(1.0) - (nPunct / nChars) * lit(4.0)))
+      .otherwise(lit(0.0))
+    lengthSat * alphaRatio * punctPenalty
+  }
+
+  /** Document fingerprint: SHA-256 of the whitespace-normalized,
+    * lowercased text — the exact-dedup key (case/spacing-insensitive).
+    */
+  def fingerprint(text: Column): Column =
+    sha2(regexp_replace(trim(lower(text)), "\\s+", " "), 256)
+}
