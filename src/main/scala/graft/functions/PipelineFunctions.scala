@@ -85,7 +85,9 @@ object PipelineFunctions {
 
   /** F14 — conditional key derivation: when `thing_key` is missing,
     * SHA-256(salt ‖ "<type>:<id-or-normalized-permalink>")
-    * (Combine_send_to_postgresql.py:89-93).
+    * (Combine_send_to_postgresql.py:89-93). The colon is present even
+    * when id AND permalink are empty, and the hash is `_sha256_hex`
+    * (:58-61) which — unlike `_hash_value` — hashes empty input too.
     */
   def deriveThingKey(
       salt: String,
@@ -93,8 +95,9 @@ object PipelineFunctions {
       thingType: Column,
       id: Column,
       permalinkNorm: Column): Column = {
-    val basis = concat_ws(":", thingType, firstPresent(id, permalinkNorm))
-    when(thingKey.isNull || thingKey === "", saltedSha256(salt, basis))
+    val basis = concat(thingType, lit(":"),
+      coalesce(firstPresent(id, permalinkNorm), lit("")))
+    when(thingKey.isNull || thingKey === "", sha2(concat(lit(salt), basis), 256))
       .otherwise(thingKey)
   }
 }

@@ -1,0 +1,185 @@
+package graft.sinks
+
+import java.sql.{Connection, DriverManager}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Model
+
+/** Keyed UPSERT sink (SURVEY §2.1 S7/S8/S10) — the one genuinely custom
+  * component: Spark's JDBC writer has no ON CONFLICT path.
+  *
+  * Three layers, outermost first:
+  *  1. [[merge]] — the relational semantics (full-outer-join + column
+  *     selection), engine-side, used by tests and by the parquet-table
+  *     upsert the streaming pipeline drives. Same semantics as Delta's
+  *     `MERGE WHEN MATCHED UPDATE SET ... WHEN NOT MATCHED INSERT`.
+  *  2. [[upsertStatement]] — the `INSERT ... ON CONFLICT (key) DO UPDATE
+  *     SET col = EXCLUDED.col` SQL the reference hands Postgres
+  *     (Combine_send_to_postgresql.py:239-249), with identifier quoting
+  *     per `q_ident` (:220-225).
+  *  3. [[writeJdbc]] — executor-parallel delivery: repartition by key
+  *     (co-locates conflicting rows → no deadlock between batches),
+  *     per-partition PreparedStatement batches inside a transaction.
+  *     Per-partition transactions are a documented weakening of the
+  *     reference's single-txn commit (SURVEY §7.4 risk #2); the sink is
+  *     idempotent under retry, which is what at-least-once needs.
+  */
+object Upsert {
+
+  /** `"` quoting as in q_ident (Combine_send_to_postgresql.py:220-225). */
+  def qIdent(s: String): String = "\"" + s.replace("\"", "\"\"") + "\""
+
+  /** The reference's upsert statement, parameterized. */
+  def upsertStatement(
+      table: String,
+      columns: Seq[String] = Model.DbColumns,
+      keyColumn: String = "thing_key",
+      updateColumns: Seq[String] = Model.DefaultUpdateColumns): String = {
+    val cols = columns.map(qIdent).mkString(", ")
+    val params = columns.map(_ => "?").mkString(", ")
+    val sets = updateColumns
+      .map(c => s"${qIdent(c)} = EXCLUDED.${qIdent(c)}")
+      .mkString(", ")
+    s"INSERT INTO $table ($cols) VALUES ($params) " +
+      s"ON CONFLICT (${qIdent(keyColumn)}) DO UPDATE SET $sets"
+  }
+
+  /** Idempotent target-table DDL (S10 — legacy loader behavior,
+    * FIXTURES.md §5).
+    */
+  val EnsureTableDdl: Seq[String] = Seq(
+    "CREATE SCHEMA IF NOT EXISTS reddit_schema",
+    """CREATE TABLE IF NOT EXISTS reddit_schema.redit_table (
+      |  thing_key       TEXT PRIMARY KEY,
+      |  thing_type      TEXT NOT NULL,
+      |  id              TEXT,
+      |  created_at      TIMESTAMPTZ,
+      |  score           INTEGER,
+      |  num_comments    INTEGER,
+      |  title_sanitized TEXT,
+      |  author_hash     TEXT,
+      |  permalink       TEXT,
+      |  subreddit       TEXT,
+      |  flair_text      TEXT,
+      |  ingested_at     TIMESTAMPTZ NOT NULL DEFAULT NOW()
+      |)""".stripMargin,
+    "CREATE INDEX IF NOT EXISTS redit_table_id_idx ON reddit_schema.redit_table (id)",
+    "CREATE INDEX IF NOT EXISTS redit_table_subreddit_idx ON reddit_schema.redit_table (subreddit)")
+
+  /** Relational upsert: rows of `stage` merged into `target` on `key`.
+    * Matched rows keep target values except `updateColumns` (taken from
+    * stage); unmatched stage rows are inserted whole. Exactly the
+    * conflict semantics of Combine_send_to_postgresql.py:239-249 —
+    * including NOT touching created_at/author_hash/permalink on update.
+    *
+    * `stage` must be key-unique (the pipeline dedups first, :152-161).
+    * Scale: both sides hash-exchange on the key once; with a bucketed
+    * target table the exchange disappears entirely.
+    */
+  def merge(
+      target: DataFrame,
+      stage: DataFrame,
+      key: String = "thing_key",
+      updateColumns: Seq[String] = Model.DefaultUpdateColumns): DataFrame = {
+    val dataCols = target.columns.filter(_ != key).toSeq
+    val t = target.as("t")
+    val s = stage.as("s")
+    val joined = t.join(s, t(key) === s(key), "full_outer")
+    val matched = t(key).isNotNull && s(key).isNotNull
+    joined.select(
+      coalesce(s(key), t(key)).as(key) +:
+        dataCols.map { c =>
+          val su = updateColumns.contains(c)
+          when(matched, if (su) s(c) else t(c))
+            .otherwise(coalesce(s(c), t(c)))
+            .as(c)
+        }: _*)
+  }
+
+  /** Executor-parallel JDBC upsert. Driver must be on the classpath;
+    * `props` carries user/password. Idempotent: re-running the same
+    * batch converges to the same table state.
+    */
+  def writeJdbc(
+      df: DataFrame,
+      url: String,
+      table: String,
+      props: java.util.Properties = new java.util.Properties(),
+      keyColumn: String = "thing_key",
+      updateColumns: Seq[String] = Model.DefaultUpdateColumns,
+      numPartitions: Int = 8,
+      batchSize: Int = 1000,
+      ensureDdl: Seq[String] = Seq.empty): Unit = {
+    val columns = df.columns.toSeq
+    val sql = upsertStatement(table, columns, keyColumn, updateColumns)
+    val propMap = {
+      val m = scala.collection.mutable.Map[String, String]()
+      props.stringPropertyNames().forEach(k => m += k -> props.getProperty(k))
+      m.toMap
+    }
+
+    if (ensureDdl.nonEmpty) {
+      val conn = connect(url, propMap)
+      try { ensureDdl.foreach(d => conn.createStatement().execute(d)) }
+      finally conn.close()
+    }
+
+    df.repartition(numPartitions, col(keyColumn))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        if (rows.hasNext) {
+          val conn = connect(url, propMap)
+          try {
+            conn.setAutoCommit(false)
+            val st = conn.prepareStatement(sql)
+            var n = 0
+            rows.foreach { r =>
+              columns.indices.foreach(i => st.setObject(i + 1, r.get(i)))
+              st.addBatch()
+              n += 1
+              if (n % batchSize == 0) st.executeBatch()
+            }
+            st.executeBatch()
+            conn.commit()
+          } catch {
+            case e: Throwable => conn.rollback(); throw e
+          } finally conn.close()
+        }
+      }
+  }
+
+  private def connect(url: String, props: Map[String, String]): Connection = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    DriverManager.getConnection(url, p)
+  }
+
+  /** Parquet-table upsert used by the streaming pipeline's foreachBatch
+    * (and by tests): read current table, [[merge]], atomically swap the
+    * table directory. Single-writer — matches the reference's one
+    * loader task (max_active_runs=1).
+    */
+  def upsertParquet(
+      spark: SparkSession,
+      stage: DataFrame,
+      tableDir: String,
+      key: String = "thing_key",
+      updateColumns: Seq[String] = Model.DefaultUpdateColumns): Unit = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val dir = new Path(tableDir)
+    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(dir)) merge(spark.read.parquet(tableDir), stage, key, updateColumns)
+      else stage
+    val tmp = new Path(dir.getParent, s".${dir.getName}.new")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    val old = new Path(dir.getParent, s".${dir.getName}.old")
+    fs.delete(old, true)
+    if (fs.exists(dir) && !fs.rename(dir, old))
+      throw new IllegalStateException(s"rename $dir -> $old failed")
+    if (!fs.rename(tmp, dir))
+      throw new IllegalStateException(s"rename $tmp -> $dir failed")
+    fs.delete(old, true)
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.core.GraftConf
+import graft.streaming.StreamingPipeline
+import graft.streaming.StreamingPipeline.{UserEvent, UserStat}
+
+/** Streaming semantics (SURVEY §2.9): exactly-once file consumption via
+  * archive (T2), idempotent keyed upsert across micro-batches (T3),
+  * in-batch dedup (T4), and stateful per-key tracking (T7).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private val conf = GraftConf(salt = "test-salt")
+
+  private def write(dir: Path, name: String, content: String): Unit =
+    Files.write(dir.resolve(name), content.getBytes("UTF-8"))
+
+  private val header =
+    "thing_key,thing_type,id,created_at,score,num_comments,title_sanitized,author_hash,permalink,subreddit,flair_text"
+
+  test("file stream: upsert across batches, archive consumed files") {
+    withTempDir { root =>
+      val data = Files.createDirectory(root.resolve("data"))
+      val loaded = root.resolve("loaded").toString
+      val table = root.resolve("table").toString
+      val ckpt = root.resolve("ckpt").toString
+
+      write(data, "italytravel_1.csv",
+        s"""$header
+           |K1,t3,id1,2025-09-09T12:00:00Z,5,1,Title one,AH1,PL1,sub,
+           |K2,t3,id2,2025-09-09T12:01:00Z,2,0,Title two,AH2,PL2,sub,
+           |K1,t3,id1,2025-09-09T12:02:00Z,99,9,Dup in batch,AHX,PLX,sub,
+           |""".stripMargin)
+
+      val q1 = StreamingPipeline.start(spark, data.toString, loaded, table,
+        ckpt, conf, Trigger.AvailableNow())
+      q1.awaitTermination(120000)
+
+      val t1 = spark.read.parquet(table).collect()
+        .map(r => r.getAs[String]("thing_key") -> r).toMap
+      assert(t1.size == 2)
+      // in-batch first-wins: K1 kept the first row (score 5, not 99)
+      assert(t1("K1").getAs[Int]("score") == 5)
+      assert(t1("K1").getAs[String]("author_hash") == "AH1")
+
+      // batch 2: K1 score update + new key K3
+      write(data, "italytravel_2.csv",
+        s"""$header
+           |K1,t3,id1,2025-09-09T13:00:00Z,7,2,New title,AHY,PLY,sub,Flair
+           |K3,t3,id3,2025-09-09T13:01:00Z,1,0,Third,AH3,PL3,sub,
+           |""".stripMargin)
+      val q2 = StreamingPipeline.start(spark, data.toString, loaded, table,
+        ckpt, conf, Trigger.AvailableNow())
+      q2.awaitTermination(120000)
+
+      val t2 = spark.read.parquet(table).collect()
+        .map(r => r.getAs[String]("thing_key") -> r).toMap
+      assert(t2.size == 3)
+      // update columns changed ...
+      assert(t2("K1").getAs[Int]("score") == 7)
+      assert(t2("K1").getAs[String]("title_sanitized") == "New title")
+      assert(t2("K1").getAs[String]("flair_text") == "Flair")
+      // ... conflict-protected columns preserved (author_hash, permalink)
+      assert(t2("K1").getAs[String]("author_hash") == "AH1")
+      assert(t2("K1").getAs[String]("permalink") == "pl1")
+
+      // T2: the file source archives consumed files at the NEXT trigger
+      // (async cleaner), so after batch 2 the batch-1 file must have
+      // left the scan dir; the batch-2 file may lag one trigger.
+      import scala.jdk.CollectionConverters._
+      val deadline = System.currentTimeMillis() + 15000
+      def inData = Files.list(data).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".csv")).toSeq
+      while (inData.contains("italytravel_1.csv") &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(!inData.contains("italytravel_1.csv"),
+        s"batch-1 file still in data/: $inData")
+    }
+  }
+
+  test("mapGroupsWithState tracks per-user running stats across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[UserEvent]
+    val query = StreamingPipeline.trackUserStats(input.toDS())
+      .writeStream.format("memory").queryName("user_stats")
+      .outputMode("update").start()
+    try {
+      input.addData(UserEvent(1, 2.0), UserEvent(1, 3.0), UserEvent(2, 1.0))
+      query.processAllAvailable()
+      input.addData(UserEvent(1, 5.0))
+      query.processAllAvailable()
+      val latest = spark.table("user_stats").as[UserStat].collect()
+        .groupBy(_.user_id).map { case (u, xs) => u -> xs.maxBy(_.n_events) }
+      assert(latest(1L) == UserStat(1L, 3, 10.0))
+      assert(latest(2L) == UserStat(2L, 1, 1.0))
+    } finally query.stop()
+  }
+
+  test("hourlyEventCounts compiles to a watermarked streaming agg") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val query = StreamingPipeline.hourlyEventCounts(df)
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        (java.sql.Timestamp.valueOf("2025-01-01 10:15:00"), "click", 1.0),
+        (java.sql.Timestamp.valueOf("2025-01-01 10:45:00"), "click", 2.0),
+        (java.sql.Timestamp.valueOf("2025-01-01 11:05:00"), "buy", 5.0))
+      query.processAllAvailable()
+      val rows = spark.table("hourly").collect()
+      val clicks = rows.find(_.getAs[String]("event_type") == "click").get
+      assert(clicks.getAs[Long]("n") == 2)
+      assert(clicks.getAs[Double]("sum_value") == 3.0)
+    } finally query.stop()
+  }
+}
