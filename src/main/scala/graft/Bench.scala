@@ -1,15 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+import graft.core.{GraftSession, Tables}
+
+/** Benchmark main: times every catalog query at SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line. A warmup pass runs first so the timings
+  * measure the queries, not JIT/codegen/classloading of the first one.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local("graft-bench")
+    // Warmup: exercise parquet reader, whole-stage codegen, shuffle and
+    // window machinery once, untimed.
+    Tables.load(spark, sfDir, "region").count()
+    SparkEntry.queries("q_topk")(spark, sfDir).count()
+    SparkEntry.queries("q_window_rank")(spark, sfDir).count()
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

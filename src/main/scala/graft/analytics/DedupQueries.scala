@@ -16,10 +16,12 @@ import graft.functions.TextFunctions._
   * the dup-detection result is fully hash-checked.
   *
   * Scale design (100 TB): signatures are per-row scan-stage expressions
-  * (no explode of shingle×seed); the only shuffles are (a) the groupBy /
-  * self-join on SMALL keys (fingerprint, band signature, simhash byte)
-  * and (b) final ordering. All-pairs comparison never happens — LSH
-  * bands and simhash-byte pigeonhole blocking bound candidate sets.
+  * — ONE SHA-256 per shingle/token, then arithmetic-only permutations
+  * (see [[graft.functions.SimilarityFunctions]] cost notes); the only
+  * shuffles are (a) the groupBy / self-join on SMALL keys (fingerprint,
+  * band signature, simhash byte) and (b) final ordering. All-pairs
+  * comparison never happens — LSH bands and simhash-byte pigeonhole
+  * blocking bound candidate sets.
   */
 object DedupQueries {
 
@@ -49,9 +51,16 @@ object DedupQueries {
 
   // Near-dup corpus: every 25th doc re-appears (id+10000) with its last
   // two tokens dropped — high-Jaccard but not identical.
+  // coalesce(…, "") makes `text` provably NON-NULLABLE: every signature
+  // derived from it is then non-nullable too, so the self-joins on
+  // signature keys generate no isnotnull filters — which would
+  // otherwise be pushed below the join with the entire SHA+signature
+  // pipeline substituted in, doubling per-row work and defeating
+  // exchange reuse. (Data has no nulls; this is a nullability proof,
+  // not a behavior change — the oracle SQL needs no mirror.)
   private def nearDupCorpus(docs: DataFrame): DataFrame = {
     val ts = tokens(lower(col("text")))
-    docs.select(col("doc_id"), lower(col("text")).as("text"))
+    docs.select(col("doc_id"), coalesce(lower(col("text")), lit("")).as("text"))
       .unionByName(
         docs.filter(col("doc_id") % 25 === 0)
           .select((col("doc_id") + 10000).as("doc_id"),
@@ -75,6 +84,79 @@ object DedupQueries {
     """list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
       |               FOR i IN range(1, greatest(len(ts) - 1, 1))])""".stripMargin
 
+  /** DuckDB: hex prefix (length n) of sha256 of each array element. */
+  private def shaPrefixListSql(arr: String, n: Int): String =
+    s"[substring(sha256(x), 1, $n) FOR x IN $arr]"
+
+  /** DuckDB: hex string (length n) → BIGINT (mirrors Spark's conv). */
+  private def hexToLongListSql(arr: String, n: Int): String =
+    s"""[list_sum([(strpos('0123456789abcdef', substring(h, p, 1)) - 1)
+       |           * CAST(16**($n - p) AS BIGINT) FOR p IN range(1, ${n + 1})])
+       | FOR h IN $arr]""".stripMargin
+
+  /** DuckDB: the k universal-hash MinHash mins over a BIGINT list. */
+  private def minhashSigSql(hashesCol: String): String =
+    (0 until K).map { i =>
+      s"list_min([(v * ${minhashA(i)} + ${minhashB(i)}) % $MinhashP FOR v IN $hashesCol])"
+    }.mkString("[", ",\n           ", "]")
+
+  /** Shared Spark-side LSH candidate-pair pipeline: corpus → shingle
+    * sets → one SHA per shingle → k-permutation signature → band keys →
+    * self-join on (band, band-signature) → distinct pairs carrying
+    * `extra` columns from both sides.
+    */
+  private def lshCandidates(
+      docs: DataFrame, extra: Seq[String]): DataFrame = {
+    // tokens materialized FIRST: the shingle expression references the
+    // array n+1 times, and inlining the tokenizer would re-run the
+    // regex per reference (36 regexp evals/row in the naive plan)
+    val tok = nearDupCorpus(docs)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 3)
+    val sh = tok.select(col("doc_id"),
+      array_distinct(shinglesFromTokens(col("ts"), 3)).as("shs"))
+    val hv = sh.select(col("doc_id"), col("shs"),
+      transform(col("shs"), elementHash(_)).as("hv"))
+    // Materialize signatures behind ONE exchange before the self-join:
+    // both join sides then plan over the same shuffle (ReusedExchange),
+    // so the SHA+signature pipeline runs once per doc — and join-key
+    // null filters pushed below the join hit plain attributes instead
+    // of getting the whole pipeline substituted into them.
+    val sig = hv.select(col("doc_id"), col("shs"),
+        minhashSignatureFromHashes(col("hv"), K).as("sg"))
+      .repartition(col("doc_id"))
+    val bands = sig.select(col("doc_id"), col("shs"), col("sg"),
+        explode(sequence(lit(0), lit(Bands - 1))).as("b"))
+      .withColumn("bsig", bandSignature(col("sg"), col("b"), RowsPerBand))
+    val cols = Seq("doc_id") ++ extra
+    val a = bands.select((Seq(col("b"), col("bsig")) ++
+      cols.map(c => col(c).as(s"${c}_a"))): _*)
+    val b = bands.select((Seq(col("b").as("b2"), col("bsig").as("bsig2")) ++
+      cols.map(c => col(c).as(s"${c}_b"))): _*)
+    a.join(b, col("b") === col("b2") && col("bsig") === col("bsig2") &&
+        col("doc_id_a") < col("doc_id_b"))
+      .select(cols.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
+      .distinct()
+  }
+
+  /** DuckDB mirror of [[lshCandidates]] through the `pair` CTE. */
+  private def lshCandidatesSql(extraA: String, extraB: String): String =
+    s"""WITH c AS ($nearDupCorpusSql),
+       |sh AS (SELECT doc_id, $shingleSetSql AS shs
+       |       FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM c)
+       |       WHERE len(ts) >= 3),
+       |h7 AS (SELECT doc_id, shs, ${shaPrefixListSql("shs", 7)} AS hp FROM sh),
+       |hv AS (SELECT doc_id, shs, ${hexToLongListSql("hp", 7)} AS hv FROM h7),
+       |sig AS (SELECT doc_id, shs, ${minhashSigSql("hv")} AS sg FROM hv),
+       |band AS (SELECT doc_id, shs, sg, b,
+       |           sg[$RowsPerBand*b+1]::VARCHAR || '|' || sg[$RowsPerBand*b+2]::VARCHAR || '|' ||
+       |           sg[$RowsPerBand*b+3]::VARCHAR || '|' || sg[$RowsPerBand*b+4]::VARCHAR AS bsig
+       |         FROM sig, (SELECT unnest(range(0, $Bands)) AS b)),
+       |pair AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                a.$extraA AS ea, b.$extraB AS eb
+       |         FROM band a JOIN band b
+       |           ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id)""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
 
     // ---------------------------------------------------------- exact
@@ -94,75 +176,69 @@ object DedupQueries {
     },
 
     // -------------------------------------------------------- MinHash
-    // MinHash+LSH near-dup candidates: per-row 16-hash signature (one
-    // scan-stage expression), explode only the 4 band keys, self-join on
-    // (band, band-signature) — candidates ≪ all-pairs. est_jaccard =
-    // agreeing signature positions / 16.
+    // MinHash+LSH near-dup candidates: per-row 16-permutation signature
+    // (one scan-stage expression), explode only the 4 band keys,
+    // self-join on (band, band-signature) — candidates ≪ all-pairs.
+    // est_jaccard = agreeing signature positions / 16.
     GraftQuery(
       "q_dedup_minhash",
-      s"""WITH c AS ($nearDupCorpusSql),
-         |sh AS (SELECT doc_id, $shingleSetSql AS shs
-         |       FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM c)
-         |       WHERE len(ts) >= 3),
-         |sig AS (SELECT doc_id,
-         |          [list_min([sha256(i::VARCHAR || '|' || s) FOR s IN shs])
-         |           FOR i IN range(0, $K)] AS sg
-         |        FROM sh),
-         |band AS (SELECT doc_id, sg, b,
-         |           sg[$RowsPerBand*b+1] || '|' || sg[$RowsPerBand*b+2] || '|' ||
-         |           sg[$RowsPerBand*b+3] || '|' || sg[$RowsPerBand*b+4] AS bsig
-         |         FROM sig, (SELECT unnest(range(0, $Bands)) AS b)),
-         |pair AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |                a.sg AS sga, b.sg AS sgb
-         |         FROM band a JOIN band b
-         |           ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+      s"""${lshCandidatesSql("sg", "sg")}
          |SELECT doc_a, doc_b,
-         |  round(CAST(list_sum([CASE WHEN sga[i] = sgb[i] THEN 1 ELSE 0 END
+         |  round(CAST(list_sum([CASE WHEN ea[i] = eb[i] THEN 1 ELSE 0 END
          |                       FOR i IN range(1, ${K + 1})]) AS DOUBLE) / $K.0, 4)
          |    AS est_jaccard
          |FROM pair ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val sh = nearDupCorpus(t(s, dir, "documents"))
-        .filter(size(tokens(col("text"))) >= 3)
-        .select(col("doc_id"), shingleSet(col("text")).as("shs"))
-      val sig = sh.select(col("doc_id"),
-        minhashSignature(col("shs"), K).as("sg"))
-      val bands = sig.select(col("doc_id"), col("sg"),
-          explode(sequence(lit(0), lit(Bands - 1))).as("b"))
-        .withColumn("bsig", bandSignature(col("sg"), col("b"), RowsPerBand))
-      val a = bands.select(col("b"), col("bsig"),
-        col("doc_id").as("doc_a"), col("sg").as("sga"))
-      val b = bands.select(col("b").as("b2"), col("bsig").as("bsig2"),
-        col("doc_id").as("doc_b"), col("sg").as("sgb"))
-      a.join(b, col("b") === col("b2") && col("bsig") === col("bsig2") &&
-          col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("sga"), col("sgb"))
-        .distinct()
-        .select(col("doc_a"), col("doc_b"),
-          round(minhashEstJaccard(col("sga"), col("sgb"), K), 4)
+      lshCandidates(t(s, dir, "documents"), Seq("sg"))
+        .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
+          round(minhashEstJaccard(col("sg_a"), col("sg_b"), K), 4)
             .as("est_jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // -------------------------------------------------------- Jaccard
+    // Exact n-gram Jaccard over the SAME LSH candidate pairs — the
+    // verification stage of the standard LSH-then-verify dedup
+    // pipeline. Output: candidate pairs with true Jaccard ≥ 0.5.
+    GraftQuery(
+      "q_dedup_jaccard",
+      s"""${lshCandidatesSql("shs", "shs")},
+         |j AS (SELECT doc_a, doc_b,
+         |        CAST(len(list_intersect(ea, eb)) AS DOUBLE)
+         |          / (len(ea) + len(eb) - len(list_intersect(ea, eb))) AS jac
+         |      FROM pair)
+         |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+         |FROM j WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      lshCandidates(t(s, dir, "documents"), Seq("shs"))
+        .withColumn("jac", jaccard(col("shs_a"), col("shs_b")))
+        .filter(col("jac") >= 0.5)
+        .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
+          round(col("jac"), 4).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // -------------------------------------------------------- SimHash
-    // SimHash near-dup: 32-bit signature per doc; byte blocking
-    // (pigeonhole: Hamming ≤ 3 ⇒ one of the 4 bytes agrees) replaces
-    // all-pairs with 4 small equi-joins; survivors filtered on exact
-    // Hamming ≤ 6 via xor+bit_count.
+    // SimHash near-dup over 3-gram SHINGLE features (unigram token sets
+    // are near-identical across this shared-vocabulary corpus, which
+    // would collapse every doc into one simhash cluster): 32-bit
+    // signature per doc; byte blocking (pigeonhole: Hamming ≤ 3 ⇒ one
+    // of the 4 bytes agrees) replaces all-pairs with 4 small equi-joins;
+    // survivors filtered on exact Hamming ≤ 6 via xor+bit_count.
     GraftQuery(
       "q_dedup_simhash",
       s"""WITH c AS ($nearDupCorpusSql),
-         |tok AS (SELECT doc_id, list_distinct(regexp_extract_all(text, '\\S+')) AS ts FROM c),
-         |h AS (SELECT doc_id, [substring(sha256(x), 1, 8) FOR x IN ts] AS hs FROM tok),
-         |b AS (SELECT doc_id,
-         |        [CASE WHEN list_sum([
-         |            (((strpos('0123456789abcdef', substring(x, (j // 4) + 1, 1)) - 1)
-         |              // CAST(2 ** (3 - (j % 4)) AS INTEGER)) % 2) * 2 - 1
-         |            FOR x IN hs]) > 0 THEN 1::BIGINT ELSE 0::BIGINT END
+         |sh AS (SELECT doc_id, $shingleSetSql AS shs
+         |       FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM c)
+         |       WHERE len(ts) >= 3),
+         |h8 AS (SELECT doc_id, ${shaPrefixListSql("shs", 8)} AS hp FROM sh),
+         |hv AS (SELECT doc_id, ${hexToLongListSql("hp", 8)} AS hv FROM h8),
+         |bts AS (SELECT doc_id,
+         |        [CASE WHEN list_sum([(((v >> (31 - j)) & 1) * 2) - 1 FOR v IN hv]) > 0
+         |              THEN 1::BIGINT ELSE 0::BIGINT END
          |         FOR j IN range(0, 32)] AS bits
-         |      FROM h),
+         |      FROM hv),
          |sim AS (SELECT doc_id,
          |          CAST(list_reduce(bits, (acc, v) -> acc * 2 + v) AS BIGINT) AS sh
-         |        FROM b),
+         |        FROM bts),
          |blk AS (SELECT doc_id, sh, k, CAST((sh >> (8 * k)) % 256 AS BIGINT) AS byte
          |        FROM sim, (SELECT unnest(range(0, 4)) AS k)),
          |pair AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -173,8 +249,17 @@ object DedupQueries {
          |  CAST(bit_count(xor(sha, shb)) AS INTEGER) AS hamming
          |FROM pair WHERE bit_count(xor(sha, shb)) <= 6
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val sim = nearDupCorpus(t(s, dir, "documents"))
-        .select(col("doc_id"), simhash32(col("text")).as("sh"))
+      val tok = nearDupCorpus(t(s, dir, "documents"))
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 3)
+      val sh = tok.select(col("doc_id"),
+        array_distinct(shinglesFromTokens(col("ts"), 3)).as("shs"))
+      val hv = sh.select(col("doc_id"),
+        transform(col("shs"), elementHash32(_)).as("hv"))
+      // one exchange before the self-join (see lshCandidates): sim
+      // computed once per doc, reused by both sides
+      val sim = hv.select(col("doc_id"), simhash32FromHashes(col("hv")).as("sh"))
+        .repartition(col("doc_id"))
       val blocks = sim.select(col("doc_id"), col("sh"),
           explode(array((0 until 4).map { k =>
             struct(lit(k).as("k"), simhashByte(col("sh"), k).as("byte"))
@@ -196,61 +281,11 @@ object DedupQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
-    // -------------------------------------------------------- Jaccard
-    // Exact n-gram Jaccard within a blocking key (here: shared MinHash
-    // band from the same 16-hash signature — the verification stage of
-    // the standard LSH-then-verify dedup pipeline). Output: candidate
-    // pairs with true Jaccard ≥ 0.5.
-    GraftQuery(
-      "q_dedup_jaccard",
-      s"""WITH c AS ($nearDupCorpusSql),
-         |sh AS (SELECT doc_id, $shingleSetSql AS shs
-         |       FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM c)
-         |       WHERE len(ts) >= 3),
-         |sig AS (SELECT doc_id, shs,
-         |          [list_min([sha256(i::VARCHAR || '|' || s) FOR s IN shs])
-         |           FOR i IN range(0, $K)] AS sg
-         |        FROM sh),
-         |band AS (SELECT doc_id, shs, b,
-         |           sg[$RowsPerBand*b+1] || '|' || sg[$RowsPerBand*b+2] || '|' ||
-         |           sg[$RowsPerBand*b+3] || '|' || sg[$RowsPerBand*b+4] AS bsig
-         |         FROM sig, (SELECT unnest(range(0, $Bands)) AS b)),
-         |pair AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |                a.shs AS sa, b.shs AS sb
-         |         FROM band a JOIN band b
-         |           ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
-         |j AS (SELECT doc_a, doc_b,
-         |        CAST(len(list_intersect(sa, sb)) AS DOUBLE)
-         |          / (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS jac
-         |      FROM pair)
-         |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
-         |FROM j WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val sh = nearDupCorpus(t(s, dir, "documents"))
-        .filter(size(tokens(col("text"))) >= 3)
-        .select(col("doc_id"), shingleSet(col("text")).as("shs"))
-      val sig = sh.select(col("doc_id"), col("shs"),
-        minhashSignature(col("shs"), K).as("sg"))
-      val bands = sig.select(col("doc_id"), col("shs"), col("sg"),
-          explode(sequence(lit(0), lit(Bands - 1))).as("b"))
-        .withColumn("bsig", bandSignature(col("sg"), col("b"), RowsPerBand))
-      val a = bands.select(col("b"), col("bsig"),
-        col("doc_id").as("doc_a"), col("shs").as("sa"))
-      val b = bands.select(col("b").as("b2"), col("bsig").as("bsig2"),
-        col("doc_id").as("doc_b"), col("shs").as("sb"))
-      a.join(b, col("b") === col("b2") && col("bsig") === col("bsig2") &&
-          col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
-        .distinct()
-        .withColumn("jac", jaccard(col("sa"), col("sb")))
-        .filter(col("jac") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
-
     // ---------------------------------------------- embedding near-dup
-    // Cosine near-dup over the embedding column. sf corpora are small
-    // enough for the exact pairwise form; the 100 TB path is
-    // q_ann_lsh's sign-bucket blocking (same cosine kernel).
+    // Cosine near-dup over the embedding column: norms precomputed per
+    // VECTOR (not per pair), pair dot via the codegen'd expression. sf
+    // corpora are small enough for the exact pairwise form; the 100 TB
+    // path is q_ann_lsh's sign-bucket blocking (same cosine kernel).
     GraftQuery(
       "q_dedup_embed",
       """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
@@ -266,10 +301,12 @@ object DedupQueries {
         |SELECT id_a, id_b, round(cos, 4) AS cosine
         |FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        l2Norm(col("embedding")).as("na"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        l2Norm(col("embedding")).as("nb"))
       a.join(b, col("id_a") < col("id_b"))
-        .withColumn("cos", cosine(col("va"), col("vb")))
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
         .filter(col("cos") >= 0.4)
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))

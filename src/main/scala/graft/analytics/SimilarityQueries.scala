@@ -56,14 +56,17 @@ object SimilarityQueries {
          |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("cv"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          l2Norm(col("embedding")).as("qn"))
+      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("cv"),
+        l2Norm(col("embedding")).as("cn"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("n_id"))
       // broadcast the (tiny) query set; corpus never shuffles for the
-      // join — only the per-query top-k ranking exchanges.
+      // join — only the per-query top-k ranking exchanges. Norms are
+      // per-vector columns; the pair kernel is one codegen'd dot.
       c.join(broadcast(q), col("n_id") =!= col("q_id"))
-        .withColumn("cos", cosine(col("qv"), col("cv")))
+        .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
         .select(col("q_id"), col("n_id"),
@@ -97,16 +100,17 @@ object SimilarityQueries {
          |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
-          signBucket(col("embedding"), 8).as("bucket"))
+          signBucket(col("embedding"), 8).as("bucket"),
+          l2Norm(col("embedding")).as("nrm"))
       val q = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-          col("bucket"))
+          col("bucket"), col("nrm").as("qn"))
       val c = e.select(col("vec_id").as("n_id"), col("embedding").as("cv"),
-        col("bucket").as("cbucket"))
+        col("bucket").as("cbucket"), col("nrm").as("cn"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("n_id"))
       q.join(c, col("bucket") === col("cbucket") && col("n_id") =!= col("q_id"))
-        .withColumn("cos", cosine(col("qv"), col("cv")))
+        .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("q_id"), col("n_id"), col("bucket"),

@@ -24,6 +24,11 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Split even single small parquet files across the cores: at test
+      // SFs one table = one file, and without this every scan is a
+      // 1-task stage. A real cluster keeps 128 MB splits (this is a
+      // minimum-split-count hint, not a size override).
+      .config("spark.sql.files.minPartitionNum", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Small dims (region/nation/supplier/part at test SFs) broadcast;

@@ -1,0 +1,183 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Codegen'd sketch kernels over pre-hashed element arrays
+  * (`array<long>`, one SHA-256-derived value per shingle/token — see
+  * [[graft.functions.SimilarityFunctions.elementHash]]).
+  *
+  * The naive higher-order-function formulation costs k (or 32)
+  * interpreted lambda invocations PER ELEMENT; these expressions do the
+  * whole sketch in one primitive loop inside whole-stage codegen. The
+  * arithmetic is exactly the HOF/DuckDB-oracle formulation — same
+  * constants, same mod-prime permutations, same bit order — so results
+  * are bit-identical across all three implementations.
+  */
+object HashExpressions {
+
+  /** Mersenne prime 2³¹−1 (fits `a·v + b` in a long for a,v < p). */
+  val P: Long = 2147483647L
+
+  def A(i: Int): Long = (1103515245L * (i + 1) + 12345L) % P
+  def B(i: Int): Long = (69069L * (i + 1) + 1234567L) % P
+
+  def minhash(hashes: Column, k: Int): Column =
+    graftbridge.column(MinHashSignature(graftbridge.expression(hashes), k))
+
+  def simhash32(hashes: Column): Column =
+    graftbridge.column(SimHash32(graftbridge.expression(hashes)))
+}
+
+/** k-permutation MinHash signature: element i = min over values v of
+  * `(Aᵢ·v + Bᵢ) mod p`. Null for empty input (callers filter upstream);
+  * null elements are skipped.
+  */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression {
+  import HashExpressions.{A, B, P}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature requires array<bigint>, got ${t.simpleString(10)}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = s"minhash_signature_$k"
+
+  private lazy val as: Array[Long] = Array.tabulate(k)(A)
+  private lazy val bs: Array[Long] = Array.tabulate(k)(B)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val v = arr.getLong(i)
+        var j = 0
+        while (j < k) {
+          val h = (v * as(j) + bs(j)) % P
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", as, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val v = ctx.freshName("v")
+      val h = ctx.freshName("h")
+      val mins = ctx.freshName("mins")
+      s"""
+         |int $n = $arr.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $mins = new long[$k];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$arr.isNullAt($i)) {
+         |      long $v = $arr.getLong($i);
+         |      for (int $j = 0; $j < $k; $j++) {
+         |        long $h = ($v * $aRef[$j] + $bRef[$j]) % ${P}L;
+         |        if ($h < $mins[$j]) $mins[$j] = $h;
+         |      }
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 32-bit SimHash from token hash values: bit j (MSB-first) is 1 iff
+  * the ±1 votes of all hashes' bit `31−j` sum positive. Empty input →
+  * 0 (matches the fold-from-zero HOF semantics).
+  */
+case class SimHash32(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash32 requires array<bigint>, got ${t.simpleString(10)}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val w = new Array[Int](32)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val v = arr.getLong(i)
+        var j = 0
+        while (j < 32) {
+          w(j) += (if (((v >> (31 - j)) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sh = 0L
+    var j = 0
+    while (j < 32) {
+      if (w(j) > 0) sh |= 1L << (31 - j)
+      j += 1
+    }
+    sh
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val v = ctx.freshName("v")
+      val w = ctx.freshName("w")
+      val sh = ctx.freshName("sh")
+      s"""
+         |int $n = $arr.numElements();
+         |int[] $w = new int[32];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    long $v = $arr.getLong($i);
+         |    for (int $j = 0; $j < 32; $j++) {
+         |      $w[$j] += ((($v >> (31 - $j)) & 1L) == 1L) ? 1 : -1;
+         |    }
+         |  }
+         |}
+         |long $sh = 0L;
+         |for (int $j = 0; $j < 32; $j++) {
+         |  if ($w[$j] > 0) $sh |= 1L << (31 - $j);
+         |}
+         |${ev.value} = $sh;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

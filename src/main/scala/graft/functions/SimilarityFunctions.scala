@@ -4,38 +4,46 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.expressions.VectorExpressions
+
 /** Similarity / near-duplicate primitives for large-scale training-data
   * pipelines: vector math over `array<float>` embedding columns, MinHash
   * signatures, SimHash, and n-gram Jaccard.
   *
-  * Everything here is built from Catalyst higher-order functions
-  * (`transform` / `aggregate` / `zip_with`) — evaluated per-row inside
-  * the scan stage with NO explode and NO extra shuffle. At 100 TB the
-  * signature computation is embarrassingly parallel; only the tiny
-  * (bucket-key, id) candidate streams ever hit an exchange.
+  * Everything here is per-row — evaluated inside the scan stage with NO
+  * explode and NO extra shuffle. At 100 TB the signature computation is
+  * embarrassingly parallel; only the tiny (bucket-key, id) candidate
+  * streams ever hit an exchange.
   *
-  * Hash choice: SHA-256 rendered as lowercase hex. A fixed-width hex
-  * string compares lexicographically exactly like the underlying 256-bit
-  * integer, so `array_min` over hex strings IS MinHash — and every SQL
-  * engine with a sha256() agrees on the value, which keeps the DuckDB
-  * oracle bit-exact (a murmur3/xxhash would be Spark-private).
+  * Cost model (this drove the design):
+  *  - Vector dot products use a custom codegen'd Catalyst expression
+  *    ([[graft.expressions.FloatVectorDot]]) — Spark higher-order
+  *    functions are CodegenFallback (interpreted lambda + boxing per
+  *    element), which is 100×+ slower on 64-float vectors.
+  *  - Hashing does ONE SHA-256 per shingle/token, then derives the k
+  *    MinHash permutations with universal-hash arithmetic
+  *    `(aᵢ·v + bᵢ) mod p` — exact in 64-bit integers, so the DuckDB
+  *    oracle reproduces every signature bit (a murmur3/xxhash would be
+  *    Spark-private; k SHA invocations per element would be k× the IO).
   */
 object SimilarityFunctions {
 
   // ------------------------------------------------------------ vectors
 
-  /** Dot product of two numeric arrays in double precision; strict
-    * left-to-right accumulation (deterministic, engine-portable).
+  /** Dot product in double precision; strict left-to-right accumulation
+    * (deterministic, engine-portable). Codegen'd native expression.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = VectorExpressions.dotF(a, b)
 
-  /** L2 norm. */
+  /** L2 norm. Precompute per side before a pairwise join — norms are
+    * per-vector, not per-pair.
+    */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; null/NaN when either vector has zero norm. */
+  /** Cosine similarity; null/NaN when either vector has zero norm.
+    * For pairwise use, prefer `dot(a,b) / (normA * normB)` with
+    * precomputed norm columns.
+    */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
@@ -54,15 +62,34 @@ object SimilarityFunctions {
 
   // ------------------------------------------------------------ MinHash
 
-  /** MinHash signature of a shingle set: k independent permutations
-    * approximated by seed-prefixed SHA-256; element i is
-    * min over shingles of sha256("<i>|<shingle>") as hex.
-    * Empty input → null elements (callers filter size ≥ 1 upstream).
+  /** Mersenne prime 2³¹−1: `a·v + b` stays < 2⁶² for a,v < p — exact in
+    * a 64-bit long on both Spark and DuckDB.
     */
+  val MinhashP: Long = graft.expressions.HashExpressions.P
+
+  /** Deterministic permutation constants (LCG-generated, pinned — the
+    * DuckDB oracle embeds the same values).
+    */
+  def minhashA(i: Int): Long = graft.expressions.HashExpressions.A(i)
+  def minhashB(i: Int): Long = graft.expressions.HashExpressions.B(i)
+
+  /** 28-bit base hash of an element: first 7 hex chars of its SHA-256.
+    * One digest per element; the k permutations are arithmetic.
+    */
+  def elementHash(s: Column): Column =
+    conv(substring(sha2(s, 256), 1, 7), 16, 10).cast(LongType)
+
+  /** MinHash signature from a pre-hashed element array (`array<long>`,
+    * see [[elementHash]]): element i is min over values of
+    * `(aᵢ·v + bᵢ) mod p`. Codegen'd single-loop kernel
+    * ([[graft.expressions.MinHashSignature]]).
+    */
+  def minhashSignatureFromHashes(hashes: Column, k: Int): Column =
+    graft.expressions.HashExpressions.minhash(hashes, k)
+
+  /** Convenience: shingle strings → signature (one SHA per shingle). */
   def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(shingles, s =>
-        sha2(concat(i.cast(StringType), lit("|"), s), 256))))
+    minhashSignatureFromHashes(transform(shingles, elementHash(_)), k)
 
   /** Estimated Jaccard from two equal-length MinHash signatures:
     * fraction of agreeing positions.
@@ -72,9 +99,9 @@ object SimilarityFunctions {
       zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x) / lit(k.toDouble)
 
-  /** LSH band signature: concatenation of rows `[band*rowsPerBand+1,
-    * band*rowsPerBand+rowsPerBand]` (1-based) of the signature. Two docs
-    * with Jaccard j collide on some band with p = 1−(1−j^r)^b.
+  /** LSH band signature: rows `[band·r+1, band·r+r]` (1-based) of the
+    * signature joined as a string key. Two docs with Jaccard j collide
+    * on some band with p = 1−(1−j^r)^b.
     */
   def bandSignature(sig: Column, band: Column, rowsPerBand: Int): Column =
     concat_ws("|", (1 to rowsPerBand).map(k =>
@@ -82,30 +109,36 @@ object SimilarityFunctions {
 
   // ------------------------------------------------------------ SimHash
 
-  /** Bit `j` (0 = most significant of the first hex digit) of a
-    * lowercase-hex hash string, as 0/1. Pure arithmetic on the hex
-    * rendering — stays inside codegen.
+  /** 32-bit feature hash for SimHash: first 8 hex chars of SHA-256 as
+    * a long (full 32 bits of signal, vs 28 for [[elementHash]]).
     */
-  private def hexBit(h: Column, j: Column): Column = {
-    val digit = h.substr((j / 4).cast(IntegerType) + 1, lit(1))
-    val v = conv(digit, 16, 10).cast(IntegerType)
-    floor(v / pow(lit(2.0), (lit(3) - j % 4).cast(DoubleType))).cast(LongType) % 2
-  }
+  def elementHash32(s: Column): Column =
+    conv(substring(sha2(s, 256), 1, 8), 16, 10).cast(LongType)
 
-  /** 32-bit SimHash over the document's distinct lowercase whitespace
-    * tokens. For each bit position, sums ±1 votes from each token's
-    * SHA-256-derived 32-bit hash; bit = 1 iff the weight is positive.
-    * Near-identical token sets → near-identical simhash (small Hamming
-    * distance). One pass over the token array per row; no shuffle.
+  /** Unigram-feature hashes for SimHash. NOTE: prefer shingle features
+    * ([[elementHash32]] over n-gram shingles) for corpora where
+    * documents share a vocabulary — unigram token SETS collapse to
+    * near-equality there and SimHash degenerates to one dense cluster.
+    * Materialize (own projection) before [[simhash32FromHashes]].
     */
-  def simhash32(text: Column): Column = {
-    val toks = array_distinct(TextFunctions.tokens(lower(text)))
-    val hs = transform(toks, t => substring(sha2(t, 256), 1, 8))
-    val bits = transform(sequence(lit(0), lit(31)), j =>
-      when(aggregate(hs, lit(0L), (acc, h) => acc + (hexBit(h, j) * 2 - 1)) > 0,
-        lit(1L)).otherwise(lit(0L)))
-    aggregate(bits, lit(0L), (acc, b) => acc * 2 + b)
-  }
+  def tokenHashes(text: Column): Column =
+    transform(array_distinct(TextFunctions.tokens(lower(text))),
+      elementHash32(_))
+
+  /** 32-bit SimHash from pre-hashed tokens: for each bit position, sums
+    * ±1 votes from each token hash; bit = 1 iff the weight is positive.
+    * Near-identical token sets → small Hamming distance. One codegen'd
+    * pass over the hash array per row ([[graft.expressions.SimHash32]]);
+    * no shuffle.
+    */
+  def simhash32FromHashes(hashes: Column): Column =
+    graft.expressions.HashExpressions.simhash32(hashes)
+
+  /** Text → 32-bit SimHash (token hashing fused; prefer the two-step
+    * form in query plans).
+    */
+  def simhash32(text: Column): Column =
+    simhash32FromHashes(tokenHashes(text))
 
   /** Hamming distance between two packed bit vectors. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -28,17 +28,26 @@ object TextFunctions {
   def subwordCount(text: Column): Column =
     regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
 
-  /** Word n-gram shingles (space-joined), empty array when the document
-    * has fewer than n tokens. Distinctness is the caller's choice
-    * (near-dup setups want set semantics → array_distinct).
+  /** Word n-gram shingles from a MATERIALIZED token-array column,
+    * empty array when the document has fewer than n tokens.
+    * Distinctness is the caller's choice (near-dup setups want set
+    * semantics → array_distinct).
+    *
+    * Take a token column, not text: the expression references the
+    * array n+1 times, and if that reference were the tokenizer itself
+    * the optimizer would re-run the regex per reference.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    when(size(t) >= n,
-      transform(sequence(lit(1), size(t) - (n - 1)), i =>
-        concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*)))
+  def shinglesFromTokens(ts: Column, n: Int): Column =
+    when(size(ts) >= n,
+      transform(sequence(lit(1), size(ts) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(ts, i + k)): _*)))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Convenience form over raw text — only for small inputs/tests;
+    * query plans should tokenize into an own projection first.
+    */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
 
   /** Language-ID stopword lists (tiny, deterministic n-gram heuristic —
     * the classic "count function words" approach).
