@@ -91,14 +91,6 @@ object CombineJob {
     val (rawOpt, used, skipped) = LandingCsv.readAll(spark, dataDir)
     if (rawOpt.isEmpty && used.isEmpty && skipped.isEmpty) return None
 
-    val combined = rawOpt.map(transform(_, conf))
-    val nRows = combined.map(_.count()).getOrElse(0L)
-    if (nRows == 0) {
-      // archive everything so the next batch doesn't re-scan junk, then
-      // fail the batch (empty-input guard P6)
-      AtomicCsv.archive(spark, used ++ skipped, loadedDir)
-      throw new IllegalStateException("no valid rows found in input CSVs")
-    }
     val name = outName.getOrElse {
       val ts = java.time.format.DateTimeFormatter
         .ofPattern("yyyyMMdd'T'HHmmss")
@@ -107,7 +99,27 @@ object CombineJob {
       s"italytravel_combined_$ts.csv"
     }
     val outPath = s"$combinedDir/$name"
-    AtomicCsv.writeFile(combined.get, outPath)
+
+    // Batch metrics ride the write pass via observe (SURVEY §2.3 A3) —
+    // no separate count() job. The empty-batch guard reads the observed
+    // row count AFTER the write and retracts the file if it was empty.
+    val nRows = rawOpt.map { raw =>
+      val obs = new org.apache.spark.sql.Observation(s"combine_$name")
+      AtomicCsv.writeFile(transform(raw, conf)
+        .observe(obs, count(lit(1)).as("rows_out")), outPath)
+      obs.get("rows_out").asInstanceOf[Long]
+    }.getOrElse(0L)
+
+    if (nRows == 0) {
+      // retract + archive everything so the next batch doesn't re-scan
+      // junk, then fail the batch (empty-input guard P6)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new org.apache.hadoop.fs.Path(outPath).toUri,
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(outPath), false)
+      AtomicCsv.archive(spark, used ++ skipped, loadedDir)
+      throw new IllegalStateException("no valid rows found in input CSVs")
+    }
     AtomicCsv.archive(spark, used ++ skipped, loadedDir)
     Some(outPath)
   }

@@ -1,0 +1,79 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.expressions.HashExpressions
+import graft.functions.SimilarityFunctions._
+
+/** The custom codegen expressions vs (a) interpreted eval, (b) the
+  * HOF/arithmetic formulations they replaced — all three must agree
+  * bit-for-bit, since the DuckDB oracle mirrors the HOF arithmetic.
+  */
+class ExpressionsSpec extends SparkSpec {
+
+  private val rnd = new Random(7)
+
+  test("FloatVectorDot: codegen == interpreted == HOF fold, incl. edges") {
+    import spark.implicits._
+    val vecs = (0 until 50).map { _ =>
+      (Seq.fill(64)(rnd.nextFloat() * 2 - 1), Seq.fill(64)(rnd.nextFloat() * 2 - 1))
+    } :+ ((Seq.empty[Float], Seq.empty[Float]))
+    val df = vecs.toDF("a", "b")
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+    val rows = df.select(dot(col("a"), col("b")).as("native"), hof.as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0,
+        s"native=${r.getDouble(0)} hof=${r.getDouble(1)}")
+    }
+    // mismatched lengths: native sums the shorter prefix (zip_with would
+    // null-pad and poison the fold — a deliberate semantic improvement)
+    val m = Seq((Seq(1f, 2f, 3f), Seq(1f, 2f))).toDF("a", "b")
+      .select(dot(col("a"), col("b"))).collect().head.getDouble(0)
+    assert(m == 5.0)
+  }
+
+  test("MinHashSignature: codegen == Scala oracle; empty → null") {
+    import spark.implicits._
+    val data = (0 until 30).map(_ =>
+      Seq.fill(rnd.nextInt(40) + 1)(rnd.nextLong().abs % (1L << 28))) :+ Seq.empty[Long]
+    val df = data.toDF("hv")
+    val got = df.select(minhashSignatureFromHashes(col("hv"), 16)).collect()
+    data.zip(got).foreach { case (hv, row) =>
+      if (hv.isEmpty) assert(row.isNullAt(0))
+      else {
+        val oracle = (0 until 16).map { i =>
+          hv.map(v => (v * minhashA(i) + minhashB(i)) % MinhashP).min
+        }
+        assert(row.getSeq[Long](0) == oracle)
+      }
+    }
+  }
+
+  test("SimHash32: codegen == Scala oracle; empty → 0; near-dup close") {
+    import spark.implicits._
+    val data = (0 until 30).map(_ =>
+      Seq.fill(rnd.nextInt(50) + 1)(rnd.nextLong().abs % (1L << 32))) :+ Seq.empty[Long]
+    val df = data.toDF("hv")
+    val got = df.select(simhash32FromHashes(col("hv"))).collect().map(_.getLong(0))
+    data.zip(got).foreach { case (hv, g) =>
+      val w = new Array[Int](32)
+      hv.foreach { v =>
+        (0 until 32).foreach(j => w(j) += (if (((v >> (31 - j)) & 1L) == 1L) 1 else -1))
+      }
+      val oracle = (0 until 32).map(j => if (w(j) > 0) 1L << (31 - j) else 0L).sum
+      assert(g == oracle)
+    }
+  }
+
+  test("pinned permutation constants (oracle SQL embeds these)") {
+    assert(HashExpressions.P == 2147483647L)
+    assert(minhashA(0) == 1103527590L % HashExpressions.P)
+    assert(minhashB(0) == (69069L + 1234567L) % HashExpressions.P)
+  }
+}
