@@ -25,6 +25,16 @@ final case class RedditThing(
 
 object Model {
 
+  /** Typed view of a serving-shaped DataFrame (module-boundary type
+    * safety, SURVEY §1.5). Extra columns (e.g. `ingested_at`) pass
+    * through the encoder untouched.
+    */
+  def typed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Dataset[RedditThing] = {
+    implicit val enc: org.apache.spark.sql.Encoder[RedditThing] =
+      org.apache.spark.sql.Encoders.product[RedditThing]
+    df.as[RedditThing]
+  }
+
   /** CSV landing-file column order (Fetch_reddit.py:220-233 and
     * Combine_send_to_postgresql.py:34-46 agree on this list).
     */

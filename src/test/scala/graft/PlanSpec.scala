@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions (the 100 TB contract): filters reach the
+  * parquet scan, scans read only needed columns, dimension joins
+  * broadcast, top-k avoids global sorts, signature pipelines aren't
+  * recomputed per reference, and the pipeline jobs shuffle exactly as
+  * often as the algorithm requires. A regression here is a performance
+  * bug even while results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    needle.r.findAllIn(hay).length
+
+  test("q1_agg: predicate pushed to parquet scan, columns pruned") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("LessThanOrEqual(l_shipdate"), p)
+    // 7 needed columns, not all 16 of lineitem
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_orderkey") && read.contains("l_quantity"), read)
+  }
+
+  test("q5_nation_revenue: dims broadcast, facts hash-join; no cartesian") {
+    val p = plan("q5_nation_revenue")
+    assert(count(p, "BroadcastHashJoin") >= 3, p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_topk: TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("q_join_range: bucketed range join plans as hash join") {
+    val p = plan("q_join_range")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
+  test("signature pipelines: one signature computation per join side") {
+    // 2 union branches × 2 join sides = 4 is the floor; more means the
+    // optimizer substituted the pipeline into filters again
+    assert(count(plan("q_dedup_minhash"), "minhash_signature") <= 4)
+    assert(count(plan("q_dedup_simhash"), "simhash32") <= 4)
+    // tokenizer runs a bounded number of times (was 36 when shingles
+    // inlined it per element reference)
+    assert(count(plan("q_dedup_minhash"), "regexp_extract_all") <= 20)
+  }
+
+  test("FetchJob.transform is a single narrow stage (no exchange)") {
+    import spark.implicits._
+    val posts = Seq(("t3_a", "a", 1.0, 1L, 0L, "t", "u", "/r/x", "s", null: String))
+      .toDF("name", "id", "created_utc", "score", "num_comments", "title",
+        "author", "permalink", "subreddit", "link_flair_text")
+    val p = graft.jobs.FetchJob.transform(posts).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("CombineJob.transform shuffles exactly once (the dedup exchange)") {
+    import spark.implicits._
+    val raw = Seq(("K1", "t3", "1", "", "1", "0", "t", "", "", "s", "", 0, 1))
+      .toDF("thing_key", "thing_type", "id", "created_at", "score",
+        "num_comments", "title_sanitized", "author_hash", "permalink",
+        "subreddit", "flair_text", "file_seq", "row_seq")
+    val p = graft.jobs.CombineJob.transform(raw).queryExecution.executedPlan.toString
+    assert(count(p, "Exchange") == 1, p)
+  }
+
+  test("multimodal meta scan prunes the payload for metadata-only use") {
+    val df = SparkEntry.queries("q_multimodal_meta")(spark, dir)
+    // the query *uses* payload (length+sha) so it reads text; but the
+    // documents scan must not read unused columns like lang/source
+    val read = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("lang") && !read.contains("source"), read)
+  }
+}

@@ -102,6 +102,38 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedups across micro-batches (T4)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "thing_key")
+    val query = StreamingPipeline
+      .dedupWithinWatermark(df, "thing_key", "ts", "1 hour")
+      .writeStream.format("memory").queryName("dedup_wm")
+      .outputMode("append").start()
+    try {
+      val t = java.sql.Timestamp.valueOf("2025-01-01 10:00:00")
+      input.addData((t, "K1"), (t, "K1"), (t, "K2"))
+      query.processAllAvailable()
+      input.addData((java.sql.Timestamp.valueOf("2025-01-01 10:10:00"), "K1"))
+      query.processAllAvailable() // duplicate within watermark → dropped
+      val keys = spark.table("dedup_wm").collect()
+        .map(_.getAs[String]("thing_key")).toSeq.sorted
+      assert(keys == Seq("K1", "K2"))
+    } finally query.stop()
+  }
+
+  test("Model.typed: serving DataFrame ⇄ Dataset[RedditThing]") {
+    import spark.implicits._
+    val df = Seq(("K1", "t3", "id1", java.sql.Timestamp.valueOf("2025-01-01 00:00:00"),
+      5, 2, "T", "AH", "PL", "sub", "F"))
+      .toDF("thing_key", "thing_type", "id", "created_at", "score",
+        "num_comments", "title_sanitized", "author_hash", "permalink",
+        "subreddit", "flair_text")
+    val things = graft.core.Model.typed(df).collect()
+    assert(things.head.thing_key == "K1" && things.head.score == 5)
+  }
+
   test("hourlyEventCounts compiles to a watermarked streaming agg") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
