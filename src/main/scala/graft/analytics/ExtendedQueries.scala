@@ -5,7 +5,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.core.Tables
+import graft.core.{GraftConf, Tables}
+import graft.functions.SimilarityFunctions.elementHash
+import graft.functions.TextFunctions
+import graft.jobs.CombineJob
 import graft.operators.{Scored, TopKByScore}
 
 /** Coverage extensions: the rest of the W3 ranking family
@@ -88,5 +91,157 @@ object ExtendedQueries {
           col("item.id").as("o_orderkey"),
           round(col("item.score"), 2).as("total"))
         .orderBy(col("o_custkey"), col("rank"))
+    },
+
+    // ------------------------------------------------------- T5 native
+    // Native session_window in batch mode, oracle'd by the gap-merge
+    // SQL. session_window opens a NEW session when the inter-event gap
+    // is ≥ the 30-min gap (the manual lag-form in q_session_window uses
+    // strict >; the synthetic timestamps never land exactly on the
+    // boundary, and the oracle here mirrors the ≥ semantics).
+    GraftQuery(
+      "q_session_native",
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |         value FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+        |                   OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) >= 1800000000
+        |                 THEN 1 ELSE 0 END AS is_new
+        |  FROM o),
+        |s AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                              ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, min(tus) AS session_start_us, max(tus) AS session_end_us,
+        |  count(*) AS n_events,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts").cast(TimestampType), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("session_start_us"),
+          (unix_micros(col("w.end")) - 1800000000L).as("session_end_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start_us"))
+    },
+
+    // ------------------------------------------- rolling-hash fingerprint
+    // Rabin–Karp 3-token window hashes over one-SHA-per-token values;
+    // the min window hash is a winnowing-style document fingerprint.
+    GraftQuery(
+      "q_fingerprint_rolling",
+      s"""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts
+         |            FROM documents),
+         |hp AS (SELECT doc_id, [substring(sha256(x), 1, 7) FOR x IN ts] AS hp FROM tok),
+         |hv AS (SELECT doc_id,
+         |         [list_sum([(strpos('0123456789abcdef', substring(h, p, 1)) - 1)
+         |                    * CAST(16**(7 - p) AS BIGINT) FOR p IN range(1, 8)])
+         |          FOR h IN hp] AS hv FROM hp),
+         |r AS (SELECT doc_id,
+         |        CASE WHEN len(hv) >= 3 THEN
+         |          [((((hv[i] * ${TextFunctions.RollB}) % ${TextFunctions.RollP} + hv[i+1])
+         |             * ${TextFunctions.RollB}) % ${TextFunctions.RollP} + hv[i+2]) % ${TextFunctions.RollP}
+         |           FOR i IN range(1, len(hv) - 1)]
+         |        ELSE [] END AS fps
+         |      FROM hv)
+         |SELECT doc_id, len(fps) AS n_windows,
+         |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val hv = t(s, dir, "documents")
+        .select(col("doc_id"),
+          transform(TextFunctions.tokens(lower(col("text"))), elementHash(_))
+            .as("hv"))
+      hv.select(col("doc_id"),
+          TextFunctions.rollingFingerprints(col("hv")).as("fps"))
+        .select(col("doc_id"), size(col("fps")).as("n_windows"),
+          array_min(col("fps")).as("min_fp"),
+          array_max(col("fps")).as("max_fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --------------------------------------------- pipeline composition
+    // The reference combine stage END-TO-END (normalize → key filter →
+    // first-wins dedup → fixed projection) over landing-shaped rows
+    // synthesized from documents: ragged values, empty keys (derived),
+    // bad scores (→0), empty subreddits (→default), duplicate keys
+    // across two "files" (first file wins). The oracle replays the
+    // exact semantics in SQL — this is the full CombineJob.transform
+    // under the hash gate, not just its pieces.
+    GraftQuery(
+      "q_pipeline_combine", {
+        val salt = GraftConf.default.salt
+        s"""WITH f0 AS (
+           |  SELECT CASE WHEN doc_id % 3 = 0 THEN '' ELSE 'K' || CAST(doc_id AS VARCHAR) END AS thing_key,
+           |    CAST(doc_id AS VARCHAR) AS id,
+           |    CASE WHEN doc_id % 7 = 0 THEN 'N/A' ELSE CAST(n_chars % 100 AS VARCHAR) END AS score,
+           |    'HTTPS://Reddit.com/R/' || source || '/' || CAST(doc_id AS VARCHAR) || '//' AS permalink,
+           |    substring(text, 1, 40) AS title,
+           |    CASE WHEN doc_id % 5 = 0 THEN '' ELSE source END AS subreddit,
+           |    0 AS file_seq, doc_id AS row_seq
+           |  FROM documents),
+           |f1 AS (
+           |  SELECT 'K' || CAST(doc_id AS VARCHAR) AS thing_key,
+           |    CAST(doc_id AS VARCHAR) AS id,
+           |    '999' AS score,
+           |    'dup-permalink' AS permalink, 'dup title' AS title,
+           |    source AS subreddit, 1 AS file_seq, doc_id AS row_seq
+           |  FROM documents WHERE doc_id % 4 = 0 AND doc_id % 3 <> 0),
+           |u AS (SELECT * FROM f0 UNION ALL SELECT * FROM f1),
+           |n AS (
+           |  SELECT
+           |    CASE WHEN thing_key IS NULL OR thing_key = ''
+           |         THEN sha256('$salt' || 't3:' || coalesce(nullif(id, ''),
+           |                regexp_replace(lower(trim(permalink)), '/+$$', '', 'g'), ''))
+           |         ELSE thing_key END AS thing_key,
+           |    't3' AS thing_type,
+           |    coalesce(nullif(id, ''), '') AS id,
+           |    '' AS created_at,
+           |    coalesce(TRY_CAST(score AS INTEGER), 0) AS score,
+           |    0 AS num_comments,
+           |    coalesce(nullif(title, ''), '') AS title_sanitized,
+           |    '' AS author_hash,
+           |    coalesce(regexp_replace(lower(trim(permalink)), '/+$$', '', 'g'), '') AS permalink,
+           |    CASE WHEN subreddit IS NULL OR subreddit = '' THEN 'ItalyTravel' ELSE subreddit END AS subreddit,
+           |    '' AS flair_text,
+           |    file_seq, row_seq
+           |  FROM u),
+           |d AS (
+           |  SELECT *, row_number() OVER (PARTITION BY thing_key
+           |            ORDER BY file_seq, row_seq) AS rn
+           |  FROM n WHERE thing_key IS NOT NULL AND thing_key <> '')
+           |SELECT thing_key, thing_type, id, created_at,
+           |  CAST(score AS VARCHAR) AS score, CAST(num_comments AS VARCHAR) AS num_comments,
+           |  title_sanitized, author_hash, permalink, subreddit, flair_text
+           |FROM d WHERE rn = 1 ORDER BY thing_key""".stripMargin
+      }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val f0 = docs.select(
+        when(col("doc_id") % 3 === 0, lit(""))
+          .otherwise(concat(lit("K"), col("doc_id").cast(StringType))).as("thing_key"),
+        col("doc_id").cast(StringType).as("id"),
+        when(col("doc_id") % 7 === 0, lit("N/A"))
+          .otherwise((col("n_chars") % 100).cast(StringType)).as("score"),
+        concat(lit("HTTPS://Reddit.com/R/"), col("source"), lit("/"),
+          col("doc_id").cast(StringType), lit("//")).as("permalink"),
+        substring(col("text"), 1, 40).as("title"),
+        when(col("doc_id") % 5 === 0, lit("")).otherwise(col("source"))
+          .as("subreddit"),
+        lit(0).as("file_seq"), col("doc_id").as("row_seq"))
+      val f1 = docs.filter(col("doc_id") % 4 === 0 && col("doc_id") % 3 =!= 0)
+        .select(
+          concat(lit("K"), col("doc_id").cast(StringType)).as("thing_key"),
+          col("doc_id").cast(StringType).as("id"),
+          lit("999").as("score"),
+          lit("dup-permalink").as("permalink"),
+          lit("dup title").as("title"),
+          col("source").as("subreddit"),
+          lit(1).as("file_seq"), col("doc_id").as("row_seq"))
+      CombineJob.transform(f0.unionByName(f1), GraftConf.default)
+        .orderBy(col("thing_key"))
     })
 }

@@ -105,4 +105,26 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column =
     sha2(regexp_replace(trim(lower(text)), "\\s+", " "), 256)
+
+  /** Rolling-hash base/modulus (exact in 64-bit: intermediate values
+    * stay ≤ (P−1)·B ≈ 2⁵¹, so the DuckDB oracle reproduces every value
+    * with plain BIGINT arithmetic).
+    */
+  val RollB: Long = 1000003L
+  val RollP: Long = graft.expressions.HashExpressions.P
+
+  /** Rolling (Rabin–Karp) window fingerprints over a MATERIALIZED
+    * token-hash array (see SimilarityFunctions.elementHash): one value
+    * per 3-token window, `((h₁·B + h₂)·B + h₃) mod P`, reduced mod P at
+    * every step. `array_min` of the result is a winnowing-style
+    * document fingerprint; the full array feeds containment checks.
+    */
+  def rollingFingerprints(hashes: Column): Column =
+    when(size(hashes) >= 3,
+      transform(sequence(lit(1), size(hashes) - 2), i => {
+        val h1 = element_at(hashes, i)
+        val h2 = element_at(hashes, i + 1)
+        val h3 = element_at(hashes, i + 2)
+        (((h1 * RollB) % RollP + h2) * RollB % RollP + h3) % RollP
+      })).otherwise(array().cast("array<bigint>"))
 }
