@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.{FloatVectorDot, MinHashSignature, SimHash32}
+
+/** SparkSessionExtensions entry point: registers graft's custom
+  * codegen expressions as SQL functions, so `spark.sql` users (and
+  * spark-submit deployments via
+  * `--conf spark.sql.extensions=graft.GraftExtensions`) get
+  * `float_vector_dot`, `minhash_signature`, `simhash32` without
+  * touching the Scala API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("float_vector_dot"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "float_vector_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "float_vector_dot(arrayA, arrayB)")
+        FloatVectorDot(args(0), args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "minhash_signature(hashes, k)")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => other.eval().asInstanceOf[Int]
+        }
+        MinHashSignature(args(0), k)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash32(hashes)")
+        SimHash32(args(0))
+      }))
+  }
+}

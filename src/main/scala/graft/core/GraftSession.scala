@@ -19,6 +19,7 @@ object GraftSession {
   def local(appName: String = "graft", cores: Int = cpus): SparkSession = {
     val spark = SparkSession
       .builder()
+      .withExtensions(new graft.GraftExtensions()) // SQL: float_vector_dot, …
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SkewJoin
+
+/** Salted skew-join correctness (result-equivalence with the plain
+  * forms) and the SparkSessionExtensions SQL function surface.
+  */
+class SkewExtensionsSpec extends SparkSpec {
+
+  test("saltedInner == plain inner join, hot key spread over salts") {
+    import spark.implicits._
+    // one hot key (90% of rows) + a long tail
+    val left = ((1 to 900).map(i => ("hot", i)) ++
+      (1 to 100).map(i => (s"k$i", i))).toDF("k", "v")
+    val right = (Seq("hot") ++ (1 to 50).map(i => s"k$i"))
+      .map(k => (k, s"dim_$k")).toDF("k", "name")
+
+    val plain = left.join(right, "k").select("k", "v", "name")
+      .collect().map(_.toSeq).toSet
+    val salted = SkewJoin.saltedInner(left, right, "k", salts = 8)
+      .select("k", "v", "name").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(plain.count(_.head == "hot") == 900)
+  }
+
+  test("saltedCountSum == plain groupBy aggregation") {
+    import spark.implicits._
+    val df = ((1 to 500).map(_ => "hot") ++ (1 to 100).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (k, i.toDouble) }.toDF("k", "v")
+    val plain = df.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = SkewJoin.saltedCountSum(df, "k", "v", salts = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("extensions: custom expressions callable from SQL") {
+    val dot = spark.sql(
+      "SELECT float_vector_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d")
+      .collect().head.getDouble(0)
+    assert(dot == 11.0)
+    val sh = spark.sql("SELECT simhash32(array(4294967295L)) AS s")
+      .collect().head.getLong(0)
+    assert(sh == 4294967295L) // all bits vote +1
+    val sig = spark.sql("SELECT minhash_signature(array(7L, 99L), 4) AS s")
+      .collect().head.getSeq[Long](0)
+    assert(sig.length == 4)
+    import graft.functions.SimilarityFunctions.{minhashA, minhashB, MinhashP}
+    assert(sig(0) == Seq(7L, 99L).map(v => (v * minhashA(0) + minhashB(0)) % MinhashP).min)
+  }
+}
