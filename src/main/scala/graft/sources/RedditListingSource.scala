@@ -1,0 +1,158 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** DataSource V2 `TableProvider` for the reddit listing format
+  * (SURVEY §2.1 S1's optional "reddit" connector): one registered
+  * format, `spark.read.format("reddit-listing").load(path)`, yielding
+  * one ALREADY-EXPLODED row per post with the canonical ingest schema —
+  * the nested-JSON handling (`data.children[].data`) lives inside the
+  * connector, like the reference's `_fetch_last_posts` projection
+  * (/root/reference/dags/Fetch_reddit.py:140-171).
+  *
+  * Layout: one `InputPartition` per listing file (a listing page is one
+  * API response — parallelism across pages, never within one), reader
+  * streams posts without materializing the page twice. A live-HTTP
+  * variant would swap the file read for the OAuth'd GET in
+  * `ListingPartitionReader` and nothing else changes shape.
+  */
+class RedditListingSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "reddit-listing"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RedditListingSource.PostSchema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ListingTable(properties.asScala.toMap)
+}
+
+object RedditListingSource {
+
+  /** Exploded post schema (Fetch_reddit.py:140-166 field set). */
+  val PostSchema: StructType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("id", StringType),
+    StructField("created_utc", DoubleType),
+    StructField("score", LongType),
+    StructField("num_comments", LongType),
+    StructField("title", StringType),
+    StructField("author", StringType),
+    StructField("permalink", StringType),
+    StructField("subreddit", StringType),
+    StructField("link_flair_text", StringType)))
+}
+
+private class ListingTable(props: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = s"reddit_listing(${props.getOrElse("path", "?")})"
+  override def schema(): StructType = RedditListingSource.PostSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ListingScanBuilder(options.asScala.toMap ++ props)
+}
+
+private class ListingScanBuilder(options: Map[String, String]) extends ScanBuilder {
+  override def build(): Scan = new ListingScan(options)
+}
+
+private class ListingScan(options: Map[String, String]) extends Scan with Batch {
+  override def readSchema(): StructType = RedditListingSource.PostSchema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val path = options.getOrElse("path",
+      throw new IllegalArgumentException("reddit-listing requires a path"))
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, new org.apache.hadoop.conf.Configuration())
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.isFile).map(_.getPath.toString).sorted
+      else Array(path)
+    files.map(f => ListingPartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ListingReaderFactory(options.getOrElse("limit", Int.MaxValue.toString).toInt)
+}
+
+private case class ListingPartition(file: String) extends InputPartition
+
+private class ListingReaderFactory(limit: Int) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ListingPartitionReader(partition.asInstanceOf[ListingPartition].file, limit)
+}
+
+/** Streams one listing file's `data.children[].data` posts. Null-safe
+  * exactly like the reference's `.get()` chains: absent/mistyped
+  * fields become null.
+  */
+private class ListingPartitionReader(file: String, limit: Int)
+    extends PartitionReader[InternalRow] {
+
+  private val posts: Iterator[JValue] = {
+    val p = new Path(file)
+    val fs = FileSystem.get(p.toUri, new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    JsonMethods.parse(text) \ "data" \ "children" match {
+      case JArray(children) => children.iterator.map(_ \ "data").take(limit)
+      case _ => Iterator.empty
+    }
+  }
+
+  private var current: InternalRow = _
+
+  private def str(jv: JValue): UTF8String = jv match {
+    case JString(s) => UTF8String.fromString(s)
+    case _ => null
+  }
+
+  private def dbl(jv: JValue): Any = jv match {
+    case JDouble(d) => d
+    case JInt(i) => i.toDouble
+    case JDecimal(d) => d.toDouble
+    case _ => null
+  }
+
+  private def lng(jv: JValue): Any = jv match {
+    case JInt(i) => i.toLong
+    case JDouble(d) => d.toLong
+    case JDecimal(d) => d.toLong
+    case _ => null
+  }
+
+  override def next(): Boolean =
+    if (!posts.hasNext) false
+    else {
+      val d = posts.next()
+      current = InternalRow(
+        str(d \ "name"), str(d \ "id"), dbl(d \ "created_utc"),
+        lng(d \ "score"), lng(d \ "num_comments"), str(d \ "title"),
+        str(d \ "author"), str(d \ "permalink"), str(d \ "subreddit"),
+        str(d \ "link_flair_text"))
+      true
+    }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
