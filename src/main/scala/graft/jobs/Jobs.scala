@@ -125,6 +125,29 @@ object CombineJob {
   }
 }
 
+/** The full batch pipeline (SURVEY §7.1 item 6): fetch → combine →
+  * load composed as the reference's DAG chain, against a parquet
+  * serving table. One call = one "day" of the reference's operation.
+  */
+object PipelineJob {
+
+  def run(
+      spark: SparkSession,
+      listingPaths: Seq[String],
+      workDir: String,
+      conf: GraftConf = GraftConf.default): Unit = {
+    val dataDir = s"$workDir/data"
+    val combinedDir = s"$workDir/combined"
+    val loadedDir = s"$workDir/loaded"
+    val tableDir = s"$workDir/table"
+    listingPaths.zipWithIndex.foreach { case (lp, i) =>
+      FetchJob.run(spark, lp, f"$dataDir/italytravel_$i%04d.csv", conf)
+    }
+    CombineJob.run(spark, dataDir, combinedDir, loadedDir, conf)
+      .foreach(combined => LoadJob.run(spark, combined, tableDir, conf))
+  }
+}
+
 object LoadJob {
 
   /** Combined-CSV strings → typed serving rows (+ sink-side

@@ -233,6 +233,33 @@ class JobsSpec extends SparkSpec {
     }
   }
 
+  test("PipelineJob: fetch → combine → load end-to-end, replay-idempotent") {
+    withTempDir { root =>
+      val listing =
+        """{"data": {"children": [
+          |  {"kind": "t3", "data": {"name": "t3_p1", "id": "p1",
+          |   "created_utc": 1694253032.0, "score": 3, "num_comments": 1,
+          |   "title": "pipeline title", "author": "ann",
+          |   "permalink": "/r/x/p1/", "subreddit": "italytravel"}}
+          |]}}""".stripMargin
+      write(root, "listing.json", listing)
+      val lp = root.resolve("listing.json").toString
+      val work = root.resolve("work").toString
+
+      graft.jobs.PipelineJob.run(spark, Seq(lp), work, conf)
+      val t1 = spark.read.parquet(s"$work/table")
+      assert(t1.count() == 1)
+      assert(t1.collect().head.getAs[String]("thing_key") == h("t3_p1"))
+
+      // replay the same listing: landing dir was archived, new fetch
+      // re-lands the same post, upsert converges to the same row
+      graft.jobs.PipelineJob.run(spark, Seq(lp), work, conf)
+      val t2 = spark.read.parquet(s"$work/table")
+      assert(t2.count() == 1)
+      assert(t2.collect().head.getAs[Int]("score") == 3)
+    }
+  }
+
   test("upsertStatement renders the reference ON CONFLICT SQL") {
     val sql = Upsert.upsertStatement("reddit_schema.redit_table")
     assert(sql.startsWith(
