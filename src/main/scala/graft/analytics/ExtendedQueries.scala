@@ -93,6 +93,27 @@ object ExtendedQueries {
         .orderBy(col("o_custkey"), col("rank"))
     },
 
+    // ------------------------------------------------------------ F17
+    // Array aggregation: collect_list is order-nondeterministic under
+    // parallel aggregation, so the deterministic form is
+    // array_sort(collect_list(…)) — the only hashable shape.
+    GraftQuery(
+      "q_array_agg",
+      """SELECT user_id,
+        |  list_sort(list(event_type)) AS types,
+        |  len(list_distinct(list(event_type))) AS n_distinct_types,
+        |  count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          array_sort(collect_list(col("event_type"))).as("types"),
+          size(array_distinct(collect_list(col("event_type"))))
+            .as("n_distinct_types"),
+          count(lit(1)).as("n"))
+        .orderBy(col("user_id"))
+    },
+
     // ------------------------------------------------------- T5 native
     // Native session_window in batch mode, oracle'd by the gap-merge
     // SQL. session_window opens a NEW session when the inter-event gap

@@ -117,5 +117,64 @@ object SimilarityQueries {
           col("rank").cast(IntegerType).as("rank"),
           round(col("cos"), 4).as("cosine"))
         .orderBy(col("q_id"), col("rank"))
+    },
+
+    // ------------------------------------------------------------- IVF
+    // Inverted-file ANN: vectors with vec_id < 16 serve as coarse
+    // centroids (a fixed, deterministic codebook — a real deployment
+    // would k-means these); every vector is assigned to its nearest
+    // centroid by dot product (unit-norm ⇒ cosine order), queries probe
+    // their nprobe=2 nearest cells, exact cosine re-ranks inside the
+    // probed cells. Scale shape: assignment is |corpus|×16 codegen'd
+    // dots in the scan stage; the candidate join is an equi-join on the
+    // small cell id — the corpus never all-pairs.
+    GraftQuery(
+      "q_ann_ivf",
+      s"""WITH e AS ($embDoubleSql),
+         |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+         |asg AS (SELECT vec_id, v, nrm, c_id,
+         |          row_number() OVER (PARTITION BY vec_id
+         |            ORDER BY ${dotSql("v", "cv")} DESC, c_id) AS crank
+         |        FROM n, cent),
+         |cell AS (SELECT vec_id, v, nrm, c_id AS cell FROM asg WHERE crank = 1),
+         |probe AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id AS cell
+         |          FROM asg WHERE vec_id < 10 AND crank <= 2),
+         |s AS (SELECT p.q_id, c.vec_id AS n_id,
+         |        ${dotSql("p.qv", "c.v")} / (p.qn * c.nrm) AS cos
+         |      FROM probe p JOIN cell c ON p.cell = c.cell AND c.vec_id <> p.q_id),
+         |r AS (SELECT q_id, n_id, cos,
+         |        CAST(row_number() OVER (PARTITION BY q_id
+         |               ORDER BY cos DESC, n_id) AS INTEGER) AS rank
+         |      FROM (SELECT DISTINCT q_id, n_id, cos FROM s))
+         |SELECT q_id, n_id, rank, round(cos, 4) AS cosine
+         |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"),
+          l2Norm(col("embedding")).as("nrm"))
+        .repartition(col("vec_id")) // materialize norms once (self-join)
+      val cent = broadcast(e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("v").as("cv")))
+      val wAsg = Window.partitionBy(col("vec_id"))
+        .orderBy(dot(col("v"), col("cv")).desc, col("c_id"))
+      val asg = e.join(cent)
+        .withColumn("crank", row_number().over(wAsg))
+      val cells = asg.filter(col("crank") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
+      val probes = asg.filter(col("vec_id") < 10 && col("crank") <= 2)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("c_id").as("cell"))
+      val wRank = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id"))
+      probes.join(cells, probes("cell") === cells("cell") &&
+          col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+        .distinct()
+        .withColumn("rank", row_number().over(wRank).cast(IntegerType))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("n_id"), col("rank"),
+          round(col("cos"), 4).as("cosine"))
+        .orderBy(col("q_id"), col("rank"))
     })
 }
