@@ -114,6 +114,20 @@ object ExtendedQueries {
         .orderBy(col("user_id"))
     },
 
+    // ------------------------------------------------------------- P7
+    // The SQL entry path: temp views + spark.sql, with a CORRELATED
+    // scalar subquery Catalyst decorrelates into an aggregate+join.
+    // Spark and DuckDB run the IDENTICAL SQL text (quantities are
+    // integer-valued doubles, so avg() is bit-identical regardless of
+    // summation order — magnitudes stay < 2^53).
+    GraftQuery.sameSql(
+      "q_sql_subquery",
+      """SELECT l_partkey, count(*) AS n_above
+        |FROM lineitem l
+        |WHERE l_quantity > (SELECT avg(l2.l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin),
+
     // ------------------------------------------------------- T5 native
     // Native session_window in batch mode, oracle'd by the gap-merge
     // SQL. session_window opens a NEW session when the inter-event gap

@@ -21,4 +21,15 @@ object GraftQuery {
   def noOracle(name: String)(
       build: (SparkSession, String) => DataFrame): GraftQuery =
     GraftQuery(name, build, None)
+
+  /** A query whose Spark implementation IS the oracle SQL text: the
+    * engine registers the corpus as temp views and runs `spark.sql` on
+    * the exact string DuckDB replays — the SQL entry path of the
+    * engine, dialect-shared subset only.
+    */
+  def sameSql(name: String, sql: String): GraftQuery =
+    GraftQuery(name, (s, dir) => {
+      graft.core.Tables.registerAll(s, dir)
+      s.sql(sql)
+    }, Some(sql))
 }

@@ -84,10 +84,15 @@ object TextQueries {
     // ------------------------------------------------------------ quality
     // Heuristic quality score: length saturation × alpha ratio ×
     // punctuation sanity, identical double arithmetic on both sides.
+    // Rendered via floor-truncation, NOT round(): the score is a small
+    // rational (e.g. 0.59925) whose shortest decimal repr ends in 5 —
+    // Spark rounds that repr (HALF_UP → .5993) while DuckDB rounds the
+    // binary value (.59924999… → .5992). floor(x·10⁴)/10⁴ is
+    // bit-deterministic on identically-computed doubles.
     GraftQuery(
       "q_quality_score",
       s"""SELECT doc_id,
-         |  round(
+         |  floor((
          |    least(1.0, CAST(${reCount("text", "\\S+")} AS DOUBLE) / 64.0)
          |    * (CASE WHEN length(text) > 0
          |            THEN CAST(${reCount("text", "[A-Za-z]")} AS DOUBLE) / CAST(length(text) AS DOUBLE)
@@ -95,11 +100,11 @@ object TextQueries {
          |    * (CASE WHEN length(text) > 0
          |            THEN greatest(0.0, 1.0 - (CAST(${reCount("text", "[.,;:!?]")} AS DOUBLE)
          |                                      / CAST(length(text) AS DOUBLE)) * 4.0)
-         |            ELSE 0.0 END), 4) AS quality
+         |            ELSE 0.0 END)) * 10000) / 10000 AS quality
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
-          round(qualityScore(col("text")), 4).as("quality"))
+          (floor(qualityScore(col("text")) * 10000) / 10000).as("quality"))
         .orderBy(col("doc_id"))
     })
 }
