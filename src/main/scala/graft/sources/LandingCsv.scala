@@ -43,6 +43,31 @@ object LandingCsv {
         .sorted
   }
 
+  /** Newest matching file by modification time (SURVEY §2.6 W2 — the
+    * legacy loader's `sorted(glob, key=getmtime, reverse=True)[0]`),
+    * optionally bounded to files newer than `notOlderThanMs`.
+    */
+  def latestByMtime(
+      spark: SparkSession,
+      dir: String,
+      prefix: String = "italytravel_",
+      suffix: String = ".csv",
+      notOlderThanMs: Long = Long.MinValue): Option[String] = {
+    val p = new Path(dir)
+    val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else
+      fs.listStatus(p).iterator
+        .filter(_.isFile)
+        .filter(s => s.getPath.getName.startsWith(prefix) &&
+          s.getPath.getName.endsWith(suffix) &&
+          s.getModificationTime >= notOlderThanMs)
+        .toSeq
+        .sortBy(s => (-s.getModificationTime, s.getPath.getName))
+        .headOption
+        .map(_.getPath.toString)
+  }
+
   /** Basename of the URI `input_file_name()` reports. */
   private def basenameCol: org.apache.spark.sql.Column =
     element_at(split(input_file_name(), "/"), -1)

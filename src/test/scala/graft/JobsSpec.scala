@@ -260,6 +260,19 @@ class JobsSpec extends SparkSpec {
     }
   }
 
+  test("latestByMtime picks the newest matching file (legacy W2)") {
+    withTempDir { dir =>
+      write(dir, "italytravel_a.csv", "x")
+      write(dir, "other.csv", "x")
+      Thread.sleep(20)
+      write(dir, "italytravel_b.csv", "x")
+      val latest = graft.sources.LandingCsv.latestByMtime(spark, dir.toString)
+      assert(latest.exists(_.endsWith("italytravel_b.csv")), latest)
+      assert(graft.sources.LandingCsv
+        .latestByMtime(spark, dir.toString, prefix = "zzz").isEmpty)
+    }
+  }
+
   test("upsertStatement renders the reference ON CONFLICT SQL") {
     val sql = Upsert.upsertStatement("reddit_schema.redit_table")
     assert(sql.startsWith(
