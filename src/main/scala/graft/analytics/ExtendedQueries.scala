@@ -114,6 +114,20 @@ object ExtendedQueries {
         .orderBy(col("user_id"))
     },
 
+    // ------------------------------------------------------------- A5
+    // Sketch aggregates (HLL++ count-distinct, quantile summaries):
+    // sketch internals are engine-specific, so no cross-engine oracle —
+    // ApproxAggSpec bounds the error against exact answers instead.
+    GraftQuery.noOracle("q_approx_stats") { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99"))
+        .orderBy(col("event_type"))
+    },
+
     // ------------------------------------------------------------- P7
     // The SQL entry path: temp views + spark.sql, with a CORRELATED
     // scalar subquery Catalyst decorrelates into an aggregate+join.
