@@ -114,6 +114,56 @@ object ExtendedQueries {
         .orderBy(col("user_id"))
     },
 
+    // ----------------------------------------------------------- pivot
+    // Explicit-value pivot (dynamic pivot would need a driver-side
+    // distinct pass — at 100 TB you pin the column set). Oracle uses
+    // the portable CASE-aggregation form, which is also exactly what
+    // Catalyst lowers pivot to.
+    GraftQuery(
+      "q_pivot", {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val cases = types.map(t =>
+          s"sum(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,2)) END) AS $t").mkString(",\n        |  ")
+        s"""SELECT user_id,
+           |  $cases
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+      }) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))))
+        .orderBy(col("user_id"))
+    },
+
+    // --------------------------------------------------------- unpivot
+    // unpivot/melt: wide per-type sums back to (user_id, type, total).
+    // Oracle mirrors with UNION ALL; unpivot drops NULL cells — the
+    // UNION arms filter accordingly.
+    GraftQuery(
+      "q_unpivot", {
+        val types = Seq("click", "purchase")
+        val arms = types.map(t =>
+          s"""SELECT user_id, '$t' AS event_type, $t AS total FROM w WHERE $t IS NOT NULL""")
+          .mkString("\n        |UNION ALL\n        |")
+        s"""WITH w AS (
+           |  SELECT user_id,
+           |    sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS click,
+           |    sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS purchase
+           |  FROM events GROUP BY user_id)
+           |$arms
+           |ORDER BY user_id, event_type""".stripMargin
+      }) { (s, dir) =>
+      val wide = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "purchase"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))))
+      wide.unpivot(
+          Array(col("user_id")),
+          Array(col("click"), col("purchase")),
+          "event_type", "total")
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
     // ------------------------------------------------------------- A5
     // Sketch aggregates (HLL++ count-distinct, quantile summaries):
     // sketch internals are engine-specific, so no cross-engine oracle —
