@@ -117,11 +117,11 @@ object DedupQueries {
       array_distinct(shinglesFromTokens(col("ts"), 3)).as("shs"))
     val hv = sh.select(col("doc_id"), col("shs"),
       transform(col("shs"), elementHash(_)).as("hv"))
-    // Materialize signatures behind ONE exchange before the self-join:
-    // both join sides then plan over the same shuffle (ReusedExchange),
-    // so the SHA+signature pipeline runs once per doc — and join-key
-    // null filters pushed below the join hit plain attributes instead
-    // of getting the whole pipeline substituted into them.
+    // Exchange barrier before the self-join: stops the optimizer from
+    // substituting the signature pipeline into the band projection's
+    // multiple references (measured faster than localCheckpoint here —
+    // at true 100 TB scale a two-phase pipeline would write the
+    // signatures table to storage instead).
     val sig = hv.select(col("doc_id"), col("shs"),
         minhashSignatureFromHashes(col("hv"), K).as("sg"))
       .repartition(col("doc_id"))
@@ -256,8 +256,7 @@ object DedupQueries {
         array_distinct(shinglesFromTokens(col("ts"), 3)).as("shs"))
       val hv = sh.select(col("doc_id"),
         transform(col("shs"), elementHash32(_)).as("hv"))
-      // one exchange before the self-join (see lshCandidates): sim
-      // computed once per doc, reused by both sides
+      // exchange barrier before the self-join (see lshCandidates)
       val sim = hv.select(col("doc_id"), simhash32FromHashes(col("hv")).as("sh"))
         .repartition(col("doc_id"))
       val blocks = sim.select(col("doc_id"), col("sh"),

@@ -152,7 +152,7 @@ object SimilarityQueries {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("v"),
           l2Norm(col("embedding")).as("nrm"))
-        .repartition(col("vec_id")) // materialize norms once (self-join)
+        .repartition(col("vec_id")) // barrier: norms computed once per side
       val cent = broadcast(e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("c_id"), col("v").as("cv")))
       val wAsg = Window.partitionBy(col("vec_id"))
