@@ -125,4 +125,67 @@ object StreamingPipeline {
       watermark: String = "1 hour"): DataFrame =
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(key)
+
+  /** Stream-stream interval join (J6 streaming form): purchases joined
+    * to the same user's clicks from the preceding `window`. Watermarks
+    * on BOTH sides + the time-bound condition let the state store evict
+    * rows once they can no longer match — bounded state at 100 TB/day
+    * rates, vs unbounded buffering for an unconstrained join.
+    */
+  def clickToPurchaseJoin(
+      clicks: DataFrame, // (ts, user_id, event_id)
+      purchases: DataFrame,
+      window: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("ts").as("click_ts"), col("user_id").as("c_user"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("ts").as("purchase_ts"), col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"))
+    p.join(c,
+      col("c_user") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $window"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("click_id"), col("purchase_ts"), col("click_ts"))
+  }
+
+  /** Completed-session emission via flatMapGroupsWithState (T7's
+    * richer form): per-user state accumulates events; a processing-time
+    * timeout closes the session and EMITS it downstream (nothing is
+    * emitted while the session is open). The engine analog of
+    * gap-sessionization with bounded state + incremental output.
+    */
+  final case class SessionEvent(user_id: Long, tus: Long, value: Double)
+  final case class OpenSession(n: Long, start: Long, end: Long, sum: Double)
+  final case class ClosedSession(
+      user_id: Long, n_events: Long, start_us: Long, end_us: Long, sum_value: Double)
+
+  def sessionize(
+      events: Dataset[SessionEvent],
+      timeoutMs: Long = 2000): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (uid: Long, rows: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(uid, s.n, s.start, s.end, s.sum))
+          } else {
+            val merged = rows.foldLeft(
+              state.getOption.getOrElse(OpenSession(0, Long.MaxValue, Long.MinValue, 0.0))) {
+              (s, e) =>
+                OpenSession(s.n + 1, math.min(s.start, e.tus),
+                  math.max(s.end, e.tus), s.sum + e.value)
+            }
+            state.update(merged)
+            state.setTimeoutDuration(timeoutMs)
+            Iterator.empty
+          }
+      }
+  }
 }

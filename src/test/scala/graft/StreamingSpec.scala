@@ -134,6 +134,54 @@ class StreamingSpec extends SparkSpec {
     assert(things.head.thing_key == "K1" && things.head.score == 5)
   }
 
+  test("stream-stream interval join matches purchases to preceding clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val purchases = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val joined = StreamingPipeline.clickToPurchaseJoin(
+      clicks.toDF().toDF("ts", "user_id", "event_id"),
+      purchases.toDF().toDF("ts", "user_id", "event_id"))
+    val query = joined.writeStream.format("memory")
+      .queryName("ss_join").outputMode("append").start()
+    try {
+      def ts(m: String) = java.sql.Timestamp.valueOf(s"2025-01-01 10:$m:00")
+      clicks.addData((ts("00"), 1L, 100L), (ts("05"), 2L, 200L))
+      purchases.addData(
+        (ts("10"), 1L, 900L),  // 10 min after user-1 click → match
+        (ts("50"), 2L, 901L))  // 45 min after user-2 click → outside window
+      query.processAllAvailable()
+      val rows = spark.table("ss_join").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("purchase_id") == 900L)
+      assert(rows.head.getAs[Long]("click_id") == 100L)
+    } finally query.stop()
+  }
+
+  test("flatMapGroupsWithState emits completed sessions on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamingPipeline.{ClosedSession, SessionEvent}
+    val input = MemoryStream[SessionEvent]
+    val query = StreamingPipeline.sessionize(input.toDS(), timeoutMs = 500)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(SessionEvent(1, 1000, 2.0), SessionEvent(1, 3000, 3.0))
+      // NOTE: with ProcessingTimeTimeout the engine keeps scheduling
+      // timer batches, so processAllAvailable would never settle — poll
+      // the sink instead.
+      val deadline = System.currentTimeMillis() + 30000
+      var closed = Seq.empty[ClosedSession]
+      while (closed.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        closed = spark.table("sessions").as[ClosedSession].collect().toSeq
+      }
+      assert(closed.map(c => (c.user_id, c.n_events, c.start_us, c.end_us, c.sum_value))
+        .contains((1L, 2L, 1000L, 3000L, 5.0)))
+    } finally query.stop()
+  }
+
   test("hourlyEventCounts compiles to a watermarked streaming agg") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
