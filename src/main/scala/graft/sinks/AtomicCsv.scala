@@ -47,6 +47,10 @@ object AtomicCsv {
       .option("header", "true")
       .option("emptyValue", "") // write missing as "" like csv.DictWriter
       .option("nullValue", "")
+      // Python's csv.writer never trims cell whitespace; Spark's CSV
+      // WRITER does by default (read side doesn't) — disable both.
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .mode("overwrite")
       .csv(tmpDir.toString)
     val part = fs.listStatus(tmpDir)

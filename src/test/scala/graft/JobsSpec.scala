@@ -260,6 +260,28 @@ class JobsSpec extends SparkSpec {
     }
   }
 
+  test("CSV sink round-trips commas, quotes, and unicode (§7.4 risk #5)") {
+    withTempDir { dir =>
+      import spark.implicits._
+      val nasty = Seq(
+        ("K1", """Rome, Florence — and "Venice" too"""),
+        ("K2", "plain"),
+        ("K3", "trailing space "),
+        ("K4", "€99 – caffè"))
+        .toDF("thing_key", "title_sanitized")
+      val out = dir.resolve("nasty.csv").toString
+      graft.sinks.AtomicCsv.writeFile(
+        graft.sinks.AtomicCsv.projectTo(nasty, Seq("thing_key", "title_sanitized")),
+        out)
+      val back = spark.read.option("header", "true").csv(out)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(back("K1") == """Rome, Florence — and "Venice" too""")
+      assert(back("K2") == "plain")
+      assert(back("K3") == "trailing space ")
+      assert(back("K4") == "€99 – caffè")
+    }
+  }
+
   test("latestByMtime picks the newest matching file (legacy W2)") {
     withTempDir { dir =>
       write(dir, "italytravel_a.csv", "x")
