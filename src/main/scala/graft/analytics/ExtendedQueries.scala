@@ -192,6 +192,34 @@ object ExtendedQueries {
         |                    WHERE l2.l_partkey = l.l_partkey)
         |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin),
 
+    // ------------------------------------------------------------- P7
+    // HAVING against a global scalar-aggregate subquery (TPC-H Q11
+    // shape): groups kept only when their share clears a threshold
+    // computed over the whole table.
+    GraftQuery.sameSql(
+      "q_sql_having",
+      """SELECT l_suppkey,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_value
+        |FROM lineitem
+        |GROUP BY l_suppkey
+        |HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2))) >
+        |  (SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 0.011 FROM lineitem)
+        |ORDER BY l_suppkey""".stripMargin),
+
+    // ------------------------------------------------------------- P7
+    // NOT IN anti-semantics + distinct count (TPC-H Q16 shape):
+    // suppliers with no 'F' order against them, counted per part size.
+    GraftQuery.sameSql(
+      "q_sql_notin",
+      """SELECT p_size, count(DISTINCT l_suppkey) AS n_supp
+        |FROM part JOIN lineitem ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN (
+        |  SELECT l2.l_suppkey FROM lineitem l2
+        |  JOIN orders ON l2.l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F' AND l2.l_returnflag = 'R'
+        |    AND l2.l_quantity >= 46)
+        |GROUP BY p_size ORDER BY p_size""".stripMargin),
+
     // ------------------------------------------------------- T5 native
     // Native session_window in batch mode, oracle'd by the gap-merge
     // SQL. session_window opens a NEW session when the inter-event gap
