@@ -164,6 +164,36 @@ object ExtendedQueries {
         .orderBy(col("user_id"), col("event_type"))
     },
 
+    // ------------------------------------------------------------- U3
+    // Multiset EXCEPT ALL (duplicate-preserving difference).
+    GraftQuery(
+      "q_except_all",
+      """SELECT nk, count(*) AS n FROM (
+        |  SELECT l_suppkey % 50 AS nk FROM lineitem
+        |  EXCEPT ALL
+        |  SELECT s_suppkey % 50 AS nk FROM supplier) e
+        |GROUP BY nk ORDER BY nk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.{col, count, lit}
+      t(s, dir, "lineitem").select((col("l_suppkey") % 50).as("nk"))
+        .exceptAll(t(s, dir, "supplier").select((col("s_suppkey") % 50).as("nk")))
+        .groupBy(col("nk")).agg(count(lit(1)).as("n"))
+        .orderBy(col("nk"))
+    },
+
+    // ------------------------------------------------------------- A6
+    // Explicit GROUPING SETS (beyond rollup/cube): identical SQL text
+    // on both engines via the spark.sql surface.
+    GraftQuery.sameSql(
+      "q_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_s,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_p,
+        |  count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_s, g_p, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin),
+
     // ------------------------------------------------------------- A5
     // Sketch aggregates (HLL++ count-distinct, quantile summaries):
     // sketch internals are engine-specific, so no cross-engine oracle —
