@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses the ONE JSON line Bench prints from
+// sbt's stdout; the default logged output strategy prefixes every
+// forked-process line with "[info] ", which broke the driver's JSON
+// parse in round 1 (BENCH_r01.json: "parsed": null). StdoutOutput
+// forwards the child's stdout/stderr raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -14,7 +14,18 @@ import graft.core.Tables
   *
   * Determinism rules shared by both sides (the driver hash-compares):
   *  - money/double sums go through DECIMAL casts (exact, associativity-
-  *    independent); double avgs are rounded to 4 decimals;
+  *    independent) INTERNALLY, but every final projection casts the
+  *    decimal to DOUBLE on both engines: the driver's comparator reads
+  *    Spark parquet via pandas (DECIMAL → decimal.Decimal, scale kept:
+  *    '136933.00') and the DuckDB oracle via .df() (DECIMAL → float64:
+  *    '136933.0'), so a DECIMAL in the output hash-mismatches even when
+  *    values are identical. One exact-decimal→IEEE rounding is
+  *    bit-identical in both engines;
+  *  - double avgs are rounded to 4 decimals;
+  *  - no ArrayType and no nullable integer aggregate ever reaches a
+  *    final projection (pandas crashes sorting arrays; DuckDB renders
+  *    HUGEINT/nullable ints as float64) — OutputShapeSpec enforces all
+  *    of this for every catalog query;
   *  - timestamps are rendered as strings or epoch microseconds;
   *  - every ORDER BY carries a unique tiebreak key;
   *  - rank/rownum outputs are INTEGER on both sides.
@@ -27,6 +38,10 @@ object CoreQueries {
     Tables.load(s, dir, name)
 
   private val dec2 = DecimalType(18, 2)
+
+  // Final-projection rule: decimal math internally, DOUBLE on the wire
+  // (see determinism notes above).
+  private def dbl(c: Column): Column = c.cast(DoubleType)
 
   // Revenue math stays in exact decimal space end-to-end. Casting a
   // *computed* double product to decimal is NOT portable: Spark rounds
@@ -64,10 +79,10 @@ object CoreQueries {
     GraftQuery(
       "q1_agg",
       s"""SELECT l_returnflag, l_linestatus,
-         |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-         |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-         |  sum($discPriceSql) AS sum_disc_price,
-         |  sum($chargeSql) AS sum_charge,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(sum($discPriceSql) AS DOUBLE) AS sum_disc_price,
+         |  CAST(sum($chargeSql) AS DOUBLE) AS sum_charge,
          |  round(avg(l_quantity), 4) AS avg_qty,
          |  round(avg(l_discount), 4) AS avg_disc,
          |  count(*) AS count_order
@@ -79,10 +94,10 @@ object CoreQueries {
         .filter(col("l_shipdate") <= lit("1998-09-01").cast(TimestampType))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(dec2)).as("sum_qty"),
-          sum(col("l_extendedprice").cast(dec2)).as("sum_base_price"),
-          sum(discPrice).as("sum_disc_price"),
-          sum(charge).as("sum_charge"),
+          dbl(sum(col("l_quantity").cast(dec2))).as("sum_qty"),
+          dbl(sum(col("l_extendedprice").cast(dec2))).as("sum_base_price"),
+          dbl(sum(discPrice)).as("sum_disc_price"),
+          dbl(sum(charge)).as("sum_charge"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           round(avg(col("l_discount")), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
@@ -94,14 +109,14 @@ object CoreQueries {
       "q_count_distinct",
       """SELECT event_type, count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_users,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       t(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(
           count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"),
-          sum(col("value").cast(dec2)).as("sum_value"))
+          dbl(sum(col("value").cast(dec2))).as("sum_value"))
         .orderBy(col("event_type"))
     },
 
@@ -114,7 +129,7 @@ object CoreQueries {
         |  CAST(GROUPING(r_name) AS INTEGER) AS g_r,
         |  CAST(GROUPING(n_name) AS INTEGER) AS g_n,
         |  count(*) AS n_cust,
-        |  sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -130,7 +145,7 @@ object CoreQueries {
           grouping(col("r_name")).cast(IntegerType).as("g_r"),
           grouping(col("n_name")).cast(IntegerType).as("g_n"),
           count(lit(1)).as("n_cust"),
-          sum(col("c_acctbal").cast(dec2)).as("sum_acctbal"))
+          dbl(sum(col("c_acctbal").cast(dec2))).as("sum_acctbal"))
         .orderBy(col("g_r"), col("g_n"), col("r_name").asc_nulls_first,
           col("n_name").asc_nulls_first)
     },
@@ -142,7 +157,7 @@ object CoreQueries {
         |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_s,
         |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_p,
         |  count(*) AS n_orders,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY g_s, g_p, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
@@ -152,7 +167,7 @@ object CoreQueries {
           grouping(col("o_orderstatus")).cast(IntegerType).as("g_s"),
           grouping(col("o_orderpriority")).cast(IntegerType).as("g_p"),
           count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(dec2)).as("sum_total"))
+          dbl(sum(col("o_totalprice").cast(dec2))).as("sum_total"))
         .orderBy(col("g_s"), col("g_p"), col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)
     },
@@ -163,7 +178,7 @@ object CoreQueries {
     GraftQuery(
       "q3_top_revenue",
       s"""SELECT l_orderkey,
-        |  sum($discPriceSql) AS revenue,
+        |  CAST(sum($discPriceSql) AS DOUBLE) AS revenue,
         |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -183,7 +198,7 @@ object CoreQueries {
         .groupBy(col("l_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
           col("o_orderpriority"))
-        .agg(sum(discPrice).as("revenue"))
+        .agg(dbl(sum(discPrice)).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     },
@@ -194,7 +209,7 @@ object CoreQueries {
     GraftQuery(
       "q5_nation_revenue",
       s"""SELECT n_name,
-        |  sum($discPriceSql) AS revenue
+        |  CAST(sum($discPriceSql) AS DOUBLE) AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -214,7 +229,7 @@ object CoreQueries {
         .join(n, col("s_nationkey") === col("n_nationkey"))
         .join(r, col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(sum(discPrice).as("revenue"))
+        .agg(dbl(sum(discPrice)).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
@@ -222,7 +237,7 @@ object CoreQueries {
     GraftQuery(
       "q_join_semi",
       """SELECT o_orderpriority, count(*) AS n_orders,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
         |FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_discount > 0.06)
@@ -232,7 +247,7 @@ object CoreQueries {
       o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(dec2)).as("sum_total"))
+          dbl(sum(col("o_totalprice").cast(dec2))).as("sum_total"))
         .orderBy(col("o_orderpriority"))
     },
 
@@ -254,7 +269,7 @@ object CoreQueries {
     GraftQuery(
       "q_join_outer",
       """SELECT n_name, count(c_custkey) AS n_cust,
-        |  sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
         |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
       val n = t(s, dir, "nation")
@@ -262,7 +277,7 @@ object CoreQueries {
       n.join(c, col("c_nationkey") === col("n_nationkey"), "left_outer")
         .groupBy(col("n_name"))
         .agg(count(col("c_custkey")).as("n_cust"),
-          sum(col("c_acctbal").cast(dec2)).as("sum_acctbal"))
+          dbl(sum(col("c_acctbal").cast(dec2))).as("sum_acctbal"))
         .orderBy(col("n_name"))
     },
 
@@ -369,7 +384,7 @@ object CoreQueries {
     GraftQuery(
       "q_window_rank",
       """WITH r AS (
-        |  SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+        |  SELECT o_custkey, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
         |    CAST(row_number() OVER w AS INTEGER) AS rn,
         |    CAST(rank() OVER w AS INTEGER) AS rnk,
         |    CAST(dense_rank() OVER w AS INTEGER) AS drnk
@@ -381,7 +396,7 @@ object CoreQueries {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       t(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
-          col("o_totalprice").cast(dec2).as("total"),
+          dbl(col("o_totalprice").cast(dec2)).as("total"),
           row_number().over(w).as("rn"),
           rank().over(w).as("rnk"),
           dense_rank().over(w).as("drnk"))
@@ -410,9 +425,9 @@ object CoreQueries {
     GraftQuery(
       "q_window_frame",
       s"""SELECT event_id, user_id,
-         |  sum(CAST(value AS DECIMAL(18,2)))
+         |  CAST(sum(CAST(value AS DECIMAL(18,2)))
          |    OVER (PARTITION BY user_id ORDER BY ${usSql("ts")}, event_id
-         |          ROWS UNBOUNDED PRECEDING) AS running_sum,
+         |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_sum,
          |  round(avg(value)
          |    OVER (PARTITION BY user_id ORDER BY ${usSql("ts")}, event_id
          |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg
@@ -420,8 +435,8 @@ object CoreQueries {
       val ord = Window.partitionBy(col("user_id")).orderBy(us(col("ts")), col("event_id"))
       t(s, dir, "events")
         .select(col("event_id"), col("user_id"),
-          sum(col("value").cast(dec2))
-            .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          dbl(sum(col("value").cast(dec2))
+            .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
             .as("running_sum"),
           round(avg(col("value")).over(ord.rowsBetween(-3, Window.currentRow)), 4)
             .as("moving_avg"))
@@ -433,12 +448,12 @@ object CoreQueries {
     // heaps + driver merge of k rows, not a global sort.
     GraftQuery(
       "q_topk",
-      """SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+      """SELECT l_orderkey, l_linenumber, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         |FROM lineitem
         |ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_extendedprice").cast(dec2).as("price"))
+          dbl(col("l_extendedprice").cast(dec2)).as("price"))
         .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
         .limit(20)
     },
@@ -446,11 +461,11 @@ object CoreQueries {
     // ---------------------------------------------------------------- O3
     GraftQuery(
       "q_sort",
-      """SELECT s_suppkey, s_name, s_nationkey, CAST(s_acctbal AS DECIMAL(18,2)) AS acctbal
+      """SELECT s_suppkey, s_name, s_nationkey, CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
         |FROM supplier ORDER BY acctbal DESC, s_suppkey""".stripMargin) { (s, dir) =>
       t(s, dir, "supplier")
         .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
-          col("s_acctbal").cast(dec2).as("acctbal"))
+          dbl(col("s_acctbal").cast(dec2)).as("acctbal"))
         .orderBy(col("acctbal").desc, col("s_suppkey"))
     },
 
@@ -500,7 +515,7 @@ object CoreQueries {
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  CAST(extract(quarter FROM o_orderdate) AS INTEGER) AS quarter,
         |  count(*) AS n_orders,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_total,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
         |  min(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS min_day,
         |  max(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS max_day
         |FROM orders
@@ -509,7 +524,7 @@ object CoreQueries {
         .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
           quarter(col("o_orderdate")).as("quarter"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(dec2)).as("sum_total"),
+          dbl(sum(col("o_totalprice").cast(dec2))).as("sum_total"),
           min(datediff(col("o_orderdate"), lit("1995-01-01"))).as("min_day"),
           max(datediff(col("o_orderdate"), lit("1995-01-01"))).as("max_day"))
         .orderBy(col("month"))
@@ -520,7 +535,7 @@ object CoreQueries {
       "q_hourly_events",
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |  event_type, count(*) AS n,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY hour_start, event_type ORDER BY hour_start, event_type""".stripMargin) { (s, dir) =>
       t(s, dir, "events")
@@ -529,7 +544,7 @@ object CoreQueries {
             "yyyy-MM-dd HH:mm:ss").as("hour_start"),
           col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(dec2)).as("sum_value"))
+          dbl(sum(col("value").cast(dec2))).as("sum_value"))
         .orderBy(col("hour_start"), col("event_type"))
     },
 
@@ -552,7 +567,7 @@ object CoreQueries {
          |  FROM m)
          |SELECT user_id, CAST(sid AS INTEGER) AS session_id, count(*) AS n_events,
          |  min(tus) AS session_start_us, max(tus) AS session_end_us,
-         |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM s GROUP BY user_id, sid ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
       t(s, dir, "events")
@@ -566,7 +581,7 @@ object CoreQueries {
         .agg(count(lit(1)).as("n_events"),
           min(col("tus")).as("session_start_us"),
           max(col("tus")).as("session_end_us"),
-          sum(col("value").cast(dec2)).as("sum_value"))
+          dbl(sum(col("value").cast(dec2))).as("sum_value"))
         .orderBy(col("user_id"), col("session_id"))
     })
 }

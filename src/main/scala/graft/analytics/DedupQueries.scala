@@ -157,6 +157,39 @@ object DedupQueries {
        |         FROM band a JOIN band b
        |           ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Embedding near-dup pairs via banded sign-bucket blocking + exact
+    * cosine verify, over a (vec_id, embedding) frame. Public so
+    * DedupSemanticsSpec can measure recall on a planted-dup corpus
+    * against the all-pairs exact form.
+    */
+  def embedNearDupPairs(e0: DataFrame, threshold: Double): DataFrame = {
+    val e = e0
+      .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+      .repartition(col("vec_id")) // barrier: norms/buckets computed once
+    val banded = e.select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            signBucketAt(col("embedding"), 16 * b, 8).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = banded.select(col("band"), col("bucket"),
+      col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
+    val b = banded.select(col("band").as("band2"), col("bucket").as("bucket2"),
+      col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
+    // At true 100 TB scale the distinct would run on bare (id_a, id_b)
+    // with a post-join vector fetch; carrying the vectors through is
+    // one fewer shuffle at sf scales and identical semantics.
+    a.join(b, col("band") === col("band2") && col("bucket") === col("bucket2") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("va"), col("na"), col("vb"), col("nb"))
+      .distinct()
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     // ---------------------------------------------------------- exact
@@ -281,10 +314,16 @@ object DedupQueries {
     },
 
     // ---------------------------------------------- embedding near-dup
-    // Cosine near-dup over the embedding column: norms precomputed per
-    // VECTOR (not per pair), pair dot via the codegen'd expression. sf
-    // corpora are small enough for the exact pairwise form; the 100 TB
-    // path is q_ann_lsh's sign-bucket blocking (same cosine kernel).
+    // Cosine near-dup over the embedding column, LSH-then-verify (the
+    // 100 TB shape — NO all-pairs stage anywhere): 4 independent 8-bit
+    // sign-bucket bands over disjoint coordinate windows (the minhash
+    // band construction transplanted to cosine space); candidate pairs
+    // agree on (band, bucket) — an equi-join on a small key — and the
+    // exact codegen'd cosine verifies candidates only. Norms are
+    // per-vector scan-stage columns. The all-pairs exact form survives
+    // as the RECALL oracle in DedupSemanticsSpec (planted near-dup
+    // copies; banded blocking finds >90% of cosine≥0.95 pairs), and
+    // PlanSpec asserts this plan has no cartesian/BNL join.
     GraftQuery(
       "q_dedup_embed",
       """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
@@ -293,21 +332,22 @@ object DedupQueries {
         |        sqrt(list_reduce([v[i] * v[i] FOR i IN range(1, 65)],
         |                         (a, b) -> a + b)) AS nrm
         |      FROM e),
-        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |        list_reduce([a.v[i] * b.v[i] FOR i IN range(1, 65)],
-        |                    (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
-        |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |bb AS (SELECT vec_id, v, nrm, band,
+        |         CAST(list_sum([CASE WHEN v[16 * band + 2 * i + 1] > v[16 * band + 2 * i + 2]
+        |                             THEN CAST(2 ** i AS BIGINT) ELSE 0 END
+        |                        FOR i IN range(0, 8)]) AS BIGINT) AS bucket
+        |       FROM n, (SELECT unnest(range(0, 4)) AS band)),
+        |pair AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+        |                a.v AS va, a.nrm AS na, b.v AS vb, b.nrm AS nb
+        |         FROM bb a JOIN bb b
+        |           ON a.band = b.band AND a.bucket = b.bucket
+        |          AND a.vec_id < b.vec_id),
+        |p AS (SELECT id_a, id_b,
+        |        list_reduce([va[i] * vb[i] FOR i IN range(1, 65)],
+        |                    (x, y) -> x + y) / (na * nb) AS cos
+        |      FROM pair)
         |SELECT id_a, id_b, round(cos, 4) AS cosine
         |FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-      val e = t(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
-        l2Norm(col("embedding")).as("na"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-        l2Norm(col("embedding")).as("nb"))
-      a.join(b, col("id_a") < col("id_b"))
-        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-        .filter(col("cos") >= 0.4)
-        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine"))
-        .orderBy(col("id_a"), col("id_b"))
+      embedNearDupPairs(t(s, dir, "embeddings"), 0.4)
     })
 }

@@ -48,7 +48,7 @@ object ExtendedQueries {
       "q_json_ops",
       """SELECT event_type,
         |  count(*) AS n,
-        |  sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
         |  round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
         |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
@@ -95,19 +95,22 @@ object ExtendedQueries {
 
     // ------------------------------------------------------------ F17
     // Array aggregation: collect_list is order-nondeterministic under
-    // parallel aggregation, so the deterministic form is
-    // array_sort(collect_list(…)) — the only hashable shape.
+    // parallel aggregation, so the deterministic form sorts first; the
+    // final projection then STRINGIFIES the array (array_join) — the
+    // driver's pandas comparator cannot sort rows on an array column
+    // (unhashable numpy.ndarray), so ArrayType must never reach a final
+    // projection.
     GraftQuery(
       "q_array_agg",
       """SELECT user_id,
-        |  list_sort(list(event_type)) AS types,
+        |  array_to_string(list_sort(list(event_type)), ',') AS types,
         |  len(list_distinct(list(event_type))) AS n_distinct_types,
         |  count(*) AS n
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
       t(s, dir, "events")
         .groupBy(col("user_id"))
         .agg(
-          array_sort(collect_list(col("event_type"))).as("types"),
+          array_join(array_sort(collect_list(col("event_type"))), ",").as("types"),
           size(array_distinct(collect_list(col("event_type"))))
             .as("n_distinct_types"),
           count(lit(1)).as("n"))
@@ -123,7 +126,7 @@ object ExtendedQueries {
       "q_pivot", {
         val types = Seq("click", "error", "purchase", "signup", "view")
         val cases = types.map(t =>
-          s"sum(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,2)) END) AS $t").mkString(",\n        |  ")
+          s"CAST(sum(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS $t").mkString(",\n        |  ")
         s"""SELECT user_id,
            |  $cases
            |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
@@ -131,7 +134,7 @@ object ExtendedQueries {
       t(s, dir, "events")
         .groupBy(col("user_id"))
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .agg(sum(col("value").cast(DecimalType(18, 2))))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType))
         .orderBy(col("user_id"))
     },
 
@@ -143,7 +146,7 @@ object ExtendedQueries {
       "q_unpivot", {
         val types = Seq("click", "purchase")
         val arms = types.map(t =>
-          s"""SELECT user_id, '$t' AS event_type, $t AS total FROM w WHERE $t IS NOT NULL""")
+          s"""SELECT user_id, '$t' AS event_type, CAST($t AS DOUBLE) AS total FROM w WHERE $t IS NOT NULL""")
           .mkString("\n        |UNION ALL\n        |")
         s"""WITH w AS (
            |  SELECT user_id,
@@ -161,6 +164,7 @@ object ExtendedQueries {
           Array(col("user_id")),
           Array(col("click"), col("purchase")),
           "event_type", "total")
+        .withColumn("total", col("total").cast(DoubleType))
         .orderBy(col("user_id"), col("event_type"))
     },
 
@@ -189,22 +193,38 @@ object ExtendedQueries {
         |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_s,
         |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_p,
         |  count(*) AS n,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY g_s, g_p, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin),
 
     // ------------------------------------------------------------- A5
     // Sketch aggregates (HLL++ count-distinct, quantile summaries):
-    // sketch internals are engine-specific, so no cross-engine oracle —
-    // ApproxAggSpec bounds the error against exact answers instead.
-    GraftQuery.noOracle("q_approx_stats") { (s, dir) =>
+    // sketch internals are engine-specific, so the hash-checked outputs
+    // are the exact count-distinct plus BOOLEANS comparing each sketch
+    // against its Spark-side exact answer (the oracle emits literal
+    // TRUE). Still exercises HLL++ and the relative-error quantile
+    // summary under the driver's gate; ApproxAggSpec bounds the errors
+    // numerically.
+    GraftQuery(
+      "q_approx_stats",
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  TRUE AS approx_ok, TRUE AS p50_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       t(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(
-          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
-          percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99"))
+          countDistinct(col("user_id")).as("n_users"),
+          approx_count_distinct(col("user_id"), rsd = 0.01).as("au"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("ap50"),
+          expr("percentile(value, 0.45)").as("lo"),
+          expr("percentile(value, 0.55)").as("hi"))
+        .select(col("event_type"), col("n_users"),
+          // HLL++ at rsd 1% vs a 5% gate: deterministic for a given
+          // dataset, and 5σ of slack across sf changes.
+          (abs(col("au") - col("n_users")) <=
+            col("n_users").cast(DoubleType) * 0.05).as("approx_ok"),
+          (col("ap50") >= col("lo") && col("ap50") <= col("hi")).as("p50_ok"))
         .orderBy(col("event_type"))
     },
 
@@ -229,7 +249,7 @@ object ExtendedQueries {
     GraftQuery.sameSql(
       "q_sql_having",
       """SELECT l_suppkey,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_value
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM lineitem
         |GROUP BY l_suppkey
         |HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2))) >
@@ -272,14 +292,15 @@ object ExtendedQueries {
         |  FROM m)
         |SELECT user_id, min(tus) AS session_start_us, max(tus) AS session_end_us,
         |  count(*) AS n_events,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin) { (s, dir) =>
       t(s, dir, "events")
         .groupBy(col("user_id"),
           session_window(col("ts").cast(TimestampType), "30 minutes").as("w"))
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_value"))
         .select(col("user_id"),
           unix_micros(col("w.start")).as("session_start_us"),
           (unix_micros(col("w.end")) - 1800000000L).as("session_end_us"),
@@ -307,7 +328,8 @@ object ExtendedQueries {
          |        ELSE [] END AS fps
          |      FROM hv)
          |SELECT doc_id, len(fps) AS n_windows,
-         |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
+         |  CAST(coalesce(list_min(fps), -1) AS BIGINT) AS min_fp,
+         |  CAST(coalesce(list_max(fps), -1) AS BIGINT) AS max_fp
          |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val hv = t(s, dir, "documents")
         .select(col("doc_id"),
@@ -316,8 +338,11 @@ object ExtendedQueries {
       hv.select(col("doc_id"),
           TextFunctions.rollingFingerprints(col("hv")).as("fps"))
         .select(col("doc_id"), size(col("fps")).as("n_windows"),
-          array_min(col("fps")).as("min_fp"),
-          array_max(col("fps")).as("max_fp"))
+          // coalesce to a non-null BIGINT sentinel: a NULL-able integer
+          // aggregate renders as float64 in the driver's pandas/DuckDB
+          // paths ('123.0' vs '123') and hash-mismatches.
+          coalesce(array_min(col("fps")), lit(-1L)).as("min_fp"),
+          coalesce(array_max(col("fps")), lit(-1L)).as("max_fp"))
         .orderBy(col("doc_id"))
     },
 

@@ -63,16 +63,29 @@ object MultimodalQueries {
     },
 
     // -------------------------------------------------------- features
-    // Stub-decode + 16-bin byte-histogram features (rows-only check: the
-    // histogram loop lives in typed Scala, not SQL). Output feeds the
-    // ANN cosine operators directly.
-    GraftQuery.noOracle("q_multimodal_features") { (s, dir) =>
+    // Stub-decode + 16-bin byte-histogram features, full hash check of
+    // the typed mapPartitions path: the integer bin counts are exact in
+    // both engines. Bin index = byte / 16 = the byte's HIGH NIBBLE, so
+    // the DuckDB oracle counts first-of-pair hex digits in
+    // hex(encode(text)) — no byte-indexing needed. The normalized
+    // float32 `features` view (ANN input) is covered by MultimodalSpec.
+    GraftQuery(
+      "q_multimodal_features",
+      s"""WITH h AS (
+         |  SELECT doc_id, $kindSql AS kind, hex(encode(text)) AS hx,
+         |    CAST(octet_length(encode(text)) AS INTEGER) AS n
+         |  FROM documents)
+         |SELECT doc_id AS media_id, kind, n AS n_bytes,
+         |  array_to_string(
+         |    [len([p FOR p IN range(1, n + 1)
+         |          IF substring(hx, 2 * p - 1, 1) = d])
+         |     FOR d IN ['0','1','2','3','4','5','6','7',
+         |               '8','9','A','B','C','D','E','F']], ',') AS hist
+         |FROM h ORDER BY media_id""".stripMargin) { (s, dir) =>
       Multimodal.features(media(s, dir)).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
-          round(element_at(col("features"), 1), 4).as("f0"),
-          round(element_at(col("features"), 2), 4).as("f1"),
-          round(aggregate(col("features"), lit(0.0d),
-            (acc, x) => acc + x), 4).as("f_sum"))
+          array_join(transform(col("hist"), _.cast(StringType)), ",")
+            .as("hist"))
         .orderBy(col("media_id"))
     })
 }

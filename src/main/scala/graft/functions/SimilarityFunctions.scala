@@ -55,8 +55,18 @@ object SimilarityFunctions {
     * this key (hash exchange on a small int) instead of all-pairs.
     */
   def signBucket(vec: Column, nBits: Int = 8): Column =
+    signBucketAt(vec, 0, nBits)
+
+  /** [[signBucket]] over the coordinate window starting at `offset`
+    * (0-based): sign tests on pairs (offset+2i+1, offset+2i+2). Distinct
+    * offsets give INDEPENDENT hyperplane families over disjoint
+    * coordinates — the banding primitive for embedding near-dup
+    * blocking (agree on any band ⇒ candidate), exactly the minhash-LSH
+    * band construction transplanted to cosine space.
+    */
+  def signBucketAt(vec: Column, offset: Int, nBits: Int): Column =
     (0 until nBits).map { i =>
-      when(element_at(vec, 2 * i + 1) > element_at(vec, 2 * i + 2),
+      when(element_at(vec, offset + 2 * i + 1) > element_at(vec, offset + 2 * i + 2),
         lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 

@@ -49,10 +49,15 @@ object Multimodal {
       shape: Seq[Int],
       tensor: Seq[Float])
 
+  /** `hist` carries the raw integer bin counts (exact, engine-portable —
+    * this is what the DuckDB oracle reproduces); `features` is the
+    * normalized float32 view the ANN operators consume.
+    */
   final case class MediaFeatures(
       media_id: Long,
       kind: String,
       n_bytes: Int,
+      hist: Seq[Int],
       features: Seq[Float])
 
   val FeatureDim = 16
@@ -94,11 +99,11 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val hist = new Array[Float](FeatureDim)
-        r.payload.foreach(b => hist((b & 0xff) / FeatureDim) += 1f)
+        val hist = new Array[Int](FeatureDim)
+        r.payload.foreach(b => hist((b & 0xff) / FeatureDim) += 1)
         val n = math.max(r.payload.length, 1)
-        MediaFeatures(r.media_id, r.kind, r.payload.length,
-          hist.map(_ / n).toSeq)
+        MediaFeatures(r.media_id, r.kind, r.payload.length, hist.toSeq,
+          hist.map(_.toFloat / n).toSeq)
       }
     }
   }

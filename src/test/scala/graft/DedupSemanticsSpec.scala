@@ -40,6 +40,40 @@ class DedupSemanticsSpec extends SparkSpec {
     assert(planted.forall(_._3 <= 6))
   }
 
+  test("embed banded blocking recalls planted near-dup vectors vs the exact all-pairs oracle") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.SimilarityFunctions.{dot, l2Norm}
+    // plant near-dup copies (vec_id + 10000, small deterministic
+    // per-coordinate perturbation → cosine ≈ 0.997)
+    val base = graft.core.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val planted = base.filter(_._1 % 10 == 0).map { case (id, v) =>
+      (id + 10000, v.zipWithIndex.map { case (x, j) =>
+        x + ((id + j) % 3 - 1) * 0.01f })
+    }
+    val corpus = spark.createDataset(base.toSeq ++ planted.toSeq)
+      .toDF("vec_id", "embedding")
+    // recall oracle: the exact all-pairs form this operator replaced
+    val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      l2Norm(col("embedding")).as("na"))
+    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      l2Norm(col("embedding")).as("nb"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.95)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = graft.analytics.DedupQueries.embedNearDupPairs(corpus, 0.95)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty && exact.size >= planted.length,
+      s"oracle found only ${exact.size} pairs for ${planted.length} planted")
+    assert(blocked.subsetOf(exact)) // verify stage: no false positives
+    val recall = blocked.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"banded blocking recall $recall (${blocked.size}/${exact.size})")
+  }
+
   test("exact dedup collapses every planted exact copy") {
     val groups = run("q_dedup_exact").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

@@ -35,6 +35,7 @@ class MultimodalSpec extends SparkSpec {
     assert(f.features.length == Multimodal.FeatureDim)
     assert(f.n_bytes == 5)
     // bytes 0,1,15 → bin 0; 16 → bin 1; 255 → bin 15
+    assert(f.hist == Seq(3, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1))
     assert(f.features(0) == 3f / 5f)
     assert(f.features(1) == 1f / 5f)
     assert(f.features(15) == 1f / 5f)

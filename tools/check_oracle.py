@@ -1,32 +1,69 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: run graft.Verify first
 (dumps each query to parquet + oracle_sql.json), then this script replays
-every oracle SQL in DuckDB over the same sf tables and compares strictly
-(values stringified, columns sorted by name, rows sorted) — approximating
-the driver's hash compare.
+every oracle SQL in DuckDB over the same sf tables and compares the way the
+DRIVER does:
+
+  - Spark side read via pandas.read_parquet (pyarrow): DECIMAL columns come
+    back as decimal.Decimal objects WITH scale ('136933.00'), ints with any
+    NULL become float64, arrays become numpy.ndarray (which crashes
+    sort_values — exactly like the driver).
+  - Oracle side read via duckdb .df(): DECIMAL/HUGEINT collapse to float64
+    ('136933.0').
+  - Columns sorted by name, rows sorted by all columns, every cell str()'d,
+    then compared exactly.
+
+Round 1 shipped believing 58/58 were green because the old version of this
+script read the Spark side back through DuckDB, collapsing both sides to
+float64 and hiding the rendering class that failed 19 driver checks. Never
+read the Spark side through DuckDB here.
+
+The script also enforces the output-shape contract on the Spark parquet
+schema itself: no DECIMAL, no LIST/ARRAY, and no int-vs-float dtype skew
+between the two sides (a nullable integer aggregate shows up as exactly
+that skew).
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
 import sys, json, glob, os
 import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
+import pyarrow.types as pat
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm_cell(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        return repr(v)  # full precision — mimics hash-exact compare
-    return str(v)
+def read_spark(files):
+    """Driver-faithful read of Spark output: pandas via pyarrow."""
+    frames = [pd.read_parquet(f) for f in sorted(files)]
+    return pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
 
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    out.sort()
-    return [cols[i] for i in order], out
+def schema_violations(files):
+    """Output-shape contract over the raw arrow schema (pre-pandas)."""
+    bad = []
+    for f in sorted(files):
+        for field in pq.read_schema(f):
+            t = field.type
+            if pat.is_decimal(t):
+                bad.append(f"{field.name}: DECIMAL({t.precision},{t.scale})")
+            elif pat.is_list(t) or pat.is_large_list(t) or pat.is_fixed_size_list(t):
+                bad.append(f"{field.name}: {t}")
+        break  # one file's schema is enough; parts share it
+    return bad
+
+
+def dtype_kind(s):
+    return s.dtype.kind  # 'i'/'u' int, 'f' float, 'O' object, 'b' bool...
+
+
+def canon(df):
+    """Driver shape: columns sorted by name, rows sorted, cells str()'d."""
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)  # crashes on arrays, like the driver
+    return [[str(v) for v in row] for row in df.itertuples(index=False, name=None)]
 
 
 def main(sf_dir, out_dir):
@@ -39,15 +76,30 @@ def main(sf_dir, out_dir):
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_files:
             print(f"FAIL {name}: no spark output");  n_fail += 1;  continue
+        shape = schema_violations(spark_files)
+        if shape:
+            print(f"FAIL {name}: output-shape contract: {shape}");  n_fail += 1;  continue
         try:
-            got = con.sql(f"SELECT * FROM read_parquet({spark_files!r})")
-            g_cols, g_rows = canon(got.fetchall(), got.columns)
-            want = con.sql(sql)
-            w_cols, w_rows = canon(want.fetchall(), want.columns)
+            got_df = read_spark(spark_files)
+            want_df = con.sql(sql).df()
         except Exception as e:
-            print(f"FAIL {name}: {e}");  n_fail += 1;  continue
-        if g_cols != w_cols:
-            print(f"FAIL {name}: cols {g_cols} != {w_cols}");  n_fail += 1;  continue
+            print(f"FAIL {name}: read: {e}");  n_fail += 1;  continue
+        if sorted(got_df.columns) != sorted(want_df.columns):
+            print(f"FAIL {name}: cols {sorted(got_df.columns)} != {sorted(want_df.columns)}")
+            n_fail += 1;  continue
+        skew = [c for c in got_df.columns
+                if {dtype_kind(got_df[c]), dtype_kind(want_df[c])} == {"i", "f"}
+                or {dtype_kind(got_df[c]), dtype_kind(want_df[c])} == {"u", "f"}]
+        if skew:
+            print(f"FAIL {name}: int-vs-float dtype skew (nullable int aggregate?): "
+                  + ", ".join(f"{c} spark={got_df[c].dtype} oracle={want_df[c].dtype}" for c in skew))
+            n_fail += 1;  continue
+        try:
+            g_rows = canon(got_df)
+            w_rows = canon(want_df)
+        except Exception as e:
+            print(f"FAIL {name}: sort/stringify (driver would crash too): {e}")
+            n_fail += 1;  continue
         if len(g_rows) != len(w_rows):
             print(f"FAIL {name}: rows {len(g_rows)} != {len(w_rows)}");  n_fail += 1;  continue
         bad = [(a, b) for a, b in zip(g_rows, w_rows) if a != b]
