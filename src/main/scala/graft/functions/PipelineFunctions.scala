@@ -56,9 +56,15 @@ object PipelineFunctions {
   /** ISO-8601 `Z` rendering used by the fetch-stage CSV (Fetch_reddit.py:146). */
   def isoZ(c: Column): Column = date_format(c, "yyyy-MM-dd'T'HH:mm:ss'Z'")
 
-  /** F8 — reddit fullname coalesce: `name` else `t3_<id>` (Fetch_reddit.py:150). */
+  /** F8 — reddit fullname coalesce with Python FALSINESS semantics
+    * (Fetch_reddit.py:150: `d.get("name") or (f"t3_{id}" if id else
+    * None)`): an empty-string `name` counts as missing (falls through to
+    * `t3_<id>`), and an empty-string `id` yields null — never a bare
+    * `"t3_"`. `concat` null-propagates, so `nullif` on both inputs
+    * reproduces both branches exactly.
+    */
   def fullname(name: Column, id: Column): Column =
-    coalesce(name, concat(lit("t3_"), id))
+    coalesce(nullif(name, lit("")), concat(lit("t3_"), nullif(id, lit(""))))
 
   /** F9 — permalink absolutize, null-propagating (Fetch_reddit.py:149). */
   def absolutizePermalink(c: Column): Column =

@@ -28,6 +28,19 @@ import graft.core.Model
   */
 object Upsert {
 
+  /** How the upsert statement reaches the database. [[Postgres]] is the
+    * reference's single-statement `ON CONFLICT` form (the production
+    * dialect); [[UpdateElseInsert]] is the portable ANSI fallback —
+    * UPDATE by key, INSERT when no row matched — for engines without a
+    * native upsert. JdbcUpsertSpec drives BOTH the DDL and the
+    * UpdateElseInsert path end-to-end against embedded Derby (the only
+    * JDBC engine shipped in this image); the Postgres path shares every
+    * layer above the final statement shape.
+    */
+  sealed trait Dialect extends Serializable
+  case object Postgres extends Dialect
+  case object UpdateElseInsert extends Dialect
+
   /** `"` quoting as in q_ident (Combine_send_to_postgresql.py:220-225). */
   def qIdent(s: String): String = "\"" + s.replace("\"", "\"\"") + "\""
 
@@ -45,6 +58,21 @@ object Upsert {
     s"INSERT INTO $table ($cols) VALUES ($params) " +
       s"ON CONFLICT (${qIdent(keyColumn)}) DO UPDATE SET $sets"
   }
+
+  /** UPDATE arm of the [[UpdateElseInsert]] dialect. */
+  def updateStatement(
+      table: String,
+      keyColumn: String = "thing_key",
+      updateColumns: Seq[String] = Model.DefaultUpdateColumns): String =
+    s"UPDATE $table SET ${updateColumns.map(c => s"${qIdent(c)} = ?").mkString(", ")} " +
+      s"WHERE ${qIdent(keyColumn)} = ?"
+
+  /** INSERT arm of the [[UpdateElseInsert]] dialect. */
+  def insertStatement(
+      table: String,
+      columns: Seq[String] = Model.DbColumns): String =
+    s"INSERT INTO $table (${columns.map(qIdent).mkString(", ")}) " +
+      s"VALUES (${columns.map(_ => "?").mkString(", ")})"
 
   /** Idempotent target-table DDL (S10 — legacy loader behavior,
     * FIXTURES.md §5).
@@ -111,9 +139,14 @@ object Upsert {
       updateColumns: Seq[String] = Model.DefaultUpdateColumns,
       numPartitions: Int = 8,
       batchSize: Int = 1000,
-      ensureDdl: Seq[String] = Seq.empty): Unit = {
+      ensureDdl: Seq[String] = Seq.empty,
+      dialect: Dialect = Postgres): Unit = {
     val columns = df.columns.toSeq
     val sql = upsertStatement(table, columns, keyColumn, updateColumns)
+    val updSql = updateStatement(table, keyColumn, updateColumns)
+    val insSql = insertStatement(table, columns)
+    val updIdx = updateColumns.map(columns.indexOf)
+    val keyIdx = columns.indexOf(keyColumn)
     val propMap = {
       val m = scala.collection.mutable.Map[String, String]()
       props.stringPropertyNames().forEach(k => m += k -> props.getProperty(k))
@@ -132,15 +165,31 @@ object Upsert {
           val conn = connect(url, propMap)
           try {
             conn.setAutoCommit(false)
-            val st = conn.prepareStatement(sql)
-            var n = 0
-            rows.foreach { r =>
-              columns.indices.foreach(i => st.setObject(i + 1, r.get(i)))
-              st.addBatch()
-              n += 1
-              if (n % batchSize == 0) st.executeBatch()
+            dialect match {
+              case Postgres =>
+                val st = conn.prepareStatement(sql)
+                var n = 0
+                rows.foreach { r =>
+                  columns.indices.foreach(i => st.setObject(i + 1, r.get(i)))
+                  st.addBatch()
+                  n += 1
+                  if (n % batchSize == 0) st.executeBatch()
+                }
+                st.executeBatch()
+              case UpdateElseInsert =>
+                val upd = conn.prepareStatement(updSql)
+                val ins = conn.prepareStatement(insSql)
+                rows.foreach { r =>
+                  updIdx.zipWithIndex.foreach { case (ci, p) =>
+                    upd.setObject(p + 1, r.get(ci))
+                  }
+                  upd.setObject(updIdx.size + 1, r.get(keyIdx))
+                  if (upd.executeUpdate() == 0) {
+                    columns.indices.foreach(i => ins.setObject(i + 1, r.get(i)))
+                    ins.executeUpdate()
+                  }
+                }
             }
-            st.executeBatch()
             conn.commit()
           } catch {
             case e: Throwable => conn.rollback(); throw e

@@ -82,9 +82,13 @@ object LandingCsv {
       .option("multiLine", "true") // one file == one task ⇒ stable row order
       .option("mode", "PERMISSIVE")
       .csv(files: _*)
-    val seqExpr = fileSeqOf.foldLeft(lit(-1)) { case (acc, (name, i)) =>
-      when(col("_fname") === name, lit(i)).otherwise(acc)
-    }
+    // Map-literal lookup, NOT a folded when-chain: one nested CASE per
+    // landing file would blow analyzer/codegen stack limits at the 10⁵-
+    // file scale this source claims. element_at on a map literal is one
+    // O(1)-ish expression regardless of file count.
+    val seqExpr =
+      if (fileSeqOf.isEmpty) lit(-1)
+      else coalesce(element_at(typedLit(fileSeqOf), col("_fname")), lit(-1))
     val byFile = Window.partitionBy(col("_fname")).orderBy(col("_mono"))
     raw
       .withColumn("_fname", basenameCol)

@@ -25,9 +25,11 @@ import org.json4s.jackson.JsonMethods
   *
   * Layout: one `InputPartition` per listing file (a listing page is one
   * API response — parallelism across pages, never within one), reader
-  * streams posts without materializing the page twice. A live-HTTP
-  * variant would swap the file read for the OAuth'd GET in
-  * `ListingPartitionReader` and nothing else changes shape.
+  * streams posts without materializing the page twice. With
+  * `mode=online` (+ `subreddit`, optional `clientId`/`clientSecret` and
+  * endpoint overrides) the partition fetches the page over HTTP through
+  * the full OAuth + retry state machine ([[RedditHttp]]) instead of
+  * reading a file — same parser, same schema, same plan shape.
   */
 class RedditListingSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -77,17 +79,27 @@ private class ListingScan(options: Map[String, String]) extends Scan with Batch 
   override def readSchema(): StructType = RedditListingSource.PostSchema
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val path = options.getOrElse("path",
-      throw new IllegalArgumentException("reddit-listing requires a path"))
-    val p = new Path(path)
-    val fs = FileSystem.get(p.toUri, new org.apache.hadoop.conf.Configuration())
-    val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(_.isFile).map(_.getPath.toString).sorted
-      else Array(path)
-    files.map(f => ListingPartition(f): InputPartition)
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    if (options.get("mode").contains("online")) {
+      // Online path (S1 live + S2 OAuth, behind the `mode=online` flag):
+      // one partition per requested subreddit — a listing page is one
+      // API response, same parallelism story as one partition per file.
+      val subs = options.getOrElse("subreddit",
+        throw new IllegalArgumentException(
+          "reddit-listing mode=online requires a subreddit option"))
+      subs.split(",").map(_.trim).filter(_.nonEmpty)
+        .map(s => HttpListingPartition(s, options): InputPartition)
+    } else {
+      val path = options.getOrElse("path",
+        throw new IllegalArgumentException("reddit-listing requires a path"))
+      val p = new Path(path)
+      val fs = FileSystem.get(p.toUri, new org.apache.hadoop.conf.Configuration())
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).filter(_.isFile).map(_.getPath.toString).sorted
+        else Array(path)
+      files.map(f => ListingPartition(f): InputPartition)
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ListingReaderFactory(options.getOrElse("limit", Int.MaxValue.toString).toInt)
@@ -95,25 +107,49 @@ private class ListingScan(options: Map[String, String]) extends Scan with Batch 
 
 private case class ListingPartition(file: String) extends InputPartition
 
+private case class HttpListingPartition(
+    subreddit: String, options: Map[String, String]) extends InputPartition
+
 private class ListingReaderFactory(limit: Int) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ListingPartitionReader(partition.asInstanceOf[ListingPartition].file, limit)
+    partition match {
+      case ListingPartition(file) =>
+        new ListingPartitionReader(ListingPartitionReader.readFile(file), limit)
+      case HttpListingPartition(sub, opts) =>
+        // Executor-side fetch through the full OAuth + retry state
+        // machine (RedditHttp); the raw page body feeds the SAME
+        // parser as the file path.
+        val cfg = RedditHttp.Config(
+          clientId = opts.get("clientid"),
+          clientSecret = opts.get("clientsecret"),
+          userAgent = opts.getOrElse("useragent", "graft/0.1"),
+          tokenUrl = opts.getOrElse("tokenurl",
+            "https://www.reddit.com/api/v1/access_token"),
+          oauthApiBase = opts.getOrElse("oauthapibase", "https://oauth.reddit.com"),
+          publicApiBase = opts.getOrElse("publicapibase", "https://www.reddit.com"))
+        val client = new RedditHttpClient(cfg, RedditHttp.JdkHttpTransport)
+        new ListingPartitionReader(client.fetchListingJson(sub, limit), limit)
+    }
 }
 
-/** Streams one listing file's `data.children[].data` posts. Null-safe
-  * exactly like the reference's `.get()` chains: absent/mistyped
-  * fields become null.
-  */
-private class ListingPartitionReader(file: String, limit: Int)
-    extends PartitionReader[InternalRow] {
-
-  private val posts: Iterator[JValue] = {
+private object ListingPartitionReader {
+  def readFile(file: String): String = {
     val p = new Path(file)
     val fs = FileSystem.get(p.toUri, new org.apache.hadoop.conf.Configuration())
     val in = fs.open(p)
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+}
+
+/** Streams one listing page's `data.children[].data` posts. Null-safe
+  * exactly like the reference's `.get()` chains: absent/mistyped
+  * fields become null.
+  */
+private class ListingPartitionReader(text: String, limit: Int)
+    extends PartitionReader[InternalRow] {
+
+  private val posts: Iterator[JValue] = {
     JsonMethods.parse(text) \ "data" \ "children" match {
       case JArray(children) => children.iterator.map(_ \ "data").take(limit)
       case _ => Iterator.empty

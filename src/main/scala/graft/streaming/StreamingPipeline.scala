@@ -36,9 +36,16 @@ object StreamingPipeline {
     * reproduces the loaded/-move (T2).
     *
     * In-batch encounter order: the file source provides no global file
-    * rank, so first-wins uses `input_file_name` (lexicographic — the
-    * reference's sort order) + in-partition position, which for the
-    * unsplittable micro-batch files equals the reference's order.
+    * rank, so `file_seq` is the file's rank in the SORTED set of batch
+    * file names (lexicographic — the reference's sort order), built as a
+    * map-literal lookup from the ≤maxFilesPerTrigger distinct names (a
+    * bounded metadata collect, never a row collect — and never the
+    * single-partition funnel an unpartitioned window over the whole
+    * batch would be). `row_seq` is derived per file exactly as
+    * [[graft.sources.LandingCsv.read]] does: `multiLine=true` pins one
+    * whole file per task so `monotonically_increasing_id` is strictly
+    * row-ordered within each file, then a per-file window ranks it —
+    * in-file order is guaranteed, not assumed.
     */
   def start(
       spark: SparkSession,
@@ -51,6 +58,7 @@ object StreamingPipeline {
     val raw = spark.readStream
       .schema(LandingSchema)
       .option("header", "true")
+      .option("multiLine", "true") // one file == one task ⇒ stable row order
       .option("pathGlobFilter", "italytravel_*.csv")
       .option("maxFilesPerTrigger", "16")
       .option("cleanSource", "archive")
@@ -62,12 +70,19 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val ordered = batch
+          val withFile = batch
+            .withColumn("_fname", element_at(split(input_file_name(), "/"), -1))
+            .withColumn("_mono", monotonically_increasing_id())
+          val names = withFile.select("_fname").distinct()
+            .collect().map(_.getString(0)).sorted
+          val seqOf = names.zipWithIndex.toMap
+          val byFile = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("_fname")).orderBy(col("_mono"))
+          val ordered = withFile
             .withColumn("file_seq",
-              dense_rank().over(
-                org.apache.spark.sql.expressions.Window
-                  .orderBy(input_file_name())))
-            .withColumn("row_seq", monotonically_increasing_id())
+              coalesce(element_at(typedLit(seqOf), col("_fname")), lit(-1)))
+            .withColumn("row_seq", row_number().over(byFile))
+            .drop("_fname", "_mono")
           val stage = LoadJob.typed(CombineJob.transform(ordered, conf))
             .withColumn("ingested_at", current_timestamp())
           Upsert.upsertParquet(spark, stage, tableDir,
