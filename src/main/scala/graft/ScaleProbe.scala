@@ -34,6 +34,49 @@ object ScaleProbe {
       t0 = System.nanoTime(); val nsim = sim(); val tSim = (System.nanoTime()-t0)/1e9
       println(f"SCALE $label lsh_candidates=$cands lsh_s=$tLsh%.1f simhash_distinct=$nsim simhash_s=$tSim%.1f")
     }
+
+    // Embedding banded-blocking sweep: candidate volume + wall across
+    // corpus sizes and (bands, bits) configs — the SCALING.md evidence
+    // that `bits` is the knob that keeps dense sign-LSH subcritical as n
+    // grows. Corpora are synthesized once to /tmp (murmur-hash uniform
+    // floats — NOT sin(phase+j), which puts every vector in a 2-D
+    // subspace and collapses the buckets; generation is not timed). The
+    // probe counts DISTINCT candidate id-pairs only (the verify stage's
+    // vector fetch is the operator's job, measured by Bench).
+    import org.apache.spark.sql.types.FloatType
+    def embCands(e: org.apache.spark.sql.DataFrame, bands: Int, bits: Int): Long = {
+      val banded = e.select(col("vec_id"),
+        posexplode(denseSignBuckets(col("embedding"), bands, bits, 64))
+          .as(Seq("band", "bucket")))
+      val a = banded.select(col("band"), col("bucket"), col("vec_id").as("ia"))
+      val c = banded.select(col("band").as("b2"), col("bucket").as("k2"),
+        col("vec_id").as("ib"))
+      a.join(c, col("band") === col("b2") && col("bucket") === col("k2") &&
+          col("ia") < col("ib"))
+        .select("ia", "ib").distinct().count()
+    }
+    for ((n, label) <- Seq(10000 -> "10k", 100000 -> "100k", 1000000 -> "1M")) {
+      val path = s"/tmp/scale_embed_$label.parquet"
+      if (!new java.io.File(path).exists) {
+        spark.range(n).select(col("id").as("vec_id"),
+            transform(sequence(lit(1), lit(64)),
+              j => (hash(col("id"), j) / lit(2.147483648e9)).cast(FloatType))
+              .as("embedding"))
+          .write.mode("overwrite").parquet(path)
+      }
+      val e = spark.read.parquet(path)
+      val configs =
+        if (n >= 1000000) Seq((8, 16), (8, 24)) // 4×8 at 1M is the n²/2^bits wall
+        else Seq((4, 8), (8, 16), (8, 24))
+      for ((bands, bits) <- configs) {
+        val t1 = System.nanoTime()
+        val c = embCands(e, bands, bits)
+        val w = (System.nanoTime() - t1) / 1e9
+        val allPairs = n.toLong * (n - 1) / 2
+        println(f"SCALE-EMBED $label bands=$bands bits=$bits candidates=$c " +
+          f"(${c.toDouble / allPairs}%.2e of $allPairs%d all-pairs) wall=$w%.1f")
+      }
+    }
     spark.stop()
   }
 }

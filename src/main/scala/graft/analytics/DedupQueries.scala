@@ -157,22 +157,25 @@ object DedupQueries {
        |         FROM band a JOIN band b
        |           ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id)""".stripMargin
 
-  /** Embedding near-dup pairs via banded sign-bucket blocking + exact
-    * cosine verify, over a (vec_id, embedding) frame. Public so
+  /** Embedding near-dup pairs via banded DENSE sign-hyperplane blocking
+    * + exact cosine verify, over a (vec_id, embedding) frame. Public so
     * DedupSemanticsSpec can measure recall on a planted-dup corpus
-    * against the all-pairs exact form.
+    * against the all-pairs exact form, and so ScaleProbe can sweep
+    * (bands, bits) — the 100 TB tuning knob: collision noise is
+    * bands · n²/2^bits, recall 1 − (1 − p_bit^bits)^bands.
     */
-  def embedNearDupPairs(e0: DataFrame, threshold: Double): DataFrame = {
+  def embedNearDupPairs(
+      e0: DataFrame,
+      threshold: Double,
+      bands: Int = 4,
+      bits: Int = 8,
+      dim: Int = 64): DataFrame = {
     val e = e0
       .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
       .repartition(col("vec_id")) // barrier: norms/buckets computed once
     val banded = e.select(col("vec_id"), col("embedding"), col("nrm"),
-        explode(array((0 until 4).map { b =>
-          struct(lit(b).as("band"),
-            signBucketAt(col("embedding"), 16 * b, 8).as("bucket"))
-        }: _*)).as("bb"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      posexplode(denseSignBuckets(col("embedding"), bands, bits, dim))
+        .as(Seq("band", "bucket")))
     val a = banded.select(col("band"), col("bucket"),
       col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
     val b = banded.select(col("band").as("band2"), col("bucket").as("bucket2"),
@@ -315,39 +318,51 @@ object DedupQueries {
 
     // ---------------------------------------------- embedding near-dup
     // Cosine near-dup over the embedding column, LSH-then-verify (the
-    // 100 TB shape — NO all-pairs stage anywhere): 4 independent 8-bit
-    // sign-bucket bands over disjoint coordinate windows (the minhash
-    // band construction transplanted to cosine space); candidate pairs
+    // 100 TB shape — NO all-pairs stage anywhere): `bands` independent
+    // dense ±1 random-hyperplane sign buckets (`bits` sign tests each,
+    // pinned constants shared with the oracle SQL); candidate pairs
     // agree on (band, bucket) — an equi-join on a small key — and the
     // exact codegen'd cosine verifies candidates only. Norms are
     // per-vector scan-stage columns. The all-pairs exact form survives
     // as the RECALL oracle in DedupSemanticsSpec (planted near-dup
-    // copies; banded blocking finds >90% of cosine≥0.95 pairs), and
-    // PlanSpec asserts this plan has no cartesian/BNL join.
+    // copies; banded blocking finds >90% of cosine≥0.95 pairs),
+    // PlanSpec asserts this plan has no cartesian/BNL join, and
+    // SCALING.md measures the (bands, bits) candidate-volume knob.
     GraftQuery(
-      "q_dedup_embed",
-      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
-        |           FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |        sqrt(list_reduce([v[i] * v[i] FOR i IN range(1, 65)],
-        |                         (a, b) -> a + b)) AS nrm
-        |      FROM e),
-        |bb AS (SELECT vec_id, v, nrm, band,
-        |         CAST(list_sum([CASE WHEN v[16 * band + 2 * i + 1] > v[16 * band + 2 * i + 2]
-        |                             THEN CAST(2 ** i AS BIGINT) ELSE 0 END
-        |                        FOR i IN range(0, 8)]) AS BIGINT) AS bucket
-        |       FROM n, (SELECT unnest(range(0, 4)) AS band)),
-        |pair AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-        |                a.v AS va, a.nrm AS na, b.v AS vb, b.nrm AS nb
-        |         FROM bb a JOIN bb b
-        |           ON a.band = b.band AND a.bucket = b.bucket
-        |          AND a.vec_id < b.vec_id),
-        |p AS (SELECT id_a, id_b,
-        |        list_reduce([va[i] * vb[i] FOR i IN range(1, 65)],
-        |                    (x, y) -> x + y) / (na * nb) AS cos
-        |      FROM pair)
-        |SELECT id_a, id_b, round(cos, 4) AS cosine
-        |FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      "q_dedup_embed", {
+        // one SELECT per band: bit i of the bucket is the sign of the
+        // same ±1-signed left-to-right coordinate sum the codegen'd dot
+        // kernel computes (±1 products are exact ⇒ bit-identical).
+        val bandArms = (0 until 4).map { band =>
+          val bucket = (0 until 8).map { bit =>
+            val terms = (0 until 64).map { c =>
+              val op = if (hyperplaneSign(band, bit, c) > 0) "+" else "-"
+              s"$op v[${c + 1}]"
+            }.mkString(" ")
+            s"(CASE WHEN (0.0 $terms) > 0 THEN CAST(${1L << bit} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+          }.mkString("(", "\n            + ", ")")
+          s"SELECT vec_id, v, nrm, $band AS band,\n          $bucket AS bucket FROM n"
+        }.mkString("\n        UNION ALL\n        ")
+        s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+          |           FROM embeddings),
+          |n AS (SELECT vec_id, v,
+          |        sqrt(list_reduce([v[i] * v[i] FOR i IN range(1, 65)],
+          |                         (a, b) -> a + b)) AS nrm
+          |      FROM e),
+          |bb AS (
+          |        $bandArms),
+          |pair AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+          |                a.v AS va, a.nrm AS na, b.v AS vb, b.nrm AS nb
+          |         FROM bb a JOIN bb b
+          |           ON a.band = b.band AND a.bucket = b.bucket
+          |          AND a.vec_id < b.vec_id),
+          |p AS (SELECT id_a, id_b,
+          |        list_reduce([va[i] * vb[i] FOR i IN range(1, 65)],
+          |                    (x, y) -> x + y) / (na * nb) AS cos
+          |      FROM pair)
+          |SELECT id_a, id_b, round(cos, 4) AS cosine
+          |FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
+      }) { (s, dir) =>
       embedNearDupPairs(t(s, dir, "embeddings"), 0.4)
     })
 }

@@ -138,6 +138,29 @@ object ExtendedQueries {
         .orderBy(col("user_id"))
     },
 
+    // --------------------------------------------- pivot (dynamic values)
+    // df.pivot(col) WITHOUT a pinned value list: Spark runs a driver-side
+    // distinct pass to discover the pivot columns (sorted), then lowers
+    // to the same CASE-aggregation as the explicit form. That extra
+    // distinct job is the documented cost of dynamic pivot at scale —
+    // q_pivot is the 100 TB shape; this covers the reference-parity
+    // surface where the value set is data-driven.
+    GraftQuery(
+      "q_pivot_dynamic", {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val cases = types.map(t =>
+          s"CAST(sum(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS $t").mkString(",\n        |  ")
+        s"""SELECT user_id,
+           |  $cases
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+      }) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type")
+        .agg(sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType))
+        .orderBy(col("user_id"))
+    },
+
     // --------------------------------------------------------- unpivot
     // unpivot/melt: wide per-type sums back to (user_id, type, total).
     // Oracle mirrors with UNION ALL; unpivot drops NULL cells — the

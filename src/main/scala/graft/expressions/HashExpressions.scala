@@ -27,6 +27,24 @@ object HashExpressions {
   def A(i: Int): Long = (1103515245L * (i + 1) + 12345L) % P
   def B(i: Int): Long = (69069L * (i + 1) + 1234567L) % P
 
+  /** Pinned ±1 sign for the dense random-hyperplane family at
+    * (band, bit, coord): a splitmix64-style finalizer over a mixed
+    * seed. The mixer must be NONLINEAR (xor-shift + multiply): an LCG
+    * is linear in its seed, so signs over the arithmetic (band, bit,
+    * coord) seed progression come out correlated and the sign-LSH
+    * bucket distribution collapses (measured: 40× the uniform
+    * collision rate). Only the resulting ±1 constants are embedded in
+    * the DuckDB oracle SQL.
+    */
+  def hyperplaneSign(band: Int, bit: Int, coord: Int): Int = {
+    var x = band.toLong * 0x9E3779B97F4A7C15L + bit.toLong * 0xC2B2AE3D27D4EB4FL +
+      coord.toLong * 0x165667B19E3779F9L + 0x27D4EB2F165667C5L
+    x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+    x ^= x >>> 27; x *= 0x94D049BB133111EBL
+    x ^= x >>> 31
+    if ((x & 1L) == 1L) 1 else -1
+  }
+
   def minhash(hashes: Column, k: Int): Column =
     graftbridge.column(MinHashSignature(graftbridge.expression(hashes), k))
 

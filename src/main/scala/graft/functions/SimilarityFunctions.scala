@@ -70,6 +70,38 @@ object SimilarityFunctions {
         lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Pinned ±1 hyperplane sign at (band, bit, coord) — see
+    * [[graft.expressions.HashExpressions.hyperplaneSign]] (splitmix64
+    * finalizer; an LCG's linearity measurably collapses the buckets).
+    */
+  def hyperplaneSign(band: Int, bit: Int, coord: Int): Int =
+    graft.expressions.HashExpressions.hyperplaneSign(band, bit, coord)
+
+  /** The (band, bit) hyperplane as a ±1 float vector. */
+  def hyperplane(band: Int, bit: Int, dim: Int): Seq[Float] =
+    (0 until dim).map(c => hyperplaneSign(band, bit, c).toFloat)
+
+  /** DENSE random-hyperplane sign buckets, one per band: bit i of band
+    * b is the sign of `vec · h(b,i)` where h is a pinned ±1 vector over
+    * ALL `dim` coordinates. All bands·nBits sign tests run in ONE
+    * codegen'd kernel pass ([[graft.expressions.SignBuckets]], sign
+    * masks packed as longs) — the per-bit `when(dot(vec, ±1-literal))`
+    * composition it replaces is the equivalence oracle in
+    * `ExpressionsSpec`.
+    *
+    * This is the TUNABLE family for 100 TB embedding dedup, unlike
+    * [[signBucketAt]]'s coordinate-pair hyperplanes which cap at dim/2
+    * total bits: dense hyperplanes are unlimited and independent, so
+    * collision noise scales as bands · n²/2^nBits — crank `nBits` (16,
+    * 24, …) as the corpus grows and add bands to hold recall
+    * (p_collide = 1 − (1 − p_bit^nBits)^bands, p_bit = 1 − θ/π).
+    * Multiplying by ±1 is exact, and the per-hyperplane accumulation is
+    * the left-to-right signed sum, so DuckDB's `0.0 + v[1] - v[2] …`
+    * fold is bit-identical.
+    */
+  def denseSignBuckets(vec: Column, bands: Int, nBits: Int, dim: Int): Column =
+    VectorExpressions.signBuckets(vec, bands, nBits, dim)
+
   // ------------------------------------------------------------ MinHash
 
   /** Mersenne prime 2³¹−1: `a·v + b` stays < 2⁶² for a,v < p — exact in

@@ -38,6 +38,38 @@ class ExpressionsSpec extends SparkSpec {
     assert(m == 5.0)
   }
 
+  test("SignBuckets: kernel == composed when(dot(±1-literal)) form == Scala oracle") {
+    import spark.implicits._
+    val (bands, bits, dim) = (8, 16, 64)
+    val vecs = (0 until 60).map(_ => Seq.fill(dim)(rnd.nextFloat() * 2 - 1))
+    val df = vecs.toDF("embedding")
+    // the composed Column form the kernel replaced (per-bit codegen'd
+    // dot against a ±1 literal) — the cross-engine-shape oracle
+    def composedBucket(band: Int): org.apache.spark.sql.Column =
+      (0 until bits).map { i =>
+        when(dot(col("embedding"), typedLit(hyperplane(band, i, dim))) > 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val rows = df.select(
+      denseSignBuckets(col("embedding"), bands, bits, dim).as("kernel"),
+      array((0 until bands).map(composedBucket): _*).as("composed")).collect()
+    rows.zip(vecs).foreach { case (r, v) =>
+      val kernel = r.getSeq[Long](0)
+      assert(kernel == r.getSeq[Long](1), "kernel != composed dots")
+      // plain-Scala oracle: left-to-right ±v sum per hyperplane
+      val oracle = (0 until bands).map { band =>
+        (0 until bits).foldLeft(0L) { (bucket, bit) =>
+          val acc = (0 until dim).foldLeft(0.0) { (a, c) =>
+            a + (if (HashExpressions.hyperplaneSign(band, bit, c) > 0)
+              v(c).toDouble else -v(c).toDouble)
+          }
+          if (acc > 0) bucket | (1L << bit) else bucket
+        }
+      }
+      assert(kernel == oracle, "kernel != Scala oracle")
+    }
+  }
+
   test("MinHashSignature: codegen == Scala oracle; empty → null") {
     import spark.implicits._
     val data = (0 until 30).map(_ =>
