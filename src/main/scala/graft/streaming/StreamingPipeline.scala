@@ -129,6 +129,48 @@ object StreamingPipeline {
       }
   }
 
+  /** T7 in the Spark-4-native arbitrary-state API: the same per-user
+    * running stats as [[trackUserStats]], expressed as a
+    * `StatefulProcessor` over `transformWithState` — typed named state
+    * (`ValueState`), explicit `TimeMode`, optional per-state TTL, and
+    * the RocksDB state-store backend (required by the operator; the
+    * spec pins the provider conf). This is the API new stateful
+    * operators should target; `mapGroupsWithState` stays as the
+    * compatibility surface.
+    */
+  class UserStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserStat] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[UserStat] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[UserStat]("stats",
+        org.apache.spark.sql.Encoders.product[UserStat],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[UserEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserStat] = {
+      val prev = if (state.exists()) state.get() else UserStat(key, 0L, 0.0)
+      val next = rows.foldLeft(prev) { (s, e) =>
+        UserStat(key, s.n_events + 1, s.sum_value + e.value)
+      }
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def trackUserStatsTws(events: Dataset[UserEvent]): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new UserStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Cross-batch keyed dedup with bounded state (T4 scale form):
     * duplicates of a key arriving within the watermark horizon are
     * dropped; state ages out beyond it.

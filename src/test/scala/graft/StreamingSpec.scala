@@ -102,6 +102,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("transformWithState (RocksDB backend) tracks per-user stats like mapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[UserEvent]
+      val query = StreamingPipeline.trackUserStatsTws(input.toDS())
+        .writeStream.format("memory").queryName("user_stats_tws")
+        .outputMode("update").start()
+      try {
+        input.addData(UserEvent(1, 2.0), UserEvent(1, 3.0), UserEvent(2, 1.0))
+        query.processAllAvailable()
+        input.addData(UserEvent(1, 5.0))
+        query.processAllAvailable()
+        val latest = spark.table("user_stats_tws").as[UserStat].collect()
+          .groupBy(_.user_id).map { case (u, xs) => u -> xs.maxBy(_.n_events) }
+        assert(latest(1L) == UserStat(1L, 3, 10.0))
+        assert(latest(2L) == UserStat(2L, 1, 1.0))
+      } finally query.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("dropDuplicatesWithinWatermark dedups across micro-batches (T4)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
