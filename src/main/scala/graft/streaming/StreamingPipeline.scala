@@ -171,6 +171,66 @@ object StreamingPipeline {
         OutputMode.Update())
   }
 
+  /** [[sessionize]] in the transformWithState API: per-user open-session
+    * ValueState plus a REAL per-key timer — each batch re-arms an
+    * inactivity timer `gapMs` ahead; `handleExpiredTimer` closes the
+    * session, emits it downstream, and clears the state. Nothing is
+    * emitted while a session is open, exactly like the
+    * flatMapGroupsWithState form — but timers here are first-class
+    * (registered/deleted explicitly) instead of a single implicit
+    * timeout slot per key.
+    */
+  class SessionProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessionEvent, ClosedSession] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[OpenSession] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[SessionEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[ClosedSession] = {
+      val merged = rows.foldLeft(
+        if (state.exists()) state.get()
+        else OpenSession(0, Long.MaxValue, Long.MinValue, 0.0)) { (s, e) =>
+        OpenSession(s.n + 1, math.min(s.start, e.tus),
+          math.max(s.end, e.tus), s.sum + e.value)
+      }
+      state.update(merged)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs() + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[ClosedSession] = {
+      if (!state.exists()) Iterator.empty
+      else {
+        val s = state.get()
+        state.clear()
+        Iterator.single(ClosedSession(key, s.n, s.start, s.end, s.sum))
+      }
+    }
+  }
+
+  def sessionizeTws(
+      events: Dataset[SessionEvent],
+      gapMs: Long = 2000): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
+
   /** Cross-batch keyed dedup with bounded state (T4 scale form):
     * duplicates of a key arriving within the watermark horizon are
     * dropped; state ages out beyond it.

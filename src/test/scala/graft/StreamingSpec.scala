@@ -210,6 +210,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("transformWithState timers close and emit sessions (RocksDB backend)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamingPipeline.{ClosedSession, SessionEvent}
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[SessionEvent]
+      val query = StreamingPipeline.sessionizeTws(input.toDS(), gapMs = 500)
+        .writeStream.format("memory").queryName("sessions_tws")
+        .outputMode("append").start()
+      try {
+        input.addData(SessionEvent(1, 1000, 2.0), SessionEvent(1, 3000, 3.0))
+        // processing-time timers keep scheduling batches; poll the sink
+        // instead of processAllAvailable (same caveat as the
+        // flatMapGroupsWithState form)
+        val deadline = System.currentTimeMillis() + 30000
+        var closed = Seq.empty[ClosedSession]
+        while (closed.isEmpty && System.currentTimeMillis() < deadline) {
+          Thread.sleep(250)
+          closed = spark.table("sessions_tws").as[ClosedSession].collect().toSeq
+        }
+        assert(closed.map(c => (c.user_id, c.n_events, c.start_us, c.end_us, c.sum_value))
+          .contains((1L, 2L, 1000L, 3000L, 5.0)))
+      } finally query.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("hourlyEventCounts compiles to a watermarked streaming agg") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
