@@ -330,19 +330,10 @@ object DedupQueries {
     // SCALING.md measures the (bands, bits) candidate-volume knob.
     GraftQuery(
       "q_dedup_embed", {
-        // one SELECT per band: bit i of the bucket is the sign of the
-        // same ±1-signed left-to-right coordinate sum the codegen'd dot
-        // kernel computes (±1 products are exact ⇒ bit-identical).
-        val bandArms = (0 until 4).map { band =>
-          val bucket = (0 until 8).map { bit =>
-            val terms = (0 until 64).map { c =>
-              val op = if (hyperplaneSign(band, bit, c) > 0) "+" else "-"
-              s"$op v[${c + 1}]"
-            }.mkString(" ")
-            s"(CASE WHEN (0.0 $terms) > 0 THEN CAST(${1L << bit} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-          }.mkString("(", "\n            + ", ")")
-          s"SELECT vec_id, v, nrm, $band AS band,\n          $bucket AS bucket FROM n"
-        }.mkString("\n        UNION ALL\n        ")
+        // one SELECT per band (OracleSql.denseSignBandArms): bit i of
+        // the bucket is the sign of the same ±1-signed left-to-right
+        // coordinate sum the codegen'd kernel computes.
+        val bandArms = OracleSql.denseSignBandArms(4, 8, 64)
         s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
           |           FROM embeddings),
           |n AS (SELECT vec_id, v,

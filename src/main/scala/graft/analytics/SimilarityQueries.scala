@@ -119,6 +119,62 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     },
 
+    // ----------------------------------------------- multiband dense LSH
+    // Multi-table sign-LSH ANN (the recall upgrade over the single
+    // 8-bit bucket of q_ann_lsh): every vector gets 4 independent dense
+    // ±1-hyperplane buckets in ONE codegen'd SignBuckets pass; a
+    // candidate is any vector sharing ANY (band, bucket) with the query
+    // — the standard L-table LSH union, p_find = 1 − (1 − p^L). The
+    // candidate stage is still a pure equi-join on a small key; exact
+    // cosine re-ranks the union. Scale: bits per band is the collision
+    // knob (SCALING.md sweep), bands the recall knob.
+    GraftQuery(
+      "q_ann_multiband", {
+        val bandArms = OracleSql.denseSignBandArms(4, 8, 64)
+        s"""WITH e AS ($embDoubleSql),
+           |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+           |bb AS (
+           |        $bandArms),
+           |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id,
+           |                q.v AS qv, q.nrm AS qn, c.v AS cv, c.nrm AS cn
+           |         FROM bb q JOIN bb c
+           |           ON q.band = c.band AND q.bucket = c.bucket
+           |          AND c.vec_id <> q.vec_id
+           |         WHERE q.vec_id < 20),
+           |s AS (SELECT q_id, n_id, ${dotSql("qv", "cv")} / (qn * cn) AS cos
+           |      FROM cand),
+           |r AS (SELECT q_id, n_id, cos,
+           |        CAST(row_number() OVER (PARTITION BY q_id
+           |               ORDER BY cos DESC, n_id) AS INTEGER) AS rank
+           |      FROM s)
+           |SELECT q_id, n_id, rank, round(cos, 4) AS cosine
+           |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+      }) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+        .repartition(col("vec_id")) // barrier: norms/buckets computed once
+      val banded = e.select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(denseSignBuckets(col("embedding"), 4, 8, 64))
+          .as(Seq("band", "bucket")))
+      val q = banded.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          col("nrm").as("qn"), col("band"), col("bucket"))
+      val c = banded.select(col("vec_id").as("n_id"), col("embedding").as("cv"),
+        col("nrm").as("cn"), col("band").as("band2"), col("bucket").as("bucket2"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id"))
+      q.join(c, col("band") === col("band2") && col("bucket") === col("bucket2") &&
+          col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"), col("qv"), col("qn"), col("cv"), col("cn"))
+        .distinct() // union over bands: a pair may collide in several
+        .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .withColumn("rank", row_number().over(w).cast(IntegerType))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("n_id"), col("rank"),
+          round(col("cos"), 4).as("cosine"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+
     // ------------------------------------------------------------- IVF
     // Inverted-file ANN: vectors with vec_id < 16 serve as coarse
     // centroids (a fixed, deterministic codebook — a real deployment
