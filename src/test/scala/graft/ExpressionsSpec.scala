@@ -68,6 +68,15 @@ class ExpressionsSpec extends SparkSpec {
       }
       assert(kernel == oracle, "kernel != Scala oracle")
     }
+    // interpreted path (nullSafeEval) agrees with the codegen'd results
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    vecs.take(5).zip(rows).foreach { case (v, r) =>
+      val interp = graft.expressions.SignBuckets(
+          Literal.create(v, ArrayType(FloatType)), bands, bits, dim)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+      assert(interp == r.getSeq[Long](0), "interpreted != codegen")
+    }
   }
 
   test("MinHashSignature: codegen == Scala oracle; empty → null") {

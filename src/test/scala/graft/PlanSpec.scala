@@ -55,6 +55,12 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("q_ann_multiband: candidate stage is an equi-join, no cartesian/BNL") {
+    val p = plan("q_ann_multiband")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("signature pipelines: one signature computation per join side") {
     // 2 union branches × 2 join sides = 4 is the floor; more means the
     // optimizer substituted the pipeline into filters again
