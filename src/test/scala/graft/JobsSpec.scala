@@ -295,6 +295,25 @@ class JobsSpec extends SparkSpec {
     }
   }
 
+  test("file_seq map-lookup scales to a 1e5-file listing (the when-chain could not)") {
+    withTempDir { dir =>
+      write(dir, "italytravel_000000.csv", "thing_key,score\nK0,1\n")
+      write(dir, "italytravel_099999.csv", "thing_key,score\nK9,2\n")
+      // map covers the full claimed listing scale; only two files exist.
+      // The pre-fix folded when-chain built one nested CASE per entry
+      // and would blow the analyzer/codegen stack here.
+      val fileSeqOf = (0 until 100000)
+        .map(i => f"italytravel_$i%06d.csv" -> i).toMap
+      val files = Seq(dir.resolve("italytravel_000000.csv").toString,
+        dir.resolve("italytravel_099999.csv").toString)
+      val got = graft.sources.LandingCsv.read(spark, files, fileSeqOf)
+        .select("thing_key", "file_seq", "row_seq").collect()
+        .map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+      assert(got("K0") == ((0, 1)))
+      assert(got("K9") == ((99999, 1)))
+    }
+  }
+
   test("upsertStatement renders the reference ON CONFLICT SQL") {
     val sql = Upsert.upsertStatement("reddit_schema.redit_table")
     assert(sql.startsWith(
