@@ -4,14 +4,14 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{FloatVectorDot, MinHashSignature, SimHash32}
+import graft.expressions.{FloatVectorDot, MinHashSignature, SignBuckets, SimHash32}
 
 /** SparkSessionExtensions entry point: registers graft's custom
   * codegen expressions as SQL functions, so `spark.sql` users (and
   * spark-submit deployments via
   * `--conf spark.sql.extensions=graft.GraftExtensions`) get
-  * `float_vector_dot`, `minhash_signature`, `simhash32` without
-  * touching the Scala API.
+  * `float_vector_dot`, `minhash_signature`, `simhash32`,
+  * `sign_buckets` without touching the Scala API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -40,6 +40,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash32(hashes)")
         SimHash32(args(0))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sign_buckets"),
+      new ExpressionInfo(classOf[SignBuckets].getName, "sign_buckets"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "sign_buckets(vec, bands, bits, dim)")
+        def intArg(e: Expression): Int = e.eval().asInstanceOf[Int]
+        SignBuckets(args(0), intArg(args(1)), intArg(args(2)), intArg(args(3)))
       }))
   }
 }

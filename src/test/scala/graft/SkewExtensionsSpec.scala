@@ -50,5 +50,20 @@ class SkewExtensionsSpec extends SparkSpec {
     assert(sig.length == 4)
     import graft.functions.SimilarityFunctions.{minhashA, minhashB, MinhashP}
     assert(sig(0) == Seq(7L, 99L).map(v => (v * minhashA(0) + minhashB(0)) % MinhashP).min)
+    val buckets = spark.sql(
+      "SELECT sign_buckets(array(0.5F, -0.5F, 1.0F, 0.25F), 2, 4, 4) AS b")
+      .collect().head.getSeq[Long](0)
+    assert(buckets.length == 2)
+    // matches the pinned-constant Scala oracle
+    import graft.functions.SimilarityFunctions.hyperplaneSign
+    val v = Seq(0.5, -0.5, 1.0, 0.25)
+    val oracle = (0 until 2).map { band =>
+      (0 until 4).foldLeft(0L) { (b, bit) =>
+        val acc = (0 until 4).foldLeft(0.0)((a, c) =>
+          a + (if (hyperplaneSign(band, bit, c) > 0) v(c) else -v(c)))
+        if (acc > 0) b | (1L << bit) else b
+      }
+    }
+    assert(buckets == oracle)
   }
 }
