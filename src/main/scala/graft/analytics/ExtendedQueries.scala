@@ -251,6 +251,26 @@ object ExtendedQueries {
         .orderBy(col("event_type"))
     },
 
+    // ---------------------------------------------------------- §2.10
+    // Salted two-phase aggregation for a skewed grouping key (the
+    // manual fix for single-hot-key skew AQE's partition splitting
+    // cannot touch): phase 1 aggregates (key, salt) partials, phase 2
+    // merges per key. The oracle is the plain one-phase GROUP BY —
+    // algebraic aggregates make the two forms exactly equal, and the
+    // decimal value column keeps the double-summation order out of the
+    // hash.
+    GraftQuery(
+      "q_skew_agg",
+      """SELECT user_id % 5 AS k, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin) { (s, dir) =>
+      val df = t(s, dir, "events").select((col("user_id") % 5).as("k"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+      graft.operators.SkewJoin.saltedCountSum(df, "k", "v", salts = 8)
+        .select(col("k"), col("n"), col("sum").cast(DoubleType).as("sum_v"))
+        .orderBy(col("k"))
+    },
+
     // ------------------------------------------------------------- P7
     // The SQL entry path: temp views + spark.sql, with a CORRELATED
     // scalar subquery Catalyst decorrelates into an aggregate+join.
