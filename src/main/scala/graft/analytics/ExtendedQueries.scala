@@ -251,6 +251,44 @@ object ExtendedQueries {
         .orderBy(col("event_type"))
     },
 
+    // --------------------------------------------------------- S8/J1
+    // The upsert sink's MERGE semantics under the hash gate: matched
+    // keys take UPDATE columns from the stage and keep every other
+    // column from the target; unmatched rows pass through whole —
+    // exactly Combine_send_to_postgresql.py:239-249's ON CONFLICT
+    // behavior, expressed relationally (Upsert.merge) and mirrored as a
+    // FULL OUTER JOIN in the oracle.
+    GraftQuery(
+      "q_upsert_merge",
+      """WITH tgt AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |stg AS (
+        |  SELECT o_orderkey AS k, 'U' AS status,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS price
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT coalesce(s.k, t.k) AS k,
+        |  CASE WHEN s.k IS NOT NULL AND t.k IS NOT NULL THEN s.status
+        |       ELSE coalesce(s.status, t.status) END AS status,
+        |  CAST(CASE WHEN s.k IS NOT NULL AND t.k IS NOT NULL THEN t.price
+        |            ELSE coalesce(s.price, t.price) END AS DOUBLE) AS price
+        |FROM tgt t FULL OUTER JOIN stg s ON t.k = s.k
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val dec2 = DecimalType(18, 2)
+      val tgt = orders.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          col("o_totalprice").cast(dec2).as("price"))
+      val stg = orders.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("k"), lit("U").as("status"),
+          (col("o_totalprice").cast(dec2) * 2).as("price"))
+      graft.sinks.Upsert.merge(tgt, stg, "k", Seq("status"))
+        .select(col("k"), col("status"),
+          col("price").cast(DoubleType).as("price"))
+        .orderBy(col("k"))
+    },
+
     // ---------------------------------------------------------- §2.10
     // Salted two-phase aggregation for a skewed grouping key (the
     // manual fix for single-hot-key skew AQE's partition splitting
