@@ -81,6 +81,51 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---------------------------------------------------------- top terms
+    // Per-document salient-term extraction (the tf-idf-style keyword
+    // stage of corpus curation), kept INTEGER-EXACT for the hash gate:
+    // rank terms by (tf DESC, df ASC, term) instead of tf·ln(N/df) —
+    // same ordering ln() would induce for fixed tf, with no libm in the
+    // hash. Terms appearing in ≥90% of the corpus are dropped as
+    // stopwords (this synthetic corpus shares most of its small
+    // vocabulary, so a N/2 cut would empty the result).
+    // Scale: the document-frequency table is |vocab|-sized
+    // (broadcastable); the explode is scan-stage; the only wide ops are
+    // the two term aggregations and the per-doc top-k window.
+    GraftQuery(
+      "q_top_terms",
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |j AS (SELECT tf.doc_id, tf.term, tf.tf, df.df
+        |      FROM tf JOIN df ON tf.term = df.term
+        |      WHERE df.df * 10 < (SELECT count(*) FROM documents) * 9),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY tf DESC, df ASC, term) AS INTEGER) AS rnk FROM j)
+        |SELECT doc_id, rnk, term, tf, df
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, dir) =>
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfT = tok.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      // corpus size as a broadcast 1-row scalar (the SQL subquery's
+      // plan shape) — no driver-side action in the query path
+      val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term"))
+      tf.join(broadcast(dfT.join(broadcast(nDocs))
+          .filter(col("df") * 10 < col("n_docs") * 9)
+          .select("term", "df")), "term")
+        .select(col("doc_id"),
+          row_number().over(w).cast(org.apache.spark.sql.types.IntegerType).as("rnk"),
+          col("term"), col("tf"), col("df"))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("doc_id"), col("rnk"))
+    },
+
     // ------------------------------------------------------------ quality
     // Heuristic quality score: length saturation × alpha ratio ×
     // punctuation sanity, identical double arithmetic on both sides.
