@@ -126,6 +126,41 @@ object TextQueries {
         .orderBy(col("doc_id"), col("rnk"))
     },
 
+    // --------------------------------------------------------- splits
+    // Deterministic hash-based train/val/test assignment (reproducible
+    // corpus splits — the property random() sampling loses): bucket =
+    // portable SHA-derived hash of the doc id mod 100, split by 80/10/10
+    // ranges. Pure scan-stage expression; stratification falls out of
+    // the per-source grouping. Same one-SHA hash family as the dedup
+    // operators, so both engines agree bit-for-bit.
+    GraftQuery(
+      "q_split_assign",
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    list_sum([(strpos('0123456789abcdef', substring(h, p, 1)) - 1)
+        |              * CAST(16**(7 - p) AS BIGINT) FOR p IN range(1, 8)]) % 100 AS bucket
+        |  FROM (SELECT doc_id, source,
+        |          substring(sha256(CAST(doc_id AS VARCHAR)), 1, 7) AS h
+        |        FROM documents))
+        |SELECT source,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM b GROUP BY 1, 2 ORDER BY source, split""".stripMargin) { (s, dir) =>
+      import graft.functions.SimilarityFunctions.elementHash
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          (elementHash(col("doc_id").cast(org.apache.spark.sql.types.StringType)) % 100)
+            .as("bucket"))
+        .select(col("source"), col("doc_id"),
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test").as("split"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("source"), col("split"))
+    },
+
     // ------------------------------------------------------------ quality
     // Heuristic quality score: length saturation × alpha ratio ×
     // punctuation sanity, identical double arithmetic on both sides.
