@@ -316,6 +316,52 @@ object DedupQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // ----------------------------------------------- contamination scan
+    // Train/eval contamination detection — the dedup and split
+    // primitives composed: every document gets a deterministic
+    // hash-bucket split (80/10/10, as q_split_assign) and a normalizing
+    // fingerprint (as q_dedup_exact, over the planted-copy corpus so
+    // cross-split exact dups provably exist); an eval-side document is
+    // CONTAMINATED when its fingerprint also appears in train. Scale:
+    // the train side collapses to distinct fingerprints before the
+    // equi-join on the 64-char key — eval never all-pairs anything.
+    GraftQuery(
+      "q_contamination",
+      s"""WITH c AS ($exactDupCorpusSql),
+         |f AS (
+         |  SELECT doc_id,
+         |    sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+         |    list_sum([(strpos('0123456789abcdef', substring(h, p, 1)) - 1)
+         |              * CAST(16**(7 - p) AS BIGINT) FOR p IN range(1, 8)]) % 100 AS bucket
+         |  FROM (SELECT doc_id, text,
+         |          substring(sha256(CAST(doc_id AS VARCHAR)), 1, 7) AS h FROM c)),
+         |s AS (SELECT doc_id, fp,
+         |        CASE WHEN bucket < 80 THEN 'train'
+         |             WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |      FROM f),
+         |tr AS (SELECT fp, min(doc_id) AS train_doc FROM s
+         |       WHERE split = 'train' GROUP BY fp)
+         |SELECT e.doc_id AS eval_doc, e.split, tr.train_doc, e.fp
+         |FROM s e JOIN tr ON e.fp = tr.fp
+         |WHERE e.split <> 'train'
+         |ORDER BY eval_doc""".stripMargin) { (s, dir) =>
+      import graft.functions.SimilarityFunctions.elementHash
+      val c = exactDupCorpus(t(s, dir, "documents"))
+      val withSplit = c.select(col("doc_id"),
+          fingerprint(col("text")).as("fp"),
+          (elementHash(col("doc_id").cast(StringType)) % 100).as("bucket"))
+        .select(col("doc_id"), col("fp"),
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test").as("split"))
+      val train = withSplit.filter(col("split") === "train")
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("train_doc"))
+      withSplit.filter(col("split") =!= "train")
+        .select(col("doc_id").as("eval_doc"), col("split"), col("fp"))
+        .join(train, "fp")
+        .select(col("eval_doc"), col("split"), col("train_doc"), col("fp"))
+        .orderBy(col("eval_doc"))
+    },
+
     // ---------------------------------------------- embedding near-dup
     // Cosine near-dup over the embedding column, LSH-then-verify (the
     // 100 TB shape — NO all-pairs stage anywhere): `bands` independent
