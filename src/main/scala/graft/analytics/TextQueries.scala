@@ -97,7 +97,7 @@ object TextQueries {
       """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
         |             FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
         |j AS (SELECT tf.doc_id, tf.term, tf.tf, df.df
         |      FROM tf JOIN df ON tf.term = df.term
         |      WHERE df.df * 10 < (SELECT count(*) FROM documents) * 9),
@@ -107,10 +107,13 @@ object TextQueries {
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, dir) =>
       val tok = t(s, dir, "documents")
         .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      // df derives from tf (tf is one row per (doc, term)) — the
+      // tokenize+explode pipeline runs ONCE, behind tf's exchange,
+      // instead of once per aggregate
       val tf = tok.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-      val dfT = tok.groupBy(col("term"))
-        .agg(countDistinct(col("doc_id")).as("df"))
+        .repartition(col("term")) // barrier: stops df from re-inlining tok
+      val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       // corpus size as a broadcast 1-row scalar (the SQL subquery's
       // plan shape) — no driver-side action in the query path
       val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
