@@ -61,6 +61,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("A7: sort-aggregate fallback engages when object-hash agg is disabled") {
+    // collect_list normally runs as ObjectHashAggregate; with that exec
+    // disabled Catalyst falls back to SortAggregate — the §2.3 A7 row,
+    // pinned instead of assumed.
+    val key = "spark.sql.execution.useObjectHashAggregateExec"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "false")
+      val p = plan("q_array_agg")
+      assert(p.contains("SortAggregate"), p.take(2000))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("signature pipelines: one signature computation per join side") {
     // 2 union branches × 2 join sides = 4 is the floor; more means the
     // optimizer substituted the pipeline into filters again
