@@ -71,13 +71,27 @@ private class ListingTable(props: Map[String, String]) extends Table with Suppor
     new ListingScanBuilder(options.asScala.toMap ++ props)
 }
 
-private class ListingScanBuilder(options: Map[String, String]) extends ScanBuilder {
-  override def build(): Scan = new ListingScan(options)
+private class ListingScanBuilder(options: Map[String, String])
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+  // DSv2 limit pushdown: a query-level LIMIT becomes a per-page cap the
+  // reader enforces while streaming the JSON — pages stop parsing at n
+  // posts instead of materializing the full listing.
+  private var pushedLimit: Option[Int] = None
+  override def pushLimit(limit: Int): Boolean = {
+    pushedLimit = Some(limit)
+    true // fully pushed per partition; Spark still applies the global limit
+  }
+  override def build(): Scan = new ListingScan(options, pushedLimit)
 }
 
-private class ListingScan(options: Map[String, String]) extends Scan with Batch {
+private class ListingScan(
+    options: Map[String, String],
+    pushedLimit: Option[Int] = None) extends Scan with Batch {
   override def readSchema(): StructType = RedditListingSource.PostSchema
   override def toBatch: Batch = this
+  override def description(): String =
+    s"reddit-listing pushedLimit=${pushedLimit.getOrElse(-1)}"
 
   override def planInputPartitions(): Array[InputPartition] =
     if (options.get("mode").contains("online")) {
@@ -102,7 +116,9 @@ private class ListingScan(options: Map[String, String]) extends Scan with Batch 
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ListingReaderFactory(options.getOrElse("limit", Int.MaxValue.toString).toInt)
+    new ListingReaderFactory(math.min(
+      options.getOrElse("limit", Int.MaxValue.toString).toInt,
+      pushedLimit.getOrElse(Int.MaxValue)))
 }
 
 private case class ListingPartition(file: String) extends InputPartition

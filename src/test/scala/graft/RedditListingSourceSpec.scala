@@ -60,6 +60,18 @@ class RedditListingSourceSpec extends SparkSpec {
     }
   }
 
+  test("query-level LIMIT pushes down into the scan (SupportsPushDownLimit)") {
+    withTempDir { dir =>
+      Files.write(dir.resolve("page1.json"), listingA.getBytes("UTF-8"))
+      Files.write(dir.resolve("page2.json"), listingB.getBytes("UTF-8"))
+      val df = spark.read.format("reddit-listing")
+        .option("path", dir.toString).load().limit(1)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("pushedLimit=1"), plan.take(1500))
+      assert(df.collect().length == 1)
+    }
+  }
+
   test("DSv2 rows feed FetchJob.transform identically to the JSON path") {
     withTempDir { dir =>
       Files.write(dir.resolve("page.json"), listingA.getBytes("UTF-8"))
