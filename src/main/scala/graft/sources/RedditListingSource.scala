@@ -73,25 +73,34 @@ private class ListingTable(props: Map[String, String]) extends Table with Suppor
 
 private class ListingScanBuilder(options: Map[String, String])
     extends ScanBuilder
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
   // DSv2 limit pushdown: a query-level LIMIT becomes a per-page cap the
   // reader enforces while streaming the JSON — pages stop parsing at n
   // posts instead of materializing the full listing.
   private var pushedLimit: Option[Int] = None
+  // DSv2 column pruning: the reader materializes ONLY the projected
+  // fields from each post object (a 2-column projection never builds
+  // the other 8 values).
+  private var required: StructType = RedditListingSource.PostSchema
   override def pushLimit(limit: Int): Boolean = {
     pushedLimit = Some(limit)
     true // fully pushed per partition; Spark still applies the global limit
   }
-  override def build(): Scan = new ListingScan(options, pushedLimit)
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new ListingScan(options, pushedLimit, required)
 }
 
 private class ListingScan(
     options: Map[String, String],
-    pushedLimit: Option[Int] = None) extends Scan with Batch {
-  override def readSchema(): StructType = RedditListingSource.PostSchema
+    pushedLimit: Option[Int] = None,
+    schema: StructType = RedditListingSource.PostSchema) extends Scan with Batch {
+  override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"reddit-listing pushedLimit=${pushedLimit.getOrElse(-1)}"
+    s"reddit-listing pushedLimit=${pushedLimit.getOrElse(-1)} " +
+      s"cols=${schema.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] =
     if (options.get("mode").contains("online")) {
@@ -118,7 +127,7 @@ private class ListingScan(
   override def createReaderFactory(): PartitionReaderFactory =
     new ListingReaderFactory(math.min(
       options.getOrElse("limit", Int.MaxValue.toString).toInt,
-      pushedLimit.getOrElse(Int.MaxValue)))
+      pushedLimit.getOrElse(Int.MaxValue)), schema)
 }
 
 private case class ListingPartition(file: String) extends InputPartition
@@ -126,11 +135,12 @@ private case class ListingPartition(file: String) extends InputPartition
 private case class HttpListingPartition(
     subreddit: String, options: Map[String, String]) extends InputPartition
 
-private class ListingReaderFactory(limit: Int) extends PartitionReaderFactory {
+private class ListingReaderFactory(limit: Int, schema: StructType)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case ListingPartition(file) =>
-        new ListingPartitionReader(ListingPartitionReader.readFile(file), limit)
+        new ListingPartitionReader(ListingPartitionReader.readFile(file), limit, schema)
       case HttpListingPartition(sub, opts) =>
         // Executor-side fetch through the full OAuth + retry state
         // machine (RedditHttp); the raw page body feeds the SAME
@@ -144,7 +154,7 @@ private class ListingReaderFactory(limit: Int) extends PartitionReaderFactory {
           oauthApiBase = opts.getOrElse("oauthapibase", "https://oauth.reddit.com"),
           publicApiBase = opts.getOrElse("publicapibase", "https://www.reddit.com"))
         val client = new RedditHttpClient(cfg, RedditHttp.JdkHttpTransport)
-        new ListingPartitionReader(client.fetchListingJson(sub, limit), limit)
+        new ListingPartitionReader(client.fetchListingJson(sub, limit), limit, schema)
     }
 }
 
@@ -162,7 +172,9 @@ private object ListingPartitionReader {
   * exactly like the reference's `.get()` chains: absent/mistyped
   * fields become null.
   */
-private class ListingPartitionReader(text: String, limit: Int)
+private class ListingPartitionReader(
+    text: String, limit: Int,
+    schema: StructType = RedditListingSource.PostSchema)
     extends PartitionReader[InternalRow] {
 
   private val posts: Iterator[JValue] = {
@@ -193,15 +205,22 @@ private class ListingPartitionReader(text: String, limit: Int)
     case _ => null
   }
 
+  // per-field extractor honoring the pruned schema (only projected
+  // fields are ever materialized)
+  private def value(d: JValue, field: String): Any = field match {
+    case "created_utc" => dbl(d \ "created_utc")
+    case "score" | "num_comments" => lng(d \ field)
+    case other => str(d \ other)
+  }
+
+  private val fields = schema.fieldNames
+
   override def next(): Boolean =
     if (!posts.hasNext) false
     else {
       val d = posts.next()
-      current = InternalRow(
-        str(d \ "name"), str(d \ "id"), dbl(d \ "created_utc"),
-        lng(d \ "score"), lng(d \ "num_comments"), str(d \ "title"),
-        str(d \ "author"), str(d \ "permalink"), str(d \ "subreddit"),
-        str(d \ "link_flair_text"))
+      current = InternalRow.fromSeq(
+        fields.toIndexedSeq.map(f => value(d, f)))
       true
     }
 

@@ -72,6 +72,20 @@ class RedditListingSourceSpec extends SparkSpec {
     }
   }
 
+  test("projection prunes the scan to the selected columns (SupportsPushDownRequiredColumns)") {
+    withTempDir { dir =>
+      Files.write(dir.resolve("page1.json"), listingA.getBytes("UTF-8"))
+      val df = spark.read.format("reddit-listing")
+        .option("path", dir.toString).load()
+        .select("name", "score")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("cols=name,score"), plan.take(1500))
+      val rows = df.orderBy(col("name").asc_nulls_first).collect()
+      assert(rows.map(_.getAs[String]("name")).toSeq == Seq(null, "t3_a1"))
+      assert(rows.map(_.getAs[Long]("score")).toSeq == Seq(1L, 5L))
+    }
+  }
+
   test("DSv2 rows feed FetchJob.transform identically to the JSON path") {
     withTempDir { dir =>
       Files.write(dir.resolve("page.json"), listingA.getBytes("UTF-8"))
