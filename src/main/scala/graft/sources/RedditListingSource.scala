@@ -60,6 +60,10 @@ object RedditListingSource {
     StructField("permalink", StringType),
     StructField("subreddit", StringType),
     StructField("link_flair_text", StringType)))
+
+  /** String-typed post fields eligible for equality-filter pushdown. */
+  val StringFields: Set[String] = PostSchema.fields
+    .collect { case f if f.dataType == StringType => f.name }.toSet
 }
 
 private class ListingTable(props: Map[String, String]) extends Table with SupportsRead {
@@ -74,7 +78,8 @@ private class ListingTable(props: Map[String, String]) extends Table with Suppor
 private class ListingScanBuilder(options: Map[String, String])
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   // DSv2 limit pushdown: a query-level LIMIT becomes a per-page cap the
   // reader enforces while streaming the JSON — pages stop parsing at n
   // posts instead of materializing the full listing.
@@ -89,18 +94,41 @@ private class ListingScanBuilder(options: Map[String, String])
   }
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new ListingScan(options, pushedLimit, required)
+  // DSv2 filter pushdown: string-equality predicates on post fields are
+  // evaluated while streaming the page, so filtered-out posts are never
+  // materialized into rows. Everything else stays a Spark-side filter.
+  private var accepted: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    val (ok, rest) = filters.partition {
+      case org.apache.spark.sql.sources.EqualTo(att, _: String)
+        if RedditListingSource.StringFields(att) => true
+      case _ => false
+    }
+    accepted = ok
+    rest
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = accepted
+  override def build(): Scan = {
+    val eq = accepted.collect {
+      case org.apache.spark.sql.sources.EqualTo(att, v: String) => att -> v
+    }.toMap
+    new ListingScan(options, pushedLimit, required, eq)
+  }
 }
 
 private class ListingScan(
     options: Map[String, String],
     pushedLimit: Option[Int] = None,
-    schema: StructType = RedditListingSource.PostSchema) extends Scan with Batch {
+    schema: StructType = RedditListingSource.PostSchema,
+    eqFilters: Map[String, String] = Map.empty) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"reddit-listing pushedLimit=${pushedLimit.getOrElse(-1)} " +
-      s"cols=${schema.fieldNames.mkString(",")}"
+      s"cols=${schema.fieldNames.mkString(",")} " +
+      s"eq=[${eqFilters.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")}]"
 
   override def planInputPartitions(): Array[InputPartition] =
     if (options.get("mode").contains("online")) {
@@ -127,7 +155,7 @@ private class ListingScan(
   override def createReaderFactory(): PartitionReaderFactory =
     new ListingReaderFactory(math.min(
       options.getOrElse("limit", Int.MaxValue.toString).toInt,
-      pushedLimit.getOrElse(Int.MaxValue)), schema)
+      pushedLimit.getOrElse(Int.MaxValue)), schema, eqFilters)
 }
 
 private case class ListingPartition(file: String) extends InputPartition
@@ -135,12 +163,14 @@ private case class ListingPartition(file: String) extends InputPartition
 private case class HttpListingPartition(
     subreddit: String, options: Map[String, String]) extends InputPartition
 
-private class ListingReaderFactory(limit: Int, schema: StructType)
+private class ListingReaderFactory(
+    limit: Int, schema: StructType, eqFilters: Map[String, String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case ListingPartition(file) =>
-        new ListingPartitionReader(ListingPartitionReader.readFile(file), limit, schema)
+        new ListingPartitionReader(
+          ListingPartitionReader.readFile(file), limit, schema, eqFilters)
       case HttpListingPartition(sub, opts) =>
         // Executor-side fetch through the full OAuth + retry state
         // machine (RedditHttp); the raw page body feeds the SAME
@@ -154,7 +184,8 @@ private class ListingReaderFactory(limit: Int, schema: StructType)
           oauthApiBase = opts.getOrElse("oauthapibase", "https://oauth.reddit.com"),
           publicApiBase = opts.getOrElse("publicapibase", "https://www.reddit.com"))
         val client = new RedditHttpClient(cfg, RedditHttp.JdkHttpTransport)
-        new ListingPartitionReader(client.fetchListingJson(sub, limit), limit, schema)
+        new ListingPartitionReader(
+          client.fetchListingJson(sub, limit), limit, schema, eqFilters)
     }
 }
 
@@ -174,12 +205,23 @@ private object ListingPartitionReader {
   */
 private class ListingPartitionReader(
     text: String, limit: Int,
-    schema: StructType = RedditListingSource.PostSchema)
+    schema: StructType = RedditListingSource.PostSchema,
+    eqFilters: Map[String, String] = Map.empty)
     extends PartitionReader[InternalRow] {
+
+  // pushed equality predicates run BEFORE the per-post limit, matching
+  // WHERE-then-LIMIT semantics
+  private def matches(d: JValue): Boolean = eqFilters.forall { case (f, v) =>
+    d \ f match {
+      case JString(s) => s == v
+      case _ => false
+    }
+  }
 
   private val posts: Iterator[JValue] = {
     JsonMethods.parse(text) \ "data" \ "children" match {
-      case JArray(children) => children.iterator.map(_ \ "data").take(limit)
+      case JArray(children) =>
+        children.iterator.map(_ \ "data").filter(matches).take(limit)
       case _ => Iterator.empty
     }
   }

@@ -86,6 +86,28 @@ class RedditListingSourceSpec extends SparkSpec {
     }
   }
 
+  test("string-equality filters push into the reader (SupportsPushDownFilters)") {
+    withTempDir { dir =>
+      Files.write(dir.resolve("page1.json"), listingA.getBytes("UTF-8"))
+      Files.write(dir.resolve("page2.json"), listingB.getBytes("UTF-8"))
+      val df = spark.read.format("reddit-listing")
+        .option("path", dir.toString).load()
+        .filter(col("author") === "bob")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("eq=[author=bob]"), plan.take(1500))
+      val rows = df.collect()
+      assert(rows.map(_.getAs[String]("name")).toSeq == Seq("t3_b1"))
+      // non-equality predicates stay Spark-side and still work
+      val mixed = spark.read.format("reddit-listing")
+        .option("path", dir.toString).load()
+        .filter(col("subreddit") === "italytravel" && col("score") > 4)
+      assert(mixed.queryExecution.executedPlan.toString
+        .contains("eq=[subreddit=italytravel]"))
+      assert(mixed.collect().map(_.getAs[String]("name")).toSet ==
+        Set("t3_a1", "t3_b1"))
+    }
+  }
+
   test("DSv2 rows feed FetchJob.transform identically to the JSON path") {
     withTempDir { dir =>
       Files.write(dir.resolve("page.json"), listingA.getBytes("UTF-8"))
