@@ -1,0 +1,149 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Round-2 widening of the relational surface beyond SURVEY §2's rows:
+  * conditional (FILTER-clause) and bitwise aggregates, generators with
+  * ordinality (posexplode), time-RANGE window frames, and a bucketed
+  * edit-distance candidate-pair join (the classic fuzzy-dedup operator
+  * the reference's exact-key dedup cannot express).
+  *
+  * Output-shape rules follow [[CoreQueries]]: decimal math internal,
+  * DOUBLE on the wire, INTEGER ranks/positions/distances, unique
+  * ORDER BY tiebreaks.
+  */
+object AdvancedQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val dec2 = DecimalType(18, 2)
+  private def dbl(c: Column): Column = c.cast(DoubleType)
+
+  private def us(c: Column): Column = unix_micros(c.cast(TimestampType))
+  private def usSql(col: String): String = s"epoch_us(CAST($col AS TIMESTAMP))"
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ------------------------------------------------------------- A4+
+    // Conditional aggregation (SQL FILTER clause) plus bitwise
+    // aggregates. Spark expresses FILTER as when()-guarded inputs —
+    // identical semantics (non-matching rows contribute NULL, which
+    // every aggregate skips) and still one map-side partial aggregate:
+    // no extra scan or shuffle versus the unconditional form.
+    GraftQuery(
+      "q_agg_filter",
+      """SELECT event_type,
+        |  count(*) AS n,
+        |  count(*) FILTER (WHERE value > 50) AS n_hi,
+        |  CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE value > 50), 0) AS DOUBLE) AS sum_hi,
+        |  count(DISTINCT user_id) FILTER (WHERE value > 50) AS users_hi,
+        |  coalesce(bit_or(user_id), 0) AS users_bor,
+        |  coalesce(bit_xor(event_id), 0) AS events_bxor
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val hi = col("value") > 50
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(hi, lit(1))).as("n_hi"),
+          dbl(coalesce(sum(when(hi, col("value").cast(dec2))), lit(0).cast(dec2)))
+            .as("sum_hi"),
+          count_distinct(when(hi, col("user_id"))).as("users_hi"),
+          coalesce(expr("bit_or(user_id)"), lit(0L)).as("users_bor"),
+          coalesce(expr("bit_xor(event_id)"), lit(0L)).as("events_bxor"))
+        .orderBy(col("event_type"))
+    },
+
+    // ----------------------------------------------------------- P1+/gen
+    // Generator with ordinality: posexplode over the token array. The
+    // explode is a narrow per-row flatMap (no shuffle); the modulo
+    // predicate is pushed below the generator by Catalyst so only the
+    // sampled docs are ever tokenized. DuckDB's ordinality analog is the
+    // zipped-unnest form (unnest(range(len(l))) ∥ unnest(l)).
+    GraftQuery(
+      "q_explode_pos",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id % 37 = 0),
+        |e AS (
+        |  SELECT doc_id,
+        |    CAST(unnest(range(len(toks))) AS INTEGER) AS pos,
+        |    unnest(toks) AS tok
+        |  FROM t)
+        |SELECT doc_id, pos, tok FROM e WHERE pos < 8
+        |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .filter(col("pos") < 8)
+        .select(col("doc_id"), col("pos").cast(IntegerType).as("pos"), col("tok"))
+        .orderBy(col("doc_id"), col("pos"))
+    },
+
+    // ------------------------------------------------------------- W5+
+    // Event-time RANGE frame: trailing 1-hour sliding aggregate per
+    // user, ordered by epoch microseconds (a numeric order key, so the
+    // frame is an exact micros interval — no sessionization shuffle
+    // beyond the single window partition exchange). RANGE/peer
+    // semantics (ties share a frame) match between engines per the SQL
+    // standard.
+    GraftQuery(
+      "q_window_time_range",
+      s"""SELECT event_id, user_id,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS hr_sum,
+         |  CAST(count(*) OVER w AS INTEGER) AS hr_n
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ${usSql("ts")}
+         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(us(col("ts")))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          dbl(sum(col("value").cast(dec2)).over(w)).as("hr_sum"),
+          count(lit(1)).over(w).cast(IntegerType).as("hr_n"))
+        .orderBy(col("event_id"))
+    },
+
+    // ----------------------------------------------------------- dedup+
+    // Fuzzy candidate pairs by edit distance: block on (p_brand,
+    // p_size) — an equi self-join whose pair count is Σ bucket², not
+    // n² — then levenshtein only on co-bucketed candidates. This is the
+    // blocking+verify shape every 100 TB fuzzy-dedup pipeline uses; at
+    // larger scale the blocking key would add a length band or a
+    // phonetic/prefix key, but the plan shape (shuffle-or-broadcast
+    // equi-join, scalar verify after) is already the scalable one.
+    GraftQuery(
+      "q_fuzzy_pairs",
+      """WITH b AS (SELECT p_brand, p_size, p_partkey, p_name FROM part)
+        |SELECT a.p_brand, a.p_size,
+        |  a.p_partkey AS key_a, c.p_partkey AS key_b,
+        |  a.p_name AS name_a, c.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, c.p_name) AS INTEGER) AS dist
+        |FROM b a JOIN b c
+        |  ON a.p_brand = c.p_brand AND a.p_size = c.p_size
+        |  AND a.p_partkey < c.p_partkey
+        |WHERE levenshtein(a.p_name, c.p_name) <= 3
+        |ORDER BY key_a, key_b""".stripMargin) { (s, dir) =>
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+      val a = p.select(col("p_brand"), col("p_size"),
+        col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+      val b = p.select(col("p_brand"), col("p_size"),
+        col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+      a.join(b, Seq("p_brand", "p_size"))
+        .filter(col("key_a") < col("key_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 3)
+        .select(col("p_brand"), col("p_size"), col("key_a"), col("key_b"),
+          col("name_a"), col("name_b"), col("dist"))
+        .orderBy(col("key_a"), col("key_b"))
+    }
+  )
+}
