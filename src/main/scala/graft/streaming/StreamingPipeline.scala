@@ -171,6 +171,96 @@ object StreamingPipeline {
         OutputMode.Update())
   }
 
+  /** [[UserStatsProcessor]] with per-state TTL: state idle past
+    * `ttlMs` is expired by the store, so a key's running count restarts
+    * from zero on its next arrival. At 100 TB-stream scale TTL is the
+    * state-size backstop for keyspaces that grow without bound (e.g.
+    * one key per user-forever): eviction happens inside RocksDB without
+    * a timer per key and without the processor ever enumerating idle
+    * keys. TTL requires TimeMode.ProcessingTime.
+    */
+  class ExpiringUserStatsProcessor(ttlMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserStat] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[UserStat] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[UserStat]("stats",
+        org.apache.spark.sql.Encoders.product[UserStat],
+        org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[UserEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserStat] = {
+      // An expired value reads as absent — exists() is the TTL gate.
+      val prev = if (state.exists()) state.get() else UserStat(key, 0L, 0.0)
+      val next = rows.foldLeft(prev) { (s, e) =>
+        UserStat(key, s.n_events + 1, s.sum_value + e.value)
+      }
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def trackUserStatsTtl(
+      events: Dataset[UserEvent],
+      ttlMs: Long): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new ExpiringUserStatsProcessor(ttlMs),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Update())
+  }
+
+  final case class TypedEvent(user_id: Long, event_type: String, value: Double)
+  final case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** Per-user per-event-type counts on `MapState` — the third
+    * transformWithState primitive (ValueState: [[UserStatsProcessor]],
+    * timers: [[SessionProcessor]], MapState: here). Point lookups and
+    * single-entry updates touch only the map entries for the types seen
+    * in the batch; the full map is never deserialized, which is the
+    * reason to prefer MapState over a ValueState[Map[...]] once a key's
+    * sub-keyspace is large.
+    */
+  class UserTypeCountsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEvent, TypeCount] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[TypedEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { e =>
+        val prev = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, prev + 1L)
+        touched += e.event_type
+      }
+      touched.iterator.map(t => TypeCount(key, t, counts.getValue(t)))
+    }
+  }
+
+  def countTypesTws(events: Dataset[TypedEvent]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new UserTypeCountsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** [[sessionize]] in the transformWithState API: per-user open-session
     * ValueState plus a REAL per-key timer — each batch re-arms an
     * inactivity timer `gapMs` ahead; `handleExpiredTimer` closes the

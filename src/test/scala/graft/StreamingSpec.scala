@@ -130,6 +130,78 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  private def withRocksDb[A](body: => A): A = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  test("transformWithState TTL expires idle per-key state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    withRocksDb {
+      val input = MemoryStream[UserEvent]
+      // TTL 5s: long enough that live back-to-back batches never expire,
+      // short enough that the 7s idle gap below provably does.
+      val query = StreamingPipeline.trackUserStatsTtl(input.toDS(), ttlMs = 5000)
+        .writeStream.format("memory").queryName("user_stats_ttl")
+        .outputMode("update").start()
+      try {
+        // TimeMode.ProcessingTime keeps scheduling batches, so
+        // processAllAvailable never settles — poll the sink (same
+        // caveat as the timer tests).
+        def awaitRow(want: UserStat): Unit = {
+          val deadline = System.currentTimeMillis() + 30000
+          var rows = Set.empty[UserStat]
+          while (!rows.contains(want) && System.currentTimeMillis() < deadline) {
+            Thread.sleep(250)
+            rows = spark.table("user_stats_ttl").as[UserStat].collect().toSet
+          }
+          assert(rows.contains(want), s"never saw $want in $rows")
+        }
+        input.addData(UserEvent(7, 2.0), UserEvent(8, 1.0))
+        awaitRow(UserStat(7, 1, 2.0))
+        input.addData(UserEvent(8, 1.0)) // within TTL: state survives
+        awaitRow(UserStat(8, 2, 2.0))
+        Thread.sleep(7000) // idle past TTL
+        input.addData(UserEvent(7, 5.0)) // expired: count restarts
+        awaitRow(UserStat(7, 1, 5.0))
+        val rows = spark.table("user_stats_ttl").as[UserStat].collect().toSet
+        assert(!rows.exists(r => r.user_id == 7 && r.n_events == 2),
+          s"state not expired: $rows")
+      } finally query.stop()
+    }
+  }
+
+  test("transformWithState MapState counts per-key sub-keys incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamingPipeline.{TypeCount, TypedEvent}
+    withRocksDb {
+      val input = MemoryStream[TypedEvent]
+      val query = StreamingPipeline.countTypesTws(input.toDS())
+        .writeStream.format("memory").queryName("type_counts")
+        .outputMode("update").start()
+      try {
+        input.addData(TypedEvent(1, "click", 1.0), TypedEvent(1, "click", 1.0),
+          TypedEvent(1, "view", 1.0), TypedEvent(2, "view", 1.0))
+        query.processAllAvailable()
+        input.addData(TypedEvent(1, "click", 1.0))
+        query.processAllAvailable()
+        val latest = spark.table("type_counts").as[TypeCount].collect()
+          .groupBy(c => (c.user_id, c.event_type))
+          .map { case (k, xs) => k -> xs.map(_.n).max }
+        assert(latest == Map((1L, "click") -> 3L, (1L, "view") -> 1L, (2L, "view") -> 1L))
+      } finally query.stop()
+    }
+  }
+
   test("dropDuplicatesWithinWatermark dedups across micro-batches (T4)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
