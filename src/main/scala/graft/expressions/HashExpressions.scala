@@ -63,7 +63,7 @@ case class MinHashSignature(child: Expression, k: Int)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"minhash_signature requires array<bigint>, got ${t.simpleString(10)}")
+      s"minhash_signature requires array<bigint>, got ${t.catalogString}")
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -139,7 +139,7 @@ case class SimHash32(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"simhash32 requires array<bigint>, got ${t.simpleString(10)}")
+      s"simhash32 requires array<bigint>, got ${t.catalogString}")
   }
 
   override def dataType: DataType = LongType

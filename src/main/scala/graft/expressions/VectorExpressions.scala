@@ -32,7 +32,7 @@ case class FloatVectorDot(left: Expression, right: Expression)
       case (l, r) =>
         TypeCheckResult.TypeCheckFailure(
           s"float_vector_dot requires two array<float> arguments, got " +
-            s"${l.simpleString(10)} and ${r.simpleString(10)}")
+            s"${l.catalogString} and ${r.catalogString}")
     }
 
   override def nullIntolerant: Boolean = true
@@ -100,7 +100,7 @@ case class SignBuckets(child: Expression, bands: Int, bits: Int, dim: Int)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"sign_buckets requires array<float>, got ${t.simpleString(10)}")
+      s"sign_buckets requires array<float>, got ${t.catalogString}")
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
