@@ -111,6 +111,45 @@ object AdvancedQueries {
         .orderBy(col("event_id"))
     },
 
+    // ----------------------------------------------------------- layout
+    // The z-order clustering key under the oracle gate: DuckDB spreads
+    // the same Morton magic numbers with plain bitwise ops, so the
+    // codegen expression's bit layout is pinned cross-engine. The key
+    // is what [[graft.sinks.CuratedCorpus.writeZClustered]] range-
+    // partitions on; here it's projected and ordered so the driver
+    // hashes the actual interleave of every sampled row.
+    GraftQuery(
+      "q_zorder_key",
+      s"""WITH base AS (
+         |  SELECT event_id, user_id % 256 AS x,
+         |    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS y
+         |  FROM events),
+         |s1 AS (SELECT event_id, x, y,
+         |  ((x | (x << 16)) & 281470681808895) AS a1,
+         |  ((y | (y << 16)) & 281470681808895) AS b1 FROM base),
+         |s2 AS (SELECT event_id, x, y,
+         |  ((a1 | (a1 << 8)) & 71777214294589695) AS a2,
+         |  ((b1 | (b1 << 8)) & 71777214294589695) AS b2 FROM s1),
+         |s3 AS (SELECT event_id, x, y,
+         |  ((a2 | (a2 << 4)) & 1085102592571150095) AS a3,
+         |  ((b2 | (b2 << 4)) & 1085102592571150095) AS b3 FROM s2),
+         |s4 AS (SELECT event_id, x, y,
+         |  ((a3 | (a3 << 2)) & 3689348814741910323) AS a4,
+         |  ((b3 | (b3 << 2)) & 3689348814741910323) AS b4 FROM s3),
+         |s5 AS (SELECT event_id, x, y,
+         |  ((a4 | (a4 << 1)) & 6148914691236517205) AS a5,
+         |  ((b4 | (b4 << 1)) & 6148914691236517205) AS b5 FROM s4)
+         |SELECT event_id, x, y, (a5 | (b5 << 1)) AS z
+         |FROM s5 ORDER BY z, event_id LIMIT 500""".stripMargin) { (s, dir) =>
+      val x = col("user_id") % 256
+      val y = hour(col("ts").cast(TimestampType)).cast(LongType)
+      t(s, dir, "events")
+        .select(col("event_id"), x.as("x"), y.as("y"),
+          graft.expressions.ZOrder.zorder2(x, y).as("z"))
+        .orderBy(col("z"), col("event_id"))
+        .limit(500)
+    },
+
     // ----------------------------------------------------------- dedup+
     // Fuzzy candidate pairs by edit distance: block on (p_brand,
     // p_size) — an equi self-join whose pair count is Σ bucket², not

@@ -139,9 +139,14 @@ object DedupQueries {
       .distinct()
   }
 
-  /** DuckDB mirror of [[lshCandidates]] through the `pair` CTE. */
-  private def lshCandidatesSql(extraA: String, extraB: String): String =
-    s"""WITH c AS ($nearDupCorpusSql),
+  /** DuckDB mirror of [[lshCandidates]] through the `pair` CTE.
+    * `recursive = true` emits `WITH RECURSIVE` so callers can append a
+    * recursive CTE (DuckDB requires the keyword on the WITH clause even
+    * when only a later CTE recurses).
+    */
+  private def lshCandidatesSql(
+      extraA: String, extraB: String, recursive: Boolean = false): String =
+    s"""WITH ${if (recursive) "RECURSIVE " else ""}c AS ($nearDupCorpusSql),
        |sh AS (SELECT doc_id, $shingleSetSql AS shs
        |       FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM c)
        |       WHERE len(ts) >= 3),
@@ -250,6 +255,45 @@ object DedupQueries {
         .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
           round(col("jac"), 4).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ------------------------------------------------------- clusters
+    // Transitive closure of the verified near-dup pairs: the LSH-then-
+    // verify stages emit PAIRS, but keep-one-per-group curation needs
+    // components (a~b, b~c ⇒ one cluster {a,b,c}). Spark side runs
+    // min-label propagation ([[graft.operators.ConnectedComponents]]);
+    // the oracle computes the same closure as a recursive CTE. Labels
+    // are min-reachable-id on both sides, so the outputs are identical
+    // without any ordering convention beyond the final ORDER BY.
+    GraftQuery(
+      "q_dedup_clusters",
+      s"""${lshCandidatesSql("shs", "shs", recursive = true)},
+         |j AS (SELECT doc_a, doc_b FROM (
+         |        SELECT doc_a, doc_b,
+         |          CAST(len(list_intersect(ea, eb)) AS DOUBLE)
+         |            / (len(ea) + len(eb) - len(list_intersect(ea, eb))) AS jac
+         |        FROM pair)
+         |      WHERE jac >= 0.5),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM j
+         |          UNION SELECT doc_b, doc_a FROM j),
+         |reach AS (
+         |  SELECT u AS node, u AS lab FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.v AS node, r.lab FROM reach r JOIN edges e ON e.u = r.node),
+         |cl AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+         |SELECT doc_id, cluster_id,
+         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS csize
+         |FROM cl ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pairs = lshCandidates(t(s, dir, "documents"), Seq("shs"))
+        .withColumn("jac", jaccard(col("shs_a"), col("shs_b")))
+        .filter(col("jac") >= 0.5)
+        .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"))
+      graft.operators.ConnectedComponents.run(pairs, "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+        .withColumn("csize",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cluster_id"))).cast(IntegerType))
+        .orderBy(col("doc_id"))
     },
 
     // -------------------------------------------------------- SimHash

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.ConnectedComponents
+
+/** Min-label propagation vs a driver-side union-find oracle on graph
+  * shapes that stress it: long chains (diameter = rounds), rings,
+  * stars, multi-component mixes, and the near-clique shape LSH dup
+  * groups actually produce.
+  */
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def check(edges: Seq[(Long, Long)]): Unit = {
+    import spark.implicits._
+    val got = ConnectedComponents.run(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == unionFind(edges), s"edges=$edges")
+  }
+
+  test("chain, ring, star, and mixed components match union-find") {
+    check(Seq((1L, 2L)))
+    check((1L to 9L).map(i => (i, i + 1))) // chain: diameter 9
+    check((1L to 9L).map(i => (i, i + 1)) :+ ((10L, 1L))) // ring
+    check((2L to 8L).map(i => (1L, i))) // star
+    check(Seq((5L, 3L), (3L, 9L), (20L, 21L), (22L, 21L), (40L, 41L)))
+    // near-clique dup groups (the LSH shape) + chain bridging two ids
+    check(Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (3L, 10L)))
+  }
+
+  test("label order is direction-independent") {
+    import spark.implicits._
+    val e = Seq((7L, 3L), (3L, 11L), (11L, 2L))
+    val got = ConnectedComponents.run(e.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(2L) && got.keySet == Set(2L, 3L, 7L, 11L))
+  }
+}
