@@ -106,6 +106,26 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Exchange") == 1, p)
   }
 
+  test("q_fuzzy_pairs: blocked equi-join, levenshtein only post-join") {
+    val p = plan("q_fuzzy_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q_zorder_key: morton top-k is TakeOrderedAndProject over one scan") {
+    val p = plan("q_zorder_key")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("Exchange"), p.take(2000)) // narrow until the take
+  }
+
+  test("q_window_time_range: single window exchange, range frame") {
+    val p = plan("q_window_time_range")
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(2500))
+    assert(p.contains("specifiedwindowframe(RangeFrame, -3600000000"), p.take(2500))
+  }
+
   test("multimodal meta scan prunes the payload for metadata-only use") {
     val df = SparkEntry.queries("q_multimodal_meta")(spark, dir)
     // the query *uses* payload (length+sha) so it reads text; but the
