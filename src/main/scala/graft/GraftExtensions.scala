@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{FloatVectorDot, MinHashSignature, SignBuckets, SimHash32}
+import graft.expressions.{FloatVectorDot, MinHashSignature, SignBuckets, SimHash32, ZOrderLong}
 
 /** SparkSessionExtensions entry point: registers graft's custom
   * codegen expressions as SQL functions, so `spark.sql` users (and
@@ -48,6 +48,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 4, "sign_buckets(vec, bands, bits, dim)")
         def intArg(e: Expression): Int = e.eval().asInstanceOf[Int]
         SignBuckets(args(0), intArg(args(1)), intArg(args(2)), intArg(args(3)))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("zorder2"),
+      new ExpressionInfo(classOf[ZOrderLong].getName, "zorder2"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "zorder2(xBucket, yBucket)")
+        ZOrderLong(args(0), args(1))
       }))
   }
 }

@@ -111,6 +111,40 @@ object AdvancedQueries {
         .orderBy(col("event_id"))
     },
 
+    // --------------------------------------------------------- sampling
+    // Deterministic stratified sampling: per-stratum keep rates (‰)
+    // applied through a salted-key hash-mod — the reproducible way to
+    // downsample overrepresented strata in a training mix (rerunning
+    // the pipeline keeps EXACTLY the same rows; no RNG, no seed-per-
+    // partition coupling). Scan-stage only: the filter is one SHA per
+    // row and prunes before any shuffle.
+    GraftQuery(
+      "q_sample_stratified",
+      """SELECT l_orderkey, l_linenumber, l_returnflag
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag,
+        |    list_sum([(strpos('0123456789abcdef', substring(h, p, 1)) - 1)
+        |              * CAST(16**(7 - p) AS BIGINT) FOR p IN range(1, 8)]) % 1000
+        |      AS bucket
+        |  FROM (SELECT l_orderkey, l_linenumber, l_returnflag,
+        |          substring(sha256(CAST(l_orderkey AS VARCHAR) || '|' ||
+        |                           CAST(l_linenumber AS VARCHAR)), 1, 7) AS h
+        |        FROM lineitem))
+        |WHERE bucket < (CASE l_returnflag WHEN 'A' THEN 50
+        |                WHEN 'R' THEN 100 ELSE 10 END)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      import graft.functions.SimilarityFunctions.elementHash
+      val bucket = elementHash(
+        concat(col("l_orderkey").cast(StringType), lit("|"),
+          col("l_linenumber").cast(StringType))) % 1000
+      val rate = when(col("l_returnflag") === "A", 50)
+        .when(col("l_returnflag") === "R", 100).otherwise(10)
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+        .filter(bucket < rate)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
     // ----------------------------------------------------------- layout
     // The z-order clustering key under the oracle gate: DuckDB spreads
     // the same Morton magic numbers with plain bitwise ops, so the

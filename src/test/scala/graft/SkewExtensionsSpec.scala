@@ -65,5 +65,7 @@ class SkewExtensionsSpec extends SparkSpec {
       }
     }
     assert(buckets == oracle)
+    val z = spark.sql("SELECT zorder2(3L, 5L) AS z").collect().head.getLong(0)
+    assert(z == graft.expressions.ZOrder.interleave(3L, 5L))
   }
 }
