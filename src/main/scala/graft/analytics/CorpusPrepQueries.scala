@@ -1,0 +1,151 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Corpus-preparation operators for a training-data pipeline, each
+  * under the DuckDB oracle gate: repetition-based quality filtering
+  * (the Gopher-rule family), deterministic concat-and-split sequence
+  * packing, and PII scrubbing (regex masking + salted pseudonyms).
+  *
+  * Scale notes: repetition stats are one explode + two keyed
+  * aggregations (word counts are map-side-combined before the
+  * (doc_id, word) exchange); packing is a single per-shard window
+  * exchange; PII scrubbing is pure scan-stage. Output-shape rules
+  * follow [[CoreQueries]]: BIGINT counts, DOUBLE ratios computed with
+  * the same IEEE op order on both engines, no arrays/decimals.
+  */
+object CorpusPrepQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dbl(c: Column): Column = c.cast(DoubleType)
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ------------------------------------------------- quality filters
+    // Gopher-style repetition ratios per document: fraction of
+    // duplicate words, most-frequent-word share, duplicate-bigram
+    // fraction, and the resulting keep decision. The word branch is
+    // explode → (doc_id, word) count → doc_id rollup (partial agg
+    // combines before each exchange); the bigram branch is scan-stage
+    // array ops (docs are ≤100 words; at real corpus scale the
+    // distinct-bigram count would move into a codegen kernel like
+    // graft.expressions.HashExpressions rather than interpreted HOFs).
+    // Ratios are computed with the identical cast-then-divide op order
+    // on both engines so the doubles (and the keep booleans derived
+    // from them) are bit-identical.
+    GraftQuery(
+      "q_repetition_stats",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS word FROM d),
+        |wc AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |          CAST(count(*) AS BIGINT) AS n_distinct,
+        |          CAST(max(c) AS BIGINT) AS top_c
+        |        FROM wc GROUP BY doc_id),
+        |bg AS (SELECT doc_id,
+        |         CAST(len(list_distinct(
+        |           [ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))]
+        |         )) AS BIGINT) AS n_db
+        |       FROM d)
+        |SELECT a.doc_id, n_words, n_distinct,
+        |  CAST(top_c AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac,
+        |  1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_frac,
+        |  1.0 - CAST(n_db AS DOUBLE) / CAST(n_words - 1 AS DOUBLE) AS dup_bigram_frac,
+        |  (CAST(top_c AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.2
+        |   AND 1.0 - CAST(n_db AS DOUBLE) / CAST(n_words - 1 AS DOUBLE) <= 0.6)
+        |    AS keep_doc
+        |FROM agg a JOIN bg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val agg = d.select(col("doc_id"), explode(col("ws")).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_words"), count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_c"))
+      val bg = d.select(col("doc_id"),
+        size(array_distinct(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => concat(a, lit(" "), b)))).cast(LongType).as("n_db"))
+      val topF = dbl(col("top_c")) / dbl(col("n_words"))
+      val dupW = lit(1.0) - dbl(col("n_distinct")) / dbl(col("n_words"))
+      val dupB = lit(1.0) - dbl(col("n_db")) / dbl(col("n_words") - 1)
+      agg.join(bg, "doc_id")
+        .select(col("doc_id"), col("n_words"), col("n_distinct"),
+          topF.as("top_word_frac"), dupW.as("dup_word_frac"),
+          dupB.as("dup_bigram_frac"),
+          (topF <= 0.2 && dupB <= 0.6).as("keep_doc"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------- seq packing
+    // Concat-and-split packing: per source shard, documents are laid
+    // end-to-end in doc_id order and cut into fixed 256-token training
+    // sequences; each doc reports the token interval it occupies and
+    // the first/last sequence it lands in. One window exchange
+    // partitioned by shard (the 100 TB layout: pack within shards, not
+    // globally — no single-partition funnel). All-integer math (DIV),
+    // and the running sum is CAST back to BIGINT on the oracle side so
+    // DuckDB's HUGEINT never reaches the comparator.
+    GraftQuery(
+      "q_pack_sequences",
+      """WITH d AS (SELECT doc_id, source,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |        CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |          AS tok_end
+        |      FROM d)
+        |SELECT doc_id, source, n_tok,
+        |  tok_end - n_tok AS tok_start,
+        |  (tok_end - n_tok) // 256 AS seq_first,
+        |  (tok_end - 1) // 256 AS seq_last,
+        |  (tok_end - 1) // 256 - (tok_end - n_tok) // 256 + 1 AS n_seqs
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+        .withColumn("tok_end", sum(col("n_tok")).over(w))
+        .withColumn("tok_start", col("tok_end") - col("n_tok"))
+        .withColumn("seq_first", expr("tok_start DIV 256"))
+        .withColumn("seq_last", expr("(tok_end - 1) DIV 256"))
+        .select(col("doc_id"), col("source"), col("n_tok"), col("tok_start"),
+          col("seq_first"), col("seq_last"),
+          (col("seq_last") - col("seq_first") + 1).as("n_seqs"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------ PII scrub
+    // Training-corpus PII pass: mask every digit run in the free-text
+    // payload (RE2-safe character-class pattern — no lookarounds, so
+    // Spark's java.util.regex and DuckDB's RE2 agree) and replace the
+    // stable user id with a salted-SHA pseudonym (joinable across
+    // tables scrubbed with the same pepper, not reversible). Pure
+    // scan-stage: zero shuffles before the presentation sort.
+    GraftQuery(
+      "q_pii_scrub",
+      """SELECT event_id,
+        |  substring(sha256('pepper|' || CAST(user_id AS VARCHAR)), 1, 16)
+        |    AS user_pseudo,
+        |  regexp_replace(props, '[0-9]+', '#', 'g') AS props_scrubbed
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          substring(sha2(concat(lit("pepper|"), col("user_id").cast(StringType)), 256),
+            1, 16).as("user_pseudo"),
+          regexp_replace(col("props"), "[0-9]+", "#").as("props_scrubbed"))
+        .orderBy(col("event_id"))
+    }
+  )
+}
