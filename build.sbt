@@ -17,6 +17,10 @@ run / fork := true
 // parse in round 1 (BENCH_r01.json: "parsed": null). StdoutOutput
 // forwards the child's stdout/stderr raw.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// The driver keeps only the last 2000 chars of stdout (BENCH_r02.json
+// "tail"); sbt's "[success] Total time: …" epilogue after the JSON line
+// eats ~70 of them. Suppress it so the JSON line is the last output.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -26,10 +26,15 @@ object Bench {
     }
     val (p1, p2) = (pass(), pass())
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver captures only the last 2000 chars of stdout and parses
+    // the JSON line out of that window (BENCH_r02.json: full-precision
+    // doubles pushed the line start out of the window -> "parsed": null).
+    // 3 decimals (ms resolution) keeps ~77 queries well under budget.
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
