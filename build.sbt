@@ -21,6 +21,7 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // "tail"); sbt's "[success] Total time: …" epilogue after the JSON line
 // eats ~70 of them. Suppress it so the JSON line is the last output.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -100,6 +100,42 @@ object DedupQueries {
       s"list_min([(v * ${minhashA(i)} + ${minhashB(i)}) % $MinhashP FOR v IN $hashesCol])"
     }.mkString("[", ",\n           ", "]")
 
+  /** Exact cross-split contamination, shared by q_contamination (plain
+    * equi-join) and q_contamination_bloom (broadcast-Bloom prefilter +
+    * exact confirm — same answer, Bloom has no false negatives).
+    */
+  private val contaminationOracleSql =
+    s"""WITH c AS ($exactDupCorpusSql),
+       |f AS (
+       |  SELECT doc_id,
+       |    sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+       |    list_sum([(strpos('0123456789abcdef', substring(h, p, 1)) - 1)
+       |              * CAST(16**(7 - p) AS BIGINT) FOR p IN range(1, 8)]) % 100 AS bucket
+       |  FROM (SELECT doc_id, text,
+       |          substring(sha256(CAST(doc_id AS VARCHAR)), 1, 7) AS h FROM c)),
+       |s AS (SELECT doc_id, fp,
+       |        CASE WHEN bucket < 80 THEN 'train'
+       |             WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |      FROM f),
+       |tr AS (SELECT fp, min(doc_id) AS train_doc FROM s
+       |       WHERE split = 'train' GROUP BY fp)
+       |SELECT e.doc_id AS eval_doc, e.split, tr.train_doc, e.fp
+       |FROM s e JOIN tr ON e.fp = tr.fp
+       |WHERE e.split <> 'train'
+       |ORDER BY eval_doc""".stripMargin
+
+  /** Split + fingerprint frame feeding both contamination queries. */
+  private def contaminationSplits(docs: DataFrame): DataFrame = {
+    import graft.functions.SimilarityFunctions.elementHash
+    exactDupCorpus(docs)
+      .select(col("doc_id"),
+        fingerprint(col("text")).as("fp"),
+        (elementHash(col("doc_id").cast(StringType)) % 100).as("bucket"))
+      .select(col("doc_id"), col("fp"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test").as("split"))
+  }
+
   /** Shared Spark-side LSH candidate-pair pipeline: corpus → shingle
     * sets → one SHA per shingle → k-permutation signature → band keys →
     * self-join on (band, band-signature) → distinct pairs carrying
@@ -371,37 +407,48 @@ object DedupQueries {
     // equi-join on the 64-char key — eval never all-pairs anything.
     GraftQuery(
       "q_contamination",
-      s"""WITH c AS ($exactDupCorpusSql),
-         |f AS (
-         |  SELECT doc_id,
-         |    sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
-         |    list_sum([(strpos('0123456789abcdef', substring(h, p, 1)) - 1)
-         |              * CAST(16**(7 - p) AS BIGINT) FOR p IN range(1, 8)]) % 100 AS bucket
-         |  FROM (SELECT doc_id, text,
-         |          substring(sha256(CAST(doc_id AS VARCHAR)), 1, 7) AS h FROM c)),
-         |s AS (SELECT doc_id, fp,
-         |        CASE WHEN bucket < 80 THEN 'train'
-         |             WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
-         |      FROM f),
-         |tr AS (SELECT fp, min(doc_id) AS train_doc FROM s
-         |       WHERE split = 'train' GROUP BY fp)
-         |SELECT e.doc_id AS eval_doc, e.split, tr.train_doc, e.fp
-         |FROM s e JOIN tr ON e.fp = tr.fp
-         |WHERE e.split <> 'train'
-         |ORDER BY eval_doc""".stripMargin) { (s, dir) =>
-      import graft.functions.SimilarityFunctions.elementHash
-      val c = exactDupCorpus(t(s, dir, "documents"))
-      val withSplit = c.select(col("doc_id"),
-          fingerprint(col("text")).as("fp"),
-          (elementHash(col("doc_id").cast(StringType)) % 100).as("bucket"))
-        .select(col("doc_id"), col("fp"),
-          when(col("bucket") < 80, "train")
-            .when(col("bucket") < 90, "val").otherwise("test").as("split"))
+      contaminationOracleSql) { (s, dir) =>
+      val withSplit = contaminationSplits(t(s, dir, "documents"))
       val train = withSplit.filter(col("split") === "train")
         .groupBy(col("fp")).agg(min(col("doc_id")).as("train_doc"))
       withSplit.filter(col("split") =!= "train")
         .select(col("doc_id").as("eval_doc"), col("split"), col("fp"))
         .join(train, "fp")
+        .select(col("eval_doc"), col("split"), col("train_doc"), col("fp"))
+        .orderBy(col("eval_doc"))
+    },
+
+    // --------------------------------------- contamination, Bloom form
+    // The same contamination scan in the shape a 100 TB deployment runs
+    // it: the train side folds into an 8 KiB Bloom bitset with ONE
+    // typed aggregation (map-side partial buffers OR together — only
+    // |partitions| bitsets cross the exchange), the bitset broadcasts
+    // as a one-row frame, and eval-side non-members die in the SCAN
+    // stage (codegen'd probe, graft.operators.BloomMightContain)
+    // before the confirm join ever shuffles a row. Bloom filters have
+    // no false negatives and the exact equi-join confirms survivors,
+    // so the answer — and the oracle — is IDENTICAL to q_contamination;
+    // the filter only shrinks the shuffled candidate stream (FP rate
+    // (1−e^(−kn/m))^k ≈ 3·10⁻⁷ at n=400, m=2¹⁶, k=4; BloomFilterSpec
+    // measures selectivity and zero-miss on the planted dups).
+    GraftQuery(
+      "q_contamination_bloom",
+      contaminationOracleSql) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.{BloomBuild, BloomFilter, BloomHashes}
+      val withH = contaminationSplits(t(s, dir, "documents"))
+        .withColumn("h1", conv(substring(col("fp"), 1, 8), 16, 10).cast(LongType))
+        .withColumn("h2", conv(substring(col("fp"), 9, 8), 16, 10).cast(LongType))
+      val train = withH.filter(col("split") === "train")
+      val bloom = new BloomBuild(BloomFilter.DefaultBits, BloomFilter.DefaultProbes)
+      val bloomRow = train.select(col("h1"), col("h2")).as[BloomHashes]
+        .select(bloom.toColumn).toDF("bloom")
+      val trainFp = train.groupBy(col("fp")).agg(min(col("doc_id")).as("train_doc"))
+      withH.filter(col("split") =!= "train")
+        .join(broadcast(bloomRow))
+        .filter(BloomFilter.mightContain(col("bloom"), col("h1"), col("h2")))
+        .select(col("doc_id").as("eval_doc"), col("split"), col("fp"))
+        .join(trainFp, "fp")
         .select(col("eval_doc"), col("split"), col("train_doc"), col("fp"))
         .orderBy(col("eval_doc"))
     },

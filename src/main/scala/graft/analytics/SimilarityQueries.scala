@@ -119,6 +119,65 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     },
 
+    // ---------------------------------------------------- int8 quantized
+    // Scalar-quantized ANN — the quantization tier between brute force
+    // and LSH/IVF blocking: coordinates quantized round-half-up to
+    // int8 codes (|x| ≤ 1 on unit-norm embeddings ⇒ [−127, 127]); the
+    // candidate pass ranks by the EXACT-integer quantized dot product
+    // (one codegen'd kernel, no float math), keeps top-8 per query, and
+    // the exact float cosine re-ranks only those survivors to top-3.
+    // Scale shape: queries broadcast, the corpus never shuffles for the
+    // candidate pass, and at 100 TB the codes would be materialized
+    // 1-byte arrays — 4× less scan IO than float32 with SIMD integer
+    // MACs. Integer scores are bit-identical across engines, so the
+    // candidate CUT (not just the final ranks) is deterministic.
+    GraftQuery(
+      "q_ann_int8", {
+        val qdotSql =
+          """list_reduce([CAST(floor(q.v[i] * 127.0 + 0.5) AS BIGINT)
+            |             * CAST(floor(c.v[i] * 127.0 + 0.5) AS BIGINT)
+            |             FOR i IN range(1, 65)], (x, y) -> x + y)""".stripMargin
+        s"""WITH e AS ($embDoubleSql),
+           |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+           |s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           |        q.v AS qv, q.nrm AS qn, c.v AS cv, c.nrm AS cn,
+           |        $qdotSql AS qdot
+           |      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+           |      WHERE q.vec_id < 10),
+           |cand AS (SELECT *, row_number() OVER (PARTITION BY q_id
+           |           ORDER BY qdot DESC, n_id) AS crank FROM s),
+           |r AS (SELECT q_id, n_id, qdot,
+           |        ${dotSql("qv", "cv")} / (qn * cn) AS cos
+           |      FROM cand WHERE crank <= 8),
+           |t AS (SELECT q_id, n_id, qdot, cos,
+           |        CAST(row_number() OVER (PARTITION BY q_id
+           |               ORDER BY cos DESC, n_id) AS INTEGER) AS rank
+           |      FROM r)
+           |SELECT q_id, n_id, rank, qdot, round(cos, 4) AS cosine
+           |FROM t WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+      }) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          l2Norm(col("embedding")).as("qn"))
+      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("cv"),
+        l2Norm(col("embedding")).as("cn"))
+      val wCand = Window.partitionBy(col("q_id"))
+        .orderBy(col("qdot").desc, col("n_id"))
+      val wRank = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id"))
+      c.join(broadcast(q), col("n_id") =!= col("q_id"))
+        .withColumn("qdot", quantizedDotI8(col("qv"), col("cv")))
+        .withColumn("crank", row_number().over(wCand))
+        .filter(col("crank") <= 8)
+        .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .withColumn("rank", row_number().over(wRank).cast(IntegerType))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("n_id"), col("rank"), col("qdot"),
+          round(col("cos"), 4).as("cosine"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+
     // ----------------------------------------------- multiband dense LSH
     // Multi-table sign-LSH ANN (the recall upgrade over the single
     // 8-bit bucket of q_ann_lsh): every vector gets 4 independent dense

@@ -47,6 +47,15 @@ object SimilarityFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** int8 scalar-quantized dot product (exact BIGINT): coordinates
+    * quantized round-half-up to [−127, 127] codes, products summed in
+    * 64-bit integers — the cheap candidate-ranking pass of quantized
+    * ANN ([[graft.expressions.QuantizedDotI8]]; the exact float cosine
+    * re-ranks survivors).
+    */
+  def quantizedDotI8(a: Column, b: Column): Column =
+    VectorExpressions.quantizedDotI8(a, b)
+
   /** Sign-LSH bucket for an embedding: `nBits` sign tests of coordinate
     * differences e[2i+1] − e[2i+2] (1-based), packed into a long. A
     * deterministic random-hyperplane family (hyperplanes = ±1 on two

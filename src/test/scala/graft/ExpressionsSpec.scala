@@ -38,6 +38,33 @@ class ExpressionsSpec extends SparkSpec {
     assert(m == 5.0)
   }
 
+  test("QuantizedDotI8: codegen == interpreted == Scala round-half-up oracle") {
+    import spark.implicits._
+    val vecs = (0 until 50).map { _ =>
+      (Seq.fill(64)(rnd.nextFloat() * 2 - 1), Seq.fill(64)(rnd.nextFloat() * 2 - 1))
+    } :+ ((Seq.empty[Float], Seq.empty[Float]))
+    val df = vecs.toDF("a", "b")
+    val got = df.select(quantizedDotI8(col("a"), col("b"))).collect().map(_.getLong(0))
+    vecs.zip(got).foreach { case ((a, b), g) =>
+      def q(x: Float): Long = math.floor(x.toDouble * 127.0 + 0.5).toLong
+      val oracle = a.zip(b).map { case (x, y) => q(x) * q(y) }.sum
+      assert(g == oracle, s"codegen=$g oracle=$oracle")
+    }
+    // interpreted path and boundary codes: ±1.0 quantizes to ±127,
+    // -0.5/127 rounds half UP (to 0), mismatched lengths use the prefix
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def interp(a: Seq[Float], b: Seq[Float]): Long =
+      graft.expressions.QuantizedDotI8(
+        Literal.create(a, ArrayType(FloatType)),
+        Literal.create(b, ArrayType(FloatType))).eval(null).asInstanceOf[Long]
+    assert(interp(Seq(1f, -1f), Seq(1f, -1f)) == 127L * 127 * 2)
+    assert(interp(Seq(-0.5f / 127f), Seq(1f)) == 0L)
+    assert(interp(Seq(1f, 1f, 1f), Seq(1f)) == 127L * 127)
+    val viaSql = Seq((Seq(1f, -1f), Seq(1f, -1f))).toDF("a", "b")
+      .select(quantizedDotI8(col("a"), col("b"))).collect().head.getLong(0)
+    assert(viaSql == interp(Seq(1f, -1f), Seq(1f, -1f)), "codegen != interpreted")
+  }
+
   test("SignBuckets: kernel == composed when(dot(±1-literal)) form == Scala oracle") {
     import spark.implicits._
     val (bands, bits, dim) = (8, 16, 64)

@@ -61,6 +61,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("q_ann_int8: quantized kernel in the candidate pass; queries broadcast") {
+    val p = plan("q_ann_int8")
+    // the candidate pass ranks by the codegen'd integer kernel against
+    // the broadcast query set (BNL broadcast of the tiny side is the
+    // intended join, as q_ann_bruteforce)
+    assert(p.contains("quantized_dot_i8"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q_contamination_bloom: scan-stage bloom probe before the confirm join") {
+    val p = plan("q_contamination_bloom")
+    assert(p.contains("bloom_might_contain"), p.take(2000))
+    // the probe must sit BELOW the fp confirm join: everything the bloom
+    // drops never reaches the join's exchange
+    val probeAt = p.indexOf("bloom_might_contain")
+    val joinAt = p.lastIndexOf("SortMergeJoin")
+    assert(joinAt < 0 || probeAt > p.indexOf("Join"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("A7: sort-aggregate fallback engages when object-hash agg is disabled") {
     // collect_list normally runs as ObjectHashAggregate; with that exec
     // disabled Catalyst falls back to SortAggregate — the §2.3 A7 row,
