@@ -136,13 +136,17 @@ object DedupQueries {
           .when(col("bucket") < 90, "val").otherwise("test").as("split"))
   }
 
-  /** Shared Spark-side LSH candidate-pair pipeline: corpus → shingle
-    * sets → one SHA per shingle → k-permutation signature → band keys →
-    * self-join on (band, band-signature) → distinct pairs carrying
-    * `extra` columns from both sides.
+  /** Phase 1 of the two-phase LSH dedup pipeline: the per-document
+    * signature table `(doc_id, shs, sg)` — shingle sets, ONE SHA per
+    * shingle, k-permutation MinHash signature. This is the expensive
+    * full-corpus pass; at 100 TB it runs ONCE and the result is
+    * WRITTEN to storage (parquet), then every downstream consumer
+    * (minhash candidates, Jaccard verify, cluster closure, incremental
+    * re-runs) reads the table instead of re-hashing the corpus —
+    * SignatureMaterializeSpec proves the reload path recomputes no
+    * SHA/signature work and yields identical candidates.
     */
-  private def lshCandidates(
-      docs: DataFrame, extra: Seq[String]): DataFrame = {
+  def signatureTable(docs: DataFrame): DataFrame = {
     // tokens materialized FIRST: the shingle expression references the
     // array n+1 times, and inlining the tokenizer would re-run the
     // regex per reference (36 regexp evals/row in the naive plan)
@@ -153,14 +157,16 @@ object DedupQueries {
       array_distinct(shinglesFromTokens(col("ts"), 3)).as("shs"))
     val hv = sh.select(col("doc_id"), col("shs"),
       transform(col("shs"), elementHash(_)).as("hv"))
-    // Exchange barrier before the self-join: stops the optimizer from
-    // substituting the signature pipeline into the band projection's
-    // multiple references (measured faster than localCheckpoint here —
-    // at true 100 TB scale a two-phase pipeline would write the
-    // signatures table to storage instead).
-    val sig = hv.select(col("doc_id"), col("shs"),
-        minhashSignatureFromHashes(col("hv"), K).as("sg"))
-      .repartition(col("doc_id"))
+    hv.select(col("doc_id"), col("shs"),
+      minhashSignatureFromHashes(col("hv"), K).as("sg"))
+  }
+
+  /** Phase 2: band keys from a signature table (in-memory or reloaded
+    * from parquet) → self-join on (band, band-signature) → distinct
+    * candidate pairs carrying `extra` ⊆ {shs, sg} from both sides.
+    */
+  def candidatePairsFromSignatures(
+      sig: DataFrame, extra: Seq[String]): DataFrame = {
     val bands = sig.select(col("doc_id"), col("shs"), col("sg"),
         explode(sequence(lit(0), lit(Bands - 1))).as("b"))
       .withColumn("bsig", bandSignature(col("sg"), col("b"), RowsPerBand))
@@ -174,6 +180,18 @@ object DedupQueries {
       .select(cols.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
       .distinct()
   }
+
+  /** One-shot form the catalog queries use: phase 1 + phase 2 with an
+    * exchange barrier between them. The repartition stops the optimizer
+    * from substituting the signature pipeline into the band
+    * projection's multiple references (measured faster than
+    * localCheckpoint here — the materialized-table form above is the
+    * true 100 TB variant).
+    */
+  private def lshCandidates(
+      docs: DataFrame, extra: Seq[String]): DataFrame =
+    candidatePairsFromSignatures(
+      signatureTable(docs).repartition(col("doc_id")), extra)
 
   /** DuckDB mirror of [[lshCandidates]] through the `pair` CTE.
     * `recursive = true` emits `WITH RECURSIVE` so callers can append a
