@@ -161,15 +161,19 @@ object DedupQueries {
       minhashSignatureFromHashes(col("hv"), K).as("sg"))
   }
 
+  /** Band-key explosion of a signature table (Bands rows per doc). */
+  private def bandKeys(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), col("shs"), col("sg"),
+        explode(sequence(lit(0), lit(Bands - 1))).as("b"))
+      .withColumn("bsig", bandSignature(col("sg"), col("b"), RowsPerBand))
+
   /** Phase 2: band keys from a signature table (in-memory or reloaded
     * from parquet) → self-join on (band, band-signature) → distinct
     * candidate pairs carrying `extra` ⊆ {shs, sg} from both sides.
     */
   def candidatePairsFromSignatures(
       sig: DataFrame, extra: Seq[String]): DataFrame = {
-    val bands = sig.select(col("doc_id"), col("shs"), col("sg"),
-        explode(sequence(lit(0), lit(Bands - 1))).as("b"))
-      .withColumn("bsig", bandSignature(col("sg"), col("b"), RowsPerBand))
+    val bands = bandKeys(sig)
     val cols = Seq("doc_id") ++ extra
     val a = bands.select((Seq(col("b"), col("bsig")) ++
       cols.map(c => col(c).as(s"${c}_a"))): _*)
@@ -178,6 +182,29 @@ object DedupQueries {
     a.join(b, col("b") === col("b2") && col("bsig") === col("bsig2") &&
         col("doc_id_a") < col("doc_id_b"))
       .select(cols.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
+      .distinct()
+  }
+
+  /** Incremental ingest: candidate pairs between a NEW batch's
+    * signatures and the stored corpus signature table — the arriving
+    * batch band-joins against the materialized band keys plus
+    * self-joins itself; the corpus is never re-self-joined. Pairs are
+    * canonicalized (doc_id_a < doc_id_b), so for disjoint id sets
+    *   full-corpus candidates = corpus-self ∪ cross-batch ∪ batch-self
+    * exactly (SignatureMaterializeSpec proves the identity) — the
+    * incremental re-run cost is |batch|·|corpus colliders|, not
+    * |corpus|².
+    */
+  def crossBatchCandidatePairs(
+      newSig: DataFrame, corpusSig: DataFrame): DataFrame = {
+    val bn = bandKeys(newSig)
+      .select(col("b"), col("bsig"), col("doc_id").as("id_n"))
+    val bc = bandKeys(corpusSig)
+      .select(col("b").as("b2"), col("bsig").as("bsig2"), col("doc_id").as("id_c"))
+    bn.join(bc, col("b") === col("b2") && col("bsig") === col("bsig2") &&
+        col("id_n") =!= col("id_c"))
+      .select(least(col("id_n"), col("id_c")).as("doc_id_a"),
+        greatest(col("id_n"), col("id_c")).as("doc_id_b"))
       .distinct()
   }
 

@@ -47,4 +47,27 @@ class SignatureMaterializeSpec extends SparkSpec {
       assert(!read.contains("shs"), read)
     }
   }
+
+  test("incremental ingest: corpus-self + cross-batch + batch-self == full recompute") {
+    val docs = Tables.load(spark, sf, "documents")
+    val sig = DedupQueries.signatureTable(docs).cache()
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("doc_id_a"), col("doc_id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      // the stored corpus vs a newly arriving batch (disjoint id sets)
+      val corpus = sig.filter(col("doc_id") % 5 =!= 3)
+      val batch = sig.filter(col("doc_id") % 5 === 3)
+      val full = pairs(DedupQueries.candidatePairsFromSignatures(sig, Seq.empty))
+      val incremental =
+        pairs(DedupQueries.candidatePairsFromSignatures(corpus, Seq.empty)) ++
+          pairs(DedupQueries.crossBatchCandidatePairs(batch, corpus)) ++
+          pairs(DedupQueries.candidatePairsFromSignatures(batch, Seq.empty))
+      assert(incremental == full,
+        s"incremental=${incremental.size} full=${full.size} " +
+          s"missing=${(full -- incremental).take(5)} extra=${(incremental -- full).take(5)}")
+      assert(pairs(DedupQueries.crossBatchCandidatePairs(batch, corpus)).nonEmpty,
+        "cross-batch candidates should exist (planted dups straddle the split)")
+    } finally sig.unpersist()
+  }
 }
