@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{FloatVectorDot, MinHashSignature, SignBuckets, SimHash32, ZOrderLong}
+import graft.expressions.{FloatVectorDot, MinHashSignature, QuantizedDotI8, SignBuckets, SimHash32, ZOrderLong}
+import graft.operators.BloomMightContain
 
 /** SparkSessionExtensions entry point: registers graft's custom
   * codegen expressions as SQL functions, so `spark.sql` users (and
@@ -48,6 +49,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 4, "sign_buckets(vec, bands, bits, dim)")
         def intArg(e: Expression): Int = e.eval().asInstanceOf[Int]
         SignBuckets(args(0), intArg(args(1)), intArg(args(2)), intArg(args(3)))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("quantized_dot_i8"),
+      new ExpressionInfo(classOf[QuantizedDotI8].getName, "quantized_dot_i8"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "quantized_dot_i8(arrayA, arrayB)")
+        QuantizedDotI8(args(0), args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "bloom_might_contain(bloom, h1, h2, bits, probes)")
+        def intArg(e: Expression): Int = e.eval().asInstanceOf[Int]
+        BloomMightContain(args(0), args(1), args(2), intArg(args(3)), intArg(args(4)))
       }))
     ext.injectFunction((
       new FunctionIdentifier("zorder2"),

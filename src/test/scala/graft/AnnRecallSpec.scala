@@ -37,4 +37,16 @@ class AnnRecallSpec extends SparkSpec {
       s"multiband recall $rMulti < single-band $rSingle")
     assert(rMulti > 0.0, "multiband found nothing from the true top-10")
   }
+
+  test("int8-quantized candidate cut preserves the exact top neighbors") {
+    val exact = top3("q_ann_bruteforce") // exact top-10, queries 0-4
+    val int8 = top3("q_ann_int8")        // queries 0-9, top-3 of int-dot top-8
+    val qs = exact.keySet
+    // int8 quantizes 64-dim unit vectors to ±127 codes — fidelity is
+    // high enough that the top-3 after the integer cut should land in
+    // the exact top-10 essentially always
+    val hits = qs.toSeq.map(q => int8(q).count(exact(q).contains))
+    val recall = hits.sum.toDouble / (3.0 * qs.size)
+    assert(recall >= 0.8, s"int8 top-3-in-exact-top-10 recall $recall, hits=$hits")
+  }
 }

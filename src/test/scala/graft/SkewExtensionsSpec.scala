@@ -67,5 +67,16 @@ class SkewExtensionsSpec extends SparkSpec {
     assert(buckets == oracle)
     val z = spark.sql("SELECT zorder2(3L, 5L) AS z").collect().head.getLong(0)
     assert(z == graft.expressions.ZOrder.interleave(3L, 5L))
+    val qd = spark.sql(
+      "SELECT quantized_dot_i8(array(1.0F, -1.0F), array(1.0F, -1.0F)) AS q")
+      .collect().head.getLong(0)
+    assert(qd == 127L * 127 * 2)
+    // 64-bit bloom with bit (h1 + j*h2) % 64 set for h1=1, h2=2, j<2:
+    // bits 1 and 3 -> word 0b1010 = 10
+    val bm = spark.sql(
+      "SELECT bloom_might_contain(array(10L), 1L, 2L, 64, 2) AS hit, " +
+        "bloom_might_contain(array(10L), 2L, 2L, 64, 2) AS miss")
+      .collect().head
+    assert(bm.getBoolean(0) && !bm.getBoolean(1))
   }
 }
