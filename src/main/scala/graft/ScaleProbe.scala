@@ -77,6 +77,70 @@ object ScaleProbe {
           f"(${c.toDouble / allPairs}%.2e of $allPairs%d all-pairs) wall=$w%.1f")
       }
     }
+    // Bloom prefilter sweep: membership FP rate + probe wall at corpus
+    // scale. Geometry must track n (m ≈ 16n keeps kn/m ≈ 1/4): the probe
+    // is scan-stage either way; what the sweep shows is that the FP rate
+    // follows the analytic (1-e^(-kn/m))^k, so sizing the broadcast
+    // bitset is arithmetic, not tuning.
+    {
+      import graft.operators.{BloomBuild, BloomFilter, BloomHashes}
+      import spark.implicits._
+      import org.apache.spark.sql.types.LongType
+      def hashed(ids: org.apache.spark.sql.DataFrame) = ids
+        .withColumn("fp", sha2(concat(lit("m"), col("id").cast("string")), 256))
+        .withColumn("h1", conv(substring(col("fp"), 1, 8), 16, 10).cast(LongType))
+        .withColumn("h2", conv(substring(col("fp"), 9, 8), 16, 10).cast(LongType))
+      for ((n, mBits, probesN) <- Seq(
+          (100000, 1 << 20, 1000000), (1000000, 1 << 24, 10000000))) {
+        val bloom = new BloomBuild(mBits, BloomFilter.DefaultProbes)
+        val bloomRow = hashed(spark.range(n).toDF("id"))
+          .select(col("h1"), col("h2")).as[BloomHashes]
+          .select(bloom.toColumn).toDF("bloom")
+        // non-members: disjoint id space (offset by 2^40)
+        val others = hashed(spark.range(probesN).select(
+          (col("id") + (1L << 40)).as("id")))
+        val t0 = System.nanoTime()
+        val fp = others.join(broadcast(bloomRow))
+          .filter(BloomFilter.mightContain(col("bloom"), col("h1"), col("h2"), mBits))
+          .count()
+        val w = (System.nanoTime() - t0) / 1e9
+        val kn = 4.0 * n / mBits
+        val analytic = math.pow(1 - math.exp(-kn), 4)
+        println(f"SCALE-BLOOM n=$n m=$mBits probes=$probesN fp=$fp " +
+          f"(rate=${fp.toDouble / probesN}%.2e analytic=$analytic%.2e) wall=$w%.1f")
+      }
+    }
+
+    // int8 quantized candidate cut at 1M vectors: fidelity of the
+    // integer-score top-8 cut vs the exact float top-3, plus the wall of
+    // the integer pass (10 broadcast queries x 1M corpus = 10M kernel
+    // dots). The compute story at fixture scale is parity (on-the-fly
+    // quantization adds two floors per element); the 100 TB win is the
+    // 4x scan-IO cut once codes are materialized 1-byte arrays.
+    {
+      val e = spark.read.parquet("/tmp/scale_embed_1M.parquet")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("cv"))
+      val w8 = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+        .orderBy(col("s").desc, col("n_id"))
+      def topk(score: org.apache.spark.sql.Column, k: Int): Map[Long, Seq[Long]] = {
+        c.join(broadcast(q), col("n_id") =!= col("q_id"))
+          .withColumn("s", score)
+          .withColumn("r", row_number().over(w8)).filter(col("r") <= k)
+          .select("q_id", "n_id").collect()
+          .groupBy(_.getLong(0)).map { case (g, rs) => g -> rs.map(_.getLong(1)).toSeq }
+      }
+      var t0 = System.nanoTime()
+      val int8 = topk(quantizedDotI8(col("qv"), col("cv")).cast("double"), 8)
+      val wInt = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val exact = topk(dot(col("qv"), col("cv")), 3)
+      val wF = (System.nanoTime() - t0) / 1e9
+      val hits = exact.keys.toSeq.map(k => exact(k).count(int8(k).toSet)).sum
+      println(f"SCALE-INT8 corpus=1M queries=10 exact_top3_in_int8_top8=$hits/30 " +
+        f"int8_pass_s=$wInt%.1f float_pass_s=$wF%.1f")
+    }
     spark.stop()
   }
 }
