@@ -124,14 +124,17 @@ object DedupQueries {
        |WHERE e.split <> 'train'
        |ORDER BY eval_doc""".stripMargin
 
-  /** Split + fingerprint frame feeding both contamination queries. */
+  /** Split + fingerprint frame feeding the contamination queries
+    * (text carried through for the n-gram variant; Catalyst prunes it
+    * where unused).
+    */
   private def contaminationSplits(docs: DataFrame): DataFrame = {
     import graft.functions.SimilarityFunctions.elementHash
     exactDupCorpus(docs)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("text"),
         fingerprint(col("text")).as("fp"),
         (elementHash(col("doc_id").cast(StringType)) % 100).as("bucket"))
-      .select(col("doc_id"), col("fp"),
+      .select(col("doc_id"), col("text"), col("fp"),
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val").otherwise("test").as("split"))
   }
@@ -495,6 +498,60 @@ object DedupQueries {
         .select(col("doc_id").as("eval_doc"), col("split"), col("fp"))
         .join(trainFp, "fp")
         .select(col("eval_doc"), col("split"), col("train_doc"), col("fp"))
+        .orderBy(col("eval_doc"))
+    },
+
+    // ------------------------------------- contamination, n-gram form
+    // Benchmark-style n-gram overlap decontamination (the 8-gram
+    // collision method of the GPT-3/PaLM contamination appendices —
+    // stricter than whole-doc fingerprints: a PARTIAL copy inside an
+    // otherwise-novel doc still collides): an eval doc is flagged when
+    // any of its distinct lowercased 8-token shingles appears anywhere
+    // in train. Scale shape: the gram explode is scan-stage; train
+    // collapses to DISTINCT grams before the equi-join, and the
+    // aggregation is per (doc, split) with map-side combine. At 100 TB
+    // the train gram set becomes a broadcast Bloom bitset over gram
+    // hashes (compose graft.operators.BloomFilter exactly as
+    // q_contamination_bloom) with this exact join as the confirm stage.
+    GraftQuery(
+      "q_contamination_ngram", {
+        val gram8 = (0 until 8).map(k => s"ts[i+$k]").mkString(" || ' ' || ")
+        s"""WITH c AS ($exactDupCorpusSql),
+           |f AS (
+           |  SELECT doc_id, text,
+           |    list_sum([(strpos('0123456789abcdef', substring(h, p, 1)) - 1)
+           |              * CAST(16**(7 - p) AS BIGINT) FOR p IN range(1, 8)]) % 100 AS bucket
+           |  FROM (SELECT doc_id, text,
+           |          substring(sha256(CAST(doc_id AS VARCHAR)), 1, 7) AS h FROM c)),
+           |s AS (SELECT doc_id,
+           |        CASE WHEN bucket < 80 THEN 'train'
+           |             WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           |        regexp_extract_all(lower(text), '\\S+') AS ts
+           |      FROM f),
+           |g AS (SELECT doc_id, split,
+           |        unnest(list_distinct([$gram8
+           |                              FOR i IN range(1, len(ts) - 6)])) AS gram
+           |      FROM s WHERE len(ts) >= 8),
+           |tg AS (SELECT DISTINCT gram FROM g WHERE split = 'train')
+           |SELECT g.doc_id AS eval_doc, g.split,
+           |  CAST(count(*) AS BIGINT) AS n_overlap, min(g.gram) AS first_gram
+           |FROM g JOIN tg USING (gram)
+           |WHERE g.split <> 'train'
+           |GROUP BY 1, 2 ORDER BY eval_doc""".stripMargin
+      }) { (s, dir) =>
+      val grams = contaminationSplits(t(s, dir, "documents"))
+        .select(col("doc_id"), col("split"), tokens(lower(col("text"))).as("ts"))
+        .filter(size(col("ts")) >= 8)
+        .select(col("doc_id"), col("split"),
+          explode(array_distinct(shinglesFromTokens(col("ts"), 8))).as("gram"))
+      val trainGrams = grams.filter(col("split") === "train")
+        .select(col("gram")).distinct()
+      grams.filter(col("split") =!= "train")
+        .join(trainGrams, "gram")
+        .groupBy(col("doc_id"), col("split"))
+        .agg(count(lit(1)).as("n_overlap"), min(col("gram")).as("first_gram"))
+        .select(col("doc_id").as("eval_doc"), col("split"),
+          col("n_overlap"), col("first_gram"))
         .orderBy(col("eval_doc"))
     },
 
