@@ -333,6 +333,34 @@ object StreamingPipeline {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(key)
 
+  /** Streaming decontamination gate: every arriving document is probed
+    * against a STATIC Bloom bitset of the training corpus's normalizing
+    * fingerprints — the ingest-time guard that keeps eval/benchmark
+    * material from ever being appended to a training corpus. The bitset
+    * is built once from the batch side ([[graft.operators.BloomBuild]])
+    * and pinned into the streaming plan as a literal (m/8 bytes — the
+    * streaming analog of the broadcast in q_contamination_bloom), so
+    * the probe is pure scan-stage work per micro-batch: no stream-static
+    * join, no shuffle, no state store. No false negatives — every true
+    * contaminant is flagged; rare false positives (rate (1−e^(−kn/m))^k)
+    * only quarantine extra docs for the downstream exact check.
+    */
+  def decontaminationGate(
+      docs: DataFrame,
+      bloomBits: Array[Long],
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    import graft.operators.BloomFilter
+    docs
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .withColumn("h1", conv(substring(col("fp"), 1, 8), 16, 10).cast(LongType))
+      .withColumn("h2", conv(substring(col("fp"), 9, 8), 16, 10).cast(LongType))
+      .withColumn("contaminated",
+        BloomFilter.mightContain(typedLit(bloomBits), col("h1"), col("h2"),
+          bits = bloomBits.length * 64))
+      .drop("h1", "h2")
+  }
+
   /** Stream-stream interval join (J6 streaming form): purchases joined
     * to the same user's clicks from the preceding `window`. Watermarks
     * on BOTH sides + the time-bound condition let the state store evict

@@ -223,6 +223,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming decontamination gate flags train-fingerprint arrivals (scan-stage probe)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{BloomBuild, BloomFilter, BloomHashes}
+    import org.apache.spark.sql.functions.{col, conv, substring}
+    import org.apache.spark.sql.types.LongType
+    // static train side: fingerprints -> 8 KiB bloom, built once
+    val train = Seq("alpha beta gamma", "delta epsilon zeta")
+    val bloom = new BloomBuild(BloomFilter.DefaultBits, BloomFilter.DefaultProbes)
+    val bits = train.toDF("text")
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+      .withColumn("h1", conv(substring(col("fp"), 1, 8), 16, 10).cast(LongType))
+      .withColumn("h2", conv(substring(col("fp"), 9, 8), 16, 10).cast(LongType))
+      .select(col("h1"), col("h2")).as[BloomHashes]
+      .select(bloom.toColumn).collect().head
+    val input = MemoryStream[(Long, String)]
+    val query = StreamingPipeline
+      .decontaminationGate(input.toDF().toDF("doc_id", "text"), bits)
+      .writeStream.format("memory").queryName("decon_gate")
+      .outputMode("append").start()
+    try {
+      // doc 2 is a whitespace/case-perturbed copy of a train doc — the
+      // normalizing fingerprint still collides; docs 1 and 3 are novel
+      input.addData((1L, "fresh novel content one"), (2L, "  ALPHA beta   GAMMA "))
+      query.processAllAvailable()
+      input.addData((3L, "more novel content"))
+      query.processAllAvailable()
+      val flags = spark.table("decon_gate").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated")).toMap
+      assert(flags == Map(1L -> false, 2L -> true, 3L -> false))
+    } finally query.stop()
+  }
+
   test("Model.typed: serving DataFrame ⇄ Dataset[RedditThing]") {
     import spark.implicits._
     val df = Seq(("K1", "t3", "id1", java.sql.Timestamp.valueOf("2025-01-01 00:00:00"),
