@@ -539,15 +539,22 @@ object DedupQueries {
            |WHERE g.split <> 'train'
            |GROUP BY 1, 2 ORDER BY eval_doc""".stripMargin
       }) { (s, dir) =>
-      val grams = contaminationSplits(t(s, dir, "documents"))
+      // JOINLESS single-pass form: a train/eval split-then-self-join
+      // would re-execute the tokenize+shingle scan per branch (filter
+      // pushdown splits any barrier exchange) and shuffle the gram
+      // stream twice. Instead ONE window over the gram partition marks
+      // each gram's train-presence — one scan, one gram exchange, and
+      // the per-doc rollup; no join anywhere in the plan (PlanSpec
+      // pins exchange count and joinlessness).
+      val wGram = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+      contaminationSplits(t(s, dir, "documents"))
         .select(col("doc_id"), col("split"), tokens(lower(col("text"))).as("ts"))
         .filter(size(col("ts")) >= 8)
         .select(col("doc_id"), col("split"),
           explode(array_distinct(shinglesFromTokens(col("ts"), 8))).as("gram"))
-      val trainGrams = grams.filter(col("split") === "train")
-        .select(col("gram")).distinct()
-      grams.filter(col("split") =!= "train")
-        .join(trainGrams, "gram")
+        .withColumn("in_train",
+          max(when(col("split") === "train", 1).otherwise(0)).over(wGram))
+        .filter(col("split") =!= "train" && col("in_train") === 1)
         .groupBy(col("doc_id"), col("split"))
         .agg(count(lit(1)).as("n_overlap"), min(col("gram")).as("first_gram"))
         .select(col("doc_id").as("eval_doc"), col("split"),

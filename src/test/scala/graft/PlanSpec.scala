@@ -82,6 +82,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q_contamination_ngram: joinless single-pass plan, one gram exchange") {
+    val p = plan("q_contamination_ngram")
+    // one scan, one window over gram, per-doc rollup — NO join: a
+    // split-then-self-join form would re-run the tokenize+shingle scan
+    // per branch and shuffle the gram stream twice
+    assert(!p.contains("Join"), p.take(3000))
+    assert(count(p, "Scan parquet") == 2, p.take(3000)) // docs + planted-copy union arms
+    // exchanges: gram window + doc rollup + presentation sort only
+    assert(count(p, "Exchange") <= 3, p.take(3000))
+  }
+
   test("A7: sort-aggregate fallback engages when object-hash agg is disabled") {
     // collect_list normally runs as ObjectHashAggregate; with that exec
     // disabled Catalyst falls back to SortAggregate — the §2.3 A7 row,
