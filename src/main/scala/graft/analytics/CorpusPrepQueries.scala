@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.Tables
+import graft.functions.TextFunctions._
 
 /** Corpus-preparation operators for a training-data pipeline, each
   * under the DuckDB oracle gate: repetition-based quality filtering
@@ -123,6 +124,94 @@ object CorpusPrepQueries {
         .select(col("doc_id"), col("source"), col("n_tok"), col("tok_start"),
           col("seq_first"), col("seq_last"),
           (col("seq_last") - col("seq_first") + 1).as("n_seqs"))
+        .orderBy(col("doc_id"))
+    },
+
+    // -------------------------------------------------- curation funnel
+    // THE training-corpus query: every curation rule composed into one
+    // per-document verdict — language identified (stopword-vote ≠
+    // 'und'), quality score ≥ 0.3, Gopher-style repetition bounds
+    // (top-word share ≤ 0.2, duplicate-bigram fraction ≤ 0.6), and
+    // first-wins exact dedup (minimum doc_id within the normalizing-
+    // fingerprint group), over the planted-copy corpus so the dedup arm
+    // provably fires. One funnel pass = the scan-stage rules + one
+    // word-stat aggregation + one fingerprint window + a doc_id join —
+    // no rule re-scans the corpus. Booleans are AND-composed from
+    // identically-computed doubles/counts on both engines, so the
+    // verdict column hashes bit-identically.
+    GraftQuery(
+      "q_curation_funnel", {
+        def reCount(expr: String, pat: String) =
+          s"len(regexp_extract_all($expr, '$pat'))"
+        val scores = LangStopwords.map { case (l, ws) =>
+          l -> reCount("lower(text)", ws.mkString("\\b(", "|", ")\\b"))
+        }
+        val scoreSel = scores.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n           ")
+        val total = scores.map(s => s"s_${s._1}").mkString(" + ")
+        val best = scores.map(s => s"s_${s._1}").mkString("greatest(", ", ", ")")
+        val predArms = scores.map { case (l, _) =>
+          s"WHEN ($total) > 0 AND s_$l = $best THEN '$l'"
+        }.mkString(" ")
+        val quality =
+          s"""(least(1.0, CAST(${reCount("text", "\\S+")} AS DOUBLE) / 64.0)
+             |     * (CASE WHEN length(text) > 0
+             |             THEN CAST(${reCount("text", "[A-Za-z]")} AS DOUBLE) / CAST(length(text) AS DOUBLE)
+             |             ELSE 0.0 END)
+             |     * (CASE WHEN length(text) > 0
+             |             THEN greatest(0.0, 1.0 - (CAST(${reCount("text", "[.,;:!?]")} AS DOUBLE)
+             |                                       / CAST(length(text) AS DOUBLE)) * 4.0)
+             |             ELSE 0.0 END))""".stripMargin
+        s"""WITH c AS (${DedupQueries.exactDupCorpusSql}),
+           |t0 AS (SELECT doc_id, text,
+           |         regexp_extract_all(lower(text), '\\S+') AS tsl FROM c),
+           |wc AS (SELECT doc_id, word, count(*) AS cnt
+           |       FROM (SELECT doc_id, unnest(tsl) AS word FROM t0) GROUP BY 1, 2),
+           |agg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+           |          CAST(max(cnt) AS BIGINT) AS top_c FROM wc GROUP BY 1),
+           |scan AS (SELECT doc_id,
+           |           $scoreSel,
+           |           $quality >= 0.3 AS quality_ok,
+           |           CAST(len(list_distinct([tsl[i] || ' ' || tsl[i+1]
+           |                FOR i IN range(1, greatest(len(tsl), 1))])) AS BIGINT) AS n_db,
+           |           row_number() OVER (
+           |             PARTITION BY sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+           |             ORDER BY doc_id) = 1 AS dup_ok
+           |         FROM t0),
+           |v AS (SELECT s.doc_id,
+           |        (CASE $predArms ELSE 'und' END) <> 'und' AS lang_ok,
+           |        quality_ok,
+           |        (CAST(top_c AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.2
+           |         AND 1.0 - CAST(n_db AS DOUBLE) / CAST(n_words - 1 AS DOUBLE) <= 0.6)
+           |          AS repetition_ok,
+           |        dup_ok
+           |      FROM scan s JOIN agg USING (doc_id))
+           |SELECT doc_id, lang_ok, quality_ok, repetition_ok, dup_ok,
+           |  (lang_ok AND quality_ok AND repetition_ok AND dup_ok) AS keep
+           |FROM v ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val c = DedupQueries.exactDupCorpus(t(s, dir, "documents"))
+      val base = c.select(col("doc_id"), col("text"),
+        tokens(lower(col("text"))).as("tsl"))
+      val wordAgg = base.select(col("doc_id"), explode(col("tsl")).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_words"), max(col("cnt")).as("top_c"))
+      val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      base.select(col("doc_id"),
+          (langId(col("text")) =!= "und").as("lang_ok"),
+          (qualityScore(col("text")) >= 0.3).as("quality_ok"),
+          size(array_distinct(shinglesFromTokens(col("tsl"), 2)))
+            .cast(LongType).as("n_db"),
+          fingerprint(col("text")).as("fp"))
+        .withColumn("dup_ok", row_number().over(wFp) === 1)
+        .join(wordAgg, "doc_id")
+        .withColumn("repetition_ok",
+          dbl(col("top_c")) / dbl(col("n_words")) <= 0.2 &&
+            lit(1.0) - dbl(col("n_db")) / dbl(col("n_words") - 1) <= 0.6)
+        .select(col("doc_id"), col("lang_ok"), col("quality_ok"),
+          col("repetition_ok"), col("dup_ok"),
+          (col("lang_ok") && col("quality_ok") && col("repetition_ok") &&
+            col("dup_ok")).as("keep"))
         .orderBy(col("doc_id"))
     },
 

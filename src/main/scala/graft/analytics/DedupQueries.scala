@@ -36,14 +36,14 @@ object DedupQueries {
   // -------------------------------------------------------- corpora
   // Exact-dup corpus: every 10th doc re-appears (id+10000) uppercased
   // and whitespace-padded — invisible to the normalizing fingerprint.
-  private def exactDupCorpus(docs: DataFrame): DataFrame =
+  private[analytics] def exactDupCorpus(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text"))
       .unionByName(
         docs.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 10000).as("doc_id"),
             concat(lit(" "), upper(col("text")), lit("  ")).as("text")))
 
-  private val exactDupCorpusSql =
+  private[analytics] val exactDupCorpusSql =
     """SELECT doc_id, text FROM documents
       |UNION ALL
       |SELECT doc_id + 10000 AS doc_id, ' ' || upper(text) || '  ' AS text
