@@ -29,12 +29,18 @@ object Bench {
     // The driver captures only the last 2000 chars of stdout and parses
     // the JSON line out of that window (BENCH_r02.json: full-precision
     // doubles pushed the line start out of the window -> "parsed": null).
-    // 3 decimals (ms resolution) keeps ~77 queries well under budget.
-    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
+    // 3 decimals (ms resolution) fits ~85 queries; if the catalog grows
+    // past that, degrade to 2 decimals rather than overflow the window.
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def render(decimals: Int): String = {
+      def f(v: Double): String =
+        s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, v)
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val line = Seq(3, 2, 1).map(render).find(_.length <= 1900).getOrElse(render(0))
+    println(line)
     spark.stop()
   }
 }
