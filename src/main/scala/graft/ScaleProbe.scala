@@ -85,11 +85,10 @@ object ScaleProbe {
     {
       import graft.operators.{BloomBuild, BloomFilter, BloomHashes}
       import spark.implicits._
-      import org.apache.spark.sql.types.LongType
+      val (bh1, bh2) = BloomFilter.hashColumns(col("fp"))
       def hashed(ids: org.apache.spark.sql.DataFrame) = ids
         .withColumn("fp", sha2(concat(lit("m"), col("id").cast("string")), 256))
-        .withColumn("h1", conv(substring(col("fp"), 1, 8), 16, 10).cast(LongType))
-        .withColumn("h2", conv(substring(col("fp"), 9, 8), 16, 10).cast(LongType))
+        .withColumn("h1", bh1).withColumn("h2", bh2)
       for ((n, mBits, probesN) <- Seq(
           (100000, 1 << 20, 1000000), (1000000, 1 << 24, 10000000))) {
         val bloom = new BloomBuild(mBits, BloomFilter.DefaultProbes)

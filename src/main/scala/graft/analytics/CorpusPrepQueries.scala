@@ -180,11 +180,12 @@ object CorpusPrepQueries {
            |v AS (SELECT s.doc_id,
            |        (CASE $predArms ELSE 'und' END) <> 'und' AS lang_ok,
            |        quality_ok,
-           |        (CAST(top_c AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.2
-           |         AND 1.0 - CAST(n_db AS DOUBLE) / CAST(n_words - 1 AS DOUBLE) <= 0.6)
-           |          AS repetition_ok,
+           |        coalesce(n_words >= 2
+           |         AND CAST(top_c AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.2
+           |         AND 1.0 - CAST(n_db AS DOUBLE) / CAST(n_words - 1 AS DOUBLE) <= 0.6,
+           |         FALSE) AS repetition_ok,
            |        dup_ok
-           |      FROM scan s JOIN agg USING (doc_id))
+           |      FROM scan s LEFT JOIN agg USING (doc_id))
            |SELECT doc_id, lang_ok, quality_ok, repetition_ok, dup_ok,
            |  (lang_ok AND quality_ok AND repetition_ok AND dup_ok) AS keep
            |FROM v ORDER BY doc_id""".stripMargin
@@ -204,10 +205,17 @@ object CorpusPrepQueries {
             .cast(LongType).as("n_db"),
           fingerprint(col("text")).as("fp"))
         .withColumn("dup_ok", row_number().over(wFp) === 1)
-        .join(wordAgg, "doc_id")
+        // LEFT join: a zero-token doc has no word-stat row but still
+        // owes the funnel a verdict (keep=false), not silent absence;
+        // the n_words >= 2 guard also pins the 1-token edge, where
+        // Spark's null-on-div-by-zero and DuckDB's IEEE inf would
+        // otherwise diverge
+        .join(wordAgg, Seq("doc_id"), "left")
         .withColumn("repetition_ok",
-          dbl(col("top_c")) / dbl(col("n_words")) <= 0.2 &&
-            lit(1.0) - dbl(col("n_db")) / dbl(col("n_words") - 1) <= 0.6)
+          coalesce(col("n_words") >= 2 &&
+            dbl(col("top_c")) / dbl(col("n_words")) <= 0.2 &&
+            lit(1.0) - dbl(col("n_db")) / dbl(col("n_words") - 1) <= 0.6,
+            lit(false)))
         .select(col("doc_id"), col("lang_ok"), col("quality_ok"),
           col("repetition_ok"), col("dup_ok"),
           (col("lang_ok") && col("quality_ok") && col("repetition_ok") &&

@@ -164,11 +164,18 @@ object DedupQueries {
       minhashSignatureFromHashes(col("hv"), K).as("sg"))
   }
 
-  /** Band-key explosion of a signature table (Bands rows per doc). */
-  private def bandKeys(sig: DataFrame): DataFrame =
-    sig.select(col("doc_id"), col("shs"), col("sg"),
-        explode(sequence(lit(0), lit(Bands - 1))).as("b"))
+  /** Band-key explosion of a signature table (Bands rows per doc),
+    * carrying only `doc_id`, `sg`, and the requested `carry` columns —
+    * a signature table stored WITHOUT the large shingle-set column (the
+    * realistic materialized layout; SignatureMaterializeSpec (c) shows
+    * shs is never read for sg-only candidates) works as long as no
+    * caller asks to carry it.
+    */
+  private def bandKeys(sig: DataFrame, carry: Seq[String]): DataFrame = {
+    val cols = (Seq("doc_id") ++ carry ++ Seq("sg")).distinct.map(col)
+    sig.select(cols :+ explode(sequence(lit(0), lit(Bands - 1))).as("b"): _*)
       .withColumn("bsig", bandSignature(col("sg"), col("b"), RowsPerBand))
+  }
 
   /** Phase 2: band keys from a signature table (in-memory or reloaded
     * from parquet) → self-join on (band, band-signature) → distinct
@@ -176,7 +183,7 @@ object DedupQueries {
     */
   def candidatePairsFromSignatures(
       sig: DataFrame, extra: Seq[String]): DataFrame = {
-    val bands = bandKeys(sig)
+    val bands = bandKeys(sig, extra)
     val cols = Seq("doc_id") ++ extra
     val a = bands.select((Seq(col("b"), col("bsig")) ++
       cols.map(c => col(c).as(s"${c}_a"))): _*)
@@ -200,9 +207,9 @@ object DedupQueries {
     */
   def crossBatchCandidatePairs(
       newSig: DataFrame, corpusSig: DataFrame): DataFrame = {
-    val bn = bandKeys(newSig)
+    val bn = bandKeys(newSig, Seq.empty)
       .select(col("b"), col("bsig"), col("doc_id").as("id_n"))
-    val bc = bandKeys(corpusSig)
+    val bc = bandKeys(corpusSig, Seq.empty)
       .select(col("b").as("b2"), col("bsig").as("bsig2"), col("doc_id").as("id_c"))
     bn.join(bc, col("b") === col("b2") && col("bsig") === col("bsig2") &&
         col("id_n") =!= col("id_c"))
@@ -484,9 +491,9 @@ object DedupQueries {
       contaminationOracleSql) { (s, dir) =>
       import s.implicits._
       import graft.operators.{BloomBuild, BloomFilter, BloomHashes}
+      val (h1, h2) = BloomFilter.hashColumns(col("fp"))
       val withH = contaminationSplits(t(s, dir, "documents"))
-        .withColumn("h1", conv(substring(col("fp"), 1, 8), 16, 10).cast(LongType))
-        .withColumn("h2", conv(substring(col("fp"), 9, 8), 16, 10).cast(LongType))
+        .withColumn("h1", h1).withColumn("h2", h2)
       val train = withH.filter(col("split") === "train")
       val bloom = new BloomBuild(BloomFilter.DefaultBits, BloomFilter.DefaultProbes)
       val bloomRow = train.select(col("h1"), col("h2")).as[BloomHashes]

@@ -157,19 +157,33 @@ object SimilarityQueries {
            |FROM t WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
       }) { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-          l2Norm(col("embedding")).as("qn"))
-      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("cv"),
-        l2Norm(col("embedding")).as("cn"))
       val wCand = Window.partitionBy(col("q_id"))
         .orderBy(col("qdot").desc, col("n_id"))
       val wRank = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("n_id"))
-      c.join(broadcast(q), col("n_id") =!= col("q_id"))
-        .withColumn("qdot", quantizedDotI8(col("qv"), col("cv")))
+      // integer pass: ONLY (q_id, n_id, qdot) — 24-byte triples, no
+      // vectors, no norms — enters the candidate-ranking exchange (the
+      // float form q_ann_bruteforce prunes to a scalar the same way;
+      // carrying vectors through the window would 20× the shuffle)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val cand = e.select(col("vec_id").as("n_id"), col("embedding").as("cv"))
+        .join(broadcast(queries), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          quantizedDotI8(col("qv"), col("cv")).as("qdot"))
         .withColumn("crank", row_number().over(wCand))
         .filter(col("crank") <= 8)
+        .select(col("q_id"), col("n_id"), col("qdot"))
+      // exact re-rank: vectors and norms fetched ONLY for the ≤8
+      // survivors per query (tiny candidate list broadcasts against
+      // one more corpus scan; norms are never computed corpus-wide)
+      val fetched = e.join(broadcast(cand), col("vec_id") === col("n_id"))
+        .select(col("q_id"), col("n_id"), col("qdot"),
+          col("embedding").as("cv"), l2Norm(col("embedding")).as("cn"))
+      val qn = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id2"), col("embedding").as("qv"),
+          l2Norm(col("embedding")).as("qn"))
+      fetched.join(broadcast(qn), col("q_id") === col("q_id2"))
         .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
         .withColumn("rank", row_number().over(wRank).cast(IntegerType))
         .filter(col("rank") <= 3)

@@ -40,7 +40,9 @@ class BloomBuild(bits: Int, probes: Int)(implicit bufEnc: Encoder[Array[Long]])
   override def reduce(buf: Array[Long], a: BloomHashes): Array[Long] = {
     var j = 0
     while (j < probes) {
-      val idx = ((a.h1 + j.toLong * a.h2) % bits).toInt
+      // floorMod: the SQL surface accepts arbitrary longs (hash(),
+      // xxhash64() go negative) — a signed % would index out of bounds
+      val idx = java.lang.Math.floorMod(a.h1 + j.toLong * a.h2, bits.toLong).toInt
       buf(idx >>> 6) |= 1L << (idx & 63)
       j += 1
     }
@@ -92,7 +94,7 @@ case class BloomMightContain(
     val b = h2.asInstanceOf[Long]
     var j = 0
     while (j < probes) {
-      val idx = ((a + j.toLong * b) % bits).toInt
+      val idx = java.lang.Math.floorMod(a + j.toLong * b, bits.toLong).toInt
       if (((arr.getLong(idx >>> 6) >> (idx & 63)) & 1L) == 0L) return false
       j += 1
     }
@@ -107,7 +109,7 @@ case class BloomMightContain(
       s"""
          |boolean $hit = true;
          |for (int $j = 0; $j < $probes; $j++) {
-         |  int $idx = (int) (($h1 + (long) $j * $h2) % $bits);
+         |  int $idx = (int) java.lang.Math.floorMod($h1 + (long) $j * $h2, ${bits}L);
          |  if ((($bloom.getLong($idx >>> 6) >> ($idx & 63)) & 1L) == 0L) {
          |    $hit = false; break;
          |  }
@@ -133,4 +135,17 @@ object BloomFilter {
     graftbridge.column(BloomMightContain(
       graftbridge.expression(bloom), graftbridge.expression(h1),
       graftbridge.expression(h2), bits, probes))
+
+  /** THE canonical (h1, h2) derivation from a SHA-256 hex fingerprint:
+    * the first two independent 32-bit hex halves as longs. Build and
+    * probe sides MUST derive identically or membership silently breaks
+    * with false negatives — every call site uses this helper, none
+    * inlines its own.
+    */
+  def hashColumns(fp: Column): (Column, Column) = {
+    import org.apache.spark.sql.functions.{conv, substring}
+    import org.apache.spark.sql.types.LongType
+    (conv(substring(fp, 1, 8), 16, 10).cast(LongType),
+      conv(substring(fp, 9, 8), 16, 10).cast(LongType))
+  }
 }

@@ -348,16 +348,20 @@ object StreamingPipeline {
   def decontaminationGate(
       docs: DataFrame,
       bloomBits: Array[Long],
-      textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.types.LongType
+      textCol: String = "text",
+      probes: Int = graft.operators.BloomFilter.DefaultProbes): DataFrame = {
     import graft.operators.BloomFilter
+    val fp = graft.functions.TextFunctions.fingerprint(col(textCol))
+    val (h1, h2) = BloomFilter.hashColumns(col("fp"))
     docs
-      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
-      .withColumn("h1", conv(substring(col("fp"), 1, 8), 16, 10).cast(LongType))
-      .withColumn("h2", conv(substring(col("fp"), 9, 8), 16, 10).cast(LongType))
+      .withColumn("fp", fp)
+      .withColumn("h1", h1).withColumn("h2", h2)
       .withColumn("contaminated",
+        // probes MUST match the BloomBuild that produced the bitset —
+        // probing more positions than were set yields false negatives,
+        // the one failure mode this gate exists to prevent
         BloomFilter.mightContain(typedLit(bloomBits), col("h1"), col("h2"),
-          bits = bloomBits.length * 64))
+          bits = bloomBits.length * 64, probes = probes))
       .drop("h1", "h2")
   }
 

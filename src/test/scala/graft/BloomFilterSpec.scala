@@ -16,10 +16,10 @@ class BloomFilterSpec extends SparkSpec {
 
   private def hashed(values: Seq[String]) = {
     import spark.implicits._
+    val (h1, h2) = BloomFilter.hashColumns(col("fp"))
     values.toDF("s")
       .withColumn("fp", sha2(col("s"), 256))
-      .withColumn("h1", conv(substring(col("fp"), 1, 8), 16, 10).cast(LongType))
-      .withColumn("h2", conv(substring(col("fp"), 9, 8), 16, 10).cast(LongType))
+      .withColumn("h1", h1).withColumn("h2", h2)
   }
 
   test("no false negatives; FP rate near (1-e^(-kn/m))^k") {
@@ -49,6 +49,22 @@ class BloomFilterSpec extends SparkSpec {
     val many = hashed(members).repartition(7).select(col("h1"), col("h2"))
       .as[BloomHashes].select(bloom.toColumn).collect().head
     assert(one.toSeq == many.toSeq, "bitset depends on partitioning")
+  }
+
+  test("negative hashes index safely (floorMod, not signed %)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.typedLit
+    // hash(), xxhash64() produce negative longs; a signed % would
+    // index out of bounds (unsafe read / AIOOBE). floorMod(-5, 64)=59,
+    // floorMod(-12, 64)=52 set; the (-6, -7) probe reads 58 and 51.
+    val bloom = new BloomBuild(64, 2)
+    val bits = Seq(BloomHashes(-5L, -7L)).toDS().select(bloom.toColumn).collect().head
+    def probe(h1: Long, h2: Long): Boolean =
+      Seq((h1, h2)).toDF("h1", "h2")
+        .select(BloomFilter.mightContain(typedLit(bits), col("h1"), col("h2"), 64, 2))
+        .collect().head.getBoolean(0)
+    assert(probe(-5L, -7L), "member with negative hashes must hit")
+    assert(!probe(-6L, -7L), "disjoint negative probe must miss")
   }
 
   test("q_contamination_bloom == q_contamination (prefilter changes no rows)") {

@@ -71,14 +71,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
-  test("q_contamination_bloom: scan-stage bloom probe before the confirm join") {
+  test("q_contamination_bloom: scan-stage bloom probe below the confirm join") {
     val p = plan("q_contamination_bloom")
     assert(p.contains("bloom_might_contain"), p.take(2000))
-    // the probe must sit BELOW the fp confirm join: everything the bloom
-    // drops never reaches the join's exchange
+    // the probe must sit BELOW the fp confirm join (everything the
+    // bloom drops never reaches the join's exchange). In Spark's tree
+    // rendering a parent prints before its children, so the confirm
+    // join — an equi-join, whatever strategy AQE picks — must appear
+    // before the probe; a plan with no equi-join at all, or with the
+    // probe hoisted above it, fails rather than passing vacuously.
     val probeAt = p.indexOf("bloom_might_contain")
-    val joinAt = p.lastIndexOf("SortMergeJoin")
-    assert(joinAt < 0 || probeAt > p.indexOf("Join"), p.take(2000))
+    val joins = Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+      .flatMap(j => j.r.findAllMatchIn(p).map(_.start))
+    assert(joins.nonEmpty, "no equi confirm join in plan: " + p.take(2000))
+    assert(joins.exists(_ < probeAt),
+      "bloom probe sits above every confirm join: " + p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 

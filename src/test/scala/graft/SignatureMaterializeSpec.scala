@@ -45,6 +45,12 @@ class SignatureMaterializeSpec extends SparkSpec {
       // the (large) shingle-set column from storage
       val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
       assert(!read.contains("shs"), read)
+
+      // (d) a signature table STORED without the shingle column — the
+      // realistic compact layout — still feeds the candidate join
+      val sgOnly = DedupQueries.candidatePairsFromSignatures(
+        reloaded.select("doc_id", "sg"), Seq.empty)
+      assert(sgOnly.count() == disk.size, "shs-free signature table must work")
     }
   }
 

@@ -227,15 +227,14 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     import graft.operators.{BloomBuild, BloomFilter, BloomHashes}
-    import org.apache.spark.sql.functions.{col, conv, substring}
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.functions.col
     // static train side: fingerprints -> 8 KiB bloom, built once
     val train = Seq("alpha beta gamma", "delta epsilon zeta")
     val bloom = new BloomBuild(BloomFilter.DefaultBits, BloomFilter.DefaultProbes)
+    val (h1, h2) = BloomFilter.hashColumns(col("fp"))
     val bits = train.toDF("text")
       .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
-      .withColumn("h1", conv(substring(col("fp"), 1, 8), 16, 10).cast(LongType))
-      .withColumn("h2", conv(substring(col("fp"), 9, 8), 16, 10).cast(LongType))
+      .withColumn("h1", h1).withColumn("h2", h2)
       .select(col("h1"), col("h2")).as[BloomHashes]
       .select(bloom.toColumn).collect().head
     val input = MemoryStream[(Long, String)]
