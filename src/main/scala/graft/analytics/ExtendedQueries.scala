@@ -309,6 +309,42 @@ object ExtendedQueries {
         .orderBy(col("k"))
     },
 
+    // ---------------------------------------------------------- §2.10
+    // Bounded-state heavy-hitter detection (the hot-key finder that
+    // feeds skew mitigation): a Misra–Gries typed Aggregator keeps 128
+    // counters per partial buffer regardless of N or key cardinality —
+    // vs the full groupBy over every distinct key — and its mergeable
+    // guarantee (candidates ⊇ every key with share > 1/129) makes the
+    // exact confirm count over just the candidates return EXACTLY the
+    // >1% heavy hitters. The sketch's candidate SET is partitioning-
+    // dependent; the confirmed result is not — extra candidates die on
+    // the exact threshold, missing ones are impossible — which is what
+    // lets a sketch-based query pass a hash-equality oracle. The
+    // grouping key is synthetically skewed (as q_skew_agg): 40% of
+    // events collapse onto keys 0/1, the rest spread over the user tail.
+    GraftQuery(
+      "q_heavy_hitters",
+      """WITH d AS (SELECT CASE WHEN user_id % 10 < 4 THEN user_id % 2
+        |                       ELSE user_id END AS k FROM events)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1
+        |HAVING count(*) * 100 > (SELECT count(*) FROM events)
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val skewKey = when(col("user_id") % 10 < 4, col("user_id") % 2)
+        .otherwise(col("user_id")).cast(LongType)
+      val keyed = t(s, dir, "events").select(skewKey.as("k"))
+      val candidates = keyed.as[Long]
+        .select(new graft.operators.MisraGries(128).toColumn)
+        .toDF("ks").select(explode(col("ks")).as("k"))
+      val total = t(s, dir, "events").agg(count(lit(1)).as("total"))
+      keyed.join(broadcast(candidates), "k")
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .join(broadcast(total))
+        .filter(col("n") * 100 > col("total"))
+        .select(col("k"), col("n"))
+        .orderBy(col("k"))
+    },
+
     // ------------------------------------------------------------- P7
     // The SQL entry path: temp views + spark.sql, with a CORRELATED
     // scalar subquery Catalyst decorrelates into an aggregate+join.
