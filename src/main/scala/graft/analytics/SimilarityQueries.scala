@@ -192,6 +192,129 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     },
 
+    // --------------------------------------------- product quantization
+    // PQ/ADC ANN — the production tier beside scalar int8: the 64-dim
+    // space splits into 8 subspaces of 8 dims; each corpus vector is
+    // encoded as 8 four-bit codes (nearest of 16 pinned centroids per
+    // subspace — vectors vec_id < 16 serve as the deterministic
+    // codebook, as q_ann_ivf; a real deployment k-means them), and
+    // queries score candidates ASYMMETRICALLY by summing per-subspace
+    // query→centroid distances from a 128-entry lookup table. Scale
+    // shape: codes are 8 bytes/vector (16× smaller than float32, the
+    // stored layout); encoding is a per-row pass against the broadcast
+    // codebook; scoring is 8 map lookups per (query, vector) — no
+    // float math touches the corpus until the exact re-rank of the
+    // top-8 survivors. Determinism: every distance is the identical
+    // cast→subtract→multiply→left-to-right-sum on both engines, the
+    // per-subspace argmin breaks ties on centroid id, and the ADC score
+    // folds in fixed subspace order — so even the approximate DISTANCES
+    // hash-match.
+    GraftQuery(
+      "q_ann_pq", {
+        // (x[8j+i] − y[8j+i])² summed i=1..8, left to right
+        def subDistSql(a: String, b: String) =
+          s"""list_reduce([($a[8*jj.j + i] - $b[8*jj.j + i])
+             |             * ($a[8*jj.j + i] - $b[8*jj.j + i])
+             |             FOR i IN range(1, 9)], (x, y) -> x + y)""".stripMargin
+        s"""WITH e AS ($embDoubleSql),
+           |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+           |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+           |pd AS (SELECT a.vec_id AS n_id, c.c_id, jj.j,
+           |         ${subDistSql("a.v", "c.cv")} AS d2
+           |       FROM e a, cent c, (SELECT unnest(range(0, 8)) AS j) jj),
+           |enc AS (SELECT n_id, j, c_id,
+           |          row_number() OVER (PARTITION BY n_id, j
+           |            ORDER BY d2, c_id) AS r
+           |        FROM pd),
+           |cm AS (SELECT n_id, list(c_id ORDER BY j) AS cl
+           |       FROM enc WHERE r = 1 GROUP BY n_id),
+           |qdl AS (SELECT n_id AS q_id, list(d2 ORDER BY c_id * 8 + j) AS dl
+           |        FROM pd WHERE n_id < 10 GROUP BY n_id),
+           |s AS (SELECT q.q_id, c.n_id,
+           |        list_reduce([q.dl[c.cl[j + 1] * 8 + j + 1]
+           |                     FOR j IN range(0, 8)], (x, y) -> x + y) AS ad2
+           |      FROM cm c, qdl q WHERE c.n_id <> q.q_id),
+           |cand AS (SELECT q_id, n_id, ad2,
+           |           row_number() OVER (PARTITION BY q_id
+           |             ORDER BY ad2, n_id) AS crank
+           |         FROM s),
+           |r AS (SELECT q_id, n_id, ad2,
+           |        ${dotSql("qn.v", "cn.v")} / (qn.nrm * cn.nrm) AS cos
+           |      FROM cand JOIN n qn ON qn.vec_id = cand.q_id
+           |                JOIN n cn ON cn.vec_id = cand.n_id
+           |      WHERE crank <= 8),
+           |t AS (SELECT q_id, n_id, ad2, cos,
+           |        CAST(row_number() OVER (PARTITION BY q_id
+           |               ORDER BY cos DESC, n_id) AS INTEGER) AS rank
+           |      FROM r)
+           |SELECT q_id, n_id, rank, round(ad2, 4) AS approx_d2,
+           |  round(cos, 4) AS cosine
+           |FROM t WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+      }) { (s, dir) =>
+      import org.apache.spark.sql.types.DoubleType
+      val e = t(s, dir, "embeddings")
+      // (a[8j+i] − b[8j+i])² summed i=1..8, same op order as the oracle
+      def subDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+          j: Int): org.apache.spark.sql.Column =
+        (1 to 8).map { i =>
+          val x = element_at(a, 8 * j + i).cast(DoubleType) -
+            element_at(b, 8 * j + i).cast(DoubleType)
+          x * x
+        }.reduce(_ + _)
+      val cent = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+      // per-(vector, centroid, subspace) distances — one broadcast pass
+      val pd = e.select(col("vec_id").as("n_id"), col("embedding").as("v"))
+        .join(broadcast(cent))
+        .select(col("n_id"), col("c_id"),
+          posexplode(array((0 until 8).map(j =>
+            subDist(col("v"), col("cv"), j)): _*)).as(Seq("j", "d2")))
+      val wEnc = Window.partitionBy(col("n_id"), col("j"))
+        .orderBy(col("d2"), col("c_id"))
+      // corpus codes: subspace → nearest-centroid id, as a j-keyed map
+      val codes = pd.withColumn("r", row_number().over(wEnc))
+        .filter(col("r") === 1)
+        .groupBy(col("n_id"))
+        .agg(map_from_entries(collect_list(struct(col("j"), col("c_id"))))
+          .as("cm"))
+      // query ADC tables: (c_id·8 + j) → d², 128 entries per query
+      val qdt = pd.filter(col("n_id") < 10)
+        .select(col("n_id").as("q_id"),
+          (col("c_id") * 8 + col("j")).as("k"), col("d2"))
+        .groupBy(col("q_id"))
+        .agg(map_from_entries(collect_list(struct(col("k"), col("d2"))))
+          .as("dtm"))
+      val wCand = Window.partitionBy(col("q_id")).orderBy(col("ad2"), col("n_id"))
+      val wRank = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id"))
+      // ADC scoring: 8 map lookups folded in fixed subspace order; only
+      // (q_id, n_id, ad2) enters the ranking exchange
+      val cand = codes.join(broadcast(qdt), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          (0 until 8).map(j =>
+            element_at(col("dtm"),
+              element_at(col("cm"), lit(j)) * 8 + lit(j))).reduce(_ + _)
+            .as("ad2"))
+        .withColumn("crank", row_number().over(wCand))
+        .filter(col("crank") <= 8)
+        .select(col("q_id"), col("n_id"), col("ad2"))
+      // exact re-rank: vectors/norms fetched only for the survivors
+      val fetched = e.join(broadcast(cand), col("vec_id") === col("n_id"))
+        .select(col("q_id"), col("n_id"), col("ad2"),
+          col("embedding").as("cv"), l2Norm(col("embedding")).as("cn"))
+      val qn = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id2"), col("embedding").as("qv"),
+          l2Norm(col("embedding")).as("qn"))
+      fetched.join(broadcast(qn), col("q_id") === col("q_id2"))
+        .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .withColumn("rank", row_number().over(wRank).cast(IntegerType))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("n_id"), col("rank"),
+          round(col("ad2"), 4).as("approx_d2"),
+          round(col("cos"), 4).as("cosine"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+
     // ----------------------------------------------- multiband dense LSH
     // Multi-table sign-LSH ANN (the recall upgrade over the single
     // 8-bit bucket of q_ann_lsh): every vector gets 4 independent dense

@@ -49,4 +49,17 @@ class AnnRecallSpec extends SparkSpec {
     val recall = hits.sum.toDouble / (3.0 * qs.size)
     assert(recall >= 0.8, s"int8 top-3-in-exact-top-10 recall $recall, hits=$hits")
   }
+
+  test("PQ/ADC candidate cut finds true neighbors (crude pinned codebook)") {
+    val exact = top3("q_ann_bruteforce")
+    val pq = top3("q_ann_pq")
+    val qs = exact.keySet
+    // 16 pinned (non-k-means) centroids per subspace quantize coarsely
+    // by design — the floor is deliberately below int8's (measured ~0.8
+    // at sf0.001); what matters is the ADC cut still surfaces true
+    // neighbors and the exact re-rank reports exact cosines
+    val hits = qs.toSeq.map(q => pq(q).count(exact(q).contains))
+    val recall = hits.sum.toDouble / (3.0 * qs.size)
+    assert(recall >= 0.5, s"pq top-3-in-exact-top-10 recall $recall, hits=$hits")
+  }
 }
