@@ -269,11 +269,14 @@ object SimilarityQueries {
         .select(col("n_id"), col("c_id"),
           posexplode(array((0 until 8).map(j =>
             subDist(col("v"), col("cv"), j)): _*)).as(Seq("j", "d2")))
-      val wEnc = Window.partitionBy(col("n_id"), col("j"))
-        .orderBy(col("d2"), col("c_id"))
-      // corpus codes: subspace → nearest-centroid id, as a j-keyed map
-      val codes = pd.withColumn("r", row_number().over(wEnc))
-        .filter(col("r") === 1)
+      // corpus codes: subspace → nearest-centroid id, as a j-keyed map.
+      // argmin via min(struct(d2, c_id)) — lexicographic struct order is
+      // exactly (d2 asc, tie → c_id asc), and the aggregation combines
+      // map-side, unlike a row_number window which must sort every
+      // (vector, centroid, subspace) row after the exchange
+      val codes = pd.groupBy(col("n_id"), col("j"))
+        .agg(min(struct(col("d2"), col("c_id"))).as("m"))
+        .select(col("n_id"), col("j"), col("m.c_id").as("c_id"))
         .groupBy(col("n_id"))
         .agg(map_from_entries(collect_list(struct(col("j"), col("c_id"))))
           .as("cm"))
