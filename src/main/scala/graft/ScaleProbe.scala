@@ -110,6 +110,62 @@ object ScaleProbe {
       }
     }
 
+    // PQ encode + ADC scoring at corpus scale: encoding is the
+    // broadcast-codebook argmin pass (the write-once cost of the 8
+    // byte/vector stored layout); scoring is 8 map lookups per
+    // (query, vector). Both are linear in corpus size — the probe
+    // measures wall at 100k and 1M vectors.
+    {
+      import org.apache.spark.sql.types.DoubleType
+      def subDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+          j: Int): org.apache.spark.sql.Column =
+        (1 to 8).map { i =>
+          val x = element_at(a, 8 * j + i).cast(DoubleType) -
+            element_at(b, 8 * j + i).cast(DoubleType)
+          x * x
+        }.reduce(_ + _)
+      for (label <- Seq("100k", "1M")) {
+        val e = spark.read.parquet(s"/tmp/scale_embed_$label.parquet")
+        val cent = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+        val pd = e.select(col("vec_id").as("n_id"), col("embedding").as("v"))
+          .join(broadcast(cent))
+          .select(col("n_id"), col("c_id"),
+            posexplode(array((0 until 8).map(j =>
+              subDist(col("v"), col("cv"), j)): _*)).as(Seq("j", "d2")))
+        var t0 = System.nanoTime()
+        val codes = pd.groupBy(col("n_id"), col("j"))
+          .agg(min(struct(col("d2"), col("c_id"))).as("m"))
+          .select(col("n_id"), col("j"), col("m.c_id").as("c_id"))
+          .groupBy(col("n_id"))
+          .agg(map_from_entries(collect_list(struct(col("j"), col("c_id"))))
+            .as("cm"))
+        codes.cache().count()
+        val wEnc = (System.nanoTime() - t0) / 1e9
+        val qdt = pd.filter(col("n_id") < 10)
+          .select(col("n_id").as("q_id"),
+            (col("c_id") * 8 + col("j")).as("k"), col("d2"))
+          .groupBy(col("q_id"))
+          .agg(map_from_entries(collect_list(struct(col("k"), col("d2"))))
+            .as("dtm"))
+        t0 = System.nanoTime()
+        val scored = codes.join(broadcast(qdt), col("n_id") =!= col("q_id"))
+          .select(col("q_id"), col("n_id"),
+            (0 until 8).map(j =>
+              element_at(col("dtm"),
+                element_at(col("cm"), lit(j)) * 8 + lit(j))).reduce(_ + _)
+              .as("ad2"))
+          .withColumn("r", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+              .orderBy(col("ad2"), col("n_id"))))
+          .filter(col("r") <= 8).count()
+        val wAdc = (System.nanoTime() - t0) / 1e9
+        codes.unpersist()
+        println(f"SCALE-PQ corpus=$label encode_s=$wEnc%.1f " +
+          f"adc_top8_s=$wAdc%.1f candidates=$scored")
+      }
+    }
+
     // int8 quantized candidate cut at 1M vectors: fidelity of the
     // integer-score top-8 cut vs the exact float top-3, plus the wall of
     // the integer pass (10 broadcast queries x 1M corpus = 10M kernel

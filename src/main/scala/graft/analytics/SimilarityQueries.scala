@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -34,6 +34,58 @@ object SimilarityQueries {
 
   private val embDoubleSql =
     "SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings"
+
+  /** PQ subspace L2²: (a[8j+i] − b[8j+i])² summed i=1..8, left to
+    * right — identical op order on both engines (shared by q_ann_pq
+    * and q_ann_ivfpq).
+    */
+  private def pqSubDist(a: Column, b: Column, j: Int): Column =
+    (1 to 8).map { i =>
+      val x = element_at(a, 8 * j + i).cast(DoubleType) -
+        element_at(b, 8 * j + i).cast(DoubleType)
+      x * x
+    }.reduce(_ + _)
+
+  private def pqSubDistSql(a: String, b: String): String =
+    s"""list_reduce([($a[8*jj.j + i] - $b[8*jj.j + i])
+       |             * ($a[8*jj.j + i] - $b[8*jj.j + i])
+       |             FOR i IN range(1, 9)], (x, y) -> x + y)""".stripMargin
+
+  /** The (vec, centroid, subspace) → d² frame feeding PQ encode and
+    * query ADC tables (corpus × 16 broadcast centroids × 8 subspaces).
+    */
+  private def pqPartialDists(e: DataFrame, cent: DataFrame): DataFrame =
+    e.select(col("vec_id").as("n_id"), col("embedding").as("v"))
+      .join(broadcast(cent))
+      .select(col("n_id"), col("c_id"),
+        posexplode(array((0 until 8).map(j =>
+          pqSubDist(col("v"), col("cv"), j)): _*)).as(Seq("j", "d2")))
+
+  /** Corpus PQ codes as a j→centroid map per vector (argmin via
+    * map-side-combining min(struct)).
+    */
+  private def pqCodes(pd: DataFrame): DataFrame =
+    pd.groupBy(col("n_id"), col("j"))
+      .agg(min(struct(col("d2"), col("c_id"))).as("m"))
+      .select(col("n_id"), col("j"), col("m.c_id").as("c_id"))
+      .groupBy(col("n_id"))
+      .agg(map_from_entries(collect_list(struct(col("j"), col("c_id"))))
+        .as("cm"))
+
+  /** Query ADC tables: (c_id·8 + j) → d², 128 entries per query. */
+  private def pqQueryTables(pd: DataFrame, nQueries: Int): DataFrame =
+    pd.filter(col("n_id") < nQueries)
+      .select(col("n_id").as("q_id"),
+        (col("c_id") * 8 + col("j")).as("k"), col("d2"))
+      .groupBy(col("q_id"))
+      .agg(map_from_entries(collect_list(struct(col("k"), col("d2"))))
+        .as("dtm"))
+
+  /** ADC score: 8 lookup-table probes folded in fixed subspace order. */
+  private def adcScore: Column =
+    (0 until 8).map(j =>
+      element_at(col("dtm"), element_at(col("cm"), lit(j)) * 8 + lit(j)))
+      .reduce(_ + _)
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -211,16 +263,11 @@ object SimilarityQueries {
     // hash-match.
     GraftQuery(
       "q_ann_pq", {
-        // (x[8j+i] − y[8j+i])² summed i=1..8, left to right
-        def subDistSql(a: String, b: String) =
-          s"""list_reduce([($a[8*jj.j + i] - $b[8*jj.j + i])
-             |             * ($a[8*jj.j + i] - $b[8*jj.j + i])
-             |             FOR i IN range(1, 9)], (x, y) -> x + y)""".stripMargin
         s"""WITH e AS ($embDoubleSql),
            |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
            |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
            |pd AS (SELECT a.vec_id AS n_id, c.c_id, jj.j,
-           |         ${subDistSql("a.v", "c.cv")} AS d2
+           |         ${pqSubDistSql("a.v", "c.cv")} AS d2
            |       FROM e a, cent c, (SELECT unnest(range(0, 8)) AS j) jj),
            |enc AS (SELECT n_id, j, c_id,
            |          row_number() OVER (PARTITION BY n_id, j
@@ -251,53 +298,24 @@ object SimilarityQueries {
            |  round(cos, 4) AS cosine
            |FROM t WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
       }) { (s, dir) =>
-      import org.apache.spark.sql.types.DoubleType
       val e = t(s, dir, "embeddings")
-      // (a[8j+i] − b[8j+i])² summed i=1..8, same op order as the oracle
-      def subDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
-          j: Int): org.apache.spark.sql.Column =
-        (1 to 8).map { i =>
-          val x = element_at(a, 8 * j + i).cast(DoubleType) -
-            element_at(b, 8 * j + i).cast(DoubleType)
-          x * x
-        }.reduce(_ + _)
       val cent = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
-      // per-(vector, centroid, subspace) distances — one broadcast pass
-      val pd = e.select(col("vec_id").as("n_id"), col("embedding").as("v"))
-        .join(broadcast(cent))
-        .select(col("n_id"), col("c_id"),
-          posexplode(array((0 until 8).map(j =>
-            subDist(col("v"), col("cv"), j)): _*)).as(Seq("j", "d2")))
-      // corpus codes: subspace → nearest-centroid id, as a j-keyed map.
-      // argmin via min(struct(d2, c_id)) — lexicographic struct order is
-      // exactly (d2 asc, tie → c_id asc), and the aggregation combines
-      // map-side, unlike a row_number window which must sort every
-      // (vector, centroid, subspace) row after the exchange
-      val codes = pd.groupBy(col("n_id"), col("j"))
-        .agg(min(struct(col("d2"), col("c_id"))).as("m"))
-        .select(col("n_id"), col("j"), col("m.c_id").as("c_id"))
-        .groupBy(col("n_id"))
-        .agg(map_from_entries(collect_list(struct(col("j"), col("c_id"))))
-          .as("cm"))
-      // query ADC tables: (c_id·8 + j) → d², 128 entries per query
-      val qdt = pd.filter(col("n_id") < 10)
-        .select(col("n_id").as("q_id"),
-          (col("c_id") * 8 + col("j")).as("k"), col("d2"))
-        .groupBy(col("q_id"))
-        .agg(map_from_entries(collect_list(struct(col("k"), col("d2"))))
-          .as("dtm"))
+      // (vector, centroid, subspace) distances — one broadcast pass;
+      // codes argmin via min(struct(d2, c_id)): lexicographic struct
+      // order is exactly (d2 asc, tie → c_id asc), and the aggregation
+      // combines map-side, unlike a row_number window which must sort
+      // every (vector, centroid, subspace) row after the exchange
+      val pd = pqPartialDists(e, cent)
+      val codes = pqCodes(pd)
+      val qdt = pqQueryTables(pd, 10)
       val wCand = Window.partitionBy(col("q_id")).orderBy(col("ad2"), col("n_id"))
       val wRank = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("n_id"))
       // ADC scoring: 8 map lookups folded in fixed subspace order; only
       // (q_id, n_id, ad2) enters the ranking exchange
       val cand = codes.join(broadcast(qdt), col("n_id") =!= col("q_id"))
-        .select(col("q_id"), col("n_id"),
-          (0 until 8).map(j =>
-            element_at(col("dtm"),
-              element_at(col("cm"), lit(j)) * 8 + lit(j))).reduce(_ + _)
-            .as("ad2"))
+        .select(col("q_id"), col("n_id"), adcScore.as("ad2"))
         .withColumn("crank", row_number().over(wCand))
         .filter(col("crank") <= 8)
         .select(col("q_id"), col("n_id"), col("ad2"))
@@ -310,6 +328,108 @@ object SimilarityQueries {
           l2Norm(col("embedding")).as("qn"))
       fetched.join(broadcast(qn), col("q_id") === col("q_id2"))
         .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .withColumn("rank", row_number().over(wRank).cast(IntegerType))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("n_id"), col("rank"),
+          round(col("ad2"), 4).as("approx_d2"),
+          round(col("cos"), 4).as("cosine"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+
+    // ------------------------------------------------------------ IVF-PQ
+    // The production ANN config — both index structures composed:
+    // coarse IVF cells bound WHICH vectors are scored (probes=2 of 16
+    // cells ⇒ ~1/8 of the corpus per query) and PQ/ADC bounds the COST
+    // of scoring each one (8 lookups, no float math). The exact cosine
+    // re-ranks the top-8 as ever. At 100 TB this is the shape that
+    // serves: cells partition the stored 8-byte code table, a query
+    // touches only its probed partitions, and scan IO per candidate is
+    // 16× under float32. All determinism properties of q_ann_ivf and
+    // q_ann_pq compose unchanged, so the full pipeline — including
+    // approximate distances — hash-matches the oracle.
+    GraftQuery(
+      "q_ann_ivfpq", {
+        s"""WITH e AS ($embDoubleSql),
+           |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+           |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+           |asg AS (SELECT a.vec_id, c.c_id,
+           |          row_number() OVER (PARTITION BY a.vec_id
+           |            ORDER BY ${dotSql("a.v", "c.cv")} DESC, c.c_id) AS crank
+           |        FROM e a, cent c),
+           |cells AS (SELECT vec_id AS n_id, c_id AS cell FROM asg WHERE crank = 1),
+           |probes AS (SELECT vec_id AS q_id, c_id AS cell FROM asg
+           |           WHERE vec_id < 10 AND crank <= 2),
+           |pd AS (SELECT a.vec_id AS n_id, c.c_id, jj.j,
+           |         ${pqSubDistSql("a.v", "c.cv")} AS d2
+           |       FROM e a, cent c, (SELECT unnest(range(0, 8)) AS j) jj),
+           |enc AS (SELECT n_id, j, c_id,
+           |          row_number() OVER (PARTITION BY n_id, j
+           |            ORDER BY d2, c_id) AS r
+           |        FROM pd),
+           |cm AS (SELECT n_id, list(c_id ORDER BY j) AS cl
+           |       FROM enc WHERE r = 1 GROUP BY n_id),
+           |qdl AS (SELECT n_id AS q_id, list(d2 ORDER BY c_id * 8 + j) AS dl
+           |        FROM pd WHERE n_id < 10 GROUP BY n_id),
+           |s AS (SELECT p.q_id, ce.n_id,
+           |        list_reduce([q.dl[k.cl[j + 1] * 8 + j + 1]
+           |                     FOR j IN range(0, 8)], (x, y) -> x + y) AS ad2
+           |      FROM probes p
+           |      JOIN cells ce ON p.cell = ce.cell AND ce.n_id <> p.q_id
+           |      JOIN cm k ON k.n_id = ce.n_id
+           |      JOIN qdl q ON q.q_id = p.q_id),
+           |cand AS (SELECT q_id, n_id, ad2,
+           |           row_number() OVER (PARTITION BY q_id
+           |             ORDER BY ad2, n_id) AS crank
+           |         FROM s),
+           |r AS (SELECT q_id, n_id, ad2,
+           |        ${dotSql("qn.v", "cn.v")} / (qn.nrm * cn.nrm) AS cos
+           |      FROM cand JOIN n qn ON qn.vec_id = cand.q_id
+           |                JOIN n cn ON cn.vec_id = cand.n_id
+           |      WHERE crank <= 8),
+           |t AS (SELECT q_id, n_id, ad2, cos,
+           |        CAST(row_number() OVER (PARTITION BY q_id
+           |               ORDER BY cos DESC, n_id) AS INTEGER) AS rank
+           |      FROM r)
+           |SELECT q_id, n_id, rank, round(ad2, 4) AS approx_d2,
+           |  round(cos, 4) AS cosine
+           |FROM t WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+      }) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val cent = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+      // coarse assignment (unit-norm ⇒ dot order = cosine order)
+      val wAsg = Window.partitionBy(col("vec_id"))
+        .orderBy(dot(col("v"), col("cv")).desc, col("c_id"))
+      val asg = e.select(col("vec_id"), col("embedding").as("v"))
+        .join(broadcast(cent))
+        .withColumn("crank", row_number().over(wAsg))
+      val cells = asg.filter(col("crank") === 1)
+        .select(col("vec_id").as("n_id"), col("c_id").as("cell"))
+      val probes = asg.filter(col("vec_id") < 10 && col("crank") <= 2)
+        .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+      val pd = pqPartialDists(e, cent)
+      val codes = pqCodes(pd)
+      val qdt = pqQueryTables(pd, 10)
+      // candidates: only the probed cells' members are ever scored —
+      // (q, n) pairs are unique (one cell per vector, distinct probes)
+      val cand0 = probes.join(cells, "cell")
+        .filter(col("n_id") =!= col("q_id"))
+      val wCand = Window.partitionBy(col("q_id")).orderBy(col("ad2"), col("n_id"))
+      val wRank = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id"))
+      val cand = cand0.join(codes, "n_id").join(broadcast(qdt), "q_id")
+        .select(col("q_id"), col("n_id"), adcScore.as("ad2"))
+        .withColumn("crank", row_number().over(wCand))
+        .filter(col("crank") <= 8)
+        .select(col("q_id"), col("n_id"), col("ad2"))
+      val fetched = e.join(broadcast(cand), col("vec_id") === col("n_id"))
+        .select(col("q_id"), col("n_id"), col("ad2"),
+          col("embedding").as("nv"), l2Norm(col("embedding")).as("cn"))
+      val qn = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id2"), col("embedding").as("qv"),
+          l2Norm(col("embedding")).as("qn"))
+      fetched.join(broadcast(qn), col("q_id") === col("q_id2"))
+        .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("cn")))
         .withColumn("rank", row_number().over(wRank).cast(IntegerType))
         .filter(col("rank") <= 3)
         .select(col("q_id"), col("n_id"), col("rank"),
