@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{FloatVectorDot, MinHashSignature, QuantizedDotI8, SignBuckets, SimHash32, ZOrderLong}
+import graft.expressions.{AdcScore, FloatVectorDot, MinHashSignature, NearestCell, PqEncode, QuantizedDotI8, SignBuckets, SimHash32, ZOrderLong}
 import graft.operators.BloomMightContain
 
 /** SparkSessionExtensions entry point: registers graft's custom
@@ -65,6 +65,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "bloom_might_contain(bloom, h1, h2, bits, probes)")
         def intArg(e: Expression): Int = e.eval().asInstanceOf[Int]
         BloomMightContain(args(0), args(1), args(2), intArg(args(3)), intArg(args(4)))
+      }))
+    def intArg0(e: Expression): Int = e.eval().asInstanceOf[Int]
+    def codebookArg(e: Expression): Array[Double] =
+      e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toDoubleArray()
+    ext.injectFunction((
+      new FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "pq_encode(vec, codebook, subspaces, subDim)")
+        PqEncode(args(0), codebookArg(args(1)), intArg0(args(2)), intArg0(args(3)))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("nearest_cell"),
+      new ExpressionInfo(classOf[NearestCell].getName, "nearest_cell"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "nearest_cell(vec, codebook, dim)")
+        NearestCell(args(0), codebookArg(args(1)), intArg0(args(2)))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("adc_score"),
+      new ExpressionInfo(classOf[AdcScore].getName, "adc_score"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "adc_score(codes, table, subspaces)")
+        AdcScore(args(0), args(1), intArg0(args(2)))
       }))
     ext.injectFunction((
       new FunctionIdentifier("zorder2"),

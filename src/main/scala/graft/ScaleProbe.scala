@@ -110,51 +110,31 @@ object ScaleProbe {
       }
     }
 
-    // PQ encode + ADC scoring at corpus scale: encoding is the
-    // broadcast-codebook argmin pass (the write-once cost of the 8
-    // byte/vector stored layout); scoring is 8 map lookups per
-    // (query, vector). Both are linear in corpus size — the probe
-    // measures wall at 100k and 1M vectors.
+    // PQ encode + ADC scoring at corpus scale: encoding is now a
+    // scan-stage codegen kernel against the compiled codebook
+    // (graft.expressions.PqEncode — the round-3 explode+groupBy form
+    // shuffled 128 rows per corpus vector to compute the same argmins);
+    // scoring is 8 array probes per (query, vector). Both are linear
+    // in corpus size — the probe measures wall at 100k and 1M vectors.
     {
-      import org.apache.spark.sql.types.DoubleType
-      def subDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
-          j: Int): org.apache.spark.sql.Column =
-        (1 to 8).map { i =>
-          val x = element_at(a, 8 * j + i).cast(DoubleType) -
-            element_at(b, 8 * j + i).cast(DoubleType)
-          x * x
-        }.reduce(_ + _)
+      import graft.expressions.PqExpressions
       for (label <- Seq("100k", "1M")) {
         val e = spark.read.parquet(s"/tmp/scale_embed_$label.parquet")
-        val cent = e.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
-        val pd = e.select(col("vec_id").as("n_id"), col("embedding").as("v"))
-          .join(broadcast(cent))
-          .select(col("n_id"), col("c_id"),
-            posexplode(array((0 until 8).map(j =>
-              subDist(col("v"), col("cv"), j)): _*)).as(Seq("j", "d2")))
+        val cb = e.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+          .select(col("embedding")).collect()
+          .flatMap(_.getSeq[Float](0).map(_.toDouble))
         var t0 = System.nanoTime()
-        val codes = pd.groupBy(col("n_id"), col("j"))
-          .agg(min(struct(col("d2"), col("c_id"))).as("m"))
-          .select(col("n_id"), col("j"), col("m.c_id").as("c_id"))
-          .groupBy(col("n_id"))
-          .agg(map_from_entries(collect_list(struct(col("j"), col("c_id"))))
-            .as("cm"))
+        val codes = e.select(col("vec_id").as("n_id"),
+          PqExpressions.pqEncode(col("embedding"), cb, 8, 8).as("cl"))
         codes.cache().count()
         val wEnc = (System.nanoTime() - t0) / 1e9
-        val qdt = pd.filter(col("n_id") < 10)
-          .select(col("n_id").as("q_id"),
-            (col("c_id") * 8 + col("j")).as("k"), col("d2"))
-          .groupBy(col("q_id"))
-          .agg(map_from_entries(collect_list(struct(col("k"), col("d2"))))
-            .as("dtm"))
+        val qdt = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"),
+            PqExpressions.pqSubDists(col("embedding"), cb, 8, 8).as("dl"))
         t0 = System.nanoTime()
         val scored = codes.join(broadcast(qdt), col("n_id") =!= col("q_id"))
           .select(col("q_id"), col("n_id"),
-            (0 until 8).map(j =>
-              element_at(col("dtm"),
-                element_at(col("cm"), lit(j)) * 8 + lit(j))).reduce(_ + _)
-              .as("ad2"))
+            PqExpressions.adcScore(col("cl"), col("dl"), 8).as("ad2"))
           .withColumn("r", row_number().over(
             org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
               .orderBy(col("ad2"), col("n_id"))))

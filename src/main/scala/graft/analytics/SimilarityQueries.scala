@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.Tables
+import graft.expressions.PqExpressions
 import graft.functions.SimilarityFunctions._
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
@@ -35,57 +36,31 @@ object SimilarityQueries {
   private val embDoubleSql =
     "SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings"
 
-  /** PQ subspace L2²: (a[8j+i] − b[8j+i])² summed i=1..8, left to
-    * right — identical op order on both engines (shared by q_ann_pq
-    * and q_ann_ivfpq).
-    */
-  private def pqSubDist(a: Column, b: Column, j: Int): Column =
-    (1 to 8).map { i =>
-      val x = element_at(a, 8 * j + i).cast(DoubleType) -
-        element_at(b, 8 * j + i).cast(DoubleType)
-      x * x
-    }.reduce(_ + _)
-
   private def pqSubDistSql(a: String, b: String): String =
     s"""list_reduce([($a[8*jj.j + i] - $b[8*jj.j + i])
        |             * ($a[8*jj.j + i] - $b[8*jj.j + i])
        |             FOR i IN range(1, 9)], (x, y) -> x + y)""".stripMargin
 
-  /** The (vec, centroid, subspace) → d² frame feeding PQ encode and
-    * query ADC tables (corpus × 16 broadcast centroids × 8 subspaces).
+  /** The deterministic codebook (vectors vec_id < n, ascending id)
+    * collected to the driver as a flat row-major double array — a few
+    * KiB of MODEL PARAMETER compiled into the scan-stage kernels
+    * ([[graft.expressions.PqEncode]] & co.), exactly how a production
+    * ANN index ships trained centroids to executors. This replaces the
+    * corpus × centroids × subspaces explode+groupBy encode of earlier
+    * rounds: the corpus side of every index build is now a pure
+    * projection with ZERO exchange.
     */
-  private def pqPartialDists(e: DataFrame, cent: DataFrame): DataFrame =
-    e.select(col("vec_id").as("n_id"), col("embedding").as("v"))
-      .join(broadcast(cent))
-      .select(col("n_id"), col("c_id"),
-        posexplode(array((0 until 8).map(j =>
-          pqSubDist(col("v"), col("cv"), j)): _*)).as(Seq("j", "d2")))
+  private[analytics] def collectCodebook(e: DataFrame, n: Int): Array[Double] =
+    e.filter(col("vec_id") < n).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .flatMap(_.getSeq[Float](0).map(_.toDouble))
 
-  /** Corpus PQ codes as a j→centroid map per vector (argmin via
-    * map-side-combining min(struct)).
+  /** Embedding column made provably non-nullable, so kernel outputs
+    * used as join keys infer no `isnotnull` (which would inline the
+    * kernel into a filter and run it twice per row).
     */
-  private def pqCodes(pd: DataFrame): DataFrame =
-    pd.groupBy(col("n_id"), col("j"))
-      .agg(min(struct(col("d2"), col("c_id"))).as("m"))
-      .select(col("n_id"), col("j"), col("m.c_id").as("c_id"))
-      .groupBy(col("n_id"))
-      .agg(map_from_entries(collect_list(struct(col("j"), col("c_id"))))
-        .as("cm"))
-
-  /** Query ADC tables: (c_id·8 + j) → d², 128 entries per query. */
-  private def pqQueryTables(pd: DataFrame, nQueries: Int): DataFrame =
-    pd.filter(col("n_id") < nQueries)
-      .select(col("n_id").as("q_id"),
-        (col("c_id") * 8 + col("j")).as("k"), col("d2"))
-      .groupBy(col("q_id"))
-      .agg(map_from_entries(collect_list(struct(col("k"), col("d2"))))
-        .as("dtm"))
-
-  /** ADC score: 8 lookup-table probes folded in fixed subspace order. */
-  private def adcScore: Column =
-    (0 until 8).map(j =>
-      element_at(col("dtm"), element_at(col("cm"), lit(j)) * 8 + lit(j)))
-      .reduce(_ + _)
+  private def embNN: Column =
+    coalesce(col("embedding"), typedlit(Array.empty[Float]))
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -299,23 +274,24 @@ object SimilarityQueries {
            |FROM t WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
       }) { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val cent = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
-      // (vector, centroid, subspace) distances — one broadcast pass;
-      // codes argmin via min(struct(d2, c_id)): lexicographic struct
-      // order is exactly (d2 asc, tie → c_id asc), and the aggregation
-      // combines map-side, unlike a row_number window which must sort
-      // every (vector, centroid, subspace) row after the exchange
-      val pd = pqPartialDists(e, cent)
-      val codes = pqCodes(pd)
-      val qdt = pqQueryTables(pd, 10)
+      val cb = collectCodebook(e, 16)
+      // encode + query tables are pure scan-stage kernel projections
+      // against the compiled codebook — ZERO exchange on the encode
+      // side (the prior form materialized corpus × 16 × 8 rows through
+      // an explode and two aggregations to compute the same argmins)
+      val codes = e.select(col("vec_id").as("n_id"),
+        PqExpressions.pqEncode(embNN, cb, 8, 8).as("cl"))
+      val qdt = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"),
+          PqExpressions.pqSubDists(embNN, cb, 8, 8).as("dl"))
       val wCand = Window.partitionBy(col("q_id")).orderBy(col("ad2"), col("n_id"))
       val wRank = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("n_id"))
-      // ADC scoring: 8 map lookups folded in fixed subspace order; only
-      // (q_id, n_id, ad2) enters the ranking exchange
+      // ADC scoring: 8 array probes folded in fixed subspace order;
+      // only (q_id, n_id, ad2) enters the ranking exchange
       val cand = codes.join(broadcast(qdt), col("n_id") =!= col("q_id"))
-        .select(col("q_id"), col("n_id"), adcScore.as("ad2"))
+        .select(col("q_id"), col("n_id"),
+          PqExpressions.adcScore(col("cl"), col("dl"), 8).as("ad2"))
         .withColumn("crank", row_number().over(wCand))
         .filter(col("crank") <= 8)
         .select(col("q_id"), col("n_id"), col("ad2"))
@@ -395,30 +371,31 @@ object SimilarityQueries {
            |FROM t WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
       }) { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val cent = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
-      // coarse assignment (unit-norm ⇒ dot order = cosine order)
-      val wAsg = Window.partitionBy(col("vec_id"))
-        .orderBy(dot(col("v"), col("cv")).desc, col("c_id"))
-      val asg = e.select(col("vec_id"), col("embedding").as("v"))
-        .join(broadcast(cent))
-        .withColumn("crank", row_number().over(wAsg))
-      val cells = asg.filter(col("crank") === 1)
-        .select(col("vec_id").as("n_id"), col("c_id").as("cell"))
-      val probes = asg.filter(col("vec_id") < 10 && col("crank") <= 2)
-        .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
-      val pd = pqPartialDists(e, cent)
-      val codes = pqCodes(pd)
-      val qdt = pqQueryTables(pd, 10)
-      // candidates: only the probed cells' members are ever scored —
-      // (q, n) pairs are unique (one cell per vector, distinct probes)
-      val cand0 = probes.join(cells, "cell")
-        .filter(col("n_id") =!= col("q_id"))
+      val cb = collectCodebook(e, 16)
+      // ONE corpus scan computes the IVF cell AND the 8 PQ codes side
+      // by side as kernel projections — no window, no explode, no
+      // groupBy: zero exchange below the candidate ranking on the
+      // corpus side (coarse assign is argmax-dot; unit-norm ⇒ dot
+      // order = cosine order)
+      val corpus = e.select(col("vec_id").as("n_id"),
+        PqExpressions.nearestCell(embNN, cb, 64).as("cell"),
+        PqExpressions.pqEncode(embNN, cb, 8, 8).as("cl"))
+      // per-query probe cells + ADC table in one tiny projection,
+      // broadcast: (q_id, pcell, dl) — 2 rows × ~1 KiB per query
+      val probes = e.filter(col("vec_id") < 10).select(
+        col("vec_id").as("q_id"),
+        explode(PqExpressions.nearestCells(embNN, cb, 64, 2)).as("pcell"),
+        PqExpressions.pqSubDists(embNN, cb, 8, 8).as("dl"))
       val wCand = Window.partitionBy(col("q_id")).orderBy(col("ad2"), col("n_id"))
       val wRank = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("n_id"))
-      val cand = cand0.join(codes, "n_id").join(broadcast(qdt), "q_id")
-        .select(col("q_id"), col("n_id"), adcScore.as("ad2"))
+      // candidates: only probed cells' members are scored — (q, n)
+      // pairs are unique (one cell per vector, distinct probes), so no
+      // dedup stage is needed; ADC is 8 array probes per pair
+      val cand = corpus.join(broadcast(probes),
+          col("cell") === col("pcell") && col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          PqExpressions.adcScore(col("cl"), col("dl"), 8).as("ad2"))
         .withColumn("crank", row_number().over(wCand))
         .filter(col("crank") <= 8)
         .select(col("q_id"), col("n_id"), col("ad2"))
@@ -525,27 +502,28 @@ object SimilarityQueries {
          |SELECT q_id, n_id, rank, round(cos, 4) AS cosine
          |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
       val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").as("v"),
-          l2Norm(col("embedding")).as("nrm"))
-        .repartition(col("vec_id")) // barrier: norms computed once per side
-      val cent = broadcast(e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("c_id"), col("v").as("cv")))
-      val wAsg = Window.partitionBy(col("vec_id"))
-        .orderBy(dot(col("v"), col("cv")).desc, col("c_id"))
-      val asg = e.join(cent)
-        .withColumn("crank", row_number().over(wAsg))
-      val cells = asg.filter(col("crank") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
-      val probes = asg.filter(col("vec_id") < 10 && col("crank") <= 2)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("nrm").as("qn"), col("c_id").as("cell"))
+      val cb = collectCodebook(e, 16)
+      // coarse assignment is a scan-stage argmax-dot kernel against
+      // the compiled codebook — the corpus carries (vector, norm,
+      // cell) out of ONE scan with no window/exchange (the prior form
+      // broadcast-joined 16 centroids and ranked them with a
+      // row_number window per vector)
+      val corpus = e.select(col("vec_id").as("n_id"),
+        col("embedding").as("cv"), l2Norm(col("embedding")).as("cn"),
+        PqExpressions.nearestCell(embNN, cb, 64).as("cell"))
+      val probes = e.filter(col("vec_id") < 10).select(
+        col("vec_id").as("q_id"), col("embedding").as("qv"),
+        l2Norm(col("embedding")).as("qn"),
+        explode(PqExpressions.nearestCells(embNN, cb, 64, 2)).as("pcell"))
       val wRank = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("n_id"))
-      probes.join(cells, probes("cell") === cells("cell") &&
-          col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("n_id"),
-          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
-        .distinct()
+      // (q, n) pairs are unique (one cell per vector, distinct
+      // probes), so the oracle's DISTINCT is a structural no-op — no
+      // dedup exchange on the Spark side
+      corpus.join(broadcast(probes),
+          col("cell") === col("pcell") && col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
         .withColumn("rank", row_number().over(wRank).cast(IntegerType))
         .filter(col("rank") <= 3)
         .select(col("q_id"), col("n_id"), col("rank"),

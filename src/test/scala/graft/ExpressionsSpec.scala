@@ -139,6 +139,86 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("PQ/IVF kernels: codegen == interpreted == Scala oracle") {
+    import spark.implicits._
+    import graft.expressions.PqExpressions
+    val (subspaces, subDim, numCent) = (8, 8, 16)
+    val dim = subspaces * subDim
+    val cb: Array[Double] =
+      Array.fill(numCent * dim)((rnd.nextFloat() * 2 - 1).toDouble)
+    val vecs = (0 until 40).map(_ => Seq.fill(dim)(rnd.nextFloat() * 2 - 1))
+    val df = vecs.toDF("v")
+
+    // plain-Scala oracles with the kernels' exact fold orders
+    def subD(v: Seq[Float], c: Int, j: Int): Double =
+      (j * subDim until j * subDim + subDim).foldLeft(0.0) { (a, i) =>
+        val x = v(i).toDouble - cb(c * dim + i); a + x * x
+      }
+    def dotC(v: Seq[Float], c: Int): Double =
+      (0 until dim).foldLeft(0.0)((a, i) => a + v(i).toDouble * cb(c * dim + i))
+    def encode(v: Seq[Float]): Seq[Int] =
+      (0 until subspaces).map(j => (0 until numCent).minBy(c => (subD(v, c, j), c)))
+    def topCells(v: Seq[Float], k: Int): Seq[Int] =
+      (0 until numCent).sortBy(c => (-dotC(v, c), c)).take(k)
+
+    val rows = df.select(
+      PqExpressions.pqEncode(col("v"), cb, subspaces, subDim).as("codes"),
+      PqExpressions.pqSubDists(col("v"), cb, subspaces, subDim).as("dl"),
+      PqExpressions.nearestCell(col("v"), cb, dim).as("cell"),
+      PqExpressions.nearestCells(col("v"), cb, dim, 3).as("cells")).collect()
+    rows.zip(vecs).foreach { case (r, v) =>
+      val codes = r.getSeq[Int](0)
+      assert(codes == encode(v), "pq_encode != Scala argmin")
+      val dl = r.getSeq[Double](1)
+      for (c <- 0 until numCent; j <- 0 until subspaces)
+        assert(java.lang.Double.compare(
+          dl(c * subspaces + j), subD(v, c, j)) == 0, "sub-dist mismatch")
+      assert(r.getInt(2) == topCells(v, 1).head, "nearest_cell != Scala argmax")
+      assert(r.getSeq[Int](3) == topCells(v, 3), "nearest_cells != Scala top-3")
+      // ADC identity: score of your own codes == Σ_j min_c d²(j)
+      val adc = (0 until subspaces)
+        .foldLeft(0.0)((a, j) => a + dl(codes(j) * subspaces + j))
+      val minSum = (0 until subspaces)
+        .foldLeft(0.0)((a, j) => a + (0 until numCent).map(subD(v, _, j)).min)
+      assert(java.lang.Double.compare(adc, minSum) == 0)
+    }
+    // AdcScore kernel matches the manual fold (codegen path via select)
+    val scored = df.select(PqExpressions.adcScore(
+        PqExpressions.pqEncode(col("v"), cb, subspaces, subDim),
+        PqExpressions.pqSubDists(col("v"), cb, subspaces, subDim),
+        subspaces)).collect().map(_.getDouble(0))
+    scored.zip(vecs).foreach { case (g, v) =>
+      val e = encode(v)
+      val oracle = (0 until subspaces).foldLeft(0.0)((a, j) => a + subD(v, e(j), j))
+      assert(java.lang.Double.compare(g, oracle) == 0, s"adc=$g oracle=$oracle")
+    }
+    // interpreted paths (nullSafeEval) agree with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    vecs.take(5).zip(rows).foreach { case (v, r) =>
+      val lit = Literal.create(v, ArrayType(FloatType))
+      val ienc = graft.expressions.PqEncode(lit, cb, subspaces, subDim)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toIntArray().toSeq
+      assert(ienc == r.getSeq[Int](0), "PqEncode interpreted != codegen")
+      val icell = graft.expressions.NearestCell(lit, cb, dim).eval(null)
+      assert(icell == r.getInt(2), "NearestCell interpreted != codegen")
+      val icells = graft.expressions.NearestCells(lit, cb, dim, 3)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toIntArray().toSeq
+      assert(icells == r.getSeq[Int](3), "NearestCells interpreted != codegen")
+      val idl = graft.expressions.PqSubDists(lit, cb, subspaces, subDim)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toDoubleArray().toSeq
+      assert(idl == r.getSeq[Double](1), "PqSubDists interpreted != codegen")
+    }
+    // edge: k larger than centroid count truncates; short vector = 0-pad
+    val shortV = Literal.create(Seq(1f), ArrayType(FloatType))
+    val all = graft.expressions.NearestCells(shortV, cb, dim, 99)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toIntArray()
+    assert(all.length == numCent && all.toSet == (0 until numCent).toSet)
+  }
+
   test("pinned permutation constants (oracle SQL embeds these)") {
     assert(HashExpressions.P == 2147483647L)
     assert(minhashA(0) == 1103527590L % HashExpressions.P)

@@ -71,6 +71,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q_ann_pq: PQ encode is a scan-stage kernel — zero exchange on the encode side") {
+    val p = plan("q_ann_pq")
+    // the corpus encode is one pq_encode projection directly over the
+    // scan (round 3 materialized corpus×16×8 rows through an explode
+    // and two aggregations); appearing exactly once also proves no
+    // isnotnull-constraint inlined the kernel into a filter
+    assert(count(p, "pq_encode_16x8") == 1, p.take(3000))
+    assert(p.contains("adc_score"), p.take(3000))
+    // the only hash exchanges are the two per-query top-k rankings —
+    // nothing about the corpus shuffles before candidate ranking
+    assert(count(p, "Exchange hashpartitioning") <= 2, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q_ann_ivfpq: IVF cell + PQ codes in ONE scan projection, broadcast candidate join") {
+    val p = plan("q_ann_ivfpq")
+    // cell and codes come out of the same corpus scan, each kernel once
+    assert(count(p, "nearest_cell_16\\(") == 1, p.take(3000))
+    assert(count(p, "pq_encode_16x8") == 1, p.take(3000))
+    // candidate stage: broadcast equi-join on the cell id — the corpus
+    // side has NO exchange below the candidate ranking
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(count(p, "Exchange hashpartitioning") <= 2, p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("q_ann_ivf: scan-stage coarse assign; single ranking exchange") {
+    val p = plan("q_ann_ivf")
+    assert(count(p, "nearest_cell_16\\(") == 1, p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("q_contamination_bloom: scan-stage bloom probe below the confirm join") {
     val p = plan("q_contamination_bloom")
     assert(p.contains("bloom_might_contain"), p.take(2000))
