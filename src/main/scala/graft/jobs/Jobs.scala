@@ -181,7 +181,7 @@ object LoadJob {
     val stage = typed(
       spark.read.option("header", "true").csv(combinedFile))
       .withColumn("ingested_at", current_timestamp())
-    Upsert.upsertParquet(spark, stage, tableDir,
+    Upsert.upsertParquetPartitioned(spark, stage, tableDir,
       updateColumns = conf.updateColumns)
   }
 }

@@ -85,7 +85,7 @@ object StreamingPipeline {
             .drop("_fname", "_mono")
           val stage = LoadJob.typed(CombineJob.transform(ordered, conf))
             .withColumn("ingested_at", current_timestamp())
-          Upsert.upsertParquet(spark, stage, tableDir,
+          Upsert.upsertParquetPartitioned(spark, stage, tableDir,
             updateColumns = conf.updateColumns)
         }
         ()

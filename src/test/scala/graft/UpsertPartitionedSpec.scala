@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sinks.Upsert
+
+/** The partition-pruned parquet upsert (S8's engine-managed-table scale
+  * path): same merge semantics as the full-rewrite layout, but a batch
+  * rewrites ONLY the hash-bucket partitions containing staged keys —
+  * untouched partitions' data files must remain byte-identical, which
+  * is the property that turns per-batch cost from O(table) into
+  * O(batch) at 100 TB.
+  */
+class UpsertPartitionedSpec extends SparkSpec {
+
+  private val Buckets = 8
+
+  private def rows(kv: (String, Int)*): DataFrame = {
+    import spark.implicits._
+    kv.toSeq.toDF("thing_key", "score")
+      .withColumn("title_sanitized", concat(lit("t-"), col("thing_key")))
+      .withColumn("author_hash", concat(lit("a-"), col("thing_key")))
+  }
+
+  private def upsert(stage: DataFrame, dir: String): Unit =
+    Upsert.upsertParquetPartitioned(spark, stage, dir,
+      updateColumns = Seq("score", "title_sanitized"), numBuckets = Buckets)
+
+  private def tableState(dir: String): Map[String, (Int, String, String)] =
+    Upsert.readKeyedTable(spark, dir).collect()
+      .map(r => r.getAs[String]("thing_key") ->
+        ((r.getAs[Int]("score"), r.getAs[String]("title_sanitized"),
+          r.getAs[String]("author_hash")))).toMap
+
+  /** (relative file path → content hash) of every parquet data file. */
+  private def fileHashes(dir: String): Map[String, String] = {
+    val root = Paths.get(dir)
+    Files.walk(root).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map { p =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        root.relativize(p).toString -> md.digest(Files.readAllBytes(p))
+          .map("%02x".format(_)).mkString
+      }.toMap
+  }
+
+  private def bucketOf(key: String): Int =
+    rows(key -> 0).select(Upsert.keyBucket(col("thing_key"), Buckets))
+      .collect().head.getInt(0)
+
+  test("partitioned upsert: merge semantics match the full-rewrite path") {
+    withTempDir { root =>
+      val flat = root.resolve("flat").toString
+      val part = root.resolve("part").toString
+      val base = rows("K1" -> 1, "K2" -> 2, "K3" -> 3, "K4" -> 4)
+      val batch = rows("K2" -> 20, "K9" -> 90)
+      Upsert.upsertParquet(spark, base, flat,
+        updateColumns = Seq("score", "title_sanitized"))
+      Upsert.upsertParquet(spark, batch, flat,
+        updateColumns = Seq("score", "title_sanitized"))
+      upsert(base, part)
+      upsert(batch, part)
+      val expect = spark.read.parquet(flat).collect()
+        .map(r => (r.getAs[String]("thing_key"), r.getAs[Int]("score"),
+          r.getAs[String]("title_sanitized"), r.getAs[String]("author_hash")))
+        .sortBy(_._1).toSeq
+      val got = Upsert.readKeyedTable(spark, part).collect()
+        .map(r => (r.getAs[String]("thing_key"), r.getAs[Int]("score"),
+          r.getAs[String]("title_sanitized"), r.getAs[String]("author_hash")))
+        .sortBy(_._1).toSeq
+      assert(got == expect)
+      // update semantics: score updated, conflict-protected kept
+      val st = tableState(part)
+      assert(st("K2") == ((20, "t-K2", "a-K2")))
+      assert(st("K9") == ((90, "t-K9", "a-K9")))
+    }
+  }
+
+  test("untouched partitions are byte-identical after an upsert") {
+    withTempDir { root =>
+      val dir = root.resolve("table").toString
+      // enough keys that several buckets are populated
+      val keys = (1 to 40).map(i => s"K$i" -> i)
+      upsert(rows(keys: _*), dir)
+      val before = fileHashes(dir)
+      val touchedBucket = bucketOf("K7")
+      val populated = Paths.get(dir).toFile.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("kb=")).map(_.getName)
+      assert(populated.length > 2, s"want several buckets, got ${populated.toSeq}")
+
+      upsert(rows("K7" -> 700), dir)
+      val after = fileHashes(dir)
+
+      val (touched, untouched) =
+        before.keys.partition(_.startsWith(s"kb=$touchedBucket/"))
+      assert(untouched.nonEmpty)
+      untouched.foreach { f =>
+        assert(after.get(f).contains(before(f)),
+          s"untouched partition file changed or vanished: $f")
+      }
+      // the touched bucket WAS rewritten (fresh file names)
+      assert(touched.forall(f => !after.contains(f)),
+        s"touched bucket kb=$touchedBucket kept its old files")
+      // and the data is right
+      val st = tableState(dir)
+      assert(st("K7")._1 == 700)
+      assert(st("K8")._1 == 8)
+      assert(st.size == 40)
+    }
+  }
+
+  test("partitioned upsert is idempotent and insert-creates the table") {
+    withTempDir { root =>
+      val dir = root.resolve("table").toString
+      val batch = rows("A" -> 1, "B" -> 2)
+      upsert(batch, dir)
+      upsert(batch, dir) // replay converges
+      val st = tableState(dir)
+      assert(st == Map(
+        "A" -> ((1, "t-A", "a-A")), "B" -> ((2, "t-B", "a-B"))))
+      // readKeyedTable hides the layout column
+      assert(!Upsert.readKeyedTable(spark, dir).columns.contains("kb"))
+    }
+  }
+
+  test("target read is partition-pruned to staged buckets") {
+    withTempDir { root =>
+      val dir = root.resolve("table").toString
+      upsert(rows((1 to 40).map(i => s"K$i" -> i): _*), dir)
+      // the pruned read the sink issues: filter on the partition column
+      val touched = Seq(bucketOf("K7"))
+      val plan = spark.read.parquet(dir)
+        .filter(col("kb").isin(touched.map(Int.box): _*))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters:"), plan.take(1500))
+      assert(plan.contains("kb#"), plan.take(1500))
+    }
+  }
+}
