@@ -62,6 +62,100 @@ object SimilarityQueries {
   private def embNN: Column =
     coalesce(col("embedding"), typedlit(Array.empty[Float]))
 
+  /** IVF probe → in-cell exact-cosine top-3 against an arbitrary
+    * codebook (pinned for q_ann_ivf, k-means-trained for
+    * q_ann_ivf_trained; also driven by AnnRecallSpec). Coarse
+    * assignment is the scan-stage argmax-dot kernel; the candidate
+    * stage is a broadcast equi-join on the cell id.
+    */
+  private[graft] def ivfPipeline(
+      e: DataFrame, cb: Array[Double], nQueries: Int): DataFrame = {
+    val corpus = e.select(col("vec_id").as("n_id"),
+      col("embedding").as("cv"), l2Norm(col("embedding")).as("cn"),
+      PqExpressions.nearestCell(embNN, cb, 64).as("cell"))
+    val probes = e.filter(col("vec_id") < nQueries).select(
+      col("vec_id").as("q_id"), col("embedding").as("qv"),
+      l2Norm(col("embedding")).as("qn"),
+      explode(PqExpressions.nearestCells(embNN, cb, 64, 2)).as("pcell"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    // (q, n) pairs are unique (one cell per vector, distinct probes) —
+    // no dedup exchange needed
+    corpus.join(broadcast(probes),
+        col("cell") === col("pcell") && col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      .withColumn("rank", row_number().over(wRank).cast(IntegerType))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("n_id"), col("rank"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** PQ encode → ADC candidate top-8 → exact-cosine top-3 against an
+    * arbitrary codebook (pinned for q_ann_pq; trained sub-quantizers
+    * in AnnRecallSpec). Encode and query tables are scan-stage kernel
+    * projections; only (q_id, n_id, ad2) enters the ranking exchange.
+    */
+  private[graft] def pqPipeline(
+      e: DataFrame, cb: Array[Double], nQueries: Int): DataFrame = {
+    val codes = e.select(col("vec_id").as("n_id"),
+      PqExpressions.pqEncode(embNN, cb, 8, 8).as("cl"))
+    val qdt = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"),
+        PqExpressions.pqSubDists(embNN, cb, 8, 8).as("dl"))
+    val wCand = Window.partitionBy(col("q_id")).orderBy(col("ad2"), col("n_id"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    val cand = codes.join(broadcast(qdt), col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        PqExpressions.adcScore(col("cl"), col("dl"), 8).as("ad2"))
+      .withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= 8)
+      .select(col("q_id"), col("n_id"), col("ad2"))
+    val fetched = e.join(broadcast(cand), col("vec_id") === col("n_id"))
+      .select(col("q_id"), col("n_id"), col("ad2"),
+        col("embedding").as("cv"), l2Norm(col("embedding")).as("cn"))
+    val qn = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id2"), col("embedding").as("qv"),
+        l2Norm(col("embedding")).as("qn"))
+    fetched.join(broadcast(qn), col("q_id") === col("q_id2"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wRank).cast(IntegerType))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("n_id"), col("rank"),
+        round(col("ad2"), 4).as("approx_d2"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** One unrolled spherical-k-means iteration as DuckDB CTEs
+    * (`$prev` → `c$n`): assignment by argmax dot (tie → lower id),
+    * per-cell sums over the QUANTIZED coordinate lists (exact BIGINTs,
+    * so group order is irrelevant — the property that makes training
+    * cross-engine-deterministic), mean and spherical normalization in
+    * the pinned op order of [[graft.operators.CodebookTrainer]].
+    * Empty cells keep the previous centroid via LEFT JOIN + COALESCE.
+    */
+  private def kmeansIterSql(n: Int, prev: String): String =
+    s"""asg$n AS (SELECT z.vec_id, z.qv, c.c_id,
+       |            row_number() OVER (PARTITION BY z.vec_id
+       |              ORDER BY ${dotSql("z.v", "c.cv")} DESC, c.c_id) AS rk
+       |          FROM qz z, $prev c),
+       |own$n AS (SELECT vec_id, qv, c_id FROM asg$n WHERE rk = 1),
+       |cnt$n AS (SELECT c_id, COUNT(*) AS n FROM own$n GROUP BY c_id),
+       |ssum$n AS (SELECT o.c_id, i.i AS j, CAST(sum(o.qv[i.i]) AS BIGINT) AS s
+       |           FROM own$n o, (SELECT unnest(range(1, 65)) AS i) i
+       |           GROUP BY o.c_id, i.i),
+       |m$n AS (SELECT s.c_id,
+       |          list(CAST(s.s AS DOUBLE) / CAST(c.n AS DOUBLE) / 1048576.0
+       |               ORDER BY s.j) AS mv
+       |        FROM ssum$n s JOIN cnt$n c ON c.c_id = s.c_id GROUP BY s.c_id),
+       |c$n AS (SELECT p.c_id,
+       |          COALESCE([x / sqrt(list_reduce([y * y FOR y IN m.mv],
+       |                    (a, b) -> a + b)) FOR x IN m.mv], p.cv) AS cv
+       |        FROM $prev p LEFT JOIN m$n m ON m.c_id = p.c_id)""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
 
     // ----------------------------------------------------- brute force
@@ -224,7 +318,9 @@ object SimilarityQueries {
     // space splits into 8 subspaces of 8 dims; each corpus vector is
     // encoded as 8 four-bit codes (nearest of 16 pinned centroids per
     // subspace — vectors vec_id < 16 serve as the deterministic
-    // codebook, as q_ann_ivf; a real deployment k-means them), and
+    // codebook, as q_ann_ivf, keeping this query's index layout fixed;
+    // CodebookTrainer k-means the sub-quantizers and AnnRecallSpec
+    // pins the trained recall floor at 0.8), and
     // queries score candidates ASYMMETRICALLY by summing per-subspace
     // query→centroid distances from a 128-entry lookup table. Scale
     // shape: codes are 8 bytes/vector (16× smaller than float32, the
@@ -274,42 +370,11 @@ object SimilarityQueries {
            |FROM t WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
       }) { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val cb = collectCodebook(e, 16)
       // encode + query tables are pure scan-stage kernel projections
       // against the compiled codebook — ZERO exchange on the encode
       // side (the prior form materialized corpus × 16 × 8 rows through
       // an explode and two aggregations to compute the same argmins)
-      val codes = e.select(col("vec_id").as("n_id"),
-        PqExpressions.pqEncode(embNN, cb, 8, 8).as("cl"))
-      val qdt = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"),
-          PqExpressions.pqSubDists(embNN, cb, 8, 8).as("dl"))
-      val wCand = Window.partitionBy(col("q_id")).orderBy(col("ad2"), col("n_id"))
-      val wRank = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("n_id"))
-      // ADC scoring: 8 array probes folded in fixed subspace order;
-      // only (q_id, n_id, ad2) enters the ranking exchange
-      val cand = codes.join(broadcast(qdt), col("n_id") =!= col("q_id"))
-        .select(col("q_id"), col("n_id"),
-          PqExpressions.adcScore(col("cl"), col("dl"), 8).as("ad2"))
-        .withColumn("crank", row_number().over(wCand))
-        .filter(col("crank") <= 8)
-        .select(col("q_id"), col("n_id"), col("ad2"))
-      // exact re-rank: vectors/norms fetched only for the survivors
-      val fetched = e.join(broadcast(cand), col("vec_id") === col("n_id"))
-        .select(col("q_id"), col("n_id"), col("ad2"),
-          col("embedding").as("cv"), l2Norm(col("embedding")).as("cn"))
-      val qn = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id2"), col("embedding").as("qv"),
-          l2Norm(col("embedding")).as("qn"))
-      fetched.join(broadcast(qn), col("q_id") === col("q_id2"))
-        .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-        .withColumn("rank", row_number().over(wRank).cast(IntegerType))
-        .filter(col("rank") <= 3)
-        .select(col("q_id"), col("n_id"), col("rank"),
-          round(col("ad2"), 4).as("approx_d2"),
-          round(col("cos"), 4).as("cosine"))
-        .orderBy(col("q_id"), col("rank"))
+      pqPipeline(e, collectCodebook(e, 16), 10)
     },
 
     // ------------------------------------------------------------ IVF-PQ
@@ -474,7 +539,8 @@ object SimilarityQueries {
     // ------------------------------------------------------------- IVF
     // Inverted-file ANN: vectors with vec_id < 16 serve as coarse
     // centroids (a fixed, deterministic codebook — a real deployment
-    // would k-means these); every vector is assigned to its nearest
+    // would k-means these — q_ann_ivf_trained does, hash-checked
+    // end to end); every vector is assigned to its nearest
     // centroid by dot product (unit-norm ⇒ cosine order), queries probe
     // their nprobe=2 nearest cells, exact cosine re-ranks inside the
     // probed cells. Scale shape: assignment is |corpus|×16 codegen'd
@@ -502,32 +568,60 @@ object SimilarityQueries {
          |SELECT q_id, n_id, rank, round(cos, 4) AS cosine
          |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val cb = collectCodebook(e, 16)
       // coarse assignment is a scan-stage argmax-dot kernel against
       // the compiled codebook — the corpus carries (vector, norm,
       // cell) out of ONE scan with no window/exchange (the prior form
       // broadcast-joined 16 centroids and ranked them with a
-      // row_number window per vector)
-      val corpus = e.select(col("vec_id").as("n_id"),
-        col("embedding").as("cv"), l2Norm(col("embedding")).as("cn"),
-        PqExpressions.nearestCell(embNN, cb, 64).as("cell"))
-      val probes = e.filter(col("vec_id") < 10).select(
-        col("vec_id").as("q_id"), col("embedding").as("qv"),
-        l2Norm(col("embedding")).as("qn"),
-        explode(PqExpressions.nearestCells(embNN, cb, 64, 2)).as("pcell"))
-      val wRank = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("n_id"))
-      // (q, n) pairs are unique (one cell per vector, distinct
-      // probes), so the oracle's DISTINCT is a structural no-op — no
-      // dedup exchange on the Spark side
-      corpus.join(broadcast(probes),
-          col("cell") === col("pcell") && col("n_id") =!= col("q_id"))
-        .select(col("q_id"), col("n_id"),
-          (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
-        .withColumn("rank", row_number().over(wRank).cast(IntegerType))
-        .filter(col("rank") <= 3)
-        .select(col("q_id"), col("n_id"), col("rank"),
-          round(col("cos"), 4).as("cosine"))
-        .orderBy(col("q_id"), col("rank"))
+      // row_number window per vector); the oracle's DISTINCT is a
+      // structural no-op on unique (q, n) pairs
+      ivfPipeline(e, collectCodebook(e, 16), 10)
+    },
+
+    // ------------------------------------------------- trained IVF
+    // IVF with a TRAINED codebook: 2 iterations of deterministic
+    // spherical k-means (graft.operators.CodebookTrainer) replace the
+    // pinned vec_id<16 centroids. Training itself is cross-engine
+    // deterministic — assignment ties break on centroid id, per-cell
+    // coordinate sums are exact quantized BIGINTs (order-independent
+    // under ANY partitioning), and the mean/normalize doubles combine
+    // in pinned op order — so the DuckDB oracle re-derives the SAME
+    // centroids relationally (unrolled iteration CTEs) and the whole
+    // trained index, not just the final ranks, hash-matches. Scale
+    // shape: each iteration is one corpus scan + a 16×64 aggregation;
+    // only 16 aggregate rows reach the driver.
+    GraftQuery(
+      "q_ann_ivf_trained",
+      s"""WITH e AS ($embDoubleSql),
+         |qz AS (SELECT vec_id, v,
+         |        [CAST(floor(x * 1048576.0 + 0.5) AS BIGINT) FOR x IN v] AS qv
+         |       FROM e),
+         |c0 AS (SELECT vec_id AS c_id,
+         |        [x / sqrt(${dotSql("v", "v")}) FOR x IN v] AS cv
+         |       FROM e WHERE vec_id < 16),
+         |${kmeansIterSql(1, "c0")},
+         |${kmeansIterSql(2, "c1")},
+         |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+         |asgF AS (SELECT a.vec_id, c.c_id,
+         |          row_number() OVER (PARTITION BY a.vec_id
+         |            ORDER BY ${dotSql("a.v", "c.cv")} DESC, c.c_id) AS crank
+         |        FROM e a, c2 c),
+         |cell AS (SELECT n.vec_id, n.v, n.nrm, a.c_id AS cell
+         |         FROM asgF a JOIN n ON n.vec_id = a.vec_id WHERE a.crank = 1),
+         |probe AS (SELECT n.vec_id AS q_id, n.v AS qv, n.nrm AS qn,
+         |            a.c_id AS cell
+         |          FROM asgF a JOIN n ON n.vec_id = a.vec_id
+         |          WHERE a.vec_id < 10 AND a.crank <= 2),
+         |s AS (SELECT p.q_id, c.vec_id AS n_id,
+         |        ${dotSql("p.qv", "c.v")} / (p.qn * c.nrm) AS cos
+         |      FROM probe p JOIN cell c ON p.cell = c.cell AND c.vec_id <> p.q_id),
+         |r AS (SELECT q_id, n_id, cos,
+         |        CAST(row_number() OVER (PARTITION BY q_id
+         |               ORDER BY cos DESC, n_id) AS INTEGER) AS rank
+         |      FROM s)
+         |SELECT q_id, n_id, rank, round(cos, 4) AS cosine
+         |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      ivfPipeline(e,
+        graft.operators.CodebookTrainer.trainSphericalIvf(e, 16, 64, 2), 10)
     })
 }

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.expressions.PqExpressions
+
+/** Deterministic distributed k-means for ANN codebooks (IVF coarse
+  * centroids, PQ sub-quantizers) — replaces the pinned vec_id&lt;16
+  * codebooks that earlier rounds used as a stand-in for training.
+  *
+  * Scale shape: each Lloyd iteration is ONE corpus scan — assignment
+  * is the scan-stage argmin/argmax kernel ([[graft.expressions
+  * .NearestCell]] / [[graft.expressions.PqEncode]]) against the
+  * current codebook, and the per-cell statistics are a k×dim hash
+  * aggregation (map-side combined). Only k aggregate rows ever reach
+  * the driver; the corpus never shuffles vectors.
+  *
+  * Determinism (the property that lets a trained index be
+  * oracle-checked): per-cell coordinate sums use coordinates QUANTIZED
+  * to integers (`floor(x·2²⁰ + 0.5)` — exact longs, so the sum is
+  * order-independent and identical under any partitioning and in any
+  * engine), and the mean/normalization doubles are combined in pinned
+  * op order (`CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 2²⁰`, norm fold
+  * left-to-right over coordinates). CodebookTrainerSpec asserts
+  * bit-identical codebooks across partitionings; the DuckDB oracle of
+  * `q_ann_ivf_trained` re-derives the same centroids relationally.
+  *
+  * Empty cells keep their previous centroid (deterministic: cell ids
+  * are compared, not floats). Iteration count is a fixed parameter,
+  * not a convergence test — convergence thresholds on floats would
+  * re-introduce order sensitivity.
+  */
+object CodebookTrainer {
+
+  /** Coordinate quantizer scale: 2²⁰ keeps |x| ≤ ~1000 coords exact in
+    * a long budget of 2⁶³ across ≥2⁴⁰-row cells.
+    */
+  val Quant: Long = 1L << 20
+
+  private def embNN: Column =
+    coalesce(col("embedding"), typedlit(Array.empty[Float]))
+
+  /** `floor(x·2²⁰ + 0.5)` as an exact long — the order-independent
+    * summand (mirrors the oracle's
+    * `CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)`).
+    */
+  private def qCoord(c: Column): Column =
+    floor(c.cast(DoubleType) * lit(Quant.toDouble) + lit(0.5)).cast(LongType)
+
+  /** In pinned fold order: norm² = 0.0 + m₀² + m₁² + …, then `mᵢ/√`. */
+  private def normalized(m: Array[Double]): Array[Double] = {
+    var acc = 0.0
+    var j = 0
+    while (j < m.length) { acc += m(j) * m(j); j += 1 }
+    val nrm = math.sqrt(acc)
+    val out = new Array[Double](m.length)
+    j = 0
+    while (j < m.length) { out(j) = m(j) / nrm; j += 1 }
+    out
+  }
+
+  /** Deterministic init: vectors `vec_id < k` ascending, float→double
+    * (optionally spherically normalized) — the same seed rule both
+    * engines state as `WHERE vec_id < k`.
+    */
+  def initCodebook(e: DataFrame, k: Int, normalize: Boolean): Array[Double] = {
+    val rows = e.filter(col("vec_id") < k).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    rows.flatMap(r => if (normalize) normalized(r) else r)
+  }
+
+  /** Spherical k-means for IVF coarse centroids: assignment by argmax
+    * dot (= cosine on the unit sphere), update = normalized mean.
+    * Returns the flat row-major codebook for [[PqExpressions]] kernels.
+    */
+  def trainSphericalIvf(
+      e: DataFrame, k: Int = 16, dim: Int = 64, iters: Int = 2): Array[Double] = {
+    var cb = initCodebook(e, k, normalize = true)
+    for (_ <- 0 until iters) {
+      val sums = (0 until dim).map(j =>
+        sum(qCoord(element_at(col("embedding"), j + 1))).as(s"s$j"))
+      val rows = e
+        .groupBy(PqExpressions.nearestCell(embNN, cb, dim).as("cell"))
+        .agg(count(lit(1L)).as("n"), sums: _*)
+        .collect()
+      val next = cb.clone()
+      rows.foreach { r =>
+        val c = r.getInt(0)
+        val n = r.getLong(1).toDouble
+        val m = Array.tabulate(dim)(j => r.getLong(2 + j).toDouble / n / Quant.toDouble)
+        System.arraycopy(normalized(m), 0, next, c * dim, dim)
+      }
+      cb = next
+    }
+    cb
+  }
+
+  /** Per-subspace k-means for PQ sub-quantizers: assignment is the
+    * [[graft.expressions.PqEncode]] argmin-L2 kernel, update = plain
+    * (unnormalized) subspace mean — PQ scores in L2, so the L2
+    * centroid is the right estimator. One scan per iteration; the
+    * (subspaces × corpus) code stream carries only (j, code) pairs
+    * into a (subspaces·k)-group aggregation.
+    */
+  def trainPq(
+      e: DataFrame, subspaces: Int = 8, subDim: Int = 8, k: Int = 16,
+      iters: Int = 2): Array[Double] = {
+    val dim = subspaces * subDim
+    var cb = initCodebook(e, k, normalize = false)
+    for (_ <- 0 until iters) {
+      val sums = (0 until subDim).map(i =>
+        sum(qCoord(element_at(col("embedding"), col("j") * subDim + i + 1)))
+          .as(s"s$i"))
+      val rows = e
+        .select(col("embedding"),
+          posexplode(PqExpressions.pqEncode(embNN, cb, subspaces, subDim))
+            .as(Seq("j", "code")))
+        .groupBy(col("j"), col("code"))
+        .agg(count(lit(1L)).as("n"), sums: _*)
+        .collect()
+      val next = cb.clone()
+      rows.foreach { r =>
+        val j = r.getInt(0)
+        val c = r.getInt(1)
+        val n = r.getLong(2).toDouble
+        var i = 0
+        while (i < subDim) {
+          next(c * dim + j * subDim + i) = r.getLong(3 + i).toDouble / n / Quant.toDouble
+          i += 1
+        }
+      }
+      cb = next
+    }
+    cb
+  }
+}

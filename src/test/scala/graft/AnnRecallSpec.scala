@@ -62,4 +62,40 @@ class AnnRecallSpec extends SparkSpec {
     val recall = hits.sum.toDouble / (3.0 * qs.size)
     assert(recall >= 0.5, s"pq top-3-in-exact-top-10 recall $recall, hits=$hits")
   }
+
+  test("trained PQ sub-quantizers lift ADC recall to >= 0.8") {
+    import graft.core.Tables
+    import graft.operators.CodebookTrainer
+    val e = Tables.load(spark, dir, "embeddings")
+    val cb = CodebookTrainer.trainPq(e, 8, 8, 16, 2)
+    val exact = top3("q_ann_bruteforce")
+    val trained = graft.analytics.SimilarityQueries.pqPipeline(e, cb, 10)
+      .select("q_id", "n_id").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val qs = exact.keySet
+    val hits = qs.toSeq.map(q => trained.getOrElse(q, Set.empty[Long])
+      .count(exact(q).contains))
+    val recall = hits.sum.toDouble / (3.0 * qs.size)
+    assert(recall >= 0.8,
+      s"trained-pq top-3-in-exact-top-10 recall $recall, hits=$hits")
+  }
+
+  test("trained IVF matches or beats the pinned codebook's recall") {
+    import graft.core.Tables
+    import graft.operators.CodebookTrainer
+    val exact = top3("q_ann_bruteforce")
+    val pinned = top3("q_ann_ivf")
+    val trainedQ = top3("q_ann_ivf_trained")
+    val qs = exact.keySet
+    def recall(m: Map[Long, Set[Long]]): Double =
+      qs.toSeq.map(q => m.getOrElse(q, Set.empty[Long])
+        .count(exact(q).contains)).sum.toDouble / (3.0 * qs.size)
+    val rp = recall(pinned)
+    val rt = recall(trainedQ)
+    // k-means balances the cells, so probing nprobe=2 of 16 trained
+    // cells should never lose to probing 2 lopsided pinned ones
+    assert(rt >= rp, s"trained IVF recall $rt < pinned $rp")
+    assert(rt > 0.0)
+  }
 }
