@@ -26,21 +26,39 @@ object Bench {
     }
     val (p1, p2) = (pass(), pass())
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    // The driver captures only the last 2000 chars of stdout and parses
-    // the JSON line out of that window (BENCH_r02.json: full-precision
-    // doubles pushed the line start out of the window -> "parsed": null).
-    // 3 decimals (ms resolution) fits ~85 queries; if the catalog grows
-    // past that, degrade to 2 decimals rather than overflow the window.
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    def render(decimals: Int): String = {
-      def f(v: Double): String =
-        s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, v)
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    }
-    val line = Seq(3, 2, 1).map(render).find(_.length <= 1900).getOrElse(render(0))
-    println(line)
+    println(renderLine(results, sfDir))
     spark.stop()
+  }
+
+  /** Render the ONE JSON line the driver parses. The driver captures
+    * only the LAST 2000 chars of stdout and extracts the line from
+    * that window (BENCH_r02.json: full-precision doubles pushed the
+    * line start out of the window -> "parsed": null), so per-query
+    * precision degrades 3 -> 2 -> 1 -> 0 decimals until the line fits
+    * under 1900 chars. BenchLineSpec asserts the ladder absorbs the
+    * current catalog plus ten future queries — grow the catalog and
+    * that test, not this margin.
+    */
+  def renderLine(results: Map[String, Double], sfDir: String): String = {
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    def f(decimals: Int)(v: Double): String =
+      s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, v)
+    def render(decimals: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + f(decimals)(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f(decimals)(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    Seq(3, 2, 1, 0).map(render).find(_.length <= 1900).getOrElse {
+      // even 0 decimals overflows (names dominate past ~90 queries):
+      // keep the SLOWEST queries — the informative ones — and say how
+      // many were dropped rather than silently losing the parse
+      val sorted = results.toSeq.sortBy { case (k, v) => (-v, k) }
+      def renderTop(k: Int): String = {
+        val qs = sorted.take(k).map { case (n, v) => "\"" + n + "\":" + f(1)(v) }
+          .mkString("{", ",", "}")
+        s"""{"metric":"total","value":${f(1)(total)},"unit":"sec","queries":$qs,"dropped":${sorted.size - k},"sf":"$sfDir"}"""
+      }
+      (sorted.size to 0 by -1).map(renderTop).find(_.length <= 1900).get
+    }
   }
 }

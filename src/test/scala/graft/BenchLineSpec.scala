@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver parses BENCH_r{N}.json out of the LAST 2000 chars of
+  * stdout; round 2 lost its whole bench signal when full-precision
+  * doubles pushed the line start outside that window. This guard
+  * renders the line at CURRENT catalog size plus ten phantom queries
+  * with pessimistic values and fails the build before the catalog can
+  * grow past the window again.
+  */
+class BenchLineSpec extends AnyFunSuite {
+
+  test("bench line fits the driver tail window at catalog+10 queries") {
+    val names = SparkEntry.queries.keys.toSeq ++
+      (1 to 10).map(i => s"q_phantom_padding_$i")
+    // pessimistic widths: double-digit seconds for every query
+    val results = names.map(_ -> 12.345678).toMap
+    val line = Bench.renderLine(results, "/root/testdata/sf0.1")
+    assert(line.length < 1900,
+      s"bench line ${line.length} chars at ${names.size} queries — " +
+        "the precision ladder no longer fits the driver's 2000-char tail")
+    assert(line.startsWith("{\"metric\":\"total\""))
+    assert(!line.contains("\n"))
+    // if the slowest-only fallback engaged it must say what it dropped
+    if (line.contains("\"dropped\":")) {
+      val kept = "\"q_".r.findAllIn(line).length
+      assert(kept > 30, s"kept only $kept queries")
+    }
+  }
+
+  test("slowest-queries fallback keeps the expensive queries, not a prefix") {
+    val names = (1 to 200).map(i => f"q_very_long_synthetic_name_number_$i%03d")
+    val results = names.zipWithIndex
+      .map { case (n, i) => n -> (if (n.endsWith("117")) 99.9 else i * 0.01) }
+      .toMap
+    val line = Bench.renderLine(results, "/tmp/x")
+    assert(line.length <= 1900)
+    assert(line.contains("\"dropped\":"), line.take(120))
+    assert(line.contains("q_very_long_synthetic_name_number_117"),
+      "slowest query was dropped from the fallback line")
+  }
+
+  test("bench line at the real catalog keeps >= 2-decimal resolution") {
+    val results = SparkEntry.queries.keys.map(_ -> 1.234567).toMap
+    val line = Bench.renderLine(results, "/root/testdata/sf0.1")
+    assert(line.length < 1900)
+    // 10 ms resolution for realistic sub-10s values at today's size
+    assert(line.contains(":1.23"), line.take(200))
+  }
+}
