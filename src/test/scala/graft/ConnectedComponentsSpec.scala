@@ -47,4 +47,39 @@ class ConnectedComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got.values.toSet == Set(2L) && got.keySet == Set(2L, 3L, 7L, 11L))
   }
+
+  test("large-star/small-star matches union-find on every shape") {
+    import spark.implicits._
+    val shapes = Seq(
+      Seq((1L, 2L)),
+      (1L to 9L).map(i => (i, i + 1)), // chain
+      (1L to 9L).map(i => (i, i + 1)) :+ ((10L, 1L)), // ring
+      (2L to 8L).map(i => (1L, i)), // star
+      Seq((5L, 3L), (3L, 9L), (20L, 21L), (22L, 21L), (40L, 41L)),
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+        (10L, 12L), (3L, 10L)))
+    shapes.foreach { edges =>
+      val (labels, _) =
+        ConnectedComponents.runAlternating(edges.toDF("a", "b"), "a", "b")
+      val got = labels.as[(Long, Long)].collect().toMap
+      assert(got == unionFind(edges), s"edges=$edges")
+    }
+  }
+
+  test("10k-node path graph converges in O(log n) rounds") {
+    import spark.implicits._
+    val n = 10000L
+    // Adversarial for min-label propagation: diameter n-1, so run()
+    // would need ~n rounds. Ids descend so the min (1) sits at one end.
+    val path = (1L until n).map(i => (i + 1, i))
+    val (labels, rounds) =
+      ConnectedComponents.runAlternating(path.toDF("a", "b"), "a", "b")
+    // SoCC'14 bound: rounds logarithmic in the longest path.
+    // log2(10000) ≈ 13.3; observed well under 16 — pin with no slack
+    // beyond that so a regression to linear behavior fails loudly.
+    assert(rounds <= 16, s"rounds=$rounds")
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length == n)
+    assert(got.forall(_._2 == 1L), s"bad labels: ${got.filter(_._2 != 1L).take(5).toSeq}")
+  }
 }
