@@ -22,9 +22,13 @@ import graft.core.Model
   *  3. [[writeJdbc]] — executor-parallel delivery: repartition by key
   *     (co-locates conflicting rows → no deadlock between batches),
   *     per-partition PreparedStatement batches inside a transaction.
-  *     Per-partition transactions are a documented weakening of the
-  *     reference's single-txn commit (SURVEY §7.4 risk #2); the sink is
-  *     idempotent under retry, which is what at-least-once needs.
+  *     Per-partition transactions are a weakening of the reference's
+  *     single-txn commit (SURVEY §7.4 risk #2); the sink is idempotent
+  *     under retry, which is what at-least-once needs.
+  *  4. [[writeJdbcStaged]] — the faithful atomicity variant: parallel
+  *     load of a scratch stage table, then ONE set-based merge
+  *     transaction against the target (the reference's single-commit
+  *     contract, Combine_send_to_postgresql.py:251-264).
   */
 object Upsert {
 
@@ -196,6 +200,138 @@ object Upsert {
           } finally conn.close()
         }
       }
+  }
+
+  /** The set-based merge statement(s) [[writeJdbcStaged]] executes in
+    * ONE transaction. [[Postgres]]: the reference's `ON CONFLICT` upsert
+    * as a single `INSERT … SELECT` over the stage table.
+    * [[UpdateElseInsert]]: the portable pair — correlated UPDATE of the
+    * update columns for matched keys, then INSERT … WHERE NOT EXISTS
+    * for new keys — both inside the same transaction.
+    */
+  def mergeFromStageStatements(
+      target: String,
+      stage: String,
+      columns: Seq[String],
+      keyColumn: String = "thing_key",
+      updateColumns: Seq[String] = Model.DefaultUpdateColumns,
+      dialect: Dialect = Postgres): Seq[String] = {
+    val cols = columns.map(qIdent).mkString(", ")
+    val k = qIdent(keyColumn)
+    dialect match {
+      case Postgres =>
+        val sets = updateColumns
+          .map(c => s"${qIdent(c)} = EXCLUDED.${qIdent(c)}")
+          .mkString(", ")
+        Seq(s"INSERT INTO $target ($cols) SELECT $cols FROM $stage " +
+          s"ON CONFLICT ($k) DO UPDATE SET $sets")
+      case UpdateElseInsert =>
+        val sets = updateColumns.map { c =>
+          s"${qIdent(c)} = (SELECT s.${qIdent(c)} FROM $stage s WHERE s.$k = $target.$k)"
+        }.mkString(", ")
+        Seq(
+          s"UPDATE $target SET $sets " +
+            s"WHERE EXISTS (SELECT 1 FROM $stage s WHERE s.$k = $target.$k)",
+          s"INSERT INTO $target ($cols) " +
+            s"SELECT ${columns.map(c => s"s.${qIdent(c)}").mkString(", ")} FROM $stage s " +
+            s"WHERE NOT EXISTS (SELECT 1 FROM $target t WHERE t.$k = s.$k)")
+    }
+  }
+
+  /** Single-transaction stage-and-merge delivery — the faithful
+    * atomicity variant of the reference loader, which runs the whole
+    * batch on one cursor and commits ONCE
+    * (Combine_send_to_postgresql.py:251-264), so readers never observe
+    * a partially-applied batch. [[writeJdbc]]'s per-partition
+    * transactions trade that for executor parallelism on the target
+    * table itself; here the parallel phase only loads a private scratch
+    * STAGE table (partial stage visibility is harmless — nothing reads
+    * it), and the target is touched exclusively by the set-based merge
+    * statement(s) of [[mergeFromStageStatements]] on a single
+    * connection with a single commit. Any mid-merge failure rolls the
+    * target back to its exact prior state — including rows the UPDATE
+    * arm had already modified inside the doomed transaction
+    * (JdbcUpsertSpec proves this on Derby).
+    *
+    * Scale shape: the stage load is the same key-partitioned
+    * executor-parallel path as [[writeJdbc]]; the merge is one
+    * server-side set operation (no per-row driver round trips), which
+    * is how warehouse upserts are shipped at any scale. Still
+    * idempotent under retry: re-running the same batch converges.
+    */
+  def writeJdbcStaged(
+      df: DataFrame,
+      url: String,
+      table: String,
+      props: java.util.Properties = new java.util.Properties(),
+      keyColumn: String = "thing_key",
+      updateColumns: Seq[String] = Model.DefaultUpdateColumns,
+      numPartitions: Int = 8,
+      batchSize: Int = 1000,
+      ensureDdl: Seq[String] = Seq.empty,
+      dialect: Dialect = Postgres,
+      stageTable: Option[String] = None): Unit = {
+    val columns = df.columns.toSeq
+    val stage = stageTable.getOrElse(table.replace('.', '_') + "_stage")
+    val cols = columns.map(qIdent).mkString(", ")
+    val insSql = insertStatement(stage, columns)
+    val mergeSqls =
+      mergeFromStageStatements(table, stage, columns, keyColumn, updateColumns, dialect)
+    val propMap = {
+      val m = scala.collection.mutable.Map[String, String]()
+      props.stringPropertyNames().forEach(k => m += k -> props.getProperty(k))
+      m.toMap
+    }
+    def dropStage(conn: Connection): Unit =
+      try conn.createStatement().execute(s"DROP TABLE $stage")
+      catch { case _: java.sql.SQLException => () } // absent: fine
+
+    val setup = connect(url, propMap)
+    try {
+      ensureDdl.foreach(d => setup.createStatement().execute(d))
+      dropStage(setup)
+      // column types cloned from the target; constraints are NOT copied
+      // (stage is scratch — the target's constraints fire at merge time)
+      setup.createStatement().execute(
+        s"CREATE TABLE $stage AS SELECT $cols FROM $table WITH NO DATA")
+    } finally setup.close()
+
+    // parallel phase: plain batched INSERTs into the scratch stage
+    df.repartition(numPartitions, col(keyColumn))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        if (rows.hasNext) {
+          val conn = connect(url, propMap)
+          try {
+            conn.setAutoCommit(false)
+            val st = conn.prepareStatement(insSql)
+            var n = 0
+            rows.foreach { r =>
+              columns.indices.foreach(i => st.setObject(i + 1, r.get(i)))
+              st.addBatch()
+              n += 1
+              if (n % batchSize == 0) st.executeBatch()
+            }
+            st.executeBatch()
+            conn.commit()
+          } catch {
+            case e: Throwable => conn.rollback(); throw e
+          } finally conn.close()
+        }
+      }
+
+    // serial phase: the whole batch reaches the target in ONE commit
+    val conn = connect(url, propMap)
+    try {
+      conn.setAutoCommit(false)
+      try {
+        mergeSqls.foreach(m => conn.createStatement().executeUpdate(m))
+        conn.commit()
+      } catch {
+        case e: Throwable => conn.rollback(); throw e
+      }
+      conn.setAutoCommit(true) // scratch cleanup, outside the merge txn
+      dropStage(conn)
+    } finally conn.close()
   }
 
   private def connect(url: String, props: Map[String, String]): Connection = {

@@ -109,6 +109,68 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(readAll(url) == first)
   }
 
+  test("staged mode inserts, updates only update columns, and is idempotent") {
+    val url = freshUrl("stg")
+    Upsert.writeJdbcStaged(df(row("t3_a", 1, "old", author = "origA"), row("t3_b", 2, "tb")),
+      url, "redit_table", numPartitions = 2, ensureDdl = ddl,
+      dialect = Upsert.UpdateElseInsert)
+    Upsert.writeJdbcStaged(df(row("t3_a", 9, "new", author = "newA", flair = "f9"),
+        row("t3_d", 4, "td")),
+      url, "redit_table", numPartitions = 2,
+      dialect = Upsert.UpdateElseInsert)
+    val got = readAll(url)
+    assert(got.keySet == Set("t3_a", "t3_b", "t3_d"))
+    assert(got("t3_a") == ((9, "new", "origA", "f9"))) // updated + preserved
+    assert(got("t3_b") == ((2, "tb", "a0", "f0")))
+    // idempotent replay
+    Upsert.writeJdbcStaged(df(row("t3_a", 9, "new", author = "newA", flair = "f9"),
+        row("t3_d", 4, "td")),
+      url, "redit_table", numPartitions = 2,
+      dialect = Upsert.UpdateElseInsert)
+    assert(readAll(url) == got)
+  }
+
+  test("staged mode: a mid-merge failure leaves the target untouched") {
+    val url = freshUrl("stgrb")
+    Upsert.writeJdbcStaged(df(row("t3_a", 1, "ta")), url, "redit_table",
+      numPartitions = 1, ensureDdl = ddl, dialect = Upsert.UpdateElseInsert)
+    val before = readAll(url)
+    // The batch carries a valid UPDATE for t3_a (score 1 → 9) plus a
+    // duplicated new key: the stage table has no constraints, so the
+    // stage load succeeds, the merge's UPDATE arm applies, and then the
+    // INSERT arm violates the target's PRIMARY KEY — failing the merge
+    // AFTER the target was already modified inside the transaction.
+    // Single-commit contract: the applied UPDATE must roll back too,
+    // leaving the target byte-identical (the reference's one-cursor,
+    // one-commit behavior; writeJdbc's per-partition transactions
+    // cannot make this guarantee across partitions).
+    intercept[java.sql.SQLException] {
+      Upsert.writeJdbcStaged(
+        df(row("t3_a", 9, "new"), row("t3_x", 5, "x1"), row("t3_x", 6, "x2")),
+        url, "redit_table", numPartitions = 1,
+        dialect = Upsert.UpdateElseInsert)
+    }
+    assert(readAll(url) == before, "mid-merge failure must leave the target untouched")
+    // and the sink recovers: the next good batch re-creates the stage
+    // and lands cleanly
+    Upsert.writeJdbcStaged(df(row("t3_a", 9, "new"), row("t3_x", 5, "x1")),
+      url, "redit_table", numPartitions = 1, dialect = Upsert.UpdateElseInsert)
+    assert(readAll(url)("t3_a")._1 == 9)
+  }
+
+  test("postgres staged merge renders the reference's single ON CONFLICT statement") {
+    val stmts = Upsert.mergeFromStageStatements(
+      "reddit_schema.redit_table", "reddit_schema.redit_table_stage",
+      Seq("thing_key", "thing_type", "score"),
+      keyColumn = "thing_key", updateColumns = Seq("score"),
+      dialect = Upsert.Postgres)
+    assert(stmts.size == 1, "postgres merge must be ONE statement (one commit)")
+    assert(stmts.head ==
+      """INSERT INTO reddit_schema.redit_table ("thing_key", "thing_type", "score") """ +
+        """SELECT "thing_key", "thing_type", "score" FROM reddit_schema.redit_table_stage """ +
+        """ON CONFLICT ("thing_key") DO UPDATE SET "score" = EXCLUDED."score"""")
+  }
+
   test("a failing row rolls back the whole transaction (single-partition batch)") {
     val url = freshUrl("rb")
     Upsert.writeJdbc(df(row("t3_a", 1, "ta")), url, "redit_table",
