@@ -289,6 +289,35 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** DuckDB mirror of [[embedNearDupPairs]] up through the `p` CTE
+    * (id_a, id_b, cos) — shared by q_dedup_embed and its cluster
+    * composition. `recursive` emits `WITH RECURSIVE` (DuckDB wants the
+    * keyword on the WITH clause even when only a later CTE recurses).
+    */
+  private def embedPairSql(recursive: Boolean): String = {
+    // one SELECT per band (OracleSql.denseSignBandArms): bit i of
+    // the bucket is the sign of the same ±1-signed left-to-right
+    // coordinate sum the codegen'd kernel computes.
+    val bandArms = OracleSql.denseSignBandArms(4, 8, 64)
+    s"""WITH ${if (recursive) "RECURSIVE " else ""}e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+      |           FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |        sqrt(list_reduce([v[i] * v[i] FOR i IN range(1, 65)],
+      |                         (a, b) -> a + b)) AS nrm
+      |      FROM e),
+      |bb AS (
+      |        $bandArms),
+      |pair AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+      |                a.v AS va, a.nrm AS na, b.v AS vb, b.nrm AS nb
+      |         FROM bb a JOIN bb b
+      |           ON a.band = b.band AND a.bucket = b.bucket
+      |          AND a.vec_id < b.vec_id),
+      |p AS (SELECT id_a, id_b,
+      |        list_reduce([va[i] * vb[i] FOR i IN range(1, 65)],
+      |                    (x, y) -> x + y) / (na * nb) AS cos
+      |      FROM pair)""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     // ---------------------------------------------------------- exact
@@ -582,31 +611,47 @@ object DedupQueries {
     // PlanSpec asserts this plan has no cartesian/BNL join, and
     // SCALING.md measures the (bands, bits) candidate-volume knob.
     GraftQuery(
-      "q_dedup_embed", {
-        // one SELECT per band (OracleSql.denseSignBandArms): bit i of
-        // the bucket is the sign of the same ±1-signed left-to-right
-        // coordinate sum the codegen'd kernel computes.
-        val bandArms = OracleSql.denseSignBandArms(4, 8, 64)
-        s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
-          |           FROM embeddings),
-          |n AS (SELECT vec_id, v,
-          |        sqrt(list_reduce([v[i] * v[i] FOR i IN range(1, 65)],
-          |                         (a, b) -> a + b)) AS nrm
-          |      FROM e),
-          |bb AS (
-          |        $bandArms),
-          |pair AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-          |                a.v AS va, a.nrm AS na, b.v AS vb, b.nrm AS nb
-          |         FROM bb a JOIN bb b
-          |           ON a.band = b.band AND a.bucket = b.bucket
-          |          AND a.vec_id < b.vec_id),
-          |p AS (SELECT id_a, id_b,
-          |        list_reduce([va[i] * vb[i] FOR i IN range(1, 65)],
-          |                    (x, y) -> x + y) / (na * nb) AS cos
-          |      FROM pair)
-          |SELECT id_a, id_b, round(cos, 4) AS cosine
-          |FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
-      }) { (s, dir) =>
+      "q_dedup_embed",
+      s"""${embedPairSql(recursive = false)}
+        |SELECT id_a, id_b, round(cos, 4) AS cosine
+        |FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       embedNearDupPairs(t(s, dir, "embeddings"), 0.4)
+    },
+
+    // ------------------------------------- embedding near-dup clusters
+    // The semantic-dedup path composed end-to-end, mirroring the
+    // lexical q_dedup_clusters gate: banded sign-LSH candidates →
+    // exact-cosine verify → transitive closure
+    // ([[graft.operators.ConnectedComponents]]) → keep-min-id curation
+    // verdict (keep = 1 exactly for each cluster's minimum vec_id —
+    // singletons keep themselves). The oracle re-derives the closure as
+    // a recursive CTE over the same verified pair list; labels are
+    // min-reachable-id on both sides, so outputs align without any
+    // ordering convention beyond the final ORDER BY.
+    GraftQuery(
+      "q_dedup_embed_clusters",
+      s"""${embedPairSql(recursive = true)},
+        |pe AS (SELECT id_a, id_b FROM p WHERE cos >= 0.4),
+        |edges AS (SELECT id_a AS u, id_b AS w FROM pe
+        |          UNION SELECT id_b, id_a FROM pe),
+        |reach AS (
+        |  SELECT u AS node, u AS lab FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e.w AS node, r.lab FROM reach r JOIN edges e ON e.u = r.node),
+        |cl AS (SELECT node AS vec_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+        |SELECT vec_id, cluster_id,
+        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS csize,
+        |  CAST(vec_id = cluster_id AS INTEGER) AS keep
+        |FROM cl ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val pairs = embedNearDupPairs(t(s, dir, "embeddings"), 0.4)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
+        .select(col("id").as("vec_id"), col("component").as("cluster_id"))
+        .withColumn("csize",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cluster_id"))).cast(IntegerType))
+        .withColumn("keep",
+          (col("vec_id") === col("cluster_id")).cast(IntegerType))
+        .orderBy(col("vec_id"))
     })
 }
