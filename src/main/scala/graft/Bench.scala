@@ -35,20 +35,24 @@ object Bench {
     * that window (BENCH_r02.json: full-precision doubles pushed the
     * line start out of the window -> "parsed": null), so per-query
     * precision degrades 3 -> 2 -> 1 -> 0 decimals until the line fits
-    * under 1900 chars. BenchLineSpec asserts the ladder absorbs the
-    * current catalog plus ten future queries — grow the catalog and
-    * that test, not this margin.
+    * under 1950 chars — measured headroom: exactly one byte (the
+    * trailing newline) follows the line in the combined capture, and
+    * `"sf"` carries the directory BASENAME to spend the window on
+    * query timings rather than a constant path prefix. BenchLineSpec
+    * asserts the ladder absorbs the current catalog plus ten future
+    * queries — grow the catalog and that test, not this margin.
     */
   def renderLine(results: Map[String, Double], sfDir: String): String = {
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val sf = sfDir.stripSuffix("/").split('/').last
     def f(decimals: Int)(v: Double): String =
       s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, v)
     def render(decimals: Int): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + f(decimals)(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f(decimals)(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(decimals)(total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
     }
-    Seq(3, 2, 1, 0).map(render).find(_.length <= 1900).getOrElse {
+    Seq(3, 2, 1, 0).map(render).find(_.length <= 1950).getOrElse {
       // even 0 decimals overflows (names dominate past ~90 queries):
       // keep the SLOWEST queries — the informative ones — and say how
       // many were dropped rather than silently losing the parse
@@ -56,9 +60,9 @@ object Bench {
       def renderTop(k: Int): String = {
         val qs = sorted.take(k).map { case (n, v) => "\"" + n + "\":" + f(1)(v) }
           .mkString("{", ",", "}")
-        s"""{"metric":"total","value":${f(1)(total)},"unit":"sec","queries":$qs,"dropped":${sorted.size - k},"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${f(1)(total)},"unit":"sec","queries":$qs,"dropped":${sorted.size - k},"sf":"$sf"}"""
       }
-      (sorted.size to 0 by -1).map(renderTop).find(_.length <= 1900).get
+      (sorted.size to 0 by -1).map(renderTop).find(_.length <= 1950).get
     }
   }
 }
