@@ -106,11 +106,14 @@ object ConnectedComponents {
     * graph, where [[run]] would need 10k label-propagation rounds).
     * Mins only ever decrease, so the fixed point is a star forest with
     * every component's nodes pointing at its minimum id; convergence is
-    * detected structurally — a star forest has no 2-edge path, so one
-    * (dst = src) self-join per round answers "converged?" without
-    * comparing edge multisets. Per round: two aggregations + two joins
-    * on the (shrinking) edge list, one localCheckpoint to truncate
-    * lineage — no driver-side data ever.
+    * detected structurally — the edge set is a star forest iff every
+    * tail has out-degree exactly 1 AND no 2-edge path exists (the
+    * first alone misses chains; the second alone misses a node
+    * pointing at two different roots, which still has merging to do) —
+    * so one aggregation and one (dst = src) self-join per round answer
+    * "converged?" without comparing edge multisets. Per round: three
+    * aggregations + three joins on the (shrinking) edge list, one
+    * localCheckpoint to truncate lineage — no driver-side data ever.
     *
     * Returns (labels `(id, component)`, rounds). Labels match [[run]]
     * exactly (component = min reachable id); like [[run]], only nodes
@@ -134,10 +137,18 @@ object ConnectedComponents {
     while (!converged && rounds < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint()
       rounds += 1
-      // Star forest ⇔ no node is both an edge head and an edge tail.
-      converged = next.alias("a")
-        .join(next.alias("b"), col("a.dst") === col("b.src"))
-        .isEmpty
+      // Fixed point ⇔ the edge set is a star forest: every tail has
+      // exactly ONE head (out-degree 1 — a node pointing at two
+      // different roots still has merging to do) and no head is itself
+      // a tail (no 2-edge path — a chain still has hops to collapse).
+      // Both are cheap actions on the checkpointed edge list; at a
+      // star forest both operators are the identity, so stopping here
+      // is exact, not heuristic.
+      val deg = next.agg(count(lit(1)), count_distinct(col("src"))).collect()(0)
+      converged = deg.getLong(0) == deg.getLong(1) &&
+        next.alias("a")
+          .join(next.alias("b"), col("a.dst") === col("b.src"))
+          .isEmpty
       e = next
     }
     if (!converged)

@@ -66,6 +66,40 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("alternating CC does not stop at a multi-parent pseudo-forest") {
+    import spark.implicits._
+    // Regression: after one large-star/small-star round this graph
+    // becomes {(3,1),(4,1),(3,2),(5,2)} — no node is both an edge head
+    // and tail, but node 3 points at TWO roots, so a no-2-path-only
+    // convergence test stops early, splitting one component into
+    // {1,3,4} / {2,5} and emitting node 3 twice. The out-degree-1 half
+    // of the convergence test forces another round.
+    val edges = Seq((1L, 4L), (3L, 4L), (2L, 5L), (3L, 5L))
+    val (labels, _) =
+      ConnectedComponents.runAlternating(edges.toDF("a", "b"), "a", "b")
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length == 5, s"duplicate or missing node rows: ${got.toSeq}")
+    assert(got.toMap == unionFind(edges))
+    assert(got.forall(_._2 == 1L))
+  }
+
+  test("alternating CC matches union-find on seeded random graphs") {
+    import spark.implicits._
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val n = 24
+      val edges = Seq.fill(20)(
+        (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+        .filter { case (a, b) => a != b }
+      val (labels, _) =
+        ConnectedComponents.runAlternating(edges.toDF("a", "b"), "a", "b")
+      val got = labels.as[(Long, Long)].collect()
+      assert(got.length == got.map(_._1).distinct.length,
+        s"seed=$seed duplicate node rows")
+      assert(got.toMap == unionFind(edges), s"seed=$seed edges=$edges")
+    }
+  }
+
   test("10k-node path graph converges in O(log n) rounds") {
     import spark.implicits._
     val n = 10000L
