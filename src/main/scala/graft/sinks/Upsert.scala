@@ -354,26 +354,63 @@ object Upsert {
     if (df.columns.contains(bucketCol)) df.drop(bucketCol) else df
   }
 
+  /** The bucket-count pin of a partitioned keyed table. The count is a
+    * LAYOUT property, not a per-call choice: rebucketing with a
+    * different count would strand existing rows in partitions no batch
+    * ever reads again (silent duplicate keys), so the table records it
+    * at creation and every later batch uses the recorded value —
+    * callers' `numBuckets` only applies when the table is born.
+    * Underscore-prefixed files are invisible to Spark's parquet reader.
+    */
+  private def bucketsFile(dir: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dir, "_graft_buckets")
+
+  private def readBuckets(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[Int] = {
+    val f = bucketsFile(dir)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toInt)
+      finally in.close()
+    }
+  }
+
+  private def writeBuckets(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, n: Int): Unit = {
+    val out = fs.create(bucketsFile(dir), true)
+    try out.write(n.toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** Partition-pruned parquet upsert — the engine-managed-table path
     * that survives 100 TB. The table is hive-partitioned by a
-    * deterministic hash bucket of the key (`kb=<0..numBuckets-1>`); a
-    * batch (1) computes the staged buckets, (2) reads ONLY those
-    * partitions (partition pruning — the scan never touches the rest
-    * of the table), (3) merges, and (4) swaps only the touched
-    * partition directories. Untouched partitions' files are never
-    * rewritten — byte-identical across upserts (UpsertPartitionedSpec
-    * asserts this) — so per-batch cost is O(touched partitions) ≈
-    * O(stage size), not O(table size) like the legacy [[upsertParquet]]
-    * full rewrite.
+    * deterministic hash bucket of the key (`kb=<0..numBuckets-1>`,
+    * count pinned in `_graft_buckets` at creation); a batch
+    * (1) computes the staged buckets, (2) reads ONLY those partitions
+    * (partition pruning — the scan never touches the rest of the
+    * table), (3) merges, and (4) swaps only the touched partition
+    * directories. Untouched partitions' files are never rewritten —
+    * byte-identical across upserts (UpsertPartitionedSpec asserts
+    * this) — so per-batch cost is O(touched partitions) ≈ O(stage
+    * size), not O(table size) like the legacy [[upsertParquet]] full
+    * rewrite. A pre-existing table in the legacy FLAT layout (no `kb`
+    * partitions) is migrated in place: one O(table) merge-and-rewrite
+    * into the bucketed layout, then every later batch is pruned.
     *
     * Crash-consistency matches the sink's at-least-once contract: the
     * new files for ALL touched partitions are fully staged before the
-    * first (metadata-only) directory rename; a crash mid-swap leaves
-    * some partitions at the new batch and some at the old, and
-    * re-running the same batch converges (the merge is idempotent) —
-    * the same recovery story as the per-partition JDBC transactions.
-    * Single-writer, like the reference's one loader task
-    * (max_active_runs=1).
+    * first (metadata-only) directory rename, and a replaced partition
+    * is parked in a `.retired` sibling (NOT inside the stage dir)
+    * until its replacement is installed. A crash anywhere mid-swap
+    * leaves every bucket's data in exactly one of live/retired; the
+    * next run restores any retired-but-never-replaced bucket before
+    * touching anything, then the idempotent merge converges — no
+    * window in which a bucket's only copy sits in a directory the
+    * retry deletes. Single-writer, like the reference's one loader
+    * task (max_active_runs=1).
     */
   def upsertParquetPartitioned(
       spark: SparkSession,
@@ -385,34 +422,75 @@ object Upsert {
     import org.apache.hadoop.fs.{FileSystem, Path}
     val dir = new Path(tableDir)
     val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
-    val withBucket = stage.withColumn("kb", keyBucket(col(key), numBuckets))
+    val tmp = new Path(dir.getParent, s".${dir.getName}.stage")
+    val retiredDir = new Path(dir.getParent, s".${dir.getName}.retired")
+
+    // recover from a crash between "retire live bucket" and "install
+    // replacement": restore any bucket whose live dir is missing, THEN
+    // clear scratch state
+    if (fs.exists(retiredDir)) {
+      fs.listStatus(retiredDir).foreach { st =>
+        val live = new Path(dir, st.getPath.getName)
+        if (!fs.exists(live) && !fs.rename(st.getPath, live))
+          throw new IllegalStateException(
+            s"recovery rename ${st.getPath} -> $live failed")
+      }
+      fs.delete(retiredDir, true)
+    }
+    fs.delete(tmp, true)
+
     if (!fs.exists(dir)) {
-      withBucket.write.partitionBy("kb").parquet(tableDir)
+      stage.withColumn("kb", keyBucket(col(key), numBuckets))
+        .write.partitionBy("kb").parquet(tableDir)
+      writeBuckets(fs, dir, numBuckets)
       return
     }
-    // staged bucket ids: bounded by numBuckets, a tiny driver-side list
+
+    val existing = spark.read.parquet(tableDir)
+    if (!existing.columns.contains("kb")) {
+      // legacy flat layout: one-time O(table) migration to buckets
+      val migrated = merge(existing, stage, key, updateColumns)
+        .withColumn("kb", keyBucket(col(key), numBuckets))
+      migrated.write.partitionBy("kb").parquet(tmp.toString)
+      val old = new Path(dir.getParent, s".${dir.getName}.old")
+      fs.delete(old, true)
+      if (!fs.rename(dir, old))
+        throw new IllegalStateException(s"rename $dir -> $old failed")
+      if (!fs.rename(tmp, dir))
+        throw new IllegalStateException(s"rename $tmp -> $dir failed")
+      fs.delete(old, true)
+      writeBuckets(fs, dir, numBuckets)
+      return
+    }
+
+    // the table's pinned bucket count wins over the parameter (a table
+    // from before the pin existed adopts the parameter and pins it)
+    val nb = readBuckets(fs, dir).getOrElse {
+      writeBuckets(fs, dir, numBuckets); numBuckets
+    }
+    val withBucket = stage.withColumn("kb", keyBucket(col(key), nb))
+    // staged bucket ids: bounded by nb, a tiny driver-side list
     val touched = withBucket.select(col("kb")).distinct()
       .collect().map(_.getInt(0)).sorted
     // partition-pruned target read: only touched buckets are scanned
-    val target = spark.read.parquet(tableDir)
+    val target = existing
       .filter(col("kb").isin(touched.map(Int.box): _*))
       .drop("kb")
     val merged = merge(target, stage, key, updateColumns)
-      .withColumn("kb", keyBucket(col(key), numBuckets))
-    val tmp = new Path(dir.getParent, s".${dir.getName}.stage")
-    fs.delete(tmp, true)
+      .withColumn("kb", keyBucket(col(key), nb))
     merged.write.partitionBy("kb").parquet(tmp.toString)
     // swap ONLY touched partition dirs (metadata renames; data files
     // for the whole batch were fully written above)
+    fs.mkdirs(retiredDir)
     touched.foreach { p =>
       val live = new Path(dir, s"kb=$p")
       val next = new Path(tmp, s"kb=$p")
-      val retired = new Path(tmp, s"kb=$p.old")
-      if (fs.exists(live) && !fs.rename(live, retired))
-        throw new IllegalStateException(s"rename $live -> $retired failed")
+      if (fs.exists(live) && !fs.rename(live, new Path(retiredDir, s"kb=$p")))
+        throw new IllegalStateException(s"rename $live -> $retiredDir failed")
       if (fs.exists(next) && !fs.rename(next, live))
         throw new IllegalStateException(s"rename $next -> $live failed")
     }
+    fs.delete(retiredDir, true)
     fs.delete(tmp, true)
   }
 

@@ -128,6 +128,64 @@ class UpsertPartitionedSpec extends SparkSpec {
     }
   }
 
+  test("a legacy flat table migrates in place on its first partitioned upsert") {
+    withTempDir { root =>
+      val dir = root.resolve("table").toString
+      // born under the legacy full-rewrite layout: no kb partitions
+      Upsert.upsertParquet(spark, rows("K1" -> 1, "K2" -> 2), dir,
+        updateColumns = Seq("score", "title_sanitized"))
+      upsert(rows("K2" -> 20, "K3" -> 3), dir)
+      val st = tableState(dir)
+      assert(st == Map(
+        "K1" -> ((1, "t-K1", "a-K1")),
+        "K2" -> ((20, "t-K2", "a-K2")),
+        "K3" -> ((3, "t-K3", "a-K3"))))
+      // and the table is now bucketed: later batches prune
+      assert(Paths.get(dir).toFile.listFiles().exists(_.getName.startsWith("kb=")))
+      upsert(rows("K3" -> 30), dir)
+      assert(tableState(dir)("K3")._1 == 30)
+    }
+  }
+
+  test("the table's bucket count is pinned at creation, not per call") {
+    withTempDir { root =>
+      val dir = root.resolve("table").toString
+      val keys = (1 to 40).map(i => s"K$i" -> i)
+      upsert(rows(keys: _*), dir) // created with Buckets = 8
+      // a later batch arriving with a DIFFERENT bucket count must not
+      // rebucket: a key hashed under the new count would miss its old
+      // partition and duplicate instead of update
+      Upsert.upsertParquetPartitioned(spark, rows("K7" -> 700), dir,
+        updateColumns = Seq("score", "title_sanitized"), numBuckets = 3)
+      val all = Upsert.readKeyedTable(spark, dir).collect()
+      assert(all.length == 40, s"duplicate keys after bucket mismatch: ${all.length}")
+      assert(tableState(dir)("K7")._1 == 700)
+    }
+  }
+
+  test("a bucket retired by a crashed swap is restored on the next run") {
+    withTempDir { root =>
+      val dir = root.resolve("table").toString
+      val keys = (1 to 40).map(i => s"K$i" -> i)
+      upsert(rows(keys: _*), dir)
+      val before = tableState(dir)
+      // simulate a crash after "retire live" but before "install new":
+      // the bucket's only copy sits in the .retired sibling
+      val b = bucketOf("K7")
+      val retired = root.resolve(".table.retired")
+      Files.createDirectories(retired)
+      Files.move(Paths.get(dir, s"kb=$b"), retired.resolve(s"kb=$b"))
+      assert(!Files.exists(Paths.get(dir, s"kb=$b")))
+      // the next (retry) batch must first restore the bucket, then merge
+      upsert(rows("K7" -> 700), dir)
+      val st = tableState(dir)
+      assert(st.size == 40, "rows lost across crash recovery")
+      assert(st("K7")._1 == 700)
+      assert(st.filterNot(_._1 == "K7") == before.filterNot(_._1 == "K7"))
+      assert(!Files.exists(retired), "retired scratch dir must be cleaned up")
+    }
+  }
+
   test("target read is partition-pruned to staged buckets") {
     withTempDir { root =>
       val dir = root.resolve("table").toString
