@@ -62,7 +62,7 @@ object Bench {
           .mkString("{", ",", "}")
         s"""{"metric":"total","value":${f(1)(total)},"unit":"sec","queries":$qs,"dropped":${sorted.size - k},"sf":"$sf"}"""
       }
-      (sorted.size to 0 by -1).map(renderTop).find(_.length <= 1950).get
+      (sorted.size to 0 by -1).iterator.map(renderTop).find(_.length <= 1950).get
     }
   }
 }

@@ -67,8 +67,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BloomMightContain(args(0), args(1), args(2), intArg(args(3)), intArg(args(4)))
       }))
     def intArg0(e: Expression): Int = e.eval().asInstanceOf[Int]
+    // SQL numeric array literals parse as array<decimal>/array<int>, so
+    // cast to array<double> before evaluating — toDoubleArray() on the
+    // raw literal would ClassCastException on the most natural call
     def codebookArg(e: Expression): Array[Double] =
-      e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      org.apache.spark.sql.catalyst.expressions.Cast(e,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+        .eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         .toDoubleArray()
     ext.injectFunction((
       new FunctionIdentifier("pq_encode"),

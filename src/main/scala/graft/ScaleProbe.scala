@@ -120,9 +120,7 @@ object ScaleProbe {
       import graft.expressions.PqExpressions
       for (label <- Seq("100k", "1M")) {
         val e = spark.read.parquet(s"/tmp/scale_embed_$label.parquet")
-        val cb = e.filter(col("vec_id") < 16).orderBy(col("vec_id"))
-          .select(col("embedding")).collect()
-          .flatMap(_.getSeq[Float](0).map(_.toDouble))
+        val cb = graft.operators.CodebookTrainer.initCodebook(e, 16, normalize = false)
         var t0 = System.nanoTime()
         val codes = e.select(col("vec_id").as("n_id"),
           PqExpressions.pqEncode(col("embedding"), cb, 8, 8).as("cl"))

@@ -51,9 +51,7 @@ object SimilarityQueries {
     * projection with ZERO exchange.
     */
   private[analytics] def collectCodebook(e: DataFrame, n: Int): Array[Double] =
-    e.filter(col("vec_id") < n).orderBy(col("vec_id"))
-      .select(col("embedding")).collect()
-      .flatMap(_.getSeq[Float](0).map(_.toDouble))
+    graft.operators.CodebookTrainer.initCodebook(e, n, normalize = false)
 
   /** Embedding column made provably non-nullable, so kernel outputs
     * used as join keys infer no `isnotnull` (which would inline the

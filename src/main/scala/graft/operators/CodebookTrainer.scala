@@ -49,12 +49,17 @@ object CodebookTrainer {
   private def qCoord(c: Column): Column =
     floor(c.cast(DoubleType) * lit(Quant.toDouble) + lit(0.5)).cast(LongType)
 
-  /** In pinned fold order: norm² = 0.0 + m₀² + m₁² + …, then `mᵢ/√`. */
+  /** In pinned fold order: norm² = 0.0 + m₀² + m₁² + …, then `mᵢ/√`.
+    * A zero vector passes through unchanged (dividing would poison the
+    * codebook with NaNs — and unlike NaN, a zero centroid is inert in
+    * the argmax-dot assignment).
+    */
   private def normalized(m: Array[Double]): Array[Double] = {
     var acc = 0.0
     var j = 0
     while (j < m.length) { acc += m(j) * m(j); j += 1 }
     val nrm = math.sqrt(acc)
+    if (nrm == 0.0) return m.clone()
     val out = new Array[Double](m.length)
     j = 0
     while (j < m.length) { out(j) = m(j) / nrm; j += 1 }
@@ -91,7 +96,11 @@ object CodebookTrainer {
         val c = r.getInt(0)
         val n = r.getLong(1).toDouble
         val m = Array.tabulate(dim)(j => r.getLong(2 + j).toDouble / n / Quant.toDouble)
-        System.arraycopy(normalized(m), 0, next, c * dim, dim)
+        // zero-sum cell (coordinates cancelled exactly): keep the
+        // previous centroid, like the empty-cell rule — a normalized
+        // zero mean has no direction to point the cell at
+        if (m.exists(_ != 0.0))
+          System.arraycopy(normalized(m), 0, next, c * dim, dim)
       }
       cb = next
     }
