@@ -154,6 +154,39 @@ object SimilarityQueries {
        |                    (a, b) -> a + b)) FOR x IN m.mv], p.cv) AS cv
        |        FROM $prev p LEFT JOIN m$n m ON m.c_id = p.c_id)""".stripMargin
 
+  /** One unrolled per-subspace PQ k-means iteration as DuckDB CTEs
+    * (`$prev` → `p$n`): assignment by argmin subspace-L2 (tie → lower
+    * centroid id — the [[graft.expressions.PqEncode]] rule), per-
+    * (subspace, code) coordinate sums over QUANTIZED lists (exact
+    * BIGINTs), plain means in [[graft.operators.CodebookTrainer]]'s
+    * pinned op order (no normalization — PQ scores in L2). A (j, code)
+    * group with no members keeps the previous subspace block via the
+    * positional LEFT JOIN + COALESCE.
+    */
+  private def pqKmeansIterSql(n: Int, prev: String): String =
+    s"""pasg$n AS (SELECT z.vec_id, z.qv, jj.j, c.c_id,
+       |             row_number() OVER (PARTITION BY z.vec_id, jj.j
+       |               ORDER BY ${pqSubDistSql("z.v", "c.cv")}, c.c_id) AS rk
+       |           FROM qz z, $prev c, (SELECT unnest(range(0, 8)) AS j) jj),
+       |pown$n AS (SELECT vec_id, qv, j, c_id FROM pasg$n WHERE rk = 1),
+       |pcnt$n AS (SELECT j, c_id, COUNT(*) AS n FROM pown$n GROUP BY j, c_id),
+       |psum$n AS (SELECT o.j, o.c_id, i.i AS i,
+       |             CAST(sum(o.qv[8 * o.j + i.i]) AS BIGINT) AS s
+       |           FROM pown$n o, (SELECT unnest(range(1, 9)) AS i) i
+       |           GROUP BY o.j, o.c_id, i.i),
+       |pm$n AS (SELECT s.j, s.c_id, s.i,
+       |           CAST(s.s AS DOUBLE) / CAST(c.n AS DOUBLE) / 1048576.0 AS mval
+       |         FROM psum$n s JOIN pcnt$n c ON c.j = s.j AND c.c_id = s.c_id),
+       |p$n AS (SELECT p.c_id,
+       |          list(COALESCE(m.mval, p.cv[8 * pos.j + pos.i])
+       |               ORDER BY 8 * pos.j + pos.i) AS cv
+       |        FROM $prev p
+       |        CROSS JOIN (SELECT jj.j, ii.i
+       |                    FROM (SELECT unnest(range(0, 8)) AS j) jj,
+       |                         (SELECT unnest(range(1, 9)) AS i) ii) pos
+       |        LEFT JOIN pm$n m ON m.c_id = p.c_id AND m.j = pos.j AND m.i = pos.i
+       |        GROUP BY p.c_id)""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
 
     // ----------------------------------------------------- brute force
@@ -621,5 +654,67 @@ object SimilarityQueries {
       val e = t(s, dir, "embeddings")
       ivfPipeline(e,
         graft.operators.CodebookTrainer.trainSphericalIvf(e, 16, 64, 2), 10)
+    },
+
+    // ------------------------------------------------- trained PQ
+    // PQ with TRAINED sub-quantizers: 2 iterations of per-subspace
+    // deterministic k-means (CodebookTrainer.trainPq — the codebook
+    // AnnRecallSpec shows lifting ADC recall to >=0.8 from the pinned
+    // codebook's 0.5 floor) feeding the same encode/ADC/re-rank
+    // pipeline as q_ann_pq. Training determinism composes exactly as
+    // in q_ann_ivf_trained: argmin ties break on centroid id, per-
+    // (subspace, code) coordinate sums are exact quantized BIGINTs,
+    // means combine in pinned op order — so the oracle re-derives the
+    // same sub-quantizers via unrolled per-subspace iteration CTEs and
+    // the trained index hash-matches end to end, approximate distances
+    // included. Scale shape: each iteration is one corpus scan (the
+    // PqEncode kernel assigns all 8 subspaces in the scan stage) + a
+    // (8x16)-group aggregation; only 128 aggregate rows reach the
+    // driver.
+    GraftQuery(
+      "q_ann_pq_trained",
+      s"""WITH e AS ($embDoubleSql),
+         |qz AS (SELECT vec_id, v,
+         |        [CAST(floor(x * 1048576.0 + 0.5) AS BIGINT) FOR x IN v] AS qv
+         |       FROM e),
+         |p0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+         |${pqKmeansIterSql(1, "p0")},
+         |${pqKmeansIterSql(2, "p1")},
+         |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+         |cent AS (SELECT c_id, cv FROM p2),
+         |pd AS (SELECT a.vec_id AS n_id, c.c_id, jj.j,
+         |         ${pqSubDistSql("a.v", "c.cv")} AS d2
+         |       FROM e a, cent c, (SELECT unnest(range(0, 8)) AS j) jj),
+         |enc AS (SELECT n_id, j, c_id,
+         |          row_number() OVER (PARTITION BY n_id, j
+         |            ORDER BY d2, c_id) AS r
+         |        FROM pd),
+         |cm AS (SELECT n_id, list(c_id ORDER BY j) AS cl
+         |       FROM enc WHERE r = 1 GROUP BY n_id),
+         |qdl AS (SELECT n_id AS q_id, list(d2 ORDER BY c_id * 8 + j) AS dl
+         |        FROM pd WHERE n_id < 10 GROUP BY n_id),
+         |s AS (SELECT q.q_id, c.n_id,
+         |        list_reduce([q.dl[c.cl[j + 1] * 8 + j + 1]
+         |                     FOR j IN range(0, 8)], (x, y) -> x + y) AS ad2
+         |      FROM cm c, qdl q WHERE c.n_id <> q.q_id),
+         |cand AS (SELECT q_id, n_id, ad2,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY ad2, n_id) AS crank
+         |         FROM s),
+         |r AS (SELECT q_id, n_id, ad2,
+         |        ${dotSql("qn.v", "cn.v")} / (qn.nrm * cn.nrm) AS cos
+         |      FROM cand JOIN n qn ON qn.vec_id = cand.q_id
+         |                JOIN n cn ON cn.vec_id = cand.n_id
+         |      WHERE crank <= 8),
+         |t AS (SELECT q_id, n_id, ad2, cos,
+         |        CAST(row_number() OVER (PARTITION BY q_id
+         |               ORDER BY cos DESC, n_id) AS INTEGER) AS rank
+         |      FROM r)
+         |SELECT q_id, n_id, rank, round(ad2, 4) AS approx_d2,
+         |  round(cos, 4) AS cosine
+         |FROM t WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      pqPipeline(e,
+        graft.operators.CodebookTrainer.trainPq(e, 8, 8, 16, 2), 10)
     })
 }
