@@ -154,6 +154,54 @@ object SimilarityQueries {
        |                    (a, b) -> a + b)) FOR x IN m.mv], p.cv) AS cv
        |        FROM $prev p LEFT JOIN m$n m ON m.c_id = p.c_id)""".stripMargin
 
+  /** IVF × PQ composition against independently supplied codebooks
+    * (the same pinned codebook twice for q_ann_ivfpq; trained coarse
+    * centroids + trained sub-quantizers for q_ann_ivfpq_trained).
+    * ONE corpus scan computes the IVF cell AND the 8 PQ codes side by
+    * side as kernel projections — no window, no explode, no groupBy:
+    * zero exchange below the candidate ranking on the corpus side
+    * (coarse assign is argmax-dot; unit-norm ⇒ dot order = cosine
+    * order). Probe cells + ADC tables broadcast as a tiny per-query
+    * projection; only probed cells' members are scored.
+    */
+  private[graft] def ivfPqPipeline(
+      e: DataFrame, cbIvf: Array[Double], cbPq: Array[Double],
+      nQueries: Int): DataFrame = {
+    val corpus = e.select(col("vec_id").as("n_id"),
+      PqExpressions.nearestCell(embNN, cbIvf, 64).as("cell"),
+      PqExpressions.pqEncode(embNN, cbPq, 8, 8).as("cl"))
+    val probes = e.filter(col("vec_id") < nQueries).select(
+      col("vec_id").as("q_id"),
+      explode(PqExpressions.nearestCells(embNN, cbIvf, 64, 2)).as("pcell"),
+      PqExpressions.pqSubDists(embNN, cbPq, 8, 8).as("dl"))
+    val wCand = Window.partitionBy(col("q_id")).orderBy(col("ad2"), col("n_id"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    // (q, n) pairs are unique (one cell per vector, distinct probes),
+    // so no dedup stage is needed; ADC is 8 array probes per pair
+    val cand = corpus.join(broadcast(probes),
+        col("cell") === col("pcell") && col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        PqExpressions.adcScore(col("cl"), col("dl"), 8).as("ad2"))
+      .withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= 8)
+      .select(col("q_id"), col("n_id"), col("ad2"))
+    val fetched = e.join(broadcast(cand), col("vec_id") === col("n_id"))
+      .select(col("q_id"), col("n_id"), col("ad2"),
+        col("embedding").as("nv"), l2Norm(col("embedding")).as("cn"))
+    val qn = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id2"), col("embedding").as("qv"),
+        l2Norm(col("embedding")).as("qn"))
+    fetched.join(broadcast(qn), col("q_id") === col("q_id2"))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wRank).cast(IntegerType))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("n_id"), col("rank"),
+        round(col("ad2"), 4).as("approx_d2"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** One unrolled per-subspace PQ k-means iteration as DuckDB CTEs
     * (`$prev` → `p$n`): assignment by argmin subspace-L2 (tie → lower
     * centroid id — the [[graft.expressions.PqEncode]] rule), per-
@@ -468,47 +516,7 @@ object SimilarityQueries {
       }) { (s, dir) =>
       val e = t(s, dir, "embeddings")
       val cb = collectCodebook(e, 16)
-      // ONE corpus scan computes the IVF cell AND the 8 PQ codes side
-      // by side as kernel projections — no window, no explode, no
-      // groupBy: zero exchange below the candidate ranking on the
-      // corpus side (coarse assign is argmax-dot; unit-norm ⇒ dot
-      // order = cosine order)
-      val corpus = e.select(col("vec_id").as("n_id"),
-        PqExpressions.nearestCell(embNN, cb, 64).as("cell"),
-        PqExpressions.pqEncode(embNN, cb, 8, 8).as("cl"))
-      // per-query probe cells + ADC table in one tiny projection,
-      // broadcast: (q_id, pcell, dl) — 2 rows × ~1 KiB per query
-      val probes = e.filter(col("vec_id") < 10).select(
-        col("vec_id").as("q_id"),
-        explode(PqExpressions.nearestCells(embNN, cb, 64, 2)).as("pcell"),
-        PqExpressions.pqSubDists(embNN, cb, 8, 8).as("dl"))
-      val wCand = Window.partitionBy(col("q_id")).orderBy(col("ad2"), col("n_id"))
-      val wRank = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("n_id"))
-      // candidates: only probed cells' members are scored — (q, n)
-      // pairs are unique (one cell per vector, distinct probes), so no
-      // dedup stage is needed; ADC is 8 array probes per pair
-      val cand = corpus.join(broadcast(probes),
-          col("cell") === col("pcell") && col("n_id") =!= col("q_id"))
-        .select(col("q_id"), col("n_id"),
-          PqExpressions.adcScore(col("cl"), col("dl"), 8).as("ad2"))
-        .withColumn("crank", row_number().over(wCand))
-        .filter(col("crank") <= 8)
-        .select(col("q_id"), col("n_id"), col("ad2"))
-      val fetched = e.join(broadcast(cand), col("vec_id") === col("n_id"))
-        .select(col("q_id"), col("n_id"), col("ad2"),
-          col("embedding").as("nv"), l2Norm(col("embedding")).as("cn"))
-      val qn = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id2"), col("embedding").as("qv"),
-          l2Norm(col("embedding")).as("qn"))
-      fetched.join(broadcast(qn), col("q_id") === col("q_id2"))
-        .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("cn")))
-        .withColumn("rank", row_number().over(wRank).cast(IntegerType))
-        .filter(col("rank") <= 3)
-        .select(col("q_id"), col("n_id"), col("rank"),
-          round(col("ad2"), 4).as("approx_d2"),
-          round(col("cos"), 4).as("cosine"))
-        .orderBy(col("q_id"), col("rank"))
+      ivfPqPipeline(e, cb, cb, 10)
     },
 
     // ----------------------------------------------- multiband dense LSH
@@ -715,6 +723,77 @@ object SimilarityQueries {
          |FROM t WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
       val e = t(s, dir, "embeddings")
       pqPipeline(e,
+        graft.operators.CodebookTrainer.trainPq(e, 8, 8, 16, 2), 10)
+    },
+
+    // -------------------------------------------- trained IVF-PQ
+    // The production serving config with BOTH index structures
+    // trained: spherical-k-means coarse centroids bound WHICH vectors
+    // are scored, per-subspace-k-means sub-quantizers bound the COST
+    // of each — q_ann_ivfpq's composition with q_ann_ivf_trained's
+    // and q_ann_pq_trained's codebooks. The oracle unrolls BOTH
+    // trainings in one statement (the two iteration-CTE families are
+    // name-disjoint) and the full trained index hash-matches,
+    // approximate distances included.
+    GraftQuery(
+      "q_ann_ivfpq_trained",
+      s"""WITH e AS ($embDoubleSql),
+         |qz AS (SELECT vec_id, v,
+         |        [CAST(floor(x * 1048576.0 + 0.5) AS BIGINT) FOR x IN v] AS qv
+         |       FROM e),
+         |c0 AS (SELECT vec_id AS c_id,
+         |        [x / sqrt(${dotSql("v", "v")}) FOR x IN v] AS cv
+         |       FROM e WHERE vec_id < 16),
+         |${kmeansIterSql(1, "c0")},
+         |${kmeansIterSql(2, "c1")},
+         |p0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+         |${pqKmeansIterSql(1, "p0")},
+         |${pqKmeansIterSql(2, "p1")},
+         |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+         |asg AS (SELECT a.vec_id, c.c_id,
+         |          row_number() OVER (PARTITION BY a.vec_id
+         |            ORDER BY ${dotSql("a.v", "c.cv")} DESC, c.c_id) AS crank
+         |        FROM e a, c2 c),
+         |cells AS (SELECT vec_id AS n_id, c_id AS cell FROM asg WHERE crank = 1),
+         |probes AS (SELECT vec_id AS q_id, c_id AS cell FROM asg
+         |           WHERE vec_id < 10 AND crank <= 2),
+         |pd AS (SELECT a.vec_id AS n_id, c.c_id, jj.j,
+         |         ${pqSubDistSql("a.v", "c.cv")} AS d2
+         |       FROM e a, p2 c, (SELECT unnest(range(0, 8)) AS j) jj),
+         |enc AS (SELECT n_id, j, c_id,
+         |          row_number() OVER (PARTITION BY n_id, j
+         |            ORDER BY d2, c_id) AS r
+         |        FROM pd),
+         |cm AS (SELECT n_id, list(c_id ORDER BY j) AS cl
+         |       FROM enc WHERE r = 1 GROUP BY n_id),
+         |qdl AS (SELECT n_id AS q_id, list(d2 ORDER BY c_id * 8 + j) AS dl
+         |        FROM pd WHERE n_id < 10 GROUP BY n_id),
+         |s AS (SELECT p.q_id, ce.n_id,
+         |        list_reduce([q.dl[k.cl[j + 1] * 8 + j + 1]
+         |                     FOR j IN range(0, 8)], (x, y) -> x + y) AS ad2
+         |      FROM probes p
+         |      JOIN cells ce ON p.cell = ce.cell AND ce.n_id <> p.q_id
+         |      JOIN cm k ON k.n_id = ce.n_id
+         |      JOIN qdl q ON q.q_id = p.q_id),
+         |cand AS (SELECT q_id, n_id, ad2,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY ad2, n_id) AS crank
+         |         FROM s),
+         |r AS (SELECT q_id, n_id, ad2,
+         |        ${dotSql("qn.v", "cn.v")} / (qn.nrm * cn.nrm) AS cos
+         |      FROM cand JOIN n qn ON qn.vec_id = cand.q_id
+         |                JOIN n cn ON cn.vec_id = cand.n_id
+         |      WHERE crank <= 8),
+         |t AS (SELECT q_id, n_id, ad2, cos,
+         |        CAST(row_number() OVER (PARTITION BY q_id
+         |               ORDER BY cos DESC, n_id) AS INTEGER) AS rank
+         |      FROM r)
+         |SELECT q_id, n_id, rank, round(ad2, 4) AS approx_d2,
+         |  round(cos, 4) AS cosine
+         |FROM t WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      ivfPqPipeline(e,
+        graft.operators.CodebookTrainer.trainSphericalIvf(e, 16, 64, 2),
         graft.operators.CodebookTrainer.trainPq(e, 8, 8, 16, 2), 10)
     })
 }
