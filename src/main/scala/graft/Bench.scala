@@ -35,10 +35,11 @@ object Bench {
     * that window (BENCH_r02.json: full-precision doubles pushed the
     * line start out of the window -> "parsed": null), so per-query
     * precision degrades 3 -> 2 -> 1 -> 0 decimals until the line fits
-    * under 1985 chars — measured headroom: in the driver's own round-3
+    * under 1970 chars — measured headroom: in the driver's own round-3
     * capture exactly one byte (the trailing newline) follows the line,
-    * so up to ~1999 is safe and 1985 keeps real slack. `"sf"` carries
-    * the directory BASENAME to spend the window on
+    * so 1970 keeps ≥30 bytes of trailing-output tolerance even at the
+    * degrade threshold (today's 88-query 2-decimal line is 1957), and
+    * `"sf"` carries the directory BASENAME to spend the window on
     * query timings rather than a constant path prefix. BenchLineSpec
     * asserts the ladder absorbs the current catalog plus ten future
     * queries — grow the catalog and that test, not this margin.
@@ -53,7 +54,7 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${f(decimals)(total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
     }
-    Seq(3, 2, 1, 0).map(render).find(_.length <= 1985).getOrElse {
+    Seq(3, 2, 1, 0).map(render).find(_.length <= 1970).getOrElse {
       // even 0 decimals overflows (names dominate past ~90 queries):
       // keep the SLOWEST queries — the informative ones — and say how
       // many were dropped rather than silently losing the parse
@@ -63,7 +64,7 @@ object Bench {
           .mkString("{", ",", "}")
         s"""{"metric":"total","value":${f(1)(total)},"unit":"sec","queries":$qs,"dropped":${sorted.size - k},"sf":"$sf"}"""
       }
-      (sorted.size to 0 by -1).iterator.map(renderTop).find(_.length <= 1985).get
+      (sorted.size to 0 by -1).iterator.map(renderTop).find(_.length <= 1970).get
     }
   }
 }

@@ -53,17 +53,16 @@ object CcScaleProbe {
       .select(col("id").as("a"), (col("id") + 1).as("b"))
 
     {
-      // min-label on a chain needs diameter rounds — demonstrate the
-      // cliff at a size where it still terminates inside maxIter
       val ((labels, rounds), w) =
         time(ConnectedComponents.runAlternating(path(200000L), "a", "b"))
       val n = labels.count()
       println(f"SCALE-CC shape=path200k algo=altstar nodes=$n rounds=$rounds wall=$w%.1f")
     }
     {
-      // even 512 nodes takes diameter (511) label-propagation rounds —
-      // the per-round driver/scheduler cost alone dwarfs altstar on a
-      // graph 400x bigger
+      // min-label on a chain needs diameter+1 while-loop iterations
+      // (511 improving rounds + 1 convergence-detect round at 512
+      // nodes) — the per-round driver/scheduler cost alone dwarfs
+      // altstar on a graph 400x bigger
       val (labels, w) = time(ConnectedComponents.run(path(512L), "a", "b", maxIter = 600))
       val n = labels.count()
       println(f"SCALE-CC shape=path512 algo=minlabel nodes=$n wall=$w%.1f (diameter rounds)")

@@ -235,6 +235,79 @@ object SimilarityQueries {
        |        LEFT JOIN pm$n m ON m.c_id = p.c_id AND m.j = pos.j AND m.i = pos.i
        |        GROUP BY p.c_id)""".stripMargin
 
+  /** PQ encode + query-ADC-table CTEs over sub-quantizers from
+    * `$cent(c_id, cv)` (pinned or trained): per-(vector, centroid,
+    * subspace) distances, per-subspace argmin codes (tie → lower id),
+    * per-query distance lookup lists. Expects CTE `e` upstream.
+    */
+  private def pqEncodeCtesSql(cent: String): String =
+    s"""pd AS (SELECT a.vec_id AS n_id, c.c_id, jj.j,
+       |         ${pqSubDistSql("a.v", "c.cv")} AS d2
+       |       FROM e a, $cent c, (SELECT unnest(range(0, 8)) AS j) jj),
+       |enc AS (SELECT n_id, j, c_id,
+       |          row_number() OVER (PARTITION BY n_id, j
+       |            ORDER BY d2, c_id) AS r
+       |        FROM pd),
+       |cm AS (SELECT n_id, list(c_id ORDER BY j) AS cl
+       |       FROM enc WHERE r = 1 GROUP BY n_id),
+       |qdl AS (SELECT n_id AS q_id, list(d2 ORDER BY c_id * 8 + j) AS dl
+       |        FROM pd WHERE n_id < 10 GROUP BY n_id)""".stripMargin
+
+  /** ADC candidate top-8 → exact-cosine re-rank top-3 → final SELECT —
+    * the closing block every PQ-family oracle shares. Expects CTEs `n`
+    * and `s(q_id, n_id, ad2)` upstream.
+    */
+  private val adcRankTailSql: String =
+    s"""cand AS (SELECT q_id, n_id, ad2,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY ad2, n_id) AS crank
+       |         FROM s),
+       |r AS (SELECT q_id, n_id, ad2,
+       |        ${dotSql("qn.v", "cn.v")} / (qn.nrm * cn.nrm) AS cos
+       |      FROM cand JOIN n qn ON qn.vec_id = cand.q_id
+       |                JOIN n cn ON cn.vec_id = cand.n_id
+       |      WHERE crank <= 8),
+       |t AS (SELECT q_id, n_id, ad2, cos,
+       |        CAST(row_number() OVER (PARTITION BY q_id
+       |               ORDER BY cos DESC, n_id) AS INTEGER) AS rank
+       |      FROM r)
+       |SELECT q_id, n_id, rank, round(ad2, 4) AS approx_d2,
+       |  round(cos, 4) AS cosine
+       |FROM t WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  /** Full plain-PQ oracle tail (q_ann_pq pinned / q_ann_pq_trained):
+    * encode CTEs + all-pairs ADC scoring + rank tail.
+    */
+  private def pqAdcTailSql(cent: String): String =
+    s"""${pqEncodeCtesSql(cent)},
+       |s AS (SELECT q.q_id, c.n_id,
+       |        list_reduce([q.dl[c.cl[j + 1] * 8 + j + 1]
+       |                     FOR j IN range(0, 8)], (x, y) -> x + y) AS ad2
+       |      FROM cm c, qdl q WHERE c.n_id <> q.q_id),
+       |$adcRankTailSql""".stripMargin
+
+  /** Full IVF×PQ oracle tail (q_ann_ivfpq pinned / q_ann_ivfpq_trained):
+    * coarse cells/probes from `$centIvf`, encode CTEs from `$centPq`,
+    * probed-cells-only ADC scoring + rank tail.
+    */
+  private def ivfPqAdcTailSql(centIvf: String, centPq: String): String =
+    s"""asg AS (SELECT a.vec_id, c.c_id,
+       |          row_number() OVER (PARTITION BY a.vec_id
+       |            ORDER BY ${dotSql("a.v", "c.cv")} DESC, c.c_id) AS crank
+       |        FROM e a, $centIvf c),
+       |cells AS (SELECT vec_id AS n_id, c_id AS cell FROM asg WHERE crank = 1),
+       |probes AS (SELECT vec_id AS q_id, c_id AS cell FROM asg
+       |           WHERE vec_id < 10 AND crank <= 2),
+       |${pqEncodeCtesSql(centPq)},
+       |s AS (SELECT p.q_id, ce.n_id,
+       |        list_reduce([q.dl[k.cl[j + 1] * 8 + j + 1]
+       |                     FOR j IN range(0, 8)], (x, y) -> x + y) AS ad2
+       |      FROM probes p
+       |      JOIN cells ce ON p.cell = ce.cell AND ce.n_id <> p.q_id
+       |      JOIN cm k ON k.n_id = ce.n_id
+       |      JOIN qdl q ON q.q_id = p.q_id),
+       |$adcRankTailSql""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
 
     // ----------------------------------------------------- brute force
@@ -416,37 +489,7 @@ object SimilarityQueries {
         s"""WITH e AS ($embDoubleSql),
            |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
            |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
-           |pd AS (SELECT a.vec_id AS n_id, c.c_id, jj.j,
-           |         ${pqSubDistSql("a.v", "c.cv")} AS d2
-           |       FROM e a, cent c, (SELECT unnest(range(0, 8)) AS j) jj),
-           |enc AS (SELECT n_id, j, c_id,
-           |          row_number() OVER (PARTITION BY n_id, j
-           |            ORDER BY d2, c_id) AS r
-           |        FROM pd),
-           |cm AS (SELECT n_id, list(c_id ORDER BY j) AS cl
-           |       FROM enc WHERE r = 1 GROUP BY n_id),
-           |qdl AS (SELECT n_id AS q_id, list(d2 ORDER BY c_id * 8 + j) AS dl
-           |        FROM pd WHERE n_id < 10 GROUP BY n_id),
-           |s AS (SELECT q.q_id, c.n_id,
-           |        list_reduce([q.dl[c.cl[j + 1] * 8 + j + 1]
-           |                     FOR j IN range(0, 8)], (x, y) -> x + y) AS ad2
-           |      FROM cm c, qdl q WHERE c.n_id <> q.q_id),
-           |cand AS (SELECT q_id, n_id, ad2,
-           |           row_number() OVER (PARTITION BY q_id
-           |             ORDER BY ad2, n_id) AS crank
-           |         FROM s),
-           |r AS (SELECT q_id, n_id, ad2,
-           |        ${dotSql("qn.v", "cn.v")} / (qn.nrm * cn.nrm) AS cos
-           |      FROM cand JOIN n qn ON qn.vec_id = cand.q_id
-           |                JOIN n cn ON cn.vec_id = cand.n_id
-           |      WHERE crank <= 8),
-           |t AS (SELECT q_id, n_id, ad2, cos,
-           |        CAST(row_number() OVER (PARTITION BY q_id
-           |               ORDER BY cos DESC, n_id) AS INTEGER) AS rank
-           |      FROM r)
-           |SELECT q_id, n_id, rank, round(ad2, 4) AS approx_d2,
-           |  round(cos, 4) AS cosine
-           |FROM t WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+           |${pqAdcTailSql("cent")}""".stripMargin
       }) { (s, dir) =>
       val e = t(s, dir, "embeddings")
       // encode + query tables are pure scan-stage kernel projections
@@ -472,47 +515,7 @@ object SimilarityQueries {
         s"""WITH e AS ($embDoubleSql),
            |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
            |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
-           |asg AS (SELECT a.vec_id, c.c_id,
-           |          row_number() OVER (PARTITION BY a.vec_id
-           |            ORDER BY ${dotSql("a.v", "c.cv")} DESC, c.c_id) AS crank
-           |        FROM e a, cent c),
-           |cells AS (SELECT vec_id AS n_id, c_id AS cell FROM asg WHERE crank = 1),
-           |probes AS (SELECT vec_id AS q_id, c_id AS cell FROM asg
-           |           WHERE vec_id < 10 AND crank <= 2),
-           |pd AS (SELECT a.vec_id AS n_id, c.c_id, jj.j,
-           |         ${pqSubDistSql("a.v", "c.cv")} AS d2
-           |       FROM e a, cent c, (SELECT unnest(range(0, 8)) AS j) jj),
-           |enc AS (SELECT n_id, j, c_id,
-           |          row_number() OVER (PARTITION BY n_id, j
-           |            ORDER BY d2, c_id) AS r
-           |        FROM pd),
-           |cm AS (SELECT n_id, list(c_id ORDER BY j) AS cl
-           |       FROM enc WHERE r = 1 GROUP BY n_id),
-           |qdl AS (SELECT n_id AS q_id, list(d2 ORDER BY c_id * 8 + j) AS dl
-           |        FROM pd WHERE n_id < 10 GROUP BY n_id),
-           |s AS (SELECT p.q_id, ce.n_id,
-           |        list_reduce([q.dl[k.cl[j + 1] * 8 + j + 1]
-           |                     FOR j IN range(0, 8)], (x, y) -> x + y) AS ad2
-           |      FROM probes p
-           |      JOIN cells ce ON p.cell = ce.cell AND ce.n_id <> p.q_id
-           |      JOIN cm k ON k.n_id = ce.n_id
-           |      JOIN qdl q ON q.q_id = p.q_id),
-           |cand AS (SELECT q_id, n_id, ad2,
-           |           row_number() OVER (PARTITION BY q_id
-           |             ORDER BY ad2, n_id) AS crank
-           |         FROM s),
-           |r AS (SELECT q_id, n_id, ad2,
-           |        ${dotSql("qn.v", "cn.v")} / (qn.nrm * cn.nrm) AS cos
-           |      FROM cand JOIN n qn ON qn.vec_id = cand.q_id
-           |                JOIN n cn ON cn.vec_id = cand.n_id
-           |      WHERE crank <= 8),
-           |t AS (SELECT q_id, n_id, ad2, cos,
-           |        CAST(row_number() OVER (PARTITION BY q_id
-           |               ORDER BY cos DESC, n_id) AS INTEGER) AS rank
-           |      FROM r)
-           |SELECT q_id, n_id, rank, round(ad2, 4) AS approx_d2,
-           |  round(cos, 4) AS cosine
-           |FROM t WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+           |${ivfPqAdcTailSql("cent", "cent")}""".stripMargin
       }) { (s, dir) =>
       val e = t(s, dir, "embeddings")
       val cb = collectCodebook(e, 16)
@@ -689,38 +692,7 @@ object SimilarityQueries {
          |${pqKmeansIterSql(1, "p0")},
          |${pqKmeansIterSql(2, "p1")},
          |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
-         |cent AS (SELECT c_id, cv FROM p2),
-         |pd AS (SELECT a.vec_id AS n_id, c.c_id, jj.j,
-         |         ${pqSubDistSql("a.v", "c.cv")} AS d2
-         |       FROM e a, cent c, (SELECT unnest(range(0, 8)) AS j) jj),
-         |enc AS (SELECT n_id, j, c_id,
-         |          row_number() OVER (PARTITION BY n_id, j
-         |            ORDER BY d2, c_id) AS r
-         |        FROM pd),
-         |cm AS (SELECT n_id, list(c_id ORDER BY j) AS cl
-         |       FROM enc WHERE r = 1 GROUP BY n_id),
-         |qdl AS (SELECT n_id AS q_id, list(d2 ORDER BY c_id * 8 + j) AS dl
-         |        FROM pd WHERE n_id < 10 GROUP BY n_id),
-         |s AS (SELECT q.q_id, c.n_id,
-         |        list_reduce([q.dl[c.cl[j + 1] * 8 + j + 1]
-         |                     FOR j IN range(0, 8)], (x, y) -> x + y) AS ad2
-         |      FROM cm c, qdl q WHERE c.n_id <> q.q_id),
-         |cand AS (SELECT q_id, n_id, ad2,
-         |           row_number() OVER (PARTITION BY q_id
-         |             ORDER BY ad2, n_id) AS crank
-         |         FROM s),
-         |r AS (SELECT q_id, n_id, ad2,
-         |        ${dotSql("qn.v", "cn.v")} / (qn.nrm * cn.nrm) AS cos
-         |      FROM cand JOIN n qn ON qn.vec_id = cand.q_id
-         |                JOIN n cn ON cn.vec_id = cand.n_id
-         |      WHERE crank <= 8),
-         |t AS (SELECT q_id, n_id, ad2, cos,
-         |        CAST(row_number() OVER (PARTITION BY q_id
-         |               ORDER BY cos DESC, n_id) AS INTEGER) AS rank
-         |      FROM r)
-         |SELECT q_id, n_id, rank, round(ad2, 4) AS approx_d2,
-         |  round(cos, 4) AS cosine
-         |FROM t WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+         |${pqAdcTailSql("p2")}""".stripMargin) { (s, dir) =>
       val e = t(s, dir, "embeddings")
       pqPipeline(e,
         graft.operators.CodebookTrainer.trainPq(e, 8, 8, 16, 2), 10)
@@ -750,47 +722,7 @@ object SimilarityQueries {
          |${pqKmeansIterSql(1, "p0")},
          |${pqKmeansIterSql(2, "p1")},
          |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
-         |asg AS (SELECT a.vec_id, c.c_id,
-         |          row_number() OVER (PARTITION BY a.vec_id
-         |            ORDER BY ${dotSql("a.v", "c.cv")} DESC, c.c_id) AS crank
-         |        FROM e a, c2 c),
-         |cells AS (SELECT vec_id AS n_id, c_id AS cell FROM asg WHERE crank = 1),
-         |probes AS (SELECT vec_id AS q_id, c_id AS cell FROM asg
-         |           WHERE vec_id < 10 AND crank <= 2),
-         |pd AS (SELECT a.vec_id AS n_id, c.c_id, jj.j,
-         |         ${pqSubDistSql("a.v", "c.cv")} AS d2
-         |       FROM e a, p2 c, (SELECT unnest(range(0, 8)) AS j) jj),
-         |enc AS (SELECT n_id, j, c_id,
-         |          row_number() OVER (PARTITION BY n_id, j
-         |            ORDER BY d2, c_id) AS r
-         |        FROM pd),
-         |cm AS (SELECT n_id, list(c_id ORDER BY j) AS cl
-         |       FROM enc WHERE r = 1 GROUP BY n_id),
-         |qdl AS (SELECT n_id AS q_id, list(d2 ORDER BY c_id * 8 + j) AS dl
-         |        FROM pd WHERE n_id < 10 GROUP BY n_id),
-         |s AS (SELECT p.q_id, ce.n_id,
-         |        list_reduce([q.dl[k.cl[j + 1] * 8 + j + 1]
-         |                     FOR j IN range(0, 8)], (x, y) -> x + y) AS ad2
-         |      FROM probes p
-         |      JOIN cells ce ON p.cell = ce.cell AND ce.n_id <> p.q_id
-         |      JOIN cm k ON k.n_id = ce.n_id
-         |      JOIN qdl q ON q.q_id = p.q_id),
-         |cand AS (SELECT q_id, n_id, ad2,
-         |           row_number() OVER (PARTITION BY q_id
-         |             ORDER BY ad2, n_id) AS crank
-         |         FROM s),
-         |r AS (SELECT q_id, n_id, ad2,
-         |        ${dotSql("qn.v", "cn.v")} / (qn.nrm * cn.nrm) AS cos
-         |      FROM cand JOIN n qn ON qn.vec_id = cand.q_id
-         |                JOIN n cn ON cn.vec_id = cand.n_id
-         |      WHERE crank <= 8),
-         |t AS (SELECT q_id, n_id, ad2, cos,
-         |        CAST(row_number() OVER (PARTITION BY q_id
-         |               ORDER BY cos DESC, n_id) AS INTEGER) AS rank
-         |      FROM r)
-         |SELECT q_id, n_id, rank, round(ad2, 4) AS approx_d2,
-         |  round(cos, 4) AS cosine
-         |FROM t WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+         |${ivfPqAdcTailSql("c2", "p2")}""".stripMargin) { (s, dir) =>
       val e = t(s, dir, "embeddings")
       ivfPqPipeline(e,
         graft.operators.CodebookTrainer.trainSphericalIvf(e, 16, 64, 2),

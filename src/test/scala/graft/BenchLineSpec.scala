@@ -17,7 +17,7 @@ class BenchLineSpec extends AnyFunSuite {
     // pessimistic widths: double-digit seconds for every query
     val results = names.map(_ -> 12.345678).toMap
     val line = Bench.renderLine(results, "/root/testdata/sf0.1")
-    assert(line.length < 1985,
+    assert(line.length < 1970,
       s"bench line ${line.length} chars at ${names.size} queries — " +
         "the precision ladder no longer fits the driver's 2000-char tail")
     assert(line.startsWith("{\"metric\":\"total\""))
@@ -35,7 +35,7 @@ class BenchLineSpec extends AnyFunSuite {
       .map { case (n, i) => n -> (if (n.endsWith("117")) 99.9 else i * 0.01) }
       .toMap
     val line = Bench.renderLine(results, "/tmp/x")
-    assert(line.length <= 1985)
+    assert(line.length <= 1970)
     assert(line.contains("\"dropped\":"), line.take(120))
     assert(line.contains("q_very_long_synthetic_name_number_117"),
       "slowest query was dropped from the fallback line")
@@ -44,7 +44,7 @@ class BenchLineSpec extends AnyFunSuite {
   test("bench line at the real catalog keeps >= 2-decimal resolution") {
     val results = SparkEntry.queries.keys.map(_ -> 1.234567).toMap
     val line = Bench.renderLine(results, "/root/testdata/sf0.1")
-    assert(line.length < 1985)
+    assert(line.length < 1970)
     // 10 ms resolution for realistic sub-10s values at today's size
     assert(line.contains(":1.23"), line.take(200))
   }
