@@ -41,11 +41,14 @@ class BenchLineSpec extends AnyFunSuite {
       "slowest query was dropped from the fallback line")
   }
 
-  test("bench line at the real catalog keeps >= 2-decimal resolution") {
+  test("bench line at the real catalog keeps >= 1-decimal resolution") {
     val results = SparkEntry.queries.keys.map(_ -> 1.234567).toMap
     val line = Bench.renderLine(results, "/root/testdata/sf0.1")
     assert(line.length < 1970)
-    // 10 ms resolution for realistic sub-10s values at today's size
-    assert(line.contains(":1.23"), line.take(200))
+    // 100 ms per-query resolution minimum: the round-5 "passes"/"errors"
+    // provenance fields consumed the margin that used to buy 2 decimals
+    // at full catalog — artifact robustness outranks display precision
+    assert(line.contains(":1.2"), line.take(200))
+    assert(!line.contains("\"dropped\":"), "fallback engaged at real catalog size")
   }
 }

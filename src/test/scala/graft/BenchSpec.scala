@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench harness must defend its own artifact: BENCH_r04's total
+  * was inflated 7.4x by a host-contention window that covered the same
+  * contiguous block of queries in both same-order passes. These tests
+  * pin the two mechanisms that prevent a recurrence — per-pass order
+  * rotation and pure min-across-passes combination — on synthetic
+  * timings, no SparkSession needed.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  private val names = (1 to 30).map(i => f"q_$i%02d")
+
+  test("a fully poisoned pass does not reach the reported mins") {
+    val clean = names.map(_ -> Option(0.5)).toMap
+    // pass 1 poisoned: every query 40x slower (sustained contention)
+    val poisoned = names.map(_ -> Option(20.0)).toMap
+    val (mins, errs) = Bench.combine(Seq(clean, poisoned, clean))
+    assert(errs.isEmpty)
+    assert(mins.values.forall(_ == 0.5), "poisoned pass leaked into mins")
+  }
+
+  test("a contiguous slow window cannot poison a query in every rotated pass") {
+    val catalog = names
+    val n = catalog.size
+    // simulate a contention window covering wall-clock positions 10..19
+    // of EVERY pass (the BENCH_r04 failure shape); with per-pass
+    // rotation each position maps to a different query per pass
+    val window = (10 until 20).toSet
+    val passes = (0 until Bench.Passes).map { i =>
+      Bench.rotate(catalog, i * n / Bench.Passes).zipWithIndex.map {
+        case (q, pos) => q -> Option(if (window(pos)) 60.0 else 0.4)
+      }.toMap
+    }
+    val (mins, _) = Bench.combine(passes)
+    assert(mins.values.forall(_ == 0.4),
+      "some query was slow in all passes — rotation offsets overlap")
+  }
+
+  test("a query failing in one pass uses the min of its clean observations") {
+    val p1 = Map("q_a" -> Option(1.0), "q_b" -> Option(2.0))
+    val p2 = Map("q_a" -> (None: Option[Double]), "q_b" -> Option(1.5))
+    val p3 = Map("q_a" -> Option(0.9), "q_b" -> Option(2.5))
+    val (mins, errs) = Bench.combine(Seq(p1, p2, p3))
+    assert(errs.isEmpty)
+    assert(mins == Map("q_a" -> 0.9, "q_b" -> 1.5))
+  }
+
+  test("a query failing in EVERY pass is an error, not a timing") {
+    val pass = Map("q_ok" -> Option(1.0), "q_broken" -> (None: Option[Double]))
+    val (mins, errs) = Bench.combine(Seq(pass, pass, pass))
+    assert(mins == Map("q_ok" -> 1.0))
+    assert(errs == Seq("q_broken"))
+  }
+
+  test("rotate is a total permutation at every offset") {
+    val xs = (1 to 7).toSeq
+    for (k <- -3 to 15) {
+      val r = Bench.rotate(xs, k)
+      assert(r.sorted == xs, s"rotate($k) lost elements")
+    }
+    assert(Bench.rotate(Seq.empty[Int], 5).isEmpty)
+    assert(Bench.rotate(xs, 0) == xs)
+    assert(Bench.rotate(xs, 7) == xs)
+  }
+
+  test("the rendered line carries passes and errors for the judge") {
+    val line = Bench.renderLine(Map("q_x" -> 1.234), "/root/testdata/sf0.1",
+      passes = 3, errors = 2)
+    assert(line.contains("\"passes\":3"))
+    assert(line.contains("\"errors\":2"))
+  }
+}
