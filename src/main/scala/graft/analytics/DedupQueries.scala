@@ -408,7 +408,7 @@ object DedupQueries {
         .withColumn("jac", jaccard(col("shs_a"), col("shs_b")))
         .filter(col("jac") >= 0.5)
         .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"))
-      graft.operators.ConnectedComponents.run(pairs, "doc_a", "doc_b")
+      graft.operators.ConnectedComponents.runAdaptive(pairs, "doc_a", "doc_b")._1
         .select(col("id").as("doc_id"), col("component").as("cluster_id"))
         .withColumn("csize",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window
@@ -645,7 +645,7 @@ object DedupQueries {
         |FROM cl ORDER BY vec_id""".stripMargin) { (s, dir) =>
       val pairs = embedNearDupPairs(t(s, dir, "embeddings"), 0.4)
         .select(col("id_a"), col("id_b"))
-      graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
+      graft.operators.ConnectedComponents.runAdaptive(pairs, "id_a", "id_b")._1
         .select(col("id").as("vec_id"), col("component").as("cluster_id"))
         .withColumn("csize",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Connected components over an undirected edge list — the cluster-
@@ -37,11 +37,40 @@ object ConnectedComponents {
       aCol: String,
       bCol: String,
       maxIter: Int = 25): DataFrame = {
+    val (labels, changed, _, _) = minLabelLoop(edges, aCol, bCol, maxIter)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds")
+    labels.select(col("id"), col("label").as("component"))
+  }
+
+  /** The min-label propagation loop shared by [[run]] and
+    * [[runAdaptive]]. Returns (labels `(id, label)` — plus a dropped
+    * `chg`, already projected away —, changed-count after the last
+    * round, rounds executed, symmetrized edge list).
+    *
+    * Two deliberate cost moves, both prompted by profiling the cluster
+    * queries (round-4 weak item):
+    *  - the INPUT edge list is checkpointed before symmetrizing —
+    *    `e ∪ swap(e)` otherwise executes the (expensive: LSH + verify)
+    *    upstream pipeline once per union branch inside the first
+    *    materializing job;
+    *  - the per-round convergence count rides the round's own
+    *    localCheckpoint action as an `observe` metric instead of being
+    *    a second job over the checkpointed result — one Spark job per
+    *    round, half the scheduling overhead of the previous shape.
+    */
+  private def minLabelLoop(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int): (DataFrame, Long, Int, DataFrame) = {
     val e = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint()
     val sym = e
       .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .persist()
+      .localCheckpoint()
 
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -54,20 +83,68 @@ object ConnectedComponents {
       val prop = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("pid"), col("label").as("plabel"))
         .groupBy(col("pid")).agg(min(col("plabel")).as("nlabel"))
+      val obs = Observation()
       val next = labels.join(prop, labels("id") === prop("pid"), "left")
         .select(labels("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           (col("nlabel") < col("label")).as("chg"))
-        .localCheckpoint() // eager: truncates lineage, materializes round
-      changed = next.filter(col("chg")).count()
+        .observe(obs, sum(when(col("chg"), 1L).otherwise(0L)).as("changed"))
+        .localCheckpoint() // eager: truncates lineage, materializes round,
+                           // and fires the observed convergence metric
+      changed = Option(obs.get("changed")).fold(0L)(_.asInstanceOf[Long])
       labels = next.drop("chg")
       it += 1
     }
-    sym.unpersist()
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"connected components did not converge in $maxIter rounds")
-    labels.select(col("id"), col("label").as("component"))
+    (labels, changed, it, sym)
+  }
+
+  /** Topology-adaptive connected components: min-label propagation
+    * (optimal on the near-clique components dup pipelines produce —
+    * diameter 2–3, so 3–4 rounds) that detects slow convergence and
+    * switches to the O(log n)-round [[runAlternating]] mid-flight, so
+    * an adversarial long-chain graph cannot drive the round count to
+    * the graph diameter. The switch CONTRACTS the graph by the labels
+    * learned so far — every edge (u,v) maps to (label(u), label(v)),
+    * self-loops drop — and the alternating phase runs on the (strictly
+    * smaller) contracted graph. Correctness of the composition: each
+    * label is the id of some node in the same component with
+    * label ≤ id, and the component's global minimum m always has
+    * label(m) = m, so contracted components biject with original ones
+    * and carry the same minimum; alternating labels the contraction
+    * with that minimum, and final(u) = alt(label(u)) (coalesced to
+    * label(u) for components the min-label phase already collapsed to
+    * a single contracted node).
+    *
+    * Returns (labels `(id, component)` — identical to [[run]] —, total
+    * rounds across both phases).
+    */
+  def runAdaptive(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      switchAfter: Int = 6,
+      maxIter: Int = 40): (DataFrame, Int) = {
+    val (labels, changed, rounds, sym) =
+      minLabelLoop(edges, aCol, bCol, switchAfter)
+    if (changed == 0) {
+      (labels.select(col("id"), col("label").as("component")), rounds)
+    } else {
+      val la = labels.select(col("id").as("ia"), col("label").as("lsrc"))
+      val lb = labels.select(col("id").as("ib"), col("label").as("ldst"))
+      val contracted = sym
+        .join(la, sym("src") === la("ia"))
+        .join(lb, sym("dst") === lb("ib"))
+        .select(col("lsrc").as("csrc"), col("ldst").as("cdst"))
+        .filter(col("csrc") =!= col("cdst"))
+        .distinct()
+      val (alt, altRounds) =
+        runAlternating(contracted, "csrc", "cdst", maxIter = maxIter)
+      val aliased = alt.select(col("id").as("aid"), col("component").as("acomp"))
+      val fin = labels.join(aliased, labels("label") === aliased("aid"), "left")
+        .select(labels("id"),
+          coalesce(col("acomp"), col("label")).as("component"))
+      (fin, rounds + altRounds)
+    }
   }
 
   /** Large-star: per node u over the symmetrized edge list, link every

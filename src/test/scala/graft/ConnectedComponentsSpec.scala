@@ -100,6 +100,58 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("adaptive CC matches union-find on every shape without switching") {
+    import spark.implicits._
+    val shapes = Seq(
+      Seq((1L, 2L)),
+      (2L to 8L).map(i => (1L, i)), // star
+      Seq((5L, 3L), (3L, 9L), (20L, 21L), (22L, 21L), (40L, 41L)),
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+        (10L, 12L), (3L, 10L)))
+    shapes.foreach { edges =>
+      val (labels, rounds) =
+        ConnectedComponents.runAdaptive(edges.toDF("a", "b"), "a", "b")
+      val got = labels.as[(Long, Long)].collect().toMap
+      assert(got == unionFind(edges), s"edges=$edges")
+      // near-clique shapes converge inside the min-label budget, so the
+      // adaptive path must be label-propagation only
+      assert(rounds <= 6, s"edges=$edges rounds=$rounds")
+    }
+  }
+
+  test("adaptive CC switches mid-flight on a chain and stays exact") {
+    import spark.implicits._
+    // A 60-node chain (min-label would need 59 rounds) PLUS two cliques
+    // that collapse within the min-label budget: the switch must
+    // contract by the partial labels and compose alternating labels
+    // back through them, with already-collapsed components taking the
+    // coalesce path.
+    val chain = (100L until 159L).map(i => (i + 1, i))
+    val cliques = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L))
+    val edges = chain ++ cliques
+    val (labels, rounds) =
+      ConnectedComponents.runAdaptive(edges.toDF("a", "b"), "a", "b",
+        switchAfter = 4)
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length == got.map(_._1).distinct.length, "duplicate node rows")
+    assert(got.toMap == unionFind(edges))
+    assert(rounds > 4, s"expected a switch, rounds=$rounds")
+  }
+
+  test("10k-node path graph fed to the ADAPTIVE entry stays logarithmic") {
+    import spark.implicits._
+    val n = 10000L
+    val path = (1L until n).map(i => (i + 1, i))
+    val (labels, rounds) =
+      ConnectedComponents.runAdaptive(path.toDF("a", "b"), "a", "b")
+    // switchAfter (6) min-label rounds + the SoCC'14 logarithmic bound
+    // for the alternating phase on the contracted (still ~10k-node) path
+    assert(rounds <= 6 + 16, s"rounds=$rounds")
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length == n)
+    assert(got.forall(_._2 == 1L), s"bad labels: ${got.filter(_._2 != 1L).take(5).toSeq}")
+  }
+
   test("10k-node path graph converges in O(log n) rounds") {
     import spark.implicits._
     val n = 10000L
