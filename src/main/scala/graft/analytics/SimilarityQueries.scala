@@ -664,7 +664,7 @@ object SimilarityQueries {
          |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
       val e = t(s, dir, "embeddings")
       ivfPipeline(e,
-        graft.operators.CodebookTrainer.trainSphericalIvf(e, 16, 64, 2), 10)
+        graft.operators.CodebookTrainer.cachedSphericalIvf(e, dir, 16, 64, 2), 10)
     },
 
     // ------------------------------------------------- trained PQ
@@ -695,7 +695,7 @@ object SimilarityQueries {
          |${pqAdcTailSql("p2")}""".stripMargin) { (s, dir) =>
       val e = t(s, dir, "embeddings")
       pqPipeline(e,
-        graft.operators.CodebookTrainer.trainPq(e, 8, 8, 16, 2), 10)
+        graft.operators.CodebookTrainer.cachedPq(e, dir, 8, 8, 16, 2), 10)
     },
 
     // -------------------------------------------- trained IVF-PQ
@@ -725,7 +725,7 @@ object SimilarityQueries {
          |${ivfPqAdcTailSql("c2", "p2")}""".stripMargin) { (s, dir) =>
       val e = t(s, dir, "embeddings")
       ivfPqPipeline(e,
-        graft.operators.CodebookTrainer.trainSphericalIvf(e, 16, 64, 2),
-        graft.operators.CodebookTrainer.trainPq(e, 8, 8, 16, 2), 10)
+        graft.operators.CodebookTrainer.cachedSphericalIvf(e, dir, 16, 64, 2),
+        graft.operators.CodebookTrainer.cachedPq(e, dir, 8, 8, 16, 2), 10)
     })
 }
