@@ -202,6 +202,86 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Phase-1 STORED ANN index — the materialized analog of SCALING.md's
+    * 100 TB claim ("codes as 1-byte arrays, 16× scan-IO cut"): ONE
+    * corpus scan computes every vector's IVF cell and PQ code list side
+    * by side as scan-stage kernels, zero exchange. Write it
+    * `.partitionBy("cell")` so the serve path prunes to probed cells at
+    * the file-listing level (CodesMaterializeSpec pins both the pruning
+    * and the absence of encode work at serve time).
+    */
+  def codesTable(
+      e: DataFrame, cbIvf: Array[Double], cbPq: Array[Double]): DataFrame =
+    e.select(col("vec_id"),
+      PqExpressions.nearestCell(embNN, cbIvf, 64).as("cell"),
+      PqExpressions.pqEncode(embNN, cbPq, 8, 8).as("cl"))
+
+  /** Serve-side probe projection over a (small, external) query-vector
+    * table: probed cells exploded + the per-subspace ADC lookup table.
+    * Kernel work here is per QUERY, not per corpus vector — the whole
+    * point of the stored index.
+    */
+  def probeTable(
+      queries: DataFrame, cbIvf: Array[Double], cbPq: Array[Double],
+      nprobe: Int = 2): DataFrame =
+    queries.select(col("vec_id").as("q_id"),
+      explode(PqExpressions.nearestCells(embNN, cbIvf, 64, nprobe)).as("pcell"),
+      PqExpressions.pqSubDists(embNN, cbPq, 8, 8).as("dl"))
+
+  /** ADC candidate top-`topC` per query reading ONLY the stored codes
+    * table: prune to the probed cells (a static partition filter —
+    * `probedCells` is the query batch's cell set, ≤ nQueries×nprobe
+    * ints of driver-side metadata), broadcast-join the probe table on
+    * the cell key, ADC-score each co-celled (query, code) pair. No
+    * PqEncode / NearestCell runs here — the corpus-side index work was
+    * paid once at build time.
+    */
+  def adcCandidatesFromCodes(
+      codes: DataFrame, probes: DataFrame, probedCells: Seq[Int],
+      topC: Int = 8): DataFrame = {
+    val wCand = Window.partitionBy(col("q_id")).orderBy(col("ad2"), col("n_id"))
+    codes.filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(probes),
+        col("cell") === col("pcell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        PqExpressions.adcScore(col("cl"), col("dl"), 8).as("ad2"))
+      .withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= topC)
+      .select(col("q_id"), col("n_id"), col("ad2"))
+  }
+
+  /** Stored-index serving composed end-to-end: probes from the query
+    * vectors, ADC candidates from the codes table alone, then the exact
+    * re-rank fetches full vectors ONLY for the ≤ topC×nQueries
+    * candidates (same tail as [[ivfPqPipeline]] — output schema and
+    * values match q_ann_ivfpq exactly when the codes table was built
+    * with its codebooks).
+    */
+  private[graft] def ivfPqServeFromCodes(
+      e: DataFrame, codes: DataFrame, cbIvf: Array[Double],
+      cbPq: Array[Double], nQueries: Int): DataFrame = {
+    val probes = probeTable(e.filter(col("vec_id") < nQueries), cbIvf, cbPq, 2)
+    val cells = probes.select(col("pcell")).distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded: ≤ nQueries × nprobe
+    val cand = adcCandidatesFromCodes(codes, probes, cells, topC = 8)
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    val fetched = e.join(broadcast(cand), col("vec_id") === col("n_id"))
+      .select(col("q_id"), col("n_id"), col("ad2"),
+        col("embedding").as("nv"), l2Norm(col("embedding")).as("cn"))
+    val qn = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id2"), col("embedding").as("qv"),
+        l2Norm(col("embedding")).as("qn"))
+    fetched.join(broadcast(qn), col("q_id") === col("q_id2"))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wRank).cast(IntegerType))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("n_id"), col("rank"),
+        round(col("ad2"), 4).as("approx_d2"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** One unrolled per-subspace PQ k-means iteration as DuckDB CTEs
     * (`$prev` → `p$n`): assignment by argmin subspace-L2 (tie → lower
     * centroid id — the [[graft.expressions.PqEncode]] rule), per-
