@@ -258,6 +258,16 @@ object Upsert {
     * server-side set operation (no per-row driver round trips), which
     * is how warehouse upserts are shipped at any scale. Still
     * idempotent under retry: re-running the same batch converges.
+    *
+    * SINGLE-WRITER per target table, like the parquet sinks and the
+    * reference's one loader task (max_active_runs=1): the scratch stage
+    * name derives from the target (created unqualified in the
+    * connection's default schema), so two concurrent loaders for the
+    * same target — or a loader racing its own retry — would DROP/CREATE
+    * each other's stage mid-load. Concurrent loads of DIFFERENT targets
+    * are fine (disjoint stage names); a deployment that genuinely needs
+    * concurrent same-target loaders must pass a distinct per-run
+    * `stageTable`.
     */
   def writeJdbcStaged(
       df: DataFrame,
@@ -284,7 +294,13 @@ object Upsert {
     }
     def dropStage(conn: Connection): Unit =
       try conn.createStatement().execute(s"DROP TABLE $stage")
-      catch { case _: java.sql.SQLException => () } // absent: fine
+      catch {
+        // ONLY "table does not exist" is fine (Postgres 42P01, Derby
+        // 42Y55, SQL-standard-ish 42S02); a permissions or lock failure
+        // must surface HERE, not later as a confusing CREATE error
+        case e: java.sql.SQLException
+            if Set("42P01", "42Y55", "42S02").contains(e.getSQLState) => ()
+      }
 
     val setup = connect(url, propMap)
     try {
@@ -424,6 +440,23 @@ object Upsert {
     val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(dir.getParent, s".${dir.getName}.stage")
     val retiredDir = new Path(dir.getParent, s".${dir.getName}.retired")
+    val oldDir = new Path(dir.getParent, s".${dir.getName}.old")
+
+    // recover from a crash between the migration's rename(dir -> .old)
+    // and rename(stage -> dir) (or [[upsertParquet]]'s identical swap on
+    // this table): the table's ONLY copy sits in .old with dir missing —
+    // restore it BEFORE deleting the stage scratch, or this retry would
+    // rebuild the table from the stage batch alone and silently strand
+    // every pre-existing row. A stale .old NEXT TO a live dir is the
+    // opposite (a swap that crashed after install, before cleanup) and
+    // is safe to clear.
+    if (!fs.exists(dir) && fs.exists(oldDir)) {
+      if (!fs.rename(oldDir, dir))
+        throw new IllegalStateException(
+          s"recovery rename $oldDir -> $dir failed")
+    } else if (fs.exists(oldDir)) {
+      fs.delete(oldDir, true)
+    }
 
     // recover from a crash between "retire live bucket" and "install
     // replacement": restore any bucket whose live dir is missing, THEN
@@ -440,33 +473,56 @@ object Upsert {
     fs.delete(tmp, true)
 
     if (!fs.exists(dir)) {
+      // staged create: the bucket-count pin is written INTO the staged
+      // directory before the (atomic) install, so a bucketed table can
+      // never exist without its pin — no crash window between table
+      // birth and pin write
       stage.withColumn("kb", keyBucket(col(key), numBuckets))
-        .write.partitionBy("kb").parquet(tableDir)
-      writeBuckets(fs, dir, numBuckets)
+        .write.partitionBy("kb").parquet(tmp.toString)
+      writeBuckets(fs, tmp, numBuckets)
+      if (!fs.rename(tmp, dir))
+        throw new IllegalStateException(s"rename $tmp -> $dir failed")
       return
     }
 
     val existing = spark.read.parquet(tableDir)
     if (!existing.columns.contains("kb")) {
-      // legacy flat layout: one-time O(table) migration to buckets
+      // legacy flat layout: one-time O(table) migration to buckets.
+      // The pin travels inside the staged directory (see create path);
+      // the crash window between the two renames is covered by the
+      // .old restore in the recovery preamble above.
       val migrated = merge(existing, stage, key, updateColumns)
         .withColumn("kb", keyBucket(col(key), numBuckets))
       migrated.write.partitionBy("kb").parquet(tmp.toString)
-      val old = new Path(dir.getParent, s".${dir.getName}.old")
-      fs.delete(old, true)
-      if (!fs.rename(dir, old))
-        throw new IllegalStateException(s"rename $dir -> $old failed")
+      writeBuckets(fs, tmp, numBuckets)
+      if (!fs.rename(dir, oldDir))
+        throw new IllegalStateException(s"rename $dir -> $oldDir failed")
       if (!fs.rename(tmp, dir))
         throw new IllegalStateException(s"rename $tmp -> $dir failed")
-      fs.delete(old, true)
-      writeBuckets(fs, dir, numBuckets)
+      fs.delete(oldDir, true)
       return
     }
 
-    // the table's pinned bucket count wins over the parameter (a table
-    // from before the pin existed adopts the parameter and pins it)
+    // the table's pinned bucket count wins over the parameter. Every
+    // table THIS sink creates is born with its pin (both install paths
+    // write it into the staged directory pre-swap), so a missing pin
+    // means a bucketed layout of foreign provenance: adopting the
+    // caller's parameter is only safe when no observed partition id
+    // contradicts it — a partition id >= numBuckets proves the table
+    // was bucketed under a different count, and adopting would hash
+    // staged keys into the wrong partitions, miss their existing rows,
+    // and silently duplicate (the exact failure the pin prevents).
     val nb = readBuckets(fs, dir).getOrElse {
-      writeBuckets(fs, dir, numBuckets); numBuckets
+      val observed = fs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.startsWith("kb=")).map(_.substring(3).toInt)
+      if (observed.nonEmpty && observed.max >= numBuckets)
+        throw new IllegalStateException(
+          s"$dir has partition kb=${observed.max} but no _graft_buckets " +
+            s"pin; refusing to adopt numBuckets=$numBuckets — rebucketing " +
+            "would silently duplicate keys. Restore the pin or migrate " +
+            "the table explicitly.")
+      writeBuckets(fs, dir, numBuckets)
+      numBuckets
     }
     val withBucket = stage.withColumn("kb", keyBucket(col(key), nb))
     // staged bucket ids: bounded by nb, a tiny driver-side list
@@ -511,12 +567,18 @@ object Upsert {
     import org.apache.hadoop.fs.{FileSystem, Path}
     val dir = new Path(tableDir)
     val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    val old = new Path(dir.getParent, s".${dir.getName}.old")
+    // crash between the two swap renames left the table's only copy in
+    // .old: restore it first, or this retry would merge against nothing
+    // and strand every pre-existing row (same recovery as the
+    // partitioned path's preamble)
+    if (!fs.exists(dir) && fs.exists(old) && !fs.rename(old, dir))
+      throw new IllegalStateException(s"recovery rename $old -> $dir failed")
     val merged =
       if (fs.exists(dir)) merge(spark.read.parquet(tableDir), stage, key, updateColumns)
       else stage
     val tmp = new Path(dir.getParent, s".${dir.getName}.new")
     merged.write.mode("overwrite").parquet(tmp.toString)
-    val old = new Path(dir.getParent, s".${dir.getName}.old")
     fs.delete(old, true)
     if (fs.exists(dir) && !fs.rename(dir, old))
       throw new IllegalStateException(s"rename $dir -> $old failed")

@@ -186,6 +186,70 @@ class UpsertPartitionedSpec extends SparkSpec {
     }
   }
 
+  test("a migration crash between the swap renames loses no rows on retry") {
+    withTempDir { root =>
+      val dir = root.resolve("table").toString
+      Upsert.upsertParquet(spark, rows("K1" -> 1, "K2" -> 2), dir,
+        updateColumns = Seq("score", "title_sanitized"))
+      // simulate the migration crashing between rename(dir -> .old) and
+      // rename(stage -> dir): the table's ONLY copy sits in .old, and a
+      // half-baked stage dir is still lying around
+      Files.move(Paths.get(dir), root.resolve(".table.old"))
+      Files.createDirectories(root.resolve(".table.stage"))
+      Files.writeString(root.resolve(".table.stage").resolve("junk"), "x")
+      assert(!Files.exists(Paths.get(dir)))
+      // the retry (at-least-once: same batch re-delivered) must restore
+      // the flat table from .old BEFORE clearing scratch, then migrate —
+      // not rebuild the table from the stage batch alone
+      upsert(rows("K2" -> 20, "K3" -> 3), dir)
+      assert(tableState(dir) == Map(
+        "K1" -> ((1, "t-K1", "a-K1")),
+        "K2" -> ((20, "t-K2", "a-K2")),
+        "K3" -> ((3, "t-K3", "a-K3"))), "pre-existing rows stranded in .old")
+      assert(!Files.exists(root.resolve(".table.old")), ".old not cleaned up")
+      // and the migrated table carries its bucket pin (written into the
+      // staged dir pre-swap, so no crash can separate layout from pin)
+      assert(Files.exists(Paths.get(dir, "_graft_buckets")))
+    }
+  }
+
+  test("full-rewrite upsert restores a crashed swap the same way") {
+    withTempDir { root =>
+      val dir = root.resolve("table").toString
+      Upsert.upsertParquet(spark, rows("K1" -> 1, "K2" -> 2), dir,
+        updateColumns = Seq("score", "title_sanitized"))
+      Files.move(Paths.get(dir), root.resolve(".table.old"))
+      Upsert.upsertParquet(spark, rows("K3" -> 3), dir,
+        updateColumns = Seq("score", "title_sanitized"))
+      assert(tableState(dir).keySet == Set("K1", "K2", "K3"),
+        "pre-existing rows stranded in .old")
+    }
+  }
+
+  test("a bucketed table with no pin refuses a contradicted bucket count") {
+    withTempDir { root =>
+      val dir = root.resolve("table").toString
+      upsert(rows((1 to 40).map(i => s"K$i" -> i): _*), dir) // Buckets = 8
+      Files.delete(Paths.get(dir, "_graft_buckets")) // pin lost / foreign table
+      // some partition id must exceed the smaller count for the check
+      val maxKb = Paths.get(dir).toFile.listFiles()
+        .map(_.getName).filter(_.startsWith("kb=")).map(_.drop(3).toInt).max
+      assert(maxKb >= 3)
+      val e = intercept[IllegalStateException] {
+        Upsert.upsertParquetPartitioned(spark, rows("K7" -> 700), dir,
+          updateColumns = Seq("score", "title_sanitized"), numBuckets = 3)
+      }
+      assert(e.getMessage.contains("refusing to adopt"), e.getMessage)
+      // an UNcontradicted adoption (count above every observed id) is
+      // allowed and re-pins
+      Upsert.upsertParquetPartitioned(spark, rows("K7" -> 700), dir,
+        updateColumns = Seq("score", "title_sanitized"), numBuckets = Buckets)
+      assert(Files.exists(Paths.get(dir, "_graft_buckets")))
+      assert(tableState(dir).size == 40)
+      assert(tableState(dir)("K7")._1 == 700)
+    }
+  }
+
   test("target read is partition-pruned to staged buckets") {
     withTempDir { root =>
       val dir = root.resolve("table").toString
