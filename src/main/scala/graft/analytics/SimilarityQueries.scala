@@ -127,13 +127,91 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Farthest-point (k-means++-style) IVF seeding as DuckDB CTEs,
+    * mirroring [[graft.operators.CodebookTrainer.farthestPointInitIvf]]
+    * step for step: normalize the `vec_id < pool` candidates, seed with
+    * the lowest id, then k-1 unrolled selection steps — each takes the
+    * candidate MINIMIZING its max dot (= farthest on the unit sphere)
+    * against the selected set, ties to the lower vec_id
+    * (`ORDER BY md ASC, vec_id LIMIT 1` = the Scala loop's strict-<
+    * scan in ascending id order). Dots are the same pinned left-to-
+    * right double folds as everywhere else, and max() is order-
+    * independent, so each step picks the same vector bit-for-bit in
+    * both engines. Emits `c0(c_id, cv)` with c_id = selection order —
+    * the codebook row order the Spark kernels compile.
+    */
+  private def fpIvfInitSql(k: Int = 16, pool: Int = 128): String = {
+    val steps = (2 to k).map { i =>
+      s"""fd$i AS MATERIALIZED (SELECT p.vec_id, max(${dotSql("p.nv", "s.nv")}) AS md
+         |         FROM fpool p, fsel${i - 1} s
+         |         WHERE p.vec_id NOT IN (SELECT vec_id FROM fsel${i - 1})
+         |         GROUP BY p.vec_id),
+         |fsel$i AS MATERIALIZED (SELECT * FROM fsel${i - 1} UNION ALL
+         |           SELECT ${i - 1} AS c_id, p.vec_id, p.nv
+         |           FROM fpool p
+         |           JOIN (SELECT vec_id FROM fd$i ORDER BY md ASC, vec_id
+         |                 LIMIT 1) w USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    s"""fpool AS MATERIALIZED (SELECT vec_id,
+       |            [x / sqrt(${dotSql("v", "v")}) FOR x IN v] AS nv
+       |          FROM e WHERE vec_id < $pool),
+       |fsel1 AS MATERIALIZED (SELECT 0 AS c_id, vec_id, nv FROM fpool
+       |          ORDER BY vec_id LIMIT 1),
+       |$steps,
+       |c0 AS (SELECT c_id, nv AS cv FROM fsel$k)""".stripMargin
+  }
+
+  /** Per-subspace farthest-point PQ seeding as DuckDB CTEs, mirroring
+    * [[graft.operators.CodebookTrainer.farthestPointInitPq]]: every
+    * subspace independently seeds with the lowest id's subvector, then
+    * k-1 unrolled steps each take (per subspace, via one row_number
+    * window over all 8 at once) the subvector MAXIMIZING its min
+    * squared-L2 distance to that subspace's selected set, ties to the
+    * lower vec_id. Emits `p0(c_id, cv)` where centroid c's block j is
+    * subspace j's c-th selection — the independent-block layout
+    * [[graft.operators.CodebookTrainer.trainPq]] updates.
+    */
+  private def fpPqInitSql(
+      k: Int = 16, subspaces: Int = 8, subDim: Int = 8,
+      pool: Int = 128): String = {
+    def sub(p: String, q: String): String =
+      s"""list_reduce([($p[$subDim*s.j + i] - $q[$subDim*s.j + i])
+         |             * ($p[$subDim*s.j + i] - $q[$subDim*s.j + i])
+         |             FOR i IN range(1, ${subDim + 1})], (x, y) -> x + y)""".stripMargin
+    val steps = (2 to k).map { i =>
+      s"""pd$i AS MATERIALIZED (SELECT s.j, p.vec_id, min(${sub("p.v", "q.v")}) AS mind
+         |         FROM ppool p, psel${i - 1} s JOIN ppool q ON q.vec_id = s.vec_id
+         |         WHERE NOT EXISTS (SELECT 1 FROM psel${i - 1} t
+         |                           WHERE t.j = s.j AND t.vec_id = p.vec_id)
+         |         GROUP BY s.j, p.vec_id),
+         |psel$i AS MATERIALIZED (SELECT * FROM psel${i - 1} UNION ALL
+         |           SELECT j, ${i - 1} AS c_id, vec_id FROM (
+         |             SELECT j, vec_id, row_number() OVER (PARTITION BY j
+         |               ORDER BY mind DESC, vec_id) AS rk FROM pd$i)
+         |           WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""ppool AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id < $pool),
+       |psel1 AS MATERIALIZED (SELECT jj.j, 0 AS c_id, w.vec_id
+       |          FROM (SELECT unnest(range(0, $subspaces)) AS j) jj,
+       |               (SELECT vec_id FROM ppool ORDER BY vec_id LIMIT 1) w),
+       |$steps,
+       |p0 AS (SELECT s.c_id,
+       |         flatten(list(q.v[$subDim*s.j + 1 : $subDim*s.j + $subDim]
+       |                      ORDER BY s.j)) AS cv
+       |       FROM psel$k s JOIN ppool q ON q.vec_id = s.vec_id
+       |       GROUP BY s.c_id)""".stripMargin
+  }
+
   /** One unrolled spherical-k-means iteration as DuckDB CTEs
     * (`$prev` → `c$n`): assignment by argmax dot (tie → lower id),
     * per-cell sums over the QUANTIZED coordinate lists (exact BIGINTs,
     * so group order is irrelevant — the property that makes training
     * cross-engine-deterministic), mean and spherical normalization in
     * the pinned op order of [[graft.operators.CodebookTrainer]].
-    * Empty cells keep the previous centroid via LEFT JOIN + COALESCE.
+    * Empty cells (LEFT JOIN miss) AND zero-sum cells (every quantized
+    * coordinate sum cancelled exactly to 0) keep the previous centroid
+    * — both rules mirror [[graft.operators.CodebookTrainer]]'s, so the
+    * engines cannot diverge even on adversarial cancelling data.
     */
   private def kmeansIterSql(n: Int, prev: String): String =
     s"""asg$n AS (SELECT z.vec_id, z.qv, c.c_id,
@@ -150,8 +228,11 @@ object SimilarityQueries {
        |               ORDER BY s.j) AS mv
        |        FROM ssum$n s JOIN cnt$n c ON c.c_id = s.c_id GROUP BY s.c_id),
        |c$n AS (SELECT p.c_id,
-       |          COALESCE([x / sqrt(list_reduce([y * y FOR y IN m.mv],
-       |                    (a, b) -> a + b)) FOR x IN m.mv], p.cv) AS cv
+       |          CASE WHEN m.mv IS NULL THEN p.cv
+       |               WHEN list_reduce([abs(y) FOR y IN m.mv],
+       |                      (a, b) -> a + b) = 0 THEN p.cv
+       |               ELSE [x / sqrt(list_reduce([y * y FOR y IN m.mv],
+       |                      (a, b) -> a + b)) FOR x IN m.mv] END AS cv
        |        FROM $prev p LEFT JOIN m$n m ON m.c_id = p.c_id)""".stripMargin
 
   /** IVF × PQ composition against independently supplied codebooks
@@ -717,9 +798,7 @@ object SimilarityQueries {
          |qz AS (SELECT vec_id, v,
          |        [CAST(floor(x * 1048576.0 + 0.5) AS BIGINT) FOR x IN v] AS qv
          |       FROM e),
-         |c0 AS (SELECT vec_id AS c_id,
-         |        [x / sqrt(${dotSql("v", "v")}) FOR x IN v] AS cv
-         |       FROM e WHERE vec_id < 16),
+         |${fpIvfInitSql()},
          |${kmeansIterSql(1, "c0")},
          |${kmeansIterSql(2, "c1")},
          |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
@@ -768,7 +847,7 @@ object SimilarityQueries {
          |qz AS (SELECT vec_id, v,
          |        [CAST(floor(x * 1048576.0 + 0.5) AS BIGINT) FOR x IN v] AS qv
          |       FROM e),
-         |p0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+         |${fpPqInitSql()},
          |${pqKmeansIterSql(1, "p0")},
          |${pqKmeansIterSql(2, "p1")},
          |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
@@ -793,12 +872,10 @@ object SimilarityQueries {
          |qz AS (SELECT vec_id, v,
          |        [CAST(floor(x * 1048576.0 + 0.5) AS BIGINT) FOR x IN v] AS qv
          |       FROM e),
-         |c0 AS (SELECT vec_id AS c_id,
-         |        [x / sqrt(${dotSql("v", "v")}) FOR x IN v] AS cv
-         |       FROM e WHERE vec_id < 16),
+         |${fpIvfInitSql()},
          |${kmeansIterSql(1, "c0")},
          |${kmeansIterSql(2, "c1")},
-         |p0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+         |${fpPqInitSql()},
          |${pqKmeansIterSql(1, "p0")},
          |${pqKmeansIterSql(2, "p1")},
          |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),

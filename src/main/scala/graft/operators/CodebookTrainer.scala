@@ -104,13 +104,113 @@ object CodebookTrainer {
 
   /** Deterministic init: vectors `vec_id < k` ascending, float→double
     * (optionally spherically normalized) — the same seed rule both
-    * engines state as `WHERE vec_id < k`.
+    * engines state as `WHERE vec_id < k`. Still the PINNED-codebook
+    * rule (q_ann_ivf / q_ann_pq / q_ann_ivfpq); training now seeds
+    * with [[farthestPointInitIvf]] / [[farthestPointInitPq]].
     */
   def initCodebook(e: DataFrame, k: Int, normalize: Boolean): Array[Double] = {
     val rows = e.filter(col("vec_id") < k).orderBy(col("vec_id"))
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     rows.flatMap(r => if (normalize) normalized(r) else r)
+  }
+
+  /** Candidate pool for farthest-point seeding: `vec_id < Pool`
+    * ascending — a deterministic, cross-engine-stable sample whose
+    * k×Pool distance work is driver-side arithmetic on collected
+    * model-parameter-sized data (Pool×dim doubles).
+    */
+  val Pool: Int = 128
+
+  private def poolVectors(e: DataFrame, pool: Int): Array[(Long, Array[Double])] =
+    e.filter(col("vec_id") < pool).orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+
+  private def dotD(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0 // strict left-to-right, the fold order both engines pin
+    var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** k-means++-style deterministic seeding for spherical IVF: over the
+    * normalized [[Pool]] vectors, start from the lowest id, then
+    * repeatedly take the vector MINIMIZING its max cosine to the
+    * already-selected set (= farthest on the unit sphere), ties to the
+    * lower vec_id. Deterministic in every engine: dots are pinned-order
+    * double folds, the argmin scans ids ascending with strict
+    * comparison, so the oracle's `ORDER BY md ASC, vec_id LIMIT 1`
+    * reproduces each step bit-for-bit. Beats the first-k seed on
+    * clustered data because no two seeds land in the same dense lump.
+    */
+  def farthestPointInitIvf(
+      e: DataFrame, k: Int, dim: Int, pool: Int = Pool): Array[Double] = {
+    val pts = poolVectors(e, pool).map { case (id, v) => (id, normalized(v)) }
+    require(pts.length >= k, s"pool ${pts.length} < k=$k")
+    val sel = scala.collection.mutable.ArrayBuffer(pts.head)
+    while (sel.size < k) {
+      val chosen = sel.toArray
+      var best: (Long, Array[Double]) = null
+      var bestMd = Double.PositiveInfinity
+      pts.foreach { case (id, v) =>
+        if (!chosen.exists(_._1 == id)) {
+          var md = Double.NegativeInfinity
+          chosen.foreach { case (_, c) =>
+            val d = dotD(v, c); if (d > md) md = d
+          }
+          if (md < bestMd) { bestMd = md; best = (id, v) }
+        }
+      }
+      sel += best
+    }
+    sel.toArray.flatMap(_._2)
+  }
+
+  /** Per-subspace farthest-point seeding for PQ sub-quantizers: each
+    * subspace independently runs the same deterministic loop over its
+    * [[Pool]] SUBvectors with squared-L2 distance — start at the lowest
+    * id, repeatedly take the subvector MAXIMIZING its min distance to
+    * the selected set, ties to the lower vec_id. Centroid `c`'s block
+    * `j` is subspace j's c-th selection, so the codebook's subspace
+    * blocks are independent (exactly how [[trainPq]] updates them).
+    */
+  def farthestPointInitPq(
+      e: DataFrame, subspaces: Int, subDim: Int, k: Int,
+      pool: Int = Pool): Array[Double] = {
+    val dim = subspaces * subDim
+    val pts = poolVectors(e, pool)
+    require(pts.length >= k, s"pool ${pts.length} < k=$k")
+    val out = new Array[Double](k * dim)
+    for (j <- 0 until subspaces) {
+      val subs = pts.map { case (id, v) =>
+        (id, java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+      }
+      val sel = scala.collection.mutable.ArrayBuffer(subs.head)
+      while (sel.size < k) {
+        val chosen = sel.toArray
+        var best: (Long, Array[Double]) = null
+        var bestMind = Double.NegativeInfinity
+        subs.foreach { case (id, v) =>
+          if (!chosen.exists(_._1 == id)) {
+            var mind = Double.PositiveInfinity
+            chosen.foreach { case (_, c) =>
+              var d2 = 0.0
+              var i = 0
+              while (i < subDim) {
+                val df = v(i) - c(i); d2 += df * df; i += 1
+              }
+              if (d2 < mind) mind = d2
+            }
+            if (mind > bestMind) { bestMind = mind; best = (id, v) }
+          }
+        }
+        sel += best
+      }
+      for (c <- 0 until k)
+        System.arraycopy(sel(c)._2, 0, out, c * dim + j * subDim, subDim)
+    }
+    out
   }
 
   /** Spherical k-means for IVF coarse centroids: assignment by argmax
@@ -120,7 +220,7 @@ object CodebookTrainer {
   def trainSphericalIvf(
       e: DataFrame, k: Int = 16, dim: Int = 64, iters: Int = 2): Array[Double] = {
     trainingsRun.incrementAndGet()
-    var cb = initCodebook(e, k, normalize = true)
+    var cb = farthestPointInitIvf(e, k, dim)
     for (_ <- 0 until iters) {
       val sums = (0 until dim).map(j =>
         sum(qCoord(element_at(col("embedding"), j + 1))).as(s"s$j"))
@@ -156,7 +256,7 @@ object CodebookTrainer {
       iters: Int = 2): Array[Double] = {
     trainingsRun.incrementAndGet()
     val dim = subspaces * subDim
-    var cb = initCodebook(e, k, normalize = false)
+    var cb = farthestPointInitPq(e, subspaces, subDim, k)
     for (_ <- 0 until iters) {
       val sums = (0 until subDim).map(i =>
         sum(qCoord(element_at(col("embedding"), col("j") * subDim + i + 1)))

@@ -63,7 +63,7 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.5, s"pq top-3-in-exact-top-10 recall $recall, hits=$hits")
   }
 
-  test("trained PQ sub-quantizers lift ADC recall to >= 0.8") {
+  test("trained PQ sub-quantizers lift ADC recall to >= 0.9") {
     import graft.core.Tables
     import graft.operators.CodebookTrainer
     val e = Tables.load(spark, dir, "embeddings")
@@ -77,25 +77,44 @@ class AnnRecallSpec extends SparkSpec {
     val hits = qs.toSeq.map(q => trained.getOrElse(q, Set.empty[Long])
       .count(exact(q).contains))
     val recall = hits.sum.toDouble / (3.0 * qs.size)
-    assert(recall >= 0.8,
+    // farthest-point seeding lifted this floor from 0.8 (first-k seeds
+    // all land in the same dense lump on clustered data; spread seeds
+    // don't) — measured 0.933 at sf0.01
+    assert(recall >= 0.9,
       s"trained-pq top-3-in-exact-top-10 recall $recall, hits=$hits")
   }
 
-  test("trained IVF matches or beats the pinned codebook's recall") {
+  test("trained IVF keeps recall high while balancing the cells") {
     import graft.core.Tables
+    import graft.expressions.PqExpressions
     import graft.operators.CodebookTrainer
+    import org.apache.spark.sql.functions._
     val exact = top3("q_ann_bruteforce")
-    val pinned = top3("q_ann_ivf")
     val trainedQ = top3("q_ann_ivf_trained")
     val qs = exact.keySet
     def recall(m: Map[Long, Set[Long]]): Double =
       qs.toSeq.map(q => m.getOrElse(q, Set.empty[Long])
         .count(exact(q).contains)).sum.toDouble / (3.0 * qs.size)
-    val rp = recall(pinned)
+    // NOTE recall at fixed nprobe is NOT the trained index's win — a
+    // lopsided pinned codebook funnels most of the corpus into a few
+    // cells, so probing 2 of them is near-brute-force: recall 1.0 at
+    // ~full scan cost. What training buys at 100 TB is BOUNDED per-cell
+    // scan cost with recall still high. Assert both halves.
     val rt = recall(trainedQ)
-    // k-means balances the cells, so probing nprobe=2 of 16 trained
-    // cells should never lose to probing 2 lopsided pinned ones
-    assert(rt >= rp, s"trained IVF recall $rt < pinned $rp")
-    assert(rt > 0.0)
+    assert(rt >= 0.8, s"trained IVF recall $rt under the 0.8 floor")
+
+    val e = Tables.load(spark, dir, "embeddings")
+    val emb = coalesce(col("embedding"), typedlit(Array.empty[Float]))
+    def maxCellFraction(cb: Array[Double]): Double = {
+      val sizes = e.groupBy(PqExpressions.nearestCell(emb, cb, 64).as("cell"))
+        .count().collect().map(_.getLong(1))
+      sizes.max.toDouble / sizes.sum
+    }
+    val pinnedFrac = maxCellFraction(
+      CodebookTrainer.initCodebook(e, 16, normalize = false))
+    val trainedFrac = maxCellFraction(
+      CodebookTrainer.trainSphericalIvf(e, 16, 64, 2))
+    assert(trainedFrac < pinnedFrac,
+      s"training did not balance cells: max cell $trainedFrac vs pinned $pinnedFrac")
   }
 }

@@ -40,6 +40,19 @@ class CodebookTrainerSpec extends SparkSpec {
       "training never moved a sub-centroid")
   }
 
+  test("farthest-point seeding is bit-identical across partitionings") {
+    val ia = CodebookTrainer.farthestPointInitIvf(e.repartition(3), 16, 64)
+    val ib = CodebookTrainer.farthestPointInitIvf(e.repartition(17), 16, 64)
+    assert(ia.zip(ib).forall { case (x, y) => java.lang.Double.compare(x, y) == 0 })
+    val pa = CodebookTrainer.farthestPointInitPq(e.repartition(3), 8, 8, 16)
+    val pb = CodebookTrainer.farthestPointInitPq(e.repartition(17), 8, 8, 16)
+    assert(pa.zip(pb).forall { case (x, y) => java.lang.Double.compare(x, y) == 0 })
+    // and the seeds genuinely spread: no two IVF seeds are the same
+    // vector (first-k can collide on duplicated embeddings)
+    val rows = ia.grouped(64).map(_.toSeq).toSeq
+    assert(rows.distinct.size == 16, "farthest-point picked duplicate seeds")
+  }
+
   test("training reduces PQ quantization error vs the pinned codebook") {
     import graft.expressions.PqExpressions
     def mse(cb: Array[Double]): Double = {
