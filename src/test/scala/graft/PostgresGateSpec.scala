@@ -8,12 +8,13 @@ import org.apache.spark.sql.types._
 import graft.core.Model
 import graft.sinks.Upsert
 
-/** Real-Postgres end-to-end gate for the upsert sink's PRODUCTION
-  * dialect. This image ships no Postgres server, so `JdbcUpsertSpec`
-  * (embedded Derby) drives every layer above the final statement shape
-  * and the `ON CONFLICT` SQL itself is string-pinned; what has never
-  * executed is the actual Postgres dialect against an actual Postgres.
-  * This suite closes that gap the moment an environment can: point
+/** Real-Postgres end-to-end gate for the upsert sink over ACTUAL JDBC.
+  * This image ships Postgres server binaries but no Postgres JDBC
+  * driver (offline resolver), so `JdbcUpsertSpec` (embedded Derby)
+  * drives every JVM layer, and `PostgresDialectSpec` executes the
+  * shipped DDL + `ON CONFLICT` merge statements verbatim on a
+  * self-provisioned real Postgres via psql; the one remaining gap —
+  * the pgjdbc wire path — closes the moment an environment can: point
   * `GRAFT_PG_URL` at a scratch database (e.g.
   * `jdbc:postgresql://host/db?user=u&password=p`, driver jar on the
   * classpath) and both the executor-parallel `ON CONFLICT` path and
