@@ -50,7 +50,10 @@ object Bench {
     errors.foreach(n => System.err.println(s"[bench] $n failed in EVERY pass"))
     println(renderLine(results, sfDir, errors = errors.size))
     spark.stop()
-    if (errors.nonEmpty) sys.exit(1)
+    // do NOT exit nonzero on query errors: sbt's [error] epilogue would
+    // print AFTER the JSON line and could push it out of the driver's
+    // last-2000-chars capture window — losing the whole artifact instead
+    // of flagging it. The "errors" field in the line carries the signal.
   }
 
   /** Left-rotate by k; total for any k (including k >= size), stable

@@ -341,7 +341,10 @@ object SimilarityQueries {
   private[graft] def ivfPqServeFromCodes(
       e: DataFrame, codes: DataFrame, cbIvf: Array[Double],
       cbPq: Array[Double], nQueries: Int): DataFrame = {
+    // checkpointed: the probe projection is consumed twice (cell-list
+    // collect + candidate join) and must not re-run its kernels/scan
     val probes = probeTable(e.filter(col("vec_id") < nQueries), cbIvf, cbPq, 2)
+      .localCheckpoint()
     val cells = probes.select(col("pcell")).distinct()
       .collect().map(_.getInt(0)).toSeq // bounded: ≤ nQueries × nprobe
     val cand = adcCandidatesFromCodes(codes, probes, cells, topC = 8)

@@ -61,19 +61,38 @@ object CodebookTrainer {
   /** Drop all memoized codebooks (tests only). */
   def clearMemo(): Unit = memo.clear()
 
+  /** get-or-train WITHOUT holding a map lock across the (multi-second,
+    * Spark-job-running) training — computeIfAbsent would serialize
+    * unrelated keys sharing a bin and violates its short-function
+    * contract. A lost race trains twice and keeps the first PUT; both
+    * results are bit-identical by construction, so which one wins is
+    * immaterial. Returns a DEFENSIVE COPY: callers receive mutable
+    * arrays, and a caller scaling its copy in place must not poison
+    * every later serve of the memoized codebook.
+    */
+  private def cached(key: String)(train: => Array[Double]): Array[Double] = {
+    val hit = memo.get(key)
+    val cb = if (hit != null) hit
+    else {
+      val trained = train
+      val prev = memo.putIfAbsent(key, trained)
+      if (prev != null) prev else trained
+    }
+    cb.clone()
+  }
+
   /** [[trainSphericalIvf]] memoized on (dataKey, k, dim, iters). */
   def cachedSphericalIvf(
       e: DataFrame, dataKey: String, k: Int = 16, dim: Int = 64,
       iters: Int = 2): Array[Double] =
-    memo.computeIfAbsent(s"ivf|$dataKey|$k|$dim|$iters",
-      _ => trainSphericalIvf(e, k, dim, iters))
+    cached(s"ivf|$dataKey|$k|$dim|$iters")(trainSphericalIvf(e, k, dim, iters))
 
   /** [[trainPq]] memoized on (dataKey, subspaces, subDim, k, iters). */
   def cachedPq(
       e: DataFrame, dataKey: String, subspaces: Int = 8, subDim: Int = 8,
       k: Int = 16, iters: Int = 2): Array[Double] =
-    memo.computeIfAbsent(s"pq|$dataKey|$subspaces|$subDim|$k|$iters",
-      _ => trainPq(e, subspaces, subDim, k, iters))
+    cached(s"pq|$dataKey|$subspaces|$subDim|$k|$iters")(
+      trainPq(e, subspaces, subDim, k, iters))
 
   private def embNN: Column =
     coalesce(col("embedding"), typedlit(Array.empty[Float]))

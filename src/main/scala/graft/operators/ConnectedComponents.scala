@@ -37,7 +37,9 @@ object ConnectedComponents {
       aCol: String,
       bCol: String,
       maxIter: Int = 25): DataFrame = {
-    val (labels, changed, _, _) = minLabelLoop(edges, aCol, bCol, maxIter)
+    val (labels, changed, _, _, release) =
+      minLabelLoop(edges, aCol, bCol, maxIter)
+    release()
     if (changed > 0)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter rounds")
@@ -64,13 +66,20 @@ object ConnectedComponents {
       edges: DataFrame,
       aCol: String,
       bCol: String,
-      maxIter: Int): (DataFrame, Long, Int, DataFrame) = {
-    val e = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .localCheckpoint()
+      maxIter: Int): (DataFrame, Long, Int, DataFrame, () => Unit) = {
+    // persist + count, not localCheckpoint: the count materializes the
+    // expensive upstream exactly once BEFORE the symmetrizing union
+    // forks two consumers of it, and persist (unlike checkpoint blocks,
+    // which only the ContextCleaner eventually reclaims) can be
+    // released deterministically when the caller is done — repeated
+    // cluster queries in one session must not accumulate edge-list
+    // copies in executor storage
+    val e = edges.select(col(aCol).as("src"), col(bCol).as("dst")).persist()
+    e.count()
     val sym = e
       .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .persist()
 
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -95,7 +104,12 @@ object ConnectedComponents {
       labels = next.drop("chg")
       it += 1
     }
-    (labels, changed, it, sym)
+    // labels is checkpoint-backed, so releasing the persisted inputs is
+    // safe once the caller no longer derives anything from sym;
+    // per-round checkpoint blocks of DROPPED rounds are reclaimed by
+    // the ContextCleaner as their Datasets go out of scope
+    val release = () => { sym.unpersist(); e.unpersist(); () }
+    (labels, changed, it, sym, release)
   }
 
   /** Topology-adaptive connected components: min-label propagation
@@ -124,9 +138,10 @@ object ConnectedComponents {
       bCol: String,
       switchAfter: Int = 6,
       maxIter: Int = 40): (DataFrame, Int) = {
-    val (labels, changed, rounds, sym) =
+    val (labels, changed, rounds, sym, release) =
       minLabelLoop(edges, aCol, bCol, switchAfter)
     if (changed == 0) {
+      release()
       (labels.select(col("id"), col("label").as("component")), rounds)
     } else {
       val la = labels.select(col("id").as("ia"), col("label").as("lsrc"))
@@ -139,6 +154,9 @@ object ConnectedComponents {
         .distinct()
       val (alt, altRounds) =
         runAlternating(contracted, "csrc", "cdst", maxIter = maxIter)
+      // runAlternating eagerly checkpointed the contracted edges, so
+      // nothing downstream derives from sym/e anymore
+      release()
       val aliased = alt.select(col("id").as("aid"), col("component").as("acomp"))
       val fin = labels.join(aliased, labels("label") === aliased("aid"), "left")
         .select(labels("id"),

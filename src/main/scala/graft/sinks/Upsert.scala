@@ -292,14 +292,20 @@ object Upsert {
       props.stringPropertyNames().forEach(k => m += k -> props.getProperty(k))
       m.toMap
     }
+    def missingTable(e: java.sql.SQLException): Boolean =
+      Set("42P01", "42Y55", "42S02").contains(e.getSQLState) ||
+        // drivers that report no SQLState (or a generic one) still name
+        // the condition in the message
+        (e.getMessage != null && e.getMessage.toLowerCase
+          .matches("(?s).*(does not exist|doesn't exist|not found|no such table).*"))
     def dropStage(conn: Connection): Unit =
       try conn.createStatement().execute(s"DROP TABLE $stage")
       catch {
         // ONLY "table does not exist" is fine (Postgres 42P01, Derby
-        // 42Y55, SQL-standard-ish 42S02); a permissions or lock failure
-        // must surface HERE, not later as a confusing CREATE error
-        case e: java.sql.SQLException
-            if Set("42P01", "42Y55", "42S02").contains(e.getSQLState) => ()
+        // 42Y55, SQL-standard-ish 42S02, message fallback); a
+        // permissions or lock failure must surface HERE, not later as
+        // a confusing CREATE error
+        case e: java.sql.SQLException if missingTable(e) => ()
       }
 
     val setup = connect(url, propMap)
@@ -346,7 +352,15 @@ object Upsert {
         case e: Throwable => conn.rollback(); throw e
       }
       conn.setAutoCommit(true) // scratch cleanup, outside the merge txn
-      dropStage(conn)
+      // best-effort: the batch is already committed, so a transient
+      // lock/permission failure dropping scratch must not fail the job
+      // (the next run's setup dropStage clears leftovers — and THERE a
+      // real failure still surfaces)
+      try dropStage(conn)
+      catch {
+        case e: java.sql.SQLException =>
+          System.err.println(s"[writeJdbcStaged] post-commit stage cleanup failed: $e")
+      }
     } finally conn.close()
   }
 
@@ -507,20 +521,24 @@ object Upsert {
     // table THIS sink creates is born with its pin (both install paths
     // write it into the staged directory pre-swap), so a missing pin
     // means a bucketed layout of foreign provenance: adopting the
-    // caller's parameter is only safe when no observed partition id
-    // contradicts it — a partition id >= numBuckets proves the table
-    // was bucketed under a different count, and adopting would hash
-    // staged keys into the wrong partitions, miss their existing rows,
-    // and silently duplicate (the exact failure the pin prevents).
+    // caller's parameter is only safe if the existing layout actually
+    // hashes under it, which observed partition IDS alone cannot prove
+    // (a 4-bucket table adopted as 64 shows no id >= 64, yet staged
+    // keys would hash past their existing rows and silently duplicate).
+    // So VERIFY by rehashing: one key-column scan asserting every
+    // stored row sits in keyBucket(key, numBuckets). O(table), but only
+    // on the rare pinless path — the same order as the migration that
+    // produced such a table.
     val nb = readBuckets(fs, dir).getOrElse {
-      val observed = fs.listStatus(dir).map(_.getPath.getName)
-        .filter(_.startsWith("kb=")).map(_.substring(3).toInt)
-      if (observed.nonEmpty && observed.max >= numBuckets)
+      val mismatched = existing
+        .filter(keyBucket(col(key), numBuckets) =!= col("kb"))
+        .limit(1).count()
+      if (mismatched > 0)
         throw new IllegalStateException(
-          s"$dir has partition kb=${observed.max} but no _graft_buckets " +
-            s"pin; refusing to adopt numBuckets=$numBuckets — rebucketing " +
-            "would silently duplicate keys. Restore the pin or migrate " +
-            "the table explicitly.")
+          s"$dir has no _graft_buckets pin and its rows do NOT hash to " +
+            s"their partitions under numBuckets=$numBuckets; refusing to " +
+            "adopt — rebucketing would silently duplicate keys. Restore " +
+            "the pin or migrate the table explicitly.")
       writeBuckets(fs, dir, numBuckets)
       numBuckets
     }

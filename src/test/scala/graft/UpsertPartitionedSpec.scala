@@ -240,7 +240,15 @@ class UpsertPartitionedSpec extends SparkSpec {
           updateColumns = Seq("score", "title_sanitized"), numBuckets = 3)
       }
       assert(e.getMessage.contains("refusing to adopt"), e.getMessage)
-      // an UNcontradicted adoption (count above every observed id) is
+      // a LARGER count must also refuse: no partition id exceeds it, but
+      // rows don't hash to their partitions under it — adopting would
+      // prune reads to the wrong buckets and silently duplicate keys
+      val e2 = intercept[IllegalStateException] {
+        Upsert.upsertParquetPartitioned(spark, rows("K7" -> 700), dir,
+          updateColumns = Seq("score", "title_sanitized"), numBuckets = 64)
+      }
+      assert(e2.getMessage.contains("refusing to adopt"), e2.getMessage)
+      // a MATCHING adoption (rows rehash to their partitions) is
       // allowed and re-pins
       Upsert.upsertParquetPartitioned(spark, rows("K7" -> 700), dir,
         updateColumns = Seq("score", "title_sanitized"), numBuckets = Buckets)
