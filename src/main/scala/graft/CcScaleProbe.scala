@@ -59,6 +59,21 @@ object CcScaleProbe {
       println(f"SCALE-CC shape=path200k algo=altstar nodes=$n rounds=$rounds wall=$w%.1f")
     }
     {
+      // the production entry point: min-label budget, then contract +
+      // alternating — must track minlabel on cliques and altstar on the
+      // chain without anyone choosing an algorithm
+      val ((labels, rounds), w) =
+        time(ConnectedComponents.runAdaptive(cliques, "a", "b"))
+      val n = labels.count()
+      println(f"SCALE-CC shape=clique5x200k algo=adaptive nodes=$n rounds=$rounds wall=$w%.1f")
+    }
+    {
+      val ((labels, rounds), w) =
+        time(ConnectedComponents.runAdaptive(path(200000L), "a", "b"))
+      val n = labels.count()
+      println(f"SCALE-CC shape=path200k algo=adaptive nodes=$n rounds=$rounds wall=$w%.1f")
+    }
+    {
       // min-label on a chain needs diameter+1 while-loop iterations
       // (511 improving rounds + 1 convergence-detect round at 512
       // nodes) — the per-round driver/scheduler cost alone dwarfs
