@@ -343,6 +343,22 @@ object SimilarityQueries {
       explode(PqExpressions.nearestCells(embNN, cbIvf, 64, nprobe)).as("pcell"),
       PqExpressions.pqSubDists(embNN, cbPq, 8, 8).as("dl"))
 
+  /** Incremental index ingest — the ANN analog of the lexical
+    * pipeline's cross-batch signature path: a NEW batch of vectors is
+    * encoded (one scan-stage kernel pass over the batch alone) and
+    * appended into the stored codes table's cell partitions. Parquet
+    * hive-partition append touches only the cells the batch lands in;
+    * existing cells' files are never rewritten, and vec_ids are unique
+    * across batches so no merge is needed. Serving immediately sees
+    * the union (CodesIncrementalSpec: build-half + append-half ==
+    * build-full, row-identical serve).
+    */
+  def appendToCodes(
+      batch: DataFrame, codesDir: String, cbIvf: Array[Double],
+      cbPq: Array[Double]): Unit =
+    codesTable(batch, cbIvf, cbPq)
+      .write.mode("append").partitionBy("cell").parquet(codesDir)
+
   /** ADC candidate top-`topC` per query reading ONLY the stored codes
     * table: prune to the probed cells (a static partition filter —
     * `probedCells` is the query batch's cell set, ≤ nQueries×nprobe
