@@ -46,9 +46,10 @@ object Bench {
         }
       }.toMap
     }
-    val (results, errors) = combine(passes)
+    val (results, errors, flaky) = combine(passes)
     errors.foreach(n => System.err.println(s"[bench] $n failed in EVERY pass"))
-    println(renderLine(results, sfDir, errors = errors.size))
+    flaky.foreach(n => System.err.println(s"[bench] $n failed in SOME passes"))
+    println(renderLine(results, sfDir, errors = errors.size, flaky = flaky.size))
     spark.stop()
     // do NOT exit nonzero on query errors: sbt's [error] epilogue would
     // print AFTER the JSON line and could push it out of the driver's
@@ -71,16 +72,23 @@ object Bench {
   /** Per-query min across passes, ignoring failed observations. A
     * query counts as an error only when it failed in EVERY pass (a
     * one-pass hiccup with clean observations elsewhere is noise, not a
-    * broken query). Pure, so BenchSpec can feed synthetic poisoned
-    * passes.
+    * broken query) — but partial failures are not invisible either:
+    * the third element lists queries that failed in SOME passes while
+    * succeeding in at least one, so the artifact distinguishes
+    * fully-clean from intermittently-failing runs. Pure, so BenchSpec
+    * can feed synthetic poisoned passes.
     */
   def combine(passes: Seq[Map[String, Option[Double]]])
-      : (Map[String, Double], Seq[String]) = {
+      : (Map[String, Double], Seq[String], Seq[String]) = {
     val names = passes.flatMap(_.keys).distinct
-    val byName = names.map(n => n -> passes.flatMap(_.get(n)).flatten)
-    val mins = byName.collect { case (n, obs) if obs.nonEmpty => n -> obs.min }
-    val errs = byName.collect { case (n, obs) if obs.isEmpty => n }
-    (mins.toMap, errs.sorted)
+    val byName = names.map(n => n -> passes.flatMap(_.get(n)))
+    val mins = byName.collect {
+      case (n, obs) if obs.flatten.nonEmpty => n -> obs.flatten.min }
+    val errs = byName.collect {
+      case (n, obs) if obs.flatten.isEmpty => n }
+    val flaky = byName.collect {
+      case (n, obs) if obs.flatten.nonEmpty && obs.exists(_.isEmpty) => n }
+    (mins.toMap, errs.sorted, flaky.sorted)
   }
 
   /** Render the ONE JSON line the driver parses. The driver captures
@@ -99,7 +107,8 @@ object Bench {
     * multi-pass artifact from a one-shot one without re-running.
     */
   def renderLine(results: Map[String, Double], sfDir: String,
-                 passes: Int = Passes, errors: Int = 0): String = {
+                 passes: Int = Passes, errors: Int = 0,
+                 flaky: Int = 0): String = {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sf = sfDir.stripSuffix("/").split('/').last
     def f(decimals: Int)(v: Double): String =
@@ -107,7 +116,7 @@ object Bench {
     def render(decimals: Int): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + f(decimals)(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f(decimals)(total)},"unit":"sec","passes":$passes,"errors":$errors,"queries":$qs,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${f(decimals)(total)},"unit":"sec","passes":$passes,"errors":$errors,"flaky":$flaky,"queries":$qs,"sf":"$sf"}"""
     }
     Seq(3, 2, 1, 0).map(render).find(_.length <= 1970).getOrElse {
       // even 0 decimals overflows (names dominate past ~90 queries):
@@ -117,7 +126,7 @@ object Bench {
       def renderTop(k: Int): String = {
         val qs = sorted.take(k).map { case (n, v) => "\"" + n + "\":" + f(1)(v) }
           .mkString("{", ",", "}")
-        s"""{"metric":"total","value":${f(1)(total)},"unit":"sec","passes":$passes,"errors":$errors,"queries":$qs,"dropped":${sorted.size - k},"sf":"$sf"}"""
+        s"""{"metric":"total","value":${f(1)(total)},"unit":"sec","passes":$passes,"errors":$errors,"flaky":$flaky,"queries":$qs,"dropped":${sorted.size - k},"sf":"$sf"}"""
       }
       (sorted.size to 0 by -1).iterator.map(renderTop).find(_.length <= 1970).get
     }

@@ -17,7 +17,8 @@ class BenchSpec extends AnyFunSuite {
     val clean = names.map(_ -> Option(0.5)).toMap
     // pass 1 poisoned: every query 40x slower (sustained contention)
     val poisoned = names.map(_ -> Option(20.0)).toMap
-    val (mins, errs) = Bench.combine(Seq(clean, poisoned, clean))
+    val (mins, errs, flaky) = Bench.combine(Seq(clean, poisoned, clean))
+    assert(flaky.isEmpty)
     assert(errs.isEmpty)
     assert(mins.values.forall(_ == 0.5), "poisoned pass leaked into mins")
   }
@@ -34,7 +35,7 @@ class BenchSpec extends AnyFunSuite {
         case (q, pos) => q -> Option(if (window(pos)) 60.0 else 0.4)
       }.toMap
     }
-    val (mins, _) = Bench.combine(passes)
+    val (mins, _, _) = Bench.combine(passes)
     assert(mins.values.forall(_ == 0.4),
       "some query was slow in all passes — rotation offsets overlap")
   }
@@ -43,16 +44,18 @@ class BenchSpec extends AnyFunSuite {
     val p1 = Map("q_a" -> Option(1.0), "q_b" -> Option(2.0))
     val p2 = Map("q_a" -> (None: Option[Double]), "q_b" -> Option(1.5))
     val p3 = Map("q_a" -> Option(0.9), "q_b" -> Option(2.5))
-    val (mins, errs) = Bench.combine(Seq(p1, p2, p3))
+    val (mins, errs, flaky) = Bench.combine(Seq(p1, p2, p3))
     assert(errs.isEmpty)
+    assert(flaky == Seq("q_a"), "a partial failure must be surfaced as flaky")
     assert(mins == Map("q_a" -> 0.9, "q_b" -> 1.5))
   }
 
   test("a query failing in EVERY pass is an error, not a timing") {
     val pass = Map("q_ok" -> Option(1.0), "q_broken" -> (None: Option[Double]))
-    val (mins, errs) = Bench.combine(Seq(pass, pass, pass))
+    val (mins, errs, flaky) = Bench.combine(Seq(pass, pass, pass))
     assert(mins == Map("q_ok" -> 1.0))
     assert(errs == Seq("q_broken"))
+    assert(flaky.isEmpty, "an every-pass failure is an error, not flaky")
   }
 
   test("rotate is a total permutation at every offset") {
@@ -68,8 +71,9 @@ class BenchSpec extends AnyFunSuite {
 
   test("the rendered line carries passes and errors for the judge") {
     val line = Bench.renderLine(Map("q_x" -> 1.234), "/root/testdata/sf0.1",
-      passes = 3, errors = 2)
+      passes = 3, errors = 2, flaky = 1)
     assert(line.contains("\"passes\":3"))
     assert(line.contains("\"errors\":2"))
+    assert(line.contains("\"flaky\":1"))
   }
 }
