@@ -105,10 +105,30 @@ object ConnectedComponents {
     // per-node, so an unchanged (exact, decimal) sum across a round is
     // equivalent to no label having changed — and it rides the round's
     // own checkpoint action as an observe metric, no extra job and no
-    // per-row old-vs-new comparison
-    def lsum(o: Observation): Option[java.math.BigDecimal] =
-      Option(o.get("lsum")).map(_.asInstanceOf[java.math.BigDecimal])
-    var prevSum = lsum(initObs)
+    // per-row old-vs-new comparison. Metrics firing for the eager
+    // localCheckpoint action is observed-but-undocumented Spark
+    // behavior, so the wait is BOUNDED: Observation.get blocks until
+    // metrics land (normally milliseconds after the action, via the
+    // listener bus); if a Spark upgrade stopped reporting metrics for
+    // this action the loop would otherwise hang forever. After 30s,
+    // fall back to an explicit aggregation job over the checkpointed
+    // labels — same exact sum, one extra tiny job, no hang. (The
+    // timed-out waiter thread is daemon-pooled and inert.)
+    def lsum(o: Observation, checkpointed: DataFrame): Option[java.math.BigDecimal] = {
+      import scala.concurrent.{Await, Future, TimeoutException}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      try {
+        val m = Await.result(Future(o.get), 30.seconds)
+        Option(m("lsum")).map(_.asInstanceOf[java.math.BigDecimal])
+      } catch {
+        case _: TimeoutException =>
+          Option(checkpointed
+            .agg(sum(col("label").cast(DecimalType(38, 0))).as("lsum"))
+            .head.getDecimal(0))
+      }
+    }
+    var prevSum = lsum(initObs, labels)
 
     var changed = true
     var it = 0
@@ -121,7 +141,7 @@ object ConnectedComponents {
         .observe(obs, sum(col("label").cast(DecimalType(38, 0))).as("lsum"))
         .localCheckpoint() // eager: truncates lineage, materializes round,
                            // and fires the observed convergence metric
-      val s = lsum(obs)
+      val s = lsum(obs, next)
       changed = (prevSum, s) match {
         case (Some(a), Some(b)) => a.compareTo(b) != 0
         case (a, b) => a.isDefined != b.isDefined

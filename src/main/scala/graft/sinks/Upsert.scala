@@ -295,9 +295,12 @@ object Upsert {
     def missingTable(e: java.sql.SQLException): Boolean =
       Set("42P01", "42Y55", "42S02").contains(e.getSQLState) ||
         // drivers that report no SQLState (or a generic one) still name
-        // the condition in the message
-        (e.getMessage != null && e.getMessage.toLowerCase
-          .matches("(?s).*(does not exist|doesn't exist|not found|no such table).*"))
+        // the condition in the message — but require TABLE context near
+        // the phrase, or a mere "schema X does not exist" from a
+        // misconfigured connection would be silently swallowed here
+        (e.getMessage != null && e.getMessage.toLowerCase.matches(
+          "(?s).*(no such table|(table|relation)[^\\n]{0,120}" +
+            "(does not exist|doesn't exist|not found)).*"))
     def dropStage(conn: Connection): Unit =
       try conn.createStatement().execute(s"DROP TABLE $stage")
       catch {
