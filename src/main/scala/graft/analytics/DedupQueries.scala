@@ -218,17 +218,54 @@ object DedupQueries {
       .distinct()
   }
 
-  /** One-shot form the catalog queries use: phase 1 + phase 2 with an
-    * exchange barrier between them. The repartition stops the optimizer
-    * from substituting the signature pipeline into the band
-    * projection's multiple references (measured faster than
-    * localCheckpoint here — the materialized-table form above is the
-    * true 100 TB variant).
+  /** One-shot in-memory form (phase 1 + phase 2 with an exchange
+    * barrier between them — the repartition stops the optimizer from
+    * substituting the signature pipeline into the band projection's
+    * multiple references). Retained as the spec-level reference; the
+    * catalog queries serve from the MATERIALIZED signature table via
+    * [[lshCandidatesServed]].
     */
-  private def lshCandidates(
+  private[graft] def lshCandidates(
       docs: DataFrame, extra: Seq[String]): DataFrame =
     candidatePairsFromSignatures(
       signatureTable(docs).repartition(col("doc_id")), extra)
+
+  /** Build-once memo for the materialized signature table (the
+    * storedCodes pattern from [[SimilarityQueries]]): phase 1 — the
+    * expensive tokenize→shingle→SHA→MinHash corpus pass — runs ONCE per
+    * corpus and is written to parquet; every catalog consumer
+    * (minhash candidates, Jaccard verify, cluster closure) reads the
+    * table back and runs only the band self-join + verify. The key
+    * folds in the documents table's content fingerprint, so an
+    * in-session corpus mutation rebuilds instead of serving stale
+    * signatures.
+    */
+  private val storedSignatures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def storedSignaturesPath(
+      s: SparkSession, dir: String): String = {
+    val key = Tables.derivedStateKey(s, dir, "documents")
+    val hit = storedSignatures.get(key)
+    if (hit != null) hit
+    else {
+      val out = java.nio.file.Files.createTempDirectory("graft-sig").toString
+      signatureTable(t(s, dir, "documents"))
+        .write.mode("overwrite").parquet(out)
+      val prev = storedSignatures.putIfAbsent(key, out)
+      if (prev != null) prev else out
+    }
+  }
+
+  /** Phase 2 over the memoized signature table — the form every lexical
+    * LSH catalog query serves from: no SHA / MinHash / tokenizer work
+    * appears in these plans (PlanSpec pins it); the corpus pass was
+    * paid once at [[storedSignaturesPath]] build time.
+    */
+  private def lshCandidatesServed(
+      s: SparkSession, dir: String, extra: Seq[String]): DataFrame =
+    candidatePairsFromSignatures(
+      s.read.parquet(storedSignaturesPath(s, dir)), extra)
 
   /** DuckDB mirror of [[lshCandidates]] through the `pair` CTE.
     * `recursive = true` emits `WITH RECURSIVE` so callers can append a
@@ -288,6 +325,74 @@ object DedupQueries {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** The embedding analog of [[signatureTable]]: the per-vector
+    * (vec_id, nrm, band, bucket) sign-LSH index — ONE corpus scan
+    * computing norms and all band buckets via the codegen'd
+    * [[graft.functions.SimilarityFunctions.denseSignBuckets]] kernel,
+    * exploded to a row per (vector, band). At 100 TB this is written
+    * once and every semantic-dedup consumer band-joins against it.
+    */
+  def signBucketTable(
+      e0: DataFrame, bands: Int = 4, bits: Int = 8, dim: Int = 64): DataFrame =
+    e0.select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+      .select(col("vec_id"), col("nrm"),
+        posexplode(denseSignBuckets(col("embedding"), bands, bits, dim))
+          .as(Seq("band", "bucket")))
+
+  /** Build-once memo for [[signBucketTable]] (keyed on the embeddings
+    * table's content fingerprint, as the codes/signature memos).
+    */
+  private val storedSignBuckets =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def storedSignBucketsPath(
+      s: SparkSession, dir: String): String = {
+    val key = Tables.derivedStateKey(s, dir, "embeddings")
+    val hit = storedSignBuckets.get(key)
+    if (hit != null) hit
+    else {
+      val out = java.nio.file.Files.createTempDirectory("graft-sbuckets").toString
+      signBucketTable(t(s, dir, "embeddings"))
+        .write.mode("overwrite").parquet(out)
+      val prev = storedSignBuckets.putIfAbsent(key, out)
+      if (prev != null) prev else out
+    }
+  }
+
+  /** Verified near-dup pairs SERVED from a materialized sign-bucket
+    * table: candidates are a self-join of the (small) bucket index —
+    * no SignBuckets kernel, no norm recompute — and the exact-cosine
+    * verify fetches raw vectors only for the candidate pairs (the true
+    * 100 TB shape: the distinct runs on bare ids + norms, then a
+    * post-blocking vector fetch). Row-identical to
+    * [[embedNearDupPairs]]: same candidates, same pinned-fold cosine.
+    */
+  def embedPairsFromBuckets(
+      buckets: DataFrame, e: DataFrame, threshold: Double): DataFrame = {
+    val a = buckets.select(col("band"), col("bucket"),
+      col("vec_id").as("id_a"), col("nrm").as("na"))
+    val b = buckets.select(col("band").as("band2"), col("bucket").as("bucket2"),
+      col("vec_id").as("id_b"), col("nrm").as("nb"))
+    val cand = a.join(b,
+        col("band") === col("band2") && col("bucket") === col("bucket2") &&
+          col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .distinct()
+    val va = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val vb = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private def embedPairsServed(
+      s: SparkSession, dir: String, threshold: Double): DataFrame =
+    embedPairsFromBuckets(
+      s.read.parquet(storedSignBucketsPath(s, dir)),
+      t(s, dir, "embeddings"), threshold)
 
   /** DuckDB mirror of [[embedNearDupPairs]] up through the `p` CTE
     * (id_a, id_b, cos) — shared by q_dedup_embed and its cluster
@@ -349,7 +454,7 @@ object DedupQueries {
          |                       FOR i IN range(1, ${K + 1})]) AS DOUBLE) / $K.0, 4)
          |    AS est_jaccard
          |FROM pair ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      lshCandidates(t(s, dir, "documents"), Seq("sg"))
+      lshCandidatesServed(s, dir, Seq("sg"))
         .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
           round(minhashEstJaccard(col("sg_a"), col("sg_b"), K), 4)
             .as("est_jaccard"))
@@ -369,7 +474,7 @@ object DedupQueries {
          |      FROM pair)
          |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
          |FROM j WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      lshCandidates(t(s, dir, "documents"), Seq("shs"))
+      lshCandidatesServed(s, dir, Seq("shs"))
         .withColumn("jac", jaccard(col("shs_a"), col("shs_b")))
         .filter(col("jac") >= 0.5)
         .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
@@ -404,7 +509,7 @@ object DedupQueries {
          |SELECT doc_id, cluster_id,
          |  CAST(count(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS csize
          |FROM cl ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val pairs = lshCandidates(t(s, dir, "documents"), Seq("shs"))
+      val pairs = lshCandidatesServed(s, dir, Seq("shs"))
         .withColumn("jac", jaccard(col("shs_a"), col("shs_b")))
         .filter(col("jac") >= 0.5)
         .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"))
@@ -615,7 +720,7 @@ object DedupQueries {
       s"""${embedPairSql(recursive = false)}
         |SELECT id_a, id_b, round(cos, 4) AS cosine
         |FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-      embedNearDupPairs(t(s, dir, "embeddings"), 0.4)
+      embedPairsServed(s, dir, 0.4)
     },
 
     // ------------------------------------- embedding near-dup clusters
@@ -643,7 +748,7 @@ object DedupQueries {
         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS csize,
         |  CAST(vec_id = cluster_id AS INTEGER) AS keep
         |FROM cl ORDER BY vec_id""".stripMargin) { (s, dir) =>
-      val pairs = embedNearDupPairs(t(s, dir, "embeddings"), 0.4)
+      val pairs = embedPairsServed(s, dir, 0.4)
         .select(col("id_a"), col("id_b"))
       graft.operators.ConnectedComponents.runAdaptive(pairs, "id_a", "id_b")._1
         .select(col("id").as("vec_id"), col("component").as("cluster_id"))

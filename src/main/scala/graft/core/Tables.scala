@@ -29,4 +29,36 @@ object Tables {
   /** Register every table as a temp view (for spark.sql use). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     All.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Content fingerprint of a table's files (names + sizes + mtimes,
+    * SHA-256). Memo keys for per-corpus derived state (codebooks, stored
+    * codes/signature tables) fold this in, so an in-session mutation of
+    * a corpus dir changes the key and forces a rebuild instead of
+    * silently serving stale derived data. One FS listing per call —
+    * metadata-only, no data read.
+    */
+  def tableFingerprint(spark: SparkSession, sfDir: String, name: String): String = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val p = new Path(s"$sfDir/$name.parquet")
+    val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    val entries =
+      if (!fs.exists(p)) Seq("absent")
+      else if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
+          .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+          .toSeq
+      else {
+        val st = fs.getFileStatus(p)
+        Seq(s"${p.getName}:${st.getLen}:${st.getModificationTime}")
+      }
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(entries.mkString(";").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** Memo key for state derived from `sfDir/name`: the path plus the
+    * content fingerprint (see [[tableFingerprint]]).
+    */
+  def derivedStateKey(spark: SparkSession, sfDir: String, name: String): String =
+    s"$sfDir@${tableFingerprint(spark, sfDir, name)}"
 }
