@@ -66,4 +66,82 @@ class CodesIncrementalSpec extends SparkSpec {
         .collect().toSeq)
     }
   }
+
+  /** Per-cell data-file census of a `cell=`-partitioned codes dir. */
+  private def cellFiles(dir: String): Map[String, Int] = {
+    import scala.jdk.CollectionConverters._
+    Files.list(Paths.get(dir)).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("cell="))
+      .map { p =>
+        p.getFileName.toString -> Files.list(p).iterator().asScala
+          .count(f => Files.isRegularFile(f) &&
+            !f.getFileName.toString.startsWith("_") &&
+            !f.getFileName.toString.startsWith("."))
+      }.toMap
+  }
+
+  test("N appends then compactCodes: rows identical, one file per cell, idempotent") {
+    withTempDir { root =>
+      val e = Tables.load(spark, sf, "embeddings")
+      val cb = CodebookTrainer.initCodebook(e, 16, normalize = false)
+      val inc = root.resolve("inc").toString
+
+      // build from a third, then two appended batches → fragmented cells
+      SimilarityQueries.codesTable(e.filter(col("vec_id") % 3 === 0), cb, cb)
+        .write.mode("overwrite").partitionBy("cell").parquet(inc)
+      SimilarityQueries.appendToCodes(e.filter(col("vec_id") % 3 === 1), inc, cb, cb)
+      SimilarityQueries.appendToCodes(e.filter(col("vec_id") % 3 === 2), inc, cb, cb)
+
+      val fragmented = cellFiles(inc)
+      assert(fragmented.values.exists(_ > 1), s"no fragmentation to compact: $fragmented")
+      val servedBefore = SimilarityQueries.ivfPqServeFromCodes(
+        e, spark.read.parquet(inc), cb, cb, 10).collect().toSeq
+
+      val n = SimilarityQueries.compactCodes(spark, inc)
+      assert(n == fragmented.count(_._2 > 1), s"compacted $n of $fragmented")
+
+      // every cell is down to exactly one data file, rows unchanged
+      val after = cellFiles(inc)
+      assert(after.values.forall(_ == 1), s"cells still fragmented: $after")
+      assert(after.keySet == fragmented.keySet, "compaction changed the cell set")
+      val servedAfter = SimilarityQueries.ivfPqServeFromCodes(
+        e, spark.read.parquet(inc), cb, cb, 10).collect().toSeq
+      assert(servedAfter == servedBefore)
+
+      // a second pass finds nothing fragmented — compaction is idempotent
+      // and O(fragmented cells), so a clean table costs a listing only
+      assert(SimilarityQueries.compactCodes(spark, inc) == 0)
+    }
+  }
+
+  test("compactCodes crash recovery: a retired-but-never-replaced cell is restored") {
+    withTempDir { root =>
+      val e = Tables.load(spark, sf, "embeddings")
+      val cb = CodebookTrainer.initCodebook(e, 16, normalize = false)
+      val inc = root.resolve("codes").toString
+      SimilarityQueries.codesTable(e.filter(col("vec_id") % 2 === 0), cb, cb)
+        .write.mode("overwrite").partitionBy("cell").parquet(inc)
+      SimilarityQueries.appendToCodes(e.filter(col("vec_id") % 2 === 1), inc, cb, cb)
+      val expected = SimilarityQueries.ivfPqServeFromCodes(
+        e, spark.read.parquet(inc), cb, cb, 10).collect().toSeq
+
+      // simulate a crash mid-swap: one live cell moved to .retired, its
+      // replacement never installed, stale stage dir left behind
+      import scala.jdk.CollectionConverters._
+      val aCell = Files.list(Paths.get(inc)).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("cell=")).toSeq.head
+      val retired = Paths.get(root.toString, ".codes.retired")
+      Files.createDirectories(retired)
+      Files.move(aCell, retired.resolve(aCell.getFileName.toString))
+      Files.createDirectories(Paths.get(root.toString, ".codes.compact", "junk"))
+
+      // the next compaction run's preamble restores the cell before
+      // doing any work; the table then serves exactly as before
+      SimilarityQueries.compactCodes(spark, inc)
+      assert(!Files.exists(retired), ".retired not cleaned up")
+      val served = SimilarityQueries.ivfPqServeFromCodes(
+        e, spark.read.parquet(inc), cb, cb, 10).collect().toSeq
+      assert(served == expected)
+    }
+  }
 }

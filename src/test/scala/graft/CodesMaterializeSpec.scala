@@ -30,10 +30,12 @@ class CodesMaterializeSpec extends SparkSpec {
         .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
       val codes = spark.read.parquet(s"$dir/codes")
 
-      // (a) serving from the stored index reproduces q_ann_ivfpq exactly
+      // (a) serving from the stored index reproduces the in-query
+      // composition exactly (ivfPqPipeline is the reference form now
+      // that q_ann_ivfpq itself serves from the stored index)
       val served = SimilarityQueries.ivfPqServeFromCodes(e, codes, cb, cb, 10)
         .collect().toSeq
-      val inQuery = SparkEntry.queries("q_ann_ivfpq")(spark, sf)
+      val inQuery = SimilarityQueries.ivfPqPipeline(e, cb, cb, 10)
         .collect().toSeq
       assert(served == inQuery,
         s"served=${served.take(3)} inQuery=${inQuery.take(3)}")
@@ -95,6 +97,25 @@ class CodesMaterializeSpec extends SparkSpec {
       val scanLine = plan.linesIterator
         .find(_.contains("PartitionFilters")).getOrElse("")
       assert(scanLine.contains("cell"), scanLine)
+    }
+  }
+
+  test("derived-state memo keys fold in the corpus content fingerprint: " +
+      "mutating a corpus dir invalidates, not serves stale") {
+    withTempDir { dir =>
+      // a private corpus copy this test is free to mutate
+      val e = Tables.load(spark, sf, "embeddings")
+      e.write.parquet(s"$dir/embeddings.parquet")
+      val k1 = Tables.derivedStateKey(spark, dir.toString, "embeddings")
+      assert(k1 == Tables.derivedStateKey(spark, dir.toString, "embeddings"),
+        "fingerprint must be stable across calls on an unchanged corpus")
+
+      // in-session mutation: a batch lands in the corpus dir
+      e.limit(7).write.mode("append").parquet(s"$dir/embeddings.parquet")
+      val k2 = Tables.derivedStateKey(spark, dir.toString, "embeddings")
+      assert(k1 != k2,
+        "corpus mutated but the memo key did not change — downstream " +
+          "memos (codebooks, stored codes, signatures) would serve stale")
     }
   }
 }

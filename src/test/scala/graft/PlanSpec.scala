@@ -85,8 +85,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
-  test("q_ann_ivfpq: IVF cell + PQ codes in ONE scan projection, broadcast candidate join") {
+  test("q_ann_ivfpq: serves from the stored codes table — no corpus-side " +
+      "kernels in the query plan") {
+    // since round 6 the catalog query reads the memoized partitioned
+    // codes table: cell assignment and PQ encoding were paid ONCE at
+    // index build; the serve plan must contain neither kernel, score
+    // candidates by ADC over stored codes, and never shuffle the corpus
+    // before candidate ranking
     val p = plan("q_ann_ivfpq")
+    assert(count(p, "nearest_cell_16\\(") == 0, p.take(3000))
+    assert(count(p, "pq_encode_16x8") == 0, p.take(3000))
+    assert(p.contains("adc_score"), p.take(3000))
+    assert(p.contains("Scan parquet"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(count(p, "Exchange hashpartitioning") <= 2, p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("ivfPqPipeline (in-query reference form): IVF cell + PQ codes in ONE " +
+      "scan projection, broadcast candidate join") {
+    val e = graft.core.Tables.load(spark, dir, "embeddings")
+    val cb = graft.analytics.SimilarityQueries.collectCodebook(e, 16)
+    val p = graft.analytics.SimilarityQueries.ivfPqPipeline(e, cb, cb, 10)
+      .queryExecution.executedPlan.toString
     // cell and codes come out of the same corpus scan, each kernel once
     assert(count(p, "nearest_cell_16\\(") == 1, p.take(3000))
     assert(count(p, "pq_encode_16x8") == 1, p.take(3000))
@@ -153,13 +175,42 @@ class PlanSpec extends SparkSpec {
   }
 
   test("signature pipelines: one signature computation per join side") {
+    // the in-memory reference form (the catalog serves from the
+    // materialized table; see the served-path test below):
     // 2 union branches × 2 join sides = 4 is the floor; more means the
     // optimizer substituted the pipeline into filters again
-    assert(count(plan("q_dedup_minhash"), "minhash_signature") <= 4)
+    val inMem = graft.analytics.DedupQueries.lshCandidates(
+      graft.core.Tables.load(spark, dir, "documents"), Seq("sg"))
+      .queryExecution.executedPlan.toString
+    assert(count(inMem, "minhash_signature") <= 4)
+    assert(count(inMem, "regexp_extract_all") <= 20)
     assert(count(plan("q_dedup_simhash"), "simhash32") <= 4)
-    // tokenizer runs a bounded number of times (was 36 when shingles
-    // inlined it per element reference)
-    assert(count(plan("q_dedup_minhash"), "regexp_extract_all") <= 20)
+  }
+
+  test("lexical LSH catalog queries serve from the materialized signature " +
+      "table: no MinHash/SHA/tokenizer recompute in the pair stage") {
+    // q_dedup_minhash, q_dedup_jaccard and q_dedup_clusters all derive
+    // their pair stage from the SAME memoized parquet signature table
+    // (lshCandidatesServed) — pinning the two lazy plans pins the
+    // cluster query's pair stage too (clusters then runs CC on top).
+    for (q <- Seq("q_dedup_minhash", "q_dedup_jaccard")) {
+      val p = plan(q)
+      assert(count(p, "minhash_signature") == 0, s"$q recomputes minhash")
+      assert(count(p, "sha2") == 0, s"$q recomputes SHA")
+      assert(count(p, "regexp_extract_all") == 0, s"$q re-tokenizes")
+      assert(p.contains("Scan parquet"), s"$q does not read the stored table")
+    }
+  }
+
+  test("semantic dedup catalog queries serve from the materialized " +
+      "sign-bucket table: no SignBuckets/norm recompute in the pair stage") {
+    // q_dedup_embed and q_dedup_embed_clusters share embedPairsServed;
+    // the bucket kernel ran once at build time. The raw embeddings are
+    // touched only by the post-blocking vector fetch for the verify.
+    val p = plan("q_dedup_embed")
+    assert(count(p, "sign_buckets") == 0, "q_dedup_embed recomputes buckets")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
   }
 
   test("FetchJob.transform is a single narrow stage (no exchange)") {
