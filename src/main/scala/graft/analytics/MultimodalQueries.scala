@@ -87,5 +87,73 @@ object MultimodalQueries {
           array_join(transform(col("hist"), _.cast(StringType)), ",")
             .as("hist"))
         .orderBy(col("media_id"))
+    },
+
+    // --------------------------------------------------------- decoded
+    // REAL container decode, hash-gated end-to-end: payloads are actual
+    // 24-bpp BMP / PCM-16 WAV files synthesized deterministically from
+    // the text bytes, and the Spark side must parse the real headers —
+    // BMP stride padding, bottom-up row order, BGR→RGB swap, WAV chunk
+    // walk, sample-rate field, int16 sign — to reproduce the decoded
+    // statistics the oracle computes directly from encode(text) via the
+    // known construction. pos_sum (position-weighted value sum) is what
+    // binds the layout handling: any row-flip, padding or channel-order
+    // mistake shifts values to different positions and breaks the hash.
+    // The DuckDB side never parses a container; it computes the EXPECTED
+    // decode from the raw bytes, which is exactly what makes this an
+    // independent gate on the decoder.
+    GraftQuery(
+      "q_multimodal_decoded",
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS L
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, L,
+        |    [(strpos('0123456789ABCDEF', substring(hx, 2*t+1, 1))-1)*16
+        |     + (strpos('0123456789ABCDEF', substring(hx, 2*t+2, 1))-1)
+        |     FOR t IN range(0, L)] AS bs
+        |  FROM b),
+        |w AS (
+        |  SELECT doc_id, L, bs,
+        |    [CASE WHEN bs[2*t+1] + 256*bs[2*t+2] >= 32768
+        |          THEN bs[2*t+1] + 256*bs[2*t+2] - 65536
+        |          ELSE bs[2*t+1] + 256*bs[2*t+2] END
+        |     FOR t IN range(0, L // 2)] AS smp
+        |  FROM v)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS fmt,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |    THEN greatest((L + 14) // 15, 1) * 15
+        |    ELSE L // 2 END AS BIGINT) AS n_vals,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN coalesce(list_sum(bs), 0)
+        |    ELSE coalesce(list_sum(smp), 0) END AS BIGINT) AS val_sum,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |    THEN coalesce(list_sum([bs[t+1] * t FOR t IN range(0, L)]), 0)
+        |    ELSE coalesce(list_sum([smp[t+1] * t
+        |                            FOR t IN range(0, L // 2)]), 0)
+        |    END AS BIGINT) AS pos_sum,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+        |    ELSE 8000 + (doc_id % 3) * 4000 END AS INTEGER) AS sr,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN greatest((L + 14) // 15, 1)
+        |    ELSE L // 2 END AS INTEGER) AS n_rows
+        |FROM w ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val dec = Multimodal.decode(
+        Multimodal.fromDocumentsEncoded(Tables.load(s, dir, "documents")))
+      dec.map { d =>
+        // invert the float normalization exactly: /255 (image) and
+        // /32768 (audio) both round-trip bit-exactly through Float
+        val scale = if (d.kind == "image") 255f else 32768f
+        val ints = d.tensor.map(v => Math.round(v * scale).toLong)
+        val posSum = ints.iterator.zipWithIndex.map {
+          case (v, i) => v * i
+        }.sum
+        (d.media_id, d.kind, ints.size.toLong, ints.sum, posSum,
+          d.sample_rate, d.shape.head)
+      }.toDF("media_id", "fmt", "n_vals", "val_sum", "pos_sum", "sr", "n_rows")
+        .withColumn("sr", col("sr").cast(IntegerType))
+        .withColumn("n_rows", col("n_rows").cast(IntegerType))
+        .orderBy(col("media_id"))
     })
 }

@@ -41,13 +41,17 @@ object Multimodal {
       n_frames: Int)
 
   /** Decoded representation: a float tensor flattened row-major +
-    * its shape (what a real image decode would produce).
+    * its shape (what a real image decode would produce). `sample_rate`
+    * is nonzero only for audio decoded from a real container (parsed
+    * out of the WAV fmt chunk, NOT copied from the metadata column —
+    * that difference is what lets the oracle gate the header parse).
     */
   final case class DecodedMedia(
       media_id: Long,
       kind: String,
       shape: Seq[Int],
-      tensor: Seq[Float])
+      tensor: Seq[Float],
+      sample_rate: Int = 0)
 
   /** `hist` carries the raw integer bin counts (exact, engine-portable —
     * this is what the DuckDB oracle reproduces); `features` is the
@@ -66,6 +70,9 @@ object Multimodal {
     * `payload` to an image/audio codec. The deterministic fake maps each
     * payload byte to a float in [0,1) so downstream shapes are honest:
     * images decode to (height, width) tensors, audio to (n_samples,).
+    * Since round 6 this is only the fallback for payloads that are not
+    * a container this engine decodes for real (see [[decodeBmp]] /
+    * [[decodeWav]]).
     */
   private def decodeStub(r: MediaRecord): DecodedMedia = {
     val floats = r.payload.map(b => ((b & 0xff).toFloat) / 256f).toSeq
@@ -78,15 +85,192 @@ object Multimodal {
     DecodedMedia(r.media_id, r.kind, shape, floats)
   }
 
-  /** Decode a media Dataset. Partition-local: the (stub) codec is
-    * instantiated once per partition and streamed — the batch shape a
-    * real FFI decoder needs.
+  // ------------------------------------------------------------------
+  // Real pure-JVM codecs: uncompressed 24-bpp BI_RGB BMP and PCM-16 WAV
+  // need no native libraries — just header math over the byte array —
+  // so these two formats decode for REAL; everything else falls back to
+  // the (single remaining, clearly labeled) stub above.
+  // ------------------------------------------------------------------
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  /** Parse an uncompressed 24-bpp BI_RGB BMP (the format JDK ImageIO
+    * writes) into a canonical top-down, RGB-channel-order float tensor
+    * in [0,1], shape (height, width, 3). Handles bottom-up (positive
+    * height — the common case, rows stored last-first) and top-down
+    * (negative height) files, and the 4-byte row-stride padding.
+    * Returns None for any other BMP variant (palette, RLE, 16/32-bpp),
+    * which then falls back to the stub.
+    */
+  private[graft] def decodeBmp(r: MediaRecord): Option[DecodedMedia] = {
+    val p = r.payload
+    if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
+    val dataOffset = le32(p, 10)
+    val w = le32(p, 18)
+    val rawH = le32(p, 22)
+    val bpp = le16(p, 28)
+    val compression = le32(p, 30)
+    if (bpp != 24 || compression != 0 || w <= 0 || rawH == 0) return None
+    val h = math.abs(rawH)
+    val bottomUp = rawH > 0
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (dataOffset.toLong + stride.toLong * h > p.length) return None
+    val out = new Array[Float](h * w * 3)
+    var row = 0
+    while (row < h) {
+      val fileRow = if (bottomUp) h - 1 - row else row
+      val base = dataOffset + fileRow * stride
+      var x = 0
+      while (x < w) {
+        val o = base + x * 3 // stored B,G,R
+        val d = (row * w + x) * 3
+        out(d) = (p(o + 2) & 0xff) / 255f
+        out(d + 1) = (p(o + 1) & 0xff) / 255f
+        out(d + 2) = (p(o) & 0xff) / 255f
+        x += 1
+      }
+      row += 1
+    }
+    Some(DecodedMedia(r.media_id, r.kind, Seq(h, w, 3), out.toSeq))
+  }
+
+  /** Parse a RIFF/WAVE container with PCM 16-bit samples: walk the
+    * chunk list (tolerating extra chunks in any order, odd-size word
+    * padding included), read channels + sample rate from `fmt `, samples
+    * from `data`. Output floats in [-1,1) (sample/32768), shape
+    * (n_frames, channels) for multi-channel, (n_samples,) for mono; the
+    * parsed sample rate rides [[DecodedMedia.sample_rate]]. Returns
+    * None for non-PCM or non-16-bit audio → stub fallback.
+    */
+  private[graft] def decodeWav(r: MediaRecord): Option[DecodedMedia] = {
+    val p = r.payload
+    if (p.length < 12 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' ||
+      p(3) != 'F' || p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E')
+      return None
+    var off = 12
+    var fmtOk = false
+    var channels = 0
+    var sampleRate = 0
+    var data: Option[(Int, Int)] = None // (offset, length)
+    while (off + 8 <= p.length) {
+      val id = new String(p, off, 4, "US-ASCII")
+      val sz = le32(p, off + 4)
+      if (sz < 0 || off + 8 + sz > p.length) return None
+      id match {
+        case "fmt " =>
+          if (sz < 16) return None
+          val audioFormat = le16(p, off + 8)
+          channels = le16(p, off + 10)
+          sampleRate = le32(p, off + 12)
+          val bits = le16(p, off + 22)
+          if (audioFormat != 1 || bits != 16 || channels < 1) return None
+          fmtOk = true
+        case "data" => data = Some((off + 8, sz))
+        case _ => // skip unknown chunks (LIST, fact, ...)
+      }
+      off += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    (data, fmtOk) match {
+      case (Some((dOff, dLen)), true) =>
+        val n = dLen / 2
+        val out = new Array[Float](n)
+        var i = 0
+        while (i < n) {
+          out(i) = le16(p, dOff + 2 * i).toShort / 32768f
+          i += 1
+        }
+        val shape =
+          if (channels > 1) Seq(n / channels, channels) else Seq(n)
+        Some(DecodedMedia(r.media_id, r.kind, shape, out.toSeq, sampleRate))
+      case _ => None
+    }
+  }
+
+  /** Encode a canonical (top-down, RGB) byte image as a standard
+    * bottom-up 24-bpp BI_RGB BMP — the exact inverse of [[decodeBmp]],
+    * used to synthesize real container payloads deterministically (the
+    * oracle query) and as the spec's round-trip counterpart.
+    * `rgbTopDown.length` must be `width * height * 3`.
+    */
+  def encodeBmp24(width: Int, height: Int, rgbTopDown: Array[Byte]): Array[Byte] = {
+    require(rgbTopDown.length == width * height * 3,
+      s"need ${width * height * 3} bytes, got ${rgbTopDown.length}")
+    val stride = ((width * 3 + 3) / 4) * 4
+    val dataLen = stride * height
+    val out = new Array[Byte](54 + dataLen)
+    def w16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+    def w32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    w32(2, 54 + dataLen); w32(10, 54)
+    w32(14, 40); w32(18, width); w32(22, height) // positive → bottom-up
+    w16(26, 1); w16(28, 24); w32(30, 0); w32(34, dataLen)
+    var row = 0
+    while (row < height) {
+      val base = 54 + (height - 1 - row) * stride
+      var x = 0
+      while (x < width) {
+        val s = (row * width + x) * 3
+        out(base + x * 3) = rgbTopDown(s + 2) // B
+        out(base + x * 3 + 1) = rgbTopDown(s + 1) // G
+        out(base + x * 3 + 2) = rgbTopDown(s) // R
+        x += 1
+      }
+      row += 1
+    }
+    out
+  }
+
+  /** Encode PCM-16 mono samples as a minimal RIFF/WAVE file — the
+    * inverse of [[decodeWav]].
+    */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def w16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+    def w32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    def tag(o: Int, s: String): Unit =
+      s.getBytes("US-ASCII").copyToArray(out, o)
+    tag(0, "RIFF"); w32(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); w32(16, 16); w16(20, 1); w16(22, 1)
+    w32(24, sampleRate); w32(28, sampleRate * 2); w16(32, 2); w16(34, 16)
+    tag(36, "data"); w32(40, dataLen)
+    var i = 0
+    while (i < samples.length) {
+      w16(44 + 2 * i, samples(i) & 0xffff)
+      i += 1
+    }
+    out
+  }
+
+  /** Decode a media Dataset. Partition-local: the codec is instantiated
+    * once per partition and streamed — the batch shape a real FFI
+    * decoder needs. BMP and WAV payloads (by magic bytes) decode for
+    * REAL via the pure-JVM parsers above; anything else falls back to
+    * the deterministic stub.
     */
   def decode(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // real codec handle would be created HERE, once per partition
-      it.map(decodeStub)
+      it.map { r =>
+        val p = r.payload
+        val parsed =
+          if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') decodeBmp(r)
+          else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' &&
+            p(2) == 'F' && p(3) == 'F') decodeWav(r)
+          else None
+        parsed.getOrElse(decodeStub(r))
+      }
     }
   }
 
@@ -131,6 +315,44 @@ object Multimodal {
   def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     media.map(r => r.copy(meta = r.meta.copy(width = w, height = h)))
+  }
+
+  /** Synthesize REAL container payloads from the documents corpus:
+    * even doc_ids become 24-bpp BMPs (text bytes as top-down RGB pixel
+    * data, width 5, zero-padded to fill the last row), odd doc_ids
+    * become PCM-16 WAVs (consecutive byte pairs as little-endian
+    * samples, sample rate varied by doc_id so the oracle gates the fmt
+    * header parse). Deterministic byte-for-byte, so the DuckDB oracle
+    * reproduces the decoded statistics straight from encode(text)
+    * without parsing any container — while the Spark side must parse
+    * the real header, stride padding, bottom-up row order and sample
+    * signs to agree.
+    */
+  def fromDocumentsEncoded(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        if (id % 2 == 0) {
+          val w = 5
+          val h = math.max((bytes.length + w * 3 - 1) / (w * 3), 1)
+          val rgb = java.util.Arrays.copyOf(bytes, w * h * 3)
+          MediaRecord(id, "image", encodeBmp24(w, h, rgb),
+            MediaMeta(w, h, 0, 1))
+        } else {
+          val sr = 8000 + (id % 3).toInt * 4000
+          val n = bytes.length / 2
+          val samples = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            samples(i) =
+              ((bytes(2 * i) & 0xff) | ((bytes(2 * i + 1) & 0xff) << 8)).toShort
+            i += 1
+          }
+          MediaRecord(id, "audio", encodeWavPcm16(sr, samples),
+            MediaMeta(0, 0, sr, 1))
+        }
+    }
   }
 
   /** Synthesize a media table from the documents corpus: payload =

@@ -66,4 +66,126 @@ class MultimodalSpec extends SparkSpec {
     assert(ms(0L).kind == "image" && ms(1L).kind == "audio" && ms(2L).kind == "video")
     assert(ms(0L).payload.toSeq == "héllo".getBytes("UTF-8").toSeq)
   }
+
+  // ------------------------------------------------------------------
+  // Real BMP / WAV codecs (round 6): round-trip against our own
+  // encoder, then cross-check against the JDK's INDEPENDENT
+  // implementations (ImageIO writes the BMP we parse; AudioSystem
+  // writes the WAV we parse; ImageIO re-reads the BMP we write) — so a
+  // matched encoder/decoder bug cannot cancel out.
+  // ------------------------------------------------------------------
+
+  private def bmpRec(bytes: Array[Byte]) =
+    MediaRecord(1, "image", bytes, MediaMeta(0, 0, 0, 1))
+
+  test("BMP round-trip: stride padding, bottom-up flip, BGR→RGB all invert") {
+    val w = 5 // 15-byte rows → 1 pad byte per row: stride handling is live
+    val h = 3
+    val rgb = (0 until w * h * 3).map(i => ((i * 37 + 11) % 256).toByte).toArray
+    val dec = Multimodal.decodeBmp(bmpRec(Multimodal.encodeBmp24(w, h, rgb))).get
+    assert(dec.shape == Seq(h, w, 3))
+    val back = dec.tensor.map(v => Math.round(v * 255f).toByte)
+    assert(back == rgb.toSeq)
+  }
+
+  test("BMP cross-check: our parser agrees with ImageIO in both directions") {
+    val w = 7
+    val h = 4
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 83 + y * 29) % 256) << 16 |
+        ((x * 13 + y * 71) % 256) << 8 | ((x * 5 + y * 97) % 256))
+    // (1) JDK writes a BMP; our parser must recover every pixel
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", bos), "JDK BMP writer missing")
+    val dec = Multimodal.decodeBmp(bmpRec(bos.toByteArray)).get
+    assert(dec.shape == Seq(h, w, 3))
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = img.getRGB(x, y)
+      val d = (y * w + x) * 3
+      assert(Math.round(dec.tensor(d) * 255f) == ((p >> 16) & 0xff), s"R($x,$y)")
+      assert(Math.round(dec.tensor(d + 1) * 255f) == ((p >> 8) & 0xff), s"G($x,$y)")
+      assert(Math.round(dec.tensor(d + 2) * 255f) == (p & 0xff), s"B($x,$y)")
+    }
+    // (2) our encoder writes a BMP; the JDK must read the same pixels
+    val rgb = (0 until w * h * 3).map(i => ((i * 41 + 3) % 256).toByte).toArray
+    val reread = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.encodeBmp24(w, h, rgb)))
+    for (y <- 0 until h; x <- 0 until w) {
+      val s = (y * w + x) * 3
+      val exp = ((rgb(s) & 0xff) << 16) | ((rgb(s + 1) & 0xff) << 8) |
+        (rgb(s + 2) & 0xff)
+      assert((reread.getRGB(x, y) & 0xffffff) == exp, s"($x,$y)")
+    }
+  }
+
+  test("WAV round-trip: PCM16 samples and the parsed sample rate") {
+    val samples = Array.tabulate(77)(i => ((i * 1009 - 5000) % 32768).toShort)
+    val dec = Multimodal.decodeWav(
+      MediaRecord(2, "audio", Multimodal.encodeWavPcm16(11025, samples),
+        MediaMeta(0, 0, 0, 1))).get
+    assert(dec.shape == Seq(77))
+    assert(dec.sample_rate == 11025)
+    assert(dec.tensor.map(v => Math.round(v * 32768f).toShort) == samples.toSeq)
+  }
+
+  test("WAV cross-check: our parser reads what AudioSystem writes") {
+    import javax.sound.sampled._
+    val samples = Array.tabulate(60)(i => ((i * 523 - 9000) % 32768).toShort)
+    val bytes = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      bytes(2 * i) = s.toByte; bytes(2 * i + 1) = (s >> 8).toByte
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      16000f, 16, 1, 2, 16000f, false) // little-endian
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val dec = Multimodal.decodeWav(
+      MediaRecord(3, "audio", bos.toByteArray, MediaMeta(0, 0, 0, 1))).get
+    assert(dec.sample_rate == 16000)
+    assert(dec.tensor.map(v => Math.round(v * 32768f).toShort) == samples.toSeq)
+  }
+
+  test("decode dispatch: real codecs for BMP/WAV magic, stub for the rest") {
+    val rgb = Array.tabulate(3 * 2 * 3)(i => (i * 19 % 256).toByte)
+    val recs = mediaDs(
+      MediaRecord(1, "image", Multimodal.encodeBmp24(3, 2, rgb),
+        MediaMeta(3, 2, 0, 1)),
+      MediaRecord(2, "audio",
+        Multimodal.encodeWavPcm16(8000, Array[Short](5, -5, 300)),
+        MediaMeta(0, 0, 8000, 1)),
+      rec(3, "image", Array.fill(12)(7.toByte))) // no magic → stub
+    val out = Multimodal.decode(recs).collect().map(d => d.media_id -> d).toMap
+    assert(out(1L).shape == Seq(2, 3, 3)) // parsed, not stub (12 bytes / w=4)
+    assert(out(2L).sample_rate == 8000)
+    assert(out(2L).tensor.map(v => Math.round(v * 32768f).toShort) ==
+      Seq[Short](5, -5, 300))
+    assert(out(3L).shape == Seq(3, 4)) // the stub's (len/width, width)
+    assert(out(3L).sample_rate == 0)
+  }
+
+  test("fromDocumentsEncoded: real containers whose decode inverts the text") {
+    import spark.implicits._
+    val df = Seq((0L, "abcdefghijklmnopq"), (1L, "stereo bytes here!"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.decode(Multimodal.fromDocumentsEncoded(df))
+      .collect().map(d => d.media_id -> d).toMap
+    // even id → BMP of the text bytes, zero-padded to full 5-px rows
+    val txt = "abcdefghijklmnopq".getBytes("UTF-8")
+    val img = out(0L)
+    assert(img.shape == Seq(2, 5, 3)) // 17 bytes → 2 rows of 15
+    val decoded = img.tensor.map(v => Math.round(v * 255f).toByte)
+    assert(decoded.take(txt.length) == txt.toSeq)
+    assert(decoded.drop(txt.length).forall(_ == 0))
+    // odd id → WAV: byte pairs as LE int16, sr = 8000 + (1%3)*4000
+    val aud = out(1L)
+    assert(aud.sample_rate == 12000)
+    val ab = "stereo bytes here!".getBytes("UTF-8")
+    val exp = (0 until ab.length / 2).map(i =>
+      ((ab(2 * i) & 0xff) | ((ab(2 * i + 1) & 0xff) << 8)).toShort)
+    assert(aud.tensor.map(v => Math.round(v * 32768f).toShort) == exp)
+  }
 }
