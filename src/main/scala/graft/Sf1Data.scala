@@ -81,13 +81,18 @@ object Sf1Data {
       col("r")), "events", 8)
 
     // token-keyed bijective salt per replica (letters only, so every
-    // tokenizer/normalizer in the engine sees the mutation)
+    // tokenizer/normalizer in the engine sees the mutation). EVERY
+    // token is suffixed: a partial (hash-keyed) salt left ~50% of token
+    // hashes shared across replicas, which SimHash — robust to 50%
+    // token churn BY DESIGN — happily bridged, exploding cross-replica
+    // candidates 8.5x superlinear; full salting makes replica shingle
+    // and gram spaces disjoint while preserving within-replica overlap
+    // exactly (per-replica token bijection).
     val letter = element_at(
       array(('a' to 'j').map(c => lit(c.toString)): _*), col("r") + 1)
     val salted = array_join(
       transform(split(col("text"), " "),
-        tok => when(pmod(xxhash64(tok), lit(2)) === 0, concat(tok, lit("zz"), letter))
-          .otherwise(tok)), " ")
+        tok => concat(tok, lit("zz"), letter)), " ")
     write(replicas(t("documents")).select(shifted("doc_id"),
       when(col("r") === 0, col("text")).otherwise(salted).as("text"),
       col("lang"), col("source"), col("r"))
@@ -154,7 +159,9 @@ object Sf1Probe {
         (wall, n, exch)
       }
       val (cold, rows, exch) = once()
-      val (warm, _, _) = once()
+      // two warm observations, min taken: a host-contention spike in
+      // one observation can't masquerade as the query's warm cost
+      val warm = math.min(once()._1, once()._1)
       println(f"SF1PROBE dir=$dir q=$name cold_s=$cold%.2f warm_s=$warm%.2f " +
         f"build_s=${math.max(cold - warm, 0)}%.2f rows=$rows exchanges=$exch")
     }
