@@ -382,6 +382,53 @@ object SimilarityQueries {
     codesTable(batch, cbIvf, cbPq)
       .write.mode("append").partitionBy("cell").parquet(codesDir)
 
+  /** Exactly-once streaming form of [[appendToCodes]]: `foreachBatch`
+    * delivers at-least-once (a batch whose write succeeded but whose
+    * checkpoint commit crashed is REPLAYED with the same batchId), and
+    * a blind parquet append would duplicate every replayed row. This
+    * append stages the batch's codes under a batch-scoped scratch dir,
+    * then installs each produced file into its live `cell=` directory
+    * under a DETERMINISTIC batch-scoped name (`b<batchId>-<seq>`), so a
+    * replay re-stages and overwrites the very same file names — the end
+    * state is identical no matter how many times the batch runs.
+    * Touches only the cells the batch lands in, O(batch) like the
+    * non-streaming append.
+    */
+  def appendToCodesIdempotent(
+      batch: DataFrame, codesDir: String, batchId: Long,
+      cbIvf: Array[Double], cbPq: Array[Double]): Unit = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val spark = batch.sparkSession
+    val dir = new Path(codesDir)
+    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    val stage = new Path(dir.getParent, s".${dir.getName}.ingest-b$batchId")
+    fs.delete(stage, true)
+    codesTable(batch, cbIvf, cbPq)
+      .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
+    fs.listStatus(stage)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .foreach { cellDir =>
+        val live = new Path(dir, cellDir.getPath.getName)
+        fs.mkdirs(live)
+        // a replay may shard the same rows into FEWER files than the
+        // crashed attempt installed — clear the batch's whole prefix so
+        // no stale b<id>-k file outlives its replacement set
+        fs.listStatus(live)
+          .filter(_.getPath.getName.startsWith(s"b$batchId-"))
+          .foreach(f => fs.delete(f.getPath, false))
+        fs.listStatus(cellDir.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .sortBy(_.getPath.getName)
+          .zipWithIndex.foreach { case (f, k) =>
+            val dest = new Path(live, s"b$batchId-$k.parquet")
+            fs.delete(dest, false) // replay: same name, same content
+            if (!fs.rename(f.getPath, dest))
+              throw new IllegalStateException(s"rename ${f.getPath} -> $dest failed")
+          }
+      }
+    fs.delete(stage, true)
+  }
+
   /** Compact the stored codes table's cell partitions: every
     * [[appendToCodes]] batch leaves one file set per touched cell, so a
     * streaming ingest at real cadence accretes the classic small-file

@@ -345,6 +345,48 @@ object StreamingPipeline {
     * contaminant is flagged; rare false positives (rate (1−e^(−kn/m))^k)
     * only quarantine extra docs for the downstream exact check.
     */
+  /** Streaming ANN index ingest — the embedding-side mirror of the
+    * reference's fetch→combine→load file chain: a parquet file stream
+    * of arriving embedding batches is encoded per micro-batch
+    * ([[graft.analytics.SimilarityQueries.codesTable]] — the same
+    * scan-stage kernels as the batch build, zero corpus-side exchange)
+    * and appended into the stored codes table via the IDEMPOTENT
+    * batch-scoped append, so `foreachBatch`'s at-least-once replay
+    * converges to exactly-once table state. Serving
+    * ([[graft.analytics.SimilarityQueries.ivfPqServeFromCodes]]) sees
+    * every landed batch immediately; [[graft.analytics
+    * .SimilarityQueries.compactCodes]] is the companion maintenance job
+    * once small files accrete.
+    */
+  def startCodesIngest(
+      spark: SparkSession,
+      incomingDir: String,
+      codesDir: String,
+      checkpointDir: String,
+      cbIvf: Array[Double],
+      cbPq: Array[Double],
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = new StructType()
+      .add("vec_id", LongType, nullable = false)
+      .add("embedding", ArrayType(FloatType, containsNull = false),
+        nullable = false)
+      .add("label", IntegerType)
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(incomingDir)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.analytics.SimilarityQueries.appendToCodesIdempotent(
+            batch, codesDir, batchId, cbIvf, cbPq)
+      }
+      .start()
+  }
+
   def decontaminationGate(
       docs: DataFrame,
       bloomBits: Array[Long],

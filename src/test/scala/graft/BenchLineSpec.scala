@@ -11,9 +11,19 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchLineSpec extends AnyFunSuite {
 
-  test("bench line fits the driver tail window at catalog+10 queries") {
+  test("bench line fits the driver tail window at catalog+20 queries") {
+    // POLICY for the precision ladder vs the top-k fallback: the line
+    // renders at 3→0 decimals first and only then drops queries,
+    // keeping the SLOWEST ones and saying how many were dropped
+    // ("dropped":N). At the current catalog (~90) the ladder holds with
+    // ≥1 decimal; headroom checked here at +20 phantom queries with
+    // pessimistic double-digit walls. When the catalog grows enough
+    // that even 0-decimal overflows (~110+ real-length names), the
+    // fallback engages by design — the assertions below then enforce
+    // it keeps a meaningful prefix (>30 slowest queries) rather than
+    // truncating arbitrarily.
     val names = SparkEntry.queries.keys.toSeq ++
-      (1 to 10).map(i => s"q_phantom_padding_$i")
+      (1 to 20).map(i => s"q_phantom_padding_$i")
     // pessimistic widths: double-digit seconds for every query
     val results = names.map(_ -> 12.345678).toMap
     val line = Bench.renderLine(results, "/root/testdata/sf0.1")

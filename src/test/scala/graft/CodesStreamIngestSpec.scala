@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.analytics.SimilarityQueries
+import graft.core.Tables
+import graft.operators.CodebookTrainer
+import graft.streaming.StreamingPipeline
+
+/** Streaming ANN index ingest end-to-end (the embedding analog of
+  * StreamingSpec's fetch→combine→load chain): embedding batches arrive
+  * as parquet files, each micro-batch is encoded and appended into the
+  * stored codes table, and a post-batch serve sees the union of
+  * everything landed — with exactly-once table state under foreachBatch
+  * replay, which delivers at-least-once.
+  */
+class CodesStreamIngestSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Drop a DataFrame into the incoming dir as a single parquet FILE
+    * (the file-stream source lists files, not directories).
+    */
+  private def land(df: org.apache.spark.sql.DataFrame, incoming: Path,
+      name: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val tmp = Files.createTempDirectory("land")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, incoming.resolve(name))
+  }
+
+  test("two micro-batches append to the codes table; serve sees the union") {
+    withTempDir { root =>
+      val e = Tables.load(spark, sf, "embeddings")
+      val cb = CodebookTrainer.initCodebook(e, 16, normalize = false)
+      val incoming = Files.createDirectory(root.resolve("incoming"))
+      val codes = root.resolve("codes").toString
+      val ckpt = root.resolve("ckpt").toString
+
+      // the index starts from a batch build over a third of the corpus
+      SimilarityQueries.codesTable(e.filter(col("vec_id") % 3 === 0), cb, cb)
+        .write.mode("overwrite").partitionBy("cell").parquet(codes)
+
+      // two embedding batches arrive as files; one streaming run drains
+      // them (maxFilesPerTrigger=4 → they may share or split batches —
+      // either way the table must converge to the full corpus)
+      land(e.filter(col("vec_id") % 3 === 1), incoming, "batch1.parquet")
+      val q1 = StreamingPipeline.startCodesIngest(
+        spark, incoming.toString, codes, ckpt, cb, cb, Trigger.AvailableNow())
+      q1.awaitTermination(120000)
+
+      land(e.filter(col("vec_id") % 3 === 2), incoming, "batch2.parquet")
+      val q2 = StreamingPipeline.startCodesIngest(
+        spark, incoming.toString, codes, ckpt, cb, cb, Trigger.AvailableNow())
+      q2.awaitTermination(120000)
+
+      // serve from the streamed-into table == serve from a one-shot
+      // full build (row-identical, transitively q_ann_ivfpq's result)
+      val served = SimilarityQueries.ivfPqServeFromCodes(
+        e, spark.read.parquet(codes), cb, cb, 10).collect().toSeq
+      assert(served == SparkEntry.queries("q_ann_ivfpq")(spark, sf)
+        .collect().toSeq)
+    }
+  }
+
+  test("replayed micro-batch converges to the same table state (exactly-once)") {
+    withTempDir { root =>
+      val e = Tables.load(spark, sf, "embeddings")
+      val cb = CodebookTrainer.initCodebook(e, 16, normalize = false)
+      val codes = root.resolve("codes").toString
+      SimilarityQueries.codesTable(e.filter(col("vec_id") % 2 === 0), cb, cb)
+        .write.mode("overwrite").partitionBy("cell").parquet(codes)
+
+      val batch = e.filter(col("vec_id") % 2 === 1)
+      SimilarityQueries.appendToCodesIdempotent(batch, codes, 7L, cb, cb)
+
+      def census(): Map[String, Seq[String]] = {
+        import scala.jdk.CollectionConverters._
+        Files.list(Paths.get(codes)).iterator().asScala
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("cell="))
+          .map(p => p.getFileName.toString -> Files.list(p).iterator().asScala
+            .map(_.getFileName.toString)
+            .filter(n => !n.startsWith("_") && !n.startsWith("."))
+            .toSeq.sorted)
+          .toMap
+      }
+      val before = census()
+      val servedBefore = SimilarityQueries.ivfPqServeFromCodes(
+        e, spark.read.parquet(codes), cb, cb, 10).collect().toSeq
+
+      // foreachBatch redelivers the SAME batchId after a crash between
+      // sink write and checkpoint commit — replay twice more
+      SimilarityQueries.appendToCodesIdempotent(batch, codes, 7L, cb, cb)
+      // a replay that shards into fewer files must not leave stragglers
+      SimilarityQueries.appendToCodesIdempotent(
+        batch.coalesce(1), codes, 7L, cb, cb)
+
+      val after = census()
+      assert(after.keySet == before.keySet, "replay changed the cell set")
+      val servedAfter = SimilarityQueries.ivfPqServeFromCodes(
+        e, spark.read.parquet(codes), cb, cb, 10).collect().toSeq
+      assert(servedAfter == servedBefore, "replay changed served rows")
+      // rows are what matters; the file census may only SHRINK (fewer
+      // shards on replay), never grow
+      after.foreach { case (cell, files) =>
+        assert(files.size <= before(cell).size, s"$cell grew: $files")
+      }
+      // and the batch's rows appear exactly once: total row count
+      // equals the full corpus
+      assert(spark.read.parquet(codes).count() == e.count())
+    }
+  }
+}
