@@ -88,8 +88,10 @@ object Sf1Data {
     // candidates 8.5x superlinear; full salting makes replica shingle
     // and gram spaces disjoint while preserving within-replica overlap
     // exactly (per-replica token bijection).
+    require(factor <= 26, s"salt alphabet is one letter per replica; factor=$factor > 26")
     val letter = element_at(
-      array(('a' to 'j').map(c => lit(c.toString)): _*), col("r") + 1)
+      array(('a' until ('a' + factor).toChar).map(c => lit(c.toString)): _*),
+      col("r") + 1)
     val salted = array_join(
       transform(split(col("text"), " "),
         tok => concat(tok, lit("zz"), letter)), " ")

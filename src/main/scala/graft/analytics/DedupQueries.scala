@@ -244,18 +244,12 @@ object DedupQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[graft] def storedSignaturesPath(
-      s: SparkSession, dir: String): String = {
-    val key = Tables.derivedStateKey(s, dir, "documents")
-    val hit = storedSignatures.get(key)
-    if (hit != null) hit
-    else {
-      val out = java.nio.file.Files.createTempDirectory("graft-sig").toString
+      s: SparkSession, dir: String): String =
+    Tables.memoizedParquet(storedSignatures,
+      Tables.derivedStateKey(s, dir, "documents"), "graft-sig") { out =>
       signatureTable(t(s, dir, "documents"))
         .write.mode("overwrite").parquet(out)
-      val prev = storedSignatures.putIfAbsent(key, out)
-      if (prev != null) prev else out
     }
-  }
 
   /** Phase 2 over the memoized signature table — the form every lexical
     * LSH catalog query serves from: no SHA / MinHash / tokenizer work
@@ -347,18 +341,12 @@ object DedupQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[graft] def storedSignBucketsPath(
-      s: SparkSession, dir: String): String = {
-    val key = Tables.derivedStateKey(s, dir, "embeddings")
-    val hit = storedSignBuckets.get(key)
-    if (hit != null) hit
-    else {
-      val out = java.nio.file.Files.createTempDirectory("graft-sbuckets").toString
+      s: SparkSession, dir: String): String =
+    Tables.memoizedParquet(storedSignBuckets,
+      Tables.derivedStateKey(s, dir, "embeddings"), "graft-sbuckets") { out =>
       signBucketTable(t(s, dir, "embeddings"))
         .write.mode("overwrite").parquet(out)
-      val prev = storedSignBuckets.putIfAbsent(key, out)
-      if (prev != null) prev else out
     }
-  }
 
   /** Verified near-dup pairs SERVED from a materialized sign-bucket
     * table: candidates are a self-join of the (small) bucket index —

@@ -326,19 +326,13 @@ object SimilarityQueries {
 
   private[graft] def storedCodesPath(
       s: SparkSession, dir: String,
-      cbIvf: Array[Double], cbPq: Array[Double]): String = {
-    val key = Tables.derivedStateKey(s, dir, "embeddings") +
-      "|" + codebookDigest(cbIvf, cbPq)
-    val hit = storedCodes.get(key)
-    if (hit != null) hit
-    else {
-      val out = java.nio.file.Files.createTempDirectory("graft-codes").toString
+      cbIvf: Array[Double], cbPq: Array[Double]): String =
+    Tables.memoizedParquet(storedCodes,
+      Tables.derivedStateKey(s, dir, "embeddings") +
+        "|" + codebookDigest(cbIvf, cbPq), "graft-codes") { out =>
       codesTable(t(s, dir, "embeddings"), cbIvf, cbPq)
         .write.mode("overwrite").partitionBy("cell").parquet(out)
-      val prev = storedCodes.putIfAbsent(key, out)
-      if (prev != null) prev else out
     }
-  }
 
   /** Phase-1 STORED ANN index — the materialized analog of SCALING.md's
     * 100 TB claim ("codes as 1-byte arrays, 16× scan-IO cut"): ONE
@@ -385,14 +379,26 @@ object SimilarityQueries {
   /** Exactly-once streaming form of [[appendToCodes]]: `foreachBatch`
     * delivers at-least-once (a batch whose write succeeded but whose
     * checkpoint commit crashed is REPLAYED with the same batchId), and
-    * a blind parquet append would duplicate every replayed row. This
-    * append stages the batch's codes under a batch-scoped scratch dir,
-    * then installs each produced file into its live `cell=` directory
-    * under a DETERMINISTIC batch-scoped name (`b<batchId>-<seq>`), so a
-    * replay re-stages and overwrites the very same file names — the end
-    * state is identical no matter how many times the batch runs.
+    * a blind parquet append would duplicate every replayed row. Two
+    * mechanisms compose to exactly-once table state:
+    *
+    *  1. An ACK MARKER (`_ingested/b<batchId>`, created only after every
+    *     file is installed; `_`-prefixed so parquet readers ignore it).
+    *     A replay of an acked batch returns immediately — in particular
+    *     a replay AFTER [[compactCodes]] has absorbed the batch's files
+    *     (whose batch-scoped names no longer exist) cannot re-append.
+    *  2. For a replay of an UNACKED batch (crash mid-install), files
+    *     are staged then installed under DETERMINISTIC batch-scoped
+    *     names (`b<batchId>-<seq>`), the batch's whole name prefix
+    *     cleared first, so the replay overwrites rather than duplicates
+    *     — and [[compactCodes]] refuses to touch cells holding unacked
+    *     batch files, so the names are guaranteed to still be there.
+    *
     * Touches only the cells the batch lands in, O(batch) like the
-    * non-streaming append.
+    * non-streaming append. Maintenance (compaction) and ingest are
+    * single-writer: run [[compactCodes]] from the same driver that owns
+    * the stream (e.g. between triggers), not concurrently with an
+    * in-flight micro-batch.
     */
   def appendToCodesIdempotent(
       batch: DataFrame, codesDir: String, batchId: Long,
@@ -401,6 +407,8 @@ object SimilarityQueries {
     val spark = batch.sparkSession
     val dir = new Path(codesDir)
     val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(dir, s"_ingested/b$batchId")
+    if (fs.exists(marker)) return // acked: this batch is fully installed
     val stage = new Path(dir.getParent, s".${dir.getName}.ingest-b$batchId")
     fs.delete(stage, true)
     codesTable(batch, cbIvf, cbPq)
@@ -427,6 +435,8 @@ object SimilarityQueries {
           }
       }
     fs.delete(stage, true)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close() // ack LAST: replay-safe until here
   }
 
   /** Compact the stored codes table's cell partitions: every
@@ -444,6 +454,15 @@ object SimilarityQueries {
     * cells are never read or rewritten, so compaction cost is
     * O(fragmented cells), not O(table). Returns the number of cells
     * compacted.
+    *
+    * Streaming-ingest safety: a cell holding files of an UNACKED batch
+    * (a `b<id>-*` file with no `_ingested/b<id>` marker — i.e. a
+    * micro-batch that crashed mid-install and will be replayed) is
+    * skipped this round. Absorbing such files would erase the
+    * batch-scoped names the replay's overwrite discipline relies on,
+    * turning the replay into a duplicate append; skipping costs
+    * nothing — the cell compacts on the next run, after the replay
+    * completes and acks.
     */
   def compactCodes(
       spark: SparkSession, codesDir: String, maxFilesPerCell: Int = 1): Int = {
@@ -452,6 +471,11 @@ object SimilarityQueries {
     val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
     val stage = new Path(dir.getParent, s".${dir.getName}.compact")
     val retiredDir = new Path(dir.getParent, s".${dir.getName}.retired")
+    val batchFile = "^b(\\d+)-.*".r
+    def ackedOrNotBatch(name: String): Boolean = name match {
+      case batchFile(id) => fs.exists(new Path(dir, s"_ingested/b$id"))
+      case _ => true
+    }
 
     // crash recovery: a cell whose live dir is missing has its only
     // copy in .retired — restore it BEFORE clearing scratch state
@@ -469,9 +493,12 @@ object SimilarityQueries {
 
     val fragmented = fs.listStatus(dir)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-      .filter(st => fs.listStatus(st.getPath)
-        .count(f => f.isFile && !f.getPath.getName.startsWith("_")) >
-        maxFilesPerCell)
+      .filter { st =>
+        val files = fs.listStatus(st.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .map(_.getPath.getName)
+        files.length > maxFilesPerCell && files.forall(ackedOrNotBatch)
+      }
       .map(_.getPath.getName.stripPrefix("cell=").toInt)
       .sorted
     if (fragmented.isEmpty) return 0
@@ -510,22 +537,16 @@ object SimilarityQueries {
 
   private[graft] def incrementalCodesPath(
       s: SparkSession, dir: String,
-      cbIvf: Array[Double], cbPq: Array[Double]): String = {
-    val key = Tables.derivedStateKey(s, dir, "embeddings") +
-      "|inc|" + codebookDigest(cbIvf, cbPq)
-    val hit = storedIncCodes.get(key)
-    if (hit != null) hit
-    else {
+      cbIvf: Array[Double], cbPq: Array[Double]): String =
+    Tables.memoizedParquet(storedIncCodes,
+      Tables.derivedStateKey(s, dir, "embeddings") +
+        "|inc|" + codebookDigest(cbIvf, cbPq), "graft-codes-inc") { out =>
       val e = t(s, dir, "embeddings")
-      val out = java.nio.file.Files.createTempDirectory("graft-codes-inc").toString
       codesTable(e.filter(col("vec_id") % 2 === 0), cbIvf, cbPq)
         .write.mode("overwrite").partitionBy("cell").parquet(out)
       appendToCodes(e.filter(col("vec_id") % 2 === 1), out, cbIvf, cbPq)
       compactCodes(s, out)
-      val prev = storedIncCodes.putIfAbsent(key, out)
-      if (prev != null) prev else out
     }
-  }
 
   /** ADC candidate top-`topC` per query reading ONLY the stored codes
     * table: prune to the probed cells (a static partition filter —

@@ -43,11 +43,20 @@ object Tables {
     val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
     val entries =
       if (!fs.exists(p)) Seq("absent")
-      else if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
-          .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-          .toSeq
-      else {
+      else if (fs.getFileStatus(p).isDirectory) {
+        // RECURSIVE listing: partitioned layouts (cell=/lang= subdirs)
+        // keep their data files one level down — a top-level-only scan
+        // would fingerprint them all as the same empty listing and
+        // serve stale derived state after a mutation
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val st = it.next()
+          val rel = p.toUri.relativize(st.getPath.toUri).getPath
+          buf += s"$rel:${st.getLen}:${st.getModificationTime}"
+        }
+        buf.sorted.toSeq
+      } else {
         val st = fs.getFileStatus(p)
         Seq(s"${p.getName}:${st.getLen}:${st.getModificationTime}")
       }
@@ -61,4 +70,24 @@ object Tables {
     */
   def derivedStateKey(spark: SparkSession, sfDir: String, name: String): String =
     s"$sfDir@${tableFingerprint(spark, sfDir, name)}"
+
+  /** Build-once-per-key parquet memo shared by every per-corpus derived
+    * state (stored signatures, sign buckets, codes tables): look the
+    * key up, else write into a fresh temp dir via `build` and publish
+    * with putIfAbsent — a lost creation race leaves one orphan temp dir
+    * and adopts the winner's path. Centralized so the race/invalidation
+    * semantics cannot drift between the four call sites.
+    */
+  def memoizedParquet(
+      memo: java.util.concurrent.ConcurrentHashMap[String, String],
+      key: String, tmpPrefix: String)(build: String => Unit): String = {
+    val hit = memo.get(key)
+    if (hit != null) hit
+    else {
+      val out = java.nio.file.Files.createTempDirectory(tmpPrefix).toString
+      build(out)
+      val prev = memo.putIfAbsent(key, out)
+      if (prev != null) prev else out
+    }
+  }
 }

@@ -112,17 +112,21 @@ object ConnectedComponents {
     // listener bus); if a Spark upgrade stopped reporting metrics for
     // this action the loop would otherwise hang forever. After 30s,
     // fall back to an explicit aggregation job over the checkpointed
-    // labels — same exact sum, one extra tiny job, no hang. (The
-    // timed-out waiter thread is daemon-pooled and inert.)
+    // labels — same exact sum, one extra tiny job, no hang. The waiter
+    // is a DEDICATED daemon thread per call, not a shared-pool task: a
+    // permanently-blocked Observation.get must strand only its own
+    // inert thread, never starve an executor pool other code shares.
     def lsum(o: Observation, checkpointed: DataFrame): Option[java.math.BigDecimal] = {
-      import scala.concurrent.{Await, Future, TimeoutException}
-      import scala.concurrent.duration._
-      import scala.concurrent.ExecutionContext.Implicits.global
-      try {
-        val m = Await.result(Future(o.get), 30.seconds)
-        Option(m("lsum")).map(_.asInstanceOf[java.math.BigDecimal])
-      } catch {
-        case _: TimeoutException =>
+      val box = new java.util.concurrent.LinkedBlockingQueue[AnyRef](1)
+      val waiter = new Thread(() =>
+        box.offer(try o.get catch { case e: Throwable => e }))
+      waiter.setDaemon(true)
+      waiter.start()
+      box.poll(30, java.util.concurrent.TimeUnit.SECONDS) match {
+        case m: Map[_, _] =>
+          Option(m.asInstanceOf[Map[String, Any]]("lsum"))
+            .map(_.asInstanceOf[java.math.BigDecimal])
+        case _ => // timeout (null) or a metrics-path failure
           Option(checkpointed
             .agg(sum(col("label").cast(DecimalType(38, 0))).as("lsum"))
             .head.getDecimal(0))

@@ -117,8 +117,16 @@ object Multimodal {
     if (bpp != 24 || compression != 0 || w <= 0 || rawH == 0) return None
     val h = math.abs(rawH)
     val bottomUp = rawH > 0
+    // dimension sanity BEFORE any Int arithmetic: a crafted/garbage
+    // header (w ≈ 2^30) would overflow stride and the tensor size into
+    // negative values, crashing the task — a non-BMP payload must fall
+    // back to the stub, never throw
+    if (h <= 0 || // abs(Int.MinValue) is still negative
+      w > (1 << 20) || h > (1 << 20) || w.toLong * h * 3 > p.length.toLong)
+      return None
     val stride = ((w * 3 + 3) / 4) * 4
-    if (dataOffset.toLong + stride.toLong * h > p.length) return None
+    if (dataOffset < 0 || dataOffset.toLong + stride.toLong * h > p.length)
+      return None
     val out = new Array[Float](h * w * 3)
     var row = 0
     while (row < h) {

@@ -296,11 +296,15 @@ object Upsert {
       Set("42P01", "42Y55", "42S02").contains(e.getSQLState) ||
         // drivers that report no SQLState (or a generic one) still name
         // the condition in the message — but require TABLE context near
-        // the phrase, or a mere "schema X does not exist" from a
-        // misconfigured connection would be silently swallowed here
+        // the phrase (either order: "table X does not exist" and
+        // "not found: table X" are both real dialects), or a mere
+        // "schema X does not exist" from a misconfigured connection
+        // would be silently swallowed here
         (e.getMessage != null && e.getMessage.toLowerCase.matches(
           "(?s).*(no such table|(table|relation)[^\\n]{0,120}" +
-            "(does not exist|doesn't exist|not found)).*"))
+            "(does not exist|doesn't exist|not found)|" +
+            "(does not exist|doesn't exist|not found)[^\\n]{0,40}" +
+            "(table|relation)).*"))
     def dropStage(conn: Connection): Unit =
       try conn.createStatement().execute(s"DROP TABLE $stage")
       catch {

@@ -95,9 +95,15 @@ class CodesStreamIngestSpec extends SparkSpec {
         e, spark.read.parquet(codes), cb, cb, 10).collect().toSeq
 
       // foreachBatch redelivers the SAME batchId after a crash between
-      // sink write and checkpoint commit — replay twice more
+      // sink write and checkpoint commit. Case 1 — ACKED batch (crash
+      // after the marker): replays are no-ops via the marker fast path
       SimilarityQueries.appendToCodesIdempotent(batch, codes, 7L, cb, cb)
-      // a replay that shards into fewer files must not leave stragglers
+      assert(census() == before, "acked replay touched the table")
+
+      // Case 2 — UNACKED batch (crash between install and ack): the
+      // replay, even one sharding into FEWER files, prefix-clears and
+      // reinstalls without duplicating
+      Files.delete(Paths.get(codes, "_ingested", "b7"))
       SimilarityQueries.appendToCodesIdempotent(
         batch.coalesce(1), codes, 7L, cb, cb)
 
@@ -114,6 +120,46 @@ class CodesStreamIngestSpec extends SparkSpec {
       // and the batch's rows appear exactly once: total row count
       // equals the full corpus
       assert(spark.read.parquet(codes).count() == e.count())
+    }
+  }
+
+  test("compaction between a crashed batch and its replay cannot duplicate") {
+    withTempDir { root =>
+      val e = Tables.load(spark, sf, "embeddings")
+      val cb = CodebookTrainer.initCodebook(e, 16, normalize = false)
+      def freshTable(name: String): String = {
+        val codes = root.resolve(name).toString
+        SimilarityQueries.codesTable(e.filter(col("vec_id") % 2 === 0), cb, cb)
+          .write.mode("overwrite").partitionBy("cell").parquet(codes)
+        codes
+      }
+      val batch = e.filter(col("vec_id") % 2 === 1)
+
+      // (a) batch installed + ACKED, checkpoint commit crashed, then
+      // maintenance compaction absorbs the batch's files (erasing the
+      // b9-* names), then the stream restarts and replays batchId 9 —
+      // the ack marker is what prevents a double append
+      val t1 = freshTable("t1")
+      SimilarityQueries.appendToCodesIdempotent(batch, t1, 9L, cb, cb)
+      assert(SimilarityQueries.compactCodes(spark, t1) > 0)
+      SimilarityQueries.appendToCodesIdempotent(batch, t1, 9L, cb, cb)
+      assert(spark.read.parquet(t1).count() == e.count(),
+        "replay after compaction duplicated the batch")
+
+      // (b) batch installed but UNACKED (crash between install and
+      // ack): its b9-* files are still live, and compaction must SKIP
+      // their cells so the replay's name-overwrite discipline works
+      val t2 = freshTable("t2")
+      SimilarityQueries.appendToCodesIdempotent(batch, t2, 9L, cb, cb)
+      Files.delete(Paths.get(t2, "_ingested", "b9")) // crash before ack
+      assert(SimilarityQueries.compactCodes(spark, t2) == 0,
+        "compaction absorbed files of an unacked (replayable) batch")
+      SimilarityQueries.appendToCodesIdempotent(batch, t2, 9L, cb, cb)
+      assert(spark.read.parquet(t2).count() == e.count(),
+        "unacked replay duplicated the batch")
+      // once re-acked, the next maintenance pass compacts normally
+      assert(SimilarityQueries.compactCodes(spark, t2) > 0)
+      assert(spark.read.parquet(t2).count() == e.count())
     }
   }
 }
