@@ -138,7 +138,8 @@ object Sf1Probe {
       else Seq("/root/testdata/sf0.1", "testdata-sf1")
     val queries = Seq(
       "q_dedup_clusters", "q_dedup_embed_clusters", "q_dedup_jaccard",
-      "q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed", "q_dedup_exact",
+      "q_dedup_minhash", "q_dedup_simhash", "q_dedup_simhash64",
+      "q_dedup_embed", "q_dedup_exact",
       "q_contamination", "q_contamination_bloom", "q_contamination_ngram",
       "q_ann_ivfpq", "q_ann_codes_served", "q_ann_ivf_trained",
       "q_ann_pq_trained", "q_ann_ivfpq_trained", "q_ann_int8", "q_ann_pq",

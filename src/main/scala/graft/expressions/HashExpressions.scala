@@ -50,6 +50,9 @@ object HashExpressions {
 
   def simhash32(hashes: Column): Column =
     graftbridge.column(SimHash32(graftbridge.expression(hashes)))
+
+  def simhash64(hashes: Column): Column =
+    graftbridge.column(SimHash64(graftbridge.expression(hashes)))
 }
 
 /** k-permutation MinHash signature: element i = min over values v of
@@ -130,31 +133,38 @@ case class MinHashSignature(child: Expression, k: Int)
     copy(child = newChild)
 }
 
-/** 32-bit SimHash from token hash values: bit j (MSB-first) is 1 iff
-  * the ±1 votes of all hashes' bit `31−j` sum positive. Empty input →
-  * 0 (matches the fold-from-zero HOF semantics).
+/** Width-parametric SimHash from token hash values: bit j (MSB-first
+  * within `width`) is 1 iff the ±1 votes of all hashes' bit `width−1−j`
+  * sum positive. Empty input → 0 (matches the fold-from-zero HOF
+  * semantics). Shared by the 32- and 64-bit concrete expressions so the
+  * vote/packing semantics cannot drift between widths.
   */
-case class SimHash32(child: Expression) extends UnaryExpression {
+abstract class SimHashExpr extends UnaryExpression {
+
+  /** Sketch width in bits (a def, not a constructor parameter — a ctor
+    * arg on the abstract parent breaks Java deserialization of the
+    * concrete case classes when tasks ship the expression).
+    */
+  protected def width: Int
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"simhash32 requires array<bigint>, got ${t.catalogString}")
+      s"$prettyName requires array<bigint>, got ${t.catalogString}")
   }
 
   override def dataType: DataType = LongType
-  override def prettyName: String = "simhash32"
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val w = new Array[Int](32)
+    val w = new Array[Int](width)
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
         val v = arr.getLong(i)
         var j = 0
-        while (j < 32) {
-          w(j) += (if (((v >> (31 - j)) & 1L) == 1L) 1 else -1)
+        while (j < width) {
+          w(j) += (if (((v >> (width - 1 - j)) & 1L) == 1L) 1 else -1)
           j += 1
         }
       }
@@ -162,8 +172,8 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     }
     var sh = 0L
     var j = 0
-    while (j < 32) {
-      if (w(j) > 0) sh |= 1L << (31 - j)
+    while (j < width) {
+      if (w(j) > 0) sh |= 1L << (width - 1 - j)
       j += 1
     }
     sh
@@ -179,23 +189,42 @@ case class SimHash32(child: Expression) extends UnaryExpression {
       val sh = ctx.freshName("sh")
       s"""
          |int $n = $arr.numElements();
-         |int[] $w = new int[32];
+         |int[] $w = new int[$width];
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$arr.isNullAt($i)) {
          |    long $v = $arr.getLong($i);
-         |    for (int $j = 0; $j < 32; $j++) {
-         |      $w[$j] += ((($v >> (31 - $j)) & 1L) == 1L) ? 1 : -1;
+         |    for (int $j = 0; $j < $width; $j++) {
+         |      $w[$j] += ((($v >> (${width - 1} - $j)) & 1L) == 1L) ? 1 : -1;
          |    }
          |  }
          |}
          |long $sh = 0L;
-         |for (int $j = 0; $j < 32; $j++) {
-         |  if ($w[$j] > 0) $sh |= 1L << (31 - $j);
+         |for (int $j = 0; $j < $width; $j++) {
+         |  if ($w[$j] > 0) $sh |= 1L << (${width - 1} - $j);
          |}
          |${ev.value} = $sh;
        """.stripMargin
     })
+}
 
+case class SimHash32(child: Expression) extends SimHashExpr {
+  override protected def width: Int = 32
+  override def prettyName: String = "simhash32"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash: same votes, 64 packed bits. The wider sketch is the
+  * scale knob SCALING.md round 6 quantifies — at hamming ≤ 6 the CHANCE
+  * collision tail drops from Σ₀⁶C(32,k)/2³² ≈ 2.7e-4 per unrelated
+  * pair to Σ₀⁶C(64,k)/2⁶⁴ ≈ 4e-12, so the n² background that dominates
+  * a 32-bit sketch past ~10⁴ docs is gone until far beyond 100 TB
+  * corpus sizes, while true near-dups (whose hamming reflects edit
+  * distance, not sketch width) still collide.
+  */
+case class SimHash64(child: Expression) extends SimHashExpr {
+  override protected def width: Int = 64
+  override def prettyName: String = "simhash64"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

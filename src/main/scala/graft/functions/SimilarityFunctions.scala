@@ -185,6 +185,21 @@ object SimilarityFunctions {
   def simhash32FromHashes(hashes: Column): Column =
     graft.expressions.HashExpressions.simhash32(hashes)
 
+  /** 60-bit feature hash for the 64-bit SimHash: first 15 hex chars of
+    * SHA-256 (the 16th would overflow signed-BIGINT arithmetic in the
+    * DuckDB oracle's hex fold; 60 bits of signal leave the sketch's top
+    * 4 bits constant-zero, which costs nothing at hamming ≤ 6).
+    */
+  def elementHash60(s: Column): Column =
+    conv(substring(sha2(s, 256), 1, 15), 16, 10).cast(LongType)
+
+  /** 64-bit SimHash from pre-hashed tokens — the wide-sketch variant
+    * whose chance-collision background at hamming ≤ 6 is ~4e-12 per
+    * pair (vs 2.7e-4 for 32-bit): the scale knob for >10⁴-doc corpora.
+    */
+  def simhash64FromHashes(hashes: Column): Column =
+    graft.expressions.HashExpressions.simhash64(hashes)
+
   /** Text → 32-bit SimHash (token hashing fused; prefer the two-step
     * form in query plans).
     */

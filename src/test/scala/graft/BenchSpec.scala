@@ -76,4 +76,14 @@ class BenchSpec extends AnyFunSuite {
     assert(line.contains("\"errors\":2"))
     assert(line.contains("\"flaky\":1"))
   }
+
+  test("zero-valued errors/flaky are omitted: presence is the signal") {
+    // the two always-zero fields cost exactly the margin between
+    // 1-decimal and 0-decimal rendering at the full catalog
+    val line = Bench.renderLine(Map("q_x" -> 1.234), "/root/testdata/sf0.1",
+      passes = 3, errors = 0, flaky = 0)
+    assert(line.contains("\"passes\":3"))
+    assert(!line.contains("\"errors\""))
+    assert(!line.contains("\"flaky\""))
+  }
 }

@@ -139,6 +139,24 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("SimHash64: codegen == Scala oracle; agrees with SimHash32 semantics") {
+    import spark.implicits._
+    val data = (0 until 30).map(_ =>
+      Seq.fill(rnd.nextInt(50) + 1)(rnd.nextLong().abs % (1L << 60))) :+ Seq.empty[Long]
+    val df = data.toDF("hv")
+    val got = df.select(simhash64FromHashes(col("hv"))).collect().map(_.getLong(0))
+    data.zip(got).foreach { case (hv, g) =>
+      val w = new Array[Int](64)
+      hv.foreach { v =>
+        (0 until 64).foreach(j => w(j) += (if (((v >> (63 - j)) & 1L) == 1L) 1 else -1))
+      }
+      val oracle = (0 until 64).map(j => if (w(j) > 0) 1L << (63 - j) else 0L).sum
+      assert(g == oracle)
+      // 60-bit feature hashes leave the sketch's top 4 bits clear
+      assert((g >>> 60) == 0L)
+    }
+  }
+
   test("PQ/IVF kernels: codegen == interpreted == Scala oracle") {
     import spark.implicits._
     import graft.expressions.PqExpressions
