@@ -155,5 +155,59 @@ object MultimodalQueries {
         .withColumn("sr", col("sr").cast(IntegerType))
         .withColumn("n_rows", col("n_rows").cast(IntegerType))
         .orderBy(col("media_id"))
+    },
+
+    // ----------------------------------------------------------- video
+    // REAL AVI container decode — the last media kind off the stub.
+    // Every document becomes an uncompressed 24-bpp DIB AVI: 4 frame
+    // slices (the q_multimodal_frames boundary formula) padded into
+    // width-5 RGB frames, frame rate varying by doc. The Spark side
+    // must walk RIFF LISTs, parse strh (fps) and the BITMAPINFOHEADER,
+    // and undo per-frame DIB layout (bottom-up rows, stride padding,
+    // BGR); the oracle computes the expected tensor statistics directly
+    // from encode(text) and the construction math. pos_sum is the
+    // layout gate: it weights every byte by its position in the decoded
+    // (frame, row, col, channel) order, so frame order, row flips,
+    // stride handling and channel swaps all break the hash.
+    GraftQuery(
+      "q_multimodal_video",
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS L
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, L,
+        |    greatest(((L + 3) // 4 + 14) // 15, 1) AS h,
+        |    [(strpos('0123456789ABCDEF', substring(hx, 2*t+1, 1))-1)*16
+        |     + (strpos('0123456789ABCDEF', substring(hx, 2*t+2, 1))-1)
+        |     FOR t IN range(0, L)] AS bs
+        |  FROM b)
+        |SELECT doc_id AS media_id,
+        |  4 AS n_frames,
+        |  CAST(h AS INTEGER) AS fh,
+        |  CAST(8 + doc_id % 5 AS INTEGER) AS fps,
+        |  CAST(4 * h * 15 AS BIGINT) AS n_vals,
+        |  CAST(coalesce(list_sum(bs), 0) AS BIGINT) AS val_sum,
+        |  CAST(coalesce(list_sum(
+        |    [coalesce(list_sum(
+        |       [bs[t+1] * (f * h * 15 + (t - (L * f) // 4))
+        |        FOR t IN range((L * f) // 4, (L * (f+1)) // 4)]), 0)
+        |     FOR f IN range(0, 4)]), 0) AS BIGINT) AS pos_sum
+        |FROM v ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val dec = Multimodal.decode(
+        Multimodal.videoFromDocuments(Tables.load(s, dir, "documents")))
+      dec.map { d =>
+        val ints = d.tensor.map(v => Math.round(v * 255f).toLong)
+        val posSum = ints.iterator.zipWithIndex.map {
+          case (v, i) => v * i
+        }.sum
+        (d.media_id, d.shape.head, d.shape(1), d.sample_rate,
+          ints.size.toLong, ints.sum, posSum)
+      }.toDF("media_id", "n_frames", "fh", "fps", "n_vals", "val_sum", "pos_sum")
+        .withColumn("n_frames", col("n_frames").cast(IntegerType))
+        .withColumn("fh", col("fh").cast(IntegerType))
+        .withColumn("fps", col("fps").cast(IntegerType))
+        .orderBy(col("media_id"))
     })
 }

@@ -198,6 +198,141 @@ object Multimodal {
     }
   }
 
+  /** Parse an uncompressed 24-bpp DIB AVI (RIFF 'AVI ' container):
+    * walk LIST('hdrl') for the stream header (fps = dwRate/dwScale,
+    * parsed — not copied from metadata — so the oracle gates the header
+    * walk) and the BITMAPINFOHEADER (dimensions, bpp, compression),
+    * then LIST('movi') for the '00db'/'00dc' frame chunks, each a
+    * bottom-up BGR DIB like a BMP's pixel area. Output: top-down RGB
+    * floats, shape (n_frames, height, width, 3), fps in
+    * [[DecodedMedia.sample_rate]] (frames/sec IS the stream's sample
+    * rate). None for compressed or non-24-bpp variants → stub fallback.
+    */
+  private[graft] def decodeAvi(r: MediaRecord): Option[DecodedMedia] = {
+    val p = r.payload
+    if (p.length < 12 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' ||
+      p(3) != 'F' || p(8) != 'A' || p(9) != 'V' || p(10) != 'I' || p(11) != ' ')
+      return None
+    var w = 0; var h = 0; var fps = 0
+    var ok = true
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def walk(from: Int, to: Int): Unit = {
+      var off = from
+      while (ok && off + 8 <= to) {
+        val id = new String(p, off, 4, "US-ASCII")
+        val sz = le32(p, off + 4)
+        if (sz < 0 || off + 8 + sz > to) { ok = false; return }
+        id match {
+          case "LIST" => walk(off + 12, off + 8 + sz) // skip subtype tag
+          case "strh" if sz >= 32 =>
+            val fcc = new String(p, off + 8, 4, "US-ASCII")
+            if (fcc == "vids") {
+              val scale = le32(p, off + 8 + 20)
+              val rate = le32(p, off + 8 + 24)
+              if (scale > 0) fps = rate / scale
+            }
+          case "strf" if sz >= 40 && w == 0 =>
+            w = le32(p, off + 8 + 4)
+            h = le32(p, off + 8 + 8)
+            val bpp = le16(p, off + 8 + 14)
+            val comp = le32(p, off + 8 + 16)
+            if (bpp != 24 || comp != 0) ok = false
+          case id2 if id2.endsWith("db") || id2.endsWith("dc") =>
+            frames += ((off + 8, sz)) // ##db/##dc: a stream's DIB frame
+          case _ => // skip
+        }
+        off += 8 + sz + (sz & 1) // word alignment
+      }
+    }
+    walk(12, p.length)
+    if (!ok || w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) ||
+      frames.isEmpty || frames.length > (1 << 16)) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (frames.exists { case (_, sz) => sz < stride.toLong * h }) return None
+    if (frames.length.toLong * h * w * 3 > Int.MaxValue) return None
+    val out = new Array[Float](frames.length * h * w * 3)
+    var fi = 0
+    while (fi < frames.length) {
+      val (fOff, _) = frames(fi)
+      var row = 0
+      while (row < h) {
+        val base = fOff + (h - 1 - row) * stride // DIB rows bottom-up
+        var x = 0
+        while (x < w) {
+          val o = base + x * 3 // stored B,G,R
+          val d = ((fi * h + row) * w + x) * 3
+          out(d) = (p(o + 2) & 0xff) / 255f
+          out(d + 1) = (p(o + 1) & 0xff) / 255f
+          out(d + 2) = (p(o) & 0xff) / 255f
+          x += 1
+        }
+        row += 1
+      }
+      fi += 1
+    }
+    Some(DecodedMedia(r.media_id, r.kind, Seq(frames.length, h, w, 3),
+      out.toSeq, fps))
+  }
+
+  /** Encode frames (each top-down RGB, all `width`×`height`) as an
+    * uncompressed 24-bpp DIB AVI — the inverse of [[decodeAvi]].
+    */
+  def encodeAvi24(width: Int, height: Int, fps: Int,
+      framesRgb: Seq[Array[Byte]]): Array[Byte] = {
+    require(framesRgb.nonEmpty, "at least one frame")
+    framesRgb.foreach(f => require(f.length == width * height * 3,
+      s"frame needs ${width * height * 3} bytes, got ${f.length}"))
+    val stride = ((width * 3 + 3) / 4) * 4
+    val frameLen = stride * height // stride is 4-aligned → no chunk pad
+    val moviLen = 4 + framesRgb.size * (8 + frameLen)
+    val strlLen = 4 + 8 + 56 + 8 + 40
+    val hdrlLen = 4 + 8 + 56 + 8 + strlLen
+    val riffLen = 4 + 8 + hdrlLen + 8 + moviLen
+    val out = new Array[Byte](8 + riffLen)
+    var pos = 0
+    def w16(v: Int): Unit = { out(pos) = v.toByte; out(pos + 1) = (v >> 8).toByte; pos += 2 }
+    def w32(v: Int): Unit = {
+      out(pos) = v.toByte; out(pos + 1) = (v >> 8).toByte
+      out(pos + 2) = (v >> 16).toByte; out(pos + 3) = (v >> 24).toByte; pos += 4
+    }
+    def tag(s: String): Unit = { s.getBytes("US-ASCII").copyToArray(out, pos); pos += 4 }
+    tag("RIFF"); w32(riffLen); tag("AVI ")
+    tag("LIST"); w32(hdrlLen); tag("hdrl")
+    tag("avih"); w32(56)
+    w32(if (fps > 0) 1000000 / fps else 0); w32(0); w32(0); w32(0)
+    w32(framesRgb.size); w32(0); w32(1); w32(0)
+    w32(width); w32(height); w32(0); w32(0); w32(0); w32(0)
+    tag("LIST"); w32(strlLen); tag("strl")
+    tag("strh"); w32(56)
+    tag("vids"); tag("DIB "); w32(0); w32(0) // flags, prio+lang
+    w32(0); w32(1); w32(fps) // initialFrames, dwScale=1, dwRate=fps
+    w32(0); w32(framesRgb.size); w32(frameLen); w32(0); w32(0)
+    w16(0); w16(0); w16(width); w16(height) // rcFrame
+    tag("strf"); w32(40)
+    w32(40); w32(width); w32(height); w16(1); w16(24)
+    w32(0); w32(frameLen); w32(0); w32(0); w32(0); w32(0)
+    tag("LIST"); w32(moviLen); tag("movi")
+    framesRgb.foreach { rgb =>
+      tag("00db"); w32(frameLen)
+      var row = 0
+      while (row < height) {
+        val base = pos + (height - 1 - row) * stride
+        var x = 0
+        while (x < width) {
+          val s = (row * width + x) * 3
+          out(base + x * 3) = rgb(s + 2) // B
+          out(base + x * 3 + 1) = rgb(s + 1) // G
+          out(base + x * 3 + 2) = rgb(s) // R
+          x += 1
+        }
+        row += 1
+      }
+      pos += frameLen
+    }
+    require(pos == out.length, s"layout bug: $pos != ${out.length}")
+    out
+  }
+
   /** Encode a canonical (top-down, RGB) byte image as a standard
     * bottom-up 24-bpp BI_RGB BMP — the exact inverse of [[decodeBmp]],
     * used to synthesize real container payloads deterministically (the
@@ -275,8 +410,11 @@ object Multimodal {
         val parsed =
           if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') decodeBmp(r)
           else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' &&
-            p(2) == 'F' && p(3) == 'F') decodeWav(r)
-          else None
+            p(2) == 'F' && p(3) == 'F') {
+            // RIFF: the format tag at bytes 8-11 picks the codec
+            if (p(8) == 'A' && p(9) == 'V' && p(10) == 'I') decodeAvi(r)
+            else decodeWav(r)
+          } else None
         parsed.getOrElse(decodeStub(r))
       }
     }
@@ -360,6 +498,36 @@ object Multimodal {
           MediaRecord(id, "audio", encodeWavPcm16(sr, samples),
             MediaMeta(0, 0, sr, 1))
         }
+    }
+  }
+
+  /** Synthesize real AVI video payloads from the documents corpus:
+    * each document's bytes split into 4 evenly-bounded frame slices
+    * (the [[sampleFrames]] boundary formula: frame f = bytes
+    * [L·f/4, L·(f+1)/4)), each zero-padded to a width-5 RGB frame, at
+    * a per-document frame rate (8 + doc_id % 5, so the oracle gates
+    * the strh rate parse). Deterministic byte-for-byte.
+    */
+  def videoFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    val nf = 4
+    val w = 5
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val L = bytes.length
+        val maxSlice = (L + nf - 1) / nf
+        val h = math.max((maxSlice + w * 3 - 1) / (w * 3), 1)
+        val frames = (0 until nf).map { f =>
+          val s = (L.toLong * f / nf).toInt
+          val e = (L.toLong * (f + 1) / nf).toInt
+          val rgb = new Array[Byte](w * h * 3)
+          System.arraycopy(bytes, s, rgb, 0, e - s)
+          rgb
+        }
+        MediaRecord(id, "video",
+          encodeAvi24(w, h, 8 + (id % 5).toInt, frames),
+          MediaMeta(w, h, 0, nf))
     }
   }
 

@@ -167,6 +167,74 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).sample_rate == 0)
   }
 
+  test("AVI round-trip: multi-frame, stride padding, DIB flip all invert") {
+    val w = 5 // 15-byte rows → stride 16: padding live
+    val h = 2
+    val frames = (0 until 3).map(f =>
+      (0 until w * h * 3).map(i => ((i * 31 + f * 97 + 5) % 256).toByte).toArray)
+    val dec = Multimodal.decodeAvi(MediaRecord(4, "video",
+      Multimodal.encodeAvi24(w, h, 12, frames), MediaMeta(w, h, 0, 3))).get
+    assert(dec.shape == Seq(3, h, w, 3))
+    assert(dec.sample_rate == 12)
+    val back = dec.tensor.map(v => Math.round(v * 255f).toByte)
+    assert(back == frames.flatten.toSeq)
+  }
+
+  test("AVI fixture built byte-by-byte from the format spec decodes correctly") {
+    // independent of encodeAvi24: a 2x2 single-frame AVI laid out by
+    // hand — bottom-up rows, BGR, stride 8 — so a symmetric
+    // encoder/decoder bug cannot cancel out
+    val bb = java.nio.ByteBuffer.allocate(512)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    val frame = Array[Byte](
+      9, 8, 7, 12, 11, 10, 0, 0, // file row 0 = image row 1 (bottom-up)
+      3, 2, 1, 6, 5, 4, 0, 0) // file row 1 = image row 0
+    val strl = 4 + 8 + 56 + 8 + 40
+    val hdrl = 4 + 8 + 56 + 8 + strl
+    val movi = 4 + 8 + frame.length
+    tag("RIFF"); bb.putInt(4 + 8 + hdrl + 8 + movi); tag("AVI ")
+    tag("LIST"); bb.putInt(hdrl); tag("hdrl")
+    tag("avih"); bb.putInt(56); bb.putInt(100000); (0 until 3).foreach(_ => bb.putInt(0))
+    bb.putInt(1); bb.putInt(0); bb.putInt(1); bb.putInt(0)
+    bb.putInt(2); bb.putInt(2); (0 until 4).foreach(_ => bb.putInt(0))
+    tag("LIST"); bb.putInt(strl); tag("strl")
+    tag("strh"); bb.putInt(56); tag("vids"); tag("DIB "); bb.putInt(0); bb.putInt(0)
+    bb.putInt(0); bb.putInt(1); bb.putInt(10) // scale 1, rate 10 → fps 10
+    bb.putInt(0); bb.putInt(1); bb.putInt(frame.length); bb.putInt(0); bb.putInt(0)
+    bb.putShort(0); bb.putShort(0); bb.putShort(2); bb.putShort(2)
+    tag("strf"); bb.putInt(40); bb.putInt(40); bb.putInt(2); bb.putInt(2)
+    bb.putShort(1); bb.putShort(24); bb.putInt(0); bb.putInt(frame.length)
+    (0 until 4).foreach(_ => bb.putInt(0))
+    tag("LIST"); bb.putInt(movi); tag("movi")
+    tag("00db"); bb.putInt(frame.length); bb.put(frame)
+    val payload = java.util.Arrays.copyOf(bb.array(), bb.position())
+
+    val dec = Multimodal.decodeAvi(
+      MediaRecord(5, "video", payload, MediaMeta(2, 2, 0, 1))).get
+    assert(dec.shape == Seq(1, 2, 2, 3))
+    assert(dec.sample_rate == 10)
+    // decoded top-down RGB: row0 = (1,2,3),(4,5,6); row1 = (7,8,9),(10,11,12)
+    assert(dec.tensor.map(v => Math.round(v * 255f)) == (1 to 12).toSeq)
+  }
+
+  test("videoFromDocuments: decode inverts the frame slices and padding") {
+    import spark.implicits._
+    // 17 bytes → slices of 4,4,4,5; maxSlice 5 → h=1 (15-byte frames)
+    val df = Seq((7L, "abcdefghijklmnopq")).toDF("doc_id", "text")
+    val dec = Multimodal.decode(Multimodal.videoFromDocuments(df))
+      .collect().head
+    assert(dec.shape == Seq(4, 1, 5, 3))
+    assert(dec.sample_rate == 8 + 7 % 5)
+    val bytes = "abcdefghijklmnopq".getBytes("UTF-8")
+    val expect = (0 until 4).flatMap { f =>
+      val s = bytes.length * f / 4
+      val e = bytes.length * (f + 1) / 4
+      java.util.Arrays.copyOfRange(bytes, s, e).toSeq.padTo(15, 0.toByte)
+    }
+    assert(dec.tensor.map(v => Math.round(v * 255f).toByte) == expect)
+  }
+
   test("fromDocumentsEncoded: real containers whose decode inverts the text") {
     import spark.implicits._
     val df = Seq((0L, "abcdefghijklmnopq"), (1L, "stereo bytes here!"))
