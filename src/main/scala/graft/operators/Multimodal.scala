@@ -72,7 +72,7 @@ object Multimodal {
     * images decode to (height, width) tensors, audio to (n_samples,).
     * Since round 6 this is only the fallback for payloads that are not
     * a container this engine decodes for real (see [[decodeBmp]] /
-    * [[decodeWav]]).
+    * [[decodeWav]] / [[decodeAvi]]).
     */
   private def decodeStub(r: MediaRecord): DecodedMedia = {
     val floats = r.payload.map(b => ((b & 0xff).toFloat) / 256f).toSeq
@@ -86,10 +86,11 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
-  // Real pure-JVM codecs: uncompressed 24-bpp BI_RGB BMP and PCM-16 WAV
-  // need no native libraries — just header math over the byte array —
-  // so these two formats decode for REAL; everything else falls back to
-  // the (single remaining, clearly labeled) stub above.
+  // Real pure-JVM codecs: uncompressed 24-bpp BI_RGB BMP, PCM-16 WAV,
+  // and uncompressed 24-bpp DIB AVI need no native libraries — just
+  // header math over the byte array — so all three media kinds decode
+  // for REAL; anything else falls back to the clearly labeled stub
+  // above.
   // ------------------------------------------------------------------
 
   private def le16(b: Array[Byte], o: Int): Int =
@@ -97,6 +98,50 @@ object Multimodal {
   private def le32(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
       ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  /** Copy one DIB pixel area (stride-padded BGR rows, bottom-up or
+    * top-down) into a top-down RGB float tensor slice — the layout
+    * transform shared by the BMP and AVI decoders.
+    */
+  private def dibToRgbFloats(p: Array[Byte], srcBase: Int, w: Int, h: Int,
+      stride: Int, bottomUp: Boolean, out: Array[Float], dstBase: Int): Unit = {
+    var row = 0
+    while (row < h) {
+      val fileRow = if (bottomUp) h - 1 - row else row
+      val base = srcBase + fileRow * stride
+      var x = 0
+      while (x < w) {
+        val o = base + x * 3 // stored B,G,R
+        val d = dstBase + (row * w + x) * 3
+        out(d) = (p(o + 2) & 0xff) / 255f
+        out(d + 1) = (p(o + 1) & 0xff) / 255f
+        out(d + 2) = (p(o) & 0xff) / 255f
+        x += 1
+      }
+      row += 1
+    }
+  }
+
+  /** Inverse of [[dibToRgbFloats]]: write a top-down RGB byte image as
+    * a bottom-up stride-padded BGR DIB pixel area — shared by the BMP
+    * and AVI encoders.
+    */
+  private def rgbToDib(rgbTopDown: Array[Byte], w: Int, h: Int,
+      stride: Int, out: Array[Byte], dstBase: Int): Unit = {
+    var row = 0
+    while (row < h) {
+      val base = dstBase + (h - 1 - row) * stride
+      var x = 0
+      while (x < w) {
+        val s = (row * w + x) * 3
+        out(base + x * 3) = rgbTopDown(s + 2) // B
+        out(base + x * 3 + 1) = rgbTopDown(s + 1) // G
+        out(base + x * 3 + 2) = rgbTopDown(s) // R
+        x += 1
+      }
+      row += 1
+    }
+  }
 
   /** Parse an uncompressed 24-bpp BI_RGB BMP (the format JDK ImageIO
     * writes) into a canonical top-down, RGB-channel-order float tensor
@@ -128,21 +173,7 @@ object Multimodal {
     if (dataOffset < 0 || dataOffset.toLong + stride.toLong * h > p.length)
       return None
     val out = new Array[Float](h * w * 3)
-    var row = 0
-    while (row < h) {
-      val fileRow = if (bottomUp) h - 1 - row else row
-      val base = dataOffset + fileRow * stride
-      var x = 0
-      while (x < w) {
-        val o = base + x * 3 // stored B,G,R
-        val d = (row * w + x) * 3
-        out(d) = (p(o + 2) & 0xff) / 255f
-        out(d + 1) = (p(o + 1) & 0xff) / 255f
-        out(d + 2) = (p(o) & 0xff) / 255f
-        x += 1
-      }
-      row += 1
-    }
+    dibToRgbFloats(p, dataOffset, w, h, stride, bottomUp, out, 0)
     Some(DecodedMedia(r.media_id, r.kind, Seq(h, w, 3), out.toSeq))
   }
 
@@ -167,7 +198,9 @@ object Multimodal {
     while (off + 8 <= p.length) {
       val id = new String(p, off, 4, "US-ASCII")
       val sz = le32(p, off + 4)
-      if (sz < 0 || off + 8 + sz > p.length) return None
+      // long arithmetic: a crafted sz near Int.MaxValue would wrap the
+      // Int sum negative, pass the bound check, and crash the task
+      if (sz < 0 || off.toLong + 8 + sz > p.length) return None
       id match {
         case "fmt " =>
           if (sz < 16) return None
@@ -202,11 +235,13 @@ object Multimodal {
     * walk LIST('hdrl') for the stream header (fps = dwRate/dwScale,
     * parsed — not copied from metadata — so the oracle gates the header
     * walk) and the BITMAPINFOHEADER (dimensions, bpp, compression),
-    * then LIST('movi') for the '00db'/'00dc' frame chunks, each a
-    * bottom-up BGR DIB like a BMP's pixel area. Output: top-down RGB
-    * floats, shape (n_frames, height, width, 3), fps in
-    * [[DecodedMedia.sample_rate]] (frames/sec IS the stream's sample
-    * rate). None for compressed or non-24-bpp variants → stub fallback.
+    * then LIST('movi') for the stream-0 '00db'/'00dc' frame chunks,
+    * each a BGR DIB like a BMP's pixel area (bottom-up for positive
+    * biHeight, top-down for negative, exactly as [[decodeBmp]]).
+    * Output: top-down RGB floats, shape (n_frames, height, width, 3),
+    * fps in [[DecodedMedia.sample_rate]] (frames/sec IS the stream's
+    * sample rate). None for compressed, non-24-bpp, or
+    * multi-video-stream variants → stub fallback.
     */
   private[graft] def decodeAvi(r: MediaRecord): Option[DecodedMedia] = {
     val p = r.payload
@@ -214,6 +249,8 @@ object Multimodal {
       p(3) != 'F' || p(8) != 'A' || p(9) != 'V' || p(10) != 'I' || p(11) != ' ')
       return None
     var w = 0; var h = 0; var fps = 0
+    var bottomUp = true
+    var vidStreams = 0
     var ok = true
     val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     def walk(from: Int, to: Int): Unit = {
@@ -221,31 +258,43 @@ object Multimodal {
       while (ok && off + 8 <= to) {
         val id = new String(p, off, 4, "US-ASCII")
         val sz = le32(p, off + 4)
-        if (sz < 0 || off + 8 + sz > to) { ok = false; return }
+        // long arithmetic: a crafted sz near Int.MaxValue would wrap
+        // the Int sum negative, pass the bound check, and walk out of
+        // the array — garbage must fall back to the stub, never throw
+        if (sz < 0 || off.toLong + 8 + sz > to) { ok = false; return }
         id match {
           case "LIST" => walk(off + 12, off + 8 + sz) // skip subtype tag
           case "strh" if sz >= 32 =>
             val fcc = new String(p, off + 8, 4, "US-ASCII")
             if (fcc == "vids") {
-              val scale = le32(p, off + 8 + 20)
-              val rate = le32(p, off + 8 + 24)
-              if (scale > 0) fps = rate / scale
+              vidStreams += 1
+              if (vidStreams > 1) ok = false // only single-video files
+              else {
+                val scale = le32(p, off + 8 + 20)
+                val rate = le32(p, off + 8 + 24)
+                if (scale > 0) fps = rate / scale
+              }
             }
           case "strf" if sz >= 40 && w == 0 =>
             w = le32(p, off + 8 + 4)
-            h = le32(p, off + 8 + 8)
+            val rawH = le32(p, off + 8 + 8)
+            h = math.abs(rawH) // negative biHeight = top-down rows
+            bottomUp = rawH > 0
             val bpp = le16(p, off + 8 + 14)
             val comp = le32(p, off + 8 + 16)
-            if (bpp != 24 || comp != 0) ok = false
-          case id2 if id2.endsWith("db") || id2.endsWith("dc") =>
-            frames += ((off + 8, sz)) // ##db/##dc: a stream's DIB frame
+            if (bpp != 24 || comp != 0 || rawH == 0) ok = false
+          // stream-number prefix gates collection: '01db' etc. belong
+          // to OTHER streams and must not land in this tensor
+          case "00db" | "00dc" =>
+            frames += ((off + 8, sz))
           case _ => // skip
         }
         off += 8 + sz + (sz & 1) // word alignment
       }
     }
     walk(12, p.length)
-    if (!ok || w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) ||
+    if (!ok || w <= 0 || h <= 0 || // abs(Int.MinValue) is still negative
+      w > (1 << 20) || h > (1 << 20) ||
       frames.isEmpty || frames.length > (1 << 16)) return None
     val stride = ((w * 3 + 3) / 4) * 4
     if (frames.exists { case (_, sz) => sz < stride.toLong * h }) return None
@@ -254,20 +303,7 @@ object Multimodal {
     var fi = 0
     while (fi < frames.length) {
       val (fOff, _) = frames(fi)
-      var row = 0
-      while (row < h) {
-        val base = fOff + (h - 1 - row) * stride // DIB rows bottom-up
-        var x = 0
-        while (x < w) {
-          val o = base + x * 3 // stored B,G,R
-          val d = ((fi * h + row) * w + x) * 3
-          out(d) = (p(o + 2) & 0xff) / 255f
-          out(d + 1) = (p(o + 1) & 0xff) / 255f
-          out(d + 2) = (p(o) & 0xff) / 255f
-          x += 1
-        }
-        row += 1
-      }
+      dibToRgbFloats(p, fOff, w, h, stride, bottomUp, out, fi * h * w * 3)
       fi += 1
     }
     Some(DecodedMedia(r.media_id, r.kind, Seq(frames.length, h, w, 3),
@@ -314,19 +350,7 @@ object Multimodal {
     tag("LIST"); w32(moviLen); tag("movi")
     framesRgb.foreach { rgb =>
       tag("00db"); w32(frameLen)
-      var row = 0
-      while (row < height) {
-        val base = pos + (height - 1 - row) * stride
-        var x = 0
-        while (x < width) {
-          val s = (row * width + x) * 3
-          out(base + x * 3) = rgb(s + 2) // B
-          out(base + x * 3 + 1) = rgb(s + 1) // G
-          out(base + x * 3 + 2) = rgb(s) // R
-          x += 1
-        }
-        row += 1
-      }
+      rgbToDib(rgb, width, height, stride, out, pos)
       pos += frameLen
     }
     require(pos == out.length, s"layout bug: $pos != ${out.length}")
@@ -354,19 +378,7 @@ object Multimodal {
     w32(2, 54 + dataLen); w32(10, 54)
     w32(14, 40); w32(18, width); w32(22, height) // positive → bottom-up
     w16(26, 1); w16(28, 24); w32(30, 0); w32(34, dataLen)
-    var row = 0
-    while (row < height) {
-      val base = 54 + (height - 1 - row) * stride
-      var x = 0
-      while (x < width) {
-        val s = (row * width + x) * 3
-        out(base + x * 3) = rgbTopDown(s + 2) // B
-        out(base + x * 3 + 1) = rgbTopDown(s + 1) // G
-        out(base + x * 3 + 2) = rgbTopDown(s) // R
-        x += 1
-      }
-      row += 1
-    }
+    rgbToDib(rgbTopDown, width, height, stride, out, 54)
     out
   }
 

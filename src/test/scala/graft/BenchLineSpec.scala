@@ -55,10 +55,15 @@ class BenchLineSpec extends AnyFunSuite {
     val results = SparkEntry.queries.keys.map(_ -> 1.234567).toMap
     val line = Bench.renderLine(results, "/root/testdata/sf0.1")
     assert(line.length < 1970)
-    // 100 ms per-query resolution minimum: the round-5 "passes"/"errors"
-    // provenance fields consumed the margin that used to buy 2 decimals
-    // at full catalog — artifact robustness outranks display precision
+    // 100 ms per-query resolution minimum: at 92 queries the ladder
+    // sheds the constant "passes" provenance field to keep it (the
+    // value is pinned in Bench.Passes and BenchSpec; per-query decimals
+    // feed the round-over-round regression check, a constant does not)
     assert(line.contains(":1.2"), line.take(200))
     assert(!line.contains("\"dropped\":"), "fallback engaged at real catalog size")
+    // error/flaky signals survive the shed step: inject one and the
+    // line must still carry it at full catalog size
+    val withErr = Bench.renderLine(results, "/root/testdata/sf0.1", errors = 1)
+    assert(withErr.contains("\"errors\":1"))
   }
 }

@@ -235,6 +235,115 @@ class MultimodalSpec extends SparkSpec {
     assert(dec.tensor.map(v => Math.round(v * 255f).toByte) == expect)
   }
 
+  test("malformed AVI payloads fall back to the stub, never throw") {
+    import spark.implicits._
+    def riffAvi(rest: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + rest.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + rest.length)
+        .put("AVI ".getBytes("US-ASCII")).put(rest)
+      bb.array()
+    }
+    // chunk size near Int.MaxValue: the Int sum off+8+sz wraps negative
+    // — the historical crash shape; must land on the stub instead
+    val overflow = riffAvi({
+      val bb = java.nio.ByteBuffer.allocate(20)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("00db".getBytes("US-ASCII")).putInt(0x7ffffff4)
+      bb.put(new Array[Byte](12)); bb.array()
+    })
+    val truncated = riffAvi(new Array[Byte](3))
+    val noFrames = riffAvi(Array[Byte]())
+    val rows = Seq(
+      MediaRecord(0, "video", overflow, MediaMeta(0, 0, 0, 0)),
+      MediaRecord(1, "video", truncated, MediaMeta(0, 0, 0, 0)),
+      MediaRecord(2, "video", noFrames, MediaMeta(0, 0, 0, 0)))
+    val out = Multimodal.decode(rows.toDS()).collect()
+    assert(out.length == 3)
+    // stub output shape, not a real-decode 4-axis video tensor
+    assert(out.forall(_.shape.length != 4))
+  }
+
+  test("AVI with a second video stream is rejected; foreign chunks never decode") {
+    // single-stream file via the encoder, then (a) append a '01db'
+    // chunk — same frame count, foreign bytes excluded; (b) splice a
+    // second vids strh — whole file rejected to the stub
+    val w = 5; val h = 1
+    val frame = (0 until w * h * 3).map(_.toByte).toArray
+    val base = Multimodal.encodeAvi24(w, h, 10, Seq(frame))
+    val withForeign = {
+      val extra = new Array[Byte](8 + 16)
+      "01db".getBytes("US-ASCII").copyToArray(extra, 0)
+      extra(4) = 16 // le32 chunk size
+      java.util.Arrays.fill(extra, 8, 24, 0xff.toByte)
+      val out = java.util.Arrays.copyOf(base, base.length + extra.length)
+      extra.copyToArray(out, base.length)
+      // grow the RIFF size so the appended chunk is inside the walk
+      val bb = java.nio.ByteBuffer.wrap(out)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(4, bb.getInt(4) + extra.length)
+      out
+    }
+    val dec = Multimodal.decodeAvi(
+      MediaRecord(6, "video", withForeign, MediaMeta(w, h, 0, 1))).get
+    assert(dec.shape == Seq(1, h, w, 3)) // the 01db frame is NOT counted
+    assert(dec.tensor.map(v => Math.round(v * 255f).toByte) == frame.toSeq)
+
+    val twoStreams = {
+      val out = base.clone()
+      // retag the audio-free file's only strh... instead: append a
+      // second strh chunk claiming vids at top level
+      val extra = new Array[Byte](8 + 56)
+      "strh".getBytes("US-ASCII").copyToArray(extra, 0)
+      extra(4) = 56
+      "vids".getBytes("US-ASCII").copyToArray(extra, 8)
+      val merged = java.util.Arrays.copyOf(out, out.length + extra.length)
+      extra.copyToArray(merged, out.length)
+      val bb = java.nio.ByteBuffer.wrap(merged)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(4, bb.getInt(4) + extra.length)
+      merged
+    }
+    assert(Multimodal.decodeAvi(
+      MediaRecord(7, "video", twoStreams, MediaMeta(w, h, 0, 1))).isEmpty)
+  }
+
+  test("AVI top-down frames (negative biHeight) decode without the row flip") {
+    // encoder writes bottom-up; flip the sign of strf biHeight and
+    // reorder each frame's rows to the top-down layout — decode must
+    // yield the identical tensor
+    val w = 5; val h = 3
+    val frame = (0 until w * h * 3).map(i => ((i * 7 + 1) % 256).toByte).toArray
+    val stride = ((w * 3 + 3) / 4) * 4
+    val bytes = Multimodal.encodeAvi24(w, h, 10, Seq(frame))
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // strf BITMAPINFOHEADER: biHeight at strf payload offset 8; find it
+    // structurally rather than hard-coding: hdrl layout is fixed in the
+    // encoder, strf payload starts at 12+8+(4+8+56)+(4+8+56+8)+8... use
+    // a scan for the 'strf' tag instead (unique in this file)
+    val strfAt = (0 until bytes.length - 4).find(i =>
+      bytes(i) == 's' && bytes(i + 1) == 't' && bytes(i + 2) == 'r' &&
+        bytes(i + 3) == 'f').get
+    val hOff = strfAt + 8 + 8
+    assert(bb.getInt(hOff) == h)
+    bb.putInt(hOff, -h)
+    // find the frame chunk ('00db' after 'movi') and flip its row order
+    val moviAt = (0 until bytes.length - 4).find(i =>
+      bytes(i) == 'm' && bytes(i + 1) == 'o' && bytes(i + 2) == 'v' &&
+        bytes(i + 3) == 'i').get
+    val fOff = moviAt + 4 + 8
+    val flipped = bytes.clone()
+    (0 until h).foreach { row =>
+      System.arraycopy(bytes, fOff + (h - 1 - row) * stride,
+        flipped, fOff + row * stride, stride)
+    }
+    val dec = Multimodal.decodeAvi(
+      MediaRecord(8, "video", flipped, MediaMeta(w, h, 0, 1))).get
+    assert(dec.shape == Seq(1, h, w, 3))
+    assert(dec.tensor.map(v => Math.round(v * 255f).toByte) == frame.toSeq)
+  }
+
   test("fromDocumentsEncoded: real containers whose decode inverts the text") {
     import spark.implicits._
     val df = Seq((0L, "abcdefghijklmnopq"), (1L, "stereo bytes here!"))
