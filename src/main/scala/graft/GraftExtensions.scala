@@ -4,14 +4,14 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{AdcScore, FloatVectorDot, MinHashSignature, NearestCell, PqEncode, QuantizedDotI8, SignBuckets, SimHash32, ZOrderLong}
+import graft.expressions.{AdcScore, FloatVectorDot, MinHashSignature, NearestCell, PqEncode, QuantizedDotI8, SignBuckets, SimHash32, SimHash64, ZOrderLong}
 import graft.operators.BloomMightContain
 
 /** SparkSessionExtensions entry point: registers graft's custom
   * codegen expressions as SQL functions, so `spark.sql` users (and
   * spark-submit deployments via
   * `--conf spark.sql.extensions=graft.GraftExtensions`) get
-  * `float_vector_dot`, `minhash_signature`, `simhash32`,
+  * `float_vector_dot`, `minhash_signature`, `simhash32`, `simhash64`,
   * `sign_buckets` without touching the Scala API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -41,6 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash32(hashes)")
         SimHash32(args(0))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash64(hashes)")
+        SimHash64(args(0))
       }))
     ext.injectFunction((
       new FunctionIdentifier("sign_buckets"),

@@ -411,6 +411,85 @@ object DedupQueries {
       |      FROM pair)""".stripMargin
   }
 
+  /** Shared SimHash near-dup oracle, parameterized by sketch width.
+    * Feature hashes are `hexLen`-hex-char SHA-256 prefixes (4·hexLen
+    * sketch bits); candidates block on the LOW `nBlocks` bytes of the
+    * sketch. Pigeonhole: a pair within hamming radius r < nBlocks
+    * differs in at most r of the blocked bytes, so some block agrees —
+    * sketch bits above 8·nBlocks may go unblocked without losing
+    * recall (unblocked differences only ever ADD to a pair's hamming).
+    * Both engines verify exact hamming ≤ 6 on the survivors, so with
+    * nBlocks > 6 the result is exactly the radius-≤6 pair set; the
+    * 32-bit form keeps its historical 4-block shape (recall guaranteed
+    * to radius 3, verified to 6) — the Spark side mirrors the same
+    * blocks, so the hash gate stays exact either way.
+    */
+  private def simhashOracleSql(hexLen: Int, nBlocks: Int): String = {
+    val width = hexLen * 4
+    s"""WITH c AS ($nearDupCorpusSql),
+       |sh AS (SELECT doc_id, $shingleSetSql AS shs
+       |       FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM c)
+       |       WHERE len(ts) >= 3),
+       |hx AS (SELECT doc_id, ${shaPrefixListSql("shs", hexLen)} AS hp FROM sh),
+       |hv AS (SELECT doc_id, ${hexToLongListSql("hp", hexLen)} AS hv FROM hx),
+       |bts AS (SELECT doc_id,
+       |        [CASE WHEN list_sum([(((v >> (${width - 1} - j)) & 1) * 2) - 1 FOR v IN hv]) > 0
+       |              THEN 1::BIGINT ELSE 0::BIGINT END
+       |         FOR j IN range(0, $width)] AS bits
+       |      FROM hv),
+       |sim AS (SELECT doc_id,
+       |          CAST(list_reduce(bits, (acc, v) -> acc * 2 + v) AS BIGINT) AS sh
+       |        FROM bts),
+       |blk AS (SELECT doc_id, sh, k, CAST((sh >> (8 * k)) % 256 AS BIGINT) AS byte
+       |        FROM sim, (SELECT unnest(range(0, $nBlocks)) AS k)),
+       |pair AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                a.sh AS sha, b.sh AS shb
+       |         FROM blk a JOIN blk b
+       |           ON a.k = b.k AND a.byte = b.byte AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, sha AS simhash_a, shb AS simhash_b,
+       |  CAST(bit_count(xor(sha, shb)) AS INTEGER) AS hamming
+       |FROM pair WHERE bit_count(xor(sha, shb)) <= 6
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Spark half of the shared SimHash skeleton — must mirror
+    * [[simhashOracleSql]] block for block (same `nBlocks`, an
+    * `elementHash` producing the oracle's hex-fold values, a `sketch`
+    * kernel packing the same vote bits).
+    */
+  private def simhashPairs(nBlocks: Int, elementHash: Column => Column,
+      sketch: Column => Column)(s: SparkSession, dir: String): DataFrame = {
+    val tok = nearDupCorpus(t(s, dir, "documents"))
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 3)
+    val sh = tok.select(col("doc_id"),
+      array_distinct(shinglesFromTokens(col("ts"), 3)).as("shs"))
+    val hv = sh.select(col("doc_id"),
+      transform(col("shs"), elementHash(_)).as("hv"))
+    // exchange barrier before the self-join (see lshCandidates)
+    val sim = hv.select(col("doc_id"), sketch(col("hv")).as("sh"))
+      .repartition(col("doc_id"))
+    val blocks = sim.select(col("doc_id"), col("sh"),
+        explode(array((0 until nBlocks).map { k =>
+          struct(lit(k).as("k"), simhashByte(col("sh"), k).as("byte"))
+        }: _*)).as("blk"))
+      .select(col("doc_id"), col("sh"),
+        col("blk.k").as("k"), col("blk.byte").as("byte"))
+    val a = blocks.select(col("k"), col("byte"),
+      col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val b = blocks.select(col("k").as("k2"), col("byte").as("byte2"),
+      col("doc_id").as("doc_b"), col("sh").as("shb"))
+    a.join(b, col("k") === col("k2") && col("byte") === col("byte2") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sha"), col("shb"))
+      .distinct()
+      .filter(hamming(col("sha"), col("shb")) <= 6)
+      .select(col("doc_a"), col("doc_b"),
+        col("sha").as("simhash_a"), col("shb").as("simhash_b"),
+        hamming(col("sha"), col("shb")).cast(IntegerType).as("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     // ---------------------------------------------------------- exact
@@ -515,133 +594,30 @@ object DedupQueries {
     // would collapse every doc into one simhash cluster): 32-bit
     // signature per doc; byte blocking (pigeonhole: Hamming ≤ 3 ⇒ one
     // of the 4 bytes agrees) replaces all-pairs with 4 small equi-joins;
-    // survivors filtered on exact Hamming ≤ 6 via xor+bit_count.
-    GraftQuery(
-      "q_dedup_simhash",
-      s"""WITH c AS ($nearDupCorpusSql),
-         |sh AS (SELECT doc_id, $shingleSetSql AS shs
-         |       FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM c)
-         |       WHERE len(ts) >= 3),
-         |h8 AS (SELECT doc_id, ${shaPrefixListSql("shs", 8)} AS hp FROM sh),
-         |hv AS (SELECT doc_id, ${hexToLongListSql("hp", 8)} AS hv FROM h8),
-         |bts AS (SELECT doc_id,
-         |        [CASE WHEN list_sum([(((v >> (31 - j)) & 1) * 2) - 1 FOR v IN hv]) > 0
-         |              THEN 1::BIGINT ELSE 0::BIGINT END
-         |         FOR j IN range(0, 32)] AS bits
-         |      FROM hv),
-         |sim AS (SELECT doc_id,
-         |          CAST(list_reduce(bits, (acc, v) -> acc * 2 + v) AS BIGINT) AS sh
-         |        FROM bts),
-         |blk AS (SELECT doc_id, sh, k, CAST((sh >> (8 * k)) % 256 AS BIGINT) AS byte
-         |        FROM sim, (SELECT unnest(range(0, 4)) AS k)),
-         |pair AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |                a.sh AS sha, b.sh AS shb
-         |         FROM blk a JOIN blk b
-         |           ON a.k = b.k AND a.byte = b.byte AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, sha AS simhash_a, shb AS simhash_b,
-         |  CAST(bit_count(xor(sha, shb)) AS INTEGER) AS hamming
-         |FROM pair WHERE bit_count(xor(sha, shb)) <= 6
-         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val tok = nearDupCorpus(t(s, dir, "documents"))
-        .select(col("doc_id"), tokens(col("text")).as("ts"))
-        .filter(size(col("ts")) >= 3)
-      val sh = tok.select(col("doc_id"),
-        array_distinct(shinglesFromTokens(col("ts"), 3)).as("shs"))
-      val hv = sh.select(col("doc_id"),
-        transform(col("shs"), elementHash32(_)).as("hv"))
-      // exchange barrier before the self-join (see lshCandidates)
-      val sim = hv.select(col("doc_id"), simhash32FromHashes(col("hv")).as("sh"))
-        .repartition(col("doc_id"))
-      val blocks = sim.select(col("doc_id"), col("sh"),
-          explode(array((0 until 4).map { k =>
-            struct(lit(k).as("k"), simhashByte(col("sh"), k).as("byte"))
-          }: _*)).as("blk"))
-        .select(col("doc_id"), col("sh"),
-          col("blk.k").as("k"), col("blk.byte").as("byte"))
-      val a = blocks.select(col("k"), col("byte"),
-        col("doc_id").as("doc_a"), col("sh").as("sha"))
-      val b = blocks.select(col("k").as("k2"), col("byte").as("byte2"),
-        col("doc_id").as("doc_b"), col("sh").as("shb"))
-      a.join(b, col("k") === col("k2") && col("byte") === col("byte2") &&
-          col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("sha"), col("shb"))
-        .distinct()
-        .filter(hamming(col("sha"), col("shb")) <= 6)
-        .select(col("doc_a"), col("doc_b"),
-          col("sha").as("simhash_a"), col("shb").as("simhash_b"),
-          hamming(col("sha"), col("shb")).cast(IntegerType).as("hamming"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
+    // survivors filtered on exact Hamming ≤ 6 via xor+bit_count. Both
+    // width variants share one skeleton: see [[simhashOracleSql]] /
+    // [[simhashPairs]].
+    GraftQuery("q_dedup_simhash", simhashOracleSql(hexLen = 8, nBlocks = 4))(
+      simhashPairs(nBlocks = 4, elementHash32, simhash32FromHashes)),
 
     // ------------------------------------------ SimHash, 64-bit sketch
     // The wide-sketch variant of q_dedup_simhash — the production form
     // past ~10⁴ docs. SCALING.md round 6 measured the 32-bit sketch's
     // chance-collision background (Σ₀⁶C(32,k)/2³² ≈ 2.7e-4 per
     // unrelated pair) dominating its output quadratically at sf1;
-    // doubling the sketch width drops that tail to ~4e-12 while true
-    // near-dups — whose hamming distance tracks edit distance, not
-    // sketch width — still collide. Same plan shape: scan-stage
-    // simhash64 kernel, 8-byte pigeonhole blocking (hamming ≤ 6 < 8
-    // blocks guarantees a shared byte), verify only co-blocked pairs.
-    // Feature hashes are 60-bit SHA prefixes (15 hex chars): the 16th
-    // would overflow the oracle's signed-BIGINT hex fold, and 4
-    // constant-zero sketch bits are free at this radius.
-    GraftQuery(
-      "q_dedup_simhash64",
-      s"""WITH c AS ($nearDupCorpusSql),
-         |sh AS (SELECT doc_id, $shingleSetSql AS shs
-         |       FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM c)
-         |       WHERE len(ts) >= 3),
-         |h15 AS (SELECT doc_id, ${shaPrefixListSql("shs", 15)} AS hp FROM sh),
-         |hv AS (SELECT doc_id, ${hexToLongListSql("hp", 15)} AS hv FROM h15),
-         |bts AS (SELECT doc_id,
-         |        [CASE WHEN list_sum([(((v >> (59 - j)) & 1) * 2) - 1 FOR v IN hv]) > 0
-         |              THEN 1::BIGINT ELSE 0::BIGINT END
-         |         FOR j IN range(0, 60)] AS bits
-         |      FROM hv),
-         |sim AS (SELECT doc_id,
-         |          CAST(list_reduce(bits, (acc, v) -> acc * 2 + v) AS BIGINT) AS sh
-         |        FROM bts),
-         |blk AS (SELECT doc_id, sh, k, CAST((sh >> (8 * k)) % 256 AS BIGINT) AS byte
-         |        FROM sim, (SELECT unnest(range(0, 8)) AS k)),
-         |pair AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |                a.sh AS sha, b.sh AS shb
-         |         FROM blk a JOIN blk b
-         |           ON a.k = b.k AND a.byte = b.byte AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, sha AS simhash_a, shb AS simhash_b,
-         |  CAST(bit_count(xor(sha, shb)) AS INTEGER) AS hamming
-         |FROM pair WHERE bit_count(xor(sha, shb)) <= 6
-         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val tok = nearDupCorpus(t(s, dir, "documents"))
-        .select(col("doc_id"), tokens(col("text")).as("ts"))
-        .filter(size(col("ts")) >= 3)
-      val sh = tok.select(col("doc_id"),
-        array_distinct(shinglesFromTokens(col("ts"), 3)).as("shs"))
-      val hv = sh.select(col("doc_id"),
-        transform(col("shs"), elementHash60(_)).as("hv"))
-      // exchange barrier before the self-join (see lshCandidates)
-      val sim = hv.select(col("doc_id"), simhash64FromHashes(col("hv")).as("sh"))
-        .repartition(col("doc_id"))
-      val blocks = sim.select(col("doc_id"), col("sh"),
-          explode(array((0 until 8).map { k =>
-            struct(lit(k).as("k"), simhashByte(col("sh"), k).as("byte"))
-          }: _*)).as("blk"))
-        .select(col("doc_id"), col("sh"),
-          col("blk.k").as("k"), col("blk.byte").as("byte"))
-      val a = blocks.select(col("k"), col("byte"),
-        col("doc_id").as("doc_a"), col("sh").as("sha"))
-      val b = blocks.select(col("k").as("k2"), col("byte").as("byte2"),
-        col("doc_id").as("doc_b"), col("sh").as("shb"))
-      a.join(b, col("k") === col("k2") && col("byte") === col("byte2") &&
-          col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("sha"), col("shb"))
-        .distinct()
-        .filter(hamming(col("sha"), col("shb")) <= 6)
-        .select(col("doc_a"), col("doc_b"),
-          col("sha").as("simhash_a"), col("shb").as("simhash_b"),
-          hamming(col("sha"), col("shb")).cast(IntegerType).as("hamming"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
+    // widening the sketch drops that tail to Σ₀⁶C(60,k)/2⁶⁰ ≈ 5e-11
+    // (60 significant bits) while true near-dups — whose hamming
+    // distance tracks edit distance, not sketch width — still collide.
+    // Same plan shape: scan-stage simhash64 kernel, byte-pigeonhole
+    // blocking over the 7 LOW bytes (hamming ≤ 6 < 7 blocks guarantees
+    // a shared byte — bits 56-59 go unblocked, which cannot lose
+    // recall, and the top byte would be a degenerate 16-value block
+    // since sketch bits 60-63 are constant zero), verify only
+    // co-blocked pairs. Feature hashes are 60-bit SHA prefixes (15 hex
+    // chars): the 16th would overflow the oracle's signed-BIGINT hex
+    // fold.
+    GraftQuery("q_dedup_simhash64", simhashOracleSql(hexLen = 15, nBlocks = 7))(
+      simhashPairs(nBlocks = 7, elementHash60, simhash64FromHashes)),
 
     // ----------------------------------------------- contamination scan
     // Train/eval contamination detection — the dedup and split

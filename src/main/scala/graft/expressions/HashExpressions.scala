@@ -217,10 +217,12 @@ case class SimHash32(child: Expression) extends SimHashExpr {
 /** 64-bit SimHash: same votes, 64 packed bits. The wider sketch is the
   * scale knob SCALING.md round 6 quantifies — at hamming ≤ 6 the CHANCE
   * collision tail drops from Σ₀⁶C(32,k)/2³² ≈ 2.7e-4 per unrelated
-  * pair to Σ₀⁶C(64,k)/2⁶⁴ ≈ 4e-12, so the n² background that dominates
-  * a 32-bit sketch past ~10⁴ docs is gone until far beyond 100 TB
-  * corpus sizes, while true near-dups (whose hamming reflects edit
-  * distance, not sketch width) still collide.
+  * pair to Σ₀⁶C(60,k)/2⁶⁰ ≈ 5e-11 (60 bits, because the catalog feeds
+  * 60-bit feature hashes, leaving sketch bits 60-63 constant zero), so
+  * the n² background that dominates a 32-bit sketch past ~10⁴ docs is
+  * gone until far beyond 100 TB corpus sizes, while true near-dups
+  * (whose hamming reflects edit distance, not sketch width) still
+  * collide.
   */
 case class SimHash64(child: Expression) extends SimHashExpr {
   override protected def width: Int = 64

@@ -194,8 +194,10 @@ object SimilarityFunctions {
     conv(substring(sha2(s, 256), 1, 15), 16, 10).cast(LongType)
 
   /** 64-bit SimHash from pre-hashed tokens — the wide-sketch variant
-    * whose chance-collision background at hamming ≤ 6 is ~4e-12 per
-    * pair (vs 2.7e-4 for 32-bit): the scale knob for >10⁴-doc corpora.
+    * whose chance-collision background at hamming ≤ 6 is ~5e-11 per
+    * pair with [[elementHash60]] features (Σ₀⁶C(60,k)/2⁶⁰ — 60
+    * significant bits, vs 2.7e-4 for 32-bit): the scale knob for
+    * >10⁴-doc corpora.
     */
   def simhash64FromHashes(hashes: Column): Column =
     graft.expressions.HashExpressions.simhash64(hashes)
@@ -210,10 +212,14 @@ object SimilarityFunctions {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Byte `k` (0 = least significant) of a packed simhash — the
-    * standard blocking key: any pair within Hamming distance ≤ 3 of a
-    * 32-bit simhash agrees on at least one of its 4 bytes (pigeonhole),
-    * so joining on (k, byte) finds all such pairs with 4 small shuffles
-    * instead of an all-pairs comparison.
+    * standard blocking key, width-generic: any pair within Hamming
+    * radius r of a simhash agrees on at least one of n > r blocked
+    * bytes (pigeonhole), so joining on (k, byte) for k < n finds all
+    * such pairs with n small shuffles instead of an all-pairs
+    * comparison. Sketch bits above 8·n may go unblocked without losing
+    * recall — unblocked differences only add to a pair's hamming. The
+    * 32-bit catalog query uses n=4 (radius 3); the 64-bit one n=7
+    * (radius 6 over the 60 significant bits).
     */
   def simhashByte(sim: Column, k: Int): Column =
     shiftright(sim, 8 * k) % 256

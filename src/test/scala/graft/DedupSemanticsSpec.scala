@@ -40,6 +40,16 @@ class DedupSemanticsSpec extends SparkSpec {
     assert(planted.forall(_._3 <= 6))
   }
 
+  test("64-bit simhash low-7-byte blocking recalls planted pairs") {
+    // the 7-block scheme leaves sketch bits 56-59 unblocked; recall at
+    // hamming <= 6 must still be complete (pigeonhole over 7 blocks)
+    val pairs = run("q_dedup_simhash64").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(4)))
+    val planted = pairs.filter { case (a, b, _) => b == a + 10000 }
+    assert(planted.length >= 12, s"found only ${planted.length}")
+    assert(planted.forall(_._3 <= 6))
+  }
+
   test("embed banded blocking recalls planted near-dup vectors vs the exact all-pairs oracle") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -185,6 +185,9 @@ class PlanSpec extends SparkSpec {
     assert(count(inMem, "minhash_signature") <= 4)
     assert(count(inMem, "regexp_extract_all") <= 20)
     assert(count(plan("q_dedup_simhash"), "simhash32") <= 4)
+    // 64-bit sibling: 7 blocks (the low-7-bytes pigeonhole — block 8
+    // would be the degenerate 16-value top byte)
+    assert(count(plan("q_dedup_simhash64"), "simhash64") <= 7)
   }
 
   test("lexical LSH catalog queries serve from the materialized signature " +

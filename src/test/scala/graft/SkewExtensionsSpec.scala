@@ -45,6 +45,10 @@ class SkewExtensionsSpec extends SparkSpec {
     val sh = spark.sql("SELECT simhash32(array(4294967295L)) AS s")
       .collect().head.getLong(0)
     assert(sh == 4294967295L) // all bits vote +1
+    val sh64 = spark.sql(
+      "SELECT simhash64(array(1152921504606846975L)) AS s") // 2^60 - 1
+      .collect().head.getLong(0)
+    assert(sh64 == 1152921504606846975L) // bits 0-59 vote +1, 60-63 -1
     val sig = spark.sql("SELECT minhash_signature(array(7L, 99L), 4) AS s")
       .collect().head.getSeq[Long](0)
     assert(sig.length == 4)
