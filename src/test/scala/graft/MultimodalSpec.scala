@@ -1,5 +1,8 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
 import graft.operators.Multimodal
 import graft.operators.Multimodal.{MediaMeta, MediaRecord}
 
@@ -233,6 +236,50 @@ class MultimodalSpec extends SparkSpec {
       java.util.Arrays.copyOfRange(bytes, s, e).toSeq.padTo(15, 0.toByte)
     }
     assert(dec.tensor.map(v => Math.round(v * 255f).toByte) == expect)
+  }
+
+  test("media features feed the ANN cosine top-k pattern unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.SimilarityFunctions.{dot, l2Norm}
+    // the promised composition: payload -> 16-bin feature vector ->
+    // the exact broadcast-query cosine top-k shape q_ann_bruteforce
+    // uses on the embeddings table, with a driver-side exact oracle
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val feats = Multimodal.features(Multimodal.fromDocuments(docs))
+      .select(col("media_id"), col("features"))
+    val q = feats.filter(col("media_id") < 2)
+      .select(col("media_id").as("q_id"), col("features").as("qv"),
+        l2Norm(col("features")).as("qn"))
+    val c = feats.select(col("media_id").as("n_id"), col("features").as("cv"),
+      l2Norm(col("features")).as("cn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    val got = c.join(broadcast(q), col("n_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("n_id"), col("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    val all = feats.as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      d / (na * nb)
+    }
+    val expect = all.filter(_._1 < 2).flatMap { case (qid, qv) =>
+      all.filter(_._1 != qid)
+        .map { case (nid, nv) => (qid, nid, cos(qv, nv)) }
+        .sortBy { case (_, nid, c0) => (-c0, nid) }
+        .take(3)
+    }.toSet
+    assert(got.length == expect.size)
+    got.zip(got.map(g => expect.find(e =>
+      e._1 == g._1 && e._2 == g._2).get)).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) < 1e-6)
+    }
   }
 
   test("malformed AVI payloads fall back to the stub, never throw") {
