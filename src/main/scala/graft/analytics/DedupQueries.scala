@@ -149,11 +149,23 @@ object DedupQueries {
     * SignatureMaterializeSpec proves the reload path recomputes no
     * SHA/signature work and yields identical candidates.
     */
-  def signatureTable(docs: DataFrame): DataFrame = {
+  def signatureTable(docs: DataFrame): DataFrame =
+    signaturesOf(nearDupCorpus(docs))
+
+  /** Signatures of exactly the given `(doc_id, text)` rows — the
+    * INGEST form: row-wise (no planted oracle copies), so a batch's
+    * signatures computed alone equal its slice of a full-corpus pass,
+    * which is what makes incremental build == one-shot build.
+    */
+  def rawSignatures(docs: DataFrame): DataFrame =
+    signaturesOf(docs.select(col("doc_id"),
+      coalesce(lower(col("text")), lit("")).as("text")))
+
+  private def signaturesOf(corpus: DataFrame): DataFrame = {
     // tokens materialized FIRST: the shingle expression references the
     // array n+1 times, and inlining the tokenizer would re-run the
     // regex per reference (36 regexp evals/row in the naive plan)
-    val tok = nearDupCorpus(docs)
+    val tok = corpus
       .select(col("doc_id"), tokens(col("text")).as("ts"))
       .filter(size(col("ts")) >= 3)
     val sh = tok.select(col("doc_id"),
@@ -260,6 +272,63 @@ object DedupQueries {
       s: SparkSession, dir: String, extra: Seq[String]): DataFrame =
     candidatePairsFromSignatures(
       s.read.parquet(storedSignaturesPath(s, dir)), extra)
+
+  // ------------------------------------------------------------------
+  // Incremental signature table — the lexical mirror of the stored ANN
+  // codes index: a durable hive-bucketed table that streaming document
+  // batches append into exactly once, with small-file compaction. The
+  // build-once memo above stays flat (it never receives appends); this
+  // layout exists for corpora that GROW.
+  // ------------------------------------------------------------------
+
+  /** Bucket count for the incremental table. Buckets are a doc_id hash
+    * (not a band key — a doc's signature lives in ONE bucket, appends
+    * touch only the buckets a batch hashes into, and compaction
+    * rewrites only fragmented buckets, O(fragmented), not O(table)).
+    * 16 keeps per-bucket files big at test scale; a 100 TB deployment
+    * raises it so bucket ≈ file-group size, the same sizing knob as the
+    * codes table's cell count.
+    */
+  val SignatureBuckets = 16
+
+  /** [[rawSignatures]] + the bucket column, the incremental table's
+    * on-disk schema: (doc_id, shs, sg, bkt) partitioned by bkt.
+    */
+  def bucketedSignatures(docs: DataFrame): DataFrame =
+    rawSignatures(docs).withColumn("bkt",
+      pmod(hash(col("doc_id")), lit(SignatureBuckets)))
+
+  /** Exactly-once per-batch append into the incremental signature
+    * table — protocol (ack markers, batch-scoped deterministic names,
+    * replay overwrite) in [[graft.sinks.IncrementalParquet]]; this
+    * contributes only the domain half: signature the batch's rows
+    * (one scan-stage pass over the batch alone) partitioned by bucket.
+    */
+  def appendToSignaturesIdempotent(
+      batch: DataFrame, sigDir: String, batchId: Long): Unit =
+    graft.sinks.IncrementalParquet.appendIdempotent(
+      batch.sparkSession, sigDir, "bkt", batchId) { stage =>
+      bucketedSignatures(batch)
+        .write.mode("overwrite").partitionBy("bkt").parquet(stage)
+    }
+
+  /** Compact fragmented buckets of the incremental signature table to
+    * one file each — [[graft.sinks.IncrementalParquet.compact]]
+    * carries the protocol. Returns the number of buckets compacted.
+    */
+  def compactSignatures(
+      spark: SparkSession, sigDir: String, maxFilesPerBucket: Int = 1): Int =
+    graft.sinks.IncrementalParquet.compact(
+      spark, sigDir, "bkt", maxFilesPerBucket)(s => Int.box(s.toInt))
+
+  /** Candidate pairs served from the incremental table on disk: the
+    * stored signatures band-join themselves (plus optionally a new
+    * unstored batch via [[crossBatchCandidatePairs]]); no tokenizer /
+    * SHA / MinHash work for stored docs.
+    */
+  def candidatePairsFromStored(
+      s: SparkSession, sigDir: String, extra: Seq[String] = Seq.empty): DataFrame =
+    candidatePairsFromSignatures(s.read.parquet(sigDir), extra)
 
   /** DuckDB mirror of [[lshCandidates]] through the `pair` CTE.
     * `recursive = true` emits `WITH RECURSIVE` so callers can append a

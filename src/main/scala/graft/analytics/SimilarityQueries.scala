@@ -376,153 +376,36 @@ object SimilarityQueries {
     codesTable(batch, cbIvf, cbPq)
       .write.mode("append").partitionBy("cell").parquet(codesDir)
 
-  /** Exactly-once streaming form of [[appendToCodes]]: `foreachBatch`
-    * delivers at-least-once (a batch whose write succeeded but whose
-    * checkpoint commit crashed is REPLAYED with the same batchId), and
-    * a blind parquet append would duplicate every replayed row. Two
-    * mechanisms compose to exactly-once table state:
-    *
-    *  1. An ACK MARKER (`_ingested/b<batchId>`, created only after every
-    *     file is installed; `_`-prefixed so parquet readers ignore it).
-    *     A replay of an acked batch returns immediately — in particular
-    *     a replay AFTER [[compactCodes]] has absorbed the batch's files
-    *     (whose batch-scoped names no longer exist) cannot re-append.
-    *  2. For a replay of an UNACKED batch (crash mid-install), files
-    *     are staged then installed under DETERMINISTIC batch-scoped
-    *     names (`b<batchId>-<seq>`), the batch's whole name prefix
-    *     cleared first, so the replay overwrites rather than duplicates
-    *     — and [[compactCodes]] refuses to touch cells holding unacked
-    *     batch files, so the names are guaranteed to still be there.
-    *
-    * Touches only the cells the batch lands in, O(batch) like the
-    * non-streaming append. Maintenance (compaction) and ingest are
+  /** Exactly-once streaming form of [[appendToCodes]]: delegates the
+    * ack-marker + batch-scoped-deterministic-name protocol to
+    * [[graft.sinks.IncrementalParquet.appendIdempotent]] (contract and
+    * crash analysis documented there), contributing only the domain
+    * half — encode the batch with the scan-stage kernels, partitioned
+    * by cell. Touches only the cells the batch lands in, O(batch) like
+    * the non-streaming append. Maintenance (compaction) and ingest are
     * single-writer: run [[compactCodes]] from the same driver that owns
     * the stream (e.g. between triggers), not concurrently with an
     * in-flight micro-batch.
     */
   def appendToCodesIdempotent(
       batch: DataFrame, codesDir: String, batchId: Long,
-      cbIvf: Array[Double], cbPq: Array[Double]): Unit = {
-    import org.apache.hadoop.fs.{FileSystem, Path}
-    val spark = batch.sparkSession
-    val dir = new Path(codesDir)
-    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
-    val marker = new Path(dir, s"_ingested/b$batchId")
-    if (fs.exists(marker)) return // acked: this batch is fully installed
-    val stage = new Path(dir.getParent, s".${dir.getName}.ingest-b$batchId")
-    fs.delete(stage, true)
-    codesTable(batch, cbIvf, cbPq)
-      .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
-    fs.listStatus(stage)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-      .foreach { cellDir =>
-        val live = new Path(dir, cellDir.getPath.getName)
-        fs.mkdirs(live)
-        // a replay may shard the same rows into FEWER files than the
-        // crashed attempt installed — clear the batch's whole prefix so
-        // no stale b<id>-k file outlives its replacement set
-        fs.listStatus(live)
-          .filter(_.getPath.getName.startsWith(s"b$batchId-"))
-          .foreach(f => fs.delete(f.getPath, false))
-        fs.listStatus(cellDir.getPath)
-          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
-          .sortBy(_.getPath.getName)
-          .zipWithIndex.foreach { case (f, k) =>
-            val dest = new Path(live, s"b$batchId-$k.parquet")
-            fs.delete(dest, false) // replay: same name, same content
-            if (!fs.rename(f.getPath, dest))
-              throw new IllegalStateException(s"rename ${f.getPath} -> $dest failed")
-          }
-      }
-    fs.delete(stage, true)
-    fs.mkdirs(marker.getParent)
-    fs.create(marker, true).close() // ack LAST: replay-safe until here
-  }
+      cbIvf: Array[Double], cbPq: Array[Double]): Unit =
+    graft.sinks.IncrementalParquet.appendIdempotent(
+      batch.sparkSession, codesDir, "cell", batchId) { stage =>
+      codesTable(batch, cbIvf, cbPq)
+        .write.mode("overwrite").partitionBy("cell").parquet(stage)
+    }
 
-  /** Compact the stored codes table's cell partitions: every
-    * [[appendToCodes]] batch leaves one file set per touched cell, so a
-    * streaming ingest at real cadence accretes the classic small-file
-    * problem inside cell partitions. This job rewrites each FRAGMENTED
-    * cell (more than `maxFilesPerCell` data files) to exactly one file
-    * — `repartition(cell)` puts each cell's rows in one task, so
-    * `partitionBy(cell)` emits one file per cell — and swaps only those
-    * cell directories, using the retired-sibling protocol of
-    * [[graft.sinks.Upsert.upsertParquetPartitioned]]: new files fully
-    * staged first, each replaced cell parked in `.retired` until its
-    * replacement is installed, and the preamble restores any
-    * retired-but-never-replaced cell from a previous crash. Untouched
-    * cells are never read or rewritten, so compaction cost is
-    * O(fragmented cells), not O(table). Returns the number of cells
-    * compacted.
-    *
-    * Streaming-ingest safety: a cell holding files of an UNACKED batch
-    * (a `b<id>-*` file with no `_ingested/b<id>` marker — i.e. a
-    * micro-batch that crashed mid-install and will be replayed) is
-    * skipped this round. Absorbing such files would erase the
-    * batch-scoped names the replay's overwrite discipline relies on,
-    * turning the replay into a duplicate append; skipping costs
-    * nothing — the cell compacts on the next run, after the replay
-    * completes and acks.
+  /** Compact the stored codes table's fragmented cell partitions to one
+    * file each — [[graft.sinks.IncrementalParquet.compact]] carries the
+    * protocol (retired-sibling swap, crash recovery, unacked-batch
+    * skip); cells parse as Int so the partition-pruned read keeps its
+    * typed `PartitionFilters`. Returns the number of cells compacted.
     */
   def compactCodes(
-      spark: SparkSession, codesDir: String, maxFilesPerCell: Int = 1): Int = {
-    import org.apache.hadoop.fs.{FileSystem, Path}
-    val dir = new Path(codesDir)
-    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
-    val stage = new Path(dir.getParent, s".${dir.getName}.compact")
-    val retiredDir = new Path(dir.getParent, s".${dir.getName}.retired")
-    val batchFile = "^b(\\d+)-.*".r
-    def ackedOrNotBatch(name: String): Boolean = name match {
-      case batchFile(id) => fs.exists(new Path(dir, s"_ingested/b$id"))
-      case _ => true
-    }
-
-    // crash recovery: a cell whose live dir is missing has its only
-    // copy in .retired — restore it BEFORE clearing scratch state
-    if (fs.exists(retiredDir)) {
-      fs.listStatus(retiredDir).foreach { st =>
-        val live = new Path(dir, st.getPath.getName)
-        if (!fs.exists(live) && !fs.rename(st.getPath, live))
-          throw new IllegalStateException(
-            s"recovery rename ${st.getPath} -> $live failed")
-      }
-      fs.delete(retiredDir, true)
-    }
-    fs.delete(stage, true)
-    if (!fs.exists(dir)) return 0
-
-    val fragmented = fs.listStatus(dir)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-      .filter { st =>
-        val files = fs.listStatus(st.getPath)
-          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
-          .map(_.getPath.getName)
-        files.length > maxFilesPerCell && files.forall(ackedOrNotBatch)
-      }
-      .map(_.getPath.getName.stripPrefix("cell=").toInt)
-      .sorted
-    if (fragmented.isEmpty) return 0
-
-    // partition-pruned read of ONLY the fragmented cells; one shuffle
-    // task per cell value => one output file per cell
-    spark.read.parquet(codesDir)
-      .filter(col("cell").isin(fragmented.map(Int.box): _*))
-      .repartition(col("cell"))
-      .write.partitionBy("cell").parquet(stage.toString)
-
-    fs.mkdirs(retiredDir)
-    fragmented.foreach { c =>
-      val live = new Path(dir, s"cell=$c")
-      val next = new Path(stage, s"cell=$c")
-      if (fs.exists(live) && !fs.rename(live, new Path(retiredDir, s"cell=$c")))
-        throw new IllegalStateException(s"rename $live -> $retiredDir failed")
-      if (fs.exists(next) && !fs.rename(next, live))
-        throw new IllegalStateException(s"rename $next -> $live failed")
-    }
-    fs.delete(retiredDir, true)
-    fs.delete(stage, true)
-    fragmented.length
-  }
+      spark: SparkSession, codesDir: String, maxFilesPerCell: Int = 1): Int =
+    graft.sinks.IncrementalParquet.compact(
+      spark, codesDir, "cell", maxFilesPerCell)(s => Int.box(s.toInt))
 
   /** Memoized INCREMENTALLY-built codes table (q_ann_codes_served's
     * index): build from the even-vec_id half, [[appendToCodes]] the odd

@@ -1,0 +1,159 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Exactly-once incremental maintenance for a hive-partitioned parquet
+  * table — the machinery behind both incremental indexes (the ANN codes
+  * table's `cell=` partitions and the lexical signature table's `bkt=`
+  * buckets). Extracted so the two stay protocol-identical; the contract
+  * and crash analysis live here, the domain encode/serve logic with the
+  * callers.
+  *
+  * Two cooperating jobs, both single-writer (run from the driver that
+  * owns the stream, never concurrently with an in-flight micro-batch):
+  *
+  * '''appendIdempotent''' — `foreachBatch` delivers at-least-once (a
+  * batch whose write succeeded but whose checkpoint commit crashed is
+  * REPLAYED with the same batchId), and a blind parquet append would
+  * duplicate every replayed row. Two mechanisms compose to exactly-once
+  * table state:
+  *
+  *  1. An ACK MARKER (`_ingested/b<batchId>`, created only after every
+  *     file is installed; `_`-prefixed so parquet readers ignore it).
+  *     A replay of an acked batch returns immediately — in particular a
+  *     replay AFTER [[compact]] has absorbed the batch's files (whose
+  *     batch-scoped names no longer exist) cannot re-append.
+  *  2. For a replay of an UNACKED batch (crash mid-install), files are
+  *     staged then installed under DETERMINISTIC batch-scoped names
+  *     (`b<batchId>-<seq>`), the batch's whole name prefix cleared
+  *     first, so the replay overwrites rather than duplicates — and
+  *     [[compact]] refuses to touch partitions holding unacked batch
+  *     files, so the names are guaranteed to still be there.
+  *
+  * Touches only the partitions the batch lands in — O(batch), not
+  * O(table).
+  *
+  * '''compact''' — every append leaves one file set per touched
+  * partition, so a streaming ingest at real cadence accretes the
+  * classic small-file problem. This job rewrites each FRAGMENTED
+  * partition (more than `maxFilesPerPart` data files) to exactly one
+  * file — `repartition(partCol)` puts each partition's rows in one
+  * task, so `partitionBy(partCol)` emits one file per value — and swaps
+  * only those directories using the retired-sibling protocol of
+  * [[Upsert.upsertParquetPartitioned]]: new files fully staged first,
+  * each replaced partition parked in `.retired` until its replacement
+  * is installed, and the preamble restores any retired-but-never-
+  * replaced partition from a previous crash. Untouched partitions are
+  * never read or rewritten, so compaction cost is O(fragmented
+  * partitions), not O(table).
+  */
+object IncrementalParquet {
+
+  /** Install `writeStage(stagePath)`'s output (hive-partitioned on
+    * `partCol`) into `dirStr` exactly once for `batchId` — see the
+    * object doc for the protocol. `writeStage` must write the batch's
+    * rows partitioned by `partCol` to the path it is given.
+    */
+  def appendIdempotent(spark: SparkSession, dirStr: String, partCol: String,
+      batchId: Long)(writeStage: String => Unit): Unit = {
+    val dir = new Path(dirStr)
+    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(dir, s"_ingested/b$batchId")
+    if (fs.exists(marker)) return // acked: this batch is fully installed
+    val stage = new Path(dir.getParent, s".${dir.getName}.ingest-b$batchId")
+    fs.delete(stage, true)
+    writeStage(stage.toString)
+    fs.listStatus(stage)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+      .foreach { partDir =>
+        val live = new Path(dir, partDir.getPath.getName)
+        fs.mkdirs(live)
+        // a replay may shard the same rows into FEWER files than the
+        // crashed attempt installed — clear the batch's whole prefix so
+        // no stale b<id>-k file outlives its replacement set
+        fs.listStatus(live)
+          .filter(_.getPath.getName.startsWith(s"b$batchId-"))
+          .foreach(f => fs.delete(f.getPath, false))
+        fs.listStatus(partDir.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .sortBy(_.getPath.getName)
+          .zipWithIndex.foreach { case (f, k) =>
+            val dest = new Path(live, s"b$batchId-$k.parquet")
+            fs.delete(dest, false) // replay: same name, same content
+            if (!fs.rename(f.getPath, dest))
+              throw new IllegalStateException(s"rename ${f.getPath} -> $dest failed")
+          }
+      }
+    fs.delete(stage, true)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close() // ack LAST: replay-safe until here
+  }
+
+  /** Rewrite each fragmented `partCol=` partition of `dirStr` to one
+    * file — see the object doc for the protocol and crash recovery.
+    * `partValue` parses a partition directory value into the literal
+    * used for the partition-pruned read (its type must match the
+    * column's, or the `.isin` filter would cast and could defeat
+    * pruning). Returns the number of partitions compacted.
+    */
+  def compact(spark: SparkSession, dirStr: String, partCol: String,
+      maxFilesPerPart: Int = 1)(partValue: String => Any): Int = {
+    val dir = new Path(dirStr)
+    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    val stage = new Path(dir.getParent, s".${dir.getName}.compact")
+    val retiredDir = new Path(dir.getParent, s".${dir.getName}.retired")
+    val batchFile = "^b(\\d+)-.*".r
+    def ackedOrNotBatch(name: String): Boolean = name match {
+      case batchFile(id) => fs.exists(new Path(dir, s"_ingested/b$id"))
+      case _ => true
+    }
+
+    // crash recovery: a partition whose live dir is missing has its
+    // only copy in .retired — restore it BEFORE clearing scratch state
+    if (fs.exists(retiredDir)) {
+      fs.listStatus(retiredDir).foreach { st =>
+        val live = new Path(dir, st.getPath.getName)
+        if (!fs.exists(live) && !fs.rename(st.getPath, live))
+          throw new IllegalStateException(
+            s"recovery rename ${st.getPath} -> $live failed")
+      }
+      fs.delete(retiredDir, true)
+    }
+    fs.delete(stage, true)
+    if (!fs.exists(dir)) return 0
+
+    val fragmented = fs.listStatus(dir)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+      .filter { st =>
+        val files = fs.listStatus(st.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .map(_.getPath.getName)
+        files.length > maxFilesPerPart && files.forall(ackedOrNotBatch)
+      }
+      .map(_.getPath.getName.stripPrefix(s"$partCol="))
+      .sorted
+    if (fragmented.isEmpty) return 0
+
+    // partition-pruned read of ONLY the fragmented values; one shuffle
+    // task per value => one output file per partition
+    spark.read.parquet(dirStr)
+      .filter(col(partCol).isin(fragmented.map(partValue): _*))
+      .repartition(col(partCol))
+      .write.partitionBy(partCol).parquet(stage.toString)
+
+    fs.mkdirs(retiredDir)
+    fragmented.foreach { v =>
+      val live = new Path(dir, s"$partCol=$v")
+      val next = new Path(stage, s"$partCol=$v")
+      if (fs.exists(live) && !fs.rename(live, new Path(retiredDir, s"$partCol=$v")))
+        throw new IllegalStateException(s"rename $live -> $retiredDir failed")
+      if (fs.exists(next) && !fs.rename(next, live))
+        throw new IllegalStateException(s"rename $next -> $live failed")
+    }
+    fs.delete(retiredDir, true)
+    fs.delete(stage, true)
+    fragmented.length
+  }
+}

@@ -387,6 +387,42 @@ object StreamingPipeline {
       .start()
   }
 
+  /** Streaming lexical-dedup index ingest — the signature-table mirror
+    * of [[startCodesIngest]]: arriving document files are signatured
+    * per micro-batch (one scan-stage pass over the batch alone) and
+    * appended exactly-once into the bucketed incremental signature
+    * table; near-dup candidates for the whole corpus-so-far then serve
+    * from the table via
+    * [[graft.analytics.DedupQueries.candidatePairsFromStored]] with no
+    * tokenizer/SHA/MinHash recompute. Compact between triggers with
+    * [[graft.analytics.DedupQueries.compactSignatures]] (single-writer,
+    * like the codes table).
+    */
+  def startSignaturesIngest(
+      spark: SparkSession,
+      incomingDir: String,
+      sigDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = new StructType()
+      .add("doc_id", LongType, nullable = false)
+      .add("text", StringType)
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(incomingDir)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.analytics.DedupQueries.appendToSignaturesIdempotent(
+            batch, sigDir, batchId)
+      }
+      .start()
+  }
+
   def decontaminationGate(
       docs: DataFrame,
       bloomBits: Array[Long],
