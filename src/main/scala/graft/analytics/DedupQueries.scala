@@ -58,9 +58,18 @@ object DedupQueries {
   // pipeline substituted in, doubling per-row work and defeating
   // exchange reuse. (Data has no nulls; this is a nullability proof,
   // not a behavior change — the oracle SQL needs no mirror.)
+  /** The near-dup text normalization BOTH signature entry points share.
+    * [[signatureTable]] (via [[nearDupCorpus]]) and [[rawSignatures]]
+    * must normalize identically or signatures in the incremental
+    * bucket table silently stop matching the memoized corpus table —
+    * change it here, nowhere else.
+    */
+  private def normalizedText: Column =
+    coalesce(lower(col("text")), lit(""))
+
   private def nearDupCorpus(docs: DataFrame): DataFrame = {
     val ts = tokens(lower(col("text")))
-    docs.select(col("doc_id"), coalesce(lower(col("text")), lit("")).as("text"))
+    docs.select(col("doc_id"), normalizedText.as("text"))
       .unionByName(
         docs.filter(col("doc_id") % 25 === 0)
           .select((col("doc_id") + 10000).as("doc_id"),
@@ -158,8 +167,7 @@ object DedupQueries {
     * which is what makes incremental build == one-shot build.
     */
   def rawSignatures(docs: DataFrame): DataFrame =
-    signaturesOf(docs.select(col("doc_id"),
-      coalesce(lower(col("text")), lit("")).as("text")))
+    signaturesOf(docs.select(col("doc_id"), normalizedText.as("text")))
 
   private def signaturesOf(corpus: DataFrame): DataFrame = {
     // tokens materialized FIRST: the shingle expression references the

@@ -372,6 +372,23 @@ object StreamingPipeline {
       .add("embedding", ArrayType(FloatType, containsNull = false),
         nullable = false)
       .add("label", IntegerType)
+    startIndexIngest(spark, incomingDir, checkpointDir, schema, trigger) {
+      (batch, batchId) =>
+        graft.analytics.SimilarityQueries.appendToCodesIdempotent(
+          batch, codesDir, batchId, cbIvf, cbPq)
+    }
+  }
+
+  /** The ingest scaffold both index streams share: a parquet file
+    * stream over `incomingDir` (small per-trigger file cap so one big
+    * drop still lands in bounded micro-batches) driving an idempotent
+    * per-batch append; empty batches (trigger fired, no new files)
+    * never reach the sink.
+    */
+  private def startIndexIngest(
+      spark: SparkSession, incomingDir: String, checkpointDir: String,
+      schema: org.apache.spark.sql.types.StructType, trigger: Trigger)(
+      append: (DataFrame, Long) => Unit): StreamingQuery =
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "4")
@@ -380,12 +397,9 @@ object StreamingPipeline {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
-          graft.analytics.SimilarityQueries.appendToCodesIdempotent(
-            batch, codesDir, batchId, cbIvf, cbPq)
+        if (!batch.isEmpty) append(batch, batchId)
       }
       .start()
-  }
 
   /** Streaming lexical-dedup index ingest — the signature-table mirror
     * of [[startCodesIngest]]: arriving document files are signatured
@@ -408,19 +422,11 @@ object StreamingPipeline {
     val schema = new StructType()
       .add("doc_id", LongType, nullable = false)
       .add("text", StringType)
-    spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", "4")
-      .parquet(incomingDir)
-      .writeStream
-      .trigger(trigger)
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
-          graft.analytics.DedupQueries.appendToSignaturesIdempotent(
-            batch, sigDir, batchId)
-      }
-      .start()
+    startIndexIngest(spark, incomingDir, checkpointDir, schema, trigger) {
+      (batch, batchId) =>
+        graft.analytics.DedupQueries.appendToSignaturesIdempotent(
+          batch, sigDir, batchId)
+    }
   }
 
   def decontaminationGate(

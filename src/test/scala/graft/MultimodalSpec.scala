@@ -246,7 +246,12 @@ class MultimodalSpec extends SparkSpec {
     // the exact broadcast-query cosine top-k shape q_ann_bruteforce
     // uses on the embeddings table, with a driver-side exact oracle
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // zero-norm vectors (empty payloads) would make cosine NaN, which
+    // Spark's desc sort ranks first but the oracle's sortBy drops —
+    // exclude them so the test pins the intended finite-score behavior
+    // on any corpus, not just one with no empty documents
     val feats = Multimodal.features(Multimodal.fromDocuments(docs))
+      .filter(col("n_bytes") > 0)
       .select(col("media_id"), col("features"))
     val q = feats.filter(col("media_id") < 2)
       .select(col("media_id").as("q_id"), col("features").as("qv"),
