@@ -338,6 +338,31 @@ object DedupQueries {
       s: SparkSession, sigDir: String, extra: Seq[String] = Seq.empty): DataFrame =
     candidatePairsFromSignatures(s.read.parquet(sigDir), extra)
 
+  /** Memoized INCREMENTALLY-built signature table — the lexical mirror
+    * of [[SimilarityQueries.incrementalCodesPath]], and the table
+    * `q_dedup_clusters` serves its pair stage from: build from the
+    * even-doc_id half of the (planted) corpus, append the odd half as
+    * an arriving batch, then compact the fragmented buckets. Row-
+    * identical to a one-shot [[signatureTable]] pass (disjoint halves,
+    * row-wise signatures, compaction moves bytes not rows), so the
+    * driver's hash gate on the clusters query checks the whole lexical
+    * index lifecycle end-to-end.
+    */
+  private val storedIncSignatures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def incrementalSignaturesPath(
+      s: SparkSession, dir: String): String =
+    Tables.memoizedParquet(storedIncSignatures,
+      Tables.derivedStateKey(s, dir, "documents") + "|inc", "graft-sig-inc") { out =>
+      val corpus = nearDupCorpus(t(s, dir, "documents"))
+      bucketedSignatures(corpus.filter(col("doc_id") % 2 === 0))
+        .write.mode("overwrite").partitionBy("bkt").parquet(out)
+      appendToSignaturesIdempotent(
+        corpus.filter(col("doc_id") % 2 === 1), out, 1L)
+      compactSignatures(s, out)
+    }
+
   /** DuckDB mirror of [[lshCandidates]] through the `pair` CTE.
     * `recursive = true` emits `WITH RECURSIVE` so callers can append a
     * recursive CTE (DuckDB requires the keyword on the WITH clause even
@@ -653,7 +678,12 @@ object DedupQueries {
          |SELECT doc_id, cluster_id,
          |  CAST(count(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS csize
          |FROM cl ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val pairs = lshCandidatesServed(s, dir, Seq("shs"))
+      // pair stage served from the INCREMENTALLY-built signature table
+      // (build half → append half → compact): same rows as the one-shot
+      // memo, so this query's hash gate covers the lexical index
+      // lifecycle the way q_ann_codes_served covers the codes table's
+      val pairs = candidatePairsFromStored(
+        s, incrementalSignaturesPath(s, dir), Seq("shs"))
         .withColumn("jac", jaccard(col("shs_a"), col("shs_b")))
         .filter(col("jac") >= 0.5)
         .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"))

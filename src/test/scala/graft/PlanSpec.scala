@@ -192,10 +192,11 @@ class PlanSpec extends SparkSpec {
 
   test("lexical LSH catalog queries serve from the materialized signature " +
       "table: no MinHash/SHA/tokenizer recompute in the pair stage") {
-    // q_dedup_minhash, q_dedup_jaccard and q_dedup_clusters all derive
-    // their pair stage from the SAME memoized parquet signature table
-    // (lshCandidatesServed) — pinning the two lazy plans pins the
-    // cluster query's pair stage too (clusters then runs CC on top).
+    // q_dedup_minhash and q_dedup_jaccard serve from the one-shot memo
+    // (lshCandidatesServed); q_dedup_clusters serves from the
+    // INCREMENTALLY-built table (incrementalSignaturesPath — build
+    // half, append half, compact). Same property either way: the pair
+    // stage reads stored parquet with zero signature recompute.
     for (q <- Seq("q_dedup_minhash", "q_dedup_jaccard")) {
       val p = plan(q)
       assert(count(p, "minhash_signature") == 0, s"$q recomputes minhash")
@@ -203,6 +204,16 @@ class PlanSpec extends SparkSpec {
       assert(count(p, "regexp_extract_all") == 0, s"$q re-tokenizes")
       assert(p.contains("Scan parquet"), s"$q does not read the stored table")
     }
+    // clusters' FINAL plan is checkpoint-truncated by the CC loop, so
+    // pin its pair stage directly (the exact DataFrame the query builds)
+    val pairs = graft.analytics.DedupQueries.candidatePairsFromStored(
+      spark, graft.analytics.DedupQueries.incrementalSignaturesPath(spark, dir),
+      Seq("shs")).queryExecution.executedPlan.toString
+    assert(count(pairs, "minhash_signature") == 0, "clusters recomputes minhash")
+    assert(count(pairs, "sha2") == 0, "clusters recomputes SHA")
+    assert(count(pairs, "regexp_extract_all") == 0, "clusters re-tokenizes")
+    assert(pairs.contains("Scan parquet"),
+      "clusters pair stage does not read the stored incremental table")
   }
 
   test("semantic dedup catalog queries serve from the materialized " +
