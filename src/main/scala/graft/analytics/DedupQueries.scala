@@ -320,9 +320,10 @@ object DedupQueries {
         .write.mode("overwrite").partitionBy("bkt").parquet(stage)
     }
 
-  /** Compact fragmented buckets of the incremental signature table to
-    * one file each — [[graft.sinks.IncrementalParquet.compact]]
-    * carries the protocol. Returns the number of buckets compacted.
+  /** Compact fragmented buckets of any `bkt`-partitioned incremental
+    * table (signatures or sign buckets) to one file each —
+    * [[graft.sinks.IncrementalParquet.compact]] carries the protocol.
+    * Returns the number of buckets compacted.
     */
   def compactSignatures(
       spark: SparkSession, sigDir: String, maxFilesPerBucket: Int = 1): Int =
@@ -483,6 +484,49 @@ object DedupQueries {
     embedPairsFromBuckets(
       s.read.parquet(storedSignBucketsPath(s, dir)),
       t(s, dir, "embeddings"), threshold)
+
+  /** [[signBucketTable]] + the hash bucket column — the embedding
+    * mirror of [[bucketedSignatures]]: a vector's band rows all land
+    * in ONE `bkt` partition, so per-batch appends touch only the
+    * buckets a batch hashes into.
+    */
+  def bucketedSignBuckets(e: DataFrame): DataFrame =
+    signBucketTable(e).withColumn("bkt",
+      pmod(hash(col("vec_id")), lit(SignatureBuckets)))
+
+  /** Exactly-once per-batch append into the incremental sign-bucket
+    * table — same [[graft.sinks.IncrementalParquet]] protocol as the
+    * signature and codes tables; compact with [[compactSignatures]]
+    * (any `bkt`-partitioned table).
+    */
+  def appendToSignBucketsIdempotent(
+      batch: DataFrame, sbDir: String, batchId: Long): Unit =
+    graft.sinks.IncrementalParquet.appendIdempotent(
+      batch.sparkSession, sbDir, "bkt", batchId) { stage =>
+      bucketedSignBuckets(batch)
+        .write.mode("overwrite").partitionBy("bkt").parquet(stage)
+    }
+
+  /** Memoized INCREMENTALLY-built sign-bucket table — the embedding
+    * mirror of [[incrementalSignaturesPath]], serving
+    * `q_dedup_embed_clusters`'s pair stage so the driver's hash gate
+    * covers this index lifecycle too.
+    */
+  private val storedIncSignBuckets =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def incrementalSignBucketsPath(
+      s: SparkSession, dir: String): String =
+    Tables.memoizedParquet(storedIncSignBuckets,
+      Tables.derivedStateKey(s, dir, "embeddings") + "|inc",
+      "graft-sbuckets-inc") { out =>
+      val e = t(s, dir, "embeddings")
+      bucketedSignBuckets(e.filter(col("vec_id") % 2 === 0))
+        .write.mode("overwrite").partitionBy("bkt").parquet(out)
+      appendToSignBucketsIdempotent(
+        e.filter(col("vec_id") % 2 === 1), out, 1L)
+      compactSignatures(s, out)
+    }
 
   /** DuckDB mirror of [[embedNearDupPairs]] up through the `p` CTE
     * (id_a, id_b, cos) — shared by q_dedup_embed and its cluster
@@ -889,7 +933,12 @@ object DedupQueries {
         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS csize,
         |  CAST(vec_id = cluster_id AS INTEGER) AS keep
         |FROM cl ORDER BY vec_id""".stripMargin) { (s, dir) =>
-      val pairs = embedPairsServed(s, dir, 0.4)
+      // pair stage served from the INCREMENTALLY-built sign-bucket
+      // table (build half → append half → compact) — the embedding
+      // mirror of q_dedup_clusters' lifecycle gate
+      val pairs = embedPairsFromBuckets(
+        s.read.parquet(incrementalSignBucketsPath(s, dir)),
+        t(s, dir, "embeddings"), 0.4)
         .select(col("id_a"), col("id_b"))
       graft.operators.ConnectedComponents.runAdaptive(pairs, "id_a", "id_b")._1
         .select(col("id").as("vec_id"), col("component").as("cluster_id"))
