@@ -250,43 +250,23 @@ object DedupQueries {
     candidatePairsFromSignatures(
       signatureTable(docs).repartition(col("doc_id")), extra)
 
-  /** Build-once memo for the materialized signature table (the
-    * storedCodes pattern from [[SimilarityQueries]]): phase 1 — the
-    * expensive tokenize→shingle→SHA→MinHash corpus pass — runs ONCE per
-    * corpus and is written to parquet; every catalog consumer
-    * (minhash candidates, Jaccard verify, cluster closure) reads the
-    * table back and runs only the band self-join + verify. The key
-    * folds in the documents table's content fingerprint, so an
-    * in-session corpus mutation rebuilds instead of serving stale
-    * signatures.
-    */
-  private val storedSignatures =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private[graft] def storedSignaturesPath(
-      s: SparkSession, dir: String): String =
-    Tables.memoizedParquet(storedSignatures,
-      Tables.derivedStateKey(s, dir, "documents"), "graft-sig") { out =>
-      signatureTable(t(s, dir, "documents"))
-        .write.mode("overwrite").parquet(out)
-    }
-
-  /** Phase 2 over the memoized signature table — the form every lexical
-    * LSH catalog query serves from: no SHA / MinHash / tokenizer work
-    * appears in these plans (PlanSpec pins it); the corpus pass was
-    * paid once at [[storedSignaturesPath]] build time.
+  /** Phase 2 over the ONE materialized signature table per corpus
+    * ([[incrementalSignaturesPath]]) — the form every lexical LSH
+    * catalog query serves from: no SHA / MinHash / tokenizer work
+    * appears in these plans (PlanSpec pins it); the expensive
+    * tokenize→shingle→SHA→MinHash corpus pass was paid once at index
+    * build time, shared by minhash candidates, Jaccard verify, and the
+    * cluster closure alike.
     */
   private def lshCandidatesServed(
       s: SparkSession, dir: String, extra: Seq[String]): DataFrame =
     candidatePairsFromSignatures(
-      s.read.parquet(storedSignaturesPath(s, dir)), extra)
+      s.read.parquet(incrementalSignaturesPath(s, dir)), extra)
 
   // ------------------------------------------------------------------
   // Incremental signature table — the lexical mirror of the stored ANN
   // codes index: a durable hive-bucketed table that streaming document
-  // batches append into exactly once, with small-file compaction. The
-  // build-once memo above stays flat (it never receives appends); this
-  // layout exists for corpora that GROW.
+  // batches append into exactly once, with small-file compaction.
   // ------------------------------------------------------------------
 
   /** Bucket count for the incremental table. Buckets are a doc_id hash
@@ -339,30 +319,27 @@ object DedupQueries {
       s: SparkSession, sigDir: String, extra: Seq[String] = Seq.empty): DataFrame =
     candidatePairsFromSignatures(s.read.parquet(sigDir), extra)
 
-  /** Memoized INCREMENTALLY-built signature table — the lexical mirror
-    * of [[SimilarityQueries.incrementalCodesPath]], and the table
-    * `q_dedup_clusters` serves its pair stage from: build from the
-    * even-doc_id half of the (planted) corpus, append the odd half as
-    * an arriving batch, then compact the fragmented buckets. Row-
-    * identical to a one-shot [[signatureTable]] pass (disjoint halves,
-    * row-wise signatures, compaction moves bytes not rows), so the
-    * driver's hash gate on the clusters query checks the whole lexical
-    * index lifecycle end-to-end.
+  /** THE materialized signature table per corpus, memoized and built
+    * through the incremental lifecycle (the lexical mirror of
+    * [[SimilarityQueries.incrementalCodesPath]] — shared shape in
+    * [[graft.sinks.IncrementalParquet.buildViaLifecycle]]): build from
+    * the even-doc_id half, append the odd half as an arriving batch,
+    * compact the fragmented buckets. Row-identical to a one-shot
+    * [[signatureTable]] pass, so the driver's hash gates on every
+    * consumer (minhash, jaccard, clusters) check the whole lexical
+    * index lifecycle end-to-end. The key folds in the documents
+    * table's content fingerprint, so an in-session corpus mutation
+    * rebuilds instead of serving stale signatures.
     */
   private val storedIncSignatures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[graft] def incrementalSignaturesPath(
       s: SparkSession, dir: String): String =
-    Tables.memoizedParquet(storedIncSignatures,
-      Tables.derivedStateKey(s, dir, "documents") + "|inc", "graft-sig-inc") { out =>
-      val corpus = nearDupCorpus(t(s, dir, "documents"))
-      bucketedSignatures(corpus.filter(col("doc_id") % 2 === 0))
-        .write.mode("overwrite").partitionBy("bkt").parquet(out)
-      appendToSignaturesIdempotent(
-        corpus.filter(col("doc_id") % 2 === 1), out, 1L)
-      compactSignatures(s, out)
-    }
+    graft.sinks.IncrementalParquet.buildViaLifecycle(storedIncSignatures,
+      Tables.derivedStateKey(s, dir, "documents") + "|inc", "graft-sig-inc",
+      nearDupCorpus(t(s, dir, "documents")), "doc_id", "bkt")(
+      bucketedSignatures)
 
   /** DuckDB mirror of [[lshCandidates]] through the `pair` CTE.
     * `recursive = true` emits `WITH RECURSIVE` so callers can append a
@@ -437,20 +414,6 @@ object DedupQueries {
         posexplode(denseSignBuckets(col("embedding"), bands, bits, dim))
           .as(Seq("band", "bucket")))
 
-  /** Build-once memo for [[signBucketTable]] (keyed on the embeddings
-    * table's content fingerprint, as the codes/signature memos).
-    */
-  private val storedSignBuckets =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private[graft] def storedSignBucketsPath(
-      s: SparkSession, dir: String): String =
-    Tables.memoizedParquet(storedSignBuckets,
-      Tables.derivedStateKey(s, dir, "embeddings"), "graft-sbuckets") { out =>
-      signBucketTable(t(s, dir, "embeddings"))
-        .write.mode("overwrite").parquet(out)
-    }
-
   /** Verified near-dup pairs SERVED from a materialized sign-bucket
     * table: candidates are a self-join of the (small) bucket index —
     * no SignBuckets kernel, no norm recompute — and the exact-cosine
@@ -482,7 +445,7 @@ object DedupQueries {
   private def embedPairsServed(
       s: SparkSession, dir: String, threshold: Double): DataFrame =
     embedPairsFromBuckets(
-      s.read.parquet(storedSignBucketsPath(s, dir)),
+      s.read.parquet(incrementalSignBucketsPath(s, dir)),
       t(s, dir, "embeddings"), threshold)
 
   /** [[signBucketTable]] + the hash bucket column — the embedding
@@ -494,39 +457,21 @@ object DedupQueries {
     signBucketTable(e).withColumn("bkt",
       pmod(hash(col("vec_id")), lit(SignatureBuckets)))
 
-  /** Exactly-once per-batch append into the incremental sign-bucket
-    * table — same [[graft.sinks.IncrementalParquet]] protocol as the
-    * signature and codes tables; compact with [[compactSignatures]]
-    * (any `bkt`-partitioned table).
-    */
-  def appendToSignBucketsIdempotent(
-      batch: DataFrame, sbDir: String, batchId: Long): Unit =
-    graft.sinks.IncrementalParquet.appendIdempotent(
-      batch.sparkSession, sbDir, "bkt", batchId) { stage =>
-      bucketedSignBuckets(batch)
-        .write.mode("overwrite").partitionBy("bkt").parquet(stage)
-    }
-
-  /** Memoized INCREMENTALLY-built sign-bucket table — the embedding
-    * mirror of [[incrementalSignaturesPath]], serving
-    * `q_dedup_embed_clusters`'s pair stage so the driver's hash gate
-    * covers this index lifecycle too.
+  /** THE materialized sign-bucket table per corpus — the embedding
+    * mirror of [[incrementalSignaturesPath]] (same
+    * [[graft.sinks.IncrementalParquet.buildViaLifecycle]] shape),
+    * serving both `q_dedup_embed` and `q_dedup_embed_clusters` so the
+    * driver's hash gates cover this index lifecycle too.
     */
   private val storedIncSignBuckets =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[graft] def incrementalSignBucketsPath(
       s: SparkSession, dir: String): String =
-    Tables.memoizedParquet(storedIncSignBuckets,
+    graft.sinks.IncrementalParquet.buildViaLifecycle(storedIncSignBuckets,
       Tables.derivedStateKey(s, dir, "embeddings") + "|inc",
-      "graft-sbuckets-inc") { out =>
-      val e = t(s, dir, "embeddings")
-      bucketedSignBuckets(e.filter(col("vec_id") % 2 === 0))
-        .write.mode("overwrite").partitionBy("bkt").parquet(out)
-      appendToSignBucketsIdempotent(
-        e.filter(col("vec_id") % 2 === 1), out, 1L)
-      compactSignatures(s, out)
-    }
+      "graft-sbuckets-inc",
+      t(s, dir, "embeddings"), "vec_id", "bkt")(bucketedSignBuckets)
 
   /** DuckDB mirror of [[embedNearDupPairs]] up through the `p` CTE
     * (id_a, id_b, cos) — shared by q_dedup_embed and its cluster

@@ -302,19 +302,6 @@ object SimilarityQueries {
        |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
        |${ivfPqAdcTailSql("cent", "cent")}""".stripMargin
 
-  /** Build-once memo for the stored codes table: index construction is
-    * a per-corpus batch job, not per-query work, so a session writes
-    * the partitioned parquet once per corpus and every later serve
-    * reads it back (a lost creation race leaves one orphan temp dir and
-    * adopts the winner's path). The key folds in the corpus CONTENT
-    * fingerprint ([[graft.core.Tables.tableFingerprint]]) and a digest
-    * of the codebooks, so mutating a corpus dir in-session — or serving
-    * the same dir with different (e.g. trained vs pinned) codebooks —
-    * builds a fresh index instead of silently serving stale codes.
-    */
-  private val storedCodes =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   private def codebookDigest(cbs: Array[Double]*): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val buf = java.nio.ByteBuffer.allocate(8)
@@ -323,16 +310,6 @@ object SimilarityQueries {
     })
     md.digest().map("%02x".format(_)).mkString.take(16)
   }
-
-  private[graft] def storedCodesPath(
-      s: SparkSession, dir: String,
-      cbIvf: Array[Double], cbPq: Array[Double]): String =
-    Tables.memoizedParquet(storedCodes,
-      Tables.derivedStateKey(s, dir, "embeddings") +
-        "|" + codebookDigest(cbIvf, cbPq), "graft-codes") { out =>
-      codesTable(t(s, dir, "embeddings"), cbIvf, cbPq)
-        .write.mode("overwrite").partitionBy("cell").parquet(out)
-    }
 
   /** Phase-1 STORED ANN index — the materialized analog of SCALING.md's
     * 100 TB claim ("codes as 1-byte arrays, 16× scan-IO cut"): ONE
@@ -407,13 +384,19 @@ object SimilarityQueries {
     graft.sinks.IncrementalParquet.compact(
       spark, codesDir, "cell", maxFilesPerCell)(s => Int.box(s.toInt))
 
-  /** Memoized INCREMENTALLY-built codes table (q_ann_codes_served's
-    * index): build from the even-vec_id half, [[appendToCodes]] the odd
-    * half as an arriving batch, then [[compactCodes]] the fragmented
-    * cells. Row-identical to a one-shot [[codesTable]] build — disjoint
-    * id halves, append touches only landed cells, compaction rewrites
-    * bytes without changing rows — which is exactly what the driver's
-    * hash gate checks end-to-end.
+  /** THE memoized stored codes table per (corpus, codebooks), built
+    * through the incremental lifecycle
+    * ([[graft.sinks.IncrementalParquet.buildViaLifecycle]]: even-half
+    * base build, odd half as an arriving batch, fragmented-cell
+    * compaction). Row-identical to a one-shot [[codesTable]] build, so
+    * every serve it backs (q_ann_ivfpq, q_ann_ivfpq_trained,
+    * q_ann_codes_served) sits under a driver hash gate that checks the
+    * whole build → ingest → compact lifecycle. The key folds in the
+    * corpus CONTENT fingerprint ([[graft.core.Tables.tableFingerprint]])
+    * and a digest of the codebooks, so mutating a corpus dir
+    * in-session — or serving the same dir with different (e.g. trained
+    * vs pinned) codebooks — builds a fresh index instead of silently
+    * serving stale codes.
     */
   private val storedIncCodes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -421,15 +404,11 @@ object SimilarityQueries {
   private[graft] def incrementalCodesPath(
       s: SparkSession, dir: String,
       cbIvf: Array[Double], cbPq: Array[Double]): String =
-    Tables.memoizedParquet(storedIncCodes,
+    graft.sinks.IncrementalParquet.buildViaLifecycle(storedIncCodes,
       Tables.derivedStateKey(s, dir, "embeddings") +
-        "|inc|" + codebookDigest(cbIvf, cbPq), "graft-codes-inc") { out =>
-      val e = t(s, dir, "embeddings")
-      codesTable(e.filter(col("vec_id") % 2 === 0), cbIvf, cbPq)
-        .write.mode("overwrite").partitionBy("cell").parquet(out)
-      appendToCodes(e.filter(col("vec_id") % 2 === 1), out, cbIvf, cbPq)
-      compactCodes(s, out)
-    }
+        "|inc|" + codebookDigest(cbIvf, cbPq), "graft-codes-inc",
+      t(s, dir, "embeddings"), "vec_id", "cell")(
+      codesTable(_, cbIvf, cbPq))
 
   /** ADC candidate top-`topC` per query reading ONLY the stored codes
     * table: prune to the probed cells (a static partition filter —
@@ -806,22 +785,23 @@ object SimilarityQueries {
       "q_ann_ivfpq", ivfPqPinnedSql) { (s, dir) =>
       val e = t(s, dir, "embeddings")
       val cb = collectCodebook(e, 16)
-      val codes = s.read.parquet(storedCodesPath(s, dir, cb, cb))
+      val codes = s.read.parquet(incrementalCodesPath(s, dir, cb, cb))
       ivfPqServeFromCodes(e, codes, cb, cb, 10)
     },
 
-    // ------------------- IVF-PQ from an INCREMENTALLY-BUILT stored index
-    // The index-lifecycle path gated end-to-end: the codes table is
-    // built from HALF the corpus, the other half arrives as an
-    // [[appendToCodes]] batch (touching only the cells it lands in),
-    // the fragmented cell partitions are then COMPACTED back to one
-    // file each ([[compactCodes]] — the small-file antidote for
-    // streaming ingest), and serving reads the result. Build + append
-    // + compact is row-identical to a one-shot build by construction,
-    // so the oracle IS q_ann_ivfpq's SQL — what this entry adds over
-    // q_ann_ivfpq's (one-shot) stored serve is the driver's independent
-    // hash gate over incremental ingest and compaction (parquet
-    // append round-trip, per-cell rewrite, partition pruning).
+    // ------------------- IVF-PQ from the INCREMENTALLY-BUILT stored index
+    // The index-lifecycle gate: the ONE codes table per corpus
+    // ([[incrementalCodesPath]]) is built from HALF the corpus, the
+    // other half arrives as an appended batch (touching only the cells
+    // it lands in), and the fragmented cell partitions are COMPACTED
+    // back to one file each ([[compactCodes]] — the small-file antidote
+    // for streaming ingest). Build + append + compact is row-identical
+    // to a one-shot build by construction, so the oracle IS
+    // q_ann_ivfpq's SQL. Since the serve consolidation (one index build
+    // per family, round 6) q_ann_ivfpq reads the same table; this entry
+    // remains as the explicitly-documented lifecycle gate (parquet
+    // append round-trip, per-cell rewrite, partition pruning) and costs
+    // only a cached-table read on top.
     GraftQuery("q_ann_codes_served", ivfPqPinnedSql) { (s, dir) =>
       val e = t(s, dir, "embeddings")
       val cb = collectCodebook(e, 16)
@@ -1037,7 +1017,7 @@ object SimilarityQueries {
       // trained serving also goes through the stored index (the memo
       // key folds in the codebook digest, so the trained and pinned
       // indexes coexist per corpus)
-      val codes = s.read.parquet(storedCodesPath(s, dir, cbIvf, cbPq))
+      val codes = s.read.parquet(incrementalCodesPath(s, dir, cbIvf, cbPq))
       ivfPqServeFromCodes(e, codes, cbIvf, cbPq, 10)
     })
 }

@@ -1,7 +1,7 @@
 package graft.sinks
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Exactly-once incremental maintenance for a hive-partitioned parquet
@@ -90,6 +90,36 @@ object IncrementalParquet {
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close() // ack LAST: replay-safe until here
   }
+
+  /** Build-once memo for an index table built THROUGH the incremental
+    * lifecycle this object maintains — the one shape every stored index
+    * family shares (ANN codes `cell=`, lexical signatures `bkt=`,
+    * embedding sign buckets `bkt=`): write `transform` of the
+    * even-`idCol` half of the corpus as the base table, install the odd
+    * half as an [[appendIdempotent]] batch, then [[compact]] the
+    * fragmented partitions. Row-identical to a one-shot
+    * `transform(source)` build — disjoint id halves, the append touches
+    * only the partitions the batch lands in, compaction moves bytes not
+    * rows — so a driver hash gate over a query served from the table
+    * checks the whole build → ingest → compact lifecycle end-to-end.
+    * Centralized so the lifecycle cannot drift between families; the
+    * partition column must hold Int values (all three families' do).
+    */
+  def buildViaLifecycle(
+      memo: java.util.concurrent.ConcurrentHashMap[String, String],
+      key: String, tmpPrefix: String,
+      source: DataFrame, idCol: String, partCol: String)(
+      transform: DataFrame => DataFrame): String =
+    graft.core.Tables.memoizedParquet(memo, key, tmpPrefix) { out =>
+      val spark = source.sparkSession
+      transform(source.filter(col(idCol) % 2 === 0))
+        .write.mode("overwrite").partitionBy(partCol).parquet(out)
+      appendIdempotent(spark, out, partCol, 1L) { stage =>
+        transform(source.filter(col(idCol) % 2 === 1))
+          .write.mode("overwrite").partitionBy(partCol).parquet(stage)
+      }
+      compact(spark, out, partCol)(s => Int.box(s.toInt))
+    }
 
   /** Rewrite each fragmented `partCol=` partition of `dirStr` to one
     * file — see the object doc for the protocol and crash recovery.

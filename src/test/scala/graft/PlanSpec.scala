@@ -192,11 +192,10 @@ class PlanSpec extends SparkSpec {
 
   test("lexical LSH catalog queries serve from the materialized signature " +
       "table: no MinHash/SHA/tokenizer recompute in the pair stage") {
-    // q_dedup_minhash and q_dedup_jaccard serve from the one-shot memo
-    // (lshCandidatesServed); q_dedup_clusters serves from the
-    // INCREMENTALLY-built table (incrementalSignaturesPath — build
-    // half, append half, compact). Same property either way: the pair
-    // stage reads stored parquet with zero signature recompute.
+    // q_dedup_minhash, q_dedup_jaccard, and q_dedup_clusters all serve
+    // from the ONE incrementally-built signature table per corpus
+    // (incrementalSignaturesPath — build half, append half, compact):
+    // the pair stage reads stored parquet with zero signature recompute.
     for (q <- Seq("q_dedup_minhash", "q_dedup_jaccard")) {
       val p = plan(q)
       assert(count(p, "minhash_signature") == 0, s"$q recomputes minhash")
@@ -218,13 +217,28 @@ class PlanSpec extends SparkSpec {
 
   test("semantic dedup catalog queries serve from the materialized " +
       "sign-bucket table: no SignBuckets/norm recompute in the pair stage") {
-    // q_dedup_embed and q_dedup_embed_clusters share embedPairsServed;
+    // q_dedup_embed and q_dedup_embed_clusters both serve from the ONE
+    // incrementally-built sign-bucket table (incrementalSignBucketsPath);
     // the bucket kernel ran once at build time. The raw embeddings are
     // touched only by the post-blocking vector fetch for the verify.
     val p = plan("q_dedup_embed")
     assert(count(p, "sign_buckets") == 0, "q_dedup_embed recomputes buckets")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(2000))
+    // embed_clusters' FINAL plan is checkpoint-truncated by the CC loop
+    // (as the lexical clusters query), so pin its pair stage directly —
+    // the exact DataFrame q_dedup_embed_clusters builds
+    val epairs = graft.analytics.DedupQueries.embedPairsFromBuckets(
+      spark.read.parquet(
+        graft.analytics.DedupQueries.incrementalSignBucketsPath(spark, dir)),
+      graft.core.Tables.load(spark, dir, "embeddings"), 0.4)
+      .queryExecution.executedPlan.toString
+    assert(count(epairs, "sign_buckets") == 0,
+      "embed_clusters pair stage recomputes buckets")
+    assert(epairs.contains("Scan parquet"),
+      "embed_clusters pair stage does not read the stored table")
+    assert(!epairs.contains("CartesianProduct") &&
+      !epairs.contains("BroadcastNestedLoopJoin"), epairs.take(2000))
   }
 
   test("FetchJob.transform is a single narrow stage (no exchange)") {

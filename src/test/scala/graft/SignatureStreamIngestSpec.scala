@@ -77,21 +77,19 @@ class SignatureStreamIngestSpec extends SparkSpec {
   }
 
   test("incrementally-built sign-bucket table == one-shot build") {
-    withTempDir { root =>
-      val e = Tables.load(spark, sf, "embeddings")
-      val sb = root.resolve("sb").toString
-      DedupQueries.bucketedSignBuckets(e.filter(col("vec_id") % 2 === 0))
-        .write.mode("overwrite").partitionBy("bkt").parquet(sb)
-      DedupQueries.appendToSignBucketsIdempotent(
-        e.filter(col("vec_id") % 2 === 1), sb, 3L)
-      assert(DedupQueries.compactSignatures(spark, sb) > 0)
-      def rows(df: org.apache.spark.sql.DataFrame) =
-        df.select(col("vec_id"), col("band"), col("bucket"), col("nrm"))
-          .collect().map(r =>
-            (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
-      assert(rows(spark.read.parquet(sb)) ==
-        rows(DedupQueries.signBucketTable(e)))
-    }
+    // pins the REAL builder the catalog serves from (memo key, parity
+    // split, append batch, compact — all inside incrementalSignBucketsPath),
+    // not a hand-rolled re-enactment of its steps
+    val e = Tables.load(spark, sf, "embeddings")
+    val sb = DedupQueries.incrementalSignBucketsPath(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("band"), col("bucket"), col("nrm"))
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(spark.read.parquet(sb)) ==
+      rows(DedupQueries.signBucketTable(e)))
+    // the builder memoizes: a second call serves the same path
+    assert(DedupQueries.incrementalSignBucketsPath(spark, sf) == sb)
   }
 
   test("replayed signature batch converges (exactly-once), compaction safe") {
