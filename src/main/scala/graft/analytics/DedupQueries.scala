@@ -258,7 +258,7 @@ object DedupQueries {
     * build time, shared by minhash candidates, Jaccard verify, and the
     * cluster closure alike.
     */
-  private def lshCandidatesServed(
+  private[graft] def lshCandidatesServed(
       s: SparkSession, dir: String, extra: Seq[String]): DataFrame =
     candidatePairsFromSignatures(
       s.read.parquet(incrementalSignaturesPath(s, dir)), extra)
@@ -442,7 +442,7 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  private def embedPairsServed(
+  private[graft] def embedPairsServed(
       s: SparkSession, dir: String, threshold: Double): DataFrame =
     embedPairsFromBuckets(
       s.read.parquet(incrementalSignBucketsPath(s, dir)),
@@ -667,12 +667,12 @@ object DedupQueries {
          |SELECT doc_id, cluster_id,
          |  CAST(count(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS csize
          |FROM cl ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      // pair stage served from the INCREMENTALLY-built signature table
-      // (build half → append half → compact): same rows as the one-shot
-      // memo, so this query's hash gate covers the lexical index
-      // lifecycle the way q_ann_codes_served covers the codes table's
-      val pairs = candidatePairsFromStored(
-        s, incrementalSignaturesPath(s, dir), Seq("shs"))
+      // pair stage served from the same incrementally-built signature
+      // table as q_dedup_minhash/q_dedup_jaccard (build half → append
+      // half → compact), so this query's hash gate covers the lexical
+      // index lifecycle the way q_ann_codes_served covers the codes
+      // table's
+      val pairs = lshCandidatesServed(s, dir, Seq("shs"))
         .withColumn("jac", jaccard(col("shs_a"), col("shs_b")))
         .filter(col("jac") >= 0.5)
         .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"))
@@ -878,12 +878,10 @@ object DedupQueries {
         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS csize,
         |  CAST(vec_id = cluster_id AS INTEGER) AS keep
         |FROM cl ORDER BY vec_id""".stripMargin) { (s, dir) =>
-      // pair stage served from the INCREMENTALLY-built sign-bucket
-      // table (build half → append half → compact) — the embedding
-      // mirror of q_dedup_clusters' lifecycle gate
-      val pairs = embedPairsFromBuckets(
-        s.read.parquet(incrementalSignBucketsPath(s, dir)),
-        t(s, dir, "embeddings"), 0.4)
+      // pair stage served from the same incrementally-built sign-bucket
+      // table as q_dedup_embed (build half → append half → compact) —
+      // the embedding mirror of q_dedup_clusters' lifecycle gate
+      val pairs = embedPairsServed(s, dir, 0.4)
         .select(col("id_a"), col("id_b"))
       graft.operators.ConnectedComponents.runAdaptive(pairs, "id_a", "id_b")._1
         .select(col("id").as("vec_id"), col("component").as("cluster_id"))

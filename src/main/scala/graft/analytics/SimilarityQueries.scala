@@ -410,6 +410,18 @@ object SimilarityQueries {
       t(s, dir, "embeddings"), "vec_id", "cell")(
       codesTable(_, cbIvf, cbPq))
 
+  /** The one pinned-codebook stored-index serve both q_ann_ivfpq and
+    * q_ann_codes_served run (shared so the two entries cannot diverge):
+    * read THE memoized incrementally-built codes table for the corpus
+    * and serve through [[ivfPqServeFromCodes]].
+    */
+  private def pinnedIvfPqServe(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cb = collectCodebook(e, 16)
+    val codes = s.read.parquet(incrementalCodesPath(s, dir, cb, cb))
+    ivfPqServeFromCodes(e, codes, cb, cb, 10)
+  }
+
   /** ADC candidate top-`topC` per query reading ONLY the stored codes
     * table: prune to the probed cells (a static partition filter —
     * `probedCells` is the query batch's cell set, ≤ nQueries×nprobe
@@ -782,12 +794,7 @@ object SimilarityQueries {
     // full pipeline — approximate distances included — hash-matches
     // the oracle.
     GraftQuery(
-      "q_ann_ivfpq", ivfPqPinnedSql) { (s, dir) =>
-      val e = t(s, dir, "embeddings")
-      val cb = collectCodebook(e, 16)
-      val codes = s.read.parquet(incrementalCodesPath(s, dir, cb, cb))
-      ivfPqServeFromCodes(e, codes, cb, cb, 10)
-    },
+      "q_ann_ivfpq", ivfPqPinnedSql)(pinnedIvfPqServe),
 
     // ------------------- IVF-PQ from the INCREMENTALLY-BUILT stored index
     // The index-lifecycle gate: the ONE codes table per corpus
@@ -800,14 +807,11 @@ object SimilarityQueries {
     // q_ann_ivfpq's SQL. Since the serve consolidation (one index build
     // per family, round 6) q_ann_ivfpq reads the same table; this entry
     // remains as the explicitly-documented lifecycle gate (parquet
-    // append round-trip, per-cell rewrite, partition pruning) and costs
-    // only a cached-table read on top.
-    GraftQuery("q_ann_codes_served", ivfPqPinnedSql) { (s, dir) =>
-      val e = t(s, dir, "embeddings")
-      val cb = collectCodebook(e, 16)
-      val codes = s.read.parquet(incrementalCodesPath(s, dir, cb, cb))
-      ivfPqServeFromCodes(e, codes, cb, cb, 10)
-    },
+    // append round-trip, per-cell rewrite, partition pruning). The two
+    // entries share [[pinnedIvfPqServe]] so they cannot diverge; only
+    // the index BUILD is memoized — each run re-executes the serve
+    // join/rank, so keeping the gate costs one extra serve per round.
+    GraftQuery("q_ann_codes_served", ivfPqPinnedSql)(pinnedIvfPqServe),
 
     // ----------------------------------------------- multiband dense LSH
     // Multi-table sign-LSH ANN (the recall upgrade over the single

@@ -2,7 +2,7 @@ package graft.sinks
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod}
 
 /** Exactly-once incremental maintenance for a hive-partitioned parquet
   * table — the machinery behind both incremental indexes (the ANN codes
@@ -108,14 +108,18 @@ object IncrementalParquet {
   def buildViaLifecycle(
       memo: java.util.concurrent.ConcurrentHashMap[String, String],
       key: String, tmpPrefix: String,
-      source: DataFrame, idCol: String, partCol: String)(
+      source: => DataFrame, idCol: String, partCol: String)(
       transform: DataFrame => DataFrame): String =
     graft.core.Tables.memoizedParquet(memo, key, tmpPrefix) { out =>
-      val spark = source.sparkSession
-      transform(source.filter(col(idCol) % 2 === 0))
+      // by-name source: a memo-hit serve never constructs the DataFrame
+      val src = source
+      val spark = src.sparkSession
+      // pmod, not %: Spark's % keeps the dividend's sign, so a plain
+      // `% 2 === 1` split would silently drop negative odd ids
+      transform(src.filter(pmod(col(idCol), lit(2)) === 0))
         .write.mode("overwrite").partitionBy(partCol).parquet(out)
       appendIdempotent(spark, out, partCol, 1L) { stage =>
-        transform(source.filter(col(idCol) % 2 === 1))
+        transform(src.filter(pmod(col(idCol), lit(2)) === 1))
           .write.mode("overwrite").partitionBy(partCol).parquet(stage)
       }
       compact(spark, out, partCol)(s => Int.box(s.toInt))

@@ -204,10 +204,10 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("Scan parquet"), s"$q does not read the stored table")
     }
     // clusters' FINAL plan is checkpoint-truncated by the CC loop, so
-    // pin its pair stage directly (the exact DataFrame the query builds)
-    val pairs = graft.analytics.DedupQueries.candidatePairsFromStored(
-      spark, graft.analytics.DedupQueries.incrementalSignaturesPath(spark, dir),
-      Seq("shs")).queryExecution.executedPlan.toString
+    // pin its pair stage directly — the SAME helper the query calls
+    // (lshCandidatesServed), not a re-enactment that could drift
+    val pairs = graft.analytics.DedupQueries.lshCandidatesServed(
+      spark, dir, Seq("shs")).queryExecution.executedPlan.toString
     assert(count(pairs, "minhash_signature") == 0, "clusters recomputes minhash")
     assert(count(pairs, "sha2") == 0, "clusters recomputes SHA")
     assert(count(pairs, "regexp_extract_all") == 0, "clusters re-tokenizes")
@@ -227,12 +227,9 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
     // embed_clusters' FINAL plan is checkpoint-truncated by the CC loop
     // (as the lexical clusters query), so pin its pair stage directly —
-    // the exact DataFrame q_dedup_embed_clusters builds
-    val epairs = graft.analytics.DedupQueries.embedPairsFromBuckets(
-      spark.read.parquet(
-        graft.analytics.DedupQueries.incrementalSignBucketsPath(spark, dir)),
-      graft.core.Tables.load(spark, dir, "embeddings"), 0.4)
-      .queryExecution.executedPlan.toString
+    // the SAME helper both embed queries call (embedPairsServed)
+    val epairs = graft.analytics.DedupQueries.embedPairsServed(
+      spark, dir, 0.4).queryExecution.executedPlan.toString
     assert(count(epairs, "sign_buckets") == 0,
       "embed_clusters pair stage recomputes buckets")
     assert(epairs.contains("Scan parquet"),
