@@ -13,20 +13,22 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("bench line fits the driver tail window at catalog+20 queries") {
     // POLICY for the precision ladder vs the top-k fallback: the line
-    // renders at 3→0 decimals first and only then drops queries,
-    // keeping the SLOWEST ones and saying how many were dropped
-    // ("dropped":N). At the current catalog (~90) the ladder holds with
-    // ≥1 decimal; headroom checked here at +20 phantom queries with
-    // pessimistic double-digit walls. When the catalog grows enough
-    // that even 0-decimal overflows (~110+ real-length names), the
-    // fallback engages by design — the assertions below then enforce
-    // it keeps a meaningful prefix (>30 slowest queries) rather than
-    // truncating arbitrarily.
+    // renders at 3→1 decimals, sheds "passes", and then drops the
+    // FASTEST queries one at a time ("dropped":N) — never degrading to
+    // 0 decimals, which would erase the regression signal for the
+    // whole sub-second majority of the catalog. The calibration
+    // yardstick outlives everything except errors/noisy: it is what
+    // lets a judge tell a code regression from a contended host. When
+    // the fallback engages, the assertions below enforce it keeps a
+    // meaningful prefix (>30 slowest queries) rather than truncating
+    // arbitrarily.
     val names = SparkEntry.queries.keys.toSeq ++
       (1 to 20).map(i => s"q_phantom_padding_$i")
-    // pessimistic widths: double-digit seconds for every query
+    // pessimistic widths: double-digit seconds for every query, plus
+    // every optional field a worst-case run would carry
     val results = names.map(_ -> 12.345678).toMap
-    val line = Bench.renderLine(results, "/root/testdata/sf0.1")
+    val line = Bench.renderLine(results, "/root/testdata/sf0.1",
+      errors = 2, flaky = 1, calib = Some(0.123), noise = Some(12.3))
     assert(line.length < 1970,
       s"bench line ${line.length} chars at ${names.size} queries — " +
         "the precision ladder no longer fits the driver's 2000-char tail")
@@ -53,14 +55,23 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("bench line at the real catalog keeps >= 1-decimal resolution") {
     val results = SparkEntry.queries.keys.map(_ -> 1.234567).toMap
-    val line = Bench.renderLine(results, "/root/testdata/sf0.1")
+    val line = Bench.renderLine(results, "/root/testdata/sf0.1",
+      calib = Some(0.123))
     assert(line.length < 1970)
-    // 100 ms per-query resolution minimum: at 92 queries the ladder
-    // sheds the constant "passes" provenance field to keep it (the
-    // value is pinned in Bench.Passes and BenchSpec; per-query decimals
-    // feed the round-over-round regression check, a constant does not)
+    // 100 ms per-query resolution minimum: per-query decimals feed the
+    // round-over-round regression check, so the ladder never degrades
+    // below 1 decimal — it sheds "passes" and then the fastest few
+    // queries instead
     assert(line.contains(":1.2"), line.take(200))
-    assert(!line.contains("\"dropped\":"), "fallback engaged at real catalog size")
+    // the host yardstick must survive at the real catalog: it is the
+    // evidence that distinguishes a code regression from a slow host
+    // (BENCH_r04/r06 were adjudicated only by controlled re-runs).
+    // Worth more than the walls of the few fastest queries it costs.
+    assert(line.contains("\"calib\":0.123"),
+      s"calib shed at real catalog size (line ${line.length} chars)")
+    val dropped = "\"dropped\":(\\d+)".r.findFirstMatchIn(line).map(_.group(1).toInt)
+    assert(dropped.getOrElse(0) <= 4,
+      s"dropped ${dropped.getOrElse(0)} queries at real catalog size — too many")
     // error/flaky signals survive the shed step: inject one and the
     // line must still carry it at full catalog size
     val withErr = Bench.renderLine(results, "/root/testdata/sf0.1", errors = 1)

@@ -86,4 +86,32 @@ class BenchSpec extends AnyFunSuite {
     assert(!line.contains("\"errors\""))
     assert(!line.contains("\"flaky\""))
   }
+
+  test("calibration stats: upper median and max/min ratio") {
+    assert(Bench.calibStats(Seq.empty) == (None, None))
+    assert(Bench.calibStats(Seq(0.5)) == (Some(0.5), None))
+    val (med, ratio) = Bench.calibStats(Seq(0.1, 0.4, 0.2, 0.1))
+    assert(med.contains(0.2)) // sorted (0.1,0.1,0.2,0.4): upper median
+    assert(ratio.exists(r => math.abs(r - 4.0) < 1e-9))
+  }
+
+  test("calibrate measures a fixed CPU workload, repeatably") {
+    Bench.calibrate() // JIT warm, as main() does
+    val a = Bench.calibrate()
+    val b = Bench.calibrate()
+    assert(a > 0.005 && a < 10.0, s"calibration wall $a implausible")
+    // same workload back-to-back: within-JVM repeatability is the whole
+    // point of the yardstick; 5x tolerance keeps this stable on any CI
+    assert(math.max(a, b) / math.min(a, b) < 5.0, s"calib unstable: $a vs $b")
+  }
+
+  test("the line carries calib as provenance and noisy as a failure signal") {
+    val line = Bench.renderLine(Map("q_x" -> 1.234), "/tmp/sf0.1",
+      calib = Some(0.0843), noise = Some(3.21))
+    assert(line.contains("\"calib\":0.084"))
+    assert(line.contains("\"noisy\":3.2"))
+    val clean = Bench.renderLine(Map("q_x" -> 1.234), "/tmp/sf0.1",
+      calib = Some(0.0843), noise = None)
+    assert(!clean.contains("\"noisy\""), "a clean run must not carry noisy")
+  }
 }
