@@ -82,6 +82,30 @@ object CcScaleProbe {
       val n = labels.count()
       println(f"SCALE-CC shape=path512 algo=minlabel nodes=$n wall=$w%.1f (diameter rounds)")
     }
+    {
+      // cluster MAINTENANCE: fold a 20k-edge batch into the 1M-node
+      // labeling vs recomputing the closure over the union from
+      // scratch. The batch is adversarial-ish: 10k bridges each
+      // merging two neighboring cliques (so the contracted graph has
+      // real work) plus 10k edges among 20k brand-new nodes.
+      val base = ConnectedComponents.runAdaptive(cliques, "a", "b")._1
+        .localCheckpoint()
+      val bridges = spark.range(10000L)
+        .select((col("id") * 10).as("g"))
+        .select((col("g") * 5).as("a"), ((col("g") + 1) * 5).as("b"))
+      val fresh = spark.range(10000L)
+        .select((col("id") + 2000000L).as("a"), (col("id") + 2020000L).as("b"))
+      val batch = bridges.unionByName(fresh).localCheckpoint()
+      val (nInc, wInc) = time {
+        ConnectedComponents.incremental(base, batch, "a", "b").count()
+      }
+      val (nFull, wFull) = time {
+        ConnectedComponents.runAdaptive(
+          cliques.unionByName(batch), "a", "b")._1.count()
+      }
+      println(f"SCALE-CC shape=clique5x200k+20kbatch algo=incremental " +
+        f"nodes=$nInc wall=$wInc%.1f (full-recompute nodes=$nFull wall=$wFull%.1f)")
+    }
     spark.stop()
   }
 }

@@ -439,7 +439,10 @@ object DedupQueries {
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine"))
-      .orderBy(col("id_a"), col("id_b"))
+      // deliberately UNSORTED: the cluster-closure consumer feeds these
+      // pairs straight into ConnectedComponents (which repartitions),
+      // so a global sort here would be a wasted exchange; q_dedup_embed
+      // adds its own ORDER BY at the catalog boundary
   }
 
   private[graft] def embedPairsServed(
@@ -684,6 +687,59 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     },
 
+    // -------------------------------------- incremental cluster fold
+    // The cluster-MAINTENANCE path under the driver's hash gate: the
+    // other O(corpus)-per-batch stage a continuously-ingesting dedup
+    // pipeline would hit. Signatures and codes already append at
+    // O(batch) (IncrementalParquet); this gates the closure doing the
+    // same — half the verified pairs form the existing labeling, the
+    // other half folds in via ConnectedComponents.incremental (new
+    // edges contract to component representatives, components run on
+    // the batch-bounded contracted graph, one relabel join applies the
+    // merges). The oracle is the SAME full recursive closure as
+    // q_dedup_clusters: incremental fold == full recompute is exactly
+    // the identity being checked.
+    GraftQuery(
+      "q_dedup_clusters_incr",
+      s"""${lshCandidatesSql("shs", "shs", recursive = true)},
+         |j AS (SELECT doc_a, doc_b FROM (
+         |        SELECT doc_a, doc_b,
+         |          CAST(len(list_intersect(ea, eb)) AS DOUBLE)
+         |            / (len(ea) + len(eb) - len(list_intersect(ea, eb))) AS jac
+         |        FROM pair)
+         |      WHERE jac >= 0.5),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM j
+         |          UNION SELECT doc_b, doc_a FROM j),
+         |reach AS (
+         |  SELECT u AS node, u AS lab FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.v AS node, r.lab FROM reach r JOIN edges e ON e.u = r.node),
+         |cl AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+         |SELECT doc_id, cluster_id,
+         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS csize
+         |FROM cl ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pairs = lshCandidatesServed(s, dir, Seq("shs"))
+        .withColumn("jac", jaccard(col("shs_a"), col("shs_b")))
+        .filter(col("jac") >= 0.5)
+        .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"))
+        .persist() // both halves filter this; compute the verify once
+      // a deterministic, arrival-agnostic split standing in for "the
+      // corpus so far" vs "the next batch" — the identity holds for ANY
+      // split, so parity is as good a gate as a real arrival order
+      val half = pmod(col("doc_a") + col("doc_b"), lit(2))
+      val base = graft.operators.ConnectedComponents
+        .runAdaptive(pairs.filter(half === 0), "doc_a", "doc_b")._1
+      val merged = graft.operators.ConnectedComponents
+        .incremental(base, pairs.filter(half === 1), "doc_a", "doc_b")
+      pairs.unpersist() // base and merged are checkpoint-backed
+      merged
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+        .withColumn("csize",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cluster_id"))).cast(IntegerType))
+        .orderBy(col("doc_id"))
+    },
+
     // -------------------------------------------------------- SimHash
     // SimHash near-dup over 3-gram SHINGLE features (unigram token sets
     // are near-identical across this shared-vocabulary corpus, which
@@ -850,7 +906,7 @@ object DedupQueries {
       s"""${embedPairSql(recursive = false)}
         |SELECT id_a, id_b, round(cos, 4) AS cosine
         |FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-      embedPairsServed(s, dir, 0.4)
+      embedPairsServed(s, dir, 0.4).orderBy(col("id_a"), col("id_b"))
     },
 
     // ------------------------------------- embedding near-dup clusters

@@ -215,6 +215,76 @@ object ConnectedComponents {
     }
   }
 
+  /** Incrementally fold a batch of NEW edges into an EXISTING labeling
+    * — the cluster-maintenance step a continuously-ingesting dedup
+    * pipeline needs: signatures and codes already append per batch at
+    * O(batch) ([[graft.sinks.IncrementalParquet]]), and recomputing the
+    * closure over the whole corpus per batch would be the one remaining
+    * O(corpus) stage. `labels` is a valid min-reachable-id labeling
+    * (`id`, `component`) of the graph so far (from [[run]] /
+    * [[runAdaptive]] / a previous call to this); `newEdges` is the
+    * batch's pair list. Returns the labeling of the UNION graph,
+    * identical to a full recompute (ConnectedComponentsSpec pins the
+    * identity on random graphs, across multi-batch folds and
+    * batch-introduced nodes).
+    *
+    * Shape: every new edge maps endpoints → their current component
+    * (endpoints unseen so far enter as their own singleton component),
+    * self-edges inside one component drop, and connected components
+    * run on the CONTRACTED graph — whose size is bounded by the
+    * batch's edge count, not the corpus. Correctness of the
+    * composition is the [[runAdaptive]] contraction argument: each
+    * existing component's label IS its minimum node id, so the minimum
+    * over a merged group of component labels is the global minimum id
+    * of the merged component. The final relabel join touches every
+    * stored label row, but the contracted label map is batch-sized —
+    * broadcast at scale, no shuffle of the corpus-sized side; a
+    * deployment keeping labels in a partitioned table writes back only
+    * rows whose component actually changed (`acomp` non-null and
+    * different), an O(changed) upsert via the same partitioned-upsert
+    * machinery the index tables use.
+    */
+  def incremental(
+      labels: DataFrame,
+      newEdges: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val e = newEdges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist()
+    e.count() // materialize the (possibly expensive) pair stage once
+    val lab = labels.select(col("id"), col("component"))
+    // endpoints the existing labeling has never seen enter as their own
+    // singleton component — exactly what a full run would assign them
+    // before any of the new edges apply
+    val newNodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct()
+      .join(lab, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    val ext = lab.unionByName(newNodes).persist()
+    ext.count()
+    val la = ext.select(col("id").as("ia"), col("component").as("ca"))
+    val lb = ext.select(col("id").as("ib"), col("component").as("cb"))
+    val contracted = e.join(la, e("src") === la("ia"))
+      .join(lb, e("dst") === lb("ib"))
+      .select(col("ca").as("u"), col("cb").as("w"))
+      .filter(col("u") =!= col("w"))
+      .distinct()
+    // the contracted graph is batch-bounded; min-label with the
+    // alternating fallback keeps adversarial batch topologies log-round
+    val (alt, _) = runAdaptive(contracted, "u", "w")
+    e.unpersist() // alt is checkpoint-backed; nothing derives from e now
+    val altMap = alt.select(col("id").as("aid"), col("component").as("acomp"))
+    val out = ext.join(altMap, ext("component") === altMap("aid"), "left")
+      .select(ext("id"),
+        coalesce(col("acomp"), ext("component")).as("component"))
+      .localCheckpoint() // materialize before releasing ext
+    ext.unpersist()
+    out
+  }
+
   /** Large-star: per node u over the symmetrized edge list, link every
     * STRICTLY LARGER neighbor to m = min(Γ(u) ∪ {u}). Self-loops drop;
     * output is deduplicated.

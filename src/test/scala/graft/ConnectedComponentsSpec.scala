@@ -152,6 +152,48 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.forall(_._2 == 1L), s"bad labels: ${got.filter(_._2 != 1L).take(5).toSeq}")
   }
 
+  test("incremental fold equals a full recompute on seeded random graphs") {
+    import spark.implicits._
+    // The maintenance identity: CC(all edges) == incremental(CC(old),
+    // new) for ANY split — including splits whose second half merges
+    // components learned from the first and introduces brand-new nodes.
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30
+      val edges = Seq.fill(26)(
+        (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+        .filter { case (a, b) => a != b }
+      val (old, batch) = edges.partition { case (a, b) => (a + b) % 2 == 0 }
+      val base = ConnectedComponents.runAdaptive(
+        old.toDF("a", "b"), "a", "b")._1
+      val got = ConnectedComponents.incremental(
+          base, batch.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect()
+      assert(got.length == got.map(_._1).distinct.length,
+        s"seed=$seed duplicate node rows")
+      assert(got.toMap == unionFind(edges), s"seed=$seed edges=$edges")
+    }
+  }
+
+  test("incremental fold handles merges, new nodes, and repeated batches") {
+    import spark.implicits._
+    // batch 1 bridges two existing components AND brings an entirely
+    // new component; batch 2 bridges the new component into the merged
+    // one — chained folds must keep the min-reachable-id invariant
+    val old = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+    val b1 = Seq((3L, 10L), (50L, 51L))
+    val b2 = Seq((51L, 11L))
+    val base = ConnectedComponents.runAdaptive(old.toDF("a", "b"), "a", "b")._1
+    val after1 = ConnectedComponents.incremental(base, b1.toDF("a", "b"), "a", "b")
+    val after2 = ConnectedComponents.incremental(after1, b2.toDF("a", "b"), "a", "b")
+    assert(after1.as[(Long, Long)].collect().toMap == unionFind(old ++ b1))
+    assert(after2.as[(Long, Long)].collect().toMap == unionFind(old ++ b1 ++ b2))
+    // an EMPTY batch is the identity
+    val same = ConnectedComponents.incremental(
+      base, Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+    assert(same.as[(Long, Long)].collect().toMap == unionFind(old))
+  }
+
   test("10k-node path graph converges in O(log n) rounds") {
     import spark.implicits._
     val n = 10000L
