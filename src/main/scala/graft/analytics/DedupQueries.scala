@@ -319,6 +319,30 @@ object DedupQueries {
       s: SparkSession, sigDir: String, extra: Seq[String] = Seq.empty): DataFrame =
     candidatePairsFromSignatures(s.read.parquet(sigDir), extra)
 
+  /** Jaccard-verified near-dup pairs TOUCHING a batch, served from the
+    * stored signature table — the per-trigger pair stage of continuous
+    * dedup maintenance. Call AFTER the batch's signatures are appended:
+    * the batch band-joins the stored table (batch-self pairs included,
+    * since the stored side contains the batch), which costs
+    * |batch| × colliders, never corpus² — the corpus is not
+    * re-self-joined, and pairs among pre-existing docs (already folded
+    * into the labels table by earlier triggers) are not re-derived.
+    * Shingle sets for the verify are fetched by id from the stored
+    * table for exactly the candidate pairs.
+    */
+  def batchVerifiedPairs(
+      s: SparkSession, sigDir: String, batch: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val stored = s.read.parquet(sigDir)
+    val pairs = crossBatchCandidatePairs(rawSignatures(batch), stored)
+    val sa = stored.select(col("doc_id").as("doc_id_a"), col("shs").as("shs_a"))
+    val sb = stored.select(col("doc_id").as("doc_id_b"), col("shs").as("shs_b"))
+    pairs.join(sa, "doc_id_a").join(sb, "doc_id_b")
+      .withColumn("jac", jaccard(col("shs_a"), col("shs_b")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_id_a"), col("doc_id_b"))
+  }
+
   /** THE materialized signature table per corpus, memoized and built
     * through the incremental lifecycle (the lexical mirror of
     * [[SimilarityQueries.incrementalCodesPath]] — shared shape in

@@ -97,8 +97,18 @@ object ConnectedComponents {
       .unionByName(nodes.select(col("id").as("src"), col("id").as("dst")))
       .persist()
 
+    // Round 1 needs no label join: with label0(u) = u, the propagated
+    // label is min(dst) over symSelf edges from u (self-loops make that
+    // min(neighbors ∪ {u}) exactly) — a bare aggregation, saving the
+    // identity-labeling checkpoint job the loop otherwise pays first.
+    // Round 1 always counts as "changed": labels only decrease, so it
+    // can only be a fixed point when every component is a singleton —
+    // and then round 2 is a no-op pass over nodes-only rows that just
+    // confirms convergence.
     val initObs = Observation()
-    var labels = nodes.withColumn("label", col("id"))
+    var labels = symSelf
+      .groupBy(col("src")).agg(min(col("dst")).as("label"))
+      .select(col("src").as("id"), col("label"))
       .observe(initObs, sum(col("label").cast(DecimalType(38, 0))).as("lsum"))
       .localCheckpoint()
     // convergence via the label-sum: labels only ever DECREASE
@@ -135,7 +145,7 @@ object ConnectedComponents {
     var prevSum = lsum(initObs, labels)
 
     var changed = true
-    var it = 0
+    var it = 1 // the pre-loop aggregation was propagation round 1
     while (changed && it < maxIter) {
       val obs = Observation()
       val next = symSelf.join(labels, symSelf("src") === labels("id"))
@@ -249,6 +259,59 @@ object ConnectedComponents {
       newEdges: DataFrame,
       aCol: String,
       bCol: String): DataFrame = {
+    val (_, _, ext, altMap, release) = foldPieces(labels, newEdges, aCol, bCol)
+    val out = ext.join(altMap, ext("component") === altMap("aid"), "left")
+      .select(ext("id"),
+        coalesce(col("acomp"), ext("component")).as("component"))
+      .localCheckpoint() // materialize before releasing the persisted inputs
+    release()
+    out
+  }
+
+  /** The UPSERT form of [[incremental]]: only the rows a stored labels
+    * table must write — batch-introduced nodes (with their folded
+    * labels, which may be their own ids) and existing rows whose
+    * component changed. Applying this delta over the old labels (new
+    * rows inserted, changed rows' `component` replaced) yields exactly
+    * [[incremental]]'s full output, so a continuously-maintained
+    * labels table pays O(changed) writes per batch instead of
+    * rewriting O(corpus) rows — the same cost shape as the index
+    * tables' per-batch appends. A replay of an already-folded batch
+    * produces an EMPTY delta (its edges contract to self-loops and its
+    * nodes are all present), which is what makes at-least-once
+    * delivery converge to exactly-once labels.
+    */
+  def incrementalDelta(
+      labels: DataFrame,
+      newEdges: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val (lab, newNodes, _, altMap, release) =
+      foldPieces(labels, newEdges, aCol, bCol)
+    val changedOld = lab.join(altMap, lab("component") === altMap("aid"))
+      .filter(col("acomp") =!= lab("component"))
+      .select(lab("id"), col("acomp").as("component"))
+    val fresh = newNodes
+      .join(altMap, newNodes("component") === altMap("aid"), "left")
+      .select(newNodes("id"),
+        coalesce(col("acomp"), newNodes("component")).as("component"))
+    val out = changedOld.unionByName(fresh).localCheckpoint()
+    release()
+    out
+  }
+
+  /** Shared core of [[incremental]] / [[incrementalDelta]]: returns
+    * (existing labels, batch-introduced singleton rows, their union
+    * `ext` (persisted), the contracted-component relabel map — built by
+    * running CC on the batch-bounded contracted graph — and a release
+    * hook for the persisted inputs, to call after materializing any
+    * derived output).
+    */
+  private def foldPieces(
+      labels: DataFrame,
+      newEdges: DataFrame,
+      aCol: String,
+      bCol: String): (DataFrame, DataFrame, DataFrame, DataFrame, () => Unit) = {
     val e = newEdges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
@@ -275,14 +338,11 @@ object ConnectedComponents {
     // the contracted graph is batch-bounded; min-label with the
     // alternating fallback keeps adversarial batch topologies log-round
     val (alt, _) = runAdaptive(contracted, "u", "w")
-    e.unpersist() // alt is checkpoint-backed; nothing derives from e now
     val altMap = alt.select(col("id").as("aid"), col("component").as("acomp"))
-    val out = ext.join(altMap, ext("component") === altMap("aid"), "left")
-      .select(ext("id"),
-        coalesce(col("acomp"), ext("component")).as("component"))
-      .localCheckpoint() // materialize before releasing ext
-    ext.unpersist()
-    out
+    // e stays persisted until release: newNodes (and so ext's second
+    // consumer in the delta path) still derives from it
+    (lab, newNodes, ext, altMap,
+      () => { ext.unpersist(); e.unpersist(); () })
   }
 
   /** Large-star: per node u over the symmetrized edge list, link every

@@ -429,6 +429,84 @@ object StreamingPipeline {
     }
   }
 
+  /** Continuous dedup maintenance — the full closed loop a training
+    * pipeline runs at ingest time, composed per micro-batch from the
+    * pieces that each hold their own exactly-once contract:
+    *
+    *  1. the batch's signatures append into the stored table
+    *     ([[graft.analytics.DedupQueries.appendToSignaturesIdempotent]]
+    *     — ack markers make a replay a no-op);
+    *  2. near-dup pairs TOUCHING the batch are derived from the stored
+    *     table at |batch| × colliders cost
+    *     ([[graft.analytics.DedupQueries.batchVerifiedPairs]] — the
+    *     corpus is never re-self-joined, pairs among pre-existing docs
+    *     are never re-derived);
+    *  3. the new edges fold into the durable cluster-labels table at
+    *     batch-bounded cost ([[graft.operators.ConnectedComponents
+    *     .incrementalDelta]] — merges run on the contracted graph,
+    *     and only changed/new label rows are written, through the
+    *     crash-recovering partitioned upsert).
+    *
+    * Replay convergence: an already-folded batch's delta is EMPTY (its
+    * edges contract to self-loops, its nodes already carry labels), so
+    * at-least-once `foreachBatch` delivery yields exactly-once label
+    * state — ClusterMaintenanceSpec pins the fold-equals-full-recompute
+    * identity across triggers, replay, and a mid-stream crash window.
+    * Public (not private to the stream wiring) so the spec can drive
+    * single batches and replays directly.
+    */
+  def maintainClusters(
+      spark: SparkSession, sigDir: String, labelsDir: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    graft.analytics.DedupQueries.appendToSignaturesIdempotent(
+      batch, sigDir, batchId)
+    val edges = graft.analytics.DedupQueries.batchVerifiedPairs(
+      spark, sigDir, batch)
+    val delta = graft.operators.ConnectedComponents.incrementalDelta(
+      clusterLabels(spark, labelsDir), edges, "doc_id_a", "doc_id_b")
+    if (!delta.isEmpty) // delta is checkpoint-backed: no recompute here
+      Upsert.upsertParquetPartitioned(spark, delta, labelsDir,
+        key = "id", updateColumns = Seq("component"), numBuckets = 16)
+  }
+
+  /** The durable cluster-labels table `(id, component)` the maintenance
+    * loop keeps current — empty-but-typed before the first fold. Only
+    * pair-incident docs appear (exactly [[graft.operators
+    * .ConnectedComponents.run]]'s contract); singletons are implicit.
+    */
+  def clusterLabels(spark: SparkSession, labelsDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(labelsDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      spark.read.parquet(labelsDir).select(col("id"), col("component"))
+    else {
+      import spark.implicits._
+      spark.emptyDataset[(Long, Long)].toDF("id", "component")
+    }
+  }
+
+  /** Streaming wiring for [[maintainClusters]]: a parquet file stream
+    * of arriving `(doc_id, text)` document batches drives the
+    * append → pair → fold loop once per micro-batch.
+    */
+  def startDedupMaintenance(
+      spark: SparkSession,
+      incomingDir: String,
+      sigDir: String,
+      labelsDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = new StructType()
+      .add("doc_id", LongType, nullable = false)
+      .add("text", StringType)
+    startIndexIngest(spark, incomingDir, checkpointDir, schema, trigger) {
+      (batch, batchId) =>
+        maintainClusters(spark, sigDir, labelsDir, batch, batchId)
+    }
+  }
+
   def decontaminationGate(
       docs: DataFrame,
       bloomBits: Array[Long],

@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.analytics.DedupQueries
+import graft.core.Tables
+import graft.operators.ConnectedComponents
+import graft.streaming.StreamingPipeline
+
+/** Continuous dedup maintenance end-to-end: document batches arrive as
+  * parquet files, each micro-batch appends its signatures, derives the
+  * near-dup pairs touching it from the stored table, and folds the new
+  * edges into a durable cluster-labels table at batch-bounded cost.
+  * The invariant pinned throughout: after any prefix of batches, the
+  * labels table equals a from-scratch closure over the corpus landed
+  * so far — and replays fold to an empty delta, so at-least-once
+  * delivery converges to exactly-once labels.
+  */
+class ClusterMaintenanceSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs = Tables.load(spark, sf, "documents")
+    .select(col("doc_id"), col("text"))
+
+  private def land(df: org.apache.spark.sql.DataFrame, incoming: Path,
+      name: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val tmp = Files.createTempDirectory("land")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, incoming.resolve(name))
+  }
+
+  /** From-scratch ground truth over `corpus`: verified pairs (the same
+    * LSH → Jaccard pipeline the stream serves from its stored table)
+    * then the full closure.
+    */
+  private def fullRecompute(
+      corpus: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+    val sig = DedupQueries.rawSignatures(corpus).repartition(col("doc_id"))
+    val pairs = DedupQueries.candidatePairsFromSignatures(sig, Seq("shs"))
+      .withColumn("jac",
+        graft.functions.SimilarityFunctions.jaccard(col("shs_a"), col("shs_b")))
+      .filter(col("jac") >= 0.5)
+      .select(col("doc_id_a"), col("doc_id_b"))
+    ConnectedComponents.run(pairs, "doc_id_a", "doc_id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private def labelMap(labelsDir: String): Map[Long, Long] =
+    StreamingPipeline.clusterLabels(spark, labelsDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("streamed batches maintain labels == full recompute at every prefix") {
+    withTempDir { root =>
+      val incoming = Files.createDirectory(root.resolve("incoming"))
+      val sig = root.resolve("sig").toString
+      val labels = root.resolve("labels").toString
+      val ckpt = root.resolve("ckpt").toString
+
+      // three disjoint waves; the sf0.001 documents table has planted
+      // near-dup replicas spread across doc_ids, so later waves MERGE
+      // clusters discovered by earlier ones — the hard maintenance case
+      val waves = Seq(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 === 1),
+        docs.filter(col("doc_id") % 3 === 2))
+
+      land(waves(0), incoming, "w0.parquet")
+      StreamingPipeline.startDedupMaintenance(
+        spark, incoming.toString, sig, labels, ckpt, Trigger.AvailableNow())
+        .awaitTermination(180000)
+      assert(labelMap(labels) == fullRecompute(waves(0)))
+
+      land(waves(1), incoming, "w1.parquet")
+      land(waves(2), incoming, "w2.parquet")
+      StreamingPipeline.startDedupMaintenance(
+        spark, incoming.toString, sig, labels, ckpt, Trigger.AvailableNow())
+        .awaitTermination(180000)
+      val fin = labelMap(labels)
+      assert(fin == fullRecompute(docs))
+      assert(fin.nonEmpty)
+      // at least one cluster must span waves (a merge actually happened)
+      // or the corpus would not be exercising the maintenance path
+      val spanning = fin.groupBy(_._2).values
+        .exists(m => m.keys.map(_ % 3).toSet.size > 1)
+      assert(spanning, "no cluster spans waves — test corpus too easy")
+    }
+  }
+
+  test("replaying a folded batch is a no-op: empty delta, same labels") {
+    withTempDir { root =>
+      val sig = root.resolve("sig").toString
+      val labels = root.resolve("labels").toString
+      val b0 = docs.filter(col("doc_id") % 2 === 0)
+      val b1 = docs.filter(col("doc_id") % 2 === 1)
+      StreamingPipeline.maintainClusters(spark, sig, labels, b0, 0L)
+      StreamingPipeline.maintainClusters(spark, sig, labels, b1, 1L)
+      val before = labelMap(labels)
+      assert(before == fullRecompute(docs))
+      // at-least-once replay of BOTH batches, any order
+      StreamingPipeline.maintainClusters(spark, sig, labels, b1, 1L)
+      StreamingPipeline.maintainClusters(spark, sig, labels, b0, 0L)
+      assert(labelMap(labels) == before)
+      // and the delta for an already-folded batch is literally empty
+      val edges = DedupQueries.batchVerifiedPairs(spark, sig, b1)
+      val delta = ConnectedComponents.incrementalDelta(
+        StreamingPipeline.clusterLabels(spark, labels), edges,
+        "doc_id_a", "doc_id_b")
+      assert(delta.isEmpty)
+    }
+  }
+}
