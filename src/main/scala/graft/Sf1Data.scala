@@ -137,7 +137,8 @@ object Sf1Probe {
     val dirs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.1", "testdata-sf1")
     val queries = Seq(
-      "q_dedup_clusters", "q_dedup_embed_clusters", "q_dedup_jaccard",
+      "q_dedup_clusters", "q_dedup_clusters_incr", "q_dedup_embed_clusters",
+      "q_dedup_jaccard",
       "q_dedup_minhash", "q_dedup_simhash", "q_dedup_simhash64",
       "q_dedup_embed", "q_dedup_exact",
       "q_contamination", "q_contamination_bloom", "q_contamination_ngram",
