@@ -178,13 +178,17 @@ object Bench {
     * they exist only when something failed, and a failure signal
     * outranks a decimal.
     *
-    * `"calib"` (median [[calibrate]] wall, 3 decimals) is provenance
-    * like `"passes"` — host-dependent only, so the judge compares it
-    * across rounds to tell "the code got slower" from "the host got
-    * slower" — and sheds at the same rung. `"noisy"` (intra-run
-    * calibration max/min, present only when it reached [[NoiseRatio]])
-    * is a failure signal like `"errors"`: it exists only when the run
-    * is self-measured as contended, so it is never dropped.
+    * `"calib"` (median [[calibrate]] wall, 3 decimals) is the
+    * cross-round host yardstick — host-dependent only, so the judge
+    * compares it across rounds to tell "the code got slower" from
+    * "the host got slower". It NEVER sheds (BenchLineSpec pins its
+    * survival at real catalog size): when the line is tight the ladder
+    * prefers dropping the fastest queries' walls over losing the one
+    * field that makes every other number interpretable. `"noisy"`
+    * (intra-run calibration max/min, present only when it reached
+    * [[NoiseRatio]]) is a failure signal like `"errors"`: it exists
+    * only when the run is self-measured as contended, so it is never
+    * dropped either.
     */
   def renderLine(results: Map[String, Double], sfDir: String,
                  passes: Int = Passes, errors: Int = 0,
@@ -197,27 +201,23 @@ object Bench {
     val fail = (if (errors > 0) s""","errors":$errors""" else "") +
       (if (flaky > 0) s""","flaky":$flaky""" else "") +
       noise.map(r => s""","noisy":${f(1)(r)}""").getOrElse("")
-    def render(decimals: Int, withPasses: Boolean,
-               withCalib: Boolean = true): String = {
-      val prov = (if (withPasses) s""","passes":$passes""" else "") +
-        (if (withCalib) calib.map(c => s""","calib":${f(3)(c)}""").getOrElse("")
-         else "") + fail
+    val cal = calib.map(c => s""","calib":${f(3)(c)}""").getOrElse("")
+    def render(decimals: Int, withPasses: Boolean): String = {
+      val prov = (if (withPasses) s""","passes":$passes""" else "") + cal + fail
       val qs = results.map { case (k, v) => "\"" + k + "\":" + f(decimals)(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${f(decimals)(total)},"unit":"sec"$prov,"queries":$qs,"sf":"$sf"}"""
     }
-    // calib outlives passes: when the line is tight, the cross-round
-    // host yardstick is worth more than a constant Passes pins in code.
-    // Below 1 decimal the ladder does NOT degrade to 0 decimals (at a
-    // 0.5 s median, integer seconds erase the round-over-round
-    // regression signal for most of the catalog); instead it sheds the
-    // FASTEST queries — whose ~0.1 s walls carry no information — one
-    // at a time, saying how many were dropped, keeping 100 ms
-    // resolution and the calibration yardstick for everything it keeps.
-    Seq((3, true, true), (2, true, true), (1, true, true), (1, false, true))
+    // calib never sheds (see the scaladoc); "passes" does. Below 1
+    // decimal the ladder does NOT degrade to 0 decimals (at a 0.5 s
+    // median, integer seconds erase the round-over-round regression
+    // signal for most of the catalog); instead it sheds the FASTEST
+    // queries — whose ~0.1 s walls carry no information — one at a
+    // time, saying how many were dropped, keeping 100 ms resolution
+    // and the calibration yardstick for everything it keeps.
+    Seq((3, true), (2, true), (1, true), (1, false))
       .map((render _).tupled).find(_.length <= 1970).getOrElse {
       val sorted = results.toSeq.sortBy { case (k, v) => (-v, k) }
-      val cal = calib.map(c => s""","calib":${f(3)(c)}""").getOrElse("")
       def renderTop(k: Int): String = {
         val qs = sorted.take(k).map { case (n, v) => "\"" + n + "\":" + f(1)(v) }
           .mkString("{", ",", "}")

@@ -334,7 +334,12 @@ object DedupQueries {
       s: SparkSession, sigDir: String, batch: DataFrame,
       threshold: Double = 0.5): DataFrame = {
     val stored = s.read.parquet(sigDir)
-    val pairs = crossBatchCandidatePairs(rawSignatures(batch), stored)
+    // the batch's signatures were JUST appended (the call contract):
+    // fetch them back by id instead of re-running the tokenize → SHA →
+    // MinHash pass over the batch — the append already paid it once
+    val batchSig = stored.join(
+      batch.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+    val pairs = crossBatchCandidatePairs(batchSig, stored)
     val sa = stored.select(col("doc_id").as("doc_id_a"), col("shs").as("shs_a"))
     val sb = stored.select(col("doc_id").as("doc_id_b"), col("shs").as("shs_b"))
     pairs.join(sa, "doc_id_a").join(sb, "doc_id_b")
@@ -751,11 +756,12 @@ object DedupQueries {
       // corpus so far" vs "the next batch" — the identity holds for ANY
       // split, so parity is as good a gate as a real arrival order
       val half = pmod(col("doc_a") + col("doc_b"), lit(2))
-      val base = graft.operators.ConnectedComponents
-        .runAdaptive(pairs.filter(half === 0), "doc_a", "doc_b")._1
-      val merged = graft.operators.ConnectedComponents
-        .incremental(base, pairs.filter(half === 1), "doc_a", "doc_b")
-      pairs.unpersist() // base and merged are checkpoint-backed
+      val merged = try {
+        val base = graft.operators.ConnectedComponents
+          .runAdaptive(pairs.filter(half === 0), "doc_a", "doc_b")._1
+        graft.operators.ConnectedComponents
+          .incremental(base, pairs.filter(half === 1), "doc_a", "doc_b")
+      } finally pairs.unpersist() // base/merged are checkpoint-backed
       merged
         .select(col("id").as("doc_id"), col("component").as("cluster_id"))
         .withColumn("csize",

@@ -260,12 +260,12 @@ object ConnectedComponents {
       aCol: String,
       bCol: String): DataFrame = {
     val (_, _, ext, altMap, release) = foldPieces(labels, newEdges, aCol, bCol)
-    val out = ext.join(altMap, ext("component") === altMap("aid"), "left")
-      .select(ext("id"),
-        coalesce(col("acomp"), ext("component")).as("component"))
-      .localCheckpoint() // materialize before releasing the persisted inputs
-    release()
-    out
+    try // localCheckpoint is eager: materialized before release fires
+      ext.join(altMap, ext("component") === altMap("aid"), "left")
+        .select(ext("id"),
+          coalesce(col("acomp"), ext("component")).as("component"))
+        .localCheckpoint()
+    finally release()
   }
 
   /** The UPSERT form of [[incremental]]: only the rows a stored labels
@@ -288,16 +288,17 @@ object ConnectedComponents {
       bCol: String): DataFrame = {
     val (lab, newNodes, _, altMap, release) =
       foldPieces(labels, newEdges, aCol, bCol)
-    val changedOld = lab.join(altMap, lab("component") === altMap("aid"))
-      .filter(col("acomp") =!= lab("component"))
-      .select(lab("id"), col("acomp").as("component"))
-    val fresh = newNodes
-      .join(altMap, newNodes("component") === altMap("aid"), "left")
-      .select(newNodes("id"),
-        coalesce(col("acomp"), newNodes("component")).as("component"))
-    val out = changedOld.unionByName(fresh).localCheckpoint()
-    release()
-    out
+    try {
+      val changedOld = lab.join(altMap, lab("component") === altMap("aid"))
+        .filter(col("acomp") =!= lab("component"))
+        .select(lab("id"), col("acomp").as("component"))
+      val fresh = newNodes
+        .join(altMap, newNodes("component") === altMap("aid"), "left")
+        .select(newNodes("id"),
+          coalesce(col("acomp"), newNodes("component")).as("component"))
+      // localCheckpoint is eager: materialized before release fires
+      changedOld.unionByName(fresh).localCheckpoint()
+    } finally release()
   }
 
   /** Shared core of [[incremental]] / [[incrementalDelta]]: returns
@@ -316,33 +317,41 @@ object ConnectedComponents {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .persist()
-    e.count() // materialize the (possibly expensive) pair stage once
-    val lab = labels.select(col("id"), col("component"))
-    // endpoints the existing labeling has never seen enter as their own
-    // singleton component — exactly what a full run would assign them
-    // before any of the new edges apply
-    val newNodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id")))
-      .distinct()
-      .join(lab, Seq("id"), "left_anti")
-      .select(col("id"), col("id").as("component"))
-    val ext = lab.unionByName(newNodes).persist()
-    ext.count()
-    val la = ext.select(col("id").as("ia"), col("component").as("ca"))
-    val lb = ext.select(col("id").as("ib"), col("component").as("cb"))
-    val contracted = e.join(la, e("src") === la("ia"))
-      .join(lb, e("dst") === lb("ib"))
-      .select(col("ca").as("u"), col("cb").as("w"))
-      .filter(col("u") =!= col("w"))
-      .distinct()
-    // the contracted graph is batch-bounded; min-label with the
-    // alternating fallback keeps adversarial batch topologies log-round
-    val (alt, _) = runAdaptive(contracted, "u", "w")
-    val altMap = alt.select(col("id").as("aid"), col("component").as("acomp"))
-    // e stays persisted until release: newNodes (and so ext's second
-    // consumer in the delta path) still derives from it
-    (lab, newNodes, ext, altMap,
-      () => { ext.unpersist(); e.unpersist(); () })
+    val release = () => { e.unpersist(); () }
+    try {
+      e.count() // materialize the (possibly expensive) pair stage once
+      val lab = labels.select(col("id"), col("component"))
+      // endpoints the existing labeling has never seen enter as their
+      // own singleton component — exactly what a full run would assign
+      // them before any of the new edges apply
+      val newNodes = e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id")))
+        .distinct()
+        .join(lab, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("component"))
+      val ext = lab.unionByName(newNodes).persist()
+      val releaseBoth = () => { ext.unpersist(); e.unpersist(); () }
+      try {
+        ext.count()
+        val la = ext.select(col("id").as("ia"), col("component").as("ca"))
+        val lb = ext.select(col("id").as("ib"), col("component").as("cb"))
+        val contracted = e.join(la, e("src") === la("ia"))
+          .join(lb, e("dst") === lb("ib"))
+          .select(col("ca").as("u"), col("cb").as("w"))
+          .filter(col("u") =!= col("w"))
+          .distinct()
+        // the contracted graph is batch-bounded; min-label with the
+        // alternating fallback keeps adversarial topologies log-round
+        val (alt, _) = runAdaptive(contracted, "u", "w")
+        val altMap =
+          alt.select(col("id").as("aid"), col("component").as("acomp"))
+        // e stays persisted until release: newNodes (and so ext's
+        // second consumer in the delta path) still derives from it.
+        // A failing session must not accumulate edge-list copies in
+        // executor storage, so every throw path releases too.
+        (lab, newNodes, ext, altMap, releaseBoth)
+      } catch { case t: Throwable => ext.unpersist(); throw t }
+    } catch { case t: Throwable => release(); throw t }
   }
 
   /** Large-star: per node u over the symmetrized edge list, link every

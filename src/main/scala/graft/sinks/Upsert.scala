@@ -449,17 +449,21 @@ object Upsert {
     * retry deletes. Single-writer, like the reference's one loader
     * task (max_active_runs=1).
     */
-  def upsertParquetPartitioned(
-      spark: SparkSession,
-      stage: DataFrame,
-      tableDir: String,
-      key: String = "thing_key",
-      updateColumns: Seq[String] = Model.DefaultUpdateColumns,
-      numBuckets: Int = 64): Unit = {
+  /** The crash-recovery preamble of [[upsertParquetPartitioned]],
+    * callable on its own: heal a table whose previous swap crashed
+    * mid-flight BEFORE anything reads it. The upsert runs this itself,
+    * but a maintenance loop that READS the table to compute its next
+    * write (e.g. the cluster-labels fold reading current labels to
+    * derive a delta) must also run it first — otherwise a replay after
+    * a mid-swap crash computes from a table missing a retired bucket
+    * (or missing entirely, parked in `.old`) and writes a delta that
+    * permanently diverges from the recomputed truth even though the
+    * upsert itself would have healed the files.
+    */
+  def recoverParquetPartitioned(spark: SparkSession, tableDir: String): Unit = {
     import org.apache.hadoop.fs.{FileSystem, Path}
     val dir = new Path(tableDir)
     val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(dir.getParent, s".${dir.getName}.stage")
     val retiredDir = new Path(dir.getParent, s".${dir.getName}.retired")
     val oldDir = new Path(dir.getParent, s".${dir.getName}.old")
 
@@ -491,6 +495,23 @@ object Upsert {
       }
       fs.delete(retiredDir, true)
     }
+  }
+
+  def upsertParquetPartitioned(
+      spark: SparkSession,
+      stage: DataFrame,
+      tableDir: String,
+      key: String = "thing_key",
+      updateColumns: Seq[String] = Model.DefaultUpdateColumns,
+      numBuckets: Int = 64): Unit = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val dir = new Path(tableDir)
+    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir.getParent, s".${dir.getName}.stage")
+    val retiredDir = new Path(dir.getParent, s".${dir.getName}.retired")
+    val oldDir = new Path(dir.getParent, s".${dir.getName}.old")
+
+    recoverParquetPartitioned(spark, tableDir)
     fs.delete(tmp, true)
 
     if (!fs.exists(dir)) {

@@ -460,6 +460,12 @@ object StreamingPipeline {
       batch: DataFrame, batchId: Long): Unit = {
     graft.analytics.DedupQueries.appendToSignaturesIdempotent(
       batch, sigDir, batchId)
+    // heal a previous upsert's crashed swap BEFORE reading labels: the
+    // delta is computed FROM the table, so deferring recovery to the
+    // write (where the upsert would run it anyway) is too late — a
+    // replay would fold against a table missing a retired bucket and
+    // write a permanently-divergent delta over the recovered rows
+    Upsert.recoverParquetPartitioned(spark, labelsDir)
     val edges = graft.analytics.DedupQueries.batchVerifiedPairs(
       spark, sigDir, batch)
     val delta = graft.operators.ConnectedComponents.incrementalDelta(

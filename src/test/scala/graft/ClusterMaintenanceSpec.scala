@@ -26,15 +26,6 @@ class ClusterMaintenanceSpec extends SparkSpec {
   private def docs = Tables.load(spark, sf, "documents")
     .select(col("doc_id"), col("text"))
 
-  private def land(df: org.apache.spark.sql.DataFrame, incoming: Path,
-      name: String): Unit = {
-    import scala.jdk.CollectionConverters._
-    val tmp = Files.createTempDirectory("land")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = Files.list(tmp).iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet")).get
-    Files.move(part, incoming.resolve(name))
-  }
 
   /** From-scratch ground truth over `corpus`: verified pairs (the same
     * LSH → Jaccard pipeline the stream serves from its stored table)
@@ -90,6 +81,39 @@ class ClusterMaintenanceSpec extends SparkSpec {
       val spanning = fin.groupBy(_._2).values
         .exists(m => m.keys.map(_ % 3).toSet.size > 1)
       assert(spanning, "no cluster spans waves — test corpus too easy")
+    }
+  }
+
+  test("a replay after a mid-swap crash heals the table BEFORE folding") {
+    withTempDir { root =>
+      val sig = root.resolve("sig").toString
+      val labels = root.resolve("labels")
+      val b0 = docs.filter(col("doc_id") % 2 === 0)
+      val b1 = docs.filter(col("doc_id") % 2 === 1)
+      StreamingPipeline.maintainClusters(spark, sig, labels.toString, b0, 0L)
+      StreamingPipeline.maintainClusters(spark, sig, labels.toString, b1, 1L)
+      val healthy = labelMap(labels.toString)
+
+      // simulate the upsert's documented crash window: a bucket retired
+      // but its replacement never installed (crash between the two
+      // renames). If the NEXT fold read the damaged table, the rows of
+      // the missing bucket would re-enter as singletons and the delta
+      // written over the recovered bucket would diverge forever.
+      import scala.jdk.CollectionConverters._
+      val buckets = Files.list(labels).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("kb=")).toSeq
+      assert(buckets.nonEmpty)
+      val retired = Files.createDirectory(
+        labels.getParent.resolve(s".${labels.getFileName}.retired"))
+      val victim = buckets.head.getFileName
+      Files.move(labels.resolve(victim), retired.resolve(victim))
+
+      // replay batch 1 against the damaged table: maintainClusters must
+      // recover first, fold an empty delta, and leave labels intact
+      StreamingPipeline.maintainClusters(spark, sig, labels.toString, b1, 1L)
+      assert(labelMap(labels.toString) == healthy,
+        "crash-window replay diverged from the healthy labeling")
+      assert(labelMap(labels.toString) == fullRecompute(docs))
     }
   }
 

@@ -24,15 +24,6 @@ class CodesStreamIngestSpec extends SparkSpec {
   /** Drop a DataFrame into the incoming dir as a single parquet FILE
     * (the file-stream source lists files, not directories).
     */
-  private def land(df: org.apache.spark.sql.DataFrame, incoming: Path,
-      name: String): Unit = {
-    import scala.jdk.CollectionConverters._
-    val tmp = Files.createTempDirectory("land")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = Files.list(tmp).iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet")).get
-    Files.move(part, incoming.resolve(name))
-  }
 
   test("two micro-batches append to the codes table; serve sees the union") {
     withTempDir { root =>

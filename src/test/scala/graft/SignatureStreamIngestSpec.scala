@@ -25,15 +25,6 @@ class SignatureStreamIngestSpec extends SparkSpec {
   private def docs = Tables.load(spark, sf, "documents")
     .select(col("doc_id"), col("text"))
 
-  private def land(df: org.apache.spark.sql.DataFrame, incoming: Path,
-      name: String): Unit = {
-    import scala.jdk.CollectionConverters._
-    val tmp = Files.createTempDirectory("land")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = Files.list(tmp).iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet")).get
-    Files.move(part, incoming.resolve(name))
-  }
 
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select(col("doc_id_a"), col("doc_id_b")).collect()

@@ -30,6 +30,23 @@ trait SparkSpec extends AnyFunSuite {
       .digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  /** Land `df` as ONE parquet file named `name` in `incoming` — the
+    * arrival protocol every stream-ingest suite simulates (a producer
+    * dropping one complete file per batch). Shared here so the landing
+    * semantics cannot drift between the ingest suites.
+    */
+  def land(df: DataFrame, incoming: java.nio.file.Path, name: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Files.createTempDirectory("land")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val listing = java.nio.file.Files.list(tmp)
+    val part =
+      try listing.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally listing.close()
+    java.nio.file.Files.move(part, incoming.resolve(name))
+  }
+
   def withTempDir[T](f: java.nio.file.Path => T): T = {
     val dir = java.nio.file.Files.createTempDirectory("graft-test")
     try f(dir)
