@@ -489,6 +489,55 @@ object DedupQueries {
     signBucketTable(e).withColumn("bkt",
       pmod(hash(col("vec_id")), lit(SignatureBuckets)))
 
+  /** Exactly-once per-batch append into an incremental sign-bucket
+    * table — the embedding mirror of [[appendToSignaturesIdempotent]]:
+    * bucket the batch's vectors (one scan-stage kernel pass over the
+    * batch alone) partitioned by the vec_id hash bucket; the
+    * replay/ack protocol lives in [[graft.sinks.IncrementalParquet]].
+    */
+  def appendToSignBucketsIdempotent(
+      batch: DataFrame, bucketsDir: String, batchId: Long): Unit =
+    graft.sinks.IncrementalParquet.appendIdempotent(
+      batch.sparkSession, bucketsDir, "bkt", batchId) { stage =>
+      bucketedSignBuckets(batch)
+        .write.mode("overwrite").partitionBy("bkt").parquet(stage)
+    }
+
+  /** Cosine-verified near-dup pairs TOUCHING a batch of vectors — the
+    * embedding mirror of [[batchVerifiedPairs]]. Call AFTER the
+    * batch's sign buckets are appended: the batch's bucket rows are
+    * fetched back by id and band-join the stored table (batch-self
+    * pairs included), so the candidate stage costs
+    * |batch| × colliders, never corpus². The exact-cosine verify
+    * fetches raw vectors from `vectors` (the landed corpus store) for
+    * exactly the candidate ids — same pinned-fold arithmetic as
+    * [[embedPairsFromBuckets]], so folds agree with the batch build
+    * bit-for-bit.
+    */
+  def batchVerifiedEmbedPairs(
+      s: SparkSession, bucketsDir: String, batch: DataFrame,
+      vectors: DataFrame, threshold: Double): DataFrame = {
+    val stored = s.read.parquet(bucketsDir)
+    val bb = stored.join(
+      batch.select(col("vec_id")).distinct(), Seq("vec_id"), "left_semi")
+    val a = bb.select(col("band"), col("bucket"), col("vec_id").as("id_l"))
+    val b = stored.select(col("band").as("band2"), col("bucket").as("bucket2"),
+      col("vec_id").as("id_r"))
+    val cand = a.join(b,
+        col("band") === col("band2") && col("bucket") === col("bucket2") &&
+          col("id_l") =!= col("id_r"))
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"))
+      .distinct()
+    val va = vectors.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val vb = vectors.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cos",
+        dot(col("va"), col("vb")) / (l2Norm(col("va")) * l2Norm(col("vb"))))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** THE materialized sign-bucket table per corpus — the embedding
     * mirror of [[incrementalSignaturesPath]] (same
     * [[graft.sinks.IncrementalParquet.buildViaLifecycle]] shape),

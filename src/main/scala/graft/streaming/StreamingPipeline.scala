@@ -513,6 +513,58 @@ object StreamingPipeline {
     }
   }
 
+  /** [[maintainClusters]]'s embedding mirror: per batch of arriving
+    * vectors, append sign buckets exactly-once, derive cosine-verified
+    * pairs touching the batch from the stored bucket table (raw
+    * vectors fetched from `vectorsDir` — for a file stream the
+    * incoming dir IS the landed vector store), and fold the new edges
+    * into the semantic cluster-labels table. Same crash-recovery-
+    * before-read ordering and same empty-delta replay convergence.
+    */
+  def maintainEmbedClusters(
+      spark: SparkSession, bucketsDir: String, labelsDir: String,
+      vectorsDir: String, batch: DataFrame, batchId: Long,
+      threshold: Double = 0.4): Unit = {
+    graft.analytics.DedupQueries.appendToSignBucketsIdempotent(
+      batch, bucketsDir, batchId)
+    Upsert.recoverParquetPartitioned(spark, labelsDir)
+    val vectors = spark.read
+      .schema(embeddingSchema).parquet(vectorsDir)
+      .select(col("vec_id"), col("embedding"))
+    val edges = graft.analytics.DedupQueries.batchVerifiedEmbedPairs(
+      spark, bucketsDir, batch, vectors, threshold)
+    val delta = graft.operators.ConnectedComponents.incrementalDelta(
+      clusterLabels(spark, labelsDir), edges, "id_a", "id_b")
+    if (!delta.isEmpty)
+      Upsert.upsertParquetPartitioned(spark, delta, labelsDir,
+        key = "id", updateColumns = Seq("component"), numBuckets = 16)
+  }
+
+  private def embeddingSchema: StructType = {
+    import org.apache.spark.sql.types._
+    new StructType()
+      .add("vec_id", LongType, nullable = false)
+      .add("embedding", ArrayType(FloatType, containsNull = false),
+        nullable = false)
+  }
+
+  /** Streaming wiring for [[maintainEmbedClusters]] — the semantic
+    * side of continuous dedup, mirroring [[startDedupMaintenance]].
+    */
+  def startEmbedDedupMaintenance(
+      spark: SparkSession,
+      incomingDir: String,
+      bucketsDir: String,
+      labelsDir: String,
+      checkpointDir: String,
+      threshold: Double = 0.4,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startIndexIngest(spark, incomingDir, checkpointDir, embeddingSchema,
+      trigger) { (batch, batchId) =>
+      maintainEmbedClusters(spark, bucketsDir, labelsDir, incomingDir,
+        batch, batchId, threshold)
+    }
+
   def decontaminationGate(
       docs: DataFrame,
       bloomBits: Array[Long],

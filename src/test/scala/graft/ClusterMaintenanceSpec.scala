@@ -84,6 +84,40 @@ class ClusterMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("embedding maintenance mirrors the lexical loop end-to-end") {
+    withTempDir { root =>
+      val incoming = Files.createDirectory(root.resolve("incoming"))
+      val buckets = root.resolve("buckets").toString
+      val labels = root.resolve("labels").toString
+      val ckpt = root.resolve("ckpt").toString
+      val threshold = 0.2 // denser pair graph than the catalog's 0.4:
+                          // more cross-wave merges for the fold to apply
+      val emb = Tables.load(spark, sf, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+
+      land(emb.filter(col("vec_id") % 2 === 0), incoming, "w0.parquet")
+      StreamingPipeline.startEmbedDedupMaintenance(
+        spark, incoming.toString, buckets, labels, ckpt, threshold,
+        Trigger.AvailableNow()).awaitTermination(180000)
+
+      land(emb.filter(col("vec_id") % 2 === 1), incoming, "w1.parquet")
+      StreamingPipeline.startEmbedDedupMaintenance(
+        spark, incoming.toString, buckets, labels, ckpt, threshold,
+        Trigger.AvailableNow()).awaitTermination(180000)
+
+      val fin = labelMap(labels)
+      val pairs = DedupQueries.embedNearDupPairs(emb, threshold)
+        .select(col("id_a"), col("id_b"))
+      val expect = ConnectedComponents.run(pairs, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fin == expect)
+      assert(fin.nonEmpty, "vacuous: no embedding near-dup pairs at all")
+      val spanning = fin.groupBy(_._2).values
+        .exists(m => m.keys.map(_ % 2).toSet.size > 1)
+      assert(spanning, "no cluster spans waves — no merge was exercised")
+    }
+  }
+
   test("a replay after a mid-swap crash heals the table BEFORE folding") {
     withTempDir { root =>
       val sig = root.resolve("sig").toString
