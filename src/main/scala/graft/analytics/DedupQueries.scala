@@ -224,11 +224,21 @@ object DedupQueries {
     * exactly (SignatureMaterializeSpec proves the identity) — the
     * incremental re-run cost is |batch|·|corpus colliders|, not
     * |corpus|².
+    *
+    * `broadcastNew` hints the batch's (band, bsig, id) rows — ~50 B
+    * each, 4 per doc — as the broadcast side, so the CORPUS side is
+    * scanned but never exchanged: the right shape at micro-batch
+    * cadence, where per-batch corpus shuffles (not scans) are what
+    * accumulate (MaintenanceProbe measures the difference). Leave it
+    * off for batch-sized "new" sides too big to broadcast — the join
+    * then shuffles both sides as before.
     */
   def crossBatchCandidatePairs(
-      newSig: DataFrame, corpusSig: DataFrame): DataFrame = {
-    val bn = bandKeys(newSig, Seq.empty)
+      newSig: DataFrame, corpusSig: DataFrame,
+      broadcastNew: Boolean = false): DataFrame = {
+    val bn0 = bandKeys(newSig, Seq.empty)
       .select(col("b"), col("bsig"), col("doc_id").as("id_n"))
+    val bn = if (broadcastNew) broadcast(bn0) else bn0
     val bc = bandKeys(corpusSig, Seq.empty)
       .select(col("b").as("b2"), col("bsig").as("bsig2"), col("doc_id").as("id_c"))
     bn.join(bc, col("b") === col("b2") && col("bsig") === col("bsig2") &&
@@ -339,7 +349,10 @@ object DedupQueries {
     // MinHash pass over the batch — the append already paid it once
     val batchSig = stored.join(
       batch.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-    val pairs = crossBatchCandidatePairs(batchSig, stored)
+    // broadcast the batch's band keys: the stored table is scanned,
+    // never exchanged — at micro-batch cadence the per-batch corpus
+    // SHUFFLE is what would accumulate, not the scan
+    val pairs = crossBatchCandidatePairs(batchSig, stored, broadcastNew = true)
     val sa = stored.select(col("doc_id").as("doc_id_a"), col("shs").as("shs_a"))
     val sb = stored.select(col("doc_id").as("doc_id_b"), col("shs").as("shs_b"))
     pairs.join(sa, "doc_id_a").join(sb, "doc_id_b")
@@ -520,7 +533,10 @@ object DedupQueries {
     val stored = s.read.parquet(bucketsDir)
     val bb = stored.join(
       batch.select(col("vec_id")).distinct(), Seq("vec_id"), "left_semi")
-    val a = bb.select(col("band"), col("bucket"), col("vec_id").as("id_l"))
+    // broadcast the batch side for the same reason as the lexical
+    // mirror: corpus bucket rows are scanned, never exchanged
+    val a = broadcast(
+      bb.select(col("band"), col("bucket"), col("vec_id").as("id_l")))
     val b = stored.select(col("band").as("band2"), col("bucket").as("bucket2"),
       col("vec_id").as("id_r"))
     val cand = a.join(b,
