@@ -342,17 +342,19 @@ object DedupQueries {
     */
   def batchVerifiedPairs(
       s: SparkSession, sigDir: String, batch: DataFrame,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, broadcastBatch: Boolean = true): DataFrame = {
     val stored = s.read.parquet(sigDir)
     // the batch's signatures were JUST appended (the call contract):
     // fetch them back by id instead of re-running the tokenize → SHA →
     // MinHash pass over the batch — the append already paid it once
     val batchSig = stored.join(
       batch.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-    // broadcast the batch's band keys: the stored table is scanned,
-    // never exchanged — at micro-batch cadence the per-batch corpus
-    // SHUFFLE is what would accumulate, not the scan
-    val pairs = crossBatchCandidatePairs(batchSig, stored, broadcastNew = true)
+    // broadcast the batch's band keys by default: the stored table is
+    // scanned, never exchanged — at micro-batch cadence the per-batch
+    // corpus SHUFFLE is what would accumulate, not the scan. Pass
+    // broadcastBatch = false for backfill-sized batches whose band
+    // keys exceed broadcast limits; the join then shuffles both sides.
+    val pairs = crossBatchCandidatePairs(batchSig, stored, broadcastBatch)
     val sa = stored.select(col("doc_id").as("doc_id_a"), col("shs").as("shs_a"))
     val sb = stored.select(col("doc_id").as("doc_id_b"), col("shs").as("shs_b"))
     pairs.join(sa, "doc_id_a").join(sb, "doc_id_b")
@@ -529,27 +531,50 @@ object DedupQueries {
     */
   def batchVerifiedEmbedPairs(
       s: SparkSession, bucketsDir: String, batch: DataFrame,
-      vectors: DataFrame, threshold: Double): DataFrame = {
+      vectors: DataFrame, threshold: Double,
+      broadcastBatch: Boolean = true): DataFrame = {
     val stored = s.read.parquet(bucketsDir)
     val bb = stored.join(
       batch.select(col("vec_id")).distinct(), Seq("vec_id"), "left_semi")
-    // broadcast the batch side for the same reason as the lexical
-    // mirror: corpus bucket rows are scanned, never exchanged
-    val a = broadcast(
-      bb.select(col("band"), col("bucket"), col("vec_id").as("id_l")))
+    // broadcast the batch side by default, for the same reason as the
+    // lexical mirror: corpus bucket rows are scanned, never exchanged
+    // (broadcastBatch = false for backfill-sized batches). Stored
+    // norms ride along so the verify never recomputes a norm fold.
+    val a0 = bb.select(col("band"), col("bucket"),
+      col("vec_id").as("id_l"), col("nrm").as("nrm_l"))
+    val a = if (broadcastBatch) broadcast(a0) else a0
     val b = stored.select(col("band").as("band2"), col("bucket").as("bucket2"),
-      col("vec_id").as("id_r"))
+      col("vec_id").as("id_r"), col("nrm").as("nrm_r"))
     val cand = a.join(b,
         col("band") === col("band2") && col("bucket") === col("bucket2") &&
           col("id_l") =!= col("id_r"))
       .select(least(col("id_l"), col("id_r")).as("id_a"),
-        greatest(col("id_l"), col("id_r")).as("id_b"))
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        when(col("id_l") < col("id_r"), col("nrm_l"))
+          .otherwise(col("nrm_r")).as("na"),
+        when(col("id_l") < col("id_r"), col("nrm_r"))
+          .otherwise(col("nrm_l")).as("nb"))
       .distinct()
     val va = vectors.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val vb = vectors.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-    cand.join(va, "id_a").join(vb, "id_b")
-      .withColumn("cos",
-        dot(col("va"), col("vb")) / (l2Norm(col("va")) * l2Norm(col("vb"))))
+    // LEFT joins + a loud guard: the vector store is the verify's
+    // source of truth (unlike the lexical loop, whose shingle sets
+    // live inside the signature table itself). If a landed vector has
+    // been cleaned away, silently dropping its candidate pairs would
+    // corrupt the labels table with no signal — fail instead.
+    val fetched = cand.join(va, Seq("id_a"), "left")
+      .join(vb, Seq("id_b"), "left")
+      .localCheckpoint() // candidates are batch-bounded; guard + verify
+                         // read the same materialization
+    val missing =
+      fetched.filter(col("va").isNull || col("vb").isNull).count()
+    if (missing > 0)
+      throw new IllegalStateException(
+        s"$missing candidate pairs reference vectors absent from the " +
+          "vector store — it must retain every landed vector " +
+          "(no cleanSource/compaction of the incoming dir)")
+    fetched
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"))
   }

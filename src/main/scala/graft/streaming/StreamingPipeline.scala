@@ -457,7 +457,8 @@ object StreamingPipeline {
     */
   def maintainClusters(
       spark: SparkSession, sigDir: String, labelsDir: String,
-      batch: DataFrame, batchId: Long): Unit = {
+      batch: DataFrame, batchId: Long,
+      broadcastBatch: Boolean = true): Unit = {
     graft.analytics.DedupQueries.appendToSignaturesIdempotent(
       batch, sigDir, batchId)
     // heal a previous upsert's crashed swap BEFORE reading labels: the
@@ -467,7 +468,7 @@ object StreamingPipeline {
     // write a permanently-divergent delta over the recovered rows
     Upsert.recoverParquetPartitioned(spark, labelsDir)
     val edges = graft.analytics.DedupQueries.batchVerifiedPairs(
-      spark, sigDir, batch)
+      spark, sigDir, batch, broadcastBatch = broadcastBatch)
     val delta = graft.operators.ConnectedComponents.incrementalDelta(
       clusterLabels(spark, labelsDir), edges, "doc_id_a", "doc_id_b")
     if (!delta.isEmpty) // delta is checkpoint-backed: no recompute here
@@ -502,14 +503,16 @@ object StreamingPipeline {
       sigDir: String,
       labelsDir: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      broadcastBatch: Boolean = true): StreamingQuery = {
     import org.apache.spark.sql.types._
     val schema = new StructType()
       .add("doc_id", LongType, nullable = false)
       .add("text", StringType)
     startIndexIngest(spark, incomingDir, checkpointDir, schema, trigger) {
       (batch, batchId) =>
-        maintainClusters(spark, sigDir, labelsDir, batch, batchId)
+        maintainClusters(spark, sigDir, labelsDir, batch, batchId,
+          broadcastBatch)
     }
   }
 
@@ -517,14 +520,17 @@ object StreamingPipeline {
     * vectors, append sign buckets exactly-once, derive cosine-verified
     * pairs touching the batch from the stored bucket table (raw
     * vectors fetched from `vectorsDir` — for a file stream the
-    * incoming dir IS the landed vector store), and fold the new edges
-    * into the semantic cluster-labels table. Same crash-recovery-
-    * before-read ordering and same empty-delta replay convergence.
+    * incoming dir IS the landed vector store, and it must RETAIN every
+    * landed vector: no `cleanSource`, no compaction that drops files.
+    * The verify fails loudly if a candidate's vector is missing rather
+    * than silently dropping its pairs), and fold the new edges into
+    * the semantic cluster-labels table. Same crash-recovery-before-
+    * read ordering and same empty-delta replay convergence.
     */
   def maintainEmbedClusters(
       spark: SparkSession, bucketsDir: String, labelsDir: String,
       vectorsDir: String, batch: DataFrame, batchId: Long,
-      threshold: Double = 0.4): Unit = {
+      threshold: Double = 0.4, broadcastBatch: Boolean = true): Unit = {
     graft.analytics.DedupQueries.appendToSignBucketsIdempotent(
       batch, bucketsDir, batchId)
     Upsert.recoverParquetPartitioned(spark, labelsDir)
@@ -532,7 +538,7 @@ object StreamingPipeline {
       .schema(embeddingSchema).parquet(vectorsDir)
       .select(col("vec_id"), col("embedding"))
     val edges = graft.analytics.DedupQueries.batchVerifiedEmbedPairs(
-      spark, bucketsDir, batch, vectors, threshold)
+      spark, bucketsDir, batch, vectors, threshold, broadcastBatch)
     val delta = graft.operators.ConnectedComponents.incrementalDelta(
       clusterLabels(spark, labelsDir), edges, "id_a", "id_b")
     if (!delta.isEmpty)
@@ -558,11 +564,12 @@ object StreamingPipeline {
       labelsDir: String,
       checkpointDir: String,
       threshold: Double = 0.4,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      broadcastBatch: Boolean = true): StreamingQuery =
     startIndexIngest(spark, incomingDir, checkpointDir, embeddingSchema,
       trigger) { (batch, batchId) =>
       maintainEmbedClusters(spark, bucketsDir, labelsDir, incomingDir,
-        batch, batchId, threshold)
+        batch, batchId, threshold, broadcastBatch)
     }
 
   def decontaminationGate(

@@ -115,6 +115,12 @@ class ClusterMaintenanceSpec extends SparkSpec {
       val spanning = fin.groupBy(_._2).values
         .exists(m => m.keys.map(_ % 2).toSet.size > 1)
       assert(spanning, "no cluster spans waves — no merge was exercised")
+
+      // replay convergence for THIS family too: re-folding wave 1
+      // directly (the at-least-once case) must change nothing
+      StreamingPipeline.maintainEmbedClusters(spark, buckets, labels,
+        incoming.toString, emb.filter(col("vec_id") % 2 === 1), 1L, threshold)
+      assert(labelMap(labels) == fin, "embed replay diverged")
     }
   }
 
