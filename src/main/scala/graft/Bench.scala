@@ -13,7 +13,10 @@ import graft.core.{GraftSession, Tables}
   * different offset each pass, and takes the per-query min across
   * passes — a contiguous wall-clock slow window then covers a
   * different subset of queries in every pass, so no query can be
-  * poisoned in all of them. Failures are surfaced (stderr + an
+  * poisoned in all of them. Passes whose flanking calibration samples
+  * show contention are RE-QUEUED (up to [[MaxRequeues]], see
+  * [[poisonedPasses]]) so a transiently busy host costs a re-run, not
+  * a noisy-flagged artifact. Failures are surfaced (stderr + an
   * "errors" count in the line), never timed as `-1`.
   */
 object Bench {
@@ -30,6 +33,33 @@ object Bench {
     * inter-sample gap and shows up as a >=2x sample.
     */
   val NoiseRatio = 2.0
+
+  /** Extra pass executions the harness may spend re-running passes
+    * whose flanking calibration samples were contended — bounded so a
+    * host that stays busy cannot stretch the run forever (the artifact
+    * then carries the `noisy` flag instead, as before).
+    */
+  val MaxRequeues = 2
+
+  /** Indices of executed passes flanked by a contended calibration
+    * sample — the re-queue rule (BENCH_r07 shipped `noisy: 3.0` while
+    * a controlled re-run measured the code FASTER; re-running a
+    * flagged pass inside the same artifact is cheaper than adjudicating
+    * it afterwards). Execution k ran between `samples(k)` and
+    * `samples(k+1)`; it is poisoned when either flank reaches
+    * [[NoiseRatio]] × the run's fastest sample (the fastest sample is
+    * the best available proxy for the uncontended host). Pure, so
+    * BenchSpec can feed synthetic sample series.
+    */
+  def poisonedPasses(samples: Seq[Double], nPasses: Int): Seq[Int] = {
+    val used = samples.take(nPasses + 1)
+    if (used.size < nPasses + 1 || used.exists(_ <= 0)) Seq.empty
+    else {
+      val base = used.min
+      (0 until nPasses).filter(i =>
+        math.max(used(i), used(i + 1)) / base >= NoiseRatio)
+    }
+  }
 
   /** Data-independent single-thread CPU yardstick: a fixed count of
     * splitmix64 steps, ~0.1 s on an uncontended core. Rotation + min
@@ -84,32 +114,59 @@ object Bench {
 
     val calibSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
     val catalog = SparkEntry.queries.toSeq
-    val passes = (0 until Passes).map { i =>
-      calibSamples += calibrate() // host yardstick at each pass boundary
-      val pass = rotate(catalog, i * catalog.size / Passes).map { case (name, fn) =>
+    // executions: (rotation slot, per-query walls). The initial
+    // schedule runs each slot once; the re-queue loop below may append
+    // extra executions of contended slots.
+    val executions =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Map[String, Option[Double]])]
+    calibSamples += calibrate() // yardstick brackets every execution
+    def runPass(slot: Int): Unit = {
+      val pass = rotate(catalog, slot * catalog.size / Passes).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
           name -> Some((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable =>
-            System.err.println(s"[bench] $name failed in pass $i: $e")
+            System.err.println(s"[bench] $name failed in pass(slot=$slot): $e")
             name -> (None: Option[Double])
         }
       }.toMap
+      executions += slot -> pass
+      calibSamples += calibrate()
       System.err.println(
-        f"[bench] pass $i total ${pass.values.flatten.sum}%.1f s")
-      pass
+        f"[bench] pass slot=$slot total ${pass.values.flatten.sum}%.1f s")
     }
-    calibSamples += calibrate()
+    (0 until Passes).foreach(runPass)
+    // re-queue: a slot with no un-contended execution gets re-run, up
+    // to MaxRequeues extra passes — so one busy neighbor process during
+    // one pass costs a re-run, not a noisy-flagged artifact
+    def dirtySlots: Seq[Int] = {
+      val poisoned = poisonedPasses(calibSamples.toSeq, executions.size).toSet
+      (0 until Passes).filter(slot => !executions.zipWithIndex.exists {
+        case ((s, _), k) => s == slot && !poisoned(k)
+      })
+    }
+    var requeues = 0
+    while (dirtySlots.nonEmpty && requeues < MaxRequeues) {
+      val slot = dirtySlots.head
+      System.err.println(s"[bench] re-queueing contended pass slot=$slot")
+      runPass(slot)
+      requeues += 1
+    }
+    val stillDirty = dirtySlots
     val (calib, noise) = calibStats(calibSamples.toSeq)
     System.err.println("[bench] calib samples: " +
       calibSamples.map(s => f"$s%.3f").mkString(", "))
-    val (results, errors, flaky) = combine(passes)
+    // the min-combine uses EVERY execution (a poisoned pass only ever
+    // inflates walls; its observations cannot drag a min down); the
+    // noisy flag survives only if some slot never got a clean run
+    val (results, errors, flaky) = combine(executions.map(_._2).toSeq)
     errors.foreach(n => System.err.println(s"[bench] $n failed in EVERY pass"))
     flaky.foreach(n => System.err.println(s"[bench] $n failed in SOME passes"))
     println(renderLine(results, sfDir, errors = errors.size, flaky = flaky.size,
-      calib = calib, noise = noise.filter(_ >= NoiseRatio)))
+      calib = calib,
+      noise = noise.filter(_ >= NoiseRatio && stillDirty.nonEmpty)))
     spark.stop()
     // do NOT exit nonzero on query errors: sbt's [error] epilogue would
     // print AFTER the JSON line and could push it out of the driver's

@@ -7,23 +7,35 @@ import graft.streaming.StreamingPipeline
 
 /** Continuous-dedup maintenance probe — the SCALING.md evidence for the
   * loop's central claim: per-batch cost is O(batch), not O(corpus so
-  * far). Feeds B equal word-soup batches through
-  * [[StreamingPipeline.maintainClusters]] (append → pairs touching the
-  * batch → incremental label fold) and prints the wall of EACH batch as
-  * the stored corpus grows behind it. If any stage secretly
-  * re-self-joined the corpus or re-ran the closure from scratch, the
-  * per-batch wall would climb with batch index; the O(batch) design
-  * predicts a near-flat series (the only corpus-growing pieces are the
-  * batch-vs-stored band join's collider fan-out and the relabel join's
-  * full-table scan, both sublinear at these scales).
+  * far). Feeds B equal batches through the maintenance loop (append →
+  * pairs touching the batch → incremental label fold) and prints the
+  * wall of EACH batch as the stored corpus grows behind it, plus the
+  * stored-table data-file count (the small-file axis the in-loop
+  * compaction cadence bounds). If any stage secretly re-self-joined the
+  * corpus or re-ran the closure from scratch, the per-batch wall would
+  * climb with batch index; the O(batch) design predicts a near-flat
+  * series (the only corpus-growing pieces are scans: the candidate
+  * probe's (id, sg) columns, the bucket-pruned shingle fetch, and the
+  * relabel join — all sublinear-in-wall at these scales).
   *
-  * Docs are deterministic splitmix-derived token soups (40 tokens from
-  * a 50k vocab). Every 7th doc is a near-copy of its same-offset doc in
-  * batch 0 with 2 of 40 tokens replaced (post-shingling Jaccard ≈ 0.8,
-  * well above the 0.5 verify bar) — so every batch after the first
-  * produces real cross-batch edges and the fold must MERGE into
-  * clusters discovered by earlier batches (the batch-0 base's cluster
-  * grows by one doc per batch), not just label fresh nodes.
+  * `args`: [lex|embed] [batches] [batchSize] — default `lex 16 20000`
+  * (embed default 16 × 20000 vectors). Compaction fires every 4
+  * batches, mirroring the stream wiring's cadence hook.
+  *
+  * LEXICAL docs are deterministic splitmix-derived token soups (40
+  * tokens from a 50k vocab). Every 7th doc is a near-copy of its
+  * same-offset doc in batch 0 with 2 of 40 tokens replaced
+  * (post-shingling Jaccard ≈ 0.8, well above the 0.5 verify bar) — so
+  * every batch after the first produces real cross-batch edges and the
+  * fold must MERGE into clusters discovered by earlier batches (the
+  * batch-0 base's cluster grows by one doc per batch), not just label
+  * fresh nodes.
+  *
+  * EMBED vectors are splitmix-derived 64-dim floats; every 7th vector
+  * of batches > 0 is its batch-0 same-offset vector with one
+  * coordinate nudged (cosine ≈ 0.999, far above the 0.4 catalog
+  * threshold), so the embedding fold merges cross-batch clusters the
+  * same way.
   */
 object MaintenanceProbe {
 
@@ -56,23 +68,80 @@ object MaintenanceProbe {
     }.toDF("doc_id", "text")
   }
 
+  /** Batch `b` of `m` 64-dim vectors, embedding mirror of [[batchDocs]]:
+    * near-copies perturb ONE coordinate of their batch-0 base by +0.05
+    * (cosine stays ≈ 1), everything else is independent splitmix noise
+    * (expected cross-cosine ≈ 0).
+    */
+  def batchVecs(spark: SparkSession, b: Long, m: Long): DataFrame = {
+    import spark.implicits._
+    (0L until m).map { k =>
+      val id = b * m + k
+      val copyOf = if (b > 0 && k % 7 == 0) k else id
+      val v = Array.tabulate(64) { j =>
+        // uniform in [-1, 1) from the base vector's seed
+        (math.floorMod(mix(copyOf * 131 + j), 1000000) / 500000f) - 1f
+      }
+      if (copyOf != id) v(b.toInt % 64) += 0.05f
+      (id, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def dataFiles(dir: String): Long = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root)) 0L
+    else {
+      val s = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count { p =>
+          val n = p.getFileName.toString
+          java.nio.file.Files.isRegularFile(p) &&
+            !n.startsWith("_") && !n.startsWith(".")
+        }.toLong
+      } finally s.close()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val batches = if (args.length > 0) args(0).toInt else 8
-    val m = if (args.length > 1) args(1).toLong else 20000L
+    val mode = if (args.length > 0) args(0) else "lex"
+    val batches = if (args.length > 1) args(1).toInt else 16
+    val m = if (args.length > 2) args(2).toLong else 20000L
+    val compactEvery = 4
     val spark = graft.core.GraftSession.local("maint-probe", 32)
     spark.range(1).count()
     val root = java.nio.file.Files.createTempDirectory("maint")
-    val sig = root.resolve("sig").toString
+    val index = root.resolve("index").toString // signatures | sign buckets
     val labels = root.resolve("labels").toString
+    val vectors = root.resolve("vectors") // embed mode's landed store
+    if (mode == "embed") java.nio.file.Files.createDirectory(vectors)
 
     for (b <- 0 until batches) {
-      val docs = batchDocs(spark, b, m).localCheckpoint() // gen not timed
-      val t0 = System.nanoTime()
-      StreamingPipeline.maintainClusters(spark, sig, labels, docs, b)
-      val wall = (System.nanoTime() - t0) / 1e9
+      val wall = mode match {
+        case "embed" =>
+          val vecs = batchVecs(spark, b, m).localCheckpoint() // gen untimed
+          // the incoming dir IS the landed vector store: land the batch
+          // first (retained forever), as the stream source would
+          vecs.write.mode("append").parquet(vectors.toString)
+          val t1 = System.nanoTime()
+          StreamingPipeline.maintainEmbedClusters(spark, index, labels,
+            vectors.toString, vecs, b.toLong)
+          if (b % compactEvery == compactEvery - 1)
+            graft.analytics.DedupQueries.compactSignatures(spark, index)
+          (System.nanoTime() - t1) / 1e9
+        case _ =>
+          val docs = batchDocs(spark, b, m).localCheckpoint() // gen untimed
+          val t1 = System.nanoTime()
+          StreamingPipeline.maintainClusters(spark, index, labels, docs,
+            b.toLong)
+          if (b % compactEvery == compactEvery - 1)
+            graft.analytics.DedupQueries.compactSignatures(spark, index)
+          (System.nanoTime() - t1) / 1e9
+      }
       val nLabels = StreamingPipeline.clusterLabels(spark, labels).count()
-      println(f"MAINT batch=$b corpus_docs=${(b + 1) * m} " +
-        f"wall_s=$wall%.1f labeled_nodes=$nLabels")
+      println(f"MAINT mode=$mode batch=$b corpus=${(b + 1) * m} " +
+        f"wall_s=$wall%.1f labeled_nodes=$nLabels " +
+        f"index_files=${dataFiles(index)} labels_files=${dataFiles(labels)}")
     }
     spark.stop()
   }

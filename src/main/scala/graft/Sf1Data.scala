@@ -121,32 +121,28 @@ object Sf1Data {
   }
 }
 
-/** Heavy-tail scale probe: runs the catalog's slowest queries (plus the
-  * trained-ANN family) COLD at each given scale dir, recording wall
-  * seconds and the executed plan's exchange count — the SCALING.md
-  * evidence that the tail grows ~linearly sf0.1 → sf1 with a
-  * scale-invariant shuffle structure. Each query runs in a fresh-memo
-  * context only for the first dir listed in a JVM (the per-corpus
-  * memos — signatures, codebooks, codes — key on the dir, mirroring
-  * production where the index build is paid once per corpus); the
-  * `build` column isolates that one-off cost: it is the wall of the
-  * FIRST run minus the wall of a repeat run served from the memo.
+/** Full-catalog scale probe: runs EVERY catalog query COLD at each
+  * given scale dir, recording wall seconds and the executed plan's
+  * exchange count — the SCALING.md evidence that walls grow ~linearly
+  * sf0.1 → sf1 with a scale-invariant shuffle structure (a query whose
+  * sf1/sf0.1 warm ratio is far above the 10× data ratio is hiding a
+  * super-linear stage). Each query runs in a fresh-memo context only
+  * for the first dir listed in a JVM (the per-corpus memos —
+  * signatures, codebooks, codes, maintained labels — key on the dir,
+  * mirroring production where the index build is paid once per
+  * corpus); the `build` column isolates that one-off cost: it is the
+  * wall of the FIRST run minus the wall of a repeat run served from
+  * the memo. Pass query names as args after the dirs marker `--` to
+  * restrict (e.g. `sf0.1dir sf1dir -- q_dedup_clusters`).
   */
 object Sf1Probe {
   def main(args: Array[String]): Unit = {
-    val dirs = if (args.nonEmpty) args.toSeq
+    val (dirArgs, qArgs) = args.span(_ != "--")
+    val dirs = if (dirArgs.nonEmpty) dirArgs.toSeq
       else Seq("/root/testdata/sf0.1", "testdata-sf1")
-    val queries = Seq(
-      "q_dedup_clusters", "q_dedup_clusters_incr", "q_dedup_embed_clusters",
-      "q_dedup_jaccard",
-      "q_dedup_minhash", "q_dedup_simhash", "q_dedup_simhash64",
-      "q_dedup_embed", "q_dedup_exact",
-      "q_contamination", "q_contamination_bloom", "q_contamination_ngram",
-      "q_ann_ivfpq", "q_ann_codes_served", "q_ann_ivf_trained",
-      "q_ann_pq_trained", "q_ann_ivfpq_trained", "q_ann_int8", "q_ann_pq",
-      "q_top_terms", "q5_nation_revenue", "q_sql_subquery", "q_sql_having",
-      "q_sql_notin", "q3_top_revenue", "q_grouping_sets", "q_session_native",
-      "q_topk_agg")
+    val queries =
+      if (qArgs.length > 1) qArgs.drop(1).toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
     val spark = GraftSession.local("sf1-probe")
     // warmup: JIT/codegen/parquet machinery, never the probed corpora
     Tables.load(spark, dirs.head, "region").count()

@@ -91,17 +91,22 @@ object MultimodalQueries {
 
     // --------------------------------------------------------- decoded
     // REAL container decode, hash-gated end-to-end: payloads are actual
-    // 24-bpp BMP / PCM-16 WAV files synthesized deterministically from
-    // the text bytes, and the Spark side must parse the real headers —
-    // BMP stride padding, bottom-up row order, BGR→RGB swap, WAV chunk
+    // 24-bpp BMP (doc_id % 4 == 0) / deflate-compressed RGB PNG
+    // (doc_id % 4 == 2, per-row filters cycling all five types) /
+    // PCM-16 WAV (odd) files synthesized deterministically from the
+    // text bytes, and the Spark side must parse the real formats — BMP
+    // stride padding, bottom-up row order, BGR→RGB swap; PNG chunk
+    // CRCs, zlib inflate, Sub/Up/Average/Paeth unfilter; WAV chunk
     // walk, sample-rate field, int16 sign — to reproduce the decoded
     // statistics the oracle computes directly from encode(text) via the
-    // known construction. pos_sum (position-weighted value sum) is what
-    // binds the layout handling: any row-flip, padding or channel-order
-    // mistake shifts values to different positions and breaks the hash.
-    // The DuckDB side never parses a container; it computes the EXPECTED
-    // decode from the raw bytes, which is exactly what makes this an
-    // independent gate on the decoder.
+    // known construction (BMP and PNG share one pixel construction, so
+    // the oracle is container-independent while the engine runs two
+    // different decoders). pos_sum (position-weighted value sum) is
+    // what binds the layout handling: any row-flip, padding, filter or
+    // channel-order mistake shifts values to different positions and
+    // breaks the hash. The DuckDB side never parses a container; it
+    // computes the EXPECTED decode from the raw bytes, which is exactly
+    // what makes this an independent gate on the decoders.
     GraftQuery(
       "q_multimodal_decoded",
       """WITH b AS (

@@ -313,24 +313,30 @@ object ConnectedComponents {
       newEdges: DataFrame,
       aCol: String,
       bCol: String): (DataFrame, DataFrame, DataFrame, DataFrame, () => Unit) = {
-    val e = newEdges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .filter(col("src") =!= col("dst"))
+    // self-edges are kept in e0 (node derivation) and dropped only for
+    // contraction: a batch node appearing ONLY in self-edges must still
+    // get a singleton label row, exactly as [[run]] (whose minLabelLoop
+    // keeps self-edges too) would label it — dedup pair generators
+    // enforce a < b and never emit one, but the fold == full-recompute
+    // identity should not depend on that
+    val e0 = newEdges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .distinct()
       .persist()
-    val release = () => { e.unpersist(); () }
+    val e = e0.filter(col("src") =!= col("dst"))
+    val release = () => { e0.unpersist(); () }
     try {
-      e.count() // materialize the (possibly expensive) pair stage once
+      e0.count() // materialize the (possibly expensive) pair stage once
       val lab = labels.select(col("id"), col("component"))
       // endpoints the existing labeling has never seen enter as their
       // own singleton component — exactly what a full run would assign
       // them before any of the new edges apply
-      val newNodes = e.select(col("src").as("id"))
-        .unionByName(e.select(col("dst").as("id")))
+      val newNodes = e0.select(col("src").as("id"))
+        .unionByName(e0.select(col("dst").as("id")))
         .distinct()
         .join(lab, Seq("id"), "left_anti")
         .select(col("id"), col("id").as("component"))
       val ext = lab.unionByName(newNodes).persist()
-      val releaseBoth = () => { ext.unpersist(); e.unpersist(); () }
+      val releaseBoth = () => { ext.unpersist(); e0.unpersist(); () }
       try {
         ext.count()
         val la = ext.select(col("id").as("ia"), col("component").as("ca"))
@@ -345,7 +351,7 @@ object ConnectedComponents {
         val (alt, _) = runAdaptive(contracted, "u", "w")
         val altMap =
           alt.select(col("id").as("aid"), col("component").as("acomp"))
-        // e stays persisted until release: newNodes (and so ext's
+        // e0 stays persisted until release: newNodes (and so ext's
         // second consumer in the delta path) still derives from it.
         // A failing session must not accumulate edge-list copies in
         // executor storage, so every throw path releases too.

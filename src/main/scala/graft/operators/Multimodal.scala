@@ -86,11 +86,12 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
-  // Real pure-JVM codecs: uncompressed 24-bpp BI_RGB BMP, PCM-16 WAV,
-  // and uncompressed 24-bpp DIB AVI need no native libraries — just
-  // header math over the byte array — so all three media kinds decode
-  // for REAL; anything else falls back to the clearly labeled stub
-  // above.
+  // Real pure-JVM codecs: uncompressed 24-bpp BI_RGB BMP, non-
+  // interlaced 8-bit RGB/RGBA PNG (zlib via java.util.zip.Inflater),
+  // PCM-16 WAV, and uncompressed 24-bpp DIB AVI need no native
+  // libraries — header math over the byte array, plus the JDK's own
+  // zlib for PNG — so all three media kinds decode for REAL; anything
+  // else falls back to the clearly labeled stub above.
   // ------------------------------------------------------------------
 
   private def le16(b: Array[Byte], o: Int): Int =
@@ -176,6 +177,211 @@ object Multimodal {
     dibToRgbFloats(p, dataOffset, w, h, stride, bottomUp, out, 0)
     Some(DecodedMedia(r.media_id, r.kind, Seq(h, w, 3), out.toSeq))
   }
+
+  // PNG needs no native codec either: zlib IS in the JVM
+  // (java.util.zip.Inflater/Deflater), and the rest of the format is
+  // chunk walking, CRC32 and per-row filter arithmetic.
+
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Parse a non-interlaced 8-bit-depth truecolor PNG (color type 2 =
+    * RGB or 6 = RGBA) into a top-down float tensor in [0,1], shape
+    * (height, width, channels): chunk walk with CRC32 verification,
+    * all-IDAT concatenation, `java.util.zip.Inflater` decompression,
+    * and per-row unfiltering of ALL five PNG filter types (None, Sub,
+    * Up, Average, Paeth). Returns None — stub fallback — for palette /
+    * grayscale / 16-bit / interlaced variants, CRC mismatches, or
+    * truncated streams; a garbage payload must never throw.
+    */
+  private[graft] def decodePng(r: MediaRecord): Option[DecodedMedia] = {
+    val p = r.payload
+    if (p.length < 8 + 25 || !PngSig.indices.forall(i => p(i) == PngSig(i)))
+      return None
+    var off = 8
+    var w = 0; var h = 0; var channels = 0
+    var seenIhdr = false
+    var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    val crc = new java.util.zip.CRC32
+    while (!seenIend && off + 12 <= p.length) {
+      val len = be32(p, off)
+      if (len < 0 || off.toLong + 12 + len > p.length) return None
+      val typ = new String(p, off + 4, 4, "US-ASCII")
+      crc.reset()
+      crc.update(p, off + 4, 4 + len)
+      if (crc.getValue.toInt != be32(p, off + 8 + len)) return None
+      typ match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = be32(p, off + 8)
+          h = be32(p, off + 12)
+          val bitDepth = p(off + 16) & 0xff
+          val colorType = p(off + 17) & 0xff
+          val interlace = p(off + 20) & 0xff
+          channels = colorType match {
+            case 2 => 3
+            case 6 => 4
+            case _ => return None // palette/gray → stub fallback
+          }
+          if (bitDepth != 8 || interlace != 0 || w <= 0 || h <= 0 ||
+            w > (1 << 20) || h > (1 << 20) ||
+            w.toLong * h * channels > (1 << 28)) return None
+          seenIhdr = true
+        case "IDAT" => idat.write(p, off + 8, len)
+        case "IEND" => seenIend = true
+        case _ => // ancillary chunks (tEXt, pHYs, ...) skip
+      }
+      off += 12 + len
+    }
+    if (!seenIhdr || !seenIend || idat.size == 0) return None
+    val bpp = channels // bytes per pixel at bit depth 8
+    val rowLen = w * bpp
+    val raw = new Array[Byte](h * (1 + rowLen))
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        got += n
+      }
+      if (got < raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // unfilter in place into `img` (top-down raw scanlines): PNG
+    // filters predict each byte from a (left), b (up), c (up-left) of
+    // the RECONSTRUCTED image — row order matters, filters don't nest
+    val img = new Array[Byte](h * rowLen)
+    var row = 0
+    while (row < h) {
+      val ft = raw(row * (1 + rowLen)) & 0xff
+      if (ft > 4) return None
+      val src = row * (1 + rowLen) + 1
+      val dst = row * rowLen
+      var i = 0
+      while (i < rowLen) {
+        val x = raw(src + i) & 0xff
+        val a = if (i >= bpp) img(dst + i - bpp) & 0xff else 0
+        val b = if (row > 0) img(dst - rowLen + i) & 0xff else 0
+        val c = if (row > 0 && i >= bpp) img(dst - rowLen + i - bpp) & 0xff else 0
+        val rec = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 => // Paeth predictor
+            val pp = a + b - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b)
+            val pc = math.abs(pp - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        img(dst + i) = rec.toByte
+        i += 1
+      }
+      row += 1
+    }
+    val out = new Array[Float](h * rowLen)
+    var i = 0
+    while (i < out.length) { out(i) = (img(i) & 0xff) / 255f; i += 1 }
+    Some(DecodedMedia(r.media_id, r.kind, Seq(h, w, channels), out.toSeq))
+  }
+
+  /** Encode a top-down 8-bit image (`channels` = 3 RGB or 4 RGBA) as a
+    * non-interlaced PNG — the inverse of [[decodePng]]. Each scanline
+    * uses filter type `row % 5`, so a round-trip (and the oracle gate
+    * over payloads this produces) exercises EVERY unfilter path, not
+    * just the trivial one; the decoded image is filter-invariant by
+    * construction, which is what keeps the oracle construction-only.
+    */
+  def encodePng(width: Int, height: Int, channels: Int,
+      topDown: Array[Byte]): Array[Byte] = {
+    require(channels == 3 || channels == 4, s"channels=$channels")
+    require(topDown.length == width * height * channels,
+      s"need ${width * height * channels} bytes, got ${topDown.length}")
+    val bpp = channels
+    val rowLen = width * bpp
+    // filter (the encode direction): f(x) over RAW bytes of this and
+    // the previous RAW row, mod 256
+    val raw = new Array[Byte](height * (1 + rowLen))
+    var row = 0
+    while (row < height) {
+      val ft = row % 5
+      raw(row * (1 + rowLen)) = ft.toByte
+      var i = 0
+      while (i < rowLen) {
+        val x = topDown(row * rowLen + i) & 0xff
+        val a = if (i >= bpp) topDown(row * rowLen + i - bpp) & 0xff else 0
+        val b = if (row > 0) topDown((row - 1) * rowLen + i) & 0xff else 0
+        val c = if (row > 0 && i >= bpp)
+          topDown((row - 1) * rowLen + i - bpp) & 0xff else 0
+        val filtered = ft match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - (a + b) / 2
+          case 4 =>
+            val pp = a + b - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b)
+            val pc = math.abs(pp - c)
+            x - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw(row * (1 + rowLen) + 1 + i) = filtered.toByte
+        i += 1
+      }
+      row += 1
+    }
+    val deflater = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    val compressed = try {
+      deflater.setInput(raw)
+      deflater.finish()
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!deflater.finished()) buf.write(tmp, 0, deflater.deflate(tmp))
+      buf.toByteArray
+    } finally deflater.end()
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig, 0, PngSig.length)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write(Array((len >>> 24).toByte, (len >>> 16).toByte,
+        (len >>> 8).toByte, len.toByte), 0, 4)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32
+      crc.update(tb, 0, 4)
+      crc.update(data, 0, data.length)
+      val v = crc.getValue.toInt
+      out.write(Array((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte), 0, 4)
+    }
+    val ihdr = new Array[Byte](13)
+    def w32(o: Int, v: Int): Unit = {
+      ihdr(o) = (v >>> 24).toByte; ihdr(o + 1) = (v >>> 16).toByte
+      ihdr(o + 2) = (v >>> 8).toByte; ihdr(o + 3) = v.toByte
+    }
+    w32(0, width); w32(4, height)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = (if (channels == 3) 2 else 6).toByte // RGB | RGBA
+    // compression 0, filter 0, interlace 0 already zeroed
+    chunk("IHDR", ihdr)
+    chunk("IDAT", compressed)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** [[encodePng]] for plain RGB — the counterpart of [[encodeBmp24]]. */
+  def encodePng24(width: Int, height: Int, rgbTopDown: Array[Byte]): Array[Byte] =
+    encodePng(width, height, 3, rgbTopDown)
 
   /** Parse a RIFF/WAVE container with PCM 16-bit samples: walk the
     * chunk list (tolerating extra chunks in any order, odd-size word
@@ -409,9 +615,9 @@ object Multimodal {
 
   /** Decode a media Dataset. Partition-local: the codec is instantiated
     * once per partition and streamed — the batch shape a real FFI
-    * decoder needs. BMP and WAV payloads (by magic bytes) decode for
-    * REAL via the pure-JVM parsers above; anything else falls back to
-    * the deterministic stub.
+    * decoder needs. BMP, PNG, WAV and AVI payloads (by magic bytes)
+    * decode for REAL via the pure-JVM parsers above; anything else
+    * falls back to the deterministic stub.
     */
   def decode(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
@@ -421,6 +627,8 @@ object Multimodal {
         val p = r.payload
         val parsed =
           if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') decodeBmp(r)
+          else if (p.length >= 8 && p(0) == PngSig(0) && p(1) == 'P')
+            decodePng(r)
           else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' &&
             p(2) == 'F' && p(3) == 'F') {
             // RIFF: the format tag at bytes 8-11 picks the codec
@@ -476,15 +684,20 @@ object Multimodal {
   }
 
   /** Synthesize REAL container payloads from the documents corpus:
-    * even doc_ids become 24-bpp BMPs (text bytes as top-down RGB pixel
-    * data, width 5, zero-padded to fill the last row), odd doc_ids
-    * become PCM-16 WAVs (consecutive byte pairs as little-endian
-    * samples, sample rate varied by doc_id so the oracle gates the fmt
-    * header parse). Deterministic byte-for-byte, so the DuckDB oracle
-    * reproduces the decoded statistics straight from encode(text)
-    * without parsing any container — while the Spark side must parse
-    * the real header, stride padding, bottom-up row order and sample
-    * signs to agree.
+    * even doc_ids become images — 24-bpp BMPs for `id % 4 == 0`, RGB
+    * PNGs (zlib-deflated, per-row filters cycling through all five
+    * types) for `id % 4 == 2` — with the SAME pixel construction (text
+    * bytes as top-down RGB, width 5, zero-padded to fill the last
+    * row), so the decoded tensor — and therefore the oracle — is
+    * container-independent while the Spark side must run two entirely
+    * different real decoders to agree. Odd doc_ids become PCM-16 WAVs
+    * (consecutive byte pairs as little-endian samples, sample rate
+    * varied by doc_id so the oracle gates the fmt header parse).
+    * Deterministic byte-for-byte, so the DuckDB oracle reproduces the
+    * decoded statistics straight from encode(text) without parsing any
+    * container — while the Spark side must parse the real headers
+    * (BMP stride padding and bottom-up rows; PNG chunk CRCs, inflate
+    * and unfilter; WAV chunk walk and sample signs) to agree.
     */
   def fromDocumentsEncoded(docs: DataFrame): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
@@ -495,8 +708,9 @@ object Multimodal {
           val w = 5
           val h = math.max((bytes.length + w * 3 - 1) / (w * 3), 1)
           val rgb = java.util.Arrays.copyOf(bytes, w * h * 3)
-          MediaRecord(id, "image", encodeBmp24(w, h, rgb),
-            MediaMeta(w, h, 0, 1))
+          val payload =
+            if (id % 4 == 0) encodeBmp24(w, h, rgb) else encodePng24(w, h, rgb)
+          MediaRecord(id, "image", payload, MediaMeta(w, h, 0, 1))
         } else {
           val sr = 8000 + (id % 3).toInt * 4000
           val n = bytes.length / 2

@@ -91,6 +91,69 @@ object IncrementalParquet {
     fs.create(marker, true).close() // ack LAST: replay-safe until here
   }
 
+  /** Compute-once persistence for a batch-scoped derived result — the
+    * fix for the one replay window [[appendIdempotent]] and
+    * [[Upsert.upsertParquetPartitioned]] leave open when a batch's
+    * WRITE is a function of the table it updates (the cluster-labels
+    * fold: delta = f(labels, batch)). The upsert installs touched
+    * buckets one rename at a time, so a crash mid-swap leaves a
+    * MIXED-version table — some buckets already hold the batch's new
+    * labels, others the old ones — which per-bucket recovery cannot
+    * detect (every live dir exists). Recomputing the delta FROM that
+    * table on replay silently diverges: batch edges whose endpoints
+    * were already relabeled contract to self-loops, so transitively-
+    * relabeled rows in not-yet-swapped buckets are never re-derived.
+    * The cure is to never recompute across a replay: the delta is
+    * PERSISTED (staged write → rename → ack marker) before the upsert
+    * starts, and a replay re-applies the STORED delta — re-upserting
+    * the full delta over a mixed table converges it exactly to the
+    * new version, because bucket swaps are whole-directory (each
+    * bucket is entirely old or entirely new) and rows outside the
+    * delta are identical in both versions.
+    *
+    * Contract: `compute` runs (and its result is persisted + acked)
+    * only if no ack marker exists for `batchId`; otherwise the stored
+    * copy is returned untouched. Because the caller applies its write
+    * only AFTER this returns, the no-marker path implies the write for
+    * `batchId` never started, so `compute` always reads a consistent
+    * table. Batch ids must be monotone per stream (foreachBatch's
+    * contract — only the LAST uncommitted batch is ever replayed), so
+    * persisting batch N prunes every stored batch < N. Single-writer,
+    * like everything else in this file.
+    */
+  def batchScopedResult(spark: SparkSession, dirStr: String, batchId: Long)(
+      compute: => DataFrame): DataFrame = {
+    val dir = new Path(dirStr)
+    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    val data = new Path(dir, s"b$batchId")
+    val marker = new Path(dir, s"_acked/b$batchId")
+    if (!fs.exists(marker)) {
+      val df = compute
+      val stage = new Path(dir, s".b$batchId.stage")
+      fs.delete(stage, true)
+      df.write.mode("overwrite").parquet(stage.toString)
+      fs.delete(data, true) // unacked crash leftovers from this batch
+      if (!fs.rename(stage, data))
+        throw new IllegalStateException(s"rename $stage -> $data failed")
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close() // ack LAST: compute-again-safe until here
+      // prune superseded batches: once batch N is processed, no batch
+      // < N can be replayed again (monotone-batchId contract above).
+      // STRICTLY older only — a manual out-of-order replay of an old
+      // batch must never delete a newer batch's stored result
+      val bName = "^b(\\d+)$".r
+      fs.listStatus(dir).foreach { st =>
+        st.getPath.getName match {
+          case bName(id) if id.toLong < batchId =>
+            fs.delete(st.getPath, true)
+            fs.delete(new Path(dir, s"_acked/b$id"), false)
+          case _ => ()
+        }
+      }
+    }
+    spark.read.parquet(data.toString)
+  }
+
   /** Build-once memo for an index table built THROUGH the incremental
     * lifecycle this object maintains — the one shape every stored index
     * family shares (ANN codes `cell=`, lexical signatures `bkt=`,

@@ -355,8 +355,8 @@ object StreamingPipeline {
     * converges to exactly-once table state. Serving
     * ([[graft.analytics.SimilarityQueries.ivfPqServeFromCodes]]) sees
     * every landed batch immediately; [[graft.analytics
-    * .SimilarityQueries.compactCodes]] is the companion maintenance job
-    * once small files accrete.
+    * .SimilarityQueries.compactCodes]] fires automatically every
+    * `compactEvery` batches (see [[DefaultCompactEvery]]).
     */
   def startCodesIngest(
       spark: SparkSession,
@@ -365,7 +365,8 @@ object StreamingPipeline {
       checkpointDir: String,
       cbIvf: Array[Double],
       cbPq: Array[Double],
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = DefaultCompactEvery): StreamingQuery = {
     import org.apache.spark.sql.types._
     val schema = new StructType()
       .add("vec_id", LongType, nullable = false)
@@ -376,8 +377,31 @@ object StreamingPipeline {
       (batch, batchId) =>
         graft.analytics.SimilarityQueries.appendToCodesIdempotent(
           batch, codesDir, batchId, cbIvf, cbPq)
+        onCadence(compactEvery, batchId) {
+          graft.analytics.SimilarityQueries.compactCodes(spark, codesDir); ()
+        }
     }
   }
+
+  /** Compaction cadence for the continuous loops: every append leaves
+    * one file set per touched partition, so a long-running stream
+    * fragments its buckets without bound unless compaction runs BETWEEN
+    * triggers. Firing inside `foreachBatch` (same driver thread, after
+    * the batch's append/fold completed) honors the single-writer
+    * contract of [[graft.sinks.IncrementalParquet]] by construction —
+    * no trigger is in flight while it runs. Every `compactEvery`-th
+    * batch pays the O(fragmented-partitions) rewrite, bounding
+    * per-bucket file counts at ~`compactEvery` between firings; a
+    * replay of a compacted batch stays a no-op (ack markers outlive
+    * compaction; [[graft.sinks.IncrementalParquet.compact]] refuses
+    * partitions holding unacked batch files). 0 disables.
+    */
+  val DefaultCompactEvery = 8
+
+  private def onCadence(compactEvery: Int, batchId: Long)(
+      compact: => Unit): Unit =
+    if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+      compact
 
   /** The ingest scaffold both index streams share: a parquet file
     * stream over `incomingDir` (small per-trigger file cap so one big
@@ -408,16 +432,18 @@ object StreamingPipeline {
     * table; near-dup candidates for the whole corpus-so-far then serve
     * from the table via
     * [[graft.analytics.DedupQueries.candidatePairsFromStored]] with no
-    * tokenizer/SHA/MinHash recompute. Compact between triggers with
-    * [[graft.analytics.DedupQueries.compactSignatures]] (single-writer,
-    * like the codes table).
+    * tokenizer/SHA/MinHash recompute.
+    * [[graft.analytics.DedupQueries.compactSignatures]] fires
+    * automatically every `compactEvery` batches (see
+    * [[DefaultCompactEvery]]).
     */
   def startSignaturesIngest(
       spark: SparkSession,
       incomingDir: String,
       sigDir: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = DefaultCompactEvery): StreamingQuery = {
     import org.apache.spark.sql.types._
     val schema = new StructType()
       .add("doc_id", LongType, nullable = false)
@@ -426,6 +452,9 @@ object StreamingPipeline {
       (batch, batchId) =>
         graft.analytics.DedupQueries.appendToSignaturesIdempotent(
           batch, sigDir, batchId)
+        onCadence(compactEvery, batchId) {
+          graft.analytics.DedupQueries.compactSignatures(spark, sigDir); ()
+        }
     }
   }
 
@@ -454,6 +483,15 @@ object StreamingPipeline {
     * identity across triggers, replay, and a mid-stream crash window.
     * Public (not private to the stream wiring) so the spec can drive
     * single batches and replays directly.
+    *
+    * The delta is PERSISTED (ack-markered, in a `.delta` sibling of the
+    * labels table) BEFORE the upsert starts, and a replay re-applies
+    * the STORED delta instead of recomputing — closing the one window
+    * replay-by-recompute leaves open: a crash between the upsert's
+    * per-bucket swaps leaves a mixed-version labels table that
+    * per-bucket recovery cannot detect, and a delta recomputed FROM it
+    * would silently diverge forever (rationale and convergence argument
+    * at [[graft.sinks.IncrementalParquet.batchScopedResult]]).
     */
   def maintainClusters(
       spark: SparkSession, sigDir: String, labelsDir: String,
@@ -467,13 +505,25 @@ object StreamingPipeline {
     // replay would fold against a table missing a retired bucket and
     // write a permanently-divergent delta over the recovered rows
     Upsert.recoverParquetPartitioned(spark, labelsDir)
-    val edges = graft.analytics.DedupQueries.batchVerifiedPairs(
-      spark, sigDir, batch, broadcastBatch = broadcastBatch)
-    val delta = graft.operators.ConnectedComponents.incrementalDelta(
-      clusterLabels(spark, labelsDir), edges, "doc_id_a", "doc_id_b")
-    if (!delta.isEmpty) // delta is checkpoint-backed: no recompute here
+    val delta = graft.sinks.IncrementalParquet.batchScopedResult(
+      spark, deltaDirFor(labelsDir), batchId) {
+      val edges = graft.analytics.DedupQueries.batchVerifiedPairs(
+        spark, sigDir, batch, broadcastBatch = broadcastBatch)
+      graft.operators.ConnectedComponents.incrementalDelta(
+        clusterLabels(spark, labelsDir), edges, "doc_id_a", "doc_id_b")
+    }
+    if (!delta.isEmpty) // delta is parquet-backed: no recompute here
       Upsert.upsertParquetPartitioned(spark, delta, labelsDir,
         key = "id", updateColumns = Seq("component"), numBuckets = 16)
+  }
+
+  /** The persisted-delta sibling of a labels table (dot-prefixed, like
+    * the upsert's `.stage`/`.retired` scratch dirs — NOT inside the
+    * table dir, which must stay a pure parquet layout).
+    */
+  private def deltaDirFor(labelsDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(labelsDir)
+    new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.delta").toString
   }
 
   /** The durable cluster-labels table `(id, component)` the maintenance
@@ -504,7 +554,8 @@ object StreamingPipeline {
       labelsDir: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      broadcastBatch: Boolean = true): StreamingQuery = {
+      broadcastBatch: Boolean = true,
+      compactEvery: Int = DefaultCompactEvery): StreamingQuery = {
     import org.apache.spark.sql.types._
     val schema = new StructType()
       .add("doc_id", LongType, nullable = false)
@@ -513,6 +564,9 @@ object StreamingPipeline {
       (batch, batchId) =>
         maintainClusters(spark, sigDir, labelsDir, batch, batchId,
           broadcastBatch)
+        onCadence(compactEvery, batchId) {
+          graft.analytics.DedupQueries.compactSignatures(spark, sigDir); ()
+        }
     }
   }
 
@@ -525,7 +579,8 @@ object StreamingPipeline {
     * The verify fails loudly if a candidate's vector is missing rather
     * than silently dropping its pairs), and fold the new edges into
     * the semantic cluster-labels table. Same crash-recovery-before-
-    * read ordering and same empty-delta replay convergence.
+    * read ordering, same empty-delta replay convergence, and the same
+    * persisted-delta replay protocol as [[maintainClusters]].
     */
   def maintainEmbedClusters(
       spark: SparkSession, bucketsDir: String, labelsDir: String,
@@ -534,13 +589,16 @@ object StreamingPipeline {
     graft.analytics.DedupQueries.appendToSignBucketsIdempotent(
       batch, bucketsDir, batchId)
     Upsert.recoverParquetPartitioned(spark, labelsDir)
-    val vectors = spark.read
-      .schema(embeddingSchema).parquet(vectorsDir)
-      .select(col("vec_id"), col("embedding"))
-    val edges = graft.analytics.DedupQueries.batchVerifiedEmbedPairs(
-      spark, bucketsDir, batch, vectors, threshold, broadcastBatch)
-    val delta = graft.operators.ConnectedComponents.incrementalDelta(
-      clusterLabels(spark, labelsDir), edges, "id_a", "id_b")
+    val delta = graft.sinks.IncrementalParquet.batchScopedResult(
+      spark, deltaDirFor(labelsDir), batchId) {
+      val vectors = spark.read
+        .schema(embeddingSchema).parquet(vectorsDir)
+        .select(col("vec_id"), col("embedding"))
+      val edges = graft.analytics.DedupQueries.batchVerifiedEmbedPairs(
+        spark, bucketsDir, batch, vectors, threshold, broadcastBatch)
+      graft.operators.ConnectedComponents.incrementalDelta(
+        clusterLabels(spark, labelsDir), edges, "id_a", "id_b")
+    }
     if (!delta.isEmpty)
       Upsert.upsertParquetPartitioned(spark, delta, labelsDir,
         key = "id", updateColumns = Seq("component"), numBuckets = 16)
@@ -565,11 +623,15 @@ object StreamingPipeline {
       checkpointDir: String,
       threshold: Double = 0.4,
       trigger: Trigger = Trigger.AvailableNow(),
-      broadcastBatch: Boolean = true): StreamingQuery =
+      broadcastBatch: Boolean = true,
+      compactEvery: Int = DefaultCompactEvery): StreamingQuery =
     startIndexIngest(spark, incomingDir, checkpointDir, embeddingSchema,
       trigger) { (batch, batchId) =>
       maintainEmbedClusters(spark, bucketsDir, labelsDir, incomingDir,
         batch, batchId, threshold, broadcastBatch)
+      onCadence(compactEvery, batchId) {
+        graft.analytics.DedupQueries.compactSignatures(spark, bucketsDir); ()
+      }
     }
 
   def decontaminationGate(

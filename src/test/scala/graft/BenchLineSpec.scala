@@ -57,7 +57,9 @@ class BenchLineSpec extends AnyFunSuite {
     val results = SparkEntry.queries.keys.map(_ -> 1.234567).toMap
     val line = Bench.renderLine(results, "/root/testdata/sf0.1",
       calib = Some(0.123))
-    assert(line.length < 1970)
+    // the ladder's own bound (1970 ≤ the driver's window minus ≥30
+    // bytes of tolerance — see renderLine's scaladoc) is the contract
+    assert(line.length <= 1970)
     // 100 ms per-query resolution minimum: per-query decimals feed the
     // round-over-round regression check, so the ladder never degrades
     // below 1 decimal — it sheds "passes" and then the fastest few

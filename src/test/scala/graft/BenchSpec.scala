@@ -87,6 +87,24 @@ class BenchSpec extends AnyFunSuite {
     assert(!line.contains("\"flaky\""))
   }
 
+  test("the re-queue rule flags exactly the passes flanked by contention") {
+    // execution k runs between samples(k) and samples(k+1); one 3x
+    // sample poisons BOTH passes it flanks, nothing else
+    assert(Bench.poisonedPasses(Seq(0.1, 0.1, 0.3, 0.1), 3) == Seq(1, 2))
+    // an all-clean series flags nothing
+    assert(Bench.poisonedPasses(Seq(0.1, 0.1, 0.1, 0.1), 3) == Seq.empty)
+    // the baseline is the fastest sample of the run, so a uniformly
+    // slow-but-steady host is NOT flagged (cross-round calib catches it)
+    assert(Bench.poisonedPasses(Seq(0.3, 0.3, 0.3, 0.3), 3) == Seq.empty)
+    // ratio exactly at NoiseRatio counts as contended (>=, like noisy)
+    assert(Bench.poisonedPasses(Seq(0.1, 0.2, 0.1, 0.1), 3) == Seq(0, 1))
+    // degenerate inputs: too few samples / non-positive walls
+    assert(Bench.poisonedPasses(Seq(0.1, 0.1), 3) == Seq.empty)
+    assert(Bench.poisonedPasses(Seq(0.1, 0.0, 0.1, 0.1), 3) == Seq.empty)
+    // re-queued executions extend the series; only their own flanks count
+    assert(Bench.poisonedPasses(Seq(0.1, 0.1, 0.3, 0.1, 0.1), 4) == Seq(1, 2))
+  }
+
   test("calibration stats: upper median and max/min ratio") {
     assert(Bench.calibStats(Seq.empty) == (None, None))
     assert(Bench.calibStats(Seq(0.5)) == (Some(0.5), None))

@@ -26,7 +26,6 @@ class ClusterMaintenanceSpec extends SparkSpec {
   private def docs = Tables.load(spark, sf, "documents")
     .select(col("doc_id"), col("text"))
 
-
   /** From-scratch ground truth over `corpus`: verified pairs (the same
     * LSH → Jaccard pipeline the stream serves from its stored table)
     * then the full closure.
@@ -154,6 +153,111 @@ class ClusterMaintenanceSpec extends SparkSpec {
       assert(labelMap(labels.toString) == healthy,
         "crash-window replay diverged from the healthy labeling")
       assert(labelMap(labels.toString) == fullRecompute(docs))
+    }
+  }
+
+  test("replay after a crash BETWEEN bucket swaps re-applies the stored delta") {
+    // the one window per-bucket recovery cannot see: the labels upsert
+    // installs touched kb= buckets one rename at a time, so a crash
+    // mid-loop leaves a MIXED-version table — some buckets already hold
+    // batch 1's labels, others still batch 0's. Every live dir exists,
+    // so recoverParquetPartitioned has nothing to restore, and a delta
+    // RECOMPUTED from the mixed table would silently diverge (batch
+    // edges contract to self-loops; transitively-relabeled rows in
+    // not-yet-swapped buckets are never re-derived). The fix under
+    // test: the delta was PERSISTED before the upsert started, and the
+    // replay re-applies the STORED delta, which converges any mix of
+    // old/new buckets to the new version.
+    withTempDir { root =>
+      val sig = root.resolve("sig").toString
+      val labels = root.resolve("labels")
+      val b0 = docs.filter(col("doc_id") % 2 === 0)
+      val b1 = docs.filter(col("doc_id") % 2 === 1)
+      StreamingPipeline.maintainClusters(spark, sig, labels.toString, b0, 0L)
+
+      // snapshot the post-batch-0 table, then fold batch 1 fully
+      import scala.jdk.CollectionConverters._
+      val pre = root.resolve("labels-pre")
+      def copyTree(from: Path, to: Path): Unit =
+        Files.walk(from).iterator().asScala.foreach { p =>
+          val t = to.resolve(from.relativize(p).toString)
+          if (Files.isDirectory(p)) Files.createDirectories(t)
+          else Files.copy(p, t)
+        }
+      copyTree(labels, pre)
+      StreamingPipeline.maintainClusters(spark, sig, labels.toString, b1, 1L)
+      val healthy = labelMap(labels.toString)
+      assert(healthy == fullRecompute(docs))
+
+      // batch 1's delta must be persisted+acked, batch 0's pruned
+      val delta = labels.getParent.resolve(s".${labels.getFileName}.delta")
+      assert(Files.exists(delta.resolve("_acked/b1")), "delta b1 not acked")
+      assert(!Files.exists(delta.resolve("b0")), "superseded delta not pruned")
+
+      // rebuild the mid-swap mix: half the buckets roll back to their
+      // batch-0 version (buckets new in batch 1 are REMOVED — "not yet
+      // installed"), the rest keep batch 1's labels
+      val buckets = Files.list(labels).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("kb=")).toSeq.sortBy(_.toString)
+      val victims = buckets.zipWithIndex.collect { case (p, i) if i % 2 == 0 => p }
+      assert(victims.nonEmpty)
+      victims.foreach { b =>
+        Files.walk(b).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        val old = pre.resolve(b.getFileName.toString)
+        if (Files.exists(old)) copyTree(old, b)
+      }
+      assert(labelMap(labels.toString) != healthy,
+        "mix reconstruction was a no-op — the window is not being exercised")
+
+      // replay batch 1: stored delta re-applies, table converges
+      StreamingPipeline.maintainClusters(spark, sig, labels.toString, b1, 1L)
+      assert(labelMap(labels.toString) == healthy,
+        "mixed-version replay diverged from the healthy labeling")
+    }
+  }
+
+  test("compaction cadence mid-stream: same labels, bounded bucket files") {
+    withTempDir { root =>
+      val incoming = Files.createDirectory(root.resolve("incoming"))
+      val sig = root.resolve("sig")
+      val labels = root.resolve("labels").toString
+      val ckpt = root.resolve("ckpt").toString
+
+      // four waves, compactEvery = 2: compaction fires INSIDE the
+      // stream after batches 1 and 3, not just at end-of-run. Land one
+      // file per stream restart (maxFilesPerTrigger=4 would otherwise
+      // drain several files into one batch) so batchIds 0..3 happen.
+      val waves = (0 until 4).map(w => docs.filter(col("doc_id") % 4 === w))
+      waves.zipWithIndex.foreach { case (w, i) =>
+        land(w, incoming, f"w$i%02d.parquet")
+        StreamingPipeline.startDedupMaintenance(
+          spark, incoming.toString, sig.toString, labels, ckpt,
+          Trigger.AvailableNow(), broadcastBatch = true, compactEvery = 2)
+          .awaitTermination(180000)
+      }
+
+      // labels identical to a full recompute despite mid-stream compaction
+      assert(labelMap(labels) == fullRecompute(docs))
+
+      import scala.jdk.CollectionConverters._
+      // every signature bucket compacted down to at most the files of
+      // the batches since the last compaction firing (cadence 2 ⇒ the
+      // last firing at batch 3 leaves 1 file per touched bucket)
+      Files.list(sig).iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("bkt="))
+        .foreach { p =>
+          val files = Files.list(p).iterator().asScala
+            .map(_.getFileName.toString)
+            .filter(f => !f.startsWith("_") && !f.startsWith(".")).toSeq
+          assert(files.size <= 1, s"${p.getFileName}: $files")
+        }
+
+      // replay of a batch whose files compaction absorbed: still a no-op
+      val before = labelMap(labels)
+      StreamingPipeline.maintainClusters(
+        spark, sig.toString, labels, waves(1), 1L)
+      assert(labelMap(labels) == before, "post-compaction replay diverged")
     }
   }
 

@@ -21,10 +21,6 @@ class CodesStreamIngestSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  /** Drop a DataFrame into the incoming dir as a single parquet FILE
-    * (the file-stream source lists files, not directories).
-    */
-
   test("two micro-batches append to the codes table; serve sees the union") {
     withTempDir { root =>
       val e = Tables.load(spark, sf, "embeddings")

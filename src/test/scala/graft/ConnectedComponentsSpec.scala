@@ -194,6 +194,29 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(same.as[(Long, Long)].collect().toMap == unionFind(old))
   }
 
+  test("a batch node appearing only in self-edges folds as a singleton") {
+    import spark.implicits._
+    // run() labels a self-edge-only node as its own singleton (its
+    // minLabelLoop keeps self-edges); the fold must agree, so newNodes
+    // derive from the UNFILTERED batch edge list — dedup generators
+    // enforce a < b and never emit one, but the fold == full-recompute
+    // identity must not depend on that
+    val base = ConnectedComponents.runAdaptive(
+      Seq((1L, 2L)).toDF("a", "b"), "a", "b")._1
+    val folded = ConnectedComponents.incremental(
+      base, Seq((7L, 7L), (2L, 3L)).toDF("a", "b"), "a", "b")
+    assert(folded.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L))
+    assert(ConnectedComponents.run(
+        Seq((1L, 2L), (7L, 7L), (2L, 3L)).toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L))
+    // and the delta form emits the singleton row too
+    val delta = ConnectedComponents.incrementalDelta(
+      base, Seq((7L, 7L)).toDF("a", "b"), "a", "b")
+    assert(delta.as[(Long, Long)].collect().toMap == Map(7L -> 7L))
+  }
+
   test("10k-node path graph converges in O(log n) rounds") {
     import spark.implicits._
     val n = 10000L

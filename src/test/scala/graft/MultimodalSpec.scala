@@ -123,6 +123,86 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  private def pngRec(bytes: Array[Byte]) =
+    MediaRecord(9, "image", bytes, MediaMeta(0, 0, 0, 1))
+
+  test("PNG round-trip: inflate + every filter type (None..Paeth) invert") {
+    val w = 5
+    val h = 7 // ≥5 rows: encodePng cycles filters 0..4, so all five
+              // unfilter paths run inside ONE image
+    val rgb = (0 until w * h * 3).map(i => ((i * 37 + 11) % 256).toByte).toArray
+    val png = Multimodal.encodePng24(w, h, rgb)
+    assert(png.length < 54 + w * h * 3 + 60,
+      "deflate produced no compression — IDAT path suspicious")
+    val dec = Multimodal.decodePng(pngRec(png)).get
+    assert(dec.shape == Seq(h, w, 3))
+    assert(dec.tensor.map(v => Math.round(v * 255f).toByte) == rgb.toSeq)
+  }
+
+  test("PNG RGBA round-trip: color type 6, 4-channel unfiltering") {
+    val w = 3
+    val h = 6
+    val rgba = (0 until w * h * 4).map(i => ((i * 91 + 5) % 256).toByte).toArray
+    val dec = Multimodal.decodePng(
+      pngRec(Multimodal.encodePng(w, h, 4, rgba))).get
+    assert(dec.shape == Seq(h, w, 4))
+    assert(dec.tensor.map(v => Math.round(v * 255f).toByte) == rgba.toSeq)
+  }
+
+  test("PNG cross-check: our codec agrees with ImageIO in both directions") {
+    val w = 6
+    val h = 5
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 83 + y * 29) % 256) << 16 |
+        ((x * 13 + y * 71) % 256) << 8 | ((x * 5 + y * 97) % 256))
+    // (1) the JDK writes a PNG (its own filter choices, its own zlib
+    // framing); our parser must recover every pixel
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos), "JDK PNG writer missing")
+    val dec = Multimodal.decodePng(pngRec(bos.toByteArray)).get
+    assert(dec.shape.take(2) == Seq(h, w))
+    val ch = dec.shape(2) // ImageIO may emit RGB or RGBA
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = img.getRGB(x, y)
+      val d = (y * w + x) * ch
+      assert(Math.round(dec.tensor(d) * 255f) == ((p >> 16) & 0xff), s"R($x,$y)")
+      assert(Math.round(dec.tensor(d + 1) * 255f) == ((p >> 8) & 0xff), s"G($x,$y)")
+      assert(Math.round(dec.tensor(d + 2) * 255f) == (p & 0xff), s"B($x,$y)")
+    }
+    // (2) our encoder writes a PNG (filters 0..4); the JDK must read
+    // the same pixels back
+    val rgb = (0 until w * h * 3).map(i => ((i * 41 + 3) % 256).toByte).toArray
+    val reread = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.encodePng24(w, h, rgb)))
+    for (y <- 0 until h; x <- 0 until w) {
+      val s = (y * w + x) * 3
+      val exp = ((rgb(s) & 0xff) << 16) | ((rgb(s + 1) & 0xff) << 8) |
+        (rgb(s + 2) & 0xff)
+      assert((reread.getRGB(x, y) & 0xffffff) == exp, s"($x,$y)")
+    }
+  }
+
+  test("malformed PNG payloads fall back cleanly, never throw") {
+    val good = Multimodal.encodePng24(4, 4,
+      Array.tabulate(48)(i => (i * 7 % 256).toByte))
+    // flip one IDAT byte: the chunk CRC must catch it
+    val corrupt = good.clone()
+    corrupt(good.length - 20) = (corrupt(good.length - 20) ^ 0x5a).toByte
+    assert(Multimodal.decodePng(pngRec(corrupt)).isEmpty)
+    // truncated stream
+    assert(Multimodal.decodePng(pngRec(good.take(good.length - 10))).isEmpty)
+    // interlaced / palette / 16-bit headers are declined (IHDR byte
+    // edits break the CRC too, so build a fresh header instead): a
+    // signature-only payload must also just fall back
+    assert(Multimodal.decodePng(pngRec(good.take(8))).isEmpty)
+    // and the Dataset-level dispatch stubs, never throws
+    val out = Multimodal.decode(mediaDs(
+      MediaRecord(1, "image", corrupt, MediaMeta(4, 4, 0, 1)))).collect()
+    assert(out.head.shape.size == 2, "corrupt PNG did not stub-fallback")
+  }
+
   test("WAV round-trip: PCM16 samples and the parsed sample rate") {
     val samples = Array.tabulate(77)(i => ((i * 1009 - 5000) % 32768).toShort)
     val dec = Multimodal.decodeWav(

@@ -25,7 +25,6 @@ class SignatureStreamIngestSpec extends SparkSpec {
   private def docs = Tables.load(spark, sf, "documents")
     .select(col("doc_id"), col("text"))
 
-
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select(col("doc_id_a"), col("doc_id_b")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
