@@ -127,7 +127,7 @@ object MaintenanceProbe {
           StreamingPipeline.maintainEmbedClusters(spark, index, labels,
             vectors.toString, vecs, b.toLong)
           if (b % compactEvery == compactEvery - 1)
-            graft.analytics.DedupQueries.compactSignatures(spark, index)
+            graft.analytics.DedupQueries.compactSignaturesMinor(spark, index)
           (System.nanoTime() - t1) / 1e9
         case _ =>
           val docs = batchDocs(spark, b, m).localCheckpoint() // gen untimed
@@ -135,7 +135,7 @@ object MaintenanceProbe {
           StreamingPipeline.maintainClusters(spark, index, labels, docs,
             b.toLong)
           if (b % compactEvery == compactEvery - 1)
-            graft.analytics.DedupQueries.compactSignatures(spark, index)
+            graft.analytics.DedupQueries.compactSignaturesMinor(spark, index)
           (System.nanoTime() - t1) / 1e9
       }
       val nLabels = StreamingPipeline.clusterLabels(spark, labels).count()

@@ -305,10 +305,7 @@ object DedupQueries {
   def appendToSignaturesIdempotent(
       batch: DataFrame, sigDir: String, batchId: Long): Unit =
     graft.sinks.IncrementalParquet.appendIdempotent(
-      batch.sparkSession, sigDir, "bkt", batchId) { stage =>
-      bucketedSignatures(batch)
-        .write.mode("overwrite").partitionBy("bkt").parquet(stage)
-    }
+      batch.sparkSession, sigDir, "bkt", batchId)(bucketedSignatures(batch))
 
   /** Compact fragmented buckets of any `bkt`-partitioned incremental
     * table (signatures or sign buckets) to one file each —
@@ -319,6 +316,16 @@ object DedupQueries {
       spark: SparkSession, sigDir: String, maxFilesPerBucket: Int = 1): Int =
     graft.sinks.IncrementalParquet.compact(
       spark, sigDir, "bkt", maxFilesPerBucket)(s => Int.box(s.toInt))
+
+  /** Minor (size-tiered) compaction of a `bkt`-partitioned incremental
+    * table — absorbs only per-batch files (plus the smallest base
+    * files when the tier count overflows), so in-loop cadence firings
+    * cost O(absorbed bytes), never O(table). Protocol and crash
+    * analysis at [[graft.sinks.IncrementalParquet.compactMinor]];
+    * [[compactSignatures]] remains the explicit full rewrite.
+    */
+  def compactSignaturesMinor(spark: SparkSession, sigDir: String): Int =
+    graft.sinks.IncrementalParquet.compactMinor(spark, sigDir, "bkt")
 
   /** Candidate pairs served from the incremental table on disk: the
     * stored signatures band-join themselves (plus optionally a new
@@ -433,7 +440,12 @@ object DedupQueries {
         val batch = corpus.filter(pmod(col("doc_id"), lit(4)) === b)
         graft.streaming.StreamingPipeline.maintainClusters(
           s, sig, labels, batch, b.toLong)
+        // both compaction kinds fire mid-stream so the serve-after-
+        // compact path of EACH is under the driver's hash gate: the
+        // full rewrite after batch 1, the minor (size-tiered,
+        // marker-committed) absorption after batch 2
         if (b == 1) compactSignatures(s, sig)
+        if (b == 2) compactSignaturesMinor(s, sig)
       }
     } + "/labels"
 
@@ -587,10 +599,7 @@ object DedupQueries {
   def appendToSignBucketsIdempotent(
       batch: DataFrame, bucketsDir: String, batchId: Long): Unit =
     graft.sinks.IncrementalParquet.appendIdempotent(
-      batch.sparkSession, bucketsDir, "bkt", batchId) { stage =>
-      bucketedSignBuckets(batch)
-        .write.mode("overwrite").partitionBy("bkt").parquet(stage)
-    }
+      batch.sparkSession, bucketsDir, "bkt", batchId)(bucketedSignBuckets(batch))
 
   /** Cosine-verified near-dup pairs TOUCHING a batch of vectors — the
     * embedding mirror of [[batchVerifiedPairs]]. Call AFTER the

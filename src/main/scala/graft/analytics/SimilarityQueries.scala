@@ -368,10 +368,8 @@ object SimilarityQueries {
       batch: DataFrame, codesDir: String, batchId: Long,
       cbIvf: Array[Double], cbPq: Array[Double]): Unit =
     graft.sinks.IncrementalParquet.appendIdempotent(
-      batch.sparkSession, codesDir, "cell", batchId) { stage =>
-      codesTable(batch, cbIvf, cbPq)
-        .write.mode("overwrite").partitionBy("cell").parquet(stage)
-    }
+      batch.sparkSession, codesDir, "cell", batchId)(
+      codesTable(batch, cbIvf, cbPq))
 
   /** Compact the stored codes table's fragmented cell partitions to one
     * file each — [[graft.sinks.IncrementalParquet.compact]] carries the
@@ -383,6 +381,15 @@ object SimilarityQueries {
       spark: SparkSession, codesDir: String, maxFilesPerCell: Int = 1): Int =
     graft.sinks.IncrementalParquet.compact(
       spark, codesDir, "cell", maxFilesPerCell)(s => Int.box(s.toInt))
+
+  /** Minor (size-tiered) compaction of the codes table — the in-loop
+    * cadence job: absorbs only per-batch cell files (plus overflowing
+    * small bases), O(absorbed bytes) per firing, never O(index).
+    * Protocol at [[graft.sinks.IncrementalParquet.compactMinor]];
+    * [[compactCodes]] remains the explicit full rewrite.
+    */
+  def compactCodesMinor(spark: SparkSession, codesDir: String): Int =
+    graft.sinks.IncrementalParquet.compactMinor(spark, codesDir, "cell")
 
   /** THE memoized stored codes table per (corpus, codebooks), built
     * through the incremental lifecycle

@@ -51,20 +51,28 @@ import org.apache.spark.sql.functions.{col, lit, pmod}
   */
 object IncrementalParquet {
 
-  /** Install `writeStage(stagePath)`'s output (hive-partitioned on
-    * `partCol`) into `dirStr` exactly once for `batchId` — see the
-    * object doc for the protocol. `writeStage` must write the batch's
-    * rows partitioned by `partCol` to the path it is given.
+  /** Install `batchRows` (hive-partitioned on `partCol`) into `dirStr`
+    * exactly once for `batchId` — see the object doc for the protocol.
+    * `batchRows` is by-name: a replay of an acked batch never
+    * constructs the DataFrame (so domain encode work — signatures, PQ
+    * kernels — is never re-paid). The stage write repartitions on
+    * `partCol` first, so each touched partition receives exactly ONE
+    * file per batch instead of one per shuffle task (32 tasks × P
+    * partitions = hundreds of small files per append otherwise — the
+    * dominant fragmentation source a long-running stream feeds
+    * [[compactMinor]]). The shuffle this inserts is batch-sized, never
+    * table-sized.
     */
   def appendIdempotent(spark: SparkSession, dirStr: String, partCol: String,
-      batchId: Long)(writeStage: String => Unit): Unit = {
+      batchId: Long)(batchRows: => DataFrame): Unit = {
     val dir = new Path(dirStr)
     val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
     val marker = new Path(dir, s"_ingested/b$batchId")
     if (fs.exists(marker)) return // acked: this batch is fully installed
     val stage = new Path(dir.getParent, s".${dir.getName}.ingest-b$batchId")
     fs.delete(stage, true)
-    writeStage(stage.toString)
+    batchRows.repartition(col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(stage.toString)
     fs.listStatus(stage)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
       .foreach { partDir =>
@@ -180,13 +188,164 @@ object IncrementalParquet {
       // pmod, not %: Spark's % keeps the dividend's sign, so a plain
       // `% 2 === 1` split would silently drop negative odd ids
       transform(src.filter(pmod(col(idCol), lit(2)) === 0))
+        .repartition(col(partCol))
         .write.mode("overwrite").partitionBy(partCol).parquet(out)
-      appendIdempotent(spark, out, partCol, 1L) { stage =>
+      appendIdempotent(spark, out, partCol, 1L) {
         transform(src.filter(pmod(col(idCol), lit(2)) === 1))
-          .write.mode("overwrite").partitionBy(partCol).parquet(stage)
       }
       compact(spark, out, partCol)(s => Int.box(s.toInt))
     }
+
+  /** LSM-style MINOR compaction — the in-loop companion of [[compact]]
+    * whose cost is O(absorbed bytes), never O(table). [[compact]]
+    * rewrites every fragmented partition wholesale: right as an
+    * occasional explicit maintenance job, but fired on a cadence inside
+    * a continuous ingest loop its cost grows linearly with the table
+    * (the 16-batch MaintenanceProbe series showed exactly that:
+    * compaction-batch walls climbing 12.9 → 21.9 s while fold-only
+    * batches stayed flat). A minor firing absorbs, per partition:
+    *
+    *  - all ACKED batch files (`b<id>-k`, `_ingested` marker present)
+    *    when at least `minBatchFiles` of them exist — unacked files are
+    *    SKIPPED per-file (not [[compact]]'s whole-partition refusal:
+    *    absorption never touches the batch-scoped names an in-doubt
+    *    replay needs);
+    *  - plus, when the partition's count of minor-produced BASE files
+    *    (`c<g>-k`) would exceed `maxBaseFiles`, its
+    *    `ceil(maxBaseFiles/2)` smallest bases — classic size-tiered
+    *    merging: small bases merge often and cheaply, large ones
+    *    exponentially rarely, so write amplification is
+    *    O(log table/batch) and no firing rewrites a partition
+    *    wholesale. Files produced by the one-shot base build or by a
+    *    full [[compact]] (plain `part-*` names) sit above the tiers
+    *    and are never re-absorbed here.
+    *
+    * Absorbed rows become ONE new base file per partition, named for a
+    * GENERATION `g` = 1 + the highest generation ever committed
+    * (parsed from the permanent `_compact/` marker names — unique
+    * across firings, crashes and replays by construction). Absorption
+    * is marker-committed:
+    *
+    *  1. staged write of the absorbed rows (scratch sibling dir);
+    *  2. install under the deterministic `c<g>-k` names;
+    *  3. COMMIT — write `_compact/c<g>` listing the absorbed files
+    *     (temp file + rename, never partially visible);
+    *  4. delete the absorbed files; truncate the marker to empty.
+    *
+    * Crash before 3: orphan `c<g>-*` files with no marker — the next
+    * firing's preamble deletes them (every absorbed original is still
+    * live, nothing lost). Crash after 3: a non-empty marker — the
+    * preamble finishes its deletions (idempotent) and truncates.
+    * Readers between 3 and 4 could see absorbed rows twice; like
+    * [[compact]]'s retired-directory window this is excluded by the
+    * family's single-writer contract (maintenance runs from the driver
+    * that owns the stream, never concurrently with a serve).
+    * `_ingested` ack markers outlive absorption, so a replay of an
+    * absorbed batch stays a no-op. Returns the number of partitions
+    * that absorbed files.
+    */
+  def compactMinor(spark: SparkSession, dirStr: String, partCol: String,
+      minBatchFiles: Int = 2, maxBaseFiles: Int = 8): Int = {
+    val dir = new Path(dirStr)
+    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return 0
+    val markerDir = new Path(dir, "_compact")
+    val batchFile = "^b(\\d+)-.*".r
+    val baseFile = "^c(\\d+)-.*".r
+    val markerName = "^c(\\d+)$".r
+
+    // preamble A: clear stale commit temps, then finish any COMMITTED
+    // absorption whose deletions crashed (non-empty marker) and
+    // truncate it. Temps must go first and must never be read as
+    // markers: a fully-written-but-unrenamed temp is an UNcommitted
+    // firing whose outputs preamble B will delete — acting on its list
+    // would drop the absorbed originals too.
+    if (fs.exists(markerDir)) fs.listStatus(markerDir).foreach { m =>
+      m.getPath.getName match {
+        case markerName(_) if m.getLen > 0 =>
+          val in = fs.open(m.getPath)
+          val listed = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toList finally in.close()
+          listed.filter(_.nonEmpty)
+            .foreach(rel => fs.delete(new Path(dir, rel), false))
+          fs.create(m.getPath, true).close() // committed + cleaned
+        case markerName(_) => ()
+        case _ => fs.delete(m.getPath, false) // stale .c<g>.tmp
+      }
+    }
+    val gens: Set[Long] =
+      if (!fs.exists(markerDir)) Set.empty
+      else fs.listStatus(markerDir).map(_.getPath.getName).collect {
+        case markerName(g) => g.toLong
+      }.toSet
+
+    // one metadata walk: per partition, preamble B (delete orphan
+    // outputs of a crashed uncommitted firing), then classify
+    val ackCache = scala.collection.mutable.Map.empty[Long, Boolean]
+    def isAcked(id: Long): Boolean = ackCache.getOrElseUpdate(id,
+      fs.exists(new Path(dir, s"_ingested/b$id")))
+    val toAbsorb: Seq[(String, Seq[Path])] = fs.listStatus(dir)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+      .toSeq.flatMap { st =>
+        var batch = List.empty[Path]
+        var base = List.empty[(Path, Long)]
+        fs.listStatus(st.getPath).filter(_.isFile).foreach { f =>
+          f.getPath.getName match {
+            case baseFile(g) if !gens.contains(g.toLong) =>
+              fs.delete(f.getPath, false) // orphan: never committed
+            case baseFile(_) => base ::= (f.getPath, f.getLen)
+            case batchFile(id) if isAcked(id.toLong) => batch ::= f.getPath
+            case _ => () // unacked batch file, or a part-* above the tiers
+          }
+        }
+        if (batch.size < minBatchFiles) None
+        else {
+          val j = if (base.size + 1 > maxBaseFiles) (maxBaseFiles + 1) / 2 else 0
+          val smallest = base.sortBy { case (p, len) => (len, p.getName) }
+            .take(j).map(_._1)
+          Some(st.getPath.getName -> (batch.reverse ++ smallest))
+        }
+      }
+    if (toAbsorb.isEmpty) return 0
+    val g = (gens + 0L).max + 1
+
+    val stage = new Path(dir.getParent, s".${dir.getName}.minor")
+    fs.delete(stage, true)
+    spark.read.option("basePath", dirStr)
+      .parquet(toAbsorb.flatMap(_._2).map(_.toString): _*)
+      .repartition(col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(stage.toString)
+    fs.listStatus(stage)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+      .foreach { partDir =>
+        val live = new Path(dir, partDir.getPath.getName)
+        fs.mkdirs(live)
+        fs.listStatus(partDir.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .sortBy(_.getPath.getName)
+          .zipWithIndex.foreach { case (f, k) =>
+            val dest = new Path(live, s"c$g-$k.parquet")
+            fs.delete(dest, false) // rerun after crash-before-commit
+            if (!fs.rename(f.getPath, dest))
+              throw new IllegalStateException(s"rename ${f.getPath} -> $dest failed")
+          }
+      }
+    fs.delete(stage, true)
+
+    fs.mkdirs(markerDir)
+    val tmp = new Path(markerDir, s".c$g.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(toAbsorb.flatMap { case (part, files) =>
+      files.map(f => s"$part/${f.getName}\n")
+    }.mkString.getBytes("UTF-8")) finally out.close()
+    val marker = new Path(markerDir, s"c$g")
+    fs.delete(marker, false)
+    if (!fs.rename(tmp, marker))
+      throw new IllegalStateException(s"rename $tmp -> $marker failed")
+    toAbsorb.foreach { case (_, files) => files.foreach(fs.delete(_, false)) }
+    fs.create(marker, true).close() // truncate: committed + cleaned
+    toAbsorb.size
+  }
 
   /** Rewrite each fragmented `partCol=` partition of `dirStr` to one
     * file — see the object doc for the protocol and crash recovery.

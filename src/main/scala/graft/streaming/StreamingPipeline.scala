@@ -355,7 +355,7 @@ object StreamingPipeline {
     * converges to exactly-once table state. Serving
     * ([[graft.analytics.SimilarityQueries.ivfPqServeFromCodes]]) sees
     * every landed batch immediately; [[graft.analytics
-    * .SimilarityQueries.compactCodes]] fires automatically every
+    * .SimilarityQueries.compactCodesMinor]] fires automatically every
     * `compactEvery` batches (see [[DefaultCompactEvery]]).
     */
   def startCodesIngest(
@@ -378,7 +378,7 @@ object StreamingPipeline {
         graft.analytics.SimilarityQueries.appendToCodesIdempotent(
           batch, codesDir, batchId, cbIvf, cbPq)
         onCadence(compactEvery, batchId) {
-          graft.analytics.SimilarityQueries.compactCodes(spark, codesDir); ()
+          graft.analytics.SimilarityQueries.compactCodesMinor(spark, codesDir); ()
         }
     }
   }
@@ -390,11 +390,12 @@ object StreamingPipeline {
     * the batch's append/fold completed) honors the single-writer
     * contract of [[graft.sinks.IncrementalParquet]] by construction —
     * no trigger is in flight while it runs. Every `compactEvery`-th
-    * batch pays the O(fragmented-partitions) rewrite, bounding
-    * per-bucket file counts at ~`compactEvery` between firings; a
-    * replay of a compacted batch stays a no-op (ack markers outlive
-    * compaction; [[graft.sinks.IncrementalParquet.compact]] refuses
-    * partitions holding unacked batch files). 0 disables.
+    * batch pays a MINOR (size-tiered) firing — O(absorbed bytes), never
+    * O(table), see [[graft.sinks.IncrementalParquet.compactMinor]] —
+    * bounding per-bucket file counts at ~`compactEvery` batch files
+    * plus a logarithmic ladder of base files; a replay of a compacted
+    * batch stays a no-op (ack markers outlive absorption; unacked
+    * batch files are never absorbed). 0 disables.
     */
   val DefaultCompactEvery = 8
 
@@ -433,7 +434,7 @@ object StreamingPipeline {
     * from the table via
     * [[graft.analytics.DedupQueries.candidatePairsFromStored]] with no
     * tokenizer/SHA/MinHash recompute.
-    * [[graft.analytics.DedupQueries.compactSignatures]] fires
+    * [[graft.analytics.DedupQueries.compactSignaturesMinor]] fires
     * automatically every `compactEvery` batches (see
     * [[DefaultCompactEvery]]).
     */
@@ -453,7 +454,7 @@ object StreamingPipeline {
         graft.analytics.DedupQueries.appendToSignaturesIdempotent(
           batch, sigDir, batchId)
         onCadence(compactEvery, batchId) {
-          graft.analytics.DedupQueries.compactSignatures(spark, sigDir); ()
+          graft.analytics.DedupQueries.compactSignaturesMinor(spark, sigDir); ()
         }
     }
   }
@@ -565,7 +566,7 @@ object StreamingPipeline {
         maintainClusters(spark, sigDir, labelsDir, batch, batchId,
           broadcastBatch)
         onCadence(compactEvery, batchId) {
-          graft.analytics.DedupQueries.compactSignatures(spark, sigDir); ()
+          graft.analytics.DedupQueries.compactSignaturesMinor(spark, sigDir); ()
         }
     }
   }
@@ -630,7 +631,7 @@ object StreamingPipeline {
       maintainEmbedClusters(spark, bucketsDir, labelsDir, incomingDir,
         batch, batchId, threshold, broadcastBatch)
       onCadence(compactEvery, batchId) {
-        graft.analytics.DedupQueries.compactSignatures(spark, bucketsDir); ()
+        graft.analytics.DedupQueries.compactSignaturesMinor(spark, bucketsDir); ()
       }
     }
 

@@ -240,9 +240,11 @@ class ClusterMaintenanceSpec extends SparkSpec {
       assert(labelMap(labels) == fullRecompute(docs))
 
       import scala.jdk.CollectionConverters._
-      // every signature bucket compacted down to at most the files of
-      // the batches since the last compaction firing (cadence 2 ⇒ the
-      // last firing at batch 3 leaves 1 file per touched bucket)
+      // the in-loop cadence fires MINOR compaction: after the last
+      // firing (batch 3) every per-batch file is absorbed and each
+      // bucket holds only its bounded base-file ladder (one `c<g>-`
+      // file per firing that touched it, tier-merged before it can
+      // exceed the maxBaseFiles bound — here 2 firings ⇒ ≤2 bases)
       Files.list(sig).iterator().asScala
         .filter(p => Files.isDirectory(p) &&
           p.getFileName.toString.startsWith("bkt="))
@@ -250,7 +252,9 @@ class ClusterMaintenanceSpec extends SparkSpec {
           val files = Files.list(p).iterator().asScala
             .map(_.getFileName.toString)
             .filter(f => !f.startsWith("_") && !f.startsWith(".")).toSeq
-          assert(files.size <= 1, s"${p.getFileName}: $files")
+          assert(files.forall(_.matches("^c\\d+-.*")),
+            s"${p.getFileName}: unabsorbed batch files in $files")
+          assert(files.size <= 2, s"${p.getFileName}: $files")
         }
 
       // replay of a batch whose files compaction absorbed: still a no-op
