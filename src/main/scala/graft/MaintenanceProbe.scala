@@ -70,8 +70,21 @@ object MaintenanceProbe {
 
   /** Batch `b` of `m` 64-dim vectors, embedding mirror of [[batchDocs]]:
     * near-copies perturb ONE coordinate of their batch-0 base by +0.05
-    * (cosine stays ≈ 1), everything else is independent splitmix noise
-    * (expected cross-cosine ≈ 0).
+    * (cosine stays ≈ 1), everything else is independent splitmix noise.
+    *
+    * Random 64-dim geometry forces the probe OFF the catalog defaults
+    * (threshold 0.4, 4×8 bands): random cosines are ~N(0, 1/64), so
+    * 0.4 is a 3.2σ cut — ~7e-4 of the ~10¹⁰ probe pairs land above it
+    * and the labels graph percolates (the first probe attempt OOMed in
+    * CC by batch 3 with 57k spurious labels; SCALING.md's sf1 section
+    * documents the same percolation on the up-sampled embeddings
+    * table). A REAL embedding corpus puts its near-dup threshold many
+    * σ above the random-cosine floor, so the probe models that
+    * regime the way a production deployment would tune it: threshold
+    * 0.8 (≈6.4σ, P[false verify] ≈ 1e-14) and 4×16-bit bands
+    * (candidate noise bands·n·|batch|/2^bits stays ≪ |batch| across
+    * all 16 batches, where 8-bit bands would feed the verify ~100M
+    * noise candidates per trigger by the last batch).
     */
   def batchVecs(spark: SparkSession, b: Long, m: Long): DataFrame = {
     import spark.implicits._
@@ -124,8 +137,11 @@ object MaintenanceProbe {
           // first (retained forever), as the stream source would
           vecs.write.mode("append").parquet(vectors.toString)
           val t1 = System.nanoTime()
+          // threshold + band width sized for random 64-dim geometry —
+          // rationale at [[batchVecs]]
           StreamingPipeline.maintainEmbedClusters(spark, index, labels,
-            vectors.toString, vecs, b.toLong)
+            vectors.toString, vecs, b.toLong, threshold = 0.8,
+            bands = 4, bits = 16)
           if (b % compactEvery == compactEvery - 1)
             graft.analytics.DedupQueries.compactSignaturesMinor(spark, index)
           (System.nanoTime() - t1) / 1e9

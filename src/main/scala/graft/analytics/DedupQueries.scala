@@ -584,10 +584,16 @@ object DedupQueries {
   /** [[signBucketTable]] + the hash bucket column — the embedding
     * mirror of [[bucketedSignatures]]: a vector's band rows all land
     * in ONE `bkt` partition, so per-batch appends touch only the
-    * buckets a batch hashes into.
+    * buckets a batch hashes into. `(bands, bits)` is the corpus-density
+    * sizing knob (candidate noise = bands·n·|batch|/2^bits, see
+    * [[embedNearDupPairs]]): the catalog default 4×8 is pinned by the
+    * DuckDB oracle arms; a 100 TB deployment sizes `bits` up (the
+    * kernel packs up to 64) so the noise term stays bounded as the
+    * corpus grows — the 16-batch embed MaintenanceProbe runs 4×16.
     */
-  def bucketedSignBuckets(e: DataFrame): DataFrame =
-    signBucketTable(e).withColumn("bkt",
+  def bucketedSignBuckets(
+      e: DataFrame, bands: Int = 4, bits: Int = 8): DataFrame =
+    signBucketTable(e, bands, bits).withColumn("bkt",
       pmod(hash(col("vec_id")), lit(SignatureBuckets)))
 
   /** Exactly-once per-batch append into an incremental sign-bucket
@@ -597,9 +603,11 @@ object DedupQueries {
     * replay/ack protocol lives in [[graft.sinks.IncrementalParquet]].
     */
   def appendToSignBucketsIdempotent(
-      batch: DataFrame, bucketsDir: String, batchId: Long): Unit =
+      batch: DataFrame, bucketsDir: String, batchId: Long,
+      bands: Int = 4, bits: Int = 8): Unit =
     graft.sinks.IncrementalParquet.appendIdempotent(
-      batch.sparkSession, bucketsDir, "bkt", batchId)(bucketedSignBuckets(batch))
+      batch.sparkSession, bucketsDir, "bkt", batchId)(
+      bucketedSignBuckets(batch, bands, bits))
 
   /** Cosine-verified near-dup pairs TOUCHING a batch of vectors — the
     * embedding mirror of [[batchVerifiedPairs]]. Call AFTER the
@@ -694,7 +702,7 @@ object DedupQueries {
     graft.sinks.IncrementalParquet.buildViaLifecycle(storedIncSignBuckets,
       Tables.derivedStateKey(s, dir, "embeddings") + "|inc",
       "graft-sbuckets-inc",
-      t(s, dir, "embeddings"), "vec_id", "bkt")(bucketedSignBuckets)
+      t(s, dir, "embeddings"), "vec_id", "bkt")(bucketedSignBuckets(_))
 
   /** DuckDB mirror of [[embedNearDupPairs]] up through the `p` CTE
     * (id_a, id_b, cos) — shared by q_dedup_embed and its cluster

@@ -586,9 +586,10 @@ object StreamingPipeline {
   def maintainEmbedClusters(
       spark: SparkSession, bucketsDir: String, labelsDir: String,
       vectorsDir: String, batch: DataFrame, batchId: Long,
-      threshold: Double = 0.4, broadcastBatch: Boolean = true): Unit = {
+      threshold: Double = 0.4, broadcastBatch: Boolean = true,
+      bands: Int = 4, bits: Int = 8): Unit = {
     graft.analytics.DedupQueries.appendToSignBucketsIdempotent(
-      batch, bucketsDir, batchId)
+      batch, bucketsDir, batchId, bands, bits)
     Upsert.recoverParquetPartitioned(spark, labelsDir)
     val delta = graft.sinks.IncrementalParquet.batchScopedResult(
       spark, deltaDirFor(labelsDir), batchId) {
@@ -625,11 +626,12 @@ object StreamingPipeline {
       threshold: Double = 0.4,
       trigger: Trigger = Trigger.AvailableNow(),
       broadcastBatch: Boolean = true,
-      compactEvery: Int = DefaultCompactEvery): StreamingQuery =
+      compactEvery: Int = DefaultCompactEvery,
+      bands: Int = 4, bits: Int = 8): StreamingQuery =
     startIndexIngest(spark, incomingDir, checkpointDir, embeddingSchema,
       trigger) { (batch, batchId) =>
       maintainEmbedClusters(spark, bucketsDir, labelsDir, incomingDir,
-        batch, batchId, threshold, broadcastBatch)
+        batch, batchId, threshold, broadcastBatch, bands, bits)
       onCadence(compactEvery, batchId) {
         graft.analytics.DedupQueries.compactSignaturesMinor(spark, bucketsDir); ()
       }
