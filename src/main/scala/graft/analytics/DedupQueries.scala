@@ -812,6 +812,64 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Two-clean-block pigeonhole for the 64-bit sketch — the blocking
+    * that keeps SimHash near-linear past ~10⁵ docs. Single-byte
+    * blocking (above) admits n²·7/2⁸ chance candidates between
+    * unrelated docs; the round-8 sf1 sweep measured exactly that
+    * quadratic verify tail (10.5 s at sf1, 11.4× wall for 10× docs).
+    * Splitting the 60 significant bits into EIGHT disjoint blocks
+    * (4×8-bit + 4×7-bit) instead of seven makes hamming ≤ 6 leave at
+    * least TWO clean blocks — so some block PAIR is clean, and an
+    * equi-join on the C(8,2) = 28 (pair-id, bits₁, bits₂) keys (14-16
+    * bits each) has full recall with ~29× fewer chance collisions
+    * (Σ 2^-(w₁+w₂) ≈ 1/1057 per unrelated pair vs 7/256). Same
+    * verified output as the one-clean-block join — the oracle keeps
+    * its byte-blocked shape because results, not plans, are compared.
+    * The cost is 28 index rows per doc instead of 7: linear, the right
+    * trade against a quadratic term (Manku et al., WWW'07 make the
+    * same table-count-for-precision trade for 64-bit fingerprints).
+    */
+  private def simhashPairs64PairBlocked(elementHash: Column => Column,
+      sketch: Column => Column)(s: SparkSession, dir: String): DataFrame = {
+    val widths = Seq(8, 8, 8, 8, 7, 7, 7, 7)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    def blockBits(c: Column, k: Int): Column =
+      shiftrightunsigned(c, offsets(k))
+        .bitwiseAND(lit((1L << widths(k)) - 1))
+    val tok = nearDupCorpus(t(s, dir, "documents"))
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 3)
+    val sh = tok.select(col("doc_id"),
+      array_distinct(shinglesFromTokens(col("ts"), 3)).as("shs"))
+    val hv = sh.select(col("doc_id"),
+      transform(col("shs"), elementHash(_)).as("hv"))
+    // exchange barrier before the self-join (see lshCandidates)
+    val sim = hv.select(col("doc_id"), sketch(col("hv")).as("sh"))
+      .repartition(col("doc_id"))
+    val pairIdx = for (k1 <- 0 until 8; k2 <- k1 + 1 until 8) yield (k1, k2)
+    val blocks = sim.select(col("doc_id"), col("sh"),
+        explode(array(pairIdx.map { case (k1, k2) =>
+          struct(lit(k1 * 8 + k2).as("pk"),
+            blockBits(col("sh"), k1).as("b1"),
+            blockBits(col("sh"), k2).as("b2"))
+        }: _*)).as("blk"))
+      .select(col("doc_id"), col("sh"), col("blk.pk").as("pk"),
+        col("blk.b1").as("b1"), col("blk.b2").as("b2"))
+    val a = blocks.select(col("pk"), col("b1"), col("b2"),
+      col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val b = blocks.select(col("pk").as("pk2"), col("b1").as("b12"),
+      col("b2").as("b22"), col("doc_id").as("doc_b"), col("sh").as("shb"))
+    a.join(b, col("pk") === col("pk2") && col("b1") === col("b12") &&
+        col("b2") === col("b22") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sha"), col("shb"))
+      .distinct()
+      .filter(hamming(col("sha"), col("shb")) <= 6)
+      .select(col("doc_a"), col("doc_b"),
+        col("sha").as("simhash_a"), col("shb").as("simhash_b"),
+        hamming(col("sha"), col("shb")).cast(IntegerType).as("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     // ---------------------------------------------------------- exact
@@ -1031,16 +1089,17 @@ object DedupQueries {
     // widening the sketch drops that tail to Σ₀⁶C(60,k)/2⁶⁰ ≈ 5e-11
     // (60 significant bits) while true near-dups — whose hamming
     // distance tracks edit distance, not sketch width — still collide.
-    // Same plan shape: scan-stage simhash64 kernel, byte-pigeonhole
-    // blocking over the 7 LOW bytes (hamming ≤ 6 < 7 blocks guarantees
-    // a shared byte — bits 56-59 go unblocked, which cannot lose
-    // recall, and the top byte would be a degenerate 16-value block
-    // since sketch bits 60-63 are constant zero), verify only
+    // Same scan-stage simhash64 kernel, but TWO-CLEAN-BLOCK pigeonhole
+    // blocking (8 disjoint blocks over the 60 significant bits, join on
+    // the 28 block-pair keys — hamming ≤ 6 guarantees a clean pair, so
+    // recall is exact while chance candidates drop ~29× vs single-byte
+    // blocks; see [[simhashPairs64PairBlocked]]), verify only
     // co-blocked pairs. Feature hashes are 60-bit SHA prefixes (15 hex
     // chars): the 16th would overflow the oracle's signed-BIGINT hex
-    // fold.
+    // fold. The oracle keeps the one-clean-block (7-byte) join: both
+    // blockings are full-recall, so the verified output is identical.
     GraftQuery("q_dedup_simhash64", simhashOracleSql(hexLen = 15, nBlocks = 7))(
-      simhashPairs(nBlocks = 7, elementHash60, simhash64FromHashes)),
+      simhashPairs64PairBlocked(elementHash60, simhash64FromHashes)),
 
     // ----------------------------------------------- contamination scan
     // Train/eval contamination detection — the dedup and split
