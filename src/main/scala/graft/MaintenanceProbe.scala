@@ -126,24 +126,25 @@ object MaintenanceProbe {
     val root = java.nio.file.Files.createTempDirectory("maint")
     val index = root.resolve("index").toString // signatures | sign buckets
     val labels = root.resolve("labels").toString
-    val vectors = root.resolve("vectors") // embed mode's landed store
+    val vectors = root.resolve("vectors") // embed loop's bucketed vector table
     if (mode == "embed") java.nio.file.Files.createDirectory(vectors)
 
     for (b <- 0 until batches) {
       val wall = mode match {
         case "embed" =>
           val vecs = batchVecs(spark, b, m).localCheckpoint() // gen untimed
-          // the incoming dir IS the landed vector store: land the batch
-          // first (retained forever), as the stream source would
-          vecs.write.mode("append").parquet(vectors.toString)
           val t1 = System.nanoTime()
           // threshold + band width sized for random 64-dim geometry —
-          // rationale at [[batchVecs]]
+          // rationale at [[batchVecs]]; the loop owns the bucketed
+          // vector table, so its append is part of the timed trigger
           StreamingPipeline.maintainEmbedClusters(spark, index, labels,
             vectors.toString, vecs, b.toLong, threshold = 0.8,
             bands = 4, bits = 16)
-          if (b % compactEvery == compactEvery - 1)
+          if (b % compactEvery == compactEvery - 1) {
             graft.analytics.DedupQueries.compactSignaturesMinor(spark, index)
+            graft.analytics.DedupQueries
+              .compactSignaturesMinor(spark, vectors.toString)
+          }
           (System.nanoTime() - t1) / 1e9
         case _ =>
           val docs = batchDocs(spark, b, m).localCheckpoint() // gen untimed

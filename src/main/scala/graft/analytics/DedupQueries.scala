@@ -469,17 +469,17 @@ object DedupQueries {
       "graft-elabels-maint") { out =>
       val idx = s"$out/sb"
       val labels = s"$out/labels"
-      val vecsDir = s"$out/vecs"
+      val vecsDir = s"$out/vecs" // loop-owned bucketed vector table
       val corpus = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
       for (b <- 0 until 4) {
         val batch = corpus.filter(pmod(col("vec_id"), lit(4)) === b)
-        // the incoming dir IS the landed vector store (retained forever)
-        batch.write.mode("append").parquet(vecsDir)
         graft.streaming.StreamingPipeline.maintainEmbedClusters(
           s, idx, labels, vecsDir, batch, b.toLong)
-        if (b == 1) compactSignatures(s, idx)
-        if (b == 2) compactSignaturesMinor(s, idx)
+        if (b == 1) { compactSignatures(s, idx); compactSignatures(s, vecsDir) }
+        if (b == 2) {
+          compactSignaturesMinor(s, idx); compactSignaturesMinor(s, vecsDir)
+        }
       }
     } + "/labels"
 
@@ -643,20 +643,42 @@ object DedupQueries {
       batch.sparkSession, bucketsDir, "bkt", batchId)(
       bucketedSignBuckets(batch, bands, bits))
 
+  /** The continuous embed loop's durable raw-vector table
+    * `(vec_id, embedding)` partitioned on the same vec_id hash bucket
+    * as the sign-bucket index — what makes the verify's vector fetch
+    * partition-PRUNABLE (the lexical loop gets this for free because
+    * shingle sets live inside the signature table; vectors are too
+    * wide to multiply by `bands`, so they get their own table). Owned
+    * by the loop: appended exactly-once per batch alongside the sign
+    * buckets, minor-compacted on the same cadence — which also frees
+    * the stream's incoming files from the old retain-forever
+    * constraint (the loop's own table is now the verify's source of
+    * truth, so `cleanSource`/archival of the landing dir is fine).
+    */
+  def appendToVectorsIdempotent(
+      batch: DataFrame, vecsDir: String, batchId: Long): Unit =
+    graft.sinks.IncrementalParquet.appendIdempotent(
+      batch.sparkSession, vecsDir, "bkt", batchId)(
+      batch.select(col("vec_id"), col("embedding")).withColumn("bkt",
+        pmod(hash(col("vec_id")), lit(SignatureBuckets))))
+
   /** Cosine-verified near-dup pairs TOUCHING a batch of vectors — the
     * embedding mirror of [[batchVerifiedPairs]]. Call AFTER the
-    * batch's sign buckets are appended: the batch's bucket rows are
-    * fetched back by id and band-join the stored table (batch-self
-    * pairs included), so the candidate stage costs
+    * batch's sign buckets AND vectors are appended: the batch's bucket
+    * rows are fetched back by id and band-join the stored table
+    * (batch-self pairs included), so the candidate stage costs
     * |batch| × colliders, never corpus². The exact-cosine verify
-    * fetches raw vectors from `vectors` (the landed corpus store) for
-    * exactly the candidate ids — same pinned-fold arithmetic as
-    * [[embedPairsFromBuckets]], so folds agree with the batch build
-    * bit-for-bit.
+    * fetches raw vectors from the loop-owned bucketed table at
+    * `vecsDir` ([[appendToVectorsIdempotent]]) partition-pruned to the
+    * buckets the candidate ids hash into — same pinned-fold arithmetic
+    * as [[embedPairsFromBuckets]], so folds agree with the batch build
+    * bit-for-bit. Before round 8 the fetch scanned the UN-bucketed
+    * landing dir whole: the one per-trigger stage whose IO grew with
+    * the corpus instead of the candidate set.
     */
   def batchVerifiedEmbedPairs(
       s: SparkSession, bucketsDir: String, batch: DataFrame,
-      vectors: DataFrame, threshold: Double,
+      vecsDir: String, threshold: Double,
       broadcastBatch: Boolean = true): DataFrame = {
     val stored = s.read.parquet(bucketsDir)
     // bucket-pruned fetch-back of the batch's band rows, mirroring the
@@ -687,16 +709,18 @@ object DedupQueries {
       .distinct()
       .localCheckpoint() // batch-bounded; feeds the candidate-id
                          // derivation AND both verify joins — one probe
-    // ONE pass over the vector store (it cannot be partition-pruned —
-    // the landed incoming dir is not bucketed — but it IS scanned
-    // exactly once per trigger, not once per pair side): broadcast-semi
-    // down to the candidate ids, then both sides join the
-    // batch-bounded materialized fetch.
+    // ONE bucket-pruned pass over the loop-owned vector table:
+    // candidate ids alone determine which bkt= partitions can hold
+    // their vectors, so only candidate-touching buckets are read —
+    // broadcast-semi down to the candidate ids, then both sides join
+    // the batch-bounded materialized fetch.
     val candIds = cand.select(col("id_a").as("vec_id"))
       .unionByName(cand.select(col("id_b").as("vec_id")))
       .distinct()
-    val vecs = vectors
+    val vecs = s.read.parquet(vecsDir)
+      .filter(col("bkt").isin(bucketsOf(candIds, "vec_id"): _*))
       .join(broadcast(candIds), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding"))
       .localCheckpoint()
     val va = vecs.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val vb = vecs.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
@@ -714,8 +738,8 @@ object DedupQueries {
     if (missing > 0)
       throw new IllegalStateException(
         s"$missing candidate pairs reference vectors absent from the " +
-          "vector store — it must retain every landed vector " +
-          "(no cleanSource/compaction of the incoming dir)")
+          "loop-owned vector table — a batch's vector append was lost " +
+          "(the sign-bucket and vector appends must share every batch)")
     fetched
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)

@@ -572,32 +572,34 @@ object StreamingPipeline {
   }
 
   /** [[maintainClusters]]'s embedding mirror: per batch of arriving
-    * vectors, append sign buckets exactly-once, derive cosine-verified
-    * pairs touching the batch from the stored bucket table (raw
-    * vectors fetched from `vectorsDir` — for a file stream the
-    * incoming dir IS the landed vector store, and it must RETAIN every
-    * landed vector: no `cleanSource`, no compaction that drops files.
-    * The verify fails loudly if a candidate's vector is missing rather
-    * than silently dropping its pairs), and fold the new edges into
-    * the semantic cluster-labels table. Same crash-recovery-before-
-    * read ordering, same empty-delta replay convergence, and the same
-    * persisted-delta replay protocol as [[maintainClusters]].
+    * vectors, append sign buckets AND raw vectors exactly-once (the
+    * loop owns a bucketed vector table at `vecsDir` —
+    * [[graft.analytics.DedupQueries.appendToVectorsIdempotent]] — so
+    * the verify's vector fetch partition-prunes to candidate buckets
+    * instead of scanning a landing dir whole, and the stream's
+    * incoming files need no retention: `cleanSource`/archival is
+    * fine. The verify still fails loudly if a candidate's vector is
+    * missing rather than silently dropping its pairs), derive
+    * cosine-verified pairs touching the batch from the stored bucket
+    * table, and fold the new edges into the semantic cluster-labels
+    * table. Same crash-recovery-before-read ordering, same empty-delta
+    * replay convergence, and the same persisted-delta replay protocol
+    * as [[maintainClusters]].
     */
   def maintainEmbedClusters(
       spark: SparkSession, bucketsDir: String, labelsDir: String,
-      vectorsDir: String, batch: DataFrame, batchId: Long,
+      vecsDir: String, batch: DataFrame, batchId: Long,
       threshold: Double = 0.4, broadcastBatch: Boolean = true,
       bands: Int = 4, bits: Int = 8): Unit = {
     graft.analytics.DedupQueries.appendToSignBucketsIdempotent(
       batch, bucketsDir, batchId, bands, bits)
+    graft.analytics.DedupQueries.appendToVectorsIdempotent(
+      batch, vecsDir, batchId)
     Upsert.recoverParquetPartitioned(spark, labelsDir)
     val delta = graft.sinks.IncrementalParquet.batchScopedResult(
       spark, deltaDirFor(labelsDir), batchId) {
-      val vectors = spark.read
-        .schema(embeddingSchema).parquet(vectorsDir)
-        .select(col("vec_id"), col("embedding"))
       val edges = graft.analytics.DedupQueries.batchVerifiedEmbedPairs(
-        spark, bucketsDir, batch, vectors, threshold, broadcastBatch)
+        spark, bucketsDir, batch, vecsDir, threshold, broadcastBatch)
       graft.operators.ConnectedComponents.incrementalDelta(
         clusterLabels(spark, labelsDir), edges, "id_a", "id_b")
     }
@@ -616,11 +618,16 @@ object StreamingPipeline {
 
   /** Streaming wiring for [[maintainEmbedClusters]] — the semantic
     * side of continuous dedup, mirroring [[startDedupMaintenance]].
+    * `vecsDir` is the loop-owned bucketed vector table (appended
+    * exactly-once per batch, minor-compacted on the same cadence as
+    * the sign buckets); the incoming dir is just a landing zone and
+    * may be cleaned after consumption.
     */
   def startEmbedDedupMaintenance(
       spark: SparkSession,
       incomingDir: String,
       bucketsDir: String,
+      vecsDir: String,
       labelsDir: String,
       checkpointDir: String,
       threshold: Double = 0.4,
@@ -630,10 +637,11 @@ object StreamingPipeline {
       bands: Int = 4, bits: Int = 8): StreamingQuery =
     startIndexIngest(spark, incomingDir, checkpointDir, embeddingSchema,
       trigger) { (batch, batchId) =>
-      maintainEmbedClusters(spark, bucketsDir, labelsDir, incomingDir,
+      maintainEmbedClusters(spark, bucketsDir, labelsDir, vecsDir,
         batch, batchId, threshold, broadcastBatch, bands, bits)
       onCadence(compactEvery, batchId) {
-        graft.analytics.DedupQueries.compactSignaturesMinor(spark, bucketsDir); ()
+        graft.analytics.DedupQueries.compactSignaturesMinor(spark, bucketsDir)
+        graft.analytics.DedupQueries.compactSignaturesMinor(spark, vecsDir); ()
       }
     }
 

@@ -87,6 +87,7 @@ class ClusterMaintenanceSpec extends SparkSpec {
     withTempDir { root =>
       val incoming = Files.createDirectory(root.resolve("incoming"))
       val buckets = root.resolve("buckets").toString
+      val vecs = root.resolve("vecs").toString
       val labels = root.resolve("labels").toString
       val ckpt = root.resolve("ckpt").toString
       val threshold = 0.2 // denser pair graph than the catalog's 0.4:
@@ -96,12 +97,20 @@ class ClusterMaintenanceSpec extends SparkSpec {
 
       land(emb.filter(col("vec_id") % 2 === 0), incoming, "w0.parquet")
       StreamingPipeline.startEmbedDedupMaintenance(
-        spark, incoming.toString, buckets, labels, ckpt, threshold,
+        spark, incoming.toString, buckets, vecs, labels, ckpt, threshold,
         Trigger.AvailableNow()).awaitTermination(180000)
+
+      // the verify's source of truth is now the loop-owned bucketed
+      // vector table, so the LANDING files may be cleaned mid-stream —
+      // the retention constraint the pre-round-8 loop imposed is gone
+      import scala.jdk.CollectionConverters._
+      Files.list(incoming).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach(Files.delete)
 
       land(emb.filter(col("vec_id") % 2 === 1), incoming, "w1.parquet")
       StreamingPipeline.startEmbedDedupMaintenance(
-        spark, incoming.toString, buckets, labels, ckpt, threshold,
+        spark, incoming.toString, buckets, vecs, labels, ckpt, threshold,
         Trigger.AvailableNow()).awaitTermination(180000)
 
       val fin = labelMap(labels)
@@ -118,7 +127,7 @@ class ClusterMaintenanceSpec extends SparkSpec {
       // replay convergence for THIS family too: re-folding wave 1
       // directly (the at-least-once case) must change nothing
       StreamingPipeline.maintainEmbedClusters(spark, buckets, labels,
-        incoming.toString, emb.filter(col("vec_id") % 2 === 1), 1L, threshold)
+        vecs, emb.filter(col("vec_id") % 2 === 1), 1L, threshold)
       assert(labelMap(labels) == fin, "embed replay diverged")
     }
   }
