@@ -189,5 +189,80 @@ object TextQueries {
         .select(col("doc_id"),
           (floor(qualityScore(col("text")) * 10000) / 10000).as("quality"))
         .orderBy(col("doc_id"))
+    },
+
+    // -------------------------------------------------- LM perplexity
+    // CCNet-style language-model quality filter — the standard LLM
+    // training-data signal the heuristic scores above approximate: a
+    // bigram model with add-k smoothing is TRAINED ON THE CORPUS
+    // ITSELF (c(w₁,w₂) and left counts c(w₁), one aggregation each —
+    // Zipf-bounded model size), then every document is scored by its
+    // average negative log₂ bigram probability ("bits per bigram":
+    // repetitive template-like docs score low, incoherent token soup
+    // scores high). p = (c₁₂ + ½)/(c₁ + ½·V) keeps every operand an
+    // exact integer until one division, and each doc folds its bigram
+    // log-probs in POSITION order (sort_array → left fold / DuckDB
+    // `list(... ORDER BY pos)` → list_reduce) so the float sum is
+    // order-identical on both engines. 100 TB shape: the model is a
+    // broadcast-or-shuffle equi-join against a count table orders of
+    // magnitude smaller than the corpus; scoring is one pass.
+    GraftQuery(
+      "q_lm_score",
+      s"""WITH tk AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, i AS pos, ts[i] || ' ' || ts[i+1] AS bigram
+         |  FROM (SELECT doc_id, ts,
+         |          unnest(range(1, len(ts))) AS i FROM tk)
+         |  WHERE len(ts) >= 2),
+         |model AS (SELECT bigram, count(*) AS c12 FROM bg GROUP BY bigram),
+         |lefts AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c12) AS c1
+         |          FROM model GROUP BY w1),
+         |vocab AS (SELECT count(DISTINCT w) AS v
+         |          FROM (SELECT unnest(ts) AS w FROM tk)),
+         |scored AS (
+         |  SELECT b.doc_id, b.pos,
+         |    log2((m.c12 + 0.5) / (l.c1 + 0.5 * vocab.v)) AS logp
+         |  FROM bg b
+         |  JOIN model m ON b.bigram = m.bigram
+         |  JOIN lefts l ON split_part(b.bigram, ' ', 1) = l.w1
+         |  CROSS JOIN vocab)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  floor(-list_reduce(list(logp ORDER BY pos), (a, x) -> a + x)
+         |        / count(*) * 1000) / 1000 AS bits_per_bigram
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val tk = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(lower(col("text"))).as("ts"))
+      val bg = tk.filter(size(col("ts")) >= 2)
+        .select(col("doc_id"),
+          posexplode(zip_with(
+            slice(col("ts"), lit(1), size(col("ts")) - 1),
+            slice(col("ts"), lit(2), size(col("ts")) - 1),
+            (a, b) => concat(a, lit(" "), b))))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"),
+          col("col").as("bigram"))
+      val model = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+      val lefts = model
+        .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+        .agg(sum(col("c12")).as("c1"))
+      val vocab = tk.select(explode(col("ts")).as("w"))
+        .agg(countDistinct(col("w")).as("v"))
+      bg.join(model, "bigram")
+        .join(lefts, substring_index(col("bigram"), " ", 1) === col("w1"))
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"), col("pos"),
+          log2((col("c12") + lit(0.5)) / (col("c1") + lit(0.5) * col("v")))
+            .as("logp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          aggregate(
+            sort_array(collect_list(struct(col("pos"), col("logp")))),
+            lit(0.0d), (acc, x) => acc + x.getField("logp")).as("nll"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (floor(-col("nll") / col("n_bigrams") * 1000) / 1000)
+            .as("bits_per_bigram"))
+        .orderBy(col("doc_id"))
     })
 }
