@@ -67,7 +67,7 @@ object DedupQueries {
   private def normalizedText: Column =
     coalesce(lower(col("text")), lit(""))
 
-  private def nearDupCorpus(docs: DataFrame): DataFrame = {
+  private[graft] def nearDupCorpus(docs: DataFrame): DataFrame = {
     val ts = tokens(lower(col("text")))
     docs.select(col("doc_id"), normalizedText.as("text"))
       .unionByName(

@@ -40,14 +40,44 @@ class DedupSemanticsSpec extends SparkSpec {
     assert(planted.forall(_._3 <= 6))
   }
 
-  test("64-bit simhash low-7-byte blocking recalls planted pairs") {
-    // the 7-block scheme leaves sketch bits 56-59 unblocked; recall at
-    // hamming <= 6 must still be complete (pigeonhole over 7 blocks)
+  test("64-bit simhash pair blocking recalls planted pairs") {
+    // 8 disjoint blocks over the 60 significant bits: hamming <= 6
+    // leaves at least two clean blocks, so the 28 block-pair keys
+    // guarantee complete recall to radius 6
     val pairs = run("q_dedup_simhash64").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(4)))
     val planted = pairs.filter { case (a, b, _) => b == a + 10000 }
     assert(planted.length >= 12, s"found only ${planted.length}")
     assert(planted.forall(_._3 <= 6))
+  }
+
+  test("64-bit pair blocking == brute-force all-pairs at hamming <= 6 (exact)") {
+    // the complete-recall proof against semantic ground truth, not just
+    // planted pairs: recompute every doc's sketch through the same
+    // public pipeline the query uses, brute-force ALL pairs in-memory,
+    // and demand set equality with the blocked join's output
+    import org.apache.spark.sql.functions._
+    import graft.functions.SimilarityFunctions.{elementHash60, simhash64FromHashes}
+    import graft.functions.TextFunctions.{shinglesFromTokens, tokens}
+    val sketches = graft.analytics.DedupQueries
+      .nearDupCorpus(graft.core.Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"),
+        simhash64FromHashes(transform(
+          array_distinct(shinglesFromTokens(col("ts"), 3)),
+          elementHash60(_))).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      (a, sa) <- sketches.iterator
+      (b, sb) <- sketches.iterator
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 6
+    } yield (a, b)).toSet
+    val blocked = run("q_dedup_simhash64").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == truth,
+      s"missed ${(truth -- blocked).size}, spurious ${(blocked -- truth).size}")
+    assert(truth.nonEmpty, "vacuous: no pairs at hamming <= 6 at all")
   }
 
   test("embed banded blocking recalls planted near-dup vectors vs the exact all-pairs oracle") {
