@@ -108,9 +108,16 @@ object MaintenanceProbe {
       try {
         import scala.jdk.CollectionConverters._
         s.iterator().asScala.count { p =>
-          val n = p.getFileName.toString
+          // EVERY path component must be non-hidden, or the census
+          // counts ack/commit markers (_ingested/b<N>, _compact/c<g> —
+          // leaf names without a '_' prefix) as data files: one
+          // phantom "file" per batch forever, exactly the linear
+          // growth the probe exists to rule out
           java.nio.file.Files.isRegularFile(p) &&
-            !n.startsWith("_") && !n.startsWith(".")
+            root.relativize(p).iterator().asScala.forall { c =>
+              val n = c.toString
+              !n.startsWith("_") && !n.startsWith(".")
+            }
         }.toLong
       } finally s.close()
     }

@@ -342,6 +342,15 @@ object DedupQueries {
     * to only the buckets a batch or its candidates touch. The collect
     * is metadata-sized by construction: ≤ [[SignatureBuckets]] ints.
     */
+  /** Broadcast hint honoring the caller's `broadcastBatch` escape
+    * hatch: batch/candidate id sets are broadcast-sized at streaming
+    * cadence, but a backfill-sized batch's ids share the band keys'
+    * scale — forcing the hint there would OOM the driver exactly where
+    * the flag promises a shuffled plan.
+    */
+  private def hinted(df: DataFrame, broadcastBatch: Boolean): DataFrame =
+    if (broadcastBatch) broadcast(df) else df
+
   private def bucketsOf(ids: DataFrame, idCol: String): Seq[Integer] =
     ids.select(pmod(hash(col(idCol)), lit(SignatureBuckets)).as("bkt"))
       .distinct().collect().map(r => Int.box(r.getInt(0))).toSeq
@@ -381,7 +390,7 @@ object DedupQueries {
     val batchIds = batch.select(col("doc_id")).distinct()
     val batchSig = stored
       .filter(col("bkt").isin(bucketsOf(batchIds, "doc_id"): _*))
-      .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
+      .join(hinted(batchIds, broadcastBatch), Seq("doc_id"), "left_semi")
     // broadcast the batch's band keys by default: the stored table is
     // scanned, never exchanged — at micro-batch cadence the per-batch
     // corpus SHUFFLE is what would accumulate, not the scan. Pass
@@ -399,7 +408,7 @@ object DedupQueries {
     // re-scan the stored table per side
     val fetched = stored
       .filter(col("bkt").isin(bucketsOf(candIds, "doc_id"): _*))
-      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .join(hinted(candIds, broadcastBatch), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("shs"))
       .localCheckpoint()
     pairs
@@ -687,7 +696,7 @@ object DedupQueries {
     val batchIds = batch.select(col("vec_id")).distinct()
     val bb = stored
       .filter(col("bkt").isin(bucketsOf(batchIds, "vec_id"): _*))
-      .join(broadcast(batchIds), Seq("vec_id"), "left_semi")
+      .join(hinted(batchIds, broadcastBatch), Seq("vec_id"), "left_semi")
     // broadcast the batch side by default, for the same reason as the
     // lexical mirror: corpus bucket rows are scanned, never exchanged
     // (broadcastBatch = false for backfill-sized batches). Stored
@@ -719,7 +728,7 @@ object DedupQueries {
       .distinct()
     val vecs = s.read.parquet(vecsDir)
       .filter(col("bkt").isin(bucketsOf(candIds, "vec_id"): _*))
-      .join(broadcast(candIds), Seq("vec_id"), "left_semi")
+      .join(hinted(candIds, broadcastBatch), Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("embedding"))
       .localCheckpoint()
     val va = vecs.select(col("vec_id").as("id_a"), col("embedding").as("va"))

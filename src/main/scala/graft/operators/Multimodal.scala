@@ -248,7 +248,12 @@ object Multimodal {
       var got = 0
       while (got < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, got, raw.length - got)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // n == 0 without finishing means no forward progress is
+        // possible: truncated stream (needsInput), or a preset-
+        // dictionary header (FDICT — valid zlib, never produced for
+        // PNG, and inflate() would return 0 forever). Malformed-input
+        // contract is "return None", never hang or throw.
+        if (n == 0) return None
         got += n
       }
       if (got < raw.length) return None

@@ -252,35 +252,13 @@ object IncrementalParquet {
     val markerDir = new Path(dir, "_compact")
     val batchFile = "^b(\\d+)-.*".r
     val baseFile = "^c(\\d+)-.*".r
-    val markerName = "^c(\\d+)$".r
+    // shared crash recovery first: finish pending committed deletions,
+    // sweep orphan uncommitted-generation outputs
+    val gens = recoverMinorState(fs, dir, partCol)
 
-    // preamble A: clear stale commit temps, then finish any COMMITTED
-    // absorption whose deletions crashed (non-empty marker) and
-    // truncate it. Temps must go first and must never be read as
-    // markers: a fully-written-but-unrenamed temp is an UNcommitted
-    // firing whose outputs preamble B will delete — acting on its list
-    // would drop the absorbed originals too.
-    if (fs.exists(markerDir)) fs.listStatus(markerDir).foreach { m =>
-      m.getPath.getName match {
-        case markerName(_) if m.getLen > 0 =>
-          val in = fs.open(m.getPath)
-          val listed = try scala.io.Source.fromInputStream(in, "UTF-8")
-            .getLines().toList finally in.close()
-          listed.filter(_.nonEmpty)
-            .foreach(rel => fs.delete(new Path(dir, rel), false))
-          fs.create(m.getPath, true).close() // committed + cleaned
-        case markerName(_) => ()
-        case _ => fs.delete(m.getPath, false) // stale .c<g>.tmp
-      }
-    }
-    val gens: Set[Long] =
-      if (!fs.exists(markerDir)) Set.empty
-      else fs.listStatus(markerDir).map(_.getPath.getName).collect {
-        case markerName(g) => g.toLong
-      }.toSet
-
-    // one metadata walk: per partition, preamble B (delete orphan
-    // outputs of a crashed uncommitted firing), then classify
+    // one metadata walk: classify every partition's files (orphan base
+    // files were already swept by the recovery preamble above, so any
+    // surviving c<g>-* file is committed)
     val ackCache = scala.collection.mutable.Map.empty[Long, Boolean]
     def isAcked(id: Long): Boolean = ackCache.getOrElseUpdate(id,
       fs.exists(new Path(dir, s"_ingested/b$id")))
@@ -291,8 +269,6 @@ object IncrementalParquet {
         var base = List.empty[(Path, Long)]
         fs.listStatus(st.getPath).filter(_.isFile).foreach { f =>
           f.getPath.getName match {
-            case baseFile(g) if !gens.contains(g.toLong) =>
-              fs.delete(f.getPath, false) // orphan: never committed
             case baseFile(_) => base ::= (f.getPath, f.getLen)
             case batchFile(id) if isAcked(id.toLong) => batch ::= f.getPath
             case _ => () // unacked batch file, or a part-* above the tiers
@@ -347,6 +323,63 @@ object IncrementalParquet {
     toAbsorb.size
   }
 
+  /** Shared crash recovery for minor-compaction state — run by BOTH
+    * compaction kinds before reading the table:
+    *
+    *  1. drop stale commit temps (`.c<g>.tmp`) — a fully-written but
+    *     never-renamed temp is an UNcommitted firing whose outputs
+    *     step 3 deletes; acting on its list would drop the absorbed
+    *     originals too;
+    *  2. finish any COMMITTED absorption whose deletions crashed
+    *     (non-empty marker → delete the listed files, truncate);
+    *  3. sweep orphan base files of uncommitted generations (outputs
+    *     of a firing that crashed before its marker — every absorbed
+    *     original is still live, so nothing is lost).
+    *
+    * The full [[compact]] MUST run this too: rewriting a partition
+    * that holds an uncommitted orphan `c<g>-*` alongside the still-
+    * live batch files it was copied from would bake the duplicate
+    * rows permanently into the table (no later firing could detect
+    * them once the batch-scoped names are gone). Returns the set of
+    * committed generations.
+    */
+  private def recoverMinorState(
+      fs: FileSystem, dir: Path, partCol: String): Set[Long] = {
+    val markerDir = new Path(dir, "_compact")
+    val markerName = "^c(\\d+)$".r
+    val baseFile = "^c(\\d+)-.*".r
+    if (fs.exists(markerDir)) fs.listStatus(markerDir).foreach { m =>
+      m.getPath.getName match {
+        case markerName(_) if m.getLen > 0 =>
+          val in = fs.open(m.getPath)
+          val listed = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toList finally in.close()
+          listed.filter(_.nonEmpty)
+            .foreach(rel => fs.delete(new Path(dir, rel), false))
+          fs.create(m.getPath, true).close() // committed + cleaned
+        case markerName(_) => ()
+        case _ => fs.delete(m.getPath, false) // stale .c<g>.tmp
+      }
+    }
+    val gens: Set[Long] =
+      if (!fs.exists(markerDir)) Set.empty
+      else fs.listStatus(markerDir).map(_.getPath.getName).collect {
+        case markerName(g) => g.toLong
+      }.toSet
+    fs.listStatus(dir)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+      .foreach { st =>
+        fs.listStatus(st.getPath).filter(_.isFile).foreach { f =>
+          f.getPath.getName match {
+            case baseFile(g) if !gens.contains(g.toLong) =>
+              fs.delete(f.getPath, false) // orphan: never committed
+            case _ => ()
+          }
+        }
+      }
+    gens
+  }
+
   /** Rewrite each fragmented `partCol=` partition of `dirStr` to one
     * file — see the object doc for the protocol and crash recovery.
     * `partValue` parses a partition directory value into the literal
@@ -379,6 +412,10 @@ object IncrementalParquet {
     }
     fs.delete(stage, true)
     if (!fs.exists(dir)) return 0
+    // and minor-compaction crash state: an uncommitted orphan c<g>-*
+    // rewritten together with the batch files it duplicates would bake
+    // the duplicate rows in permanently — see [[recoverMinorState]]
+    recoverMinorState(fs, dir, partCol)
 
     val fragmented = fs.listStatus(dir)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))

@@ -150,6 +150,50 @@ class MinorCompactSpec extends SparkSpec {
     }
   }
 
+  test("FULL compact after a crashed minor firing does not bake in duplicates") {
+    withTempDir { root =>
+      val t = root.resolve("sig").toString
+      DedupQueries.appendToSignaturesIdempotent(docs(0, 400), t, 0L)
+      DedupQueries.appendToSignaturesIdempotent(docs(400, 800), t, 1L)
+      val before = sortedRows(t)
+
+      // crash-before-commit again: an orphan generation file whose rows
+      // all still live in their batch file — but this time the operator
+      // runs the documented explicit FULL rewrite next, not another
+      // minor firing. Without the shared recovery preamble the rewrite
+      // would absorb orphan + originals into one part file, making the
+      // duplicate rows permanent and undetectable.
+      val (bkt, (batch, _, _)) = census(t).find(_._2._1.nonEmpty).get
+      val live = Paths.get(t, bkt)
+      Files.copy(live.resolve(batch.head), live.resolve("c9-0.parquet"),
+        StandardCopyOption.COPY_ATTRIBUTES)
+
+      DedupQueries.compactSignatures(spark, t)
+      assert(sortedRows(t) == before,
+        "full compact baked a crashed minor firing's duplicates into the table")
+    }
+  }
+
+  test("broadcastBatch=false: shuffled probe plan, identical verified pairs") {
+    withTempDir { root =>
+      val t = root.resolve("sig").toString
+      DedupQueries.appendToSignaturesIdempotent(docs(0, 600), t, 0L)
+      // near-copies of batch-0 docs so real cross-batch pairs exist
+      val copies = docs(0, 80).select(
+        (col("doc_id") + 600).as("doc_id"), col("text"))
+      DedupQueries.appendToSignaturesIdempotent(copies, t, 1L)
+      def pairs(flag: Boolean): Set[(Long, Long)] =
+        DedupQueries.batchVerifiedPairs(spark, t, copies,
+            broadcastBatch = flag)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bc = pairs(true)
+      assert(bc.nonEmpty, "vacuous: no cross-batch pairs at all")
+      // the backfill escape hatch must not force driver broadcasts of
+      // the id sets either — same output through the shuffled plan
+      assert(pairs(false) == bc)
+    }
+  }
+
   test("unacked batch files are skipped per-file, not absorbed") {
     withTempDir { root =>
       val t = root.resolve("sig").toString

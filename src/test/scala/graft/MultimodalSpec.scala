@@ -197,6 +197,27 @@ class MultimodalSpec extends SparkSpec {
     // edits break the CRC too, so build a fresh header instead): a
     // signature-only payload must also just fall back
     assert(Multimodal.decodePng(pngRec(good.take(8))).isEmpty)
+    // zlib FDICT header with VALID chunk CRCs: 0x78 0x20 passes the
+    // %31 header check but makes inflate() return 0 forever with
+    // needsDictionary() — the decoder must fall back, not hang the
+    // executor thread on a no-progress loop
+    val fdict = good.clone()
+    var off = 8
+    var idatOff = -1
+    while (idatOff < 0) {
+      val len = java.nio.ByteBuffer.wrap(fdict, off, 4).getInt
+      val typ = new String(fdict, off + 4, 4, "US-ASCII")
+      if (typ == "IDAT") idatOff = off else off += 12 + len
+    }
+    val dlen = java.nio.ByteBuffer.wrap(fdict, idatOff, 4).getInt
+    fdict(idatOff + 8) = 0x78.toByte
+    fdict(idatOff + 9) = 0x20.toByte
+    val crc = new java.util.zip.CRC32()
+    crc.update(fdict, idatOff + 4, 4 + dlen)
+    java.nio.ByteBuffer.wrap(fdict, idatOff + 8 + dlen, 4)
+      .putInt(crc.getValue.toInt)
+    assert(Multimodal.decodePng(pngRec(fdict)).isEmpty,
+      "FDICT stream must decline, not hang")
     // and the Dataset-level dispatch stubs, never throws
     val out = Multimodal.decode(mediaDs(
       MediaRecord(1, "image", corrupt, MediaMeta(4, 4, 0, 1)))).collect()
