@@ -149,4 +149,55 @@ class CodesStreamIngestSpec extends SparkSpec {
       assert(spark.read.parquet(t2).count() == e.count())
     }
   }
+
+  test("in-loop MINOR compaction fires on the cell-partitioned codes table") {
+    withTempDir { root =>
+      val e = Tables.load(spark, sf, "embeddings")
+      val cb = CodebookTrainer.initCodebook(e, 16, normalize = false)
+      val incoming = Files.createDirectory(root.resolve("incoming"))
+      val codes = root.resolve("codes").toString
+      val ckpt = root.resolve("ckpt").toString
+
+      // four quarters land as one file per stream restart (batchIds
+      // 0..3); compactEvery = 2 fires the minor absorption INSIDE the
+      // stream after batches 1 and 3 — the first cadence coverage for
+      // the `cell` partition column (MinorCompactSpec drives `bkt`)
+      for (w <- 0 until 4) {
+        land(e.filter(col("vec_id") % 4 === w), incoming, f"b$w%02d.parquet")
+        StreamingPipeline.startCodesIngest(
+          spark, incoming.toString, codes, ckpt, cb, cb,
+          Trigger.AvailableNow(), compactEvery = 2).awaitTermination(120000)
+      }
+
+      // the last firing (batch 3) absorbed every acked batch file:
+      // each cell holds only its base ladder (≤ one c<g> per firing)
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(codes)).iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("cell="))
+        .foreach { p =>
+          val fs = Files.list(p).iterator().asScala
+            .map(_.getFileName.toString)
+            .filter(n => !n.startsWith("_") && !n.startsWith(".")).toSeq
+          assert(fs.forall(_.matches("^c\\d+-.*")),
+            s"${p.getFileName}: unabsorbed batch files in $fs")
+          assert(fs.size <= 2, s"${p.getFileName}: $fs")
+        }
+
+      // the streamed-and-minor-compacted table serves identically to
+      // the catalog's one-shot build
+      val served = SimilarityQueries.ivfPqServeFromCodes(
+        e, spark.read.parquet(codes), cb, cb, 10).collect().toSeq
+      assert(served == SparkEntry.queries("q_ann_ivfpq")(spark, sf)
+        .collect().toSeq)
+
+      // a replay of a batch whose files the minor firing absorbed is
+      // still a no-op (ack markers outlive absorption)
+      SimilarityQueries.appendToCodesIdempotent(
+        e.filter(col("vec_id") % 4 === 1), codes, 1L, cb, cb)
+      assert(SimilarityQueries.ivfPqServeFromCodes(
+        e, spark.read.parquet(codes), cb, cb, 10).collect().toSeq == served,
+        "post-absorption replay changed the codes table")
+    }
+  }
 }
