@@ -109,9 +109,12 @@ class ClusterMaintenanceSpec extends SparkSpec {
         .foreach(Files.delete)
 
       land(emb.filter(col("vec_id") % 2 === 1), incoming, "w1.parquet")
+      // cadence 1: the in-stream MINOR compaction of BOTH loop-owned
+      // tables (sign buckets + raw vectors) fires during this wave —
+      // the fold and serve must not notice
       StreamingPipeline.startEmbedDedupMaintenance(
         spark, incoming.toString, buckets, vecs, labels, ckpt, threshold,
-        Trigger.AvailableNow()).awaitTermination(180000)
+        Trigger.AvailableNow(), compactEvery = 1).awaitTermination(180000)
 
       val fin = labelMap(labels)
       val pairs = DedupQueries.embedNearDupPairs(emb, threshold)
