@@ -185,9 +185,27 @@ class PlanSpec extends SparkSpec {
     assert(count(inMem, "minhash_signature") <= 4)
     assert(count(inMem, "regexp_extract_all") <= 20)
     assert(count(plan("q_dedup_simhash"), "simhash32") <= 4)
-    // 64-bit sibling: 7 blocks (the low-7-bytes pigeonhole — block 8
-    // would be the degenerate 16-value top byte)
+    // 64-bit sibling: the repartition barrier keeps the sketch kernel
+    // out of the 28-way pair-block explode — one compute, not 56
     assert(count(plan("q_dedup_simhash64"), "simhash64") <= 7)
+  }
+
+  test("round-8 queries: equi-join candidate stages, no cartesian/BNL") {
+    // simhash64 pair blocking, length-banded fuzzy pairs, and the
+    // LM-score model joins must all plan as equi-joins — a cartesian
+    // or nested-loop here is the quadratic regression the blockings
+    // exist to prevent
+    for (q <- Seq("q_dedup_simhash64", "q_fuzzy_pairs", "q_lm_score")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1500)}")
+      // q_lm_score's ONE allowed nested-loop is the broadcast 1-row
+      // vocabulary scalar (the q_top_terms corpus-count shape); the
+      // model and scoring joins themselves must be hash joins
+      val bnlAllowed = if (q == "q_lm_score") 1 else 0
+      assert(count(p, "BroadcastNestedLoopJoin") <= bnlAllowed,
+        s"$q: ${p.take(1500)}")
+      assert(count(p, "HashJoin|SortMergeJoin") >= 1, s"$q: ${p.take(1500)}")
+    }
   }
 
   test("lexical LSH catalog queries serve from the materialized signature " +
