@@ -67,6 +67,20 @@ object IncrementalParquet {
       batchId: Long)(batchRows: => DataFrame): Unit = {
     val dir = new Path(dirStr)
     val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    // heal compaction crash state FIRST, every trigger: a crashed full
+    // compact's retired partition or a crashed minor firing's
+    // duplicates would otherwise stay visible to this trigger's reads
+    // (the maintenance loops read the table right after the append) —
+    // and a post-crash append that recreates a retired partition's
+    // live dir is exactly what turns the stale `.retired` copy into
+    // silent data loss at the next full compact. Healthy-path cost:
+    // two existence checks.
+    if (fs.exists(dir)) {
+      recoverRetired(fs, dir, partCol)
+      // unconditional: a first-ever minor firing that crashed before
+      // its commit leaves orphan c-files with NO _compact dir at all
+      recoverMinorState(fs, dir, partCol)
+    }
     val marker = new Path(dir, s"_ingested/b$batchId")
     if (fs.exists(marker)) return // acked: this batch is fully installed
     val stage = new Path(dir.getParent, s".${dir.getName}.ingest-b$batchId")
@@ -252,8 +266,10 @@ object IncrementalParquet {
     val markerDir = new Path(dir, "_compact")
     val batchFile = "^b(\\d+)-.*".r
     val baseFile = "^c(\\d+)-.*".r
-    // shared crash recovery first: finish pending committed deletions,
-    // sweep orphan uncommitted-generation outputs
+    // shared crash recovery first: a crashed FULL compact's retired
+    // state, then pending committed deletions and orphan
+    // uncommitted-generation outputs
+    recoverRetired(fs, dir, partCol)
     val gens = recoverMinorState(fs, dir, partCol)
 
     // one metadata walk: classify every partition's files (orphan base
@@ -321,6 +337,66 @@ object IncrementalParquet {
     toAbsorb.foreach { case (_, files) => files.foreach(fs.delete(_, false)) }
     fs.create(marker, true).close() // truncate: committed + cleaned
     toAbsorb.size
+  }
+
+  /** Crash recovery for a full [[compact]]'s retired-sibling state —
+    * run by EVERY writer (append, minor, full) before touching the
+    * table. A `.retired` dir from a crashed full compact can meet two
+    * live-dir states, and the right action differs:
+    *
+    *  - live MISSING: the crash hit between the retire rename and the
+    *    replacement install — the retired copy is the only one.
+    *    Restore it wholesale.
+    *  - live EXISTS with a replacement file (any non-`b<id>-` name —
+    *    compaction replacements are plain `part-*`, and a rewritten
+    *    partition is never empty): the crash hit after the install,
+    *    before the retired cleanup. The live dir is the complete new
+    *    version; discard the retired old one.
+    *  - live EXISTS holding ONLY `b<id>-` batch files: the live dir
+    *    was RECREATED by post-crash appends (appendIdempotent mkdirs
+    *    it), not by the replacement install. Discarding the retired
+    *    copy here would silently and permanently lose every pre-crash
+    *    row of the partition — instead MERGE the retired files back
+    *    in. Names cannot collide: the retired copy holds only
+    *    acked-batch/base/part files (a partition with unacked files is
+    *    never compacted), and post-crash appends install under fresh
+    *    batch ids (acked batches replay as marker no-ops).
+    *
+    * Cost when healthy: one existence check.
+    */
+  private def recoverRetired(fs: FileSystem, dir: Path, partCol: String): Unit = {
+    val retiredDir = new Path(dir.getParent, s".${dir.getName}.retired")
+    if (!fs.exists(retiredDir)) return
+    val batchFile = "^b(\\d+)-.*".r
+    fs.listStatus(retiredDir).foreach { st =>
+      val live = new Path(dir, st.getPath.getName)
+      if (!fs.exists(live)) {
+        if (!fs.rename(st.getPath, live))
+          throw new IllegalStateException(
+            s"recovery rename ${st.getPath} -> $live failed")
+      } else {
+        val liveNames = fs.listStatus(live)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .map(_.getPath.getName)
+        val appendOnly = liveNames.nonEmpty && liveNames.forall {
+          case batchFile(_) => true
+          case _ => false
+        }
+        if (appendOnly || liveNames.isEmpty) {
+          fs.listStatus(st.getPath).filter(_.isFile).foreach { f =>
+            val dest = new Path(live, f.getPath.getName)
+            if (fs.exists(dest))
+              throw new IllegalStateException(
+                s"retired/live name collision at $dest — refusing to guess")
+            if (!fs.rename(f.getPath, dest))
+              throw new IllegalStateException(
+                s"recovery merge ${f.getPath} -> $dest failed")
+          }
+        } // else: replacement installed — the retired copy is the old
+          // version, dropped with the dir below
+      }
+    }
+    fs.delete(retiredDir, true)
   }
 
   /** Shared crash recovery for minor-compaction state — run by BOTH
@@ -399,17 +475,9 @@ object IncrementalParquet {
       case _ => true
     }
 
-    // crash recovery: a partition whose live dir is missing has its
-    // only copy in .retired — restore it BEFORE clearing scratch state
-    if (fs.exists(retiredDir)) {
-      fs.listStatus(retiredDir).foreach { st =>
-        val live = new Path(dir, st.getPath.getName)
-        if (!fs.exists(live) && !fs.rename(st.getPath, live))
-          throw new IllegalStateException(
-            s"recovery rename ${st.getPath} -> $live failed")
-      }
-      fs.delete(retiredDir, true)
-    }
+    // crash recovery BEFORE clearing scratch state — shared with
+    // appendIdempotent/compactMinor, see [[recoverRetired]]
+    recoverRetired(fs, dir, partCol)
     fs.delete(stage, true)
     if (!fs.exists(dir)) return 0
     // and minor-compaction crash state: an uncommitted orphan c<g>-*

@@ -196,7 +196,7 @@ object Upsert {
             }
             conn.commit()
           } catch {
-            case e: Throwable => conn.rollback(); throw e
+            case e: Throwable => rollbackQuietly(conn, e); throw e
           } finally conn.close()
         }
       }
@@ -208,6 +208,16 @@ object Upsert {
     * [[UpdateElseInsert]]: the portable pair — correlated UPDATE of the
     * update columns for matched keys, then INSERT … WHERE NOT EXISTS
     * for new keys — both inside the same transaction.
+    *
+    * Every stage read is `DISTINCT`: the parallel stage load is plain
+    * constraint-free INSERTs, so a Spark task retry (or speculative
+    * duplicate) after its per-partition commit leaves the partition's
+    * rows in the stage TWICE. Without the dedup, `ON CONFLICT` errors
+    * with "cannot affect row a second time", the correlated scalar
+    * subquery errors on two rows, and the NOT EXISTS arm silently
+    * double-inserts — DISTINCT restores [[writeJdbc]]'s documented
+    * retry idempotence (retry duplicates are exact row copies; the
+    * stage is key-unique upstream of that by the pipeline's dedup).
     */
   def mergeFromStageStatements(
       target: String,
@@ -223,17 +233,19 @@ object Upsert {
         val sets = updateColumns
           .map(c => s"${qIdent(c)} = EXCLUDED.${qIdent(c)}")
           .mkString(", ")
-        Seq(s"INSERT INTO $target ($cols) SELECT $cols FROM $stage " +
+        Seq(s"INSERT INTO $target ($cols) SELECT DISTINCT $cols FROM $stage " +
           s"ON CONFLICT ($k) DO UPDATE SET $sets")
       case UpdateElseInsert =>
         val sets = updateColumns.map { c =>
-          s"${qIdent(c)} = (SELECT s.${qIdent(c)} FROM $stage s WHERE s.$k = $target.$k)"
+          s"${qIdent(c)} = (SELECT DISTINCT s.${qIdent(c)} FROM $stage s " +
+            s"WHERE s.$k = $target.$k)"
         }.mkString(", ")
         Seq(
           s"UPDATE $target SET $sets " +
             s"WHERE EXISTS (SELECT 1 FROM $stage s WHERE s.$k = $target.$k)",
           s"INSERT INTO $target ($cols) " +
-            s"SELECT ${columns.map(c => s"s.${qIdent(c)}").mkString(", ")} FROM $stage s " +
+            s"SELECT DISTINCT ${columns.map(c => s"s.${qIdent(c)}").mkString(", ")} " +
+            s"FROM $stage s " +
             s"WHERE NOT EXISTS (SELECT 1 FROM $target t WHERE t.$k = s.$k)")
     }
   }
@@ -343,7 +355,7 @@ object Upsert {
             st.executeBatch()
             conn.commit()
           } catch {
-            case e: Throwable => conn.rollback(); throw e
+            case e: Throwable => rollbackQuietly(conn, e); throw e
           } finally conn.close()
         }
       }
@@ -356,7 +368,7 @@ object Upsert {
         mergeSqls.foreach(m => conn.createStatement().executeUpdate(m))
         conn.commit()
       } catch {
-        case e: Throwable => conn.rollback(); throw e
+        case e: Throwable => rollbackQuietly(conn, e); throw e
       }
       conn.setAutoCommit(true) // scratch cleanup, outside the merge txn
       // best-effort: the batch is already committed, so a transient
@@ -402,6 +414,16 @@ object Upsert {
   private def bucketsFile(dir: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(dir, "_graft_buckets")
 
+  /** Roll back without masking the real failure: on a dead connection
+    * rollback() itself throws, and an unguarded call would replace the
+    * original exception (and the PG driver's batch diagnostics) with a
+    * useless "connection closed". The rollback failure is attached as
+    * a suppressed exception instead.
+    */
+  private def rollbackQuietly(conn: java.sql.Connection, cause: Throwable): Unit =
+    try conn.rollback()
+    catch { case r: Throwable => cause.addSuppressed(r) }
+
   private def readBuckets(
       fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Option[Int] = {
@@ -417,9 +439,18 @@ object Upsert {
   private def writeBuckets(
       fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path, n: Int): Unit = {
-    val out = fs.create(bucketsFile(dir), true)
+    // temp + rename: a crash mid-write must not leave a zero-byte pin
+    // — readBuckets would throw on it forever, bricking the table (the
+    // one non-self-healing window an in-place create would open)
+    val tmp = new org.apache.hadoop.fs.Path(
+      dir, s"._graft_buckets.tmp")
+    val out = fs.create(tmp, true)
     try out.write(n.toString.getBytes("UTF-8"))
     finally out.close()
+    val dest = bucketsFile(dir)
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new IllegalStateException(s"rename $tmp -> $dest failed")
   }
 
   /** Partition-pruned parquet upsert — the engine-managed-table path
@@ -499,12 +530,18 @@ object Upsert {
 
   def upsertParquetPartitioned(
       spark: SparkSession,
-      stage: DataFrame,
+      stage0: DataFrame,
       tableDir: String,
       key: String = "thing_key",
       updateColumns: Seq[String] = Model.DefaultUpdateColumns,
       numBuckets: Int = 64): Unit = {
     import org.apache.hadoop.fs.{FileSystem, Path}
+    // ONE evaluation of the caller's stage: the touched-bucket collect
+    // and the merged write below both consume it, and a
+    // non-deterministic lineage evaluated twice could stage rows into
+    // a bucket absent from `touched` — whose files the tmp cleanup
+    // would then silently discard
+    val stage = stage0.localCheckpoint()
     val dir = new Path(tableDir)
     val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(dir.getParent, s".${dir.getName}.stage")

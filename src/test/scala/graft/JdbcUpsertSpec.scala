@@ -130,6 +130,31 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(readAll(url) == got)
   }
 
+  test("staged mode: task-retry duplicates in the stage merge exactly-once") {
+    // the parallel stage load is plain constraint-free INSERTs, so an
+    // executor that commits its partition and dies before reporting
+    // leaves the partition's rows in the stage TWICE when Spark reruns
+    // the task. Feeding full-row duplicates reproduces that state: the
+    // DISTINCT stage reads must merge each key exactly once (the
+    // correlated scalar subquery would otherwise error on two rows,
+    // and the NOT EXISTS insert arm would silently double-insert)
+    val url = freshUrl("stgdup")
+    Upsert.writeJdbcStaged(df(row("t3_a", 1, "old")), url, "redit_table",
+      numPartitions = 2, ensureDdl = ddl, dialect = Upsert.UpdateElseInsert)
+    Upsert.writeJdbcStaged(
+      df(row("t3_a", 9, "new"), row("t3_a", 9, "new"),
+        row("t3_n", 5, "tn"), row("t3_n", 5, "tn")),
+      url, "redit_table", numPartitions = 2,
+      dialect = Upsert.UpdateElseInsert)
+    val got = readAll(url)
+    assert(got.keySet == Set("t3_a", "t3_n"), got)
+    assert(got("t3_a")._1 == 9 && got("t3_n")._1 == 5, got)
+    // the Postgres dialect's single statement dedups the same way
+    val pg = Upsert.mergeFromStageStatements(
+      "redit_table", "redit_table_stage", Model.DbColumns)
+    assert(pg.head.contains("SELECT DISTINCT"), pg.head)
+  }
+
   test("staged mode: a mid-merge failure leaves the target untouched") {
     val url = freshUrl("stgrb")
     Upsert.writeJdbcStaged(df(row("t3_a", 1, "ta")), url, "redit_table",
@@ -167,7 +192,7 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(stmts.size == 1, "postgres merge must be ONE statement (one commit)")
     assert(stmts.head ==
       """INSERT INTO reddit_schema.redit_table ("thing_key", "thing_type", "score") """ +
-        """SELECT "thing_key", "thing_type", "score" FROM reddit_schema.redit_table_stage """ +
+        """SELECT DISTINCT "thing_key", "thing_type", "score" FROM reddit_schema.redit_table_stage """ +
         """ON CONFLICT ("thing_key") DO UPDATE SET "score" = EXCLUDED."score"""")
   }
 

@@ -194,6 +194,75 @@ class MinorCompactSpec extends SparkSpec {
     }
   }
 
+  test("a crashed FULL compact heals at the NEXT append, not the next compact") {
+    withTempDir { root =>
+      val t = root.resolve("sig").toString
+      DedupQueries.appendToSignaturesIdempotent(docs(0, 400), t, 0L)
+      val before = sortedRows(t)
+
+      // full-compact crash window: a bucket retired, replacement never
+      // installed. Before round 8's shared recovery, the next APPEND
+      // would blindly recreate the live dir — and the next full compact
+      // would then discard the retired copy as stale: silent permanent
+      // loss of every pre-crash row of the bucket.
+      val bkt = census(t).keys.head
+      val retired = root.resolve(".sig.retired")
+      Files.createDirectories(retired)
+      Files.move(Paths.get(t, bkt), retired.resolve(bkt))
+      assert(sortedRows(t).size < before.size, "window not constructed")
+
+      DedupQueries.appendToSignaturesIdempotent(docs(400, 800), t, 1L)
+      // the append's preamble restored the bucket BEFORE installing —
+      // this trigger's own reads already see the complete table
+      val all = root.resolve("all").toString
+      DedupQueries.bucketedSignatures(docs(0, 800))
+        .write.partitionBy("bkt").parquet(all)
+      assert(sortedRows(t) == sortedRows(all), "pre-crash rows lost")
+      assert(!Files.exists(retired), ".retired not cleaned up")
+    }
+  }
+
+  test("recovery MERGES a retired bucket whose live dir was recreated by appends") {
+    withTempDir { root =>
+      // defense-in-depth for state a pre-round-8 writer could leave:
+      // live dir exists but holds ONLY append batch files (no compact
+      // replacement). Discarding the retired copy would lose data;
+      // recovery must merge it back in.
+      val t = root.resolve("sig").toString
+      DedupQueries.appendToSignaturesIdempotent(docs(0, 400), t, 0L)
+      val bkt = census(t).keys.head
+      val retired = root.resolve(".sig.retired")
+      Files.createDirectories(retired)
+      Files.move(Paths.get(t, bkt), retired.resolve(bkt))
+
+      // fabricate the recreated live dir from a SECOND table's same-
+      // bucket append (disjoint rows, disjoint batch-file name)
+      val t2 = root.resolve("other").toString
+      DedupQueries.appendToSignaturesIdempotent(docs(400, 800), t2, 7L)
+      val donorIds = spark.read.parquet(t2).select(col("doc_id"))
+        .filter(col("bkt") === bkt.stripPrefix("bkt=").toInt)
+        .collect().map(_.getLong(0)).toSet
+      val donor = Paths.get(t2, bkt)
+      val live = Files.createDirectories(Paths.get(t, bkt))
+      import scala.jdk.CollectionConverters._
+      Files.list(donor).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("b7-"))
+        .foreach(f => Files.move(f, live.resolve(f.getFileName.toString)))
+      Files.createDirectories(Paths.get(t, "_ingested"))
+      Files.createFile(Paths.get(t, "_ingested", "b7"))
+
+      DedupQueries.compactSignaturesMinor(spark, t)
+      // every pre-crash row of the bucket AND the recreated batch's
+      // rows survive
+      val got = spark.read.parquet(t).select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+      val expect = (0L until 400L).toSet ++ donorIds
+      assert(got == expect,
+        s"merge recovery lost ${(expect -- got).size} / gained ${(got -- expect).size} rows")
+      assert(!Files.exists(retired), ".retired not cleaned up")
+    }
+  }
+
   test("unacked batch files are skipped per-file, not absorbed") {
     withTempDir { root =>
       val t = root.resolve("sig").toString
