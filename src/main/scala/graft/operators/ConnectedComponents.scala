@@ -258,10 +258,13 @@ object ConnectedComponents {
       labels: DataFrame,
       newEdges: DataFrame,
       aCol: String,
-      bCol: String): DataFrame = {
-    val (_, _, ext, altMap, release) = foldPieces(labels, newEdges, aCol, bCol)
+      bCol: String,
+      broadcastNew: Boolean = true): DataFrame = {
+    val (_, _, ext, altMap, release) =
+      foldPieces(labels, newEdges, aCol, bCol, broadcastNew)
     try // localCheckpoint is eager: materialized before release fires
-      ext.join(altMap, ext("component") === altMap("aid"), "left")
+      ext.join(hinted(altMap, broadcastNew),
+          ext("component") === altMap("aid"), "left")
         .select(ext("id"),
           coalesce(col("acomp"), ext("component")).as("component"))
         .localCheckpoint()
@@ -285,21 +288,34 @@ object ConnectedComponents {
       labels: DataFrame,
       newEdges: DataFrame,
       aCol: String,
-      bCol: String): DataFrame = {
+      bCol: String,
+      broadcastNew: Boolean = true): DataFrame = {
     val (lab, newNodes, _, altMap, release) =
-      foldPieces(labels, newEdges, aCol, bCol)
+      foldPieces(labels, newEdges, aCol, bCol, broadcastNew)
     try {
-      val changedOld = lab.join(altMap, lab("component") === altMap("aid"))
+      val changedOld = lab.join(hinted(altMap, broadcastNew),
+          lab("component") === altMap("aid"))
         .filter(col("acomp") =!= lab("component"))
         .select(lab("id"), col("acomp").as("component"))
       val fresh = newNodes
-        .join(altMap, newNodes("component") === altMap("aid"), "left")
+        .join(hinted(altMap, broadcastNew),
+          newNodes("component") === altMap("aid"), "left")
         .select(newNodes("id"),
           coalesce(col("acomp"), newNodes("component")).as("component"))
       // localCheckpoint is eager: materialized before release fires
       changedOld.unionByName(fresh).localCheckpoint()
     } finally release()
   }
+
+  /** Broadcast hint honoring the fold's `broadcastNew` escape hatch —
+    * the batch-bounded sides (edge endpoints, the contracted relabel
+    * map) are broadcast-sized at streaming cadence, but a
+    * backfill-sized batch's are not; the flag then leaves the planner
+    * free to shuffle both sides, mirroring `DedupQueries`'
+    * `broadcastBatch`.
+    */
+  private def hinted(df: DataFrame, broadcastNew: Boolean): DataFrame =
+    if (broadcastNew) broadcast(df) else df
 
   /** Shared core of [[incremental]] / [[incrementalDelta]]: returns
     * (existing labels, batch-introduced singleton rows, their union
@@ -312,7 +328,9 @@ object ConnectedComponents {
       labels: DataFrame,
       newEdges: DataFrame,
       aCol: String,
-      bCol: String): (DataFrame, DataFrame, DataFrame, DataFrame, () => Unit) = {
+      bCol: String,
+      broadcastNew: Boolean = true):
+      (DataFrame, DataFrame, DataFrame, DataFrame, () => Unit) = {
     // self-edges are kept in e0 (node derivation) and dropped only for
     // contraction: a batch node appearing ONLY in self-edges must still
     // get a singleton label row, exactly as [[run]] (whose minLabelLoop
@@ -329,11 +347,20 @@ object ConnectedComponents {
       val lab = labels.select(col("id"), col("component"))
       // endpoints the existing labeling has never seen enter as their
       // own singleton component — exactly what a full run would assign
-      // them before any of the new edges apply
-      val newNodes = e0.select(col("src").as("id"))
+      // them before any of the new edges apply. Shaped so the
+      // corpus-sized labels are SCANNED, never exchanged: a broadcast
+      // LEFT-anti against the corpus would have to build the corpus
+      // side, so instead a broadcast-semi probe finds the batch nodes
+      // the labeling already has (batch-bounded output), and the anti
+      // join runs between two batch-bounded sets
+      val batchNodes = e0.select(col("src").as("id"))
         .unionByName(e0.select(col("dst").as("id")))
         .distinct()
-        .join(lab, Seq("id"), "left_anti")
+      val seen = lab
+        .join(hinted(batchNodes, broadcastNew), Seq("id"), "left_semi")
+        .select(col("id"))
+      val newNodes = batchNodes
+        .join(hinted(seen, broadcastNew), Seq("id"), "left_anti")
         .select(col("id"), col("id").as("component"))
       val ext = lab.unionByName(newNodes).persist()
       val releaseBoth = () => { ext.unpersist(); e0.unpersist(); () }
@@ -341,8 +368,13 @@ object ConnectedComponents {
         ext.count()
         val la = ext.select(col("id").as("ia"), col("component").as("ca"))
         val lb = ext.select(col("id").as("ib"), col("component").as("cb"))
-        val contracted = e.join(la, e("src") === la("ia"))
-          .join(lb, e("dst") === lb("ib"))
+        // contraction with the batch side broadcast at each step (the
+        // first join's output is still batch-bounded): the corpus-sized
+        // ext is scanned twice from its persisted copy, exchanged never
+        val withA = la.join(hinted(e, broadcastNew), la("ia") === e("src"))
+          .select(col("ca"), col("dst"))
+        val contracted = lb
+          .join(hinted(withA, broadcastNew), col("dst") === lb("ib"))
           .select(col("ca").as("u"), col("cb").as("w"))
           .filter(col("u") =!= col("w"))
           .distinct()
@@ -414,14 +446,21 @@ object ConnectedComponents {
       aCol: String,
       bCol: String,
       maxIter: Int = 40): (DataFrame, Int) = {
-    val e0 = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // materialize FIRST, derive nodes from the checkpointed copy: the
+    // caller's edge plan can be expensive (the maintenance fold hands
+    // in a contracted graph built from two corpus-side joins), and an
+    // un-checkpointed `nodes` would evaluate it a second time. distinct
+    // drops no endpoints, so the node set is identical either way.
+    val e1 = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .filter(col("src") =!= col("dst"))
-    val nodes = e0.select(col("src").as("id"))
-      .unionByName(e0.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint()
+    val nodes = e1.select(col("src").as("id"))
+      .unionByName(e1.select(col("dst").as("id")))
       .distinct()
       .localCheckpoint()
 
-    var e = e0.distinct().localCheckpoint()
+    var e = e1
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIter) {

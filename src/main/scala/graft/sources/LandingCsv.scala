@@ -72,25 +72,24 @@ object LandingCsv {
   private def basenameCol: org.apache.spark.sql.Column =
     element_at(split(input_file_name(), "/"), -1)
 
-  /** Read ONE header-family of files as all-string columns with
-    * encounter order attached. `fileSeqOf` maps file BASENAME (unique
-    * within a landing dir) → rank in the full sorted listing.
+  /** Attach the encounter-order columns (`file_seq`, `row_seq`) shared
+    * by the batch read and the streaming `foreachBatch` path — the one
+    * copy of the subtle ordering contract: the caller must have read
+    * with `multiLine=true` (one file == one task, so
+    * `monotonically_increasing_id` is strictly row-ordered within each
+    * file); `fileSeqOf` maps file BASENAME → rank. Map-literal lookup,
+    * NOT a folded when-chain: one nested CASE per landing file would
+    * blow analyzer/codegen stack limits at the 10⁵-file scale this
+    * source claims; `element_at` on a map literal is one O(1)-ish
+    * expression regardless of file count.
     */
-  def read(spark: SparkSession, files: Seq[String], fileSeqOf: Map[String, Int]): DataFrame = {
-    val raw = spark.read
-      .option("header", "true")
-      .option("multiLine", "true") // one file == one task ⇒ stable row order
-      .option("mode", "PERMISSIVE")
-      .csv(files: _*)
-    // Map-literal lookup, NOT a folded when-chain: one nested CASE per
-    // landing file would blow analyzer/codegen stack limits at the 10⁵-
-    // file scale this source claims. element_at on a map literal is one
-    // O(1)-ish expression regardless of file count.
+  def attachEncounterOrder(
+      df: DataFrame, fileSeqOf: Map[String, Int]): DataFrame = {
     val seqExpr =
       if (fileSeqOf.isEmpty) lit(-1)
       else coalesce(element_at(typedLit(fileSeqOf), col("_fname")), lit(-1))
     val byFile = Window.partitionBy(col("_fname")).orderBy(col("_mono"))
-    raw
+    df
       .withColumn("_fname", basenameCol)
       .withColumn("_mono", monotonically_increasing_id())
       .withColumn("file_seq", seqExpr)
@@ -98,6 +97,19 @@ object LandingCsv {
       .drop("_mono")
       .drop("_fname")
   }
+
+  /** Read ONE header-family of files as all-string columns with
+    * encounter order attached. `fileSeqOf` maps file BASENAME (unique
+    * within a landing dir) → rank in the full sorted listing.
+    */
+  def read(spark: SparkSession, files: Seq[String], fileSeqOf: Map[String, Int]): DataFrame =
+    attachEncounterOrder(
+      spark.read
+        .option("header", "true")
+        .option("multiLine", "true") // one file == one task ⇒ stable row order
+        .option("mode", "PERMISSIVE")
+        .csv(files: _*),
+      fileSeqOf)
 
   /** Read every landing file, tolerating ragged headers (legacy files
     * carry `id,author,title,...` or `post_id,url,...` — FIXTURES.md §3)

@@ -58,6 +58,15 @@ object StreamingPipeline {
     val raw = spark.readStream
       .schema(LandingSchema)
       .option("header", "true")
+      // VALIDATE each file's header against the schema instead of
+      // mapping columns by position: the landing dir can hold legacy
+      // header families (FIXTURES.md §3 — the batch path groups by
+      // header line for exactly this reason), and the default
+      // enforceSchema=true would silently read a legacy file's post_id
+      // into thing_key etc. and upsert the garbage. A mismatched file
+      // fails the query loudly; legacy families go through the batch
+      // path (CombineJob), which tolerates them.
+      .option("enforceSchema", "false")
       .option("multiLine", "true") // one file == one task ⇒ stable row order
       .option("pathGlobFilter", "italytravel_*.csv")
       .option("maxFilesPerTrigger", "16")
@@ -70,19 +79,18 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val withFile = batch
-            .withColumn("_fname", element_at(split(input_file_name(), "/"), -1))
-            .withColumn("_mono", monotonically_increasing_id())
-          val names = withFile.select("_fname").distinct()
+          // file_seq = rank in the SORTED batch file names (a bounded
+          // metadata collect: ≤maxFilesPerTrigger distinct names);
+          // the ordering contract itself (multiLine task pinning,
+          // map-literal lookup) lives in ONE place —
+          // LandingCsv.attachEncounterOrder, shared with the batch path
+          val names = batch
+            .withColumn("_fname",
+              element_at(split(input_file_name(), "/"), -1))
+            .select("_fname").distinct()
             .collect().map(_.getString(0)).sorted
-          val seqOf = names.zipWithIndex.toMap
-          val byFile = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("_fname")).orderBy(col("_mono"))
-          val ordered = withFile
-            .withColumn("file_seq",
-              coalesce(element_at(typedLit(seqOf), col("_fname")), lit(-1)))
-            .withColumn("row_seq", row_number().over(byFile))
-            .drop("_fname", "_mono")
+          val ordered = graft.sources.LandingCsv
+            .attachEncounterOrder(batch, names.zipWithIndex.toMap)
           val stage = LoadJob.typed(CombineJob.transform(ordered, conf))
             .withColumn("ingested_at", current_timestamp())
           Upsert.upsertParquetPartitioned(spark, stage, tableDir,
@@ -138,7 +146,9 @@ object StreamingPipeline {
     * operators should target; `mapGroupsWithState` stays as the
     * compatibility surface.
     */
-  class UserStatsProcessor
+  class UserStatsProcessor(
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
     extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserStat] {
     @transient private var state: org.apache.spark.sql.streaming.ValueState[UserStat] = _
 
@@ -146,13 +156,13 @@ object StreamingPipeline {
         outputMode: OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       state = getHandle.getValueState[UserStat]("stats",
-        org.apache.spark.sql.Encoders.product[UserStat],
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.product[UserStat], ttl)
 
     override def handleInputRows(
         key: Long,
         rows: Iterator[UserEvent],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserStat] = {
+      // An expired value reads as absent — exists() is the TTL gate.
       val prev = if (state.exists()) state.get() else UserStat(key, 0L, 0.0)
       val next = rows.foldLeft(prev) { (s, e) =>
         UserStat(key, s.n_events + 1, s.sum_value + e.value)
@@ -179,38 +189,15 @@ object StreamingPipeline {
     * a timer per key and without the processor ever enumerating idle
     * keys. TTL requires TimeMode.ProcessingTime.
     */
-  class ExpiringUserStatsProcessor(ttlMs: Long)
-    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserStat] {
-    @transient private var state: org.apache.spark.sql.streaming.ValueState[UserStat] = _
-
-    override def init(
-        outputMode: OutputMode,
-        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-      state = getHandle.getValueState[UserStat]("stats",
-        org.apache.spark.sql.Encoders.product[UserStat],
-        org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofMillis(ttlMs)))
-
-    override def handleInputRows(
-        key: Long,
-        rows: Iterator[UserEvent],
-        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserStat] = {
-      // An expired value reads as absent — exists() is the TTL gate.
-      val prev = if (state.exists()) state.get() else UserStat(key, 0L, 0.0)
-      val next = rows.foldLeft(prev) { (s, e) =>
-        UserStat(key, s.n_events + 1, s.sum_value + e.value)
-      }
-      state.update(next)
-      Iterator.single(next)
-    }
-  }
-
   def trackUserStatsTtl(
       events: Dataset[UserEvent],
       ttlMs: Long): Dataset[UserStat] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .transformWithState(new ExpiringUserStatsProcessor(ttlMs),
+      .transformWithState(
+        new UserStatsProcessor(org.apache.spark.sql.streaming.TTLConfig(
+          java.time.Duration.ofMillis(ttlMs))),
         org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
         OutputMode.Update())
   }
@@ -445,11 +432,7 @@ object StreamingPipeline {
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
       compactEvery: Int = DefaultCompactEvery): StreamingQuery = {
-    import org.apache.spark.sql.types._
-    val schema = new StructType()
-      .add("doc_id", LongType, nullable = false)
-      .add("text", StringType)
-    startIndexIngest(spark, incomingDir, checkpointDir, schema, trigger) {
+    startIndexIngest(spark, incomingDir, checkpointDir, docSchema, trigger) {
       (batch, batchId) =>
         graft.analytics.DedupQueries.appendToSignaturesIdempotent(
           batch, sigDir, batchId)
@@ -497,7 +480,8 @@ object StreamingPipeline {
   def maintainClusters(
       spark: SparkSession, sigDir: String, labelsDir: String,
       batch: DataFrame, batchId: Long,
-      broadcastBatch: Boolean = true): Unit = {
+      broadcastBatch: Boolean = true,
+      threshold: Double = 0.5): Unit = {
     graft.analytics.DedupQueries.appendToSignaturesIdempotent(
       batch, sigDir, batchId)
     // heal a previous upsert's crashed swap BEFORE reading labels: the
@@ -509,9 +493,10 @@ object StreamingPipeline {
     val delta = graft.sinks.IncrementalParquet.batchScopedResult(
       spark, deltaDirFor(labelsDir), batchId) {
       val edges = graft.analytics.DedupQueries.batchVerifiedPairs(
-        spark, sigDir, batch, broadcastBatch = broadcastBatch)
+        spark, sigDir, batch, threshold, broadcastBatch)
       graft.operators.ConnectedComponents.incrementalDelta(
-        clusterLabels(spark, labelsDir), edges, "doc_id_a", "doc_id_b")
+        clusterLabels(spark, labelsDir), edges, "doc_id_a", "doc_id_b",
+        broadcastNew = broadcastBatch)
     }
     if (!delta.isEmpty) // delta is parquet-backed: no recompute here
       Upsert.upsertParquetPartitioned(spark, delta, labelsDir,
@@ -556,15 +541,12 @@ object StreamingPipeline {
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
       broadcastBatch: Boolean = true,
-      compactEvery: Int = DefaultCompactEvery): StreamingQuery = {
-    import org.apache.spark.sql.types._
-    val schema = new StructType()
-      .add("doc_id", LongType, nullable = false)
-      .add("text", StringType)
-    startIndexIngest(spark, incomingDir, checkpointDir, schema, trigger) {
+      compactEvery: Int = DefaultCompactEvery,
+      threshold: Double = 0.5): StreamingQuery = {
+    startIndexIngest(spark, incomingDir, checkpointDir, docSchema, trigger) {
       (batch, batchId) =>
         maintainClusters(spark, sigDir, labelsDir, batch, batchId,
-          broadcastBatch)
+          broadcastBatch, threshold)
         onCadence(compactEvery, batchId) {
           graft.analytics.DedupQueries.compactSignaturesMinor(spark, sigDir); ()
         }
@@ -601,7 +583,8 @@ object StreamingPipeline {
       val edges = graft.analytics.DedupQueries.batchVerifiedEmbedPairs(
         spark, bucketsDir, batch, vecsDir, threshold, broadcastBatch)
       graft.operators.ConnectedComponents.incrementalDelta(
-        clusterLabels(spark, labelsDir), edges, "id_a", "id_b")
+        clusterLabels(spark, labelsDir), edges, "id_a", "id_b",
+        broadcastNew = broadcastBatch)
     }
     if (!delta.isEmpty)
       Upsert.upsertParquetPartitioned(spark, delta, labelsDir,
@@ -614,6 +597,17 @@ object StreamingPipeline {
       .add("vec_id", LongType, nullable = false)
       .add("embedding", ArrayType(FloatType, containsNull = false),
         nullable = false)
+  }
+
+  /** Arriving-document schema shared by both lexical ingest wirings —
+    * hoisted like [[embeddingSchema]] so a corpus-schema change cannot
+    * drift between them.
+    */
+  private def docSchema: StructType = {
+    import org.apache.spark.sql.types._
+    new StructType()
+      .add("doc_id", LongType, nullable = false)
+      .add("text", StringType)
   }
 
   /** Streaming wiring for [[maintainEmbedClusters]] — the semantic

@@ -83,6 +83,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("file stream REJECTS a legacy header family instead of reading it positionally") {
+    withTempDir { root =>
+      val data = Files.createDirectory(root.resolve("data"))
+      val loaded = root.resolve("loaded").toString
+      val table = root.resolve("table").toString
+      val ckpt = root.resolve("ckpt").toString
+
+      // a legacy-family file (FIXTURES.md §3) matches the stream's glob
+      // but not its schema; with positional mapping (enforceSchema's
+      // default) its post_id would land in thing_key, url in
+      // thing_type, … and be upserted as garbage with no error. The
+      // stream must fail LOUDLY instead; legacy families are the batch
+      // path's job (CombineJob groups files by header line).
+      write(data, "italytravel_legacy.csv",
+        """post_id,url,score_value,comments
+          |p1,https://x/1,5,2
+          |""".stripMargin)
+      val q = StreamingPipeline.start(spark, data.toString, loaded, table,
+        ckpt, conf, Trigger.AvailableNow())
+      val failed =
+        try { q.awaitTermination(120000); false }
+        catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+            val chain = Iterator.iterate(e: Throwable)(_.getCause)
+              .takeWhile(_ != null).map(_.toString.toLowerCase).mkString(" | ")
+            assert(chain.contains("header") || chain.contains("schema"),
+              s"stream failed for an unexpected reason: $chain")
+            true
+        }
+      assert(failed, "legacy header family was consumed instead of rejected")
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(table)),
+        "garbage rows reached the serving table")
+    }
+  }
+
   test("mapGroupsWithState tracks per-user running stats across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
