@@ -345,36 +345,38 @@ object ConnectedComponents {
     try {
       e0.count() // materialize the (possibly expensive) pair stage once
       val lab = labels.select(col("id"), col("component"))
-      // endpoints the existing labeling has never seen enter as their
-      // own singleton component — exactly what a full run would assign
-      // them before any of the new edges apply. Shaped so the
-      // corpus-sized labels are SCANNED, never exchanged: a broadcast
-      // LEFT-anti against the corpus would have to build the corpus
-      // side, so instead a broadcast-semi probe finds the batch nodes
-      // the labeling already has (batch-bounded output), and the anti
-      // join runs between two batch-bounded sets
+      // ONE broadcast-semi probe of the corpus-sized labels fetches the
+      // (id, component) rows of every batch-incident node — a
+      // batch-bounded result the REST of the fold preamble runs on, so
+      // the corpus is scanned exactly once here and exchanged never:
+      //  - new nodes = batch nodes minus the probed ids (an anti join
+      //    between two batch-bounded sets — a broadcast left-anti
+      //    against the corpus would have to build the corpus side);
+      //  - the contraction joins the batch edges against the probed
+      //    labels, broadcast-tiny on both sides.
       val batchNodes = e0.select(col("src").as("id"))
         .unionByName(e0.select(col("dst").as("id")))
         .distinct()
-      val seen = lab
+      val seenLab = lab
         .join(hinted(batchNodes, broadcastNew), Seq("id"), "left_semi")
-        .select(col("id"))
+        .localCheckpoint() // batch-bounded; consumed by anti + both
+                           // contraction sides — one corpus scan total
       val newNodes = batchNodes
-        .join(hinted(seen, broadcastNew), Seq("id"), "left_anti")
+        .join(hinted(seenLab.select(col("id")), broadcastNew),
+          Seq("id"), "left_anti")
         .select(col("id"), col("id").as("component"))
       val ext = lab.unionByName(newNodes).persist()
       val releaseBoth = () => { ext.unpersist(); e0.unpersist(); () }
       try {
         ext.count()
-        val la = ext.select(col("id").as("ia"), col("component").as("ca"))
-        val lb = ext.select(col("id").as("ib"), col("component").as("cb"))
-        // contraction with the batch side broadcast at each step (the
-        // first join's output is still batch-bounded): the corpus-sized
-        // ext is scanned twice from its persisted copy, exchanged never
-        val withA = la.join(hinted(e, broadcastNew), la("ia") === e("src"))
-          .select(col("ca"), col("dst"))
-        val contracted = lb
-          .join(hinted(withA, broadcastNew), col("dst") === lb("ib"))
+        // every batch-incident node's label, batch-bounded by
+        // construction (probed existing labels + fresh singletons)
+        val touched = seenLab.unionByName(newNodes)
+        val la = touched.select(col("id").as("ia"), col("component").as("ca"))
+        val lb = touched.select(col("id").as("ib"), col("component").as("cb"))
+        val contracted = e
+          .join(hinted(la, broadcastNew), e("src") === col("ia"))
+          .join(hinted(lb, broadcastNew), e("dst") === col("ib"))
           .select(col("ca").as("u"), col("cb").as("w"))
           .filter(col("u") =!= col("w"))
           .distinct()
