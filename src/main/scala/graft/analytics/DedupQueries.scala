@@ -85,6 +85,74 @@ object DedupQueries {
       |FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts
       |      FROM documents WHERE doc_id % 25 = 0)""".stripMargin
 
+  /** Substring-span window width (tokens). Lee et al. 2022 use 50-token
+    * spans on web corpora; 8 matches this corpus' ~55-token documents
+    * (the planted copies are 8–20 tokens). The seed join is on EXACT
+    * window fingerprints, so k only sets the minimum detectable span.
+    */
+  private[analytics] val SpanK = 8
+
+  /** Partial-copy corpus for substring-span dedup: the base synthetic
+    * corpus has no cross-document shared 8-grams (~30-word vocab, so a
+    * chance 8-gram repeat is ~30⁻⁸ per window pair), so the query plants
+    * them. Every 20th doc re-appears (id+10000) with tokens 4..23 of the
+    * original embedded between doc-unique marker runs (6 tokens each —
+    * shorter than k, so marker runs can never seed a window match), and
+    * every 100th doc additionally re-appears (id+20000) carrying TWO
+    * disjoint slices (tokens 4..11 and 20..35) — a two-span pair, which
+    * also overlaps the id+10000 copy of the same original in exactly the
+    * first 8 tokens (one window), exercising copy-vs-copy detection.
+    */
+  private def spanMarkers(prefix: String, id: Column): Column =
+    array_repeat(concat(lit(prefix), id.cast("string")), 6)
+
+  private[analytics] def spanDupCorpus(docs: DataFrame): DataFrame = {
+    val ts = tokens(lower(col("text")))
+    def copy(pieces: Column*): Column =
+      concat_ws(" ", concat(pieces: _*))
+    val one = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        copy(
+          spanMarkers("z", col("doc_id") + 10000),
+          slice(ts, 4, 20),
+          spanMarkers("y", col("doc_id") + 10000)).as("text"))
+    val two = docs.filter(col("doc_id") % 100 === 0)
+      .select((col("doc_id") + 20000).as("doc_id"),
+        copy(
+          spanMarkers("u", col("doc_id") + 20000),
+          slice(ts, 4, 8),
+          spanMarkers("v", col("doc_id") + 20000),
+          slice(ts, 20, 16),
+          spanMarkers("w", col("doc_id") + 20000)).as("text"))
+    docs.select(col("doc_id"), lower(col("text")).as("text"))
+      .unionByName(one).unionByName(two)
+  }
+
+  private def spanMarkersSql(prefix: String, idExpr: String): String =
+    s"trim(repeat('$prefix' || CAST($idExpr AS VARCHAR) || ' ', 6))"
+
+  // coalesce: DuckDB's array_to_string([]) is NULL (not ''), which would
+  // null the whole concatenation for short originals whose slice clamps
+  // to empty — Spark's concat_ws just skips the empty array.
+  private[analytics] val spanDupCorpusSql = {
+    val ts = "regexp_extract_all(lower(text), '\\S+')"
+    s"""SELECT doc_id, lower(text) AS text FROM documents
+       |UNION ALL
+       |SELECT doc_id + 10000 AS doc_id,
+       |  ${spanMarkersSql("z", "doc_id + 10000")} || ' ' ||
+       |  coalesce(array_to_string(ts[4:23], ' '), '') || ' ' ||
+       |  ${spanMarkersSql("y", "doc_id + 10000")} AS text
+       |FROM (SELECT doc_id, $ts AS ts FROM documents WHERE doc_id % 20 = 0)
+       |UNION ALL
+       |SELECT doc_id + 20000 AS doc_id,
+       |  ${spanMarkersSql("u", "doc_id + 20000")} || ' ' ||
+       |  coalesce(array_to_string(ts[4:11], ' '), '') || ' ' ||
+       |  ${spanMarkersSql("v", "doc_id + 20000")} || ' ' ||
+       |  coalesce(array_to_string(ts[20:35], ' '), '') || ' ' ||
+       |  ${spanMarkersSql("w", "doc_id + 20000")} AS text
+       |FROM (SELECT doc_id, $ts AS ts FROM documents WHERE doc_id % 100 = 0)""".stripMargin
+  }
+
   /** Distinct 3-gram shingle set of lowercase text (both engines). */
   private def shingleSet(text: Column): Column =
     array_distinct(shingles(lower(text), 3))
@@ -994,6 +1062,88 @@ object DedupQueries {
         .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
           round(col("jac"), 4).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---------------------------------------------------------- spans
+    // Cross-document substring-SPAN dedup (Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better"):
+    // find maximal runs of ≥k tokens shared verbatim between document
+    // PAIRS — partial-copy removal, the train-vs-train complement of
+    // the exact/near-doc families above. Pipeline: per-token hash →
+    // k-token rolling window fingerprints (sum-of-powers mod P, exact
+    // on both engines) → posexplode → self-EQUI-join on fingerprint
+    // (doc_a < doc_b) → merge hits on the same diagonal (pa − pb) into
+    // maximal spans via gaps-and-islands. Output one row per maximal
+    // shared span: (doc_a, doc_b, start_a, start_b, span_len), token
+    // positions 1-based.
+    //
+    // Scale (100 TB): the paper uses a suffix array; the Spark-first
+    // form is this fingerprint equi-join — work is bounded by
+    // Σ_fp |group|², not all-pairs, and stays linear while shared
+    // k-grams are rare. On web corpora boilerplate k-grams make hot
+    // groups: the production mitigation is a document-frequency cap on
+    // the fingerprint (drop fps seen in > maxDf docs before the join —
+    // they are boilerplate, not copies), which composes here as one
+    // extra groupBy; the gate keeps exact semantics so the oracle can
+    // replay it. The explode is a narrow flatMap; the only shuffles are
+    // the fp equi-join (exchange reused across both sides) and the
+    // per-(pair, diagonal) island window.
+    GraftQuery(
+      "q_dedup_spans", {
+        val k = SpanK
+        val pows = graft.functions.TextFunctions.windowPows(k)
+          .mkString("[", ", ", "]")
+        val P = graft.functions.TextFunctions.RollP
+        s"""WITH c AS ($spanDupCorpusSql),
+           |tok AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM c),
+           |hp AS (SELECT doc_id, ${shaPrefixListSql("ts", 7)} AS hp FROM tok),
+           |hv AS (SELECT doc_id, ${hexToLongListSql("hp", 7)} AS hv FROM hp),
+           |wf AS (SELECT doc_id,
+           |         CASE WHEN len(hv) >= $k THEN
+           |           [list_sum([(hv[i + j] * ($pows)[j + 1]) % $P
+           |                      FOR j IN range(0, $k)]) % $P
+           |            FOR i IN range(1, len(hv) - $k + 2)]
+           |         ELSE [] END AS fps FROM hv),
+           |e AS (SELECT doc_id,
+           |        CAST(unnest(range(len(fps))) + 1 AS BIGINT) AS pos,
+           |        unnest(fps) AS fp FROM wf),
+           |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |             a.pos AS pa, b.pos AS pb
+           |      FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+           |i AS (SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+           |        pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+           |                                ORDER BY pa) AS grp
+           |      FROM m)
+           |SELECT doc_a, doc_b,
+           |  min(pa) AS start_a, min(pb) AS start_b,
+           |  max(pa) - min(pa) + $k AS span_len
+           |FROM i GROUP BY doc_a, doc_b, diag, grp
+           |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
+      }) { (s, dir) =>
+      val k = SpanK
+      val corpus = spanDupCorpus(t(s, dir, "documents"))
+      val wf = corpus.select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.windowFingerprints(
+          transform(tokens(col("text")), elementHash(_)), k))
+          .as(Seq("p0", "fp")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          col("fp"))
+      val a = wf.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
+        col("fp"))
+      val b = wf.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
+        col("fp"))
+      val m = a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+        .orderBy(col("pa"))
+      m.withColumn("diag", col("pa") - col("pb"))
+        .withColumn("grp", col("pa") - row_number().over(w))
+        .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+        .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+          (max(col("pa")) - min(col("pa")) + lit(k.toLong)).as("span_len"))
+        .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+          col("span_len"))
+        .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
     },
 
     // ------------------------------------------------------- clusters

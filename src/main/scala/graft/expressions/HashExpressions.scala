@@ -45,8 +45,16 @@ object HashExpressions {
     if ((x & 1L) == 1L) 1 else -1
   }
 
+  /** Rabin–Karp window base (see
+    * [[graft.functions.TextFunctions.RollB]], which aliases this).
+    */
+  val RollB: Long = 1000003L
+
   def minhash(hashes: Column, k: Int): Column =
     graftbridge.column(MinHashSignature(graftbridge.expression(hashes), k))
+
+  def windowFingerprints(hashes: Column, k: Int): Column =
+    graftbridge.column(WindowFingerprints(graftbridge.expression(hashes), k))
 
   def simhash32(hashes: Column): Column =
     graftbridge.column(SimHash32(graftbridge.expression(hashes)))
@@ -125,6 +133,98 @@ case class MinHashSignature(child: Expression, k: Int)
          |  }
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
          |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** k-token rolling window fingerprints over a pre-hashed token array:
+  * output element i (0-based) is `(Σⱼ h[i+j] · B^(k-1-j) mod P) mod P`
+  * for j = 0..k-1 — one value per k-token window, n−k+1 windows, empty
+  * array when the document is shorter than k. The substring-span dedup
+  * seed (see [[graft.functions.TextFunctions.windowFingerprints]] for
+  * the arithmetic contract shared with the DuckDB oracle).
+  *
+  * Why an expression and not the HOF form: `transform(sequence(...))`
+  * with k `element_at(hashes, i+j)` references INLINES the child array
+  * expression once per reference — when `hashes` is itself
+  * `transform(tokens, sha2…)`, Catalyst re-tokenizes and re-hashes the
+  * whole document k times per window (measured: 20.6 s vs sub-second
+  * at sf0.001 for q_dedup_spans). Here the child is evaluated once and
+  * the k·(n−k+1) window terms are one primitive loop in codegen.
+  * Null elements read as 0 (the catalog feeds non-null SHA-derived
+  * hashes; the guard only pins determinism).
+  */
+case class WindowFingerprints(child: Expression, k: Int)
+    extends UnaryExpression {
+  import HashExpressions.{P, RollB}
+  require(k >= 1, s"window width must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"window_fingerprints requires array<bigint>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = s"window_fingerprints_$k"
+
+  /** `B^(k-1-j) mod P` — identical to TextFunctions.windowPows. */
+  private lazy val pows: Array[Long] = {
+    val out = new Array[Long](k)
+    var j = k - 1
+    var p = 1L
+    while (j >= 0) { out(j) = p; p = p * RollB % P; j -= 1 }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val m = n - k + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var s = 0L
+      var j = 0
+      while (j < k) {
+        s += (if (arr.isNullAt(i + j)) 0L else arr.getLong(i + j)) * pows(j) % P
+        j += 1
+      }
+      out(i) = s % P
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val powRef = ctx.addReferenceObj("windowPows", pows, "long[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val out = ctx.freshName("out")
+      val h = ctx.freshName("h")
+      s"""
+         |int $n = $arr.numElements();
+         |int $m = $n - $k + 1;
+         |if ($m <= 0) $m = 0;
+         |long[] $out = new long[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  long $s = 0L;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $h = $arr.isNullAt($i + $j) ? 0L : $arr.getLong($i + $j);
+         |    $s += $h * $powRef[$j] % ${P}L;
+         |  }
+         |  $out[$i] = $s % ${P}L;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
   }

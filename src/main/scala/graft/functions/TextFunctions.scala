@@ -110,7 +110,7 @@ object TextFunctions {
     * stay ≤ (P−1)·B ≈ 2⁵¹, so the DuckDB oracle reproduces every value
     * with plain BIGINT arithmetic).
     */
-  val RollB: Long = 1000003L
+  val RollB: Long = graft.expressions.HashExpressions.RollB
   val RollP: Long = graft.expressions.HashExpressions.P
 
   /** Rolling (Rabin–Karp) window fingerprints over a MATERIALIZED
@@ -127,4 +127,31 @@ object TextFunctions {
         val h3 = element_at(hashes, i + 2)
         (((h1 * RollB) % RollP + h2) * RollB % RollP + h3) % RollP
       })).otherwise(array().cast("array<bigint>"))
+
+  /** Precomputed window powers `B^(k-1-j) mod P` for j = 0..k-1 — shared
+    * verbatim by [[windowFingerprints]] and the DuckDB oracle SQL so both
+    * engines evaluate the identical sum-of-powers form.
+    */
+  def windowPows(k: Int): IndexedSeq[Long] =
+    (0 until k).map(j =>
+      Iterator.fill(k - 1 - j)(RollB).foldLeft(1L)((a, b) => a * b % RollP))
+
+  /** Generalized k-token window fingerprints over a token-hash array:
+    * one value per k-token window,
+    * `fp(i) = (Σⱼ hᵢ₊ⱼ · B^(k-1-j) mod P) mod P` — the same polynomial
+    * as [[rollingFingerprints]] (k=3) but in sum-of-powers form so the
+    * DuckDB oracle can replay it without a fold: each term is
+    * `(28-bit hash) · (31-bit power) < 2⁵⁹` and the k-term sum of
+    * mod-P residues stays < k·2³¹, all exact in BIGINT. This is the
+    * substring-span dedup seed (Lee et al. 2022): two docs sharing a
+    * k-token run share the window fingerprint at the aligned positions.
+    *
+    * Codegen'd single-loop kernel
+    * ([[graft.expressions.WindowFingerprints]]) — the HOF formulation
+    * (`transform(sequence, i => Σⱼ element_at(hashes, i+j)·powⱼ)`)
+    * inlines the hash-array child once per `element_at`, re-running
+    * the tokenizer+SHA pipeline k times per window.
+    */
+  def windowFingerprints(hashes: Column, k: Int): Column =
+    graft.expressions.HashExpressions.windowFingerprints(hashes, k)
 }

@@ -114,6 +114,53 @@ class DedupSemanticsSpec extends SparkSpec {
     assert(recall >= 0.9, s"banded blocking recall $recall (${blocked.size}/${exact.size})")
   }
 
+  test("substring-span dedup recalls every planted partial copy exactly") {
+    import org.apache.spark.sql.functions._
+    // token count per base doc — the planted slice lengths clamp to it
+    val nTok = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = run("q_dedup_spans").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+
+    // single-span copies (d+10000): tokens 4..23 of d behind 6-token
+    // markers → expected maximal span (start_a=4, start_b=7, len=L)
+    val singles = nTok.keys.filter(_ % 20 == 0).flatMap { d =>
+      val L = math.min(20, math.max(0, nTok(d) - 3))
+      if (L >= 8) Some((d, d + 10000L, 4L, 7L, L.toLong)) else None
+    }.toSet
+    assert(singles.nonEmpty)
+    val missedS = singles.diff(rows)
+    assert(missedS.isEmpty, s"missed single spans: $missedS")
+
+    // two-span copies (d+20000): slices 4..11 and 20..35; the second
+    // starts at position 13+L1 in the copy, after the middle markers
+    val twos = nTok.keys.filter(_ % 100 == 0).flatMap { d =>
+      val n = nTok(d)
+      val l1 = math.min(8, math.max(0, n - 3))
+      val l2 = if (n >= 20) math.min(16, n - 19) else 0
+      val first = if (l1 == 8)
+        Seq((d, d + 20000L, 4L, 7L, 8L),
+          // copy-vs-copy: the +10000 and +20000 copies of the same
+          // original share exactly the first 8 copied tokens
+          (d + 10000L, d + 20000L, 7L, 7L, 8L))
+      else Seq.empty
+      val second = if (l2 >= 8)
+        Seq((d, d + 20000L, 20L, 13L + l1, l2.toLong)) else Seq.empty
+      first ++ second
+    }.toSet
+    assert(twos.nonEmpty)
+    val missedT = twos.diff(rows)
+    assert(missedT.isEmpty, s"missed two-span rows: $missedT")
+
+    // no span may ever touch a marker run: planted-pair spans stay
+    // inside the copied slice (len <= 20), and every pair is ordered
+    assert(rows.forall { case (a, b, _, _, len) =>
+      a < b && (b < 10000 || len <= 20)
+    })
+  }
+
   test("exact dedup collapses every planted exact copy") {
     val groups = run("q_dedup_exact").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

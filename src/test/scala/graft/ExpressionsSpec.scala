@@ -123,6 +123,30 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("WindowFingerprints: codegen == Scala oracle; short input → empty") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{windowFingerprints, windowPows, RollP}
+    val k = 8
+    val data = (0 until 30).map(_ =>
+      Seq.fill(rnd.nextInt(60) + 1)(rnd.nextLong().abs % (1L << 28))) ++
+      Seq(Seq.empty[Long], Seq.fill(k - 1)(5L), Seq.fill(k)(7L))
+    val df = data.toDF("hv")
+    val got = df.select(windowFingerprints(col("hv"), k)).collect()
+    val pows = windowPows(k)
+    data.zip(got).foreach { case (hv, row) =>
+      val oracle = (0 to hv.length - k).map { i =>
+        (0 until k).map(j => hv(i + j) * pows(j) % RollP).sum % RollP
+      }
+      assert(row.getSeq[Long](0) == oracle, s"hv=$hv")
+    }
+    // matches rollingFingerprints (Horner form) at k=3: same polynomial
+    val r3 = df.select(
+      windowFingerprints(col("hv"), 3).as("sum"),
+      graft.functions.TextFunctions.rollingFingerprints(col("hv")).as("horner"))
+      .collect()
+    r3.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("SimHash32: codegen == Scala oracle; empty → 0; near-dup close") {
     import spark.implicits._
     val data = (0 until 30).map(_ =>

@@ -47,6 +47,14 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q_dedup_spans: fingerprint equi-join seed — no cartesian/BNL join") {
+    val p = plan("q_dedup_spans")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("q_dedup_embed: banded sign-bucket blocking — no cartesian/BNL join") {
     val p = plan("q_dedup_embed")
     assert(!p.contains("CartesianProduct"), p.take(2000))
