@@ -659,6 +659,26 @@ object StreamingPipeline {
       .drop("h1", "h2")
   }
 
+  /** Streaming perplexity gate — the LM-quality analog of
+    * [[decontaminationGate]]: score ARRIVING documents against the
+    * STORED bigram model table (train-once memoized, see
+    * `TextQueries.lmModelPath`) and flag those whose bits-per-bigram
+    * exceeds `maxBits` (CCNet-style: incoherent token soup scores
+    * high). Stream-static: the model is a static DataFrame joined to
+    * the exploded bigram stream; unseen bigrams/left-tokens smooth via
+    * add-½, so novel arrivals score without retraining. The per-doc
+    * fold is a streaming aggregation — run the sink in update mode.
+    * Docs with fewer than 2 tokens produce no bigrams and are not
+    * emitted (nothing to score — gate them upstream on tokenCount if
+    * they must pass).
+    */
+  def perplexityGate(
+      docs: DataFrame,
+      model: DataFrame,
+      maxBits: Double): DataFrame =
+    graft.analytics.TextQueries.scoreBitsPerBigram(docs, model)
+      .withColumn("high_perplexity", col("bits_per_bigram") > maxBits)
+
   /** Stream-stream interval join (J6 streaming form): purchases joined
     * to the same user's clicks from the preceding `window`. Watermarks
     * on BOTH sides + the time-bound condition let the state store evict

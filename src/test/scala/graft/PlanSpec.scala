@@ -47,6 +47,17 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q_lm_score: serves from the stored model table — no retraining " +
+      "in the query plan") {
+    // since round 9 the bigram model is train-once memoized
+    // (TextQueries.lmModelPath); the scoring plan must read the stored
+    // parquet and contain neither training aggregation — the
+    // distinct-vocab count is the train-only marker
+    val p = plan("q_lm_score")
+    assert(p.contains("graft-lm-model"), p.take(3000))
+    assert(!p.toLowerCase.contains("distinct"), p.take(3000))
+  }
+
   test("q_dedup_spans: fingerprint equi-join seed — no cartesian/BNL join") {
     val p = plan("q_dedup_spans")
     assert(!p.contains("CartesianProduct"), p.take(2000))

@@ -290,6 +290,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming perplexity gate scores arrivals against the stored LM model") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // static train side: a tiny repetitive corpus -> stored-model shape
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the chair"),
+      (3L, "the dog sat on the mat")).toDF("doc_id", "text")
+    val model = graft.analytics.TextQueries.trainLmModel(corpus)
+    val input = MemoryStream[(Long, String)]
+    val query = StreamingPipeline
+      .perplexityGate(input.toDF().toDF("doc_id", "text"), model, maxBits = 2.0)
+      .writeStream.format("memory").queryName("ppl_gate")
+      .outputMode("update").start()
+    try {
+      // doc 10 re-uses the corpus' dominant bigrams; doc 11 is token
+      // soup the model never saw (every bigram smooths to the floor)
+      input.addData(
+        (10L, "the cat sat on the mat"),
+        (11L, "zq xv qk jw pf gx yb"))
+      query.processAllAvailable()
+      val rows = spark.table("ppl_gate").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Double]("bits_per_bigram"), r.getAs[Boolean]("high_perplexity"))))
+        .toMap
+      assert(rows.keySet == Set(10L, 11L))
+      val (seenBits, seenFlag) = rows(10L)
+      val (soupBits, soupFlag) = rows(11L)
+      assert(!seenFlag && soupFlag, s"seen=$seenBits soup=$soupBits")
+      assert(soupBits > seenBits + 1.0,
+        s"model does not separate seen from unseen: $seenBits vs $soupBits")
+    } finally query.stop()
+  }
+
   test("Model.typed: serving DataFrame ⇄ Dataset[RedditThing]") {
     import spark.implicits._
     val df = Seq(("K1", "t3", "id1", java.sql.Timestamp.valueOf("2025-01-01 00:00:00"),
