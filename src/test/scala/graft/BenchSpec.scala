@@ -123,6 +123,28 @@ class BenchSpec extends AnyFunSuite {
     assert(math.max(a, b) / math.min(a, b) < 5.0, s"calib unstable: $a vs $b")
   }
 
+  test("the full-map sidecar carries every query at 3 decimals, valid JSON") {
+    val results = (1 to 120).map(i => f"q_$i%03d" -> i / 100.0).toMap
+    val doc = Bench.renderFull(results, "/tmp/sf0.1",
+      calib = Some(0.0843), flaky = Seq("q_007"))
+    // never sheds: all queries present regardless of catalog size
+    results.keys.foreach(k => assert(doc.contains("\"" + k + "\""), k))
+    assert(doc.contains("\"q_120\": 1.200"))
+    assert(doc.contains("\"n_queries\": 120"))
+    assert(doc.contains("\"calib\": 0.084"))
+    assert(doc.contains("\"flaky\": [\"q_007\"]"))
+    assert(!doc.contains("\"noisy\""))
+    assert(!doc.contains("\"errors\""))
+    // structurally valid JSON (brace/bracket balance + parseable by the
+    // same ujson-free check the driver effectively does: strict braces)
+    assert(doc.count(_ == '{') == doc.count(_ == '}'))
+    assert(doc.count(_ == '[') == doc.count(_ == ']'))
+    // slowest-first ordering inside the queries map
+    val i120 = doc.indexOf("\"q_120\"")
+    val i001 = doc.indexOf("\"q_001\"")
+    assert(i120 >= 0 && i001 > i120, "queries not sorted slowest-first")
+  }
+
   test("the line carries calib as provenance and noisy as a failure signal") {
     val line = Bench.renderLine(Map("q_x" -> 1.234), "/tmp/sf0.1",
       calib = Some(0.0843), noise = Some(3.21))
