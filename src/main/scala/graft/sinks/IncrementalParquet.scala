@@ -74,11 +74,14 @@ object IncrementalParquet {
     // and a post-crash append that recreates a retired partition's
     // live dir is exactly what turns the stale `.retired` copy into
     // silent data loss at the next full compact. Healthy-path cost:
-    // two existence checks.
+    // three existence checks plus one listing of the (tiny) _compact
+    // dir — the O(partitions) orphan walk runs only behind the
+    // crashed-firing sentinel (see recoverMinorState).
     if (fs.exists(dir)) {
       recoverRetired(fs, dir, partCol)
-      // unconditional: a first-ever minor firing that crashed before
-      // its commit leaves orphan c-files with NO _compact dir at all
+      // a minor firing raises _compact/.inflight BEFORE installing any
+      // c-file, so every crash window (including a first-ever firing)
+      // is visible from the _compact listing alone
       recoverMinorState(fs, dir, partCol)
     }
     val marker = new Path(dir, s"_ingested/b$batchId")
@@ -301,6 +304,14 @@ object IncrementalParquet {
     if (toAbsorb.isEmpty) return 0
     val g = (gens + 0L).max + 1
 
+    // raise the in-flight sentinel BEFORE touching any live dir: its
+    // presence is what tells the next recovery that orphan c<g>-*
+    // outputs may exist, so the healthy path never pays the
+    // O(partitions) orphan walk (see [[recoverMinorState]]). Dropped
+    // LAST, after the marker commit and cleanup.
+    fs.mkdirs(markerDir)
+    fs.create(new Path(markerDir, InflightFlag), true).close()
+
     val stage = new Path(dir.getParent, s".${dir.getName}.minor")
     fs.delete(stage, true)
     spark.read.option("basePath", dirStr)
@@ -336,8 +347,14 @@ object IncrementalParquet {
       throw new IllegalStateException(s"rename $tmp -> $marker failed")
     toAbsorb.foreach { case (_, files) => files.foreach(fs.delete(_, false)) }
     fs.create(marker, true).close() // truncate: committed + cleaned
+    fs.delete(new Path(markerDir, InflightFlag), false) // healthy exit
     toAbsorb.size
   }
+
+  /** In-flight sentinel under `_compact/`: present exactly while a
+    * minor firing may have installed uncommitted `c<g>-*` outputs.
+    */
+  private val InflightFlag = ".inflight"
 
   /** Crash recovery for a full [[compact]]'s retired-sibling state —
     * run by EVERY writer (append, minor, full) before touching the
@@ -410,7 +427,12 @@ object IncrementalParquet {
     *     (non-empty marker → delete the listed files, truncate);
     *  3. sweep orphan base files of uncommitted generations (outputs
     *     of a firing that crashed before its marker — every absorbed
-    *     original is still live, so nothing is lost).
+    *     original is still live, so nothing is lost). The sweep's
+    *     partition walk runs ONLY when the `.inflight` sentinel is
+    *     present (raised by [[compactMinor]] before any install,
+    *     dropped after cleanup): per-trigger recovery on the healthy
+    *     path is one `_compact` listing, not an O(partitions)
+    *     metadata walk.
     *
     * The full [[compact]] MUST run this too: rewriting a partition
     * that holds an uncommitted orphan `c<g>-*` alongside the still-
@@ -424,8 +446,10 @@ object IncrementalParquet {
     val markerDir = new Path(dir, "_compact")
     val markerName = "^c(\\d+)$".r
     val baseFile = "^c(\\d+)-.*".r
+    var inflight = false
     if (fs.exists(markerDir)) fs.listStatus(markerDir).foreach { m =>
       m.getPath.getName match {
+        case InflightFlag => inflight = true
         case markerName(_) if m.getLen > 0 =>
           val in = fs.open(m.getPath)
           val listed = try scala.io.Source.fromInputStream(in, "UTF-8")
@@ -434,7 +458,11 @@ object IncrementalParquet {
             .foreach(rel => fs.delete(new Path(dir, rel), false))
           fs.create(m.getPath, true).close() // committed + cleaned
         case markerName(_) => ()
-        case _ => fs.delete(m.getPath, false) // stale .c<g>.tmp
+        // recursive: the catch-all exists to converge on ANY unexpected
+        // entry (stale .c<g>.tmp is the known one) — a non-empty
+        // directory here would make a non-recursive delete a silent
+        // permanent no-op
+        case _ => fs.delete(m.getPath, true)
       }
     }
     val gens: Set[Long] =
@@ -442,17 +470,26 @@ object IncrementalParquet {
       else fs.listStatus(markerDir).map(_.getPath.getName).collect {
         case markerName(g) => g.toLong
       }.toSet
-    fs.listStatus(dir)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
-      .foreach { st =>
-        fs.listStatus(st.getPath).filter(_.isFile).foreach { f =>
-          f.getPath.getName match {
-            case baseFile(g) if !gens.contains(g.toLong) =>
-              fs.delete(f.getPath, false) // orphan: never committed
-            case _ => ()
+    // orphan sweep ONLY behind the in-flight sentinel: compactMinor
+    // raises `.inflight` before installing any c<g>-* output and drops
+    // it after commit+cleanup, so "no flag" proves "no uncommitted
+    // outputs" and the healthy per-trigger path costs one _compact
+    // listing instead of an O(partitions) metadata walk (an object
+    // store bills that walk per micro-batch).
+    if (inflight) {
+      fs.listStatus(dir)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+        .foreach { st =>
+          fs.listStatus(st.getPath).filter(_.isFile).foreach { f =>
+            f.getPath.getName match {
+              case baseFile(g) if !gens.contains(g.toLong) =>
+                fs.delete(f.getPath, false) // orphan: never committed
+              case _ => ()
+            }
           }
         }
-      }
+      fs.delete(new Path(markerDir, InflightFlag), false) // swept clean
+    }
     gens
   }
 

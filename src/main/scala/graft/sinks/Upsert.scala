@@ -448,9 +448,14 @@ object Upsert {
     try out.write(n.toString.getBytes("UTF-8"))
     finally out.close()
     val dest = bucketsFile(dir)
-    fs.delete(dest, false)
-    if (!fs.rename(tmp, dest))
-      throw new IllegalStateException(s"rename $tmp -> $dest failed")
+    // overwrite-capable rename (FileContext), NOT delete-then-rename:
+    // a crash between those two steps would leave the table pinless,
+    // and although the pinless adopt path verifies by rehashing (loud,
+    // see upsertParquetPartitioned), recovery would then depend on the
+    // caller re-passing the original count — the pin must simply never
+    // vanish once written.
+    org.apache.hadoop.fs.FileContext.getFileContext(dest.toUri, fs.getConf)
+      .rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Partition-pruned parquet upsert — the engine-managed-table path

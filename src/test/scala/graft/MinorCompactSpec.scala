@@ -115,12 +115,20 @@ class MinorCompactSpec extends SparkSpec {
       val live = Paths.get(t, bkt)
       Files.copy(live.resolve(batch.head), live.resolve("c9-0.parquet"),
         StandardCopyOption.COPY_ATTRIBUTES)
+      // the real writer raises the in-flight sentinel before any
+      // install, so a crashed firing always leaves it behind
+      Files.createDirectories(Paths.get(t, "_compact"))
+      Files.write(Paths.get(t, "_compact", ".inflight"), Array.empty[Byte])
       assert(spark.read.parquet(t).count() > before.size, "dup rows expected")
 
       // next firing's preamble deletes the orphan BEFORE selecting work
       DedupQueries.compactSignaturesMinor(spark, t)
       assert(sortedRows(t) == before, "orphan sweep lost or duplicated rows")
       assert(!Files.exists(live.resolve("c9-0.parquet")), "orphan survived")
+      // the sentinel is consumed by the sweep (and a healthy firing
+      // drops its own), so the next trigger skips the partition walk
+      assert(!Files.exists(Paths.get(t, "_compact", ".inflight")),
+        "in-flight sentinel not dropped after recovery")
     }
   }
 
@@ -167,6 +175,8 @@ class MinorCompactSpec extends SparkSpec {
       val live = Paths.get(t, bkt)
       Files.copy(live.resolve(batch.head), live.resolve("c9-0.parquet"),
         StandardCopyOption.COPY_ATTRIBUTES)
+      Files.createDirectories(Paths.get(t, "_compact"))
+      Files.write(Paths.get(t, "_compact", ".inflight"), Array.empty[Byte])
 
       DedupQueries.compactSignatures(spark, t)
       assert(sortedRows(t) == before,
