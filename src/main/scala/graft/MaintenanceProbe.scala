@@ -100,6 +100,36 @@ object MaintenanceProbe {
     }.toDF("vec_id", "embedding")
   }
 
+  /** Data files under ONLY the given bucket partitions — the
+    * partition-pruned read cost of a trigger whose batch hashes into
+    * `buckets` (partition pruning reads exactly those dirs' files).
+    * Compared against [[dataFiles]] this is the engagement evidence
+    * for the bucket-count knob: at 16 buckets any ≳16-id batch touches
+    * every bucket (read_files == index_files); at 256 a small batch's
+    * reads shrink to ~|batch|/256 of the table.
+    */
+  private def bucketFiles(dir: String, buckets: Seq[Int]): Long =
+    buckets.map(b => dataFiles(s"$dir/bkt=$b")).sum
+
+  private def batchBuckets(df: DataFrame, idCol: String): Seq[Int] = {
+    val n = graft.analytics.DedupQueries.signatureBuckets(df.sparkSession)
+    df.select(pmod(hash(col(idCol)), lit(n)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+  }
+
+  /** Order-insensitive checksum of the labels table — the cheap
+    * output-identity witness for cross-run comparisons (16 vs 256
+    * buckets, broadcast vs shuffled backfill plans).
+    */
+  private def labelsChecksum(spark: SparkSession, labelsDir: String): Long =
+    StreamingPipeline.clusterLabels(spark, labelsDir)
+      // mod-reduce per row: a raw sum of full-range xxhash64 values
+      // overflows long (ANSI arithmetic aborts the job) within ~2 rows
+      // worst-case; 31-bit residues keep the sum exact to ~4e9 rows
+      .select(pmod(xxhash64(col("id"), col("component")),
+        lit(1L << 31)).as("h"))
+      .agg(coalesce(sum(col("h")), lit(0L))).collect().head.getLong(0)
+
   private def dataFiles(dir: String): Long = {
     val root = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.exists(root)) 0L
@@ -123,13 +153,86 @@ object MaintenanceProbe {
     }
   }
 
+  /** Backfill-path probe (round-9 verdict #3): build a stored corpus
+    * through `warm` streaming-sized batches, then push ONE
+    * corpus-sized batch through the loop under BOTH plan shapes —
+    * `broadcastBatch = true` (the streaming default: id sets and
+    * batch-bounded frames broadcast) and `false` (the backfill escape
+    * hatch: shuffled joins, nothing corpus-scaled on the driver) —
+    * into separately-cloned table dirs, and print wall + shuffle
+    * bytes + the labels checksum for each. Output parity is already
+    * spec-pinned (MinorCompactSpec); this measures that the shuffled
+    * shape BEHAVES at a batch size where the broadcast hint is the
+    * thing being escaped.
+    */
+  private def backfillProbe(spark: SparkSession, warm: Int, m: Long): Unit = {
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    val root = java.nio.file.Files.createTempDirectory("backfill")
+    val baseSig = root.resolve("sig-base").toString
+    val baseLab = root.resolve("lab-base").toString
+    for (b <- 0 until warm)
+      StreamingPipeline.maintainClusters(spark, baseSig, baseLab,
+        batchDocs(spark, b, m).localCheckpoint(), b.toLong)
+    val big = batchDocs(spark, warm.toLong, warm * m) // corpus-sized
+      .localCheckpoint()
+    for (bc <- Seq(true, false)) {
+      val sig = root.resolve(s"sig-$bc")
+      val lab = root.resolve(s"lab-$bc")
+      copyDir(java.nio.file.Paths.get(baseSig), sig)
+      copyDir(java.nio.file.Paths.get(baseLab), lab)
+      val shuffle0 = meter.bytes.get()
+      val t0 = System.nanoTime()
+      StreamingPipeline.maintainClusters(spark, sig.toString, lab.toString,
+        big, warm.toLong, broadcastBatch = bc)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val mb = (meter.bytes.get() - shuffle0) / 1e6
+      println(f"BACKFILL broadcastBatch=$bc warm=$warm batch=${warm * m} " +
+        f"wall_s=$wall%.1f shuffle_mb=$mb%.1f " +
+        f"labels=${StreamingPipeline.clusterLabels(spark, lab.toString).count()} " +
+        f"labels_sum=${labelsChecksum(spark, lab.toString)}")
+    }
+  }
+
+  private def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.exists(src)) return
+    val s = java.nio.file.Files.walk(src)
+    try s.iterator().asScala.foreach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    } finally s.close()
+  }
+
+  /** Total shuffle bytes written across completed stages — the
+    * exchange-shape axis of the backfill comparison (a plan that
+    * re-shuffles the corpus shows up here, whatever its wall).
+    */
+  private final class ShuffleMeter
+      extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = if (args.length > 0) args(0) else "lex"
     val batches = if (args.length > 1) args(1).toInt else 16
     val m = if (args.length > 2) args(2).toLong else 20000L
     val compactEvery = 4
     val spark = graft.core.GraftSession.local("maint-probe", 32)
+    if (args.length > 3) // bucket-count knob (round-9 verdict #4)
+      spark.conf.set("graft.dedup.buckets", args(3).toInt.toString)
     spark.range(1).count()
+    if (mode == "backfill") {
+      backfillProbe(spark, batches, m)
+      spark.stop()
+      return
+    }
     val root = java.nio.file.Files.createTempDirectory("maint")
     val index = root.resolve("index").toString // signatures | sign buckets
     val labels = root.resolve("labels").toString
@@ -137,6 +240,7 @@ object MaintenanceProbe {
     if (mode == "embed") java.nio.file.Files.createDirectory(vectors)
 
     for (b <- 0 until batches) {
+      var readFiles = -1L
       val wall = mode match {
         case "embed" =>
           val vecs = batchVecs(spark, b, m).localCheckpoint() // gen untimed
@@ -160,13 +264,44 @@ object MaintenanceProbe {
             b.toLong)
           if (b % compactEvery == compactEvery - 1)
             graft.analytics.DedupQueries.compactSignaturesMinor(spark, index)
-          (System.nanoTime() - t1) / 1e9
+          val w = (System.nanoTime() - t1) / 1e9
+          // pruned-read census AFTER the trigger (untimed): the files
+          // this batch's bucket-pruned fetches could touch
+          readFiles = bucketFiles(index, batchBuckets(docs, "doc_id"))
+          w
       }
       val nLabels = StreamingPipeline.clusterLabels(spark, labels).count()
       println(f"MAINT mode=$mode batch=$b corpus=${(b + 1) * m} " +
         f"wall_s=$wall%.1f labeled_nodes=$nLabels " +
-        f"index_files=${dataFiles(index)} labels_files=${dataFiles(labels)}")
+        f"index_files=${dataFiles(index)} labels_files=${dataFiles(labels)}" +
+        (if (readFiles >= 0) f" read_files=$readFiles" else "") +
+        (if (b == batches - 1)
+          f" labels_sum=${labelsChecksum(spark, labels)}" else ""))
     }
+    // decomposition epilogue: one trigger with a ~tiny batch at FULL
+    // corpus. Its wall is almost purely the corpus-proportional
+    // per-trigger term (stored-table scan mass at saturated bucket
+    // pruning); wall(normal) − wall(tiny) isolates the batch-
+    // proportional term. This is what attributes any drift in the
+    // series above to scans vs joins.
+    val tinyM = math.max(m / 200L, 1L)
+    val tinyWall = mode match {
+      case "embed" =>
+        val vecs = batchVecs(spark, batches.toLong, tinyM).localCheckpoint()
+        val t1 = System.nanoTime()
+        StreamingPipeline.maintainEmbedClusters(spark, index, labels,
+          vectors.toString, vecs, batches.toLong, threshold = 0.8,
+          bands = 4, bits = 16)
+        (System.nanoTime() - t1) / 1e9
+      case _ =>
+        val docs = batchDocs(spark, batches.toLong, tinyM).localCheckpoint()
+        val t1 = System.nanoTime()
+        StreamingPipeline.maintainClusters(spark, index, labels, docs,
+          batches.toLong)
+        (System.nanoTime() - t1) / 1e9
+    }
+    println(f"MAINT-TINY mode=$mode batch=$batches corpus=${batches * m} " +
+      f"batch_size=$tinyM wall_s=$tinyWall%.1f")
     spark.stop()
   }
 }

@@ -42,32 +42,50 @@ object Sf1Data {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "testdata-sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    val tables = if (args.length > 3) Some(args(3).split(',').toSet) else None
     val spark = GraftSession.local("sf1-gen")
-    generate(spark, src, out, factor)
+    generate(spark, src, out, factor, tables)
     spark.stop()
   }
 
-  def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+  /** `only`: restrict generation to the named tables — the sf10 tail
+    * probe (100×) needs just documents + embeddings, and 60M lineitem
+    * rows would cost disk and wall for queries the probe never runs.
+    */
+  def generate(spark: SparkSession, src: String, out: String, factor: Int,
+      only: Option[Set[String]] = None): Unit = {
     def t(name: String) = Tables.load(spark, src, name)
     def replicas(df: DataFrame): DataFrame =
       df.withColumn("r", explode(sequence(lit(0), lit(factor - 1))))
     def shifted(c: String) = (col(c) + col("r") * Stride).as(c)
-    def write(df: DataFrame, name: String, parts: Int): Unit =
-      df.drop("r").repartition(parts)
+    def wanted(name: String) = only.forall(_.contains(name))
+    def write(df: => DataFrame, name: String, parts: Int): Unit =
+      if (wanted(name)) df.drop("r").repartition(parts)
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
 
     // dimensions keep real-world cardinality
-    t("region").write.mode("overwrite").parquet(s"$out/region.parquet")
-    t("nation").write.mode("overwrite").parquet(s"$out/nation.parquet")
+    if (wanted("region"))
+      t("region").write.mode("overwrite").parquet(s"$out/region.parquet")
+    if (wanted("nation"))
+      t("nation").write.mode("overwrite").parquet(s"$out/nation.parquet")
 
     write(replicas(t("customer")).select(shifted("c_custkey"), col("c_name"),
       col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"), col("r")),
       "customer", 4)
     write(replicas(t("supplier")).select(shifted("s_suppkey"), col("s_name"),
       col("s_nationkey"), col("s_acctbal"), col("r")), "supplier", 1)
+    // p_size striped by replica: part names replicate verbatim, so
+    // without this every cross-replica name pair is a TRUE edit-
+    // distance-0 duplicate and fuzzy-pair output grows as C(factor,2)
+    // (~10⁸ rows at factor 100) — the blocking-key analog of the
+    // documents' full token salting. Striding the blocking key makes
+    // replica blocks disjoint while preserving within-replica fuzzy
+    // structure exactly; the workload then grows ~linearly, which is
+    // what the scale-up measurement is meant to test.
     write(replicas(t("part")).select(shifted("p_partkey"), col("p_name"),
-      col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"),
-      col("r")), "part", 4)
+      col("p_brand"), col("p_type"),
+      (col("p_size") + col("r") * lit(100)).as("p_size"),
+      col("p_retailprice"), col("r")), "part", 4)
     write(replicas(t("orders")).select(shifted("o_orderkey"),
       shifted("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
       col("o_orderdate"), col("o_orderpriority"), col("r")), "orders", 8)
@@ -88,9 +106,16 @@ object Sf1Data {
     // candidates 8.5x superlinear; full salting makes replica shingle
     // and gram spaces disjoint while preserving within-replica overlap
     // exactly (per-replica token bijection).
-    require(factor <= 26, s"salt alphabet is one letter per replica; factor=$factor > 26")
+    // one- or two-letter suffix per replica: 26 singles, then pairs
+    // ("aa".."zz") — still a per-replica token bijection, so the
+    // within-replica overlap-preservation argument is factor-invariant
+    require(factor <= 26 + 26 * 26,
+      s"salt alphabet: 26 singles + 676 pairs; factor=$factor too large")
+    def saltOf(r: Int): String =
+      if (r < 26) ('a' + r).toChar.toString
+      else s"${('a' + (r - 26) / 26).toChar}${('a' + (r - 26) % 26).toChar}"
     val letter = element_at(
-      array(('a' until ('a' + factor).toChar).map(c => lit(c.toString)): _*),
+      array((0 until factor).map(r => lit(saltOf(r))): _*),
       col("r") + 1)
     val salted = array_join(
       transform(split(col("text"), " "),

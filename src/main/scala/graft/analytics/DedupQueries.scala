@@ -357,12 +357,29 @@ object DedupQueries {
     */
   val SignatureBuckets = 16
 
+  /** Resolved doc-hash bucket count: the `graft.dedup.buckets` session
+    * conf when set, else [[SignatureBuckets]]. This is THE
+    * partition-pruning granularity knob for the incremental tables —
+    * per-trigger stored-table reads prune to the ≤|batch| buckets the
+    * batch's ids hash into, so pruning only engages when the bucket
+    * count exceeds typical batch cardinality (at the 16 default, any
+    * batch of ≳16 ids touches every bucket and the "pruned" read is a
+    * full single-pass scan). A deployment sizes it at TABLE BIRTH
+    * (like Upsert's `_graft_buckets` pin) and never changes it for a
+    * live table: the bucket of an id is a function of the count, so
+    * mixing counts across a table's lifetime mis-prunes. Engagement is
+    * measured: MaintenanceProbe's `read_files`/`index_files` columns
+    * at 256 buckets vs 16 (SCALING.md round 9).
+    */
+  def signatureBuckets(s: SparkSession): Int =
+    s.conf.get("graft.dedup.buckets", SignatureBuckets.toString).toInt
+
   /** [[rawSignatures]] + the bucket column, the incremental table's
     * on-disk schema: (doc_id, shs, sg, bkt) partitioned by bkt.
     */
   def bucketedSignatures(docs: DataFrame): DataFrame =
     rawSignatures(docs).withColumn("bkt",
-      pmod(hash(col("doc_id")), lit(SignatureBuckets)))
+      pmod(hash(col("doc_id")), lit(signatureBuckets(docs.sparkSession))))
 
   /** Exactly-once per-batch append into the incremental signature
     * table — protocol (ack markers, batch-scoped deterministic names,
@@ -420,7 +437,8 @@ object DedupQueries {
     if (broadcastBatch) broadcast(df) else df
 
   private def bucketsOf(ids: DataFrame, idCol: String): Seq[Integer] =
-    ids.select(pmod(hash(col(idCol)), lit(SignatureBuckets)).as("bkt"))
+    ids.select(pmod(hash(col(idCol)),
+        lit(signatureBuckets(ids.sparkSession))).as("bkt"))
       .distinct().collect().map(r => Int.box(r.getInt(0))).toSeq
 
   /** Jaccard-verified near-dup pairs TOUCHING a batch, served from the
@@ -705,7 +723,7 @@ object DedupQueries {
   def bucketedSignBuckets(
       e: DataFrame, bands: Int = 4, bits: Int = 8): DataFrame =
     signBucketTable(e, bands, bits).withColumn("bkt",
-      pmod(hash(col("vec_id")), lit(SignatureBuckets)))
+      pmod(hash(col("vec_id")), lit(signatureBuckets(e.sparkSession))))
 
   /** Exactly-once per-batch append into an incremental sign-bucket
     * table — the embedding mirror of [[appendToSignaturesIdempotent]]:
@@ -737,7 +755,7 @@ object DedupQueries {
     graft.sinks.IncrementalParquet.appendIdempotent(
       batch.sparkSession, vecsDir, "bkt", batchId)(
       batch.select(col("vec_id"), col("embedding")).withColumn("bkt",
-        pmod(hash(col("vec_id")), lit(SignatureBuckets))))
+        pmod(hash(col("vec_id")), lit(signatureBuckets(batch.sparkSession)))))
 
   /** Cosine-verified near-dup pairs TOUCHING a batch of vectors — the
     * embedding mirror of [[batchVerifiedPairs]]. Call AFTER the
@@ -1093,15 +1111,22 @@ object DedupQueries {
         val k = SpanK
         val pows = graft.functions.TextFunctions.windowPows(k)
           .mkString("[", ", ", "]")
+        val pows2 = graft.functions.TextFunctions
+          .windowPows(k, graft.functions.TextFunctions.RollB2)
+          .mkString("[", ", ", "]")
         val P = graft.functions.TextFunctions.RollP
+        // seed key = both window polynomials packed into one 62-bit
+        // BIGINT (each < 2³¹): a chance match needs BOTH to collide
         s"""WITH c AS ($spanDupCorpusSql),
            |tok AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM c),
            |hp AS (SELECT doc_id, ${shaPrefixListSql("ts", 7)} AS hp FROM tok),
            |hv AS (SELECT doc_id, ${hexToLongListSql("hp", 7)} AS hv FROM hp),
            |wf AS (SELECT doc_id,
            |         CASE WHEN len(hv) >= $k THEN
-           |           [list_sum([(hv[i + j] * ($pows)[j + 1]) % $P
-           |                      FOR j IN range(0, $k)]) % $P
+           |           [(list_sum([(hv[i + j] * ($pows)[j + 1]) % $P
+           |                       FOR j IN range(0, $k)]) % $P) * ${1L << 31}
+           |            + list_sum([(hv[i + j] * ($pows2)[j + 1]) % $P
+           |                        FOR j IN range(0, $k)]) % $P
            |            FOR i IN range(1, len(hv) - $k + 2)]
            |         ELSE [] END AS fps FROM hv),
            |e AS (SELECT doc_id,
@@ -1122,10 +1147,16 @@ object DedupQueries {
       }) { (s, dir) =>
       val k = SpanK
       val corpus = spanDupCorpus(t(s, dir, "documents"))
+      val hv = transform(tokens(col("text")), elementHash(_))
+      // both polynomials packed into one 62-bit key: the single-base
+      // join's chance tail grows as C(windows,2)/2³¹ — ~150k false
+      // spans measured at a 26M-window corpus (SCALING.md round 9)
+      val packed = zip_with(
+        graft.functions.TextFunctions.windowFingerprints(hv, k),
+        graft.functions.TextFunctions.windowFingerprints2(hv, k),
+        (a, b) => a * lit(1L << 31) + b)
       val wf = corpus.select(col("doc_id"),
-        posexplode(graft.functions.TextFunctions.windowFingerprints(
-          transform(tokens(col("text")), elementHash(_)), k))
-          .as(Seq("p0", "fp")))
+        posexplode(packed).as(Seq("p0", "fp")))
         .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
           col("fp"))
       val a = wf.select(col("doc_id").as("doc_a"), col("pos").as("pa"),

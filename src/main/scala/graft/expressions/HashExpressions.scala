@@ -53,8 +53,21 @@ object HashExpressions {
   def minhash(hashes: Column, k: Int): Column =
     graftbridge.column(MinHashSignature(graftbridge.expression(hashes), k))
 
+  /** Second, independent Rabin–Karp base for the span-dedup double
+    * fingerprint: joining on BOTH (B, B2) window polynomials makes a
+    * chance collision require two simultaneous 31-bit collisions
+    * (~2⁻⁶² per pair) — the single-base form's chance-match tail grows
+    * as C(windows, 2)/2³¹, measured ~150k false spans at a 26M-window
+    * corpus (SCALING.md round 9).
+    */
+  val RollB2: Long = 1000033L
+
   def windowFingerprints(hashes: Column, k: Int): Column =
     graftbridge.column(WindowFingerprints(graftbridge.expression(hashes), k))
+
+  def windowFingerprints2(hashes: Column, k: Int): Column =
+    graftbridge.column(
+      WindowFingerprints(graftbridge.expression(hashes), k, RollB2))
 
   def simhash32(hashes: Column): Column =
     graftbridge.column(SimHash32(graftbridge.expression(hashes)))
@@ -158,9 +171,10 @@ case class MinHashSignature(child: Expression, k: Int)
   * Null elements read as 0 (the catalog feeds non-null SHA-derived
   * hashes; the guard only pins determinism).
   */
-case class WindowFingerprints(child: Expression, k: Int)
+case class WindowFingerprints(child: Expression, k: Int,
+    base: Long = HashExpressions.RollB)
     extends UnaryExpression {
-  import HashExpressions.{P, RollB}
+  import HashExpressions.P
   require(k >= 1, s"window width must be >= 1, got $k")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -170,14 +184,14 @@ case class WindowFingerprints(child: Expression, k: Int)
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = s"window_fingerprints_$k"
+  override def prettyName: String = s"window_fingerprints_${k}_b$base"
 
   /** `B^(k-1-j) mod P` — identical to TextFunctions.windowPows. */
   private lazy val pows: Array[Long] = {
     val out = new Array[Long](k)
     var j = k - 1
     var p = 1L
-    while (j >= 0) { out(j) = p; p = p * RollB % P; j -= 1 }
+    while (j >= 0) { out(j) = p; p = p * base % P; j -= 1 }
     out
   }
 

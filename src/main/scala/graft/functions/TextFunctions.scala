@@ -132,9 +132,16 @@ object TextFunctions {
     * verbatim by [[windowFingerprints]] and the DuckDB oracle SQL so both
     * engines evaluate the identical sum-of-powers form.
     */
-  def windowPows(k: Int): IndexedSeq[Long] =
+  def windowPows(k: Int, base: Long = RollB): IndexedSeq[Long] =
     (0 until k).map(j =>
-      Iterator.fill(k - 1 - j)(RollB).foldLeft(1L)((a, b) => a * b % RollP))
+      Iterator.fill(k - 1 - j)(base).foldLeft(1L)((a, b) => a * b % RollP))
+
+  /** Second independent base (see
+    * [[graft.expressions.HashExpressions.RollB2]]) — the span-dedup
+    * seed joins on BOTH window polynomials so its chance-collision
+    * tail is ~2⁻⁶² per window pair instead of 2⁻³¹.
+    */
+  val RollB2: Long = graft.expressions.HashExpressions.RollB2
 
   /** Generalized k-token window fingerprints over a token-hash array:
     * one value per k-token window,
@@ -154,4 +161,8 @@ object TextFunctions {
     */
   def windowFingerprints(hashes: Column, k: Int): Column =
     graft.expressions.HashExpressions.windowFingerprints(hashes, k)
+
+  /** The B2-base twin of [[windowFingerprints]]. */
+  def windowFingerprints2(hashes: Column, k: Int): Column =
+    graft.expressions.HashExpressions.windowFingerprints2(hashes, k)
 }
