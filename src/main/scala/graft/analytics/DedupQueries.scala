@@ -153,6 +153,41 @@ object DedupQueries {
        |FROM (SELECT doc_id, $ts AS ts FROM documents WHERE doc_id % 100 = 0)""".stripMargin
   }
 
+  /** Document-frequency cap for [[all]]'s `q_dedup_spans_df`: window
+    * fingerprints seen in more than this many DISTINCT docs are
+    * boilerplate (headers, footers, license blocks — the dominant
+    * false-span source on web corpora per Lee et al.), not copies,
+    * and are dropped before the pair join. This bounds the join's
+    * per-fingerprint group size — the Σ|group|² term — by maxDf².
+    */
+  private[analytics] val SpanMaxDf = 8
+
+  /** [[spanDupCorpus]] plus a planted BOILERPLATE family: every
+    * doc_id % 10 == 7 base doc (50 docs at the 500-doc corpus —
+    * disjoint from the even-id planted-copy families) gets the same
+    * 12-token footer. Its 5 pure-footer windows have df = 50, far
+    * over [[SpanMaxDf]]; boundary windows mix doc-specific tokens
+    * (small df) and are kept — they bridge footer-family pairs that
+    * share a genuine sub-k tail, and match nothing otherwise.
+    * Uncapped, the footer alone would emit C(50,2) = 1225 spans; the
+    * df-capped query emits none of the zero-shared-suffix ones while
+    * keeping every true copy span (planted fps have df ≤ 3).
+    */
+  private val SpanFooter: String =
+    (1 to 12).map(i => s"bq$i").mkString(" ")
+
+  private[analytics] def spanBoilerplateCorpus(docs: DataFrame): DataFrame =
+    spanDupCorpus(docs).withColumn("text",
+      when(col("doc_id") < 10000 && col("doc_id") % 10 === 7,
+        concat(col("text"), lit(s" $SpanFooter")))
+        .otherwise(col("text")))
+
+  private[analytics] val spanBoilerplateCorpusSql =
+    s"""SELECT doc_id,
+       |  CASE WHEN doc_id < 10000 AND doc_id % 10 = 7
+       |       THEN text || ' $SpanFooter' ELSE text END AS text
+       |FROM ($spanDupCorpusSql)""".stripMargin
+
   /** Distinct 3-gram shingle set of lowercase text (both engines). */
   private def shingleSet(text: Column): Column =
     array_distinct(shingles(lower(text), 3))
@@ -1023,6 +1058,99 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Shared span-dedup pipeline (Spark side): packed double-base
+    * window fingerprints -> posexplode -> optional df-cap (drop
+    * fingerprints in > maxDf distinct docs: boilerplate, not copies)
+    * -> self-equi-join on the 62-bit key -> gaps-and-islands merge per
+    * (pair, diagonal) into maximal spans. Both q_dedup_spans variants
+    * build on this; the oracle mirror is [[spanPipelineSql]].
+    */
+  private def spanPipeline(corpus: DataFrame, maxDf: Option[Int]): DataFrame = {
+    val k = SpanK
+    val hv = transform(tokens(col("text")), elementHash(_))
+    val packed =
+      graft.functions.TextFunctions.windowFingerprintsPacked(hv, k)
+    val all = corpus.select(col("doc_id"),
+      posexplode(packed).as(Seq("p0", "fp")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("fp"))
+    val wf = maxDf match {
+      case None => all
+      case Some(cap) =>
+        // the hot set is tiny by construction (only over-cap fps), so
+        // the anti-join broadcasts; the df agg is over the fp column
+        // only — one extra small-key exchange
+        val hot = all.groupBy(col("fp"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") > cap).select(col("fp"))
+        all.join(broadcast(hot), Seq("fp"), "left_anti")
+    }
+    val a = wf.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
+      col("fp"))
+    val b = wf.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
+      col("fp"))
+    val m = a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    m.withColumn("diag", col("pa") - col("pb"))
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+        (max(col("pa")) - min(col("pa")) + lit(k.toLong)).as("span_len"))
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+        col("span_len"))
+      .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
+  }
+
+  /** DuckDB mirror of [[spanPipeline]] over `corpusSql`. */
+  private def spanPipelineSql(corpusSql: String, maxDf: Option[Int]): String = {
+    val k = SpanK
+    val pows = graft.functions.TextFunctions.windowPows(k)
+      .mkString("[", ", ", "]")
+    val pows2 = graft.functions.TextFunctions
+      .windowPows(k, graft.functions.TextFunctions.RollB2)
+      .mkString("[", ", ", "]")
+    val P = graft.functions.TextFunctions.RollP
+    val eSrc = maxDf match {
+      case None => "e"
+      case Some(cap) =>
+        s"""(SELECT * FROM e WHERE fp NOT IN (
+           |   SELECT fp FROM e GROUP BY fp
+           |   HAVING count(DISTINCT doc_id) > $cap))""".stripMargin
+    }
+    // seed key = both window polynomials packed into one 62-bit
+    // BIGINT (each < 2^31): a chance match needs BOTH to collide
+    s"""WITH c AS ($corpusSql),
+       |tok AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM c),
+       |hp AS (SELECT doc_id, ${shaPrefixListSql("ts", 7)} AS hp FROM tok),
+       |hv AS (SELECT doc_id, ${hexToLongListSql("hp", 7)} AS hv FROM hp),
+       |wf AS (SELECT doc_id,
+       |         CASE WHEN len(hv) >= $k THEN
+       |           [(list_sum([(hv[i + j] * ($pows)[j + 1]) % $P
+       |                       FOR j IN range(0, $k)]) % $P) * ${1L << 31}
+       |            + list_sum([(hv[i + j] * ($pows2)[j + 1]) % $P
+       |                        FOR j IN range(0, $k)]) % $P
+       |            FOR i IN range(1, len(hv) - $k + 2)]
+       |         ELSE [] END AS fps FROM hv),
+       |e AS (SELECT doc_id,
+       |        CAST(unnest(range(len(fps))) + 1 AS BIGINT) AS pos,
+       |        unnest(fps) AS fp FROM wf),
+       |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |             a.pos AS pa, b.pos AS pb
+       |      FROM $eSrc a JOIN $eSrc b
+       |      ON a.fp = b.fp AND a.doc_id < b.doc_id),
+       |i AS (SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+       |        pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+       |                                ORDER BY pa) AS grp
+       |      FROM m)
+       |SELECT doc_a, doc_b,
+       |  min(pa) AS start_a, min(pb) AS start_b,
+       |  max(pa) - min(pa) + $k AS span_len
+       |FROM i GROUP BY doc_a, doc_b, diag, grp
+       |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     // ---------------------------------------------------------- exact
@@ -1107,75 +1235,33 @@ object DedupQueries {
     // the fp equi-join (exchange reused across both sides) and the
     // per-(pair, diagonal) island window.
     GraftQuery(
-      "q_dedup_spans", {
-        val k = SpanK
-        val pows = graft.functions.TextFunctions.windowPows(k)
-          .mkString("[", ", ", "]")
-        val pows2 = graft.functions.TextFunctions
-          .windowPows(k, graft.functions.TextFunctions.RollB2)
-          .mkString("[", ", ", "]")
-        val P = graft.functions.TextFunctions.RollP
-        // seed key = both window polynomials packed into one 62-bit
-        // BIGINT (each < 2³¹): a chance match needs BOTH to collide
-        s"""WITH c AS ($spanDupCorpusSql),
-           |tok AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM c),
-           |hp AS (SELECT doc_id, ${shaPrefixListSql("ts", 7)} AS hp FROM tok),
-           |hv AS (SELECT doc_id, ${hexToLongListSql("hp", 7)} AS hv FROM hp),
-           |wf AS (SELECT doc_id,
-           |         CASE WHEN len(hv) >= $k THEN
-           |           [(list_sum([(hv[i + j] * ($pows)[j + 1]) % $P
-           |                       FOR j IN range(0, $k)]) % $P) * ${1L << 31}
-           |            + list_sum([(hv[i + j] * ($pows2)[j + 1]) % $P
-           |                        FOR j IN range(0, $k)]) % $P
-           |            FOR i IN range(1, len(hv) - $k + 2)]
-           |         ELSE [] END AS fps FROM hv),
-           |e AS (SELECT doc_id,
-           |        CAST(unnest(range(len(fps))) + 1 AS BIGINT) AS pos,
-           |        unnest(fps) AS fp FROM wf),
-           |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |             a.pos AS pa, b.pos AS pb
-           |      FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id),
-           |i AS (SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
-           |        pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
-           |                                ORDER BY pa) AS grp
-           |      FROM m)
-           |SELECT doc_a, doc_b,
-           |  min(pa) AS start_a, min(pb) AS start_b,
-           |  max(pa) - min(pa) + $k AS span_len
-           |FROM i GROUP BY doc_a, doc_b, diag, grp
-           |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
-      }) { (s, dir) =>
-      val k = SpanK
-      val corpus = spanDupCorpus(t(s, dir, "documents"))
-      val hv = transform(tokens(col("text")), elementHash(_))
-      // both polynomials packed into one 62-bit key: the single-base
-      // join's chance tail grows as C(windows,2)/2³¹ — ~150k false
-      // spans measured at a 26M-window corpus (SCALING.md round 9)
-      val packed = zip_with(
-        graft.functions.TextFunctions.windowFingerprints(hv, k),
-        graft.functions.TextFunctions.windowFingerprints2(hv, k),
-        (a, b) => a * lit(1L << 31) + b)
-      val wf = corpus.select(col("doc_id"),
-        posexplode(packed).as(Seq("p0", "fp")))
-        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
-          col("fp"))
-      val a = wf.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
-        col("fp"))
-      val b = wf.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
-        col("fp"))
-      val m = a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
-        .orderBy(col("pa"))
-      m.withColumn("diag", col("pa") - col("pb"))
-        .withColumn("grp", col("pa") - row_number().over(w))
-        .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
-        .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
-          (max(col("pa")) - min(col("pa")) + lit(k.toLong)).as("span_len"))
-        .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
-          col("span_len"))
-        .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
+      "q_dedup_spans", spanPipelineSql(spanDupCorpusSql, None)) { (s, dir) =>
+      spanPipeline(spanDupCorpus(t(s, dir, "documents")), None)
     },
+
+    // ------------------------------------------------- spans, df-cap
+    // The production form of the span seed: window fingerprints seen
+    // in more than SpanMaxDf distinct docs are boilerplate (headers,
+    // footers, license blocks), not copies — Lee et al.'s dominant
+    // false-span source on web corpora — and are dropped BEFORE the
+    // pair join, bounding the join's per-fingerprint group mass (the
+    // Σ|group|² term) by maxDf². The corpus plants a 50-doc shared
+    // footer: its pure-footer windows (df = 50) are capped, removing
+    // every zero-shared-suffix boilerplate pair (~1200 of C(50,2)),
+    // while true copy spans (planted fps, df ≤ 3) survive exactly and
+    // BOUNDARY windows (shared doc tail + footer prefix, small df)
+    // legitimately bridge pairs whose common tail alone is shorter
+    // than k — the boundary behavior every real df-capped dedup has,
+    // pinned in DedupSemanticsSpec. One extra small-key aggregation
+    // over the fp column; the hot set is broadcast into a left-anti
+    // join.
+    GraftQuery(
+      "q_dedup_spans_df",
+      spanPipelineSql(spanBoilerplateCorpusSql, Some(SpanMaxDf))) { (s, dir) =>
+      spanPipeline(spanBoilerplateCorpus(t(s, dir, "documents")),
+        Some(SpanMaxDf))
+    },
+
 
     // ------------------------------------------------------- clusters
     // Transitive closure of the verified near-dup pairs: the LSH-then-

@@ -69,6 +69,15 @@ object HashExpressions {
     graftbridge.column(
       WindowFingerprints(graftbridge.expression(hashes), k, RollB2))
 
+  /** Both polynomials in ONE pass over the hash array, packed
+    * `fp_B · 2³¹ + fp_B2` — what the span seed joins on. Halves the
+    * per-row tokenizer+SHA work vs zip_with over two kernels (each
+    * kernel would evaluate its own copy of the hash-array child).
+    */
+  def windowFingerprintsPacked(hashes: Column, k: Int): Column =
+    graftbridge.column(
+      WindowFingerprints(graftbridge.expression(hashes), k, RollB, RollB2))
+
   def simhash32(hashes: Column): Column =
     graftbridge.column(SimHash32(graftbridge.expression(hashes)))
 
@@ -172,7 +181,7 @@ case class MinHashSignature(child: Expression, k: Int)
   * hashes; the guard only pins determinism).
   */
 case class WindowFingerprints(child: Expression, k: Int,
-    base: Long = HashExpressions.RollB)
+    base: Long = HashExpressions.RollB, base2: Long = 0L)
     extends UnaryExpression {
   import HashExpressions.P
   require(k >= 1, s"window width must be >= 1, got $k")
@@ -184,16 +193,20 @@ case class WindowFingerprints(child: Expression, k: Int,
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = s"window_fingerprints_${k}_b$base"
+  override def prettyName: String =
+    s"window_fingerprints_${k}_b$base" + (if (base2 != 0) s"_$base2" else "")
 
   /** `B^(k-1-j) mod P` — identical to TextFunctions.windowPows. */
-  private lazy val pows: Array[Long] = {
+  private def powsOf(b: Long): Array[Long] = {
     val out = new Array[Long](k)
     var j = k - 1
     var p = 1L
-    while (j >= 0) { out(j) = p; p = p * base % P; j -= 1 }
+    while (j >= 0) { out(j) = p; p = p * b % P; j -= 1 }
     out
   }
+  private lazy val pows: Array[Long] = powsOf(base)
+  private lazy val pows2: Array[Long] =
+    if (base2 != 0) powsOf(base2) else Array.emptyLongArray
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -201,15 +214,19 @@ case class WindowFingerprints(child: Expression, k: Int,
     val m = n - k + 1
     if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
     val out = new Array[Long](m)
+    val packed = base2 != 0
     var i = 0
     while (i < m) {
       var s = 0L
+      var s2 = 0L
       var j = 0
       while (j < k) {
-        s += (if (arr.isNullAt(i + j)) 0L else arr.getLong(i + j)) * pows(j) % P
+        val h = if (arr.isNullAt(i + j)) 0L else arr.getLong(i + j)
+        s += h * pows(j) % P
+        if (packed) s2 += h * pows2(j) % P
         j += 1
       }
-      out(i) = s % P
+      out(i) = if (packed) (s % P << 31) + s2 % P else s % P
       i += 1
     }
     new GenericArrayData(out)
@@ -217,26 +234,41 @@ case class WindowFingerprints(child: Expression, k: Int,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val powRef = ctx.addReferenceObj("windowPows", pows, "long[]")
+    val pow2Ref =
+      if (base2 != 0) ctx.addReferenceObj("windowPows2", pows2, "long[]")
+      else ""
     nullSafeCodeGen(ctx, ev, arr => {
       val n = ctx.freshName("n")
       val m = ctx.freshName("m")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val s = ctx.freshName("s")
+      val s2 = ctx.freshName("s2")
       val out = ctx.freshName("out")
       val h = ctx.freshName("h")
+      val inner =
+        if (base2 != 0)
+          s"""|  long $s = 0L; long $s2 = 0L;
+              |  for (int $j = 0; $j < $k; $j++) {
+              |    long $h = $arr.isNullAt($i + $j) ? 0L : $arr.getLong($i + $j);
+              |    $s += $h * $powRef[$j] % ${P}L;
+              |    $s2 += $h * $pow2Ref[$j] % ${P}L;
+              |  }
+              |  $out[$i] = (($s % ${P}L) << 31) + $s2 % ${P}L;""".stripMargin
+        else
+          s"""|  long $s = 0L;
+              |  for (int $j = 0; $j < $k; $j++) {
+              |    long $h = $arr.isNullAt($i + $j) ? 0L : $arr.getLong($i + $j);
+              |    $s += $h * $powRef[$j] % ${P}L;
+              |  }
+              |  $out[$i] = $s % ${P}L;""".stripMargin
       s"""
          |int $n = $arr.numElements();
          |int $m = $n - $k + 1;
          |if ($m <= 0) $m = 0;
          |long[] $out = new long[$m];
          |for (int $i = 0; $i < $m; $i++) {
-         |  long $s = 0L;
-         |  for (int $j = 0; $j < $k; $j++) {
-         |    long $h = $arr.isNullAt($i + $j) ? 0L : $arr.getLong($i + $j);
-         |    $s += $h * $powRef[$j] % ${P}L;
-         |  }
-         |  $out[$i] = $s % ${P}L;
+         |$inner
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin

@@ -165,4 +165,10 @@ object TextFunctions {
   /** The B2-base twin of [[windowFingerprints]]. */
   def windowFingerprints2(hashes: Column, k: Int): Column =
     graft.expressions.HashExpressions.windowFingerprints2(hashes, k)
+
+  /** Both polynomials in one pass, packed `fp_B·2³¹ + fp_B2` — the
+    * span-dedup seed key ([[graft.expressions.WindowFingerprints]]).
+    */
+  def windowFingerprintsPacked(hashes: Column, k: Int): Column =
+    graft.expressions.HashExpressions.windowFingerprintsPacked(hashes, k)
 }

@@ -161,6 +161,59 @@ class DedupSemanticsSpec extends SparkSpec {
     })
   }
 
+  test("df-capped spans drop boilerplate-only pairs, keep true copies") {
+    import org.apache.spark.sql.functions._
+    val basePairs = run("q_dedup_spans").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dfRows = run("q_dedup_spans_df").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val dfPairs = dfRows.map(t => (t._1, t._2)).toSet
+
+    // the 50-doc footer family. Pure-footer windows have df = 50 and
+    // are capped; BOUNDARY windows (shared doc tail + footer prefix)
+    // are doc-group-specific (small df) and legitimately bridge pairs
+    // whose common suffix alone is shorter than k — a real df-capped
+    // dedup emits exactly those. So the pairs that must vanish are
+    // the ones with ZERO common token suffix: for them every shared
+    // window lies fully inside the footer.
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("ts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val bp = toks.keys.toSeq.sorted
+    def sharedSuffix(a: Long, b: Long): Int =
+      toks(a).reverse.zip(toks(b).reverse).takeWhile { case (x, y) => x == y }.size
+    val footerOnly = for {
+      a <- bp; b <- bp
+      if a < b && !basePairs((a, b)) && sharedSuffix(a, b) == 0
+    } yield (a, b)
+    assert(footerOnly.length > 1000, s"expected ~1200, got ${footerOnly.length}")
+    val leaked = footerOnly.filter(dfPairs)
+    assert(leaked.isEmpty, s"boilerplate-only pairs survived the cap: " +
+      s"${leaked.take(5).mkString(",")} (${leaked.length} total)")
+    // and every surviving footer-family pair NOT in the footer-less
+    // output is a tail-bridge: nonzero shared suffix, pinned so the
+    // boundary-window semantics cannot silently drift
+    val bridges = dfPairs.filter { case (a, b) =>
+      a % 10 == 7 && b % 10 == 7 && a < 10000 && b < 10000 &&
+        !basePairs((a, b))
+    }
+    assert(bridges.forall { case (a, b) => sharedSuffix(a, b) >= 1 })
+
+    // true planted copies survive the cap exactly (their fingerprints
+    // have df <= 3; the footer never touches even-id originals/copies)
+    val nTok = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val singles = nTok.keys.filter(_ % 20 == 0).flatMap { d =>
+      val L = math.min(20, math.max(0, nTok(d) - 3))
+      if (L >= 8) Some((d, d + 10000L, 4L, 7L, L.toLong)) else None
+    }.toSet
+    val missed = singles.diff(dfRows.toSet)
+    assert(missed.isEmpty, s"cap dropped true copy spans: $missed")
+  }
+
   test("exact dedup collapses every planted exact copy") {
     val groups = run("q_dedup_exact").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

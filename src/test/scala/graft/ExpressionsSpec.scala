@@ -145,6 +145,15 @@ class ExpressionsSpec extends SparkSpec {
       graft.functions.TextFunctions.rollingFingerprints(col("hv")).as("horner"))
       .collect()
     r3.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // packed one-pass kernel == fp_B·2³¹ + fp_B2 from the two singles
+    import graft.functions.TextFunctions.{windowFingerprints2, windowFingerprintsPacked}
+    val rp = df.select(
+      windowFingerprintsPacked(col("hv"), k).as("packed"),
+      zip_with(windowFingerprints(col("hv"), k),
+        windowFingerprints2(col("hv"), k),
+        (a, b) => a * lit(1L << 31) + b).as("zipped"))
+      .collect()
+    rp.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
   test("SimHash32: codegen == Scala oracle; empty → 0; near-dup close") {
