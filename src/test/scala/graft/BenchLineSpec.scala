@@ -74,9 +74,12 @@ class BenchLineSpec extends AnyFunSuite {
     val dropped = "\"dropped\":(\\d+)".r.findFirstMatchIn(line).map(_.group(1).toInt)
     // the shed allowance scales with the catalog (the fixed char budget
     // is divided among ever more, ever longer query names): at most
-    // ~1 in 12 — only the fastest walls, which carry no regression
-    // signal, are ever shed
-    val allowance = math.max(4, SparkEntry.queries.size / 12)
+    // ~1 in 8 of the fastest walls. Since round 9 the shed tail loses
+    // no history — BENCH_full.json (the renderFull sidecar) carries
+    // every query at 3 decimals — so the line only has to keep the
+    // regression-relevant slow tail readable inside the driver's
+    // capture window
+    val allowance = math.max(4, SparkEntry.queries.size / 8)
     assert(dropped.getOrElse(0) <= allowance,
       s"dropped ${dropped.getOrElse(0)} queries at real catalog size " +
         s"(allowance $allowance) — too many")
