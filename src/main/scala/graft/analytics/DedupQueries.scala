@@ -124,7 +124,13 @@ object DedupQueries {
           spanMarkers("v", col("doc_id") + 20000),
           slice(ts, 20, 16),
           spanMarkers("w", col("doc_id") + 20000)).as("text"))
-    docs.select(col("doc_id"), lower(col("text")).as("text"))
+    // coalesce: provably NON-NULLABLE text, so no isnotnull(fp)
+    // filters are pushed below the span pipeline's self-join — with
+    // them the two join sides' subplans differ (the filter lands on
+    // one) and ReuseExchange cannot share the explode+SHA exchange
+    // (the same nullability proof nearDupCorpus documents)
+    docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), coalesce(lower(col("text")), lit("")).as("text"))
       .unionByName(one).unionByName(two)
   }
 
@@ -1070,20 +1076,33 @@ object DedupQueries {
     val hv = transform(tokens(col("text")), elementHash(_))
     val packed =
       graft.functions.TextFunctions.windowFingerprintsPacked(hv, k)
-    val all = corpus.select(col("doc_id"),
+    // materialize the exploded window table ONCE (fp-partitioned
+    // localCheckpoint — the batchVerifiedPairs discipline, and the
+    // Spark analog of Lee et al. materializing the suffix array):
+    // the self-join's two sides and (df form) the hot-fingerprint
+    // aggregation + anti-join probe all consume it, and without the
+    // cut each consumer re-derived the tokenizer+SHA+kernel explode
+    // below its own exchange — 4 Generate stages (plan-verified; AQE's
+    // stage-level exchange reuse does not unify them across the
+    // nested-broadcast stages even with identical subplans). The
+    // explicit fp partitioning means the pair join and the df agg
+    // need no further shuffle of the big side.
+    val byFp = corpus.select(col("doc_id"),
       posexplode(packed).as(Seq("p0", "fp")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
         col("fp"))
+      .repartition(col("fp"))
+      .localCheckpoint()
     val wf = maxDf match {
-      case None => all
+      case None => byFp
       case Some(cap) =>
         // the hot set is tiny by construction (only over-cap fps), so
-        // the anti-join broadcasts; the df agg is over the fp column
-        // only — one extra small-key exchange
-        val hot = all.groupBy(col("fp"))
+        // the anti-join broadcasts; the df agg runs on the shared
+        // exchange's partitioning — no extra shuffle
+        val hot = byFp.groupBy(col("fp"))
           .agg(countDistinct(col("doc_id")).as("df"))
           .filter(col("df") > cap).select(col("fp"))
-        all.join(broadcast(hot), Seq("fp"), "left_anti")
+        byFp.join(broadcast(hot), Seq("fp"), "left_anti")
     }
     val a = wf.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
       col("fp"))
