@@ -1119,7 +1119,8 @@ object DedupQueries {
         (max(col("pa")) - min(col("pa")) + lit(k.toLong)).as("span_len"))
       .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
         col("span_len"))
-      .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
+    // callers add their ORDER BY — the removal query consumes this
+    // unsorted
   }
 
   /** DuckDB mirror of [[spanPipeline]] over `corpusSql`. */
@@ -1256,6 +1257,7 @@ object DedupQueries {
     GraftQuery(
       "q_dedup_spans", spanPipelineSql(spanDupCorpusSql, None)) { (s, dir) =>
       spanPipeline(spanDupCorpus(t(s, dir, "documents")), None)
+        .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
     },
 
     // ------------------------------------------------- spans, df-cap
@@ -1279,8 +1281,74 @@ object DedupQueries {
       spanPipelineSql(spanBoilerplateCorpusSql, Some(SpanMaxDf))) { (s, dir) =>
       spanPipeline(spanBoilerplateCorpus(t(s, dir, "documents")),
         Some(SpanMaxDf))
+        .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
     },
 
+
+    // --------------------------------------------- spans, removal
+    // The ACTIONABLE form of substring-span dedup — what Lee et al.
+    // 2022 actually do to the training set: for every maximal shared
+    // span, delete the occurrence in the HIGHER-id document (first
+    // occurrence wins, the engine's encounter-order convention) and
+    // emit the rewritten corpus. Pipeline: spans (shared seed
+    // pipeline) → explode each kept-side interval into its covered
+    // token positions → anti-join the corpus' (doc_id, pos, token)
+    // explode → reassemble text in position order. Every corpus doc
+    // is emitted (n_removed = 0 when untouched); a fully-consumed doc
+    // emits ''. Output mass is corpus-sized + removed-token mass —
+    // both linear. 100 TB shape: two narrow explodes, one equi
+    // anti-join on (doc_id, pos), one per-doc ordered fold — no
+    // all-pairs stage beyond the span seed itself.
+    GraftQuery(
+      "q_dedup_spans_removal", {
+        s"""WITH sp AS (${spanPipelineSql(spanDupCorpusSql, None)}),
+           |rm AS (SELECT DISTINCT doc_b AS doc_id,
+           |         unnest(range(start_b, start_b + span_len)) AS pos
+           |       FROM sp),
+           |c AS ($spanDupCorpusSql),
+           |tk AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM c),
+           |tok AS (SELECT doc_id,
+           |          CAST(unnest(range(len(ts))) + 1 AS BIGINT) AS pos,
+           |          unnest(ts) AS tok FROM tk),
+           |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+           |         WHERE NOT EXISTS (SELECT 1 FROM rm r
+           |           WHERE r.doc_id = t.doc_id AND r.pos = t.pos)),
+           |agg AS (SELECT doc_id,
+           |          string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+           |          count(*) AS n_kept
+           |        FROM kept GROUP BY doc_id),
+           |tot AS (SELECT doc_id, count(*) AS n_total FROM tok GROUP BY doc_id)
+           |SELECT tot.doc_id,
+           |  CAST(tot.n_total - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+           |  coalesce(agg.text_clean, '') AS text_clean
+           |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id
+           |ORDER BY tot.doc_id""".stripMargin
+      }) { (s, dir) =>
+      val corpus = spanDupCorpus(t(s, dir, "documents"))
+      val spans = spanPipeline(corpus, None)
+      val rm = spans.select(col("doc_b").as("doc_id"),
+        explode(sequence(col("start_b"),
+          col("start_b") + col("span_len") - 1)).as("pos"))
+        .distinct()
+      val tok = corpus.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          col("tok"))
+      val kept = tok.join(rm, Seq("doc_id", "pos"), "left_anti")
+      val agg = kept.groupBy(col("doc_id"))
+        .agg(
+          array_join(transform(
+            sort_array(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("text_clean"),
+          count(lit(1)).as("n_kept"))
+      val tot = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_total"))
+      tot.join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (col("n_total") - coalesce(col("n_kept"), lit(0L)))
+            .cast("long").as("n_removed"),
+          coalesce(col("text_clean"), lit("")).as("text_clean"))
+        .orderBy(col("doc_id"))
+    },
 
     // ------------------------------------------------------- clusters
     // Transitive closure of the verified near-dup pairs: the LSH-then-

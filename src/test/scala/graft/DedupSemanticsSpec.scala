@@ -214,6 +214,51 @@ class DedupSemanticsSpec extends SparkSpec {
     assert(missed.isEmpty, s"cap dropped true copy spans: $missed")
   }
 
+  test("span removal deletes exactly the copied slices from higher-id docs") {
+    import org.apache.spark.sql.functions._
+    val nTok = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = run("q_dedup_spans_removal").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+
+    // every corpus doc is emitted
+    assert(rows.size == nTok.size + nTok.keys.count(_ % 20 == 0) +
+      nTok.keys.count(_ % 100 == 0))
+
+    // single-span copies: the copied slice is removed IN FULL and the
+    // rewritten text is exactly the twelve marker tokens — any span in
+    // the copy lies inside the slice, and the (d, d+10000) span covers
+    // all of it
+    val singles = nTok.keys.filter(_ % 20 == 0)
+    assert(singles.nonEmpty)
+    singles.foreach { d =>
+      val l = math.min(20, math.max(0, nTok(d) - 3))
+      val id = d + 10000L
+      val (removed, clean) = rows(id)
+      if (l >= 8) {
+        assert(removed == l, s"copy $id: removed $removed, slice was $l")
+        val markers =
+          (Seq.fill(6)(s"z$id") ++ Seq.fill(6)(s"y$id")).mkString(" ")
+        assert(clean == markers, s"copy $id rewrote to: $clean")
+      } else assert(removed == 0, s"sub-k slice of $id was removed")
+    }
+
+    // a doc that never appears as the higher-id side keeps its exact
+    // (lowercased, whitespace-normalized) text
+    val bSide = run("q_dedup_spans").collect().map(_.getLong(1)).toSet
+    val untouched = nTok.keys.filter(d => !bSide(d))
+    assert(untouched.nonEmpty)
+    val orig = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        concat_ws(" ", split(trim(lower(col("text"))), "\\s+")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    untouched.take(50).foreach { d =>
+      val (removed, clean) = rows(d)
+      assert(removed == 0 && clean == orig(d), s"doc $d altered: $clean")
+    }
+  }
+
   test("exact dedup collapses every planted exact copy") {
     val groups = run("q_dedup_exact").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
