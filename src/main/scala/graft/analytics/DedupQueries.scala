@@ -1064,6 +1064,43 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Exploded k-token window fingerprints of a `(doc_id, text)`
+    * frame: `(doc_id, pos, fp)` rows, pos 1-based, fp the packed
+    * double-base 62-bit key — the span-dedup seed shared by the
+    * catalog pipeline and the streaming span-contamination gate.
+    */
+  private[graft] def explodedSpanWindows(corpus: DataFrame): DataFrame = {
+    val hv = transform(tokens(col("text")), elementHash(_))
+    val packed = graft.functions.TextFunctions
+      .windowFingerprintsPacked(hv, SpanK)
+    corpus.select(col("doc_id"),
+      posexplode(packed).as(Seq("p0", "fp")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("fp"))
+  }
+
+  private val storedSpanIndex =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stored window-fingerprint index of the RAW documents corpus
+    * (lowercased, no planted families) — the train side the streaming
+    * span-contamination gate probes: one row per distinct fingerprint.
+    * Built once per corpus fingerprint via the shared parquet memo.
+    * 100 TB shape: the distinct-fp table is bounded by corpus token
+    * count and shrinks under dedup; the gate's probe is a
+    * stream-static equi-join against it.
+    */
+  private[graft] def spanIndexPath(s: SparkSession, dir: String): String =
+    graft.core.Tables.memoizedParquet(storedSpanIndex,
+      Tables.derivedStateKey(s, dir, "documents") + "|spanidx",
+      "graft-span-index") { out =>
+      explodedSpanWindows(
+        t(s, dir, "documents")
+          .select(col("doc_id"), lower(col("text")).as("text")))
+        .select(col("fp")).distinct()
+        .write.parquet(s"$out/index")
+    } + "/index"
+
   /** Shared span-dedup pipeline (Spark side): packed double-base
     * window fingerprints -> posexplode -> optional df-cap (drop
     * fingerprints in > maxDf distinct docs: boilerplate, not copies)
@@ -1073,9 +1110,6 @@ object DedupQueries {
     */
   private def spanPipeline(corpus: DataFrame, maxDf: Option[Int]): DataFrame = {
     val k = SpanK
-    val hv = transform(tokens(col("text")), elementHash(_))
-    val packed =
-      graft.functions.TextFunctions.windowFingerprintsPacked(hv, k)
     // materialize the exploded window table ONCE (fp-partitioned
     // localCheckpoint — the batchVerifiedPairs discipline, and the
     // Spark analog of Lee et al. materializing the suffix array):
@@ -1087,10 +1121,7 @@ object DedupQueries {
     // nested-broadcast stages even with identical subplans). The
     // explicit fp partitioning means the pair join and the df agg
     // need no further shuffle of the big side.
-    val byFp = corpus.select(col("doc_id"),
-      posexplode(packed).as(Seq("p0", "fp")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
-        col("fp"))
+    val byFp = explodedSpanWindows(corpus)
       .repartition(col("fp"))
       .localCheckpoint()
     val wf = maxDf match {

@@ -679,6 +679,36 @@ object StreamingPipeline {
     graft.analytics.TextQueries.scoreBitsPerBigram(docs, model)
       .withColumn("high_perplexity", col("bits_per_bigram") > maxBits)
 
+  /** Streaming span-contamination gate — [[decontaminationGate]] at
+    * SPAN granularity: flag arriving documents containing a ≥k-token
+    * run copied verbatim from the stored corpus (the Lee et al. 2022
+    * train-vs-incoming form: whole-doc fingerprints miss partial
+    * copies; this catches them). `spanIndex` is the stored
+    * distinct-window-fingerprint table
+    * (`DedupQueries.spanIndexPath`, train-once memoized); arriving
+    * docs explode into packed double-base window fingerprints and
+    * stream-static LEFT-join the index, then fold per doc. Output:
+    * (doc_id, n_windows, n_matched, contaminated) — contaminated when
+    * any window matched (`minWindows` raises the bar for noisy
+    * domains). Per-doc fold is a streaming aggregation — run the sink
+    * in update mode. Docs shorter than k tokens have no windows and
+    * are not emitted (nothing to probe — gate them upstream on
+    * tokenCount if they must pass).
+    */
+  def spanContaminationGate(
+      docs: DataFrame,
+      spanIndex: DataFrame,
+      minWindows: Int = 1): DataFrame = {
+    val windows = graft.analytics.DedupQueries.explodedSpanWindows(
+      docs.select(col("doc_id"), lower(col("text")).as("text")))
+    windows
+      .join(spanIndex.select(col("fp"), lit(1).as("hit")), Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_windows"),
+        count(col("hit")).cast("long").as("n_matched"))
+      .withColumn("contaminated", col("n_matched") >= minWindows)
+  }
+
   /** Stream-stream interval join (J6 streaming form): purchases joined
     * to the same user's clicks from the preceding `window`. Watermarks
     * on BOTH sides + the time-bound condition let the state store evict

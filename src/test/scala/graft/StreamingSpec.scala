@@ -325,6 +325,45 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming span gate flags arrivals carrying a copied >=8-token run") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lower}
+    // static train side: distinct window fingerprints of a small corpus
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven"))
+      .toDF("doc_id", "text")
+    val index = graft.analytics.DedupQueries.explodedSpanWindows(
+        corpus.select(col("doc_id"), lower(col("text")).as("text")))
+      .select(col("fp")).distinct()
+    val input = MemoryStream[(Long, String)]
+    val query = StreamingPipeline
+      .spanContaminationGate(input.toDF().toDF("doc_id", "text"), index)
+      .writeStream.format("memory").queryName("span_gate")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        // doc 10 embeds tokens 2..9 of corpus doc 1 (8-token run)
+        // between novel words — whole-doc fingerprints would miss it
+        (10L, "fresh beta gamma delta epsilon zeta eta theta iota ending"),
+        // doc 11 shares scattered words but no 8-token run
+        (11L, "alpha two gamma four epsilon six eta eight iota ten fresh"),
+        // doc 12 is novel
+        (12L, "completely novel words with no overlap at all here today"))
+      query.processAllAvailable()
+      val rows = spark.table("span_gate").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_matched"), r.getAs[Boolean]("contaminated"))))
+        .toMap
+      assert(rows.keySet == Set(10L, 11L, 12L))
+      assert(rows(10L)._2, s"partial copy not flagged: ${rows(10L)}")
+      assert(rows(10L)._1 == 1L) // exactly the one copied window
+      assert(!rows(11L)._2 && rows(11L)._1 == 0L, s"${rows(11L)}")
+      assert(!rows(12L)._2 && rows(12L)._1 == 0L, s"${rows(12L)}")
+    } finally query.stop()
+  }
+
   test("Model.typed: serving DataFrame ⇄ Dataset[RedditThing]") {
     import spark.implicits._
     val df = Seq(("K1", "t3", "id1", java.sql.Timestamp.valueOf("2025-01-01 00:00:00"),
