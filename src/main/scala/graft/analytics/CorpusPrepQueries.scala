@@ -243,6 +243,61 @@ object CorpusPrepQueries {
             1, 16).as("user_pseudo"),
           regexp_replace(col("props"), "[0-9]+", "#").as("props_scrubbed"))
         .orderBy(col("event_id"))
+    },
+
+    // ------------------------------------------------ domain mixture
+    // Temperature-weighted domain mixture planning — the GPT-3/PaLM
+    // "mixture weights" operator: per-source token shares are
+    // temperature-smoothed (wₛ ∝ shareₛ^t) so small domains are
+    // up-weighted relative to their raw mass, and each source gets
+    // its resampling rate (wₛ/shareₛ — >1 means upsample) and its
+    // document target for a fixed 100k-doc training draw. t = 0.5:
+    // sqrt is CORRECTLY ROUNDED under IEEE 754 on both engines (a
+    // fractional pow() is not — the same transcendental-determinism
+    // reasoning as q_lm_score's log2 note, except sqrt removes the
+    // risk entirely). The normalizer Σ√share folds in source order
+    // (sorted collect on one side, list(... ORDER BY) on the other)
+    // so the double sum is order-identical. One grouped aggregation
+    // over the corpus + a broadcast one-row normalizer join — the
+    // whole plan is two small exchanges regardless of corpus size.
+    GraftQuery(
+      "q_domain_mixture",
+      """WITH s AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_tokens FROM s),
+        |sh AS (SELECT source, n_docs, n_tokens,
+        |         CAST(n_tokens AS DOUBLE) / CAST(t_tokens AS DOUBLE) AS share,
+        |         sqrt(CAST(n_tokens AS DOUBLE) / CAST(t_tokens AS DOUBLE)) AS sq
+        |       FROM s, tot),
+        |z AS (SELECT list_reduce(list(sq ORDER BY source), (a, x) -> a + x) AS z
+        |      FROM sh)
+        |SELECT source, n_docs, n_tokens,
+        |  floor(share * 1000000) / 1000000 AS share,
+        |  floor(sq / z * 1000000) / 1000000 AS weight,
+        |  floor(sq / z / share * 1000000) / 1000000 AS sample_rate,
+        |  CAST(floor(sq / z * 100000) AS BIGINT) AS n_target
+        |FROM sh, z ORDER BY source""".stripMargin) { (s, dir) =>
+      val stats = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          sum(tokenCount(col("text"))).cast(LongType).as("n_tokens"))
+      val total = stats.agg(sum(col("n_tokens")).cast(LongType).as("t_tokens"))
+      val sh = stats.crossJoin(broadcast(total))
+        .withColumn("share", dbl(col("n_tokens")) / dbl(col("t_tokens")))
+        .withColumn("sq", sqrt(col("share")))
+      val z = sh.agg(aggregate(
+        sort_array(collect_list(struct(col("source"), col("sq")))),
+        lit(0.0d), (acc, x) => acc + x.getField("sq")).as("z"))
+      sh.crossJoin(broadcast(z))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (floor(col("share") * 1000000) / 1000000).as("share"),
+          (floor(col("sq") / col("z") * 1000000) / 1000000).as("weight"),
+          (floor(col("sq") / col("z") / col("share") * 1000000) / 1000000)
+            .as("sample_rate"),
+          floor(col("sq") / col("z") * 100000).cast(LongType).as("n_target"))
+        .orderBy(col("source"))
     }
   )
 }
