@@ -111,7 +111,12 @@ object TextQueries {
     */
   private[graft] def scoreBitsPerBigram(
       docs: DataFrame, model: DataFrame): DataFrame = {
-    val v = model.select(max(col("v"))).head.getLong(0)
+    val vRow = model.select(max(col("v"))).head
+    // loud guard: an empty model (corpus with no 2-token docs) would
+    // otherwise surface as an NPE here or all-zero smoothing downstream
+    require(!vRow.isNullAt(0),
+      "LM model table is empty — train it on a corpus with at least one multi-token document")
+    val v = vRow.getLong(0)
     val lefts = model.groupBy(col("w1")).agg(max(col("c1")).as("c1"))
     lmBigrams(tokenized(docs))
       .join(model.select(col("bigram"), col("c12")), Seq("bigram"), "left")

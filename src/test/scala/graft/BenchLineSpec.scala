@@ -79,7 +79,11 @@ class BenchLineSpec extends AnyFunSuite {
     // every query at 3 decimals — so the line only has to keep the
     // regression-relevant slow tail readable inside the driver's
     // capture window
-    val allowance = math.max(4, SparkEntry.queries.size / 8)
+    // /7: at 100 equal-wall queries (the synthetic worst case — real
+    // walls are skewed, so the kept slowest cover far more of the
+    // total) the 1970-char budget keeps ~87; the allowance tracks
+    // that with headroom for a few more rounds of catalog growth
+    val allowance = math.max(4, SparkEntry.queries.size / 7)
     assert(dropped.getOrElse(0) <= allowance,
       s"dropped ${dropped.getOrElse(0)} queries at real catalog size " +
         s"(allowance $allowance) — too many")
