@@ -511,13 +511,16 @@ object DedupQueries {
       s: SparkSession, sigDir: String, batch: DataFrame,
       threshold: Double = 0.5, broadcastBatch: Boolean = true): DataFrame = {
     val stored = s.read.parquet(sigDir)
-    // the batch's signatures were JUST appended (the call contract):
-    // fetch them back by id instead of re-running the tokenize → SHA →
-    // MinHash pass over the batch — the append already paid it once
-    val batchIds = batch.select(col("doc_id")).distinct()
-    val batchSig = stored
-      .filter(col("bkt").isin(bucketsOf(batchIds, "doc_id"): _*))
-      .join(hinted(batchIds, broadcastBatch), Seq("doc_id"), "left_semi")
+    // COMPUTE the batch's signature rows, don't fetch them back: they
+    // are a pure function of the batch — bit-identical to what the
+    // append just wrote — and the bucket-pruned fetch reads EVERY
+    // bucket once the batch spans ≥ bucket-count ids (pruning
+    // saturates, round-9 probe), i.e. a full stored-table scan per
+    // trigger for rows the trigger already holds in hand. One
+    // O(batch) scan-stage kernel pass costs no table IO; the stored
+    // side still contains the batch, so batch-self pairs are
+    // unchanged.
+    val batchSig = bucketedSignatures(batch)
     // broadcast the batch's band keys by default: the stored table is
     // scanned, never exchanged — at micro-batch cadence the per-batch
     // corpus SHUFFLE is what would accumulate, not the scan. Pass
@@ -815,15 +818,16 @@ object DedupQueries {
   def batchVerifiedEmbedPairs(
       s: SparkSession, bucketsDir: String, batch: DataFrame,
       vecsDir: String, threshold: Double,
-      broadcastBatch: Boolean = true): DataFrame = {
+      broadcastBatch: Boolean = true,
+      bands: Int = 4, bits: Int = 8): DataFrame = {
     val stored = s.read.parquet(bucketsDir)
-    // bucket-pruned fetch-back of the batch's band rows, mirroring the
-    // lexical loop: the batch's vec_ids alone determine which bkt=
-    // partitions can hold them
-    val batchIds = batch.select(col("vec_id")).distinct()
-    val bb = stored
-      .filter(col("bkt").isin(bucketsOf(batchIds, "vec_id"): _*))
-      .join(hinted(batchIds, broadcastBatch), Seq("vec_id"), "left_semi")
+    // COMPUTE the batch's band rows, don't fetch them back — the
+    // lexical loop's reasoning verbatim: one O(batch) SignBuckets
+    // kernel pass (no table IO) replaces a per-trigger stored-table
+    // scan whose bucket pruning saturates at streaming batch sizes
+    // (the round-9 32-batch probe attributed the series' drift to
+    // exactly this scan mass).
+    val bb = bucketedSignBuckets(batch, bands, bits)
     // broadcast the batch side by default, for the same reason as the
     // lexical mirror: corpus bucket rows are scanned, never exchanged
     // (broadcastBatch = false for backfill-sized batches). Stored

@@ -581,7 +581,8 @@ object StreamingPipeline {
     val delta = graft.sinks.IncrementalParquet.batchScopedResult(
       spark, deltaDirFor(labelsDir), batchId) {
       val edges = graft.analytics.DedupQueries.batchVerifiedEmbedPairs(
-        spark, bucketsDir, batch, vecsDir, threshold, broadcastBatch)
+        spark, bucketsDir, batch, vecsDir, threshold, broadcastBatch,
+        bands, bits)
       graft.operators.ConnectedComponents.incrementalDelta(
         clusterLabels(spark, labelsDir), edges, "id_a", "id_b",
         broadcastNew = broadcastBatch)
