@@ -27,6 +27,41 @@ object CorpusPrepQueries {
 
   private def dbl(c: Column): Column = c.cast(DoubleType)
 
+  /** Shared mixture CTEs (DuckDB): per-source token stats → shares →
+    * √-temperature numerators → the source-ordered normalizer fold.
+    * Composed by both `q_domain_mixture` (the plan) and
+    * `q_mixture_resample` (the actionable per-doc assignment).
+    */
+  private val mixtureCtesSql =
+    """s AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_tokens FROM s),
+      |sh AS (SELECT source, n_docs, n_tokens,
+      |         CAST(n_tokens AS DOUBLE) / CAST(t_tokens AS DOUBLE) AS share,
+      |         sqrt(CAST(n_tokens AS DOUBLE) / CAST(t_tokens AS DOUBLE)) AS sq
+      |       FROM s, tot),
+      |z AS (SELECT list_reduce(list(sq ORDER BY source), (a, x) -> a + x) AS z
+      |      FROM sh)""".stripMargin
+
+  /** Spark mirror of [[mixtureCtesSql]]: one row per source with the
+    * raw share, √-share and the broadcast normalizer attached.
+    */
+  private def mixtureShares(docs: DataFrame): DataFrame = {
+    val stats = docs.groupBy(col("source"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(tokenCount(col("text"))).cast(LongType).as("n_tokens"))
+    val total = stats.agg(sum(col("n_tokens")).cast(LongType).as("t_tokens"))
+    val sh = stats.crossJoin(broadcast(total))
+      .withColumn("share", dbl(col("n_tokens")) / dbl(col("t_tokens")))
+      .withColumn("sq", sqrt(col("share")))
+    val z = sh.agg(aggregate(
+      sort_array(collect_list(struct(col("source"), col("sq")))),
+      lit(0.0d), (acc, x) => acc + x.getField("sq")).as("z"))
+    sh.crossJoin(broadcast(z))
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     // ------------------------------------------------- quality filters
@@ -262,35 +297,14 @@ object CorpusPrepQueries {
     // whole plan is two small exchanges regardless of corpus size.
     GraftQuery(
       "q_domain_mixture",
-      """WITH s AS (
-        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
-        |  FROM documents GROUP BY source),
-        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_tokens FROM s),
-        |sh AS (SELECT source, n_docs, n_tokens,
-        |         CAST(n_tokens AS DOUBLE) / CAST(t_tokens AS DOUBLE) AS share,
-        |         sqrt(CAST(n_tokens AS DOUBLE) / CAST(t_tokens AS DOUBLE)) AS sq
-        |       FROM s, tot),
-        |z AS (SELECT list_reduce(list(sq ORDER BY source), (a, x) -> a + x) AS z
-        |      FROM sh)
+      s"""WITH $mixtureCtesSql
         |SELECT source, n_docs, n_tokens,
         |  floor(share * 1000000) / 1000000 AS share,
         |  floor(sq / z * 1000000) / 1000000 AS weight,
         |  floor(sq / z / share * 1000000) / 1000000 AS sample_rate,
         |  CAST(floor(sq / z * 100000) AS BIGINT) AS n_target
         |FROM sh, z ORDER BY source""".stripMargin) { (s, dir) =>
-      val stats = t(s, dir, "documents")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).cast(LongType).as("n_docs"),
-          sum(tokenCount(col("text"))).cast(LongType).as("n_tokens"))
-      val total = stats.agg(sum(col("n_tokens")).cast(LongType).as("t_tokens"))
-      val sh = stats.crossJoin(broadcast(total))
-        .withColumn("share", dbl(col("n_tokens")) / dbl(col("t_tokens")))
-        .withColumn("sq", sqrt(col("share")))
-      val z = sh.agg(aggregate(
-        sort_array(collect_list(struct(col("source"), col("sq")))),
-        lit(0.0d), (acc, x) => acc + x.getField("sq")).as("z"))
-      sh.crossJoin(broadcast(z))
+      mixtureShares(t(s, dir, "documents"))
         .select(col("source"), col("n_docs"), col("n_tokens"),
           (floor(col("share") * 1000000) / 1000000).as("share"),
           (floor(col("sq") / col("z") * 1000000) / 1000000).as("weight"),
@@ -298,6 +312,49 @@ object CorpusPrepQueries {
             .as("sample_rate"),
           floor(col("sq") / col("z") * 100000).cast(LongType).as("n_target"))
         .orderBy(col("source"))
+    },
+
+    // --------------------------------------------- mixture resample
+    // The ACTIONABLE mixture form: every document gets its
+    // deterministic copy count under the planned rates —
+    // floor(rate) whole copies plus one more when the doc's salted
+    // hash bucket falls under the fractional part (the
+    // q_sample_stratified hash-mod discipline, so reruns and both
+    // engines agree exactly). Upsampled domains (rate > 1) duplicate;
+    // downsampled ones keep a hash-chosen subset; Σ n_copies tracks
+    // rate × n_docs per source. Scan-stage per-doc work + the
+    // broadcast rates join — the corpus is never shuffled.
+    GraftQuery(
+      "q_mixture_resample",
+      s"""WITH $mixtureCtesSql,
+        |r AS (SELECT source, sq / z / share AS rate FROM sh, z),
+        |b AS (SELECT doc_id, source,
+        |        list_sum([(strpos('0123456789abcdef', substring(h, p, 1)) - 1)
+        |                  * CAST(16**(7 - p) AS BIGINT) FOR p IN range(1, 8)]) % 1000
+        |          AS bucket
+        |      FROM (SELECT doc_id, source,
+        |              substring(sha256('mix|' || CAST(doc_id AS VARCHAR)), 1, 7) AS h
+        |            FROM documents))
+        |SELECT b.doc_id, b.source,
+        |  CAST(floor(rate) +
+        |       CASE WHEN bucket < (rate - floor(rate)) * 1000 THEN 1 ELSE 0 END
+        |       AS BIGINT) AS n_copies
+        |FROM b JOIN r ON b.source = r.source
+        |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+      import graft.functions.SimilarityFunctions.elementHash
+      val rates = mixtureShares(t(s, dir, "documents"))
+        .select(col("source"),
+          (col("sq") / col("z") / col("share")).as("rate"))
+      val bucket = elementHash(
+        concat(lit("mix|"), col("doc_id").cast(StringType))) % 1000
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), bucket.as("bucket"))
+        .join(broadcast(rates), "source")
+        .select(col("doc_id"), col("source"),
+          (floor(col("rate")) +
+            when(col("bucket") < (col("rate") - floor(col("rate"))) * 1000, 1)
+              .otherwise(0)).cast(LongType).as("n_copies"))
+        .orderBy(col("doc_id"))
     }
   )
 }
