@@ -219,6 +219,27 @@ object MaintenanceProbe {
     }
   }
 
+  /** Cumulative input bytes/records actually READ across completed
+    * stages — the row-group/page-skipping evidence axis (round-10):
+    * file-count censuses show what a pruned read COULD touch, but only
+    * task input metrics show what the pushed `In` filters + sorted
+    * files actually skipped. Per-batch deltas are printed as
+    * `in_mb`/`in_rows`.
+    */
+  private final class InputMeter
+      extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val records = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        bytes.addAndGet(m.inputMetrics.bytesRead)
+        records.addAndGet(m.inputMetrics.recordsRead)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = if (args.length > 0) args(0) else "lex"
     val batches = if (args.length > 1) args(1).toInt else 16
@@ -238,9 +259,12 @@ object MaintenanceProbe {
     val labels = root.resolve("labels").toString
     val vectors = root.resolve("vectors") // embed loop's bucketed vector table
     if (mode == "embed") java.nio.file.Files.createDirectory(vectors)
+    val input = new InputMeter
+    spark.sparkContext.addSparkListener(input)
 
     for (b <- 0 until batches) {
       var readFiles = -1L
+      val (inB0, inR0) = (input.bytes.get(), input.records.get())
       val wall = mode match {
         case "embed" =>
           val vecs = batchVecs(spark, b, m).localCheckpoint() // gen untimed
@@ -256,7 +280,14 @@ object MaintenanceProbe {
             graft.analytics.DedupQueries
               .compactSignaturesMinor(spark, vectors.toString)
           }
-          (System.nanoTime() - t1) / 1e9
+          val w = (System.nanoTime() - t1) / 1e9
+          // pruned-read census AFTER the trigger (untimed): the index +
+          // vector files this batch's bucket-pruned reads could touch
+          // (round-9 verdict #4 asked for this column on the embed loop)
+          val bks = batchBuckets(vecs, "vec_id")
+          readFiles = bucketFiles(index, bks) +
+            bucketFiles(vectors.toString, bks)
+          w
         case _ =>
           val docs = batchDocs(spark, b, m).localCheckpoint() // gen untimed
           val t1 = System.nanoTime()
@@ -270,11 +301,15 @@ object MaintenanceProbe {
           readFiles = bucketFiles(index, batchBuckets(docs, "doc_id"))
           w
       }
+      Thread.sleep(100) // listener bus is async; let stage metrics land
+      val (inMb, inRows) =
+        ((input.bytes.get() - inB0) / 1e6, input.records.get() - inR0)
       val nLabels = StreamingPipeline.clusterLabels(spark, labels).count()
       println(f"MAINT mode=$mode batch=$b corpus=${(b + 1) * m} " +
         f"wall_s=$wall%.1f labeled_nodes=$nLabels " +
         f"index_files=${dataFiles(index)} labels_files=${dataFiles(labels)}" +
         (if (readFiles >= 0) f" read_files=$readFiles" else "") +
+        f" in_mb=$inMb%.1f in_rows=$inRows" +
         (if (b == batches - 1)
           f" labels_sum=${labelsChecksum(spark, labels)}" else ""))
     }
@@ -285,6 +320,8 @@ object MaintenanceProbe {
     // proportional term. This is what attributes any drift in the
     // series above to scans vs joins.
     val tinyM = math.max(m / 200L, 1L)
+    Thread.sleep(200)
+    val (tinyB0, tinyR0) = (input.bytes.get(), input.records.get())
     val tinyWall = mode match {
       case "embed" =>
         val vecs = batchVecs(spark, batches.toLong, tinyM).localCheckpoint()
@@ -300,8 +337,11 @@ object MaintenanceProbe {
           batches.toLong)
         (System.nanoTime() - t1) / 1e9
     }
+    Thread.sleep(100)
     println(f"MAINT-TINY mode=$mode batch=$batches corpus=${batches * m} " +
-      f"batch_size=$tinyM wall_s=$tinyWall%.1f")
+      f"batch_size=$tinyM wall_s=$tinyWall%.1f " +
+      f"in_mb=${(input.bytes.get() - tinyB0) / 1e6}%.1f " +
+      f"in_rows=${input.records.get() - tinyR0}")
     spark.stop()
   }
 }

@@ -110,19 +110,28 @@ object DedupQueries {
     val ts = tokens(lower(col("text")))
     def copy(pieces: Column*): Column =
       concat_ws(" ", concat(pieces: _*))
+    // coalesce each SLICE (not just the base-corpus text below),
+    // mirroring the SQL's coalesce placement: on a NULL-text doc the
+    // mirror keeps the marker tokens around an empty slice, while a
+    // bare slice would nullify the whole concat and concat_ws would
+    // collapse the planted copy to '' — a latent oracle divergence
+    // (the generator never emits NULL text today, but the two engines
+    // must agree by construction, not by data luck)
+    def safeSlice(start: Int, len: Int): Column =
+      coalesce(slice(ts, start, len), array())
     val one = docs.filter(col("doc_id") % 20 === 0)
       .select((col("doc_id") + 10000).as("doc_id"),
         copy(
           spanMarkers("z", col("doc_id") + 10000),
-          slice(ts, 4, 20),
+          safeSlice(4, 20),
           spanMarkers("y", col("doc_id") + 10000)).as("text"))
     val two = docs.filter(col("doc_id") % 100 === 0)
       .select((col("doc_id") + 20000).as("doc_id"),
         copy(
           spanMarkers("u", col("doc_id") + 20000),
-          slice(ts, 4, 8),
+          safeSlice(4, 8),
           spanMarkers("v", col("doc_id") + 20000),
-          slice(ts, 20, 16),
+          safeSlice(20, 16),
           spanMarkers("w", col("doc_id") + 20000)).as("text"))
     // coalesce: provably NON-NULLABLE text, so no isnotnull(fp)
     // filters are pushed below the span pipeline's self-join — with
@@ -415,23 +424,56 @@ object DedupQueries {
   def signatureBuckets(s: SparkSession): Int =
     s.conf.get("graft.dedup.buckets", SignatureBuckets.toString).toInt
 
+  /** The bucket count BAKED INTO a stored incremental table's rows —
+    * the `_graft_layout` pin written at the table's first append, else
+    * the session's [[signatureBuckets]] for a table born this session.
+    * The pin closes the silent mis-prune window: bucket-of-id is a
+    * function of the count, so pruning a table born at one count with
+    * another silently drops matching rows. An EXPLICITLY-set session
+    * conf that contradicts an existing pin fails loudly (a deployment
+    * cannot re-bucket a live table by flipping the knob); an unset conf
+    * defers to the pin, so reopening a 256-bucket table from a fresh
+    * session needs no conf plumbing.
+    */
+  private[graft] def tableBuckets(s: SparkSession, dir: String): Int = {
+    val pinned = graft.sinks.IncrementalParquet.readLayout(s, dir)
+      .get("buckets").map(_.toInt)
+    val conf = s.conf.getOption("graft.dedup.buckets").map(_.toInt)
+    (pinned, conf) match {
+      case (Some(p), Some(c)) if p != c =>
+        throw new IllegalStateException(
+          s"$dir was created with buckets=$p but graft.dedup.buckets=$c " +
+            "— the bucket count is baked into the stored rows and cannot " +
+            "change over a live table (rebuild it instead)")
+      case (Some(p), _) => p
+      case (None, _) => signatureBuckets(s)
+    }
+  }
+
   /** [[rawSignatures]] + the bucket column, the incremental table's
     * on-disk schema: (doc_id, shs, sg, bkt) partitioned by bkt.
     */
   def bucketedSignatures(docs: DataFrame): DataFrame =
-    rawSignatures(docs).withColumn("bkt",
-      pmod(hash(col("doc_id")), lit(signatureBuckets(docs.sparkSession))))
+    bucketedSignatures(docs, signatureBuckets(docs.sparkSession))
+
+  private def bucketedSignatures(docs: DataFrame, n: Int): DataFrame =
+    rawSignatures(docs).withColumn("bkt", pmod(hash(col("doc_id")), lit(n)))
 
   /** Exactly-once per-batch append into the incremental signature
     * table — protocol (ack markers, batch-scoped deterministic names,
     * replay overwrite) in [[graft.sinks.IncrementalParquet]]; this
     * contributes only the domain half: signature the batch's rows
     * (one scan-stage pass over the batch alone) partitioned by bucket.
+    * Files are sort-clustered by doc_id (the shingle fetch's probe
+    * key) and the bucket count is pinned at table birth.
     */
   def appendToSignaturesIdempotent(
-      batch: DataFrame, sigDir: String, batchId: Long): Unit =
+      batch: DataFrame, sigDir: String, batchId: Long): Unit = {
+    val n = tableBuckets(batch.sparkSession, sigDir)
     graft.sinks.IncrementalParquet.appendIdempotent(
-      batch.sparkSession, sigDir, "bkt", batchId)(bucketedSignatures(batch))
+      batch.sparkSession, sigDir, "bkt", batchId, Seq("doc_id"),
+      Map("buckets" -> n.toString))(bucketedSignatures(batch, n))
+  }
 
   /** Compact fragmented buckets of any `bkt`-partitioned incremental
     * table (signatures or sign buckets) to one file each —
@@ -477,10 +519,53 @@ object DedupQueries {
   private def hinted(df: DataFrame, broadcastBatch: Boolean): DataFrame =
     if (broadcastBatch) broadcast(df) else df
 
-  private def bucketsOf(ids: DataFrame, idCol: String): Seq[Integer] =
-    ids.select(pmod(hash(col(idCol)),
-        lit(signatureBuckets(ids.sparkSession))).as("bkt"))
+  private def bucketsOf(ids: DataFrame, idCol: String, n: Int): Seq[Integer] =
+    ids.select(pmod(hash(col(idCol)), lit(n)).as("bkt"))
       .distinct().collect().map(r => Int.box(r.getInt(0))).toSeq
+
+  /** Distinct probe-key values of a batch-bounded frame, collected for
+    * parquet-pushdown pruning — `None` when the set exceeds `cap`
+    * (beyond ~the session's `In` pushdown threshold the pushed filter
+    * collapses to a min/max range anyway, so collecting more buys
+    * nothing; callers fall back to their join-only shape). The driver
+    * holds ≤ cap scalars: metadata-sized by construction, same class
+    * as [[bucketsOf]]'s collect.
+    */
+  private def probeKeys(
+      df: DataFrame, keyCol: String, cap: Int = 4096): Option[Seq[Any]] = {
+    val rows = df.select(col(keyCol)).distinct().limit(cap + 1).collect()
+    if (rows.length > cap) None else Some(rows.map(_.get(0)).toSeq)
+  }
+
+  /** [[probeKeys]] + the ids' hash buckets in the SAME collect — the
+    * shingle/vector fetch needs both (partition prune on bkt, pushed
+    * `In` on id), and at streaming cadence every driver job is a
+    * visible slice of the trigger wall (TriggerProfile), so two
+    * collects over the same candidate set were one too many.
+    */
+  private def probeIdKeys(ids: DataFrame, idCol: String, n: Int,
+      cap: Int = 4096): Option[(Seq[Any], Seq[Integer])] = {
+    val rows = ids
+      .select(col(idCol), pmod(hash(col(idCol)), lit(n)).as("bkt"))
+      .distinct().limit(cap + 1).collect()
+    if (rows.length > cap) None
+    else Some((rows.map(_.get(0)).toSeq,
+      rows.map(r => Int.box(r.getInt(1))).distinct.toSeq))
+  }
+
+  /** `base` filtered to rows whose `keyCol` is in the collected key
+    * set — an EXACT pushed-down predicate (parquet page/row-group
+    * min/max skipping engages on sort-clustered files; see the
+    * `_graft_layout` sort pin) with a join fallback when the key set
+    * is over-cap or the caller declined driver collection.
+    */
+  private def keyPruned(
+      base: DataFrame, keyCol: String, keys: Option[Seq[Any]])(
+      fallback: DataFrame => DataFrame): DataFrame = keys match {
+    case Some(ks) if ks.isEmpty => base.filter(lit(false))
+    case Some(ks) => base.filter(col(keyCol).isInCollection(ks))
+    case None => fallback(base)
+  }
 
   /** Jaccard-verified near-dup pairs TOUCHING a batch, served from the
     * stored signature table — the per-trigger pair stage of continuous
@@ -511,6 +596,7 @@ object DedupQueries {
       s: SparkSession, sigDir: String, batch: DataFrame,
       threshold: Double = 0.5, broadcastBatch: Boolean = true): DataFrame = {
     val stored = s.read.parquet(sigDir)
+    val nBuckets = tableBuckets(s, sigDir)
     // COMPUTE the batch's signature rows, don't fetch them back: they
     // are a pure function of the batch — bit-identical to what the
     // append just wrote — and the bucket-pruned fetch reads EVERY
@@ -520,7 +606,7 @@ object DedupQueries {
     // O(batch) scan-stage kernel pass costs no table IO; the stored
     // side still contains the batch, so batch-self pairs are
     // unchanged.
-    val batchSig = bucketedSignatures(batch)
+    val batchSig = bucketedSignatures(batch, nBuckets)
     // broadcast the batch's band keys by default: the stored table is
     // scanned, never exchanged — at micro-batch cadence the per-batch
     // corpus SHUFFLE is what would accumulate, not the scan. Pass
@@ -533,12 +619,25 @@ object DedupQueries {
     val candIds = pairs.select(col("doc_id_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_id_b").as("doc_id")))
       .distinct()
-    // ONE bucket-pruned, broadcast-semi shingle fetch (batch-bounded
-    // result), materialized so joining it to both pair sides cannot
-    // re-scan the stored table per side
-    val fetched = stored
-      .filter(col("bkt").isin(bucketsOf(candIds, "doc_id"): _*))
-      .join(hinted(candIds, broadcastBatch), Seq("doc_id"), "left_semi")
+    // ONE bucket-pruned shingle fetch (batch-bounded result),
+    // materialized so joining it to both pair sides cannot re-scan the
+    // stored table per side. At streaming cadence the candidate id set
+    // is metadata-sized, so it is pushed INTO the scan as an `In`
+    // predicate (exact — it IS the semi join's key set): files are
+    // sort-clustered by doc_id at append/compaction time, so parquet
+    // page min/max skipping prunes the fetch to ~matching pages
+    // instead of every candidate-bucket file read whole — the term
+    // that made tiny-batch triggers corpus-proportional once bucket
+    // pruning saturated. Over-cap key sets (backfill) fall back to the
+    // broadcast-semi shape.
+    val candProbe =
+      if (broadcastBatch) probeIdKeys(candIds, "doc_id", nBuckets) else None
+    val candBkts = candProbe.map(_._2)
+      .getOrElse(bucketsOf(candIds, "doc_id", nBuckets))
+    val fetched = keyPruned(
+      stored.filter(col("bkt").isin(candBkts: _*)),
+      "doc_id", candProbe.map(_._1))(
+      _.join(hinted(candIds, broadcastBatch), Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), col("shs"))
       .localCheckpoint()
     pairs
@@ -766,8 +865,13 @@ object DedupQueries {
     */
   def bucketedSignBuckets(
       e: DataFrame, bands: Int = 4, bits: Int = 8): DataFrame =
+    bucketedSignBuckets(e, bands, bits,
+      signatureBuckets(e.sparkSession))
+
+  private def bucketedSignBuckets(
+      e: DataFrame, bands: Int, bits: Int, n: Int): DataFrame =
     signBucketTable(e, bands, bits).withColumn("bkt",
-      pmod(hash(col("vec_id")), lit(signatureBuckets(e.sparkSession))))
+      pmod(hash(col("vec_id")), lit(n)))
 
   /** Exactly-once per-batch append into an incremental sign-bucket
     * table — the embedding mirror of [[appendToSignaturesIdempotent]]:
@@ -777,10 +881,17 @@ object DedupQueries {
     */
   def appendToSignBucketsIdempotent(
       batch: DataFrame, bucketsDir: String, batchId: Long,
-      bands: Int = 4, bits: Int = 8): Unit =
+      bands: Int = 4, bits: Int = 8): Unit = {
+    val n = tableBuckets(batch.sparkSession, bucketsDir)
+    // sort-clustered by (bucket, band): the per-trigger candidate
+    // probe pushes the batch's bucket-key set into this table's scan,
+    // and a bucket-ordered layout is what gives parquet pages tight
+    // bucket ranges to skip on
     graft.sinks.IncrementalParquet.appendIdempotent(
-      batch.sparkSession, bucketsDir, "bkt", batchId)(
-      bucketedSignBuckets(batch, bands, bits))
+      batch.sparkSession, bucketsDir, "bkt", batchId,
+      Seq("bucket", "band"), Map("buckets" -> n.toString))(
+      bucketedSignBuckets(batch, bands, bits, n))
+  }
 
   /** The continuous embed loop's durable raw-vector table
     * `(vec_id, embedding)` partitioned on the same vec_id hash bucket
@@ -795,11 +906,17 @@ object DedupQueries {
     * truth, so `cleanSource`/archival of the landing dir is fine).
     */
   def appendToVectorsIdempotent(
-      batch: DataFrame, vecsDir: String, batchId: Long): Unit =
+      batch: DataFrame, vecsDir: String, batchId: Long): Unit = {
+    val n = tableBuckets(batch.sparkSession, vecsDir)
+    // sort-clustered by vec_id: the verify's vector fetch pushes the
+    // candidate id set into this scan, and id-ordered files let page
+    // skipping prune it to ~matching pages
     graft.sinks.IncrementalParquet.appendIdempotent(
-      batch.sparkSession, vecsDir, "bkt", batchId)(
+      batch.sparkSession, vecsDir, "bkt", batchId, Seq("vec_id"),
+      Map("buckets" -> n.toString))(
       batch.select(col("vec_id"), col("embedding")).withColumn("bkt",
-        pmod(hash(col("vec_id")), lit(signatureBuckets(batch.sparkSession)))))
+        pmod(hash(col("vec_id")), lit(n))))
+  }
 
   /** Cosine-verified near-dup pairs TOUCHING a batch of vectors — the
     * embedding mirror of [[batchVerifiedPairs]]. Call AFTER the
@@ -821,13 +938,17 @@ object DedupQueries {
       broadcastBatch: Boolean = true,
       bands: Int = 4, bits: Int = 8): DataFrame = {
     val stored = s.read.parquet(bucketsDir)
+    val nBuckets = tableBuckets(s, bucketsDir)
     // COMPUTE the batch's band rows, don't fetch them back — the
     // lexical loop's reasoning verbatim: one O(batch) SignBuckets
     // kernel pass (no table IO) replaces a per-trigger stored-table
     // scan whose bucket pruning saturates at streaming batch sizes
     // (the round-9 32-batch probe attributed the series' drift to
-    // exactly this scan mass).
-    val bb = bucketedSignBuckets(batch, bands, bits)
+    // exactly this scan mass). localCheckpoint: the kernel output
+    // feeds the probe-key collection AND the join build side — one
+    // kernel pass per trigger.
+    val bb = bucketedSignBuckets(batch, bands, bits, nBuckets)
+      .localCheckpoint()
     // broadcast the batch side by default, for the same reason as the
     // lexical mirror: corpus bucket rows are scanned, never exchanged
     // (broadcastBatch = false for backfill-sized batches). Stored
@@ -835,7 +956,19 @@ object DedupQueries {
     val a0 = bb.select(col("band"), col("bucket"),
       col("vec_id").as("id_l"), col("nrm").as("nrm_l"))
     val a = if (broadcastBatch) broadcast(a0) else a0
-    val b = stored.select(col("band").as("band2"), col("bucket").as("bucket2"),
+    // the batch's DISTINCT bucket keys pushed into the stored scan: a
+    // strict superset of the join's (band, bucket) matches, so the
+    // result is unchanged — but the pushed `In` engages page min/max
+    // skipping on the (bucket, band)-sorted files, so a trigger reads
+    // ~the pages its keys land in instead of the whole index (the
+    // corpus-proportional probe term the round-9 decomposition
+    // isolated; at streaming batch:corpus ratios the key set is far
+    // smaller than the page count, and the skip ratio GROWS with the
+    // corpus). Over-cap sets (backfill) collapse to the full scan.
+    val bucketKeys =
+      if (broadcastBatch) probeKeys(bb, "bucket") else None
+    val b = keyPruned(stored, "bucket", bucketKeys)(identity)
+      .select(col("band").as("band2"), col("bucket").as("bucket2"),
       col("vec_id").as("id_r"), col("nrm").as("nrm_r"))
     val cand = a.join(b,
         col("band") === col("band2") && col("bucket") === col("bucket2") &&
@@ -857,9 +990,21 @@ object DedupQueries {
     val candIds = cand.select(col("id_a").as("vec_id"))
       .unionByName(cand.select(col("id_b").as("vec_id")))
       .distinct()
-    val vecs = s.read.parquet(vecsDir)
-      .filter(col("bkt").isin(bucketsOf(candIds, "vec_id"): _*))
-      .join(hinted(candIds, broadcastBatch), Seq("vec_id"), "left_semi")
+    // candidate ids pushed into the vector scan as an exact `In`
+    // predicate (it IS the semi join's key set): vec_id-sorted files
+    // give row-group skipping tight ranges, so the fetch reads ~the
+    // groups its ids land in, not every candidate-bucket file whole —
+    // the second corpus-proportional per-trigger term. Over-cap →
+    // semi join. One collect yields ids AND their bkt partitions.
+    val nv = tableBuckets(s, vecsDir)
+    val candProbe =
+      if (broadcastBatch) probeIdKeys(candIds, "vec_id", nv) else None
+    val candBkts = candProbe.map(_._2)
+      .getOrElse(bucketsOf(candIds, "vec_id", nv))
+    val vecs = keyPruned(
+      s.read.parquet(vecsDir).filter(col("bkt").isin(candBkts: _*)),
+      "vec_id", candProbe.map(_._1))(
+      _.join(hinted(candIds, broadcastBatch), Seq("vec_id"), "left_semi"))
       .select(col("vec_id"), col("embedding"))
       .localCheckpoint()
     val va = vecs.select(col("vec_id").as("id_a"), col("embedding").as("va"))

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -102,13 +102,25 @@ object TextQueries {
     * emitted (nothing to score). `v` is read off the model table
     * driver-side (one scalar — the model IS the small side).
     *
-    * Residual cross-engine risk (documented, accepted): the oracle
-    * equality of `bits_per_bigram` rests on Spark's and DuckDB's
-    * `log2` rounding identically; the fold order is pinned but the
-    * transcendental itself could differ by ~1 ulp on another libm,
-    * and a value landing exactly on a floor(x·1000) boundary would
-    * then flip. Observed identical on this toolchain across all SFs.
+    * Cross-engine determinism (CLOSED, round 10): each per-bigram
+    * `logp` is quantized to the DYADIC grid 2⁻³⁰ (≈ 9.3e-10) BEFORE
+    * the position-ordered fold, on both engines — `floor(x · 2³⁰) /
+    * 2³⁰`, where the scale and unscale are exact IEEE-754 exponent
+    * shifts (a decimal 1e-9 grid would reintroduce rounding inside
+    * the quantizer itself). A ~1-ulp libm `log2` difference between
+    * engines therefore vanishes at the quantizer unless the value
+    * sits within 1 ulp of a grid boundary (≤ ~4e-7 of the grid step,
+    * vs the pre-round-10 shape where EVERY doc's final N-term sum ran
+    * the floor(x·1000) boundary risk); the summed values are then
+    * bit-identical and the final floor runs on identical doubles.
+    * [[PipelineFunctionsSpec]] pins the 1-ulp-invariance at the
+    * quantizer boundary.
     */
+  private[graft] val Log2Grid = 1073741824.0d // 2^30: exact dyadic scale
+
+  private[graft] def quantizeLog2(x: Column): Column =
+    floor(x * lit(Log2Grid)) / lit(Log2Grid)
+
   private[graft] def scoreBitsPerBigram(
       docs: DataFrame, model: DataFrame): DataFrame = {
     val vRow = model.select(max(col("v"))).head
@@ -123,8 +135,8 @@ object TextQueries {
       .join(lefts, substring_index(col("bigram"), " ", 1) === col("w1"),
         "left")
       .select(col("doc_id"), col("pos"),
-        log2((coalesce(col("c12"), lit(0L)) + lit(0.5)) /
-          (coalesce(col("c1"), lit(0L)) + lit(0.5) * lit(v))).as("logp"))
+        quantizeLog2(log2((coalesce(col("c12"), lit(0L)) + lit(0.5)) /
+          (coalesce(col("c1"), lit(0L)) + lit(0.5) * lit(v)))).as("logp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         aggregate(
@@ -308,7 +320,9 @@ object TextQueries {
     // exact integer until one division, and each doc folds its bigram
     // log-probs in POSITION order (sort_array → left fold / DuckDB
     // `list(... ORDER BY pos)` → list_reduce) so the float sum is
-    // order-identical on both engines. Since round 9 the model is
+    // order-identical on both engines; each logp is quantized to the
+    // 2⁻³⁰ dyadic grid before the fold so a 1-ulp libm log2
+    // difference cannot reach the sum ([[quantizeLog2]]). Since round 9 the model is
     // trained ONCE per corpus fingerprint into a stored parquet table
     // ([[lmModelPath]]) and the query scores against it — the same
     // store/serve discipline as the ANN codes table, and what the
@@ -332,7 +346,8 @@ object TextQueries {
          |          FROM (SELECT unnest(ts) AS w FROM tk)),
          |scored AS (
          |  SELECT b.doc_id, b.pos,
-         |    log2((m.c12 + 0.5) / (l.c1 + 0.5 * vocab.v)) AS logp
+         |    floor(log2((m.c12 + 0.5) / (l.c1 + 0.5 * vocab.v))
+         |          * 1073741824.0) / 1073741824.0 AS logp
          |  FROM bg b
          |  JOIN model m ON b.bigram = m.bigram
          |  JOIN lefts l ON split_part(b.bigram, ' ', 1) = l.w1

@@ -35,6 +35,16 @@ object GraftSession {
       // Small dims (region/nation/supplier/part at test SFs) broadcast;
       // 64 MB keeps even sf-scaled dims on the broadcast path.
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // Push `In` predicates to parquet as real value sets up to 512
+      // values instead of the default 10: the incremental-index probes
+      // (DedupQueries.keyPruned) push a streaming batch's key set into
+      // sort-clustered index scans, and the default collapses any
+      // ≥10-value set to a useless min/max range. 512 is deliberately
+      // NOT higher — parquet evaluates the pushed set as a recursive
+      // OR tree, and multi-thousand-value trees overflow the stack
+      // (measured at 4000); beyond the threshold Spark range-collapses,
+      // which is the safe behavior for backfill-sized sets.
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "512")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
@@ -44,6 +54,7 @@ object GraftSession {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "512")
     spark
   }
 }

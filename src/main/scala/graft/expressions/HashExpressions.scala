@@ -186,6 +186,20 @@ case class WindowFingerprints(child: Expression, k: Int,
   import HashExpressions.P
   require(k >= 1, s"window width must be >= 1, got $k")
 
+  /** INPUT CONTRACT (enforced, not just documented on the
+    * TextFunctions wrapper): every element must fit in 32 unsigned
+    * bits. The kernel computes `h * pow % P` with pow < P < 2³¹, so
+    * h < 2³² keeps the product under 2⁶³ — one more bit and the
+    * multiply silently wraps and every downstream fingerprint is
+    * corrupt with no error. A caller feeding e.g. elementHash60
+    * output (60-bit values) now fails loudly per element instead.
+    */
+  private def badElement(h: Long): Nothing =
+    throw new IllegalArgumentException(
+      s"window_fingerprints element $h exceeds 32 bits — the rolling " +
+        "kernel's h*pow would overflow long; feed <=32-bit hashes " +
+        "(e.g. elementHash28), not 60-bit ones")
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
@@ -222,6 +236,7 @@ case class WindowFingerprints(child: Expression, k: Int,
       var j = 0
       while (j < k) {
         val h = if (arr.isNullAt(i + j)) 0L else arr.getLong(i + j)
+        if ((h >>> 32) != 0L) badElement(h)
         s += h * pows(j) % P
         if (packed) s2 += h * pows2(j) % P
         j += 1
@@ -246,11 +261,17 @@ case class WindowFingerprints(child: Expression, k: Int,
       val s2 = ctx.freshName("s2")
       val out = ctx.freshName("out")
       val h = ctx.freshName("h")
+      // the >>> 32 guard mirrors nullSafeEval's input contract: a
+      // predictable never-taken branch, ~free next to the mul+mod
+      val guard =
+        s"""if (($h >>> 32) != 0L) throw new IllegalArgumentException(
+           |      "window_fingerprints element " + $h + " exceeds 32 bits — the rolling kernel's h*pow would overflow long; feed <=32-bit hashes (e.g. elementHash28), not 60-bit ones");""".stripMargin
       val inner =
         if (base2 != 0)
           s"""|  long $s = 0L; long $s2 = 0L;
               |  for (int $j = 0; $j < $k; $j++) {
               |    long $h = $arr.isNullAt($i + $j) ? 0L : $arr.getLong($i + $j);
+              |    $guard
               |    $s += $h * $powRef[$j] % ${P}L;
               |    $s2 += $h * $pow2Ref[$j] % ${P}L;
               |  }
@@ -259,6 +280,7 @@ case class WindowFingerprints(child: Expression, k: Int,
           s"""|  long $s = 0L;
               |  for (int $j = 0; $j < $k; $j++) {
               |    long $h = $arr.isNullAt($i + $j) ? 0L : $arr.getLong($i + $j);
+              |    $guard
               |    $s += $h * $powRef[$j] % ${P}L;
               |  }
               |  $out[$i] = $s % ${P}L;""".stripMargin

@@ -260,15 +260,16 @@ object ConnectedComponents {
       aCol: String,
       bCol: String,
       broadcastNew: Boolean = true): DataFrame = {
-    val (_, _, ext, altMap, release) =
+    val (lab, newNodes, altMap, release) =
       foldPieces(labels, newEdges, aCol, bCol, broadcastNew)
-    try // localCheckpoint is eager: materialized before release fires
+    try { // localCheckpoint is eager: materialized before release fires
+      val ext = lab.unionByName(newNodes)
       ext.join(hinted(altMap, broadcastNew),
           ext("component") === altMap("aid"), "left")
         .select(ext("id"),
           coalesce(col("acomp"), ext("component")).as("component"))
         .localCheckpoint()
-    finally release()
+    } finally release()
   }
 
   /** The UPSERT form of [[incremental]]: only the rows a stored labels
@@ -290,7 +291,7 @@ object ConnectedComponents {
       aCol: String,
       bCol: String,
       broadcastNew: Boolean = true): DataFrame = {
-    val (lab, newNodes, _, altMap, release) =
+    val (lab, newNodes, altMap, release) =
       foldPieces(labels, newEdges, aCol, bCol, broadcastNew)
     try {
       val changedOld = lab.join(hinted(altMap, broadcastNew),
@@ -318,11 +319,15 @@ object ConnectedComponents {
     if (broadcastNew) broadcast(df) else df
 
   /** Shared core of [[incremental]] / [[incrementalDelta]]: returns
-    * (existing labels, batch-introduced singleton rows, their union
-    * `ext` (persisted), the contracted-component relabel map — built by
-    * running CC on the batch-bounded contracted graph — and a release
-    * hook for the persisted inputs, to call after materializing any
-    * derived output).
+    * (existing labels, batch-introduced singleton rows, the
+    * contracted-component relabel map — built by running CC on the
+    * batch-bounded contracted graph — and a release hook for the
+    * persisted inputs, to call after materializing any derived
+    * output). The labels ∪ newNodes union is NOT materialized here:
+    * the delta path never reads it whole (only [[incremental]] does,
+    * and it derives the union itself), and persisting + counting it
+    * was a per-trigger O(corpus) scan-and-cache the maintenance loops
+    * paid for nothing.
     */
   private def foldPieces(
       labels: DataFrame,
@@ -330,7 +335,7 @@ object ConnectedComponents {
       aCol: String,
       bCol: String,
       broadcastNew: Boolean = true):
-      (DataFrame, DataFrame, DataFrame, DataFrame, () => Unit) = {
+      (DataFrame, DataFrame, DataFrame, () => Unit) = {
     // self-edges are kept in e0 (node derivation) and dropped only for
     // contraction: a batch node appearing ONLY in self-edges must still
     // get a singleton label row, exactly as [[run]] (whose minLabelLoop
@@ -361,37 +366,96 @@ object ConnectedComponents {
         .join(hinted(batchNodes, broadcastNew), Seq("id"), "left_semi")
         .localCheckpoint() // batch-bounded; consumed by anti + both
                            // contraction sides — one corpus scan total
+      // batch-bounded (anti join between two batch-bounded sets);
+      // localCheckpoint so its two consumers (the contraction's
+      // `touched` side and the caller's fresh-rows derivation) never
+      // recompute the probe
       val newNodes = batchNodes
         .join(hinted(seenLab.select(col("id")), broadcastNew),
           Seq("id"), "left_anti")
         .select(col("id"), col("id").as("component"))
-      val ext = lab.unionByName(newNodes).persist()
-      val releaseBoth = () => { ext.unpersist(); e0.unpersist(); () }
-      try {
-        ext.count()
-        // every batch-incident node's label, batch-bounded by
-        // construction (probed existing labels + fresh singletons)
-        val touched = seenLab.unionByName(newNodes)
-        val la = touched.select(col("id").as("ia"), col("component").as("ca"))
-        val lb = touched.select(col("id").as("ib"), col("component").as("cb"))
-        val contracted = e
-          .join(hinted(la, broadcastNew), e("src") === col("ia"))
-          .join(hinted(lb, broadcastNew), e("dst") === col("ib"))
-          .select(col("ca").as("u"), col("cb").as("w"))
-          .filter(col("u") =!= col("w"))
-          .distinct()
-        // the contracted graph is batch-bounded; min-label with the
-        // alternating fallback keeps adversarial topologies log-round
+        .localCheckpoint()
+      // every batch-incident node's label, batch-bounded by
+      // construction (probed existing labels + fresh singletons)
+      val touched = seenLab.unionByName(newNodes)
+      val la = touched.select(col("id").as("ia"), col("component").as("ca"))
+      val lb = touched.select(col("id").as("ib"), col("component").as("cb"))
+      val contracted = e
+        .join(hinted(la, broadcastNew), e("src") === col("ia"))
+        .join(hinted(lb, broadcastNew), e("dst") === col("ib"))
+        .select(col("ca").as("u"), col("cb").as("w"))
+        .filter(col("u") =!= col("w"))
+        .distinct()
+      // the contracted graph is batch-bounded; at streaming cadence it
+      // is DRIVER-SIZED, and the iterative CC's multi-round job chain
+      // (persist/count per round) was the single largest fixed cost of
+      // a maintenance trigger (TriggerProfile: ~2.5 s of a ~7 s tiny
+      // trigger). Union-find on the collected edge list produces the
+      // identical min-label result in one collect + one parallelize;
+      // over-cap or non-broadcast (backfill) graphs keep the
+      // log-round distributed path.
+      val altMap = driverAltMap(contracted, broadcastNew).getOrElse {
         val (alt, _) = runAdaptive(contracted, "u", "w")
-        val altMap =
-          alt.select(col("id").as("aid"), col("component").as("acomp"))
-        // e0 stays persisted until release: newNodes (and so ext's
-        // second consumer in the delta path) still derives from it.
-        // A failing session must not accumulate edge-list copies in
-        // executor storage, so every throw path releases too.
-        (lab, newNodes, ext, altMap, releaseBoth)
-      } catch { case t: Throwable => ext.unpersist(); throw t }
+        alt.select(col("id").as("aid"), col("component").as("acomp"))
+      }
+      // e0 stays persisted until release: a caller's derived frames may
+      // still reference it. A failing session must not accumulate
+      // edge-list copies in executor storage, so the throw path
+      // releases too.
+      (lab, newNodes, altMap, release)
     } catch { case t: Throwable => release(); throw t }
+  }
+
+  /** Edge cap for [[driverAltMap]]'s collect: 1M (u, w) long pairs
+    * ≈ 16 MB on the driver — the same size class as the broadcast the
+    * caller already builds from the result. Streaming-cadence
+    * contracted graphs are orders of magnitude below this.
+    */
+  private val DriverCcEdgeCap = 1 << 20
+
+  /** Min-label components of a BATCH-BOUNDED contracted graph computed
+    * driver-side — `(aid, acomp)` rows identical to
+    * `runAdaptive(contracted).select(id, component)`: union-find over
+    * the collected edges, each node labeled the minimum id reachable
+    * from it. Engaged only when the caller asserted broadcast-sized
+    * batches (`enabled`), both columns are LongType, and the edge list
+    * is under [[DriverCcEdgeCap]]; `None` otherwise (the distributed
+    * path recomputes `contracted` from its persisted inputs — two
+    * broadcast joins, no corpus work).
+    */
+  private def driverAltMap(
+      contracted: DataFrame, enabled: Boolean): Option[DataFrame] = {
+    if (!enabled) return None
+    if (!contracted.schema.fields.forall(_.dataType ==
+        org.apache.spark.sql.types.LongType)) return None
+    val rows = contracted.limit(DriverCcEdgeCap + 1).collect()
+    if (rows.length > DriverCcEdgeCap) return None
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { // path halving
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    rows.foreach { r =>
+      val (ru, rw) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (ru != rw) parent.put(math.max(ru, rw), math.min(ru, rw))
+    }
+    // second pass: min reachable id per root, then node -> that min.
+    // Roots are already the min of their component (unions always
+    // point larger -> smaller), so find(x) IS the min-label.
+    val nodes = new java.util.HashSet[Long]()
+    rows.foreach { r => nodes.add(r.getLong(0)); nodes.add(r.getLong(1)) }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](nodes.size)
+    nodes.forEach(n => out += ((n, find(n))))
+    val spark = contracted.sparkSession
+    import spark.implicits._
+    Some(out.toSeq.toDF("aid", "acomp"))
   }
 
   /** Large-star: per node u over the symmetrized edge list, link every

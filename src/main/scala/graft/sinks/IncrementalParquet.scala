@@ -51,6 +51,110 @@ import org.apache.spark.sql.functions.{col, lit, pmod}
   */
 object IncrementalParquet {
 
+  /** Layout pin file name — a `_`-prefixed sibling of the partition
+    * dirs (parquet readers ignore it) holding the table's BIRTH layout
+    * as `k=v` lines: the sort-cluster columns (`sort=bucket,band`) and
+    * any caller-domain properties (the dedup tables pin their doc-hash
+    * bucket count as `buckets=N`). The pin exists because both are
+    * functions baked into the stored BYTES: compaction must preserve
+    * the clustering it cannot see, and a bucket-pruned read against a
+    * table born under a different `graft.dedup.buckets` would silently
+    * mis-prune (drop matching rows with no error). Written create-once
+    * at the first append; later writers verify against it and fail
+    * loudly on drift instead of corrupting the layout.
+    */
+  private val LayoutPin = "_graft_layout"
+
+  /** Read the layout pin as a property map (empty when absent). */
+  def readLayout(spark: SparkSession, dirStr: String): Map[String, String] = {
+    val dir = new Path(dirStr)
+    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    readLayout(fs, dir)
+  }
+
+  private def readLayout(fs: FileSystem, dir: Path): Map[String, String] = {
+    val pin = new Path(dir, LayoutPin)
+    if (!fs.exists(pin)) Map.empty
+    else {
+      val in = fs.open(pin)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.contains('='))
+        .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
+        .toMap
+      finally in.close()
+    }
+  }
+
+  /** The pinned sort-cluster columns of a table (empty when unpinned). */
+  private def pinnedSort(fs: FileSystem, dir: Path): Seq[String] =
+    readLayout(fs, dir).get("sort").toSeq
+      .flatMap(_.split(',')).filter(_.nonEmpty)
+
+  /** Create-once pin write (temp file + rename, never partially
+    * visible); when a pin already exists, verify the caller's layout
+    * matches it and fail loudly on drift — a mid-lifetime sort or
+    * bucket-count change cannot be honored against bytes written under
+    * the old layout.
+    */
+  private def pinLayout(
+      fs: FileSystem, dir: Path, props: Map[String, String]): Unit = {
+    if (props.isEmpty) return
+    val existing = readLayout(fs, dir)
+    if (existing.nonEmpty) {
+      val drift = props.filter { case (k, v) => existing.get(k).exists(_ != v) }
+      if (drift.nonEmpty)
+        throw new IllegalStateException(
+          s"$dir layout pin mismatch: table was created with " +
+            s"${existing.mkString(", ")} but this writer expects " +
+            s"${drift.mkString(", ")} — a layout property cannot change " +
+            "over a live table (rebuild it instead)")
+      return
+    }
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, s".$LayoutPin.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(props.toSeq.sorted.map { case (k, v) => s"$k=$v\n" }
+      .mkString.getBytes("UTF-8")) finally out.close()
+    val pin = new Path(dir, LayoutPin)
+    if (!fs.rename(tmp, pin) && !fs.exists(pin))
+      throw new IllegalStateException(s"rename $tmp -> $pin failed")
+  }
+
+  /** Write options for a sort-clustered index file set: small ROW
+    * GROUPS (256 KB in-memory buffer vs the 128 MB default) are what
+    * give a probe's pushed `In` filter skip-granularity — measured on
+    * this Spark, the vectorized reader skips at row-group min/max
+    * level only (parquet column-index page skipping does not engage),
+    * so a default-sized file is ONE group and a pushed filter skips
+    * nothing. 256 KB buffers ≈ 2–3k rows per group for these narrow
+    * index rows: a probing trigger reads ~the groups its keys land
+    * in, and the skip RATIO grows with the corpus (groups cover
+    * fewer key-space values as rows-per-key rise). Cost: more group
+    * footers per file — bounded, since files stay partition-sized and
+    * these tables are probe-optimized indexes, not scan tables.
+    */
+  private def clusteredWriteOpts(sortCols: Seq[String]): Map[String, String] =
+    if (sortCols.isEmpty) Map.empty
+    else Map(
+      "parquet.block.size" -> (256 * 1024).toString,
+      "parquet.page.row.count.limit" -> "4096")
+
+  /** `df` repartitioned to one shuffle task per `partCol` value and —
+    * when the table is sort-clustered — ordered by (partCol, sortCols)
+    * within each task, so every written file is internally sorted by
+    * the probe key and parquet page/row-group min/max stats carry tight
+    * ranges for pushed filters to skip on. The partCol prefix also
+    * satisfies the dynamic-partition writer's required ordering, so no
+    * second sort is inserted behind our back (which would destroy the
+    * clustering).
+    */
+  private def clustered(
+      df: DataFrame, partCol: String, sortCols: Seq[String]): DataFrame = {
+    val re = df.repartition(col(partCol))
+    if (sortCols.isEmpty) re
+    else re.sortWithinPartitions((partCol +: sortCols).map(col): _*)
+  }
+
   /** Install `batchRows` (hive-partitioned on `partCol`) into `dirStr`
     * exactly once for `batchId` — see the object doc for the protocol.
     * `batchRows` is by-name: a replay of an acked batch never
@@ -62,9 +166,16 @@ object IncrementalParquet {
     * dominant fragmentation source a long-running stream feeds
     * [[compactMinor]]). The shuffle this inserts is batch-sized, never
     * table-sized.
+    *
+    * `sortCols` sort-clusters the installed files by the table's probe
+    * key (see [[LayoutPin]]) and pins it; `pinExtra` adds caller-domain
+    * layout properties to the same pin. Both verified against an
+    * existing pin — drift fails loudly.
     */
   def appendIdempotent(spark: SparkSession, dirStr: String, partCol: String,
-      batchId: Long)(batchRows: => DataFrame): Unit = {
+      batchId: Long, sortCols: Seq[String] = Nil,
+      pinExtra: Map[String, String] = Map.empty)(
+      batchRows: => DataFrame): Unit = {
     val dir = new Path(dirStr)
     val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
     // heal compaction crash state FIRST, every trigger: a crashed full
@@ -86,10 +197,14 @@ object IncrementalParquet {
     }
     val marker = new Path(dir, s"_ingested/b$batchId")
     if (fs.exists(marker)) return // acked: this batch is fully installed
+    pinLayout(fs, dir,
+      (if (sortCols.nonEmpty) Map("sort" -> sortCols.mkString(","))
+       else Map.empty[String, String]) ++ pinExtra)
     val stage = new Path(dir.getParent, s".${dir.getName}.ingest-b$batchId")
     fs.delete(stage, true)
-    batchRows.repartition(col(partCol))
-      .write.mode("overwrite").partitionBy(partCol).parquet(stage.toString)
+    clustered(batchRows, partCol, sortCols)
+      .write.mode("overwrite").options(clusteredWriteOpts(sortCols))
+      .partitionBy(partCol).parquet(stage.toString)
     fs.listStatus(stage)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
       .foreach { partDir =>
@@ -196,7 +311,9 @@ object IncrementalParquet {
   def buildViaLifecycle(
       memo: java.util.concurrent.ConcurrentHashMap[String, String],
       key: String, tmpPrefix: String,
-      source: => DataFrame, idCol: String, partCol: String)(
+      source: => DataFrame, idCol: String, partCol: String,
+      sortCols: Seq[String] = Nil,
+      pinExtra: Map[String, String] = Map.empty)(
       transform: DataFrame => DataFrame): String =
     graft.core.Tables.memoizedParquet(memo, key, tmpPrefix) { out =>
       // by-name source: a memo-hit serve never constructs the DataFrame
@@ -204,10 +321,11 @@ object IncrementalParquet {
       val spark = src.sparkSession
       // pmod, not %: Spark's % keeps the dividend's sign, so a plain
       // `% 2 === 1` split would silently drop negative odd ids
-      transform(src.filter(pmod(col(idCol), lit(2)) === 0))
-        .repartition(col(partCol))
-        .write.mode("overwrite").partitionBy(partCol).parquet(out)
-      appendIdempotent(spark, out, partCol, 1L) {
+      clustered(transform(src.filter(pmod(col(idCol), lit(2)) === 0)),
+          partCol, sortCols)
+        .write.mode("overwrite").options(clusteredWriteOpts(sortCols))
+        .partitionBy(partCol).parquet(out)
+      appendIdempotent(spark, out, partCol, 1L, sortCols, pinExtra) {
         transform(src.filter(pmod(col(idCol), lit(2)) === 1))
       }
       compact(spark, out, partCol)(s => Int.box(s.toInt))
@@ -314,10 +432,17 @@ object IncrementalParquet {
 
     val stage = new Path(dir.getParent, s".${dir.getName}.minor")
     fs.delete(stage, true)
-    spark.read.option("basePath", dirStr)
-      .parquet(toAbsorb.flatMap(_._2).map(_.toString): _*)
-      .repartition(col(partCol))
-      .write.mode("overwrite").partitionBy(partCol).parquet(stage.toString)
+    // re-cluster by the PINNED sort columns: absorption concatenates
+    // per-batch files whose individual orderings do not compose, so
+    // without the re-sort every minor firing would erode the page-stat
+    // tightness the probes' pushed filters skip on
+    val sortCols = pinnedSort(fs, dir)
+    clustered(
+      spark.read.option("basePath", dirStr)
+        .parquet(toAbsorb.flatMap(_._2).map(_.toString): _*),
+      partCol, sortCols)
+      .write.mode("overwrite").options(clusteredWriteOpts(sortCols))
+      .partitionBy(partCol).parquet(stage.toString)
     fs.listStatus(stage)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
       .foreach { partDir =>
@@ -535,11 +660,15 @@ object IncrementalParquet {
     if (fragmented.isEmpty) return 0
 
     // partition-pruned read of ONLY the fragmented values; one shuffle
-    // task per value => one output file per partition
-    spark.read.parquet(dirStr)
-      .filter(col(partCol).isin(fragmented.map(partValue): _*))
-      .repartition(col(partCol))
-      .write.partitionBy(partCol).parquet(stage.toString)
+    // task per value => one output file per partition, re-sorted by the
+    // pinned cluster columns so a full rewrite keeps the probe layout
+    val sortCols = pinnedSort(fs, dir)
+    clustered(
+      spark.read.parquet(dirStr)
+        .filter(col(partCol).isin(fragmented.map(partValue): _*)),
+      partCol, sortCols)
+      .write.options(clusteredWriteOpts(sortCols))
+      .partitionBy(partCol).parquet(stage.toString)
 
     fs.mkdirs(retiredDir)
     fragmented.foreach { v =>

@@ -454,8 +454,21 @@ object Upsert {
     // see upsertParquetPartitioned), recovery would then depend on the
     // caller re-passing the original count — the pin must simply never
     // vanish once written.
-    org.apache.hadoop.fs.FileContext.getFileContext(dest.toUri, fs.getConf)
-      .rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    try
+      org.apache.hadoop.fs.FileContext.getFileContext(dest.toUri, fs.getConf)
+        .rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        // no AbstractFileSystem binding for this scheme (e.g. s3a
+        // without fs.AbstractFileSystem.s3a.impl): fall back to
+        // delete+rename. The pinless crash window this reopens is the
+        // pre-round-9 shape — recoverable via the loud rehash-adopt
+        // path — and strictly better than failing every pin write on
+        // such filesystems.
+        fs.delete(dest, false)
+        if (!fs.rename(tmp, dest))
+          throw new IllegalStateException(s"rename $tmp -> $dest failed")
+    }
   }
 
   /** Partition-pruned parquet upsert — the engine-managed-table path

@@ -145,6 +145,31 @@ class BenchSpec extends AnyFunSuite {
     assert(i120 >= 0 && i001 > i120, "queries not sorted slowest-first")
   }
 
+  test("regression gate: sidecar round-trips through parse + diff") {
+    val prevResults = Map("q_fast" -> 0.050, "q_ok" -> 1.000,
+      "q_bad" -> 4.000, "q_gone" -> 2.000)
+    val doc = Bench.renderFull(prevResults, "/tmp/sf0.1", calib = Some(0.09))
+    val prev = Bench.parseFullQueries(doc)
+    // parse recovers every query wall (meta fields like "value" ride
+    // along harmlessly — regressions() intersects by name)
+    prevResults.foreach { case (k, v) =>
+      assert(math.abs(prev(k) - v) < 1e-9, k)
+    }
+    val cur = Map(
+      "q_fast" -> 0.120, // 2.4x but +0.07 s: under the floor, not flagged
+      "q_ok" -> 1.100,   // +10%: under the ratio, not flagged
+      "q_bad" -> 4.550,  // the round-9 shape: x1.14... under ratio
+      "q_new" -> 9.000)  // no baseline: never flagged
+    assert(Bench.regressions(prev, Map("q_bad" -> 5.000)) ==
+      Seq(("q_bad", 4.000, 5.000)), "x1.25 +1.0s must flag")
+    assert(Bench.regressions(prev, cur).isEmpty,
+      "floor/ratio guards must hold")
+    // worst-absolute-first ordering
+    val multi = Bench.regressions(prev,
+      Map("q_ok" -> 1.500, "q_bad" -> 6.000))
+    assert(multi.map(_._1) == Seq("q_bad", "q_ok"))
+  }
+
   test("the line carries calib as provenance and noisy as a failure signal") {
     val line = Bench.renderLine(Map("q_x" -> 1.234), "/tmp/sf0.1",
       calib = Some(0.0843), noise = Some(3.21))

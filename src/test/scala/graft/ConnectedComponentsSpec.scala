@@ -194,6 +194,40 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(same.as[(Long, Long)].collect().toMap == unionFind(old))
   }
 
+  test("driver union-find path == distributed path (broadcastNew flag)") {
+    import spark.implicits._
+    // broadcastNew=true engages the driver-side union-find shortcut on
+    // the contracted graph; false keeps the distributed runAdaptive.
+    // Both must produce the identical min-reachable-id labeling — the
+    // backfill escape hatch cannot change results.
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(100 + seed)
+      val n = 40
+      val edges = Seq.fill(30)(
+        (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+        .filter { case (a, b) => a != b }
+      val (old, batch) = edges.partition { case (a, b) => (a + b) % 2 == 0 }
+      val base = ConnectedComponents.runAdaptive(
+        old.toDF("a", "b"), "a", "b")._1
+      val viaDriver = ConnectedComponents.incremental(
+        base, batch.toDF("a", "b"), "a", "b", broadcastNew = true)
+        .as[(Long, Long)].collect().toMap
+      val viaCluster = ConnectedComponents.incremental(
+        base, batch.toDF("a", "b"), "a", "b", broadcastNew = false)
+        .as[(Long, Long)].collect().toMap
+      assert(viaDriver == viaCluster, s"seed=$seed")
+      assert(viaDriver == unionFind(edges), s"seed=$seed vs oracle")
+      // delta form too
+      val dDriver = ConnectedComponents.incrementalDelta(
+        base, batch.toDF("a", "b"), "a", "b", broadcastNew = true)
+        .as[(Long, Long)].collect().toMap
+      val dCluster = ConnectedComponents.incrementalDelta(
+        base, batch.toDF("a", "b"), "a", "b", broadcastNew = false)
+        .as[(Long, Long)].collect().toMap
+      assert(dDriver == dCluster, s"seed=$seed delta")
+    }
+  }
+
   test("a batch node appearing only in self-edges folds as a singleton") {
     import spark.implicits._
     // run() labels a self-edge-only node as its own singleton (its

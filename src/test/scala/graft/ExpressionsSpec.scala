@@ -156,6 +156,23 @@ class ExpressionsSpec extends SparkSpec {
     rp.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("WindowFingerprints rejects >32-bit elements loudly (both paths)") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.windowFingerprints
+    // a 60-bit element (the elementHash60 shape) must FAIL, not wrap:
+    // h*pow would silently overflow long and corrupt every fingerprint
+    val bad = Seq(Seq(1L, 2L, 1L << 40, 4L)).toDF("hv")
+    val eCodegen = intercept[Exception] {
+      bad.select(windowFingerprints(col("hv"), 3)).collect()
+    }
+    assert(eCodegen.getMessage.contains("exceeds 32 bits") ||
+      Option(eCodegen.getCause).exists(_.getMessage.contains("exceeds 32 bits")))
+    // boundary: 2^32-1 is the largest legal element — must succeed
+    val edge = Seq(Seq((1L << 32) - 1, (1L << 32) - 1, 0L)).toDF("hv")
+    assert(edge.select(windowFingerprints(col("hv"), 3)).collect()
+      .head.getSeq[Long](0).nonEmpty)
+  }
+
   test("SimHash32: codegen == Scala oracle; empty → 0; near-dup close") {
     import spark.implicits._
     val data = (0 until 30).map(_ =>

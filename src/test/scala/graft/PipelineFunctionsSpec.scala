@@ -95,6 +95,27 @@ class PipelineFunctionsSpec extends SparkSpec {
     assert(out == "2023-09-09T09:50:32Z")
   }
 
+  test("quantizeLog2 absorbs 1-ulp libm differences (dyadic, exact)") {
+    import spark.implicits._
+    import graft.analytics.TextQueries.{quantizeLog2, Log2Grid}
+    // representative smoothed-bigram log-probs, plus values seeded one
+    // ulp apart (the cross-engine libm risk being closed): quantized
+    // twins must collapse to the SAME grid value
+    val base = Seq(math.log(3.0 / 7) / math.log(2), -9.965784284662087,
+      -0.07400058144377693, -17.3219280948874)
+    val pairs = base.flatMap(v => Seq((v, v), (v, Math.nextUp(v)),
+      (v, Math.nextDown(Math.nextUp(v)))))
+    val rows = pairs.toDF("a", "b")
+      .select(quantizeLog2(col("a")).as("qa"), quantizeLog2(col("b")).as("qb"))
+      .collect()
+    rows.foreach { r =>
+      val (qa, qb) = (r.getDouble(0), r.getDouble(1))
+      assert(qa == qb, s"1-ulp twin crossed the grid: $qa vs $qb")
+      // the scale/unscale round-trip is exact: qa is ON the 2^-30 grid
+      assert(qa * Log2Grid == math.floor(qa * Log2Grid), s"off-grid $qa")
+    }
+  }
+
   test("sanitize properties: bounded, no emails/digit-runs survive") {
     val strs = Gen.listOfN(80, Gen.oneOf(
       Gen.asciiPrintableStr,
