@@ -18,9 +18,10 @@ import graft.streaming.StreamingPipeline
   * probe's (id, sg) columns, the bucket-pruned shingle fetch, and the
   * relabel join — all sublinear-in-wall at these scales).
   *
-  * `args`: [lex|embed] [batches] [batchSize] — default `lex 16 20000`
-  * (embed default 16 × 20000 vectors). Compaction fires every 4
-  * batches, mirroring the stream wiring's cadence hook.
+  * `args`: [lex|embed] [batches] [batchSize] [buckets] [bits] —
+  * default `lex 16 20000` (embed default 16 × 20000 vectors, 4×16-bit
+  * bands). Compaction fires every 4 batches, mirroring the stream
+  * wiring's cadence hook.
   *
   * LEXICAL docs are deterministic splitmix-derived token soups (40
   * tokens from a 50k vocab). Every 7th doc is a near-copy of its
@@ -248,6 +249,14 @@ object MaintenanceProbe {
     val spark = graft.core.GraftSession.local("maint-probe", 32)
     if (args.length > 3) // bucket-count knob (round-9 verdict #4)
       spark.conf.set("graft.dedup.buckets", args(3).toInt.toString)
+    // band-width knob (embed only): candidate noise per trigger is
+    // bands·n·|batch|/2^bits, so at 1000:1 corpus:batch ratios the
+    // CANDIDATE set (not the batch) is what drives the verify fetch
+    // and the probe-pushdown key count — a deployment sizes bits so
+    // noise ≪ batch. Labels are bits-INVARIANT here (true pairs
+    // verify at any width; chance cosines never reach 0.8), so the
+    // checksum pins output identity across the knob.
+    val bits = if (args.length > 4) args(4).toInt else 16
     spark.range(1).count()
     if (mode == "backfill") {
       backfillProbe(spark, batches, m)
@@ -274,7 +283,7 @@ object MaintenanceProbe {
           // vector table, so its append is part of the timed trigger
           StreamingPipeline.maintainEmbedClusters(spark, index, labels,
             vectors.toString, vecs, b.toLong, threshold = 0.8,
-            bands = 4, bits = 16)
+            bands = 4, bits = bits)
           if (b % compactEvery == compactEvery - 1) {
             graft.analytics.DedupQueries.compactSignaturesMinor(spark, index)
             graft.analytics.DedupQueries
@@ -328,7 +337,7 @@ object MaintenanceProbe {
         val t1 = System.nanoTime()
         StreamingPipeline.maintainEmbedClusters(spark, index, labels,
           vectors.toString, vecs, batches.toLong, threshold = 0.8,
-          bands = 4, bits = 16)
+          bands = 4, bits = bits)
         (System.nanoTime() - t1) / 1e9
       case _ =>
         val docs = batchDocs(spark, batches.toLong, tinyM).localCheckpoint()

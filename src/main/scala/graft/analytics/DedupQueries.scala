@@ -1228,51 +1228,115 @@ object DedupQueries {
         col("fp"))
   }
 
+  private val storedSpanWindows =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** STORED exploded window table `(doc_id, pos, fp)` of a span
+    * corpus, fp-partitioned on disk — the signature-table discipline
+    * applied to the span family (round-9 verdict #3): the
+    * tokenize→SHA→kernel→posexplode derivation is the single most
+    * expensive pass in the span queries, and before this it was
+    * re-paid on every invocation of every span query (materialized
+    * only within a run via localCheckpoint). Now it is written ONCE
+    * per (corpus fingerprint, corpus variant) and every consumer —
+    * both `q_dedup_spans` variants, the removal query, and the
+    * streaming gate's distinct-fp index — serves from the parquet
+    * table with zero tokenizer/kernel work (PlanSpec pins it).
+    * `tag` distinguishes the planted-corpus variants sharing one
+    * source table.
+    */
+  private[graft] def spanWindowsPath(
+      s: SparkSession, dir: String, tag: String)(
+      corpus: => DataFrame): String =
+    graft.core.Tables.memoizedParquet(storedSpanWindows,
+      Tables.derivedStateKey(s, dir, "documents") + s"|spanwin-$tag",
+      "graft-span-windows") { out =>
+      explodedSpanWindows(corpus)
+        .repartition(col("fp"))
+        .write.parquet(s"$out/win")
+    } + "/win"
+
+  /** The stored window table of a span-corpus variant, as a DataFrame
+    * — what every span catalog query's serve path starts from.
+    */
+  private def spanWindowsServed(s: SparkSession, dir: String, tag: String)(
+      corpus: => DataFrame): DataFrame =
+    s.read.parquet(spanWindowsPath(s, dir, tag)(corpus))
+
+  /** Rewrite `corpus` with every span's doc_b occurrence deleted —
+    * the actionable half of `q_dedup_spans_removal`. Memory shape
+    * (round-9 verdict #6): per-doc AGGREGATION state is the doc's
+    * interval list, O(spans) — the previous formulation reassembled
+    * whole documents through `collect_list(struct(pos, tok))`, an
+    * O(doc-tokens) single-row buffer that made 1M-token documents a
+    * memory hazard. Token dropping + text rebuild run as scan-stage
+    * HOFs (filter-with-index + exists + array_join): per-row work
+    * O(tokens × spans), per-row width O(text) — the same class as any
+    * text expression. Intervals may overlap across diagonals; the
+    * per-token coverage test handles that without an interval merge.
+    * Zero-token docs are dropped (the SQL oracle's token explode
+    * never emits them). Output: (doc_id, n_removed, text_clean),
+    * whitespace-normalized like the oracle's string_agg.
+    */
+  private[graft] def removeSpans(
+      corpus: DataFrame, spans: DataFrame): DataFrame = {
+    val rm = spans.select(col("doc_b").as("doc_id"),
+        struct(col("start_b").as("s"),
+          (col("start_b") + col("span_len")).as("e")).as("iv"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("iv")).as("ivs"))
+    corpus
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .join(rm, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ts"),
+        coalesce(col("ivs"), array()).as("ivs"))
+      .withColumn("kept", filter(col("ts"), (_, i) =>
+        !exists(col("ivs"), iv =>
+          (i + 1) >= iv.getField("s") && (i + 1) < iv.getField("e"))))
+      .select(col("doc_id"),
+        (size(col("ts")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("text_clean"))
+  }
+
   private val storedSpanIndex =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Stored window-fingerprint index of the RAW documents corpus
     * (lowercased, no planted families) — the train side the streaming
-    * span-contamination gate probes: one row per distinct fingerprint.
-    * Built once per corpus fingerprint via the shared parquet memo.
-    * 100 TB shape: the distinct-fp table is bounded by corpus token
-    * count and shrinks under dedup; the gate's probe is a
+    * span-contamination gate probes: one row per distinct fingerprint,
+    * derived from the stored window table (one aggregation, no kernel
+    * recompute). 100 TB shape: the distinct-fp table is bounded by
+    * corpus token count and shrinks under dedup; the gate's probe is a
     * stream-static equi-join against it.
     */
   private[graft] def spanIndexPath(s: SparkSession, dir: String): String =
     graft.core.Tables.memoizedParquet(storedSpanIndex,
       Tables.derivedStateKey(s, dir, "documents") + "|spanidx",
       "graft-span-index") { out =>
-      explodedSpanWindows(
+      s.read.parquet(spanWindowsPath(s, dir, "raw") {
         t(s, dir, "documents")
-          .select(col("doc_id"), lower(col("text")).as("text")))
+          .select(col("doc_id"), lower(col("text")).as("text"))
+      })
         .select(col("fp")).distinct()
         .write.parquet(s"$out/index")
     } + "/index"
 
-  /** Shared span-dedup pipeline (Spark side): packed double-base
-    * window fingerprints -> posexplode -> optional df-cap (drop
-    * fingerprints in > maxDf distinct docs: boilerplate, not copies)
-    * -> self-equi-join on the 62-bit key -> gaps-and-islands merge per
-    * (pair, diagonal) into maximal spans. Both q_dedup_spans variants
-    * build on this; the oracle mirror is [[spanPipelineSql]].
+  /** Shared span-dedup pipeline (Spark side): the STORED window table
+    * (`byFp`, see [[spanWindowsPath]] — `(doc_id, pos, fp)` rows,
+    * fp-partitioned parquet) -> optional df-cap (drop fingerprints in
+    * > maxDf distinct docs: boilerplate, not copies) -> self-equi-join
+    * on the 62-bit key -> gaps-and-islands merge per (pair, diagonal)
+    * into maximal spans. Both q_dedup_spans variants build on this;
+    * the oracle mirror is [[spanPipelineSql]]. The self-join's two
+    * sides and (df form) the hot-fingerprint aggregation + anti-join
+    * probe all consume the one stored table — no tokenizer / SHA /
+    * kernel work appears in any serve plan (the round-9 shape paid the
+    * kernel+explode once per RUN via localCheckpoint; the store pays
+    * it once per CORPUS, like the signature and codes tables).
     */
-  private def spanPipeline(corpus: DataFrame, maxDf: Option[Int]): DataFrame = {
+  private def spanPipeline(byFp: DataFrame, maxDf: Option[Int]): DataFrame = {
     val k = SpanK
-    // materialize the exploded window table ONCE (fp-partitioned
-    // localCheckpoint — the batchVerifiedPairs discipline, and the
-    // Spark analog of Lee et al. materializing the suffix array):
-    // the self-join's two sides and (df form) the hot-fingerprint
-    // aggregation + anti-join probe all consume it, and without the
-    // cut each consumer re-derived the tokenizer+SHA+kernel explode
-    // below its own exchange — 4 Generate stages (plan-verified; AQE's
-    // stage-level exchange reuse does not unify them across the
-    // nested-broadcast stages even with identical subplans). The
-    // explicit fp partitioning means the pair join and the df agg
-    // need no further shuffle of the big side.
-    val byFp = explodedSpanWindows(corpus)
-      .repartition(col("fp"))
-      .localCheckpoint()
     val wf = maxDf match {
       case None => byFp
       case Some(cap) =>
@@ -1436,7 +1500,9 @@ object DedupQueries {
     // per-(pair, diagonal) island window.
     GraftQuery(
       "q_dedup_spans", spanPipelineSql(spanDupCorpusSql, None)) { (s, dir) =>
-      spanPipeline(spanDupCorpus(t(s, dir, "documents")), None)
+      spanPipeline(
+        spanWindowsServed(s, dir, "dup")(spanDupCorpus(t(s, dir, "documents"))),
+        None)
         .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
     },
 
@@ -1459,7 +1525,9 @@ object DedupQueries {
     GraftQuery(
       "q_dedup_spans_df",
       spanPipelineSql(spanBoilerplateCorpusSql, Some(SpanMaxDf))) { (s, dir) =>
-      spanPipeline(spanBoilerplateCorpus(t(s, dir, "documents")),
+      spanPipeline(
+        spanWindowsServed(s, dir, "boiler")(
+          spanBoilerplateCorpus(t(s, dir, "documents"))),
         Some(SpanMaxDf))
         .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
     },
@@ -1471,14 +1539,21 @@ object DedupQueries {
     // span, delete the occurrence in the HIGHER-id document (first
     // occurrence wins, the engine's encounter-order convention) and
     // emit the rewritten corpus. Pipeline: spans (shared seed
-    // pipeline) → explode each kept-side interval into its covered
-    // token positions → anti-join the corpus' (doc_id, pos, token)
-    // explode → reassemble text in position order. Every corpus doc
-    // is emitted (n_removed = 0 when untouched); a fully-consumed doc
-    // emits ''. Output mass is corpus-sized + removed-token mass —
-    // both linear. 100 TB shape: two narrow explodes, one equi
-    // anti-join on (doc_id, pos), one per-doc ordered fold — no
-    // all-pairs stage beyond the span seed itself.
+    // pipeline, served from the stored window table) → collect each
+    // doc's removed INTERVALS (one aggregation whose per-doc state is
+    // O(spans), NOT O(tokens) — the round-9 shape reassembled whole
+    // documents through a collect_list over every token, a per-row
+    // memory hazard at 1M-token docs) → join intervals back to the
+    // corpus (one row per doc) → drop covered tokens and rebuild the
+    // text with scan-stage HOFs (filter-with-index + array_join: row
+    // width stays O(text), like every other text expression, and
+    // nothing doc-sized ever sits in an aggregation buffer). Every
+    // corpus doc is emitted (n_removed = 0 when untouched); a
+    // fully-consumed doc emits ''. The oracle keeps its explicit
+    // token-explode + anti-join formulation — same rewritten corpus,
+    // independently derived. 100 TB shape: one span-bounded
+    // aggregation, one broadcast-or-shuffle join keyed by doc_id, one
+    // corpus scan — no token-granular shuffle at all.
     GraftQuery(
       "q_dedup_spans_removal", {
         s"""WITH sp AS (${spanPipelineSql(spanDupCorpusSql, None)}),
@@ -1504,29 +1579,11 @@ object DedupQueries {
            |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id
            |ORDER BY tot.doc_id""".stripMargin
       }) { (s, dir) =>
-      val corpus = spanDupCorpus(t(s, dir, "documents"))
-      val spans = spanPipeline(corpus, None)
-      val rm = spans.select(col("doc_b").as("doc_id"),
-        explode(sequence(col("start_b"),
-          col("start_b") + col("span_len") - 1)).as("pos"))
-        .distinct()
-      val tok = corpus.select(col("doc_id"),
-        posexplode(tokens(col("text"))).as(Seq("p0", "tok")))
-        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
-          col("tok"))
-      val kept = tok.join(rm, Seq("doc_id", "pos"), "left_anti")
-      val agg = kept.groupBy(col("doc_id"))
-        .agg(
-          array_join(transform(
-            sort_array(collect_list(struct(col("pos"), col("tok")))),
-            x => x.getField("tok")), " ").as("text_clean"),
-          count(lit(1)).as("n_kept"))
-      val tot = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_total"))
-      tot.join(agg, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          (col("n_total") - coalesce(col("n_kept"), lit(0L)))
-            .cast("long").as("n_removed"),
-          coalesce(col("text_clean"), lit("")).as("text_clean"))
+      removeSpans(
+        spanDupCorpus(t(s, dir, "documents")),
+        spanPipeline(
+          spanWindowsServed(s, dir, "dup")(
+            spanDupCorpus(t(s, dir, "documents"))), None))
         .orderBy(col("doc_id"))
     },
 

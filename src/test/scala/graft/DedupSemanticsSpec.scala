@@ -259,6 +259,33 @@ class DedupSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("span removal handles a 100k-token document without doc-sized agg state") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // round-9 verdict #6: the old reassembly collected every (pos, tok)
+    // of a doc into ONE aggregation row — O(doc tokens) buffer. The
+    // interval formulation bounds agg state by span count; this drives
+    // a 120k-token doc with scattered removal intervals through
+    // removeSpans and checks the rewrite against a Scala oracle.
+    val n = 120000
+    val toks = (1 to n).map(i => s"t$i")
+    val corpus = Seq((1L, toks.mkString(" ")), (2L, "a b c")).toDF("doc_id", "text")
+    // removal intervals on doc 1: [101,109), [105,120) (overlapping),
+    // [50000,50008), the tail [119993,120001); doc 2 untouched
+    val spans = Seq(
+      (0L, 1L, 1L, 101L, 8L), (0L, 1L, 1L, 105L, 15L),
+      (0L, 1L, 1L, 50000L, 8L), (0L, 1L, 1L, 119993L, 8L))
+      .toDF("doc_a", "doc_b", "start_a", "start_b", "span_len")
+    val out = graft.analytics.DedupQueries.removeSpans(corpus, spans)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val covered = (101 until 120).toSet ++ (50000 until 50008) ++
+      (119993 until 120001)
+    val expectKept = (1 to n).filterNot(covered).map(i => s"t$i")
+    assert(out(1L)._1 == covered.size.toLong)
+    assert(out(1L)._2 == expectKept.mkString(" "))
+    assert(out(2L) == ((0L, "a b c")))
+  }
+
   test("exact dedup collapses every planted exact copy") {
     val groups = run("q_dedup_exact").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

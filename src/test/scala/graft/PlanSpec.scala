@@ -66,6 +66,32 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("span family serves from the stored window table: no tokenizer/" +
+      "kernel recompute in any serve plan") {
+    // since round 10 the (doc_id, pos, fp) exploded window table is
+    // memoized per (corpus, variant) — spanWindowsPath — like the
+    // signature/codes/LM tables: the tokenize→SHA→window-kernel pass
+    // is paid once per corpus, and every span query's plan must read
+    // stored parquet with zero recompute (the kernel's prettyName is
+    // window_fingerprints_*; tokenization is regexp_extract_all).
+    for (q <- Seq("q_dedup_spans", "q_dedup_spans_df",
+        "q_dedup_spans_removal")) {
+      val p = plan(q)
+      assert(!p.contains("window_fingerprints"), s"$q re-runs the kernel")
+      assert(count(p, "sha2") == 0, s"$q recomputes SHA")
+      // the removal query legitimately tokenizes the CORPUS for the
+      // rewrite side (its text rebuild needs the tokens; the planted
+      // corpus's slice construction tokenizes too) — only the span
+      // SEED must be tokenizer-free, so ban re-tokenization for the
+      // two seed-only queries and rely on the kernel/SHA bans (the
+      // expensive stages) for removal
+      if (q != "q_dedup_spans_removal")
+        assert(count(p, "regexp_extract_all") == 0,
+          s"$q re-tokenizes in the seed path")
+      assert(p.contains("Scan parquet"), s"$q does not read the stored table")
+    }
+  }
+
   test("q_dedup_embed: banded sign-bucket blocking — no cartesian/BNL join") {
     val p = plan("q_dedup_embed")
     assert(!p.contains("CartesianProduct"), p.take(2000))
