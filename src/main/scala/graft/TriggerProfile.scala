@@ -17,7 +17,7 @@ import graft.streaming.StreamingPipeline
   * incremental CC delta, and the persisted-delta + partitioned-upsert
   * epilogue. Usage:
   *
-  *   runMain graft.TriggerProfile <maint-root-dir> [batchSize]
+  *   runMain graft.TriggerProfile <maint-root-dir> [batchSize] [warmTriggers]
   *
   * where `<maint-root-dir>` holds `index/`, `vectors/`, `labels/` from
   * a prior `MaintenanceProbe embed` run. The trigger uses a fresh huge
@@ -45,14 +45,17 @@ object TriggerProfile {
     def freshBatch(b: Long) =
       MaintenanceProbe.batchVecs(spark, b, m).localCheckpoint()
 
-    // WARM trigger first (one full loop pass, its own batch + id): the
-    // phase walls below must measure the loop, not first-trigger JIT /
-    // codegen / classloading
-    StreamingPipeline.maintainEmbedClusters(spark, index, labels,
-      vectors, freshBatch(8000000L / m), 2000000L, threshold = 0.8,
-      bands = 4, bits = 16)
+    // WARM triggers first (full loop passes, own batches + ids): the
+    // phase walls below must measure the loop's steady state, not
+    // first-trigger JIT / codegen / classloading — one pass leaves
+    // visible JIT residue in the measured trigger (round-11 calib)
+    val warm = if (args.length > 2) args(2).toInt else 3
+    for (i <- 0 until warm)
+      StreamingPipeline.maintainEmbedClusters(spark, index, labels,
+        vectors, freshBatch((8000000L + i * 100000L) / m), 2000000L + i,
+        threshold = 0.8, bands = 4, bits = 16)
 
-    val batchId = 2000001L
+    val batchId = 2100000L // above every warm trigger's id
     val batch = freshBatch(9000000L / m)
 
     def phase[A](name: String)(body: => A): A = {
@@ -85,9 +88,9 @@ object TriggerProfile {
         "id_a", "id_b", broadcastNew = true).localCheckpoint()
     }
     phase("delta_persist_upsert") {
-      val stored = graft.sinks.IncrementalParquet.batchScopedResult(
-        spark, s"$root/.labels.delta", batchId)(delta)
-      if (!stored.isEmpty)
+      val (stored, n) = graft.sinks.IncrementalParquet
+        .batchScopedResultCounted(spark, s"$root/.labels.delta", batchId)(delta)
+      if (n > 0)
         graft.sinks.Upsert.upsertParquetPartitioned(spark, stored, labels,
           key = "id", updateColumns = Seq("component"), numBuckets = 16)
     }

@@ -356,7 +356,16 @@ object DedupQueries {
       broadcastNew: Boolean = false): DataFrame = {
     val bn0 = bandKeys(newSig, Seq.empty)
       .select(col("b"), col("bsig"), col("doc_id").as("id_n"))
-    val bn = if (broadcastNew) broadcast(bn0) else bn0
+    crossBatchCandidatePairsFrom(
+      if (broadcastNew) broadcast(bn0) else bn0, corpusSig)
+  }
+
+  /** [[crossBatchCandidatePairs]] from an already-shaped batch band-key
+    * frame `(b, bsig, id_n)` — split out so the maintenance probe can
+    * supply a driver-collected LocalRelation as the batch side.
+    */
+  private def crossBatchCandidatePairsFrom(
+      bn: DataFrame, corpusSig: DataFrame): DataFrame = {
     val bc = bandKeys(corpusSig, Seq.empty)
       .select(col("b").as("b2"), col("bsig").as("bsig2"), col("doc_id").as("id_c"))
     bn.join(bc, col("b") === col("b2") && col("bsig") === col("bsig2") &&
@@ -523,35 +532,68 @@ object DedupQueries {
     ids.select(pmod(hash(col(idCol)), lit(n)).as("bkt"))
       .distinct().collect().map(r => Int.box(r.getInt(0))).toSeq
 
-  /** Distinct probe-key values of a batch-bounded frame, collected for
-    * parquet-pushdown pruning — `None` when the set exceeds `cap`
-    * (beyond ~the session's `In` pushdown threshold the pushed filter
-    * collapses to a min/max range anyway, so collecting more buys
-    * nothing; callers fall back to their join-only shape). The driver
-    * holds ≤ cap scalars: metadata-sized by construction, same class
-    * as [[bucketsOf]]'s collect.
+  /** Driver-side evaluation of `pmod(hash(id), n)` — the hash bucket of
+    * an id WITHOUT a Spark job, for probe key sets already collected to
+    * the driver. Must agree with the column form exactly (a divergent
+    * bucket silently prunes matching rows away), so it evaluates the
+    * SAME Catalyst expression the column plan compiles
+    * (`Murmur3Hash(seed = 42)`, what `functions.hash` resolves to);
+    * LayoutPinSpec pins the equality over random ids.
     */
-  private def probeKeys(
-      df: DataFrame, keyCol: String, cap: Int = 4096): Option[Seq[Any]] = {
-    val rows = df.select(col(keyCol)).distinct().limit(cap + 1).collect()
-    if (rows.length > cap) None else Some(rows.map(_.get(0)).toSeq)
+  private[graft] def hashBucketLocal(id: Long, n: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    math.floorMod(
+      Murmur3Hash(Seq(Literal(id)), 42).eval(null).asInstanceOf[Int], n)
   }
 
-  /** [[probeKeys]] + the ids' hash buckets in the SAME collect — the
-    * shingle/vector fetch needs both (partition prune on bkt, pushed
-    * `In` on id), and at streaming cadence every driver job is a
-    * visible slice of the trigger wall (TriggerProfile), so two
-    * collects over the same candidate set were one too many.
+  /** Cap on rows a batch-bounded frame may hold to be collected as a
+    * driver-local relation (1M rows ≈ the same size class as the
+    * broadcast the plan would otherwise build from it — collecting is
+    * never worse than broadcasting, which also stages through the
+    * driver). Conf-readable as a test seam (`graft.dedup.driverFrameCap`
+    * = 0 forces every fallback arm) and a deployment knob.
     */
-  private def probeIdKeys(ids: DataFrame, idCol: String, n: Int,
-      cap: Int = 4096): Option[(Seq[Any], Seq[Integer])] = {
-    val rows = ids
-      .select(col(idCol), pmod(hash(col(idCol)), lit(n)).as("bkt"))
-      .distinct().limit(cap + 1).collect()
+  private[graft] def frameCap(s: SparkSession): Int =
+    s.conf.get("graft.dedup.driverFrameCap", (1 << 20).toString).toInt
+
+  /** Max probe-key values pushed into a parquet scan as an `In`
+    * predicate. See [[keyPruned]] for the (512, 4096] band rationale.
+    */
+  private val ProbeKeyCap = 4096
+
+  /** Collect a batch-bounded frame once: the driver copy becomes a
+    * LocalRelation (joins against it broadcast for free — no build
+    * job) and its rows feed probe-key derivation without further Spark
+    * jobs. `None` when the frame exceeds `cap` — callers fall back to
+    * their distributed shape, re-evaluating the frame's lineage once
+    * (the documented broadcastBatch contract: `true` asserts
+    * batch-bounded inputs, so the over-cap arm is a backfill-misuse
+    * guard, not a hot path).
+    */
+  private def collectLocal(df: DataFrame, cap: Int):
+      Option[(Array[org.apache.spark.sql.Row], DataFrame)] = {
+    val rows = df.limit(cap + 1).collect()
     if (rows.length > cap) None
-    else Some((rows.map(_.get(0)).toSeq,
-      rows.map(r => Int.box(r.getInt(1))).distinct.toSeq))
+    else {
+      import scala.jdk.CollectionConverters._
+      Some((rows, df.sparkSession.createDataFrame(
+        rows.toSeq.asJava, df.schema)))
+    }
   }
+
+  // Probe key sets, candidate ids and their hash buckets all derive
+  // driver-side from the [[collectLocal]] copies now (round 11) — the
+  // separate probeKeys/probeIdKeys collect jobs this section used to
+  // hold are gone. [[ProbeKeyCap]] (4096) deliberately EXCEEDS the
+  // session's parquet `In` pushdown threshold (512, `GraftSession` —
+  // higher overflows parquet's recursive OR-tree evaluation, measured
+  // at 4000): key sets in (512, 4096] push down only as a min/max
+  // range, trading row-group skip quality for still avoiding the
+  // broadcast-semi fallback's build + exchange — the collected
+  // `isInCollection` predicate stays EXACT post-scan either way, and
+  // on sort-clustered files even the collapsed range skips groups
+  // outside [min(keys), max(keys)]. Results are identical across the
+  // whole band; only skip granularity degrades, and only there.
 
   /** `base` filtered to rows whose `keyCol` is in the collected key
     * set — an EXACT pushed-down predicate (parquet page/row-group
@@ -607,18 +649,43 @@ object DedupQueries {
     // side still contains the batch, so batch-self pairs are
     // unchanged.
     val batchSig = bucketedSignatures(batch, nBuckets)
+    // Only the batch's BAND KEYS (b, bsig, doc_id — 4 light rows/doc)
+    // drive the candidate probe; the verify's shingle sets come back
+    // from the STORED table, so the batch's heavy columns never leave
+    // the executors. At streaming cadence the band keys are
+    // driver-sized: collected ONCE as a LocalRelation, the probe
+    // join's broadcast build is free (no build job) — the kernel pass
+    // over the batch runs distributed inside the collect.
+    val bnPlan = bandKeys(batchSig, Seq.empty)
+      .select(col("b"), col("bsig"), col("doc_id").as("id_n"))
+    val bnLocal = if (broadcastBatch) collectLocal(bnPlan, frameCap(s)) else None
     // broadcast the batch's band keys by default: the stored table is
     // scanned, never exchanged — at micro-batch cadence the per-batch
     // corpus SHUFFLE is what would accumulate, not the scan. Pass
     // broadcastBatch = false for backfill-sized batches whose band
     // keys exceed broadcast limits; the join then shuffles both sides.
-    // localCheckpoint: the batch-bounded pair list feeds BOTH the
-    // candidate-bucket derivation and the verify joins — one probe.
-    val pairs = crossBatchCandidatePairs(batchSig, stored, broadcastBatch)
-      .localCheckpoint()
-    val candIds = pairs.select(col("doc_id_a").as("doc_id"))
-      .unionByName(pairs.select(col("doc_id_b").as("doc_id")))
-      .distinct()
+    val bn = bnLocal.map(x => broadcast(x._2))
+      .getOrElse(hinted(bnPlan, broadcastBatch))
+    val pairsPlan = crossBatchCandidatePairsFrom(bn, stored)
+    // the batch-bounded pair list feeds the candidate-id/key derivation
+    // AND the verify joins — one probe evaluation. Collected at
+    // streaming cadence (LocalRelation: candidate ids, their hash
+    // buckets and the pushed key set all derive driver-side with zero
+    // further jobs); over-cap falls back to the checkpointed shape.
+    val candLocal =
+      if (broadcastBatch) collectLocal(pairsPlan, frameCap(s)) else None
+    val pairs = candLocal.map(_._2).getOrElse(pairsPlan.localCheckpoint())
+    val candIdsLocal: Option[Seq[Long]] = candLocal.map { case (rows, _) =>
+      rows.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.toSeq
+    }
+    val candIds = candIdsLocal match {
+      case Some(ids) =>
+        import s.implicits._
+        ids.toDF("doc_id")
+      case None => pairs.select(col("doc_id_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_id_b").as("doc_id")))
+        .distinct()
+    }
     // ONE bucket-pruned shingle fetch (batch-bounded result),
     // materialized so joining it to both pair sides cannot re-scan the
     // stored table per side. At streaming cadence the candidate id set
@@ -630,13 +697,14 @@ object DedupQueries {
     // that made tiny-batch triggers corpus-proportional once bucket
     // pruning saturated. Over-cap key sets (backfill) fall back to the
     // broadcast-semi shape.
-    val candProbe =
-      if (broadcastBatch) probeIdKeys(candIds, "doc_id", nBuckets) else None
-    val candBkts = candProbe.map(_._2)
+    val idKeys: Option[Seq[Any]] =
+      candIdsLocal.filter(_.size <= ProbeKeyCap).map(_.map(Long.box))
+    val candBkts = candIdsLocal
+      .map(_.map(id => Int.box(hashBucketLocal(id, nBuckets))).distinct)
       .getOrElse(bucketsOf(candIds, "doc_id", nBuckets))
     val fetched = keyPruned(
       stored.filter(col("bkt").isin(candBkts: _*)),
-      "doc_id", candProbe.map(_._1))(
+      "doc_id", idKeys)(
       _.join(hinted(candIds, broadcastBatch), Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), col("shs"))
       .localCheckpoint()
@@ -944,11 +1012,15 @@ object DedupQueries {
     // kernel pass (no table IO) replaces a per-trigger stored-table
     // scan whose bucket pruning saturates at streaming batch sizes
     // (the round-9 32-batch probe attributed the series' drift to
-    // exactly this scan mass). localCheckpoint: the kernel output
-    // feeds the probe-key collection AND the join build side — one
-    // kernel pass per trigger.
-    val bb = bucketedSignBuckets(batch, bands, bits, nBuckets)
-      .localCheckpoint()
+    // exactly this scan mass). At streaming cadence the band rows are
+    // driver-sized: COLLECTED once (the kernel runs distributed inside
+    // the collect), they become a LocalRelation — the probe's pushed
+    // key set derives with no further job and the join's broadcast
+    // build is free. Over-cap (backfill misuse of broadcastBatch)
+    // falls back to the checkpointed shape, re-paying the kernel once.
+    val bbPlan = bucketedSignBuckets(batch, bands, bits, nBuckets)
+    val bbLocal = if (broadcastBatch) collectLocal(bbPlan, frameCap(s)) else None
+    val bb = bbLocal.map(_._2).getOrElse(bbPlan.localCheckpoint())
     // broadcast the batch side by default, for the same reason as the
     // lexical mirror: corpus bucket rows are scanned, never exchanged
     // (broadcastBatch = false for backfill-sized batches). Stored
@@ -965,12 +1037,14 @@ object DedupQueries {
     // isolated; at streaming batch:corpus ratios the key set is far
     // smaller than the page count, and the skip ratio GROWS with the
     // corpus). Over-cap sets (backfill) collapse to the full scan.
-    val bucketKeys =
-      if (broadcastBatch) probeKeys(bb, "bucket") else None
+    val bucketKeys: Option[Seq[Any]] = bbLocal.map { case (rows, _) =>
+      val i = bbPlan.schema.fieldIndex("bucket")
+      rows.map(_.get(i)).distinct.toSeq
+    }.filter(_.size <= ProbeKeyCap)
     val b = keyPruned(stored, "bucket", bucketKeys)(identity)
       .select(col("band").as("band2"), col("bucket").as("bucket2"),
       col("vec_id").as("id_r"), col("nrm").as("nrm_r"))
-    val cand = a.join(b,
+    val candPlan = a.join(b,
         col("band") === col("band2") && col("bucket") === col("bucket2") &&
           col("id_l") =!= col("id_r"))
       .select(least(col("id_l"), col("id_r")).as("id_a"),
@@ -980,30 +1054,44 @@ object DedupQueries {
         when(col("id_l") < col("id_r"), col("nrm_r"))
           .otherwise(col("nrm_l")).as("nb"))
       .distinct()
-      .localCheckpoint() // batch-bounded; feeds the candidate-id
-                         // derivation AND both verify joins — one probe
+    // batch-bounded; feeds the candidate-id derivation AND both verify
+    // joins — one probe evaluation, collected at streaming cadence
+    // (ids, hash buckets and the pushed key set then derive
+    // driver-side with zero further jobs); over-cap → checkpoint.
+    val candLocal =
+      if (broadcastBatch) collectLocal(candPlan, frameCap(s)) else None
+    val cand = candLocal.map(_._2).getOrElse(candPlan.localCheckpoint())
     // ONE bucket-pruned pass over the loop-owned vector table:
     // candidate ids alone determine which bkt= partitions can hold
     // their vectors, so only candidate-touching buckets are read —
     // broadcast-semi down to the candidate ids, then both sides join
     // the batch-bounded materialized fetch.
-    val candIds = cand.select(col("id_a").as("vec_id"))
-      .unionByName(cand.select(col("id_b").as("vec_id")))
-      .distinct()
+    val candIdsLocal: Option[Seq[Long]] = candLocal.map { case (rows, _) =>
+      rows.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.toSeq
+    }
+    val candIds = candIdsLocal match {
+      case Some(ids) =>
+        import s.implicits._
+        ids.toDF("vec_id")
+      case None => cand.select(col("id_a").as("vec_id"))
+        .unionByName(cand.select(col("id_b").as("vec_id")))
+        .distinct()
+    }
     // candidate ids pushed into the vector scan as an exact `In`
     // predicate (it IS the semi join's key set): vec_id-sorted files
     // give row-group skipping tight ranges, so the fetch reads ~the
     // groups its ids land in, not every candidate-bucket file whole —
     // the second corpus-proportional per-trigger term. Over-cap →
-    // semi join. One collect yields ids AND their bkt partitions.
+    // semi join.
     val nv = tableBuckets(s, vecsDir)
-    val candProbe =
-      if (broadcastBatch) probeIdKeys(candIds, "vec_id", nv) else None
-    val candBkts = candProbe.map(_._2)
+    val idKeys: Option[Seq[Any]] =
+      candIdsLocal.filter(_.size <= ProbeKeyCap).map(_.map(Long.box))
+    val candBkts = candIdsLocal
+      .map(_.map(id => Int.box(hashBucketLocal(id, nv))).distinct)
       .getOrElse(bucketsOf(candIds, "vec_id", nv))
     val vecs = keyPruned(
       s.read.parquet(vecsDir).filter(col("bkt").isin(candBkts: _*)),
-      "vec_id", candProbe.map(_._1))(
+      "vec_id", idKeys)(
       _.join(hinted(candIds, broadcastBatch), Seq("vec_id"), "left_semi"))
       .select(col("vec_id"), col("embedding"))
       .localCheckpoint()

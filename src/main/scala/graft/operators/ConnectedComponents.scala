@@ -336,6 +336,20 @@ object ConnectedComponents {
       bCol: String,
       broadcastNew: Boolean = true):
       (DataFrame, DataFrame, DataFrame, () => Unit) = {
+    // Streaming-cadence fast path: when the caller asserted
+    // batch-bounded edges, the WHOLE fold preamble (batch nodes, seen
+    // labels, contraction, min-label components) runs on driver-local
+    // data in TWO Spark jobs — collect the batch edges, then a pushed
+    // `In` fetch of the touched labels — instead of the distributed
+    // preamble's five-plus (edge persist+count, seen-label checkpoint,
+    // new-node checkpoint, contracted-CC collect, broadcast builds).
+    // At a maintenance trigger's scale every job is a visible slice of
+    // the wall (TriggerProfile round 11); the fixed floor was job
+    // count, not data.
+    if (broadcastNew) {
+      val d = foldPiecesDriver(labels, newEdges, aCol, bCol)
+      if (d.isDefined) return d.get
+    }
     // self-edges are kept in e0 (node derivation) and dropped only for
     // contraction: a batch node appearing ONLY in self-edges must still
     // get a singleton label row, exactly as [[run]] (whose minLabelLoop
@@ -406,12 +420,105 @@ object ConnectedComponents {
     } catch { case t: Throwable => release(); throw t }
   }
 
-  /** Edge cap for [[driverAltMap]]'s collect: 1M (u, w) long pairs
-    * ≈ 16 MB on the driver — the same size class as the broadcast the
-    * caller already builds from the result. Streaming-cadence
-    * contracted graphs are orders of magnitude below this.
+  /** Edge cap for the driver-side collects ([[driverAltMap]],
+    * [[foldPiecesDriver]]): 1M (u, w) long pairs ≈ 16 MB on the driver
+    * — the same size class as the broadcast the caller already builds
+    * from the result. Streaming-cadence batch graphs are orders of
+    * magnitude below this. Conf-readable (`graft.cc.driverEdgeCap`) as
+    * a test seam for forcing the distributed arms.
     */
   private val DriverCcEdgeCap = 1 << 20
+
+  private def driverEdgeCap(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get("graft.cc.driverEdgeCap", DriverCcEdgeCap.toString).toInt
+
+  /** Union-find min-label over a driver-local edge list — the shared
+    * core of [[driverAltMap]] and [[foldPiecesDriver]]: returns a
+    * find() whose fixed point labels every node the minimum id
+    * reachable from it (unions always point larger → smaller, so roots
+    * ARE component minima).
+    */
+  private def unionFind(edges: Array[(Long, Long)]): Long => Long = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { // path halving
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    edges.foreach { case (u, w) =>
+      val (ru, rw) = (find(u), find(w))
+      if (ru != rw) parent.put(math.max(ru, rw), math.min(ru, rw))
+    }
+    find
+  }
+
+  /** The driver-side fast path of [[foldPieces]]: collect the batch's
+    * distinct edges (≤ [[DriverCcEdgeCap]]), fetch the labels of
+    * exactly the batch-incident nodes with one pushed-`In` scan, then
+    * run contraction + min-label union-find on plain driver data. The
+    * returned pieces are LocalRelations (joins against them broadcast
+    * with no build job) and are row-identical to the distributed
+    * preamble's — `ConnectedComponentsSpec`/`ClusterMaintenanceSpec`
+    * pin fold == full-recompute across both arms. `None` when the
+    * batch exceeds the cap or the id columns are not Long (the
+    * distributed path then re-evaluates the edge lineage — its
+    * upstream frames are checkpointed by the pair probes, so the
+    * re-evaluation is join-only).
+    */
+  private def foldPiecesDriver(
+      labels: DataFrame,
+      newEdges: DataFrame,
+      aCol: String,
+      bCol: String): Option[(DataFrame, DataFrame, DataFrame, () => Unit)] = {
+    val spark = labels.sparkSession
+    val proj = newEdges.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val longOnly = (proj.schema.fields ++ labels.schema.fields).forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (!longOnly) return None
+    val cap = driverEdgeCap(spark)
+    val rows = proj.distinct().limit(cap + 1).collect()
+    if (rows.length > cap) return None
+    val edges = rows.map(r => (r.getLong(0), r.getLong(1)))
+    // batch nodes — self-edge-only nodes included (they still need a
+    // singleton label row, matching the distributed path's e0)
+    val nodeSet = new java.util.LinkedHashSet[Long]()
+    edges.foreach { case (u, w) => nodeSet.add(u); nodeSet.add(w) }
+    val nodes = new Array[Long](nodeSet.size)
+    var i = 0
+    nodeSet.forEach { n => nodes(i) = n; i += 1 }
+    val lab = labels.select(col("id"), col("component"))
+    // ONE scan fetches the (id, component) rows of every batch-incident
+    // node: the id set is pushed into the labels read as an exact `In`
+    // predicate (the driver mirror of the old broadcast-semi probe)
+    val seen: java.util.HashMap[Long, Long] = {
+      val m = new java.util.HashMap[Long, Long]()
+      if (nodes.nonEmpty)
+        lab.filter(col("id").isInCollection(nodes.toSeq))
+          .collect().foreach(r => m.put(r.getLong(0), r.getLong(1)))
+      m
+    }
+    def comp(n: Long): Long = seen.getOrDefault(n, n)
+    // contraction: endpoints → current components; in-component edges
+    // drop as self-loops exactly like the distributed contraction
+    val contracted = edges.collect {
+      case (u, w) if u != w && comp(u) != comp(w) => (comp(u), comp(w))
+    }
+    val find = unionFind(contracted)
+    val altNodes = new java.util.LinkedHashSet[Long]()
+    contracted.foreach { case (u, w) => altNodes.add(u); altNodes.add(w) }
+    val alt = new scala.collection.mutable.ArrayBuffer[(Long, Long)](altNodes.size)
+    altNodes.forEach(n => alt += ((n, find(n))))
+    val fresh = nodes.filterNot(seen.containsKey).map(n => (n, n)).toSeq
+    import spark.implicits._
+    Some((lab, fresh.toDF("id", "component"),
+      alt.toSeq.toDF("aid", "acomp"), () => ()))
+  }
 
   /** Min-label components of a BATCH-BOUNDED contracted graph computed
     * driver-side — `(aid, acomp)` rows identical to
@@ -428,29 +535,15 @@ object ConnectedComponents {
     if (!enabled) return None
     if (!contracted.schema.fields.forall(_.dataType ==
         org.apache.spark.sql.types.LongType)) return None
-    val rows = contracted.limit(DriverCcEdgeCap + 1).collect()
-    if (rows.length > DriverCcEdgeCap) return None
-    val parent = new java.util.HashMap[Long, Long]()
-    def find(x0: Long): Long = {
-      var x = x0
-      var p = parent.getOrDefault(x, x)
-      while (p != x) { // path halving
-        val gp = parent.getOrDefault(p, p)
-        parent.put(x, gp)
-        x = gp
-        p = parent.getOrDefault(x, x)
-      }
-      x
-    }
-    rows.foreach { r =>
-      val (ru, rw) = (find(r.getLong(0)), find(r.getLong(1)))
-      if (ru != rw) parent.put(math.max(ru, rw), math.min(ru, rw))
-    }
-    // second pass: min reachable id per root, then node -> that min.
-    // Roots are already the min of their component (unions always
-    // point larger -> smaller), so find(x) IS the min-label.
+    val cap = driverEdgeCap(contracted.sparkSession)
+    val rows = contracted.limit(cap + 1).collect()
+    if (rows.length > cap) return None
+    val edges = rows.map(r => (r.getLong(0), r.getLong(1)))
+    // find(x) IS the min-label: roots are component minima by
+    // construction ([[unionFind]])
+    val find = unionFind(edges)
     val nodes = new java.util.HashSet[Long]()
-    rows.foreach { r => nodes.add(r.getLong(0)); nodes.add(r.getLong(1)) }
+    edges.foreach { case (u, w) => nodes.add(u); nodes.add(w) }
     val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](nodes.size)
     nodes.forEach(n => out += ((n, find(n))))
     val spark = contracted.sparkSession

@@ -65,7 +65,13 @@ object IncrementalParquet {
     */
   private val LayoutPin = "_graft_layout"
 
-  /** Read the layout pin as a property map (empty when absent). */
+  /** Read the layout pin as a property map (empty when absent). Falls
+    * back to the rename-aside backup ([[writePinAtomic]]) when the
+    * primary is missing: a crash between "park old pin aside" and
+    * "install new pin" must not make the table look unpinned (an
+    * unpinned read would fall back to the session conf — exactly the
+    * mis-prune the pin exists to prevent).
+    */
   def readLayout(spark: SparkSession, dirStr: String): Map[String, String] = {
     val dir = new Path(dirStr)
     val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
@@ -73,7 +79,10 @@ object IncrementalParquet {
   }
 
   private def readLayout(fs: FileSystem, dir: Path): Map[String, String] = {
-    val pin = new Path(dir, LayoutPin)
+    val primary = new Path(dir, LayoutPin)
+    val pin =
+      if (fs.exists(primary)) primary
+      else new Path(dir, s".$LayoutPin.bak")
     if (!fs.exists(pin)) Map.empty
     else {
       val in = fs.open(pin)
@@ -90,34 +99,125 @@ object IncrementalParquet {
     readLayout(fs, dir).get("sort").toSeq
       .flatMap(_.split(',')).filter(_.nonEmpty)
 
-  /** Create-once pin write (temp file + rename, never partially
-    * visible); when a pin already exists, verify the caller's layout
-    * matches it and fail loudly on drift — a mid-lifetime sort or
-    * bucket-count change cannot be honored against bytes written under
-    * the old layout.
+  /** Pin write/verify at append time. When a pin exists: verify the
+    * caller's layout against it and fail loudly on drift — a
+    * mid-lifetime sort or bucket-count change cannot be honored against
+    * bytes written under the old layout; caller keys ABSENT from the
+    * pin are appended to it (rewrite via [[writePinAtomic]]), so the
+    * drift protection engages for a property first supplied after the
+    * table's birth instead of silently never persisting it. When no pin
+    * exists: create one, but ONLY for a genuinely newborn table (no
+    * committed data under any `partCol=` dir) — stamping a birth pin
+    * onto pre-existing bytes would certify whatever this session's conf
+    * happens to be as the layout those bytes were written under. A
+    * table creator that just produced the base bytes itself records
+    * them with [[adoptLayout]].
     */
-  private def pinLayout(
-      fs: FileSystem, dir: Path, props: Map[String, String]): Unit = {
+  private def pinLayout(fs: FileSystem, dir: Path, partCol: String,
+      props: Map[String, String]): Unit = {
     if (props.isEmpty) return
     val existing = readLayout(fs, dir)
     if (existing.nonEmpty) {
-      val drift = props.filter { case (k, v) => existing.get(k).exists(_ != v) }
-      if (drift.nonEmpty)
-        throw new IllegalStateException(
-          s"$dir layout pin mismatch: table was created with " +
-            s"${existing.mkString(", ")} but this writer expects " +
-            s"${drift.mkString(", ")} — a layout property cannot change " +
-            "over a live table (rebuild it instead)")
+      verifyAgainst(dir, existing, props)
+      val missing = props.filterNot { case (k, _) => existing.contains(k) }
+      if (missing.nonEmpty) writePinAtomic(fs, dir, existing ++ missing)
       return
     }
+    if (hasCommittedData(fs, dir, partCol))
+      throw new IllegalStateException(
+        s"$dir holds data files but no layout pin — refusing to stamp " +
+          s"${props.mkString(", ")} as its birth layout (the stored bytes " +
+          "may have been written under a different one). If this layout " +
+          "is known to match the bytes, record it explicitly with " +
+          "IncrementalParquet.adoptLayout.")
     fs.mkdirs(dir)
     val tmp = new Path(dir, s".$LayoutPin.tmp")
     val out = fs.create(tmp, true)
     try out.write(props.toSeq.sorted.map { case (k, v) => s"$k=$v\n" }
       .mkString.getBytes("UTF-8")) finally out.close()
     val pin = new Path(dir, LayoutPin)
-    if (!fs.rename(tmp, pin) && !fs.exists(pin))
-      throw new IllegalStateException(s"rename $tmp -> $pin failed")
+    if (!fs.rename(tmp, pin)) {
+      if (!fs.exists(pin))
+        throw new IllegalStateException(s"rename $tmp -> $pin failed")
+      // lost a create race: a concurrent first writer installed its pin
+      // between our read and our rename. Its layout won — verify OURS
+      // against it instead of proceeding on an unchecked assumption
+      // (two table-creators with different layouts must not both pass).
+      verifyAgainst(dir, readLayout(fs, dir), props)
+    }
+  }
+
+  private def verifyAgainst(dir: Path, existing: Map[String, String],
+      props: Map[String, String]): Unit = {
+    val drift = props.filter { case (k, v) => existing.get(k).exists(_ != v) }
+    if (drift.nonEmpty)
+      throw new IllegalStateException(
+        s"$dir layout pin mismatch: table was created with " +
+          s"${existing.mkString(", ")} but this writer expects " +
+          s"${drift.mkString(", ")} — a layout property cannot change " +
+          "over a live table (rebuild it instead)")
+  }
+
+  /** Whether any `partCol=` partition of `dir` holds a committed
+    * (non-hidden) data file — the newborn test behind [[pinLayout]]'s
+    * create guard. Costs one listing per partition, paid only on the
+    * no-pin path (at most once per table lifetime plus crashed-first-
+    * append retries).
+    */
+  private def hasCommittedData(
+      fs: FileSystem, dir: Path, partCol: String): Boolean =
+    fs.exists(dir) && fs.listStatus(dir)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+      .exists(st => fs.listStatus(st.getPath)
+        .exists(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith(".")))
+
+  /** Explicit layout adoption — the one sanctioned way to pin a table
+    * that already holds data: the caller asserts `props` describes the
+    * bytes on disk (e.g. [[buildViaLifecycle]] pinning the base table
+    * it just wrote with those very options). Merges with any existing
+    * pin under the same drift check as appends.
+    */
+  def adoptLayout(
+      spark: SparkSession, dirStr: String, props: Map[String, String]): Unit = {
+    if (props.isEmpty) return
+    val dir = new Path(dirStr)
+    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    val existing = readLayout(fs, dir)
+    verifyAgainst(dir, existing, props)
+    if (!props.forall { case (k, v) => existing.get(k).contains(v) }) {
+      fs.mkdirs(dir)
+      writePinAtomic(fs, dir, existing ++ props)
+    }
+  }
+
+  /** Overwrite-capable atomic pin write: stage to a temp file, then an
+    * atomic-overwrite rename (FileContext) into place. On filesystems
+    * without an AbstractFileSystem binding, fall back to parking the
+    * old pin in a `.bak` sibling before installing the new one — some
+    * pin file survives every crash point ([[readLayout]] consults the
+    * backup), so the table can never silently revert to unpinned.
+    */
+  private def writePinAtomic(
+      fs: FileSystem, dir: Path, props: Map[String, String]): Unit = {
+    val tmp = new Path(dir, s".$LayoutPin.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(props.toSeq.sorted.map { case (k, v) => s"$k=$v\n" }
+      .mkString.getBytes("UTF-8")) finally out.close()
+    val pin = new Path(dir, LayoutPin)
+    try
+      org.apache.hadoop.fs.FileContext.getFileContext(pin.toUri, fs.getConf)
+        .rename(tmp, pin, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        val bak = new Path(dir, s".$LayoutPin.bak")
+        fs.delete(bak, false)
+        if (fs.exists(pin) && !fs.rename(pin, bak))
+          throw new IllegalStateException(s"rename $pin -> $bak failed")
+        if (!fs.rename(tmp, pin))
+          throw new IllegalStateException(s"rename $tmp -> $pin failed")
+        fs.delete(bak, false)
+    }
   }
 
   /** Write options for a sort-clustered index file set: small ROW
@@ -197,7 +297,7 @@ object IncrementalParquet {
     }
     val marker = new Path(dir, s"_ingested/b$batchId")
     if (fs.exists(marker)) return // acked: this batch is fully installed
-    pinLayout(fs, dir,
+    pinLayout(fs, dir, partCol,
       (if (sortCols.nonEmpty) Map("sort" -> sortCols.mkString(","))
        else Map.empty[String, String]) ++ pinExtra)
     val stage = new Path(dir.getParent, s".${dir.getName}.ingest-b$batchId")
@@ -262,7 +362,19 @@ object IncrementalParquet {
     * like everything else in this file.
     */
   def batchScopedResult(spark: SparkSession, dirStr: String, batchId: Long)(
-      compute: => DataFrame): DataFrame = {
+      compute: => DataFrame): DataFrame =
+    batchScopedResultCounted(spark, dirStr, batchId)(compute)._1
+
+  /** [[batchScopedResult]] + the stored result's exact row count, read
+    * from the parquet FOOTERS on the driver — no Spark job. Callers
+    * gating on emptiness (`if (delta nonempty) upsert`) previously paid
+    * a full `isEmpty` job to re-scan rows whose count the write already
+    * determined; at streaming cadence that job was a visible slice of
+    * every trigger's wall.
+    */
+  def batchScopedResultCounted(
+      spark: SparkSession, dirStr: String, batchId: Long)(
+      compute: => DataFrame): (DataFrame, Long) = {
     val dir = new Path(dirStr)
     val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
     val data = new Path(dir, s"b$batchId")
@@ -291,8 +403,24 @@ object IncrementalParquet {
         }
       }
     }
-    spark.read.parquet(data.toString)
+    (spark.read.parquet(data.toString), parquetRowCount(fs, data))
   }
+
+  /** Exact row count of a parquet directory from file footers alone —
+    * a driver-side metadata read (one footer per data file), no Spark
+    * job. Valid for any directory this object wrote (non-partitioned
+    * `b<id>` result dirs); row counts are a mandatory footer field.
+    */
+  private def parquetRowCount(fs: FileSystem, dir: Path): Long =
+    fs.listStatus(dir)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(f, fs.getConf)
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try rd.getRecordCount finally rd.close()
+      }.sum
 
   /** Build-once memo for an index table built THROUGH the incremental
     * lifecycle this object maintains — the one shape every stored index
@@ -325,6 +453,13 @@ object IncrementalParquet {
           partCol, sortCols)
         .write.mode("overwrite").options(clusteredWriteOpts(sortCols))
         .partitionBy(partCol).parquet(out)
+      // record the base bytes' layout as the table's birth pin — this
+      // writer just produced them with exactly these options, which is
+      // the one situation adoptLayout exists for (the append below
+      // refuses to stamp a pin onto pre-existing unpinned data)
+      adoptLayout(spark, out,
+        (if (sortCols.nonEmpty) Map("sort" -> sortCols.mkString(","))
+         else Map.empty[String, String]) ++ pinExtra)
       appendIdempotent(spark, out, partCol, 1L, sortCols, pinExtra) {
         transform(src.filter(pmod(col(idCol), lit(2)) === 1))
       }

@@ -427,7 +427,12 @@ object Upsert {
   private def readBuckets(
       fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Option[Int] = {
-    val f = bucketsFile(dir)
+    // primary, else the rename-aside backup writeBuckets' non-atomic
+    // fallback parks the old pin in: a crash between "park aside" and
+    // "install new" must not make the table look pinless
+    val f0 = bucketsFile(dir)
+    val f = if (fs.exists(f0)) f0
+      else new org.apache.hadoop.fs.Path(dir, "._graft_buckets.bak")
     if (!fs.exists(f)) None
     else {
       val in = fs.open(f)
@@ -460,14 +465,19 @@ object Upsert {
     catch {
       case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
         // no AbstractFileSystem binding for this scheme (e.g. s3a
-        // without fs.AbstractFileSystem.s3a.impl): fall back to
-        // delete+rename. The pinless crash window this reopens is the
-        // pre-round-9 shape — recoverable via the loud rehash-adopt
-        // path — and strictly better than failing every pin write on
-        // such filesystems.
-        fs.delete(dest, false)
+        // without fs.AbstractFileSystem.s3a.impl): park the old pin
+        // aside, install the new one, then drop the backup — SOME pin
+        // file exists at every crash point (readBuckets consults the
+        // backup when the primary is missing), unlike a plain
+        // delete+rename whose mid-crash window leaves the table
+        // pinless until the loud rehash-adopt path recovers it.
+        val bak = new org.apache.hadoop.fs.Path(dir, "._graft_buckets.bak")
+        fs.delete(bak, false)
+        if (fs.exists(dest) && !fs.rename(dest, bak))
+          throw new IllegalStateException(s"rename $dest -> $bak failed")
         if (!fs.rename(tmp, dest))
           throw new IllegalStateException(s"rename $tmp -> $dest failed")
+        fs.delete(bak, false)
     }
   }
 

@@ -490,15 +490,19 @@ object StreamingPipeline {
     // replay would fold against a table missing a retired bucket and
     // write a permanently-divergent delta over the recovered rows
     Upsert.recoverParquetPartitioned(spark, labelsDir)
-    val delta = graft.sinks.IncrementalParquet.batchScopedResult(
-      spark, deltaDirFor(labelsDir), batchId) {
+    val (delta, nDelta) =
+      graft.sinks.IncrementalParquet.batchScopedResultCounted(
+        spark, deltaDirFor(labelsDir), batchId) {
       val edges = graft.analytics.DedupQueries.batchVerifiedPairs(
         spark, sigDir, batch, threshold, broadcastBatch)
       graft.operators.ConnectedComponents.incrementalDelta(
         clusterLabels(spark, labelsDir), edges, "doc_id_a", "doc_id_b",
         broadcastNew = broadcastBatch)
     }
-    if (!delta.isEmpty) // delta is parquet-backed: no recompute here
+    // the emptiness gate reads the stored delta's FOOTER count — the
+    // delta is parquet-backed either way (no recompute), and an
+    // isEmpty job per trigger was pure fixed floor
+    if (nDelta > 0)
       Upsert.upsertParquetPartitioned(spark, delta, labelsDir,
         key = "id", updateColumns = Seq("component"), numBuckets = 16)
   }
@@ -578,8 +582,9 @@ object StreamingPipeline {
     graft.analytics.DedupQueries.appendToVectorsIdempotent(
       batch, vecsDir, batchId)
     Upsert.recoverParquetPartitioned(spark, labelsDir)
-    val delta = graft.sinks.IncrementalParquet.batchScopedResult(
-      spark, deltaDirFor(labelsDir), batchId) {
+    val (delta, nDelta) =
+      graft.sinks.IncrementalParquet.batchScopedResultCounted(
+        spark, deltaDirFor(labelsDir), batchId) {
       val edges = graft.analytics.DedupQueries.batchVerifiedEmbedPairs(
         spark, bucketsDir, batch, vecsDir, threshold, broadcastBatch,
         bands, bits)
@@ -587,7 +592,7 @@ object StreamingPipeline {
         clusterLabels(spark, labelsDir), edges, "id_a", "id_b",
         broadcastNew = broadcastBatch)
     }
-    if (!delta.isEmpty)
+    if (nDelta > 0) // footer-count gate, same rationale as the lexical loop
       Upsert.upsertParquetPartitioned(spark, delta, labelsDir,
         key = "id", updateColumns = Seq("component"), numBuckets = 16)
   }

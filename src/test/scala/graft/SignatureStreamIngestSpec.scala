@@ -35,9 +35,15 @@ class SignatureStreamIngestSpec extends SparkSpec {
       val sig = root.resolve("sig").toString
       val ckpt = root.resolve("ckpt").toString
 
-      // the index starts from a batch build over a third of the corpus
-      DedupQueries.bucketedSignatures(docs.filter(col("doc_id") % 3 === 0))
-        .write.mode("overwrite").partitionBy("bkt").parquet(sig)
+      // the index starts from a base build over a third of the corpus —
+      // THROUGH the append machinery, so the newborn table gets its
+      // layout pin (a raw unpinned write + later appends is exactly the
+      // adopt-or-fail case LayoutPinSpec (c) pins)
+      // base batchId far above the stream's (which starts at 0): the
+      // ack marker is id-scoped, and a collision would make the
+      // stream's first micro-batch a silent replay no-op
+      DedupQueries.appendToSignaturesIdempotent(
+        docs.filter(col("doc_id") % 3 === 0), sig, 1000000L)
 
       land(docs.filter(col("doc_id") % 3 === 1), incoming, "batch1.parquet")
       val q1 = StreamingPipeline.startSignaturesIngest(
@@ -85,8 +91,9 @@ class SignatureStreamIngestSpec extends SparkSpec {
   test("replayed signature batch converges (exactly-once), compaction safe") {
     withTempDir { root =>
       val sig = root.resolve("sig").toString
-      DedupQueries.bucketedSignatures(docs.filter(col("doc_id") % 2 === 0))
-        .write.mode("overwrite").partitionBy("bkt").parquet(sig)
+      // base through the append path: newborn → pinned (see above)
+      DedupQueries.appendToSignaturesIdempotent(
+        docs.filter(col("doc_id") % 2 === 0), sig, 0L)
       val batch = docs.filter(col("doc_id") % 2 === 1)
       DedupQueries.appendToSignaturesIdempotent(batch, sig, 7L)
       val n = docs.count()
