@@ -58,21 +58,53 @@ object TriggerProfile {
     val batchId = 2100000L // above every warm trigger's id
     val batch = freshBatch(9000000L / m)
 
+    // per-job walls inside each phase: the floor being hunted is JOB
+    // COUNT × fixed overhead, so the phase table needs to show which
+    // jobs a phase issues and what each costs
+    @volatile var curPhase = "warmup"
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val site = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+          jobStart.put(j.jobId, (s"$curPhase [$site]", System.nanoTime()))
+        }
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val s = jobStart.remove(j.jobId)
+          if (s != null && !s._1.startsWith("warmup"))
+            println(f"  JOB id=${j.jobId} " +
+              f"wall_s=${(System.nanoTime() - s._2) / 1e9}%.2f ${s._1}")
+        }
+      })
+
     def phase[A](name: String)(body: => A): A = {
+      curPhase = name
       val t0 = System.nanoTime()
       val r = body
       println(f"PHASE $name wall_s=${(System.nanoTime() - t0) / 1e9}%.2f")
+      curPhase = "warmup"
       r
     }
 
     val total0 = System.nanoTime()
-    phase("append_signbuckets") {
-      graft.analytics.DedupQueries.appendToSignBucketsIdempotent(
-        batch, index, batchId, bands = 4, bits = 16)
-    }
-    phase("append_vectors") {
-      graft.analytics.DedupQueries.appendToVectorsIdempotent(
-        batch, vectors, batchId)
+    phase("append_both") {
+      // concurrent like the loop itself (maintainEmbedClusters):
+      // disjoint tables, overlapping fixed write costs
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fSb = Future {
+        graft.analytics.DedupQueries.appendToSignBucketsIdempotent(
+          batch, index, batchId, bands = 4, bits = 16)
+      }
+      val fVec = Future {
+        graft.analytics.DedupQueries.appendToVectorsIdempotent(
+          batch, vectors, batchId)
+      }
+      Await.result(fSb, Duration.Inf)
+      Await.result(fVec, Duration.Inf)
     }
     phase("recover_labels") {
       graft.sinks.Upsert.recoverParquetPartitioned(spark, labels)

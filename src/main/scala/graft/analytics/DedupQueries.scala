@@ -572,7 +572,15 @@ object DedupQueries {
     */
   private def collectLocal(df: DataFrame, cap: Int):
       Option[(Array[org.apache.spark.sql.Row], DataFrame)] = {
-    val rows = df.limit(cap + 1).collect()
+    // a FULL collect, cap checked after — not limit(cap+1): Spark runs
+    // a limit-collect as an escalating WAVE of jobs (1, 4, 16…
+    // partitions), which at trigger cadence turned each collect into
+    // ~4 sequential jobs scanning in ramps (measured 4× wall on the
+    // vector fetch). The full collect is one all-partition job; the
+    // over-cap arm briefly holds the big array on the driver, the same
+    // size class as the broadcast the caller would otherwise build
+    // from the exact same frame.
+    val rows = df.collect()
     if (rows.length > cap) None
     else {
       import scala.jdk.CollectionConverters._
@@ -702,12 +710,18 @@ object DedupQueries {
     val candBkts = candIdsLocal
       .map(_.map(id => Int.box(hashBucketLocal(id, nBuckets))).distinct)
       .getOrElse(bucketsOf(candIds, "doc_id", nBuckets))
-    val fetched = keyPruned(
+    val fetchPlan = keyPruned(
       stored.filter(col("bkt").isin(candBkts: _*)),
       "doc_id", idKeys)(
       _.join(hinted(candIds, broadcastBatch), Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), col("shs"))
-      .localCheckpoint()
+    // candidate-bounded like the embed loop's vector fetch: collected
+    // at streaming cadence (tighter cap — shingle sets are wide), so
+    // the verify joins run over local relations with no checkpoint job
+    val fetched = (if (candIdsLocal.isDefined)
+        collectLocal(fetchPlan, math.min(frameCap(s), 1 << 16)).map(_._2)
+      else None)
+      .getOrElse(fetchPlan.localCheckpoint())
     pairs
       .join(fetched.select(col("doc_id").as("doc_id_a"), col("shs").as("shs_a")),
         "doc_id_a")
@@ -1089,30 +1103,57 @@ object DedupQueries {
     val candBkts = candIdsLocal
       .map(_.map(id => Int.box(hashBucketLocal(id, nv))).distinct)
       .getOrElse(bucketsOf(candIds, "vec_id", nv))
-    val vecs = keyPruned(
+    val vecsPlan = keyPruned(
       s.read.parquet(vecsDir).filter(col("bkt").isin(candBkts: _*)),
       "vec_id", idKeys)(
       _.join(hinted(candIds, broadcastBatch), Seq("vec_id"), "left_semi"))
       .select(col("vec_id"), col("embedding"))
-      .localCheckpoint()
-    val va = vecs.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val vb = vecs.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-    // LEFT joins + a loud guard: the vector store is the verify's
-    // source of truth (unlike the lexical loop, whose shingle sets
-    // live inside the signature table itself). If a landed vector has
-    // been cleaned away, silently dropping its candidate pairs would
+    // the fetched vectors are CANDIDATE-bounded: at streaming cadence
+    // they collect too (tighter row cap — embeddings are wide), so the
+    // verify joins need no materialization barriers and the
+    // missing-vector guard is a driver set test — three more jobs off
+    // the trigger (vector checkpoint, fetched checkpoint, guard count).
+    // The cosine itself stays THE Spark expression over the local
+    // relations: same kernel, same float order as the batch build.
+    val vecsLocal =
+      if (candIdsLocal.isDefined)
+        collectLocal(vecsPlan, math.min(frameCap(s), 1 << 16))
+      else None
+    // The guard, either way: the vector store is the verify's source
+    // of truth (unlike the lexical loop, whose shingle sets live
+    // inside the signature table itself). If a landed vector has been
+    // cleaned away, silently dropping its candidate pairs would
     // corrupt the labels table with no signal — fail instead.
-    val fetched = cand.join(va, Seq("id_a"), "left")
-      .join(vb, Seq("id_b"), "left")
-      .localCheckpoint() // candidates are batch-bounded; guard + verify
-                         // read the same materialization
-    val missing =
-      fetched.filter(col("va").isNull || col("vb").isNull).count()
-    if (missing > 0)
-      throw new IllegalStateException(
-        s"$missing candidate pairs reference vectors absent from the " +
-          "loop-owned vector table — a batch's vector append was lost " +
-          "(the sign-bucket and vector appends must share every batch)")
+    def missingMsg(n: Long) =
+      s"$n candidate pairs reference vectors absent from the " +
+        "loop-owned vector table — a batch's vector append was lost " +
+        "(the sign-bucket and vector appends must share every batch)"
+    val fetched = vecsLocal match {
+      case Some((vrows, vdf)) =>
+        val have = vrows.map(_.getLong(0)).toSet
+        val missingPairs = candLocal.get._1.count(r =>
+          !have.contains(r.getLong(0)) || !have.contains(r.getLong(1)))
+        if (missingPairs > 0)
+          throw new IllegalStateException(missingMsg(missingPairs))
+        // guard passed: inner joins ≡ the fallback's left joins
+        cand
+          .join(vdf.select(col("vec_id").as("id_a"), col("embedding").as("va")),
+            Seq("id_a"))
+          .join(vdf.select(col("vec_id").as("id_b"), col("embedding").as("vb")),
+            Seq("id_b"))
+      case None =>
+        val vecs = vecsPlan.localCheckpoint()
+        val f = cand
+          .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("va")),
+            Seq("id_a"), "left")
+          .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("vb")),
+            Seq("id_b"), "left")
+          .localCheckpoint() // candidates are batch-bounded; guard +
+                             // verify read the same materialization
+        val missing = f.filter(col("va").isNull || col("vb").isNull).count()
+        if (missing > 0) throw new IllegalStateException(missingMsg(missing))
+        f
+    }
     fetched
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)

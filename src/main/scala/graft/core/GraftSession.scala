@@ -45,6 +45,14 @@ object GraftSession {
       // (measured at 4000); beyond the threshold Spark range-collapses,
       // which is the safe behavior for backfill-sized sets.
       .config("spark.sql.parquet.pushdown.inFilterThreshold", "512")
+      // List up to 256 paths on the driver before falling back to a
+      // distributed listing job: the incremental index tables hold
+      // 16-64 partition dirs, and the default threshold (32) turned
+      // every per-trigger table open into a ~0.4 s Spark job for a
+      // listing the driver does in milliseconds. 256 stays far below
+      // the scale where a distributed listing wins (thousands of
+      // object-store prefixes); such a deployment overrides via --conf.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "256")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
@@ -55,6 +63,8 @@ object GraftSession {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "512")
+    spark.conf.set(
+      "spark.sql.sources.parallelPartitionDiscovery.threshold", "256")
     spark
   }
 }

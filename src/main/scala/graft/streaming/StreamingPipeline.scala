@@ -577,10 +577,25 @@ object StreamingPipeline {
       vecsDir: String, batch: DataFrame, batchId: Long,
       threshold: Double = 0.4, broadcastBatch: Boolean = true,
       bands: Int = 4, bits: Int = 8): Unit = {
-    graft.analytics.DedupQueries.appendToSignBucketsIdempotent(
-      batch, bucketsDir, batchId, bands, bits)
-    graft.analytics.DedupQueries.appendToVectorsIdempotent(
-      batch, vecsDir, batchId)
+    // the two appends touch DISJOINT tables (sign buckets, raw
+    // vectors) with no ordering dependence — run them concurrently so
+    // their fixed per-write costs (stage shuffle, committer, install
+    // renames) overlap instead of stacking; each keeps its own
+    // exactly-once recovery, and both complete before the probe reads
+    // either table. Halves the trigger's append slice (TriggerProfile).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fSb = Future {
+      graft.analytics.DedupQueries.appendToSignBucketsIdempotent(
+        batch, bucketsDir, batchId, bands, bits)
+    }
+    val fVec = Future {
+      graft.analytics.DedupQueries.appendToVectorsIdempotent(
+        batch, vecsDir, batchId)
+    }
+    Await.result(fSb, Duration.Inf)
+    Await.result(fVec, Duration.Inf)
     Upsert.recoverParquetPartitioned(spark, labelsDir)
     val (delta, nDelta) =
       graft.sinks.IncrementalParquet.batchScopedResultCounted(
