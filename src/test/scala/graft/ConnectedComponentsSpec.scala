@@ -22,11 +22,28 @@ class ConnectedComponentsSpec extends SparkSpec {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
+  /** Run `body` with the driver fast path DISABLED (cap 0), so the
+    * distributed min-label loop is what executes — the tests that pin
+    * round counts or loop internals must not silently move to the
+    * round-11 driver union-find arm.
+    */
+  private def withDistributedCc[T](body: => T): T = {
+    spark.conf.set("graft.cc.driverEdgeCap", "0")
+    try body finally spark.conf.unset("graft.cc.driverEdgeCap")
+  }
+
   private def check(edges: Seq[(Long, Long)]): Unit = {
     import spark.implicits._
+    // BOTH arms: the default (small Long graphs take the round-11
+    // driver fast path) and the forced distributed loop
     val got = ConnectedComponents.run(edges.toDF("a", "b"), "a", "b")
       .as[(Long, Long)].collect().toMap
-    assert(got == unionFind(edges), s"edges=$edges")
+    assert(got == unionFind(edges), s"edges=$edges (driver arm)")
+    val dist = withDistributedCc {
+      ConnectedComponents.run(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(dist == unionFind(edges), s"edges=$edges (distributed arm)")
   }
 
   test("chain, ring, star, and mixed components match union-find") {
@@ -109,8 +126,9 @@ class ConnectedComponentsSpec extends SparkSpec {
       Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
         (10L, 12L), (3L, 10L)))
     shapes.foreach { edges =>
-      val (labels, rounds) =
+      val (labels, rounds) = withDistributedCc {
         ConnectedComponents.runAdaptive(edges.toDF("a", "b"), "a", "b")
+      }
       val got = labels.as[(Long, Long)].collect().toMap
       assert(got == unionFind(edges), s"edges=$edges")
       // near-clique shapes converge inside the min-label budget, so the
@@ -129,9 +147,10 @@ class ConnectedComponentsSpec extends SparkSpec {
     val chain = (100L until 159L).map(i => (i + 1, i))
     val cliques = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L))
     val edges = chain ++ cliques
-    val (labels, rounds) =
+    val (labels, rounds) = withDistributedCc {
       ConnectedComponents.runAdaptive(edges.toDF("a", "b"), "a", "b",
         switchAfter = 4)
+    }
     val got = labels.as[(Long, Long)].collect()
     assert(got.length == got.map(_._1).distinct.length, "duplicate node rows")
     assert(got.toMap == unionFind(edges))
@@ -142,8 +161,9 @@ class ConnectedComponentsSpec extends SparkSpec {
     import spark.implicits._
     val n = 10000L
     val path = (1L until n).map(i => (i + 1, i))
-    val (labels, rounds) =
+    val (labels, rounds) = withDistributedCc {
       ConnectedComponents.runAdaptive(path.toDF("a", "b"), "a", "b")
+    }
     // switchAfter (6) min-label rounds + the SoCC'14 logarithmic bound
     // for the alternating phase on the contracted (still ~10k-node) path
     assert(rounds <= 6 + 16, s"rounds=$rounds")
