@@ -19,7 +19,9 @@ object QueryTimer {
     require(names.nonEmpty, "usage: QueryTimer [reps] q_name [q_name ...]")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.GraftSession.local("graft-qtimer")
-    graft.core.Tables.load(spark, sfDir, "region").count()
+    // documents, not region: the partial up-sampled corpora
+    // (testdata-sf10) carry only the LLM-pipeline tables
+    graft.core.Tables.load(spark, sfDir, "documents").count()
     for (name <- names) {
       val fn = SparkEntry.queries.getOrElse(name,
         throw new IllegalArgumentException(s"unknown query $name"))

@@ -1392,6 +1392,129 @@ object DedupQueries {
       corpus: => DataFrame): DataFrame =
     s.read.parquet(spanWindowsPath(s, dir, tag)(corpus))
 
+  // ------------------------------------------------------------------
+  // Incremental window table — continuous maintenance for the SPAN
+  // family (round 11), completing the trio: signatures (lexical
+  // near-dup), sign buckets (embedding near-dup), and now window
+  // fingerprints (substring spans) all share the same exactly-once
+  // append / minor-compaction / probe-from-stored lifecycle.
+  // ------------------------------------------------------------------
+
+  /** Exactly-once per-batch append into an incremental WINDOW table
+    * `(doc_id, pos, fp, bkt)` — the span family's mirror of
+    * [[appendToSignaturesIdempotent]]. The hive bucket is a hash of
+    * the FINGERPRINT (not the doc id): the span probe's key is fp —
+    * a batch's windows join stored windows on fp — so fp-hash
+    * partitioning is what lets a batch-touching probe prune to the
+    * buckets its fingerprints land in, and fp-sorted files are what
+    * give the pushed `In` row groups to skip. Replay/ack protocol in
+    * [[graft.sinks.IncrementalParquet]]; the window kernel runs once
+    * over the batch alone (O(batch), no table IO).
+    */
+  def appendToWindowsIdempotent(
+      batch: DataFrame, winDir: String, batchId: Long): Unit = {
+    val n = tableBuckets(batch.sparkSession, winDir)
+    graft.sinks.IncrementalParquet.appendIdempotent(
+      batch.sparkSession, winDir, "bkt", batchId, Seq("fp"),
+      Map("buckets" -> n.toString))(
+      explodedSpanWindows(batch)
+        .withColumn("bkt", pmod(hash(col("fp")), lit(n))))
+  }
+
+  /** The stored incremental window table as the `(doc_id, pos, fp)`
+    * frame the span pipeline consumes.
+    */
+  def windowsFromStored(s: SparkSession, winDir: String): DataFrame =
+    s.read.parquet(winDir).select(col("doc_id"), col("pos"), col("fp"))
+
+  /** Maximal shared spans TOUCHING a batch, served from the stored
+    * window table — the per-trigger span stage of continuous span
+    * dedup. Call AFTER the batch's windows are appended: the batch's
+    * window rows (one kernel pass, no table IO) probe the stored
+    * table on fp, so the match stage costs |batch windows| × colliders,
+    * never corpus² — pairs among pre-existing docs are never
+    * re-derived, and the gaps-and-islands merge runs only on
+    * batch-touching pairs (complete per pair, so the merge commutes
+    * with the old-self/batch-touching split — [[spanIslands]]).
+    * Batch-self matches arrive from both probe directions and are
+    * deduplicated; stored-side reads prune to the buckets the batch's
+    * fingerprints hash into, with the key set pushed as an exact `In`
+    * when small (streaming cadence) and the usual fallbacks beyond
+    * ([[collectLocal]] / [[keyPruned]] contracts).
+    */
+  def batchSpanPairs(
+      s: SparkSession, winDir: String, batch: DataFrame,
+      broadcastBatch: Boolean = true): DataFrame = {
+    val stored = s.read.parquet(winDir)
+    val n = tableBuckets(s, winDir)
+    val bwPlan = explodedSpanWindows(batch)
+    val bwLocal =
+      if (broadcastBatch) collectLocal(bwPlan, frameCap(s)) else None
+    val bw = bwLocal.map(_._2).getOrElse(bwPlan.localCheckpoint())
+    val a0 = bw.select(col("doc_id").as("id_n"), col("pos").as("pn"),
+      col("fp"))
+    val a = if (broadcastBatch) broadcast(a0) else a0
+    val fpIdx = bwPlan.schema.fieldIndex("fp")
+    val fpLocal: Option[Seq[Long]] = bwLocal.map { case (rows, _) =>
+      rows.map(_.getLong(fpIdx)).distinct.toSeq
+    }
+    val fpKeys: Option[Seq[Any]] =
+      fpLocal.filter(_.size <= ProbeKeyCap).map(_.map(Long.box))
+    val storedPruned = fpLocal match {
+      case Some(fps) =>
+        val bkts = fps.map(fp => Int.box(hashBucketLocal(fp, n))).distinct
+        keyPruned(stored.filter(col("bkt").isin(bkts: _*)), "fp", fpKeys)(
+          identity)
+      case None => stored
+    }
+    val b = storedPruned.select(col("doc_id").as("id_c"),
+      col("pos").as("pc"), col("fp").as("fp2"))
+    val m = a.join(b, col("fp") === col("fp2") && col("id_n") =!= col("id_c"))
+      .select(least(col("id_n"), col("id_c")).as("doc_a"),
+        greatest(col("id_n"), col("id_c")).as("doc_b"),
+        when(col("id_n") < col("id_c"), col("pn")).otherwise(col("pc"))
+          .as("pa"),
+        when(col("id_n") < col("id_c"), col("pc")).otherwise(col("pn"))
+          .as("pb"))
+      .distinct() // batch-self matches arrive from both probe sides
+    spanIslands(m)
+  }
+
+  private val storedIncSpans =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** THE incrementally-built span set per corpus, memoized — the span
+    * family's lifecycle gate, mirroring [[incrementalSignaturesPath]]:
+    * the even-doc_id half of the span corpus arrives as batch 0 of an
+    * incremental window table, its self-spans are derived from the
+    * stored table and persisted, then the odd half arrives as batch 1
+    * (minor compaction fires), and the batch-touching spans from
+    * [[batchSpanPairs]] union with the persisted base. Row-identical
+    * to a one-shot [[spanPipeline]] over the whole corpus — matches
+    * partition exactly into old-self and batch-touching pairs and the
+    * islands merge is per-pair — so the driver's full-span DuckDB
+    * oracle checks the entire append → probe → compact lifecycle.
+    */
+  private[graft] def incrementalSpansPath(s: SparkSession, dir: String): String =
+    graft.core.Tables.memoizedParquet(storedIncSpans,
+      Tables.derivedStateKey(s, dir, "documents") + "|spanincr",
+      "graft-spans-incr") { out =>
+      val corpus = spanDupCorpus(t(s, dir, "documents"))
+      val winDir = s"$out/win"
+      appendToWindowsIdempotent(
+        corpus.filter(pmod(col("doc_id"), lit(2)) === 0), winDir, 0L)
+      // base spans must be DERIVED AND PERSISTED before the next batch
+      // lands — the stored table is about to grow
+      spanPipeline(windowsFromStored(s, winDir), None)
+        .write.parquet(s"$out/base")
+      val batch = corpus.filter(pmod(col("doc_id"), lit(2)) === 1)
+      appendToWindowsIdempotent(batch, winDir, 1L)
+      compactSignaturesMinor(s, winDir) // bkt-partitioned: same machinery
+      s.read.parquet(s"$out/base")
+        .unionByName(batchSpanPairs(s, winDir, batch))
+        .write.parquet(s"$out/spans")
+    } + "/spans"
+
   /** Rewrite `corpus` with every span's doc_b occurrence deleted —
     * the actionable half of `q_dedup_spans_removal`. Memory shape
     * (round-9 verdict #6): per-doc AGGREGATION state is the doc's
@@ -1464,8 +1587,7 @@ object DedupQueries {
     * kernel+explode once per RUN via localCheckpoint; the store pays
     * it once per CORPUS, like the signature and codes tables).
     */
-  private def spanPipeline(byFp: DataFrame, maxDf: Option[Int]): DataFrame = {
-    val k = SpanK
+  private[graft] def spanPipeline(byFp: DataFrame, maxDf: Option[Int]): DataFrame = {
     val wf = maxDf match {
       case None => byFp
       case Some(cap) =>
@@ -1481,7 +1603,21 @@ object DedupQueries {
       col("fp"))
     val b = wf.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
       col("fp"))
-    val m = a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+    spanIslands(a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b")))
+    // callers add their ORDER BY — the removal query consumes this
+    // unsorted
+  }
+
+  /** The gaps-and-islands tail shared by [[spanPipeline]] and the
+    * incremental [[batchSpanPairs]]: merge per-(pair, diagonal)
+    * position matches `(doc_a, doc_b, pa, pb)` into maximal spans.
+    * Correct for ANY match subset that is complete per pair — islands
+    * group within a (doc_a, doc_b) pair, so partitioning the match set
+    * by pair (the incremental old-self/batch-touching split) commutes
+    * with the merge.
+    */
+  private def spanIslands(m: DataFrame): DataFrame = {
+    val k = SpanK
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("pa"))
@@ -1492,8 +1628,6 @@ object DedupQueries {
         (max(col("pa")) - min(col("pa")) + lit(k.toLong)).as("span_len"))
       .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
         col("span_len"))
-    // callers add their ORDER BY — the removal query consumes this
-    // unsorted
   }
 
   /** DuckDB mirror of [[spanPipeline]] over `corpusSql`. */
@@ -1632,6 +1766,28 @@ object DedupQueries {
       spanPipeline(
         spanWindowsServed(s, dir, "dup")(spanDupCorpus(t(s, dir, "documents"))),
         None)
+        .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
+    },
+
+    // ------------------------------------------- spans, incremental
+    // The span family's CONTINUOUS-MAINTENANCE lifecycle gate (round
+    // 11), completing the trio with the signature and sign-bucket
+    // tables: the even half of the span corpus arrives as batch 0 of
+    // an incremental fp-bucketed window table, its self-spans are
+    // derived from the stored table and persisted, the odd half lands
+    // as batch 1 (minor compaction fires mid-lifecycle), and the
+    // batch-touching spans probe the stored table at
+    // |batch windows| × colliders (batchSpanPairs — the corpus is
+    // never re-self-joined). The oracle is the SAME one-shot full-span
+    // SQL as q_dedup_spans: "incremental span fold == one-shot
+    // recompute" is exactly the identity checked, the span analog of
+    // q_dedup_clusters_incr. Identity argument: position matches
+    // partition exactly into old-self and batch-touching PAIRS, and
+    // the gaps-and-islands merge is per-pair, so it commutes with the
+    // split.
+    GraftQuery(
+      "q_dedup_spans_incr", spanPipelineSql(spanDupCorpusSql, None)) { (s, dir) =>
+      s.read.parquet(incrementalSpansPath(s, dir))
         .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
     },
 

@@ -367,20 +367,6 @@ object ConnectedComponents {
       bCol: String,
       broadcastNew: Boolean = true):
       (DataFrame, DataFrame, DataFrame, () => Unit) = {
-    // Streaming-cadence fast path: when the caller asserted
-    // batch-bounded edges, the WHOLE fold preamble (batch nodes, seen
-    // labels, contraction, min-label components) runs on driver-local
-    // data in TWO Spark jobs — collect the batch edges, then a pushed
-    // `In` fetch of the touched labels — instead of the distributed
-    // preamble's five-plus (edge persist+count, seen-label checkpoint,
-    // new-node checkpoint, contracted-CC collect, broadcast builds).
-    // At a maintenance trigger's scale every job is a visible slice of
-    // the wall (TriggerProfile round 11); the fixed floor was job
-    // count, not data.
-    if (broadcastNew) {
-      val d = foldPiecesDriver(labels, newEdges, aCol, bCol)
-      if (d.isDefined) return d.get
-    }
     // self-edges are kept in e0 (node derivation) and dropped only for
     // contraction: a batch node appearing ONLY in self-edges must still
     // get a singleton label row, exactly as [[run]] (whose minLabelLoop
@@ -393,7 +379,25 @@ object ConnectedComponents {
     val e = e0.filter(col("src") =!= col("dst"))
     val release = () => { e0.unpersist(); () }
     try {
-      e0.count() // materialize the (possibly expensive) pair stage once
+      // materialize the (possibly expensive) pair stage once — the
+      // count also gates the driver fast path below, so the over-cap
+      // arm never pays a wasted partial collect and the under-cap arm
+      // collects straight from cache
+      val edgeCount = e0.count()
+      // Streaming-cadence fast path: when the caller asserted
+      // batch-bounded edges, the WHOLE fold preamble (batch nodes, seen
+      // labels, contraction, min-label components) runs on driver-local
+      // data in TWO further Spark jobs — a cache-read collect of the
+      // batch edges, then a pushed-`In` fetch of the touched labels —
+      // instead of the distributed preamble's five-plus (seen-label
+      // checkpoint, new-node checkpoint, contracted-CC collect,
+      // broadcast builds). At a maintenance trigger's scale every job
+      // is a visible slice of the wall (TriggerProfile round 11); the
+      // fixed floor was job count, not data.
+      if (broadcastNew && edgeCount <= driverEdgeCap(labels.sparkSession)) {
+        val d = foldPiecesDriver(labels, e0)
+        if (d.isDefined) { release(); return d.get }
+      }
       val lab = labels.select(col("id"), col("component"))
       // ONE broadcast-semi probe of the corpus-sized labels fetches the
       // (id, component) rows of every batch-incident node — a
@@ -490,32 +494,26 @@ object ConnectedComponents {
   }
 
   /** The driver-side fast path of [[foldPieces]]: collect the batch's
-    * distinct edges (≤ [[DriverCcEdgeCap]]), fetch the labels of
+    * already-persisted-and-counted distinct edges (the caller gated on
+    * [[driverEdgeCap]], so the collect is a bounded cache read — no
+    * partial-evaluation waste on any arm), fetch the labels of
     * exactly the batch-incident nodes with one pushed-`In` scan, then
     * run contraction + min-label union-find on plain driver data. The
     * returned pieces are LocalRelations (joins against them broadcast
     * with no build job) and are row-identical to the distributed
     * preamble's — `ConnectedComponentsSpec`/`ClusterMaintenanceSpec`
-    * pin fold == full-recompute across both arms. `None` when the
-    * batch exceeds the cap or the id columns are not Long (the
-    * distributed path then re-evaluates the edge lineage — its
-    * upstream frames are checkpointed by the pair probes, so the
-    * re-evaluation is join-only).
+    * pin fold == full-recompute across both arms. `None` when the id
+    * columns are not Long (the distributed path continues on the same
+    * persisted edges).
     */
   private def foldPiecesDriver(
       labels: DataFrame,
-      newEdges: DataFrame,
-      aCol: String,
-      bCol: String): Option[(DataFrame, DataFrame, DataFrame, () => Unit)] = {
+      e0: DataFrame): Option[(DataFrame, DataFrame, DataFrame, () => Unit)] = {
     val spark = labels.sparkSession
-    val proj = newEdges.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val longOnly = (proj.schema.fields ++ labels.schema.fields).forall(
+    val longOnly = (e0.schema.fields ++ labels.schema.fields).forall(
       _.dataType == org.apache.spark.sql.types.LongType)
     if (!longOnly) return None
-    val cap = driverEdgeCap(spark)
-    val rows = proj.distinct().limit(cap + 1).collect()
-    if (rows.length > cap) return None
-    val edges = rows.map(r => (r.getLong(0), r.getLong(1)))
+    val edges = e0.collect().map(r => (r.getLong(0), r.getLong(1)))
     // batch nodes — self-edge-only nodes included (they still need a
     // singleton label row, matching the distributed path's e0)
     val nodeSet = new java.util.LinkedHashSet[Long]()

@@ -442,6 +442,33 @@ object StreamingPipeline {
     }
   }
 
+  /** Streaming SPAN-dedup index ingest (round 11) — the window-table
+    * member of the incremental-index trio: arriving document files are
+    * window-fingerprinted per micro-batch (one kernel pass over the
+    * batch alone) and appended exactly-once into the fp-bucketed
+    * incremental window table; the spans touching each batch then
+    * derive from the stored table via
+    * [[graft.analytics.DedupQueries.batchSpanPairs]] at
+    * |batch windows| × colliders, never corpus². Same cadence-fired
+    * minor compaction as the signature stream.
+    */
+  def startSpanIngest(
+      spark: SparkSession,
+      incomingDir: String,
+      winDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = DefaultCompactEvery): StreamingQuery = {
+    startIndexIngest(spark, incomingDir, checkpointDir, docSchema, trigger) {
+      (batch, batchId) =>
+        graft.analytics.DedupQueries.appendToWindowsIdempotent(
+          batch, winDir, batchId)
+        onCadence(compactEvery, batchId) {
+          graft.analytics.DedupQueries.compactSignaturesMinor(spark, winDir); ()
+        }
+    }
+  }
+
   /** Continuous dedup maintenance — the full closed loop a training
     * pipeline runs at ingest time, composed per micro-batch from the
     * pieces that each hold their own exactly-once contract:
