@@ -18,7 +18,8 @@ import graft.streaming.StreamingPipeline
   * probe's (id, sg) columns, the bucket-pruned shingle fetch, and the
   * relabel join — all sublinear-in-wall at these scales).
   *
-  * `args`: [lex|embed] [batches] [batchSize] [buckets] [bits] —
+  * `args`: [lex|embed|span|backfill] [batches] [batchSize] [buckets]
+  * [bits] —
   * default `lex 16 20000` (embed default 16 × 20000 vectors, 4×16-bit
   * bands). Compaction fires every 4 batches, mirroring the stream
   * wiring's cadence hook.
@@ -154,6 +155,93 @@ object MaintenanceProbe {
     }
   }
 
+  /** Order-insensitive checksum of a maximal-span set — the span
+    * loop's output-identity witness (same mod-reduce rationale as
+    * [[labelsChecksum]]).
+    */
+  private def spanChecksum(df: DataFrame): Long =
+    df.select(pmod(xxhash64(col("doc_a"), col("doc_b"), col("start_a"),
+        col("start_b"), col("span_len")), lit(1L << 31)).as("h"))
+      .agg(coalesce(sum(col("h")), lit(0L))).collect().head.getLong(0)
+
+  /** Continuous SPAN-dedup probe (round 11) — the window-table member
+    * of the incremental-index trio, measured the way the lexical and
+    * embed loops are: per batch, append the batch's window
+    * fingerprints exactly-once into the fp-bucketed incremental table,
+    * derive the spans TOUCHING the batch from the stored table
+    * ([[graft.analytics.DedupQueries.batchSpanPairs]] — cost
+    * |batch windows| × colliders, never corpus²), and append them to a
+    * spans store. Every cross-doc pair is derived exactly once — when
+    * the batch holding its LATER doc lands, the earlier doc is already
+    * stored — so the accumulated store must equal a one-shot
+    * [[graft.analytics.DedupQueries.spanPipeline]] over the full
+    * corpus; the epilogue prints both checksums. Span mass per batch
+    * GROWS by design (each near-copy pairs with every prior version of
+    * its base — the same Σ|group|² term the cluster loops carry), so
+    * the flatness claim is wall vs corpus at fixed batch mass, not
+    * wall vs batch index. The tiny epilogue batch drops under
+    * ProbeKeyCap distinct fingerprints, so it exercises the pushed-In
+    * serving arm the streaming cadence runs at.
+    */
+  private def spanProbe(spark: SparkSession, batches: Int, m: Long): Unit = {
+    val compactEvery = 4
+    val root = java.nio.file.Files.createTempDirectory("maintspan")
+    val win = root.resolve("win").toString
+    val spansDir = root.resolve("spans").toString
+    val input = new InputMeter
+    spark.sparkContext.addSparkListener(input)
+    import graft.analytics.DedupQueries
+    for (b <- 0 until batches) {
+      val docs = batchDocs(spark, b, m).localCheckpoint() // gen untimed
+      val (inB0, inR0) = (input.bytes.get(), input.records.get())
+      val t1 = System.nanoTime()
+      DedupQueries.appendToWindowsIdempotent(docs, win, b.toLong)
+      DedupQueries.batchSpanPairs(spark, win, docs)
+        .write.mode("append").parquet(spansDir)
+      if (b % compactEvery == compactEvery - 1)
+        DedupQueries.compactSignaturesMinor(spark, win)
+      val w = (System.nanoTime() - t1) / 1e9
+      Thread.sleep(100) // listener bus is async; let stage metrics land
+      val (inMb, inRows) =
+        ((input.bytes.get() - inB0) / 1e6, input.records.get() - inR0)
+      println(f"MAINT mode=span batch=$b corpus=${(b + 1) * m} " +
+        f"wall_s=$w%.1f spans_rows=${spark.read.parquet(spansDir).count()} " +
+        f"win_files=${dataFiles(win)} in_mb=$inMb%.1f in_rows=$inRows")
+    }
+    // tiny-batch epilogue BEFORE the identity check (the identity run
+    // must cover it too): streaming-cadence scale, pushed-In arm.
+    // Batch index scaled so ids start at batches*m — batchDocs strides
+    // ids by ITS batch size, so passing (batches, tinyM) would re-issue
+    // ids the full batches already own and the one-shot side would see
+    // two texts under one doc_id (the lex/embed epilogues are
+    // insensitive to this — their identity witness prints before the
+    // epilogue — but the span identity covers it)
+    val tinyM = math.max(m / 200L, 1L)
+    val tiny = batchDocs(spark, batches * (m / tinyM), tinyM)
+      .localCheckpoint()
+    Thread.sleep(200)
+    val (tinyB0, tinyR0) = (input.bytes.get(), input.records.get())
+    val t1 = System.nanoTime()
+    DedupQueries.appendToWindowsIdempotent(tiny, win, batches.toLong)
+    DedupQueries.batchSpanPairs(spark, win, tiny)
+      .write.mode("append").parquet(spansDir)
+    val tinyWall = (System.nanoTime() - t1) / 1e9
+    Thread.sleep(100)
+    println(f"MAINT-TINY mode=span batch=$batches corpus=${batches * m} " +
+      f"batch_size=$tinyM wall_s=$tinyWall%.1f " +
+      f"in_mb=${(input.bytes.get() - tinyB0) / 1e6}%.1f " +
+      f"in_rows=${input.records.get() - tinyR0}")
+    // identity: accumulated incremental store == one-shot recompute
+    // over the same full corpus (batches 0..B plus the tiny batch)
+    val all = ((0 until batches).map(b => batchDocs(spark, b.toLong, m)) :+
+      tiny).reduce(_ unionByName _)
+    val inc = spanChecksum(spark.read.parquet(spansDir))
+    val one = spanChecksum(DedupQueries.spanPipeline(
+      DedupQueries.explodedSpanWindows(all), None))
+    println(s"SPAN-IDENTITY incremental_sum=$inc oneshot_sum=$one " +
+      s"match=${inc == one}")
+  }
+
   /** Backfill-path probe (round-9 verdict #3): build a stored corpus
     * through `warm` streaming-sized batches, then push ONE
     * corpus-sized batch through the loop under BOTH plan shapes —
@@ -260,6 +348,11 @@ object MaintenanceProbe {
     spark.range(1).count()
     if (mode == "backfill") {
       backfillProbe(spark, batches, m)
+      spark.stop()
+      return
+    }
+    if (mode == "span") {
+      spanProbe(spark, batches, m)
       spark.stop()
       return
     }

@@ -26,7 +26,8 @@ object PlanReport {
     "q_lm_score" -> "Bigram-LM perplexity filter (round 9): scoring is served from the STORED model table (train-once memoized per corpus fingerprint) — no training aggregation in this plan, just the bigram explode left-joined against the stored counts; the per-doc fold is a sort_array + aggregate over collected (pos, logp) structs, order-identical to the DuckDB oracle's list fold.",
     "q_dedup_spans" -> "Substring-span dedup (Lee et al. 2022; round-10 serve): the tokenize→SHA→window-kernel→posexplode pass lives in the STORED fp-partitioned window table (spanWindowsPath, built once per corpus) — this plan must show only parquet scans of that table (no Generate, no SHA/tokenizer kernel); the pair stage is a self-equi-join on the packed 62-bit double-base key, and the gaps-and-islands merge is one window exchange per (pair, diagonal). No cartesian anywhere.",
     "q_dedup_spans_df" -> "df-capped span dedup: consumes the SAME stored window table (zero kernel recompute — the df-cap aggregation and both self-join sides scan one parquet table), with the over-cap hot set broadcast into a left-anti join BEFORE the pair join — the boilerplate guard that bounds per-fingerprint group mass by maxDf^2.",
-    "q_dedup_clusters_incr" -> "Incremental cluster fold (round-11 serve): the odd-half batch folds into the even-half labeling with the WHOLE contraction + min-label step computed driver-side (batch-bounded union-find) — the served plan is just the relabel join of the existing labels against a broadcast LocalRelation alt-map plus the csize window; no iterative CC job chain appears anywhere.")
+    "q_dedup_clusters_incr" -> "Incremental cluster fold (round-11 serve): the odd-half batch folds into the even-half labeling with the WHOLE contraction + min-label step computed driver-side (batch-bounded union-find) — the served plan is just the relabel join of the existing labels against a broadcast LocalRelation alt-map plus the csize window; no iterative CC job chain appears anywhere.",
+    "q_dedup_spans_incr" -> "Incremental span fold (round-11 serve): the lifecycle (append even half -> derive+persist base spans -> append odd half -> minor compaction -> batch-touching probe -> union) ran ONCE at table build; this plan must be a bare parquet scan of the stored span table plus the output sort — no window kernel, no fp self-join, no islands window. The per-trigger probe shape (batch windows x colliders, bucket-pruned + pushed-In stored reads) is pinned by SpanIngestSpec and measured in SCALING.md's 16-batch span series.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

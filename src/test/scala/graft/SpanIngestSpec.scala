@@ -79,6 +79,13 @@ class SpanIngestSpec extends SparkSpec {
       assert(spanSet(DedupQueries.batchSpanPairs(spark, win, b1,
         broadcastBatch = false)) == batchSpans,
         "span probe join-fallback arm diverged")
+      // ... and the over-cap arm (collectLocal declines, localCheckpoint
+      // + broadcast join, no key pruning) — the graft.dedup.driverFrameCap
+      // seam LayoutPinSpec uses on the lexical/embed probes
+      spark.conf.set("graft.dedup.driverFrameCap", "0")
+      try assert(spanSet(DedupQueries.batchSpanPairs(spark, win, b1)) ==
+        batchSpans, "span probe over-cap arm diverged")
+      finally spark.conf.unset("graft.dedup.driverFrameCap")
 
       // replay of an absorbed batch is a no-op (ack outlives absorption)
       val before = winSet(DedupQueries.windowsFromStored(spark, win))
