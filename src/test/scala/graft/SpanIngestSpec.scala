@@ -92,6 +92,22 @@ class SpanIngestSpec extends SparkSpec {
       DedupQueries.appendToWindowsIdempotent(b1, win, 1L)
       assert(winSet(DedupQueries.windowsFromStored(spark, win)) == before,
         "replayed window batch re-appended rows")
+
+      // mechanism pin: a streaming-cadence batch (< inFilterThreshold
+      // distinct fingerprints) pushes its fp set to the stored window
+      // scan as a REAL parquet In predicate, with the hive buckets
+      // pruned at partition level — the plan shape that makes the
+      // SkipProbe row-group-skip curve reachable for the span probe
+      // (ids start at 240 — past b0/b1 — so the probe models fresh
+      // arrivals, though the pin is about the scan, not the rows)
+      val small = MaintenanceProbe.batchDocs(spark, 16, 15)
+      val plan = DedupQueries.batchSpanPairs(spark, win, small)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      assert(plan.contains("PushedFilters: [In(fp"),
+        "fp key set not pushed to the stored window scan:\n" + plan)
+      assert("PartitionFilters: \\[[^\\]]*bkt".r.findFirstIn(plan).isDefined,
+        "bucket partition pruning missing on the stored window scan:\n" + plan)
     }
   }
 }
