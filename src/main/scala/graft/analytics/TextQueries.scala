@@ -147,6 +147,126 @@ object TextQueries {
           .as("bits_per_bigram"))
   }
 
+  // ------------------------------------------------------------------
+  // Incremental LM model — continuous maintenance for MODEL state
+  // (round 11). The bigram and unigram count tables are pure semigroup
+  // state (integer sums over disjoint doc batches), so the model joins
+  // the continuously-maintained family (signatures, sign buckets,
+  // window fingerprints, ANN codes): per-batch count DELTAS append
+  // exactly-once into bkt-partitioned incremental tables, and minor
+  // compaction AGGREGATES the absorbed tiers
+  // ([[graft.sinks.IncrementalParquet.compactMinor]]'s merge hook) so
+  // the stored tables stay Zipf-bounded instead of growing with
+  // batch count × keys. Serving reconstructs exactly [[trainLmModel]]'s
+  // (bigram, w1, c12, c1, v) relation by summing the deltas — counts
+  // are additive over a partition of the corpus, so the incremental
+  // model is IDENTICAL to a one-shot retrain and q_lm_score_incr runs
+  // under q_lm_score's full-retrain DuckDB SQL.
+
+  /** A batch's bigram-count delta (one O(batch) pass, no table IO),
+    * bucketed by bigram hash so serve scans parallelize and merged
+    * tiers cluster by the model's join key.
+    */
+  private[graft] def bigramDeltas(docs: DataFrame, n: Int): DataFrame =
+    lmBigrams(tokenized(docs)).groupBy(col("bigram"))
+      .agg(count(lit(1)).as("c12"))
+      .withColumn("bkt", pmod(hash(col("bigram")), lit(n)))
+
+  /** A batch's token-count delta — maintains the vocabulary (v =
+    * count of distinct stored tokens); tokens of 1-token docs appear
+    * in no bigram, so v is NOT derivable from the bigram table.
+    */
+  private[graft] def unigramDeltas(docs: DataFrame, n: Int): DataFrame =
+    tokenized(docs).select(explode(col("ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("bkt", pmod(hash(col("w")), lit(n)))
+
+  /** Sum-merges for aggregate-on-compact — serve-equivalent because
+    * [[lmModelFromStored]] sums these columns anyway.
+    */
+  private val mergeBigramCounts: DataFrame => DataFrame =
+    _.groupBy(col("bkt"), col("bigram")).agg(sum(col("c12")).as("c12"))
+  private val mergeUnigramCounts: DataFrame => DataFrame =
+    _.groupBy(col("bkt"), col("w")).agg(sum(col("c")).as("c"))
+
+  /** Exactly-once append of a batch's model deltas into the two stored
+    * count tables (replay/ack/layout-pin protocol in
+    * [[graft.sinks.IncrementalParquet]]; files clustered by the key so
+    * merged tiers keep tight page stats).
+    */
+  def appendToLmModelIdempotent(
+      batch: DataFrame, bgDir: String, uniDir: String, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val nb = DedupQueries.tableBuckets(s, bgDir)
+    graft.sinks.IncrementalParquet.appendIdempotent(
+      s, bgDir, "bkt", batchId, Seq("bigram"),
+      Map("buckets" -> nb.toString))(bigramDeltas(batch, nb))
+    val nu = DedupQueries.tableBuckets(s, uniDir)
+    graft.sinks.IncrementalParquet.appendIdempotent(
+      s, uniDir, "bkt", batchId, Seq("w"),
+      Map("buckets" -> nu.toString))(unigramDeltas(batch, nu))
+  }
+
+  /** Minor compaction of both model tables WITH count merging — the
+    * first user of aggregate-on-compact. Returns partitions absorbed.
+    */
+  def compactLmModelMinor(
+      s: SparkSession, bgDir: String, uniDir: String): Int =
+    graft.sinks.IncrementalParquet.compactMinor(
+      s, bgDir, "bkt", merge = mergeBigramCounts) +
+      graft.sinks.IncrementalParquet.compactMinor(
+        s, uniDir, "bkt", merge = mergeUnigramCounts)
+
+  /** Reconstruct [[trainLmModel]]'s exact model relation from the
+    * stored delta tables: counts sum (any unmerged tiers collapse
+    * here), `c1` re-derives from the summed bigram table exactly as
+    * the one-shot trainer derives it, `v` counts the distinct stored
+    * tokens. Integer arithmetic end-to-end, so the reconstruction is
+    * bit-identical to a full retrain.
+    */
+  def lmModelFromStored(
+      s: SparkSession, bgDir: String, uniDir: String): DataFrame = {
+    val model = s.read.parquet(bgDir).groupBy(col("bigram"))
+      .agg(sum(col("c12")).as("c12"))
+    val lefts = model
+      .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    val vocab = s.read.parquet(uniDir)
+      .agg(countDistinct(col("w")).as("v"))
+    model
+      .join(lefts, substring_index(col("bigram"), " ", 1) === col("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("bigram"), col("w1"), col("c12"), col("c1"), col("v"))
+  }
+
+  private val storedIncLmModel =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** THE incrementally-built model per corpus fingerprint — the model
+    * family's lifecycle gate, mirroring
+    * [[DedupQueries.incrementalSpansPath]]: the even-doc_id half
+    * arrives as batch 0, the odd half as batch 1, minor compaction
+    * sum-merges the tiers, and the served model materializes from the
+    * stored counts. Identical to [[trainLmModel]], so q_lm_score's
+    * full-retrain oracle checks the whole append → merge-compact →
+    * reconstruct lifecycle.
+    */
+  private[graft] def incrementalLmModelPath(
+      s: SparkSession, dir: String): String =
+    Tables.memoizedParquet(storedIncLmModel,
+      Tables.derivedStateKey(s, dir, "documents") + "|lmincr",
+      "graft-lm-incr") { out =>
+      val docs = t(s, dir, "documents")
+      val bgDir = s"$out/bg"
+      val uniDir = s"$out/uni"
+      appendToLmModelIdempotent(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), bgDir, uniDir, 0L)
+      appendToLmModelIdempotent(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), bgDir, uniDir, 1L)
+      compactLmModelMinor(s, bgDir, uniDir)
+      lmModelFromStored(s, bgDir, uniDir).write.parquet(s"$out/model")
+    } + "/model"
+
   val all: Seq[GraftQuery] = Seq(
 
     // ------------------------------------------------------------ tokens
@@ -329,34 +449,7 @@ object TextQueries {
     // streaming perplexity gate serves from. 100 TB shape: the model
     // is a broadcast-or-shuffle equi-join against a count table orders
     // of magnitude smaller than the corpus; scoring is one pass.
-    GraftQuery(
-      "q_lm_score",
-      s"""WITH tk AS (
-         |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts
-         |  FROM documents),
-         |bg AS (
-         |  SELECT doc_id, i AS pos, ts[i] || ' ' || ts[i+1] AS bigram
-         |  FROM (SELECT doc_id, ts,
-         |          unnest(range(1, len(ts))) AS i FROM tk)
-         |  WHERE len(ts) >= 2),
-         |model AS (SELECT bigram, count(*) AS c12 FROM bg GROUP BY bigram),
-         |lefts AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c12) AS c1
-         |          FROM model GROUP BY w1),
-         |vocab AS (SELECT count(DISTINCT w) AS v
-         |          FROM (SELECT unnest(ts) AS w FROM tk)),
-         |scored AS (
-         |  SELECT b.doc_id, b.pos,
-         |    floor(log2((m.c12 + 0.5) / (l.c1 + 0.5 * vocab.v))
-         |          * 1073741824.0) / 1073741824.0 AS logp
-         |  FROM bg b
-         |  JOIN model m ON b.bigram = m.bigram
-         |  JOIN lefts l ON split_part(b.bigram, ' ', 1) = l.w1
-         |  CROSS JOIN vocab)
-         |SELECT doc_id,
-         |  CAST(count(*) AS BIGINT) AS n_bigrams,
-         |  floor(-list_reduce(list(logp ORDER BY pos), (a, x) -> a + x)
-         |        / count(*) * 1000) / 1000 AS bits_per_bigram
-         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    GraftQuery("q_lm_score", lmScoreSql) { (s, dir) =>
       // served from the STORED model table (train-once memoized on the
       // corpus fingerprint) — the oracle retrains in SQL, but the
       // counts are the same counts, so the hash gate also pins the
@@ -364,5 +457,47 @@ object TextQueries {
       val model = s.read.parquet(lmModelPath(s, dir))
       scoreBitsPerBigram(t(s, dir, "documents"), model)
         .orderBy(col("doc_id"))
+    },
+
+    // Same oracle text, third physical strategy (the PQ-family
+    // precedent): the model here was built INCREMENTALLY — two delta
+    // batches, sum-merged tiers, reconstruction from stored counts —
+    // so the full-retrain SQL checks that continuous model maintenance
+    // loses nothing: incremental fold == one-shot retrain, to the bit.
+    GraftQuery("q_lm_score_incr", lmScoreSql) { (s, dir) =>
+      val model = s.read.parquet(incrementalLmModelPath(s, dir))
+      scoreBitsPerBigram(t(s, dir, "documents"), model)
+        .orderBy(col("doc_id"))
     })
+
+  /** q_lm_score's full-retrain DuckDB mirror — shared verbatim by
+    * q_lm_score_incr (one oracle text per result relation).
+    */
+  private def lmScoreSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, i AS pos, ts[i] || ' ' || ts[i+1] AS bigram
+       |  FROM (SELECT doc_id, ts,
+       |          unnest(range(1, len(ts))) AS i FROM tk)
+       |  WHERE len(ts) >= 2),
+       |model AS (SELECT bigram, count(*) AS c12 FROM bg GROUP BY bigram),
+       |lefts AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c12) AS c1
+       |          FROM model GROUP BY w1),
+       |vocab AS (SELECT count(DISTINCT w) AS v
+       |          FROM (SELECT unnest(ts) AS w FROM tk)),
+       |scored AS (
+       |  SELECT b.doc_id, b.pos,
+       |    floor(log2((m.c12 + 0.5) / (l.c1 + 0.5 * vocab.v))
+       |          * 1073741824.0) / 1073741824.0 AS logp
+       |  FROM bg b
+       |  JOIN model m ON b.bigram = m.bigram
+       |  JOIN lefts l ON split_part(b.bigram, ' ', 1) = l.w1
+       |  CROSS JOIN vocab)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  floor(-list_reduce(list(logp ORDER BY pos), (a, x) -> a + x)
+       |        / count(*) * 1000) / 1000 AS bits_per_bigram
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

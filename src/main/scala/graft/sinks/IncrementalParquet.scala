@@ -513,9 +513,26 @@ object IncrementalParquet {
     * `_ingested` ack markers outlive absorption, so a replay of an
     * absorbed batch stays a no-op. Returns the number of partitions
     * that absorbed files.
+    *
+    * `merge` — AGGREGATE-ON-COMPACT for semigroup-mergeable tables
+    * (round 11): applied to the absorbed rows before the staged write,
+    * so a count-delta table (the incremental LM model's bigram/unigram
+    * counts) collapses its tiers to one row per key instead of merely
+    * concatenating them, keeping the stored table key-bounded (Zipf)
+    * rather than growing with batch count × keys. Contract: `merge`
+    * must preserve the table schema including `partCol`, and must be
+    * SERVE-EQUIVALENT — for any absorbed row set S the table's serve
+    * path yields identical results reading `merge(S)` in place of S
+    * (true exactly when the serve folds rows with an associative,
+    * commutative merge of which `merge` is a partial fold — integer
+    * count sums here). Row-identity tables (signatures, windows, sign
+    * buckets: serve reads rows verbatim) must keep the identity
+    * default. Crash safety is unchanged: `merge` runs inside the
+    * staged write, before any live file moves.
     */
   def compactMinor(spark: SparkSession, dirStr: String, partCol: String,
-      minBatchFiles: Int = 2, maxBaseFiles: Int = 8): Int = {
+      minBatchFiles: Int = 2, maxBaseFiles: Int = 8,
+      merge: DataFrame => DataFrame = identity): Int = {
     val dir = new Path(dirStr)
     val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return 0
@@ -573,8 +590,8 @@ object IncrementalParquet {
     // tightness the probes' pushed filters skip on
     val sortCols = pinnedSort(fs, dir)
     clustered(
-      spark.read.option("basePath", dirStr)
-        .parquet(toAbsorb.flatMap(_._2).map(_.toString): _*),
+      merge(spark.read.option("basePath", dirStr)
+        .parquet(toAbsorb.flatMap(_._2).map(_.toString): _*)),
       partCol, sortCols)
       .write.mode("overwrite").options(clusteredWriteOpts(sortCols))
       .partitionBy(partCol).parquet(stage.toString)
@@ -758,10 +775,16 @@ object IncrementalParquet {
     * `partValue` parses a partition directory value into the literal
     * used for the partition-pruned read (its type must match the
     * column's, or the `.isin` filter would cast and could defeat
-    * pruning). Returns the number of partitions compacted.
+    * pruning). `merge` is [[compactMinor]]'s aggregate-on-compact hook
+    * (same serve-equivalence contract); here it sees each fragmented
+    * partition's ENTIRE content, so a count table leaves the full
+    * rewrite with exactly one row per key. Returns the number of
+    * partitions compacted.
     */
   def compact(spark: SparkSession, dirStr: String, partCol: String,
-      maxFilesPerPart: Int = 1)(partValue: String => Any): Int = {
+      maxFilesPerPart: Int = 1,
+      merge: DataFrame => DataFrame = identity)(
+      partValue: String => Any): Int = {
     val dir = new Path(dirStr)
     val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
     val stage = new Path(dir.getParent, s".${dir.getName}.compact")
@@ -799,8 +822,8 @@ object IncrementalParquet {
     // pinned cluster columns so a full rewrite keeps the probe layout
     val sortCols = pinnedSort(fs, dir)
     clustered(
-      spark.read.parquet(dirStr)
-        .filter(col(partCol).isin(fragmented.map(partValue): _*)),
+      merge(spark.read.parquet(dirStr)
+        .filter(col(partCol).isin(fragmented.map(partValue): _*))),
       partCol, sortCols)
       .write.options(clusteredWriteOpts(sortCols))
       .partitionBy(partCol).parquet(stage.toString)

@@ -469,6 +469,38 @@ object StreamingPipeline {
     }
   }
 
+  /** Streamed LM-model maintenance — MODEL state joining the
+    * continuously-maintained family: arriving documents' bigram and
+    * unigram count DELTAS append exactly-once into the stored model
+    * tables ([[graft.analytics.TextQueries.appendToLmModelIdempotent]],
+    * one O(batch) pass, no table IO), and on the compaction cadence
+    * the tiers SUM-MERGE (aggregate-on-compact —
+    * [[graft.analytics.TextQueries.compactLmModelMinor]]), so the
+    * model a concurrent [[perplexityGate]] serves from stays
+    * Zipf-bounded while the corpus grows without bound. Counts are a
+    * semigroup over disjoint batches, so the maintained model is
+    * bit-identical to a full retrain at every trigger boundary
+    * (LmIncrementalSpec pins the identity; the q_lm_score_incr
+    * catalog gate pins it against the full-retrain DuckDB oracle).
+    */
+  def startLmIngest(
+      spark: SparkSession,
+      incomingDir: String,
+      bgDir: String,
+      uniDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = DefaultCompactEvery): StreamingQuery =
+    startIndexIngest(spark, incomingDir, checkpointDir, docSchema, trigger) {
+      (batch, batchId) =>
+        graft.analytics.TextQueries.appendToLmModelIdempotent(
+          batch, bgDir, uniDir, batchId)
+        onCadence(compactEvery, batchId) {
+          graft.analytics.TextQueries.compactLmModelMinor(
+            spark, bgDir, uniDir); ()
+        }
+    }
+
   /** Continuous dedup maintenance — the full closed loop a training
     * pipeline runs at ingest time, composed per micro-batch from the
     * pieces that each hold their own exactly-once contract:
