@@ -70,6 +70,28 @@ object MaintenanceProbe {
     }.toDF("doc_id", "text")
   }
 
+  /** Batch `b` of `m` docs with ZIPF-drawn tokens (p(rank) ∝ 1/rank
+    * over a 10k vocab via log-uniform inverse CDF) — the LM probe's
+    * corpus. [[batchDocs]]' near-copy corpus draws ~uniform over 50k
+    * seeds, so its bigrams are mostly unique and a count-merge would
+    * be vacuous; natural text is Zipfian, which is exactly what makes
+    * the maintained count table sublinear in the corpus (Heaps' law)
+    * and the sum-merge collapse real.
+    */
+  def batchZipfDocs(spark: SparkSession, b: Long, m: Long): DataFrame = {
+    import spark.implicits._
+    val lnV = math.log(10000.0)
+    (0L until m).map { k =>
+      val id = b * m + k
+      val text = (0 until 40).map { j =>
+        val u = math.floorMod(mix(id * 97 + j), 1000000) / 1000000.0
+        val rank = math.min(9999L, math.exp(u * lnV).toLong)
+        s"z$rank"
+      }.mkString(" ")
+      (id, text)
+    }.toDF("doc_id", "text")
+  }
+
   /** Batch `b` of `m` 64-dim vectors, embedding mirror of [[batchDocs]]:
     * near-copies perturb ONE coordinate of their batch-0 base by +0.05
     * (cosine stays ≈ 1), everything else is independent splitmix noise.
@@ -242,6 +264,75 @@ object MaintenanceProbe {
       s"match=${inc == one}")
   }
 
+  /** Order-insensitive checksum of a model relation — the LM loop's
+    * output-identity witness (same mod-reduce rationale as
+    * [[labelsChecksum]]).
+    */
+  private def modelChecksum(df: DataFrame): Long =
+    df.select(pmod(xxhash64(col("bigram"), col("w1"), col("c12"),
+        col("c1"), col("v")), lit(1L << 31)).as("h"))
+      .agg(coalesce(sum(col("h")), lit(0L))).collect().head.getLong(0)
+
+  /** Continuous LM-model probe (round 11) — measures the
+    * aggregate-on-compact claim instead of arguing it: per batch,
+    * append the batch's bigram/unigram count deltas exactly-once and
+    * sum-merge the tiers on the compaction cadence. `stored_rows`
+    * must track the corpus's DISTINCT-bigram count (Zipf/Heaps-
+    * bounded, sublinear) while `delta_rows` — the running sum of
+    * per-batch delta sizes, i.e. what a merge-less tier pile would
+    * hold — grows linearly, so `collapse` = delta_rows/stored_rows
+    * rises with the series. The epilogue scores a tiny arriving batch
+    * against the maintained model (the perplexityGate serve shape)
+    * and checks the reconstructed model equals a one-shot retrain
+    * over the identical corpus.
+    */
+  private def lmProbe(spark: SparkSession, batches: Int, m: Long): Unit = {
+    val compactEvery = 4
+    val root = java.nio.file.Files.createTempDirectory("maintlm")
+    val bg = root.resolve("bg").toString
+    val uni = root.resolve("uni").toString
+    val input = new InputMeter
+    spark.sparkContext.addSparkListener(input)
+    import graft.analytics.TextQueries
+    var deltaRows = 0L
+    for (b <- 0 until batches) {
+      val docs = batchZipfDocs(spark, b, m).localCheckpoint() // gen untimed
+      val inB0 = input.bytes.get()
+      val t1 = System.nanoTime()
+      TextQueries.appendToLmModelIdempotent(docs, bg, uni, b.toLong)
+      if (b % compactEvery == compactEvery - 1)
+        TextQueries.compactLmModelMinor(spark, bg, uni)
+      val w = (System.nanoTime() - t1) / 1e9
+      deltaRows += TextQueries.bigramDeltas(docs, 1).count() // untimed census
+      Thread.sleep(100) // listener bus is async; let stage metrics land
+      val stored = spark.read.parquet(bg).count()
+      println(f"MAINT mode=lm batch=$b corpus=${(b + 1) * m} " +
+        f"wall_s=$w%.1f stored_rows=$stored delta_rows=$deltaRows " +
+        f"collapse=${deltaRows.toDouble / stored}%.2f " +
+        f"bg_files=${dataFiles(bg)} " +
+        f"in_mb=${(input.bytes.get() - inB0) / 1e6}%.1f")
+    }
+    // serve epilogue: score a tiny arriving batch against the
+    // maintained model (reconstruction + stream-static join), the
+    // per-trigger cost a perplexity gate pays at this corpus size
+    val tiny = batchZipfDocs(spark, batches.toLong, math.max(m / 200L, 1L))
+      .localCheckpoint()
+    val model = TextQueries.lmModelFromStored(spark, bg, uni)
+      .localCheckpoint(eager = true) // reconstruction timed separately below
+    val t2 = System.nanoTime()
+    val n = TextQueries.scoreBitsPerBigram(tiny, model).count()
+    val serveWall = (System.nanoTime() - t2) / 1e9
+    println(f"MAINT-TINY mode=lm corpus=${batches * m} scored=$n " +
+      f"serve_wall_s=$serveWall%.1f")
+    // identity: reconstructed maintained model == one-shot retrain
+    val all = (0 until batches).map(b => batchZipfDocs(spark, b.toLong, m))
+      .reduce(_ unionByName _)
+    val inc = modelChecksum(TextQueries.lmModelFromStored(spark, bg, uni))
+    val one = modelChecksum(TextQueries.trainLmModel(all))
+    println(s"LM-IDENTITY incremental_sum=$inc oneshot_sum=$one " +
+      s"match=${inc == one}")
+  }
+
   /** Backfill-path probe (round-9 verdict #3): build a stored corpus
     * through `warm` streaming-sized batches, then push ONE
     * corpus-sized batch through the loop under BOTH plan shapes —
@@ -353,6 +444,11 @@ object MaintenanceProbe {
     }
     if (mode == "span") {
       spanProbe(spark, batches, m)
+      spark.stop()
+      return
+    }
+    if (mode == "lm") {
+      lmProbe(spark, batches, m)
       spark.stop()
       return
     }
