@@ -267,6 +267,91 @@ object TextQueries {
       lmModelFromStored(s, bgDir, uniDir).write.parquet(s"$out/model")
     } + "/model"
 
+  // ------------------------------------------------------------------
+  // Incremental term statistics — aggregate-on-compact's second user
+  // (round 11), maintaining the CORPUS state behind salient-term
+  // extraction: the document-frequency table and the doc count. Both
+  // are semigroups over batches, but df subtly so: df adds across
+  // batches ONLY because their doc sets are disjoint — a replayed doc
+  // would double-count every term it contains — so the exactly-once
+  // ack protocol is the CORRECTNESS condition here, not merely an
+  // efficiency (contrast the LM counts, where replay would inflate
+  // totals uniformly). Per-doc tf is scan-stage per serving, not
+  // state; q_top_terms_incr serves the exact q_top_terms relation
+  // with df/n_docs read from the maintained tables.
+
+  /** A batch's document-frequency delta: per term, the count of batch
+    * docs containing it (one O(batch) pass, no table IO).
+    */
+  private[graft] def dfDeltas(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("bkt", pmod(hash(col("term")), lit(n)))
+
+  /** A batch's doc-count delta — one row. The stopword cut compares
+    * df against the CORPUS size, so the count is maintained state too.
+    */
+  private[graft] def docCountDelta(docs: DataFrame): DataFrame =
+    docs.agg(count(lit(1)).as("n")).withColumn("bkt", lit(0))
+
+  private val mergeDfCounts: DataFrame => DataFrame =
+    _.groupBy(col("bkt"), col("term")).agg(sum(col("df")).as("df"))
+  private val mergeDocCounts: DataFrame => DataFrame =
+    _.groupBy(col("bkt")).agg(sum(col("n")).as("n"))
+
+  /** Exactly-once append of a batch's term-stats deltas. */
+  def appendToTermStatsIdempotent(
+      batch: DataFrame, dfDir: String, cntDir: String, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val nb = DedupQueries.tableBuckets(s, dfDir)
+    graft.sinks.IncrementalParquet.appendIdempotent(
+      s, dfDir, "bkt", batchId, Seq("term"),
+      Map("buckets" -> nb.toString))(dfDeltas(batch, nb))
+    graft.sinks.IncrementalParquet.appendIdempotent(
+      s, cntDir, "bkt", batchId)(docCountDelta(batch))
+  }
+
+  /** Minor compaction of both term-stats tables with count merging. */
+  def compactTermStatsMinor(
+      s: SparkSession, dfDir: String, cntDir: String): Int =
+    graft.sinks.IncrementalParquet.compactMinor(
+      s, dfDir, "bkt", merge = mergeDfCounts) +
+      graft.sinks.IncrementalParquet.compactMinor(
+        s, cntDir, "bkt", merge = mergeDocCounts)
+
+  /** The maintained (term, df) relation and corpus size, summed from
+    * the stored deltas — exactly the df table + n_docs scalar the
+    * one-shot query derives from the corpus.
+    */
+  def termStatsFromStored(
+      s: SparkSession, dfDir: String, cntDir: String): (DataFrame, DataFrame) =
+    (s.read.parquet(dfDir).groupBy(col("term")).agg(sum(col("df")).as("df")),
+      s.read.parquet(cntDir).agg(sum(col("n")).as("n_docs")))
+
+  private val storedIncTermStats =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** THE incrementally-built term-stats state per corpus fingerprint —
+    * even half as batch 0, odd half as batch 1, sum-merge compaction.
+    */
+  private[graft] def incrementalTermStatsDirs(
+      s: SparkSession, dir: String): (String, String) = {
+    val out = Tables.memoizedParquet(storedIncTermStats,
+      Tables.derivedStateKey(s, dir, "documents") + "|termincr",
+      "graft-terms-incr") { out =>
+      val docs = t(s, dir, "documents")
+      val dfDir = s"$out/df"
+      val cntDir = s"$out/cnt"
+      appendToTermStatsIdempotent(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), dfDir, cntDir, 0L)
+      appendToTermStatsIdempotent(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), dfDir, cntDir, 1L)
+      compactTermStatsMinor(s, dfDir, cntDir); ()
+    }
+    (s"$out/df", s"$out/cnt")
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     // ------------------------------------------------------------ tokens
@@ -329,19 +414,7 @@ object TextQueries {
     // Scale: the document-frequency table is |vocab|-sized
     // (broadcastable); the explode is scan-stage; the only wide ops are
     // the two term aggregations and the per-doc top-k window.
-    GraftQuery(
-      "q_top_terms",
-      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
-        |             FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |j AS (SELECT tf.doc_id, tf.term, tf.tf, df.df
-        |      FROM tf JOIN df ON tf.term = df.term
-        |      WHERE df.df * 10 < (SELECT count(*) FROM documents) * 9),
-        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
-        |        ORDER BY tf DESC, df ASC, term) AS INTEGER) AS rnk FROM j)
-        |SELECT doc_id, rnk, term, tf, df
-        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, dir) =>
+    GraftQuery("q_top_terms", topTermsSql) { (s, dir) =>
       val tok = t(s, dir, "documents")
         .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
       // df derives from tf (tf is one row per (doc, term)) — the
@@ -354,6 +427,32 @@ object TextQueries {
       // corpus size as a broadcast 1-row scalar (the SQL subquery's
       // plan shape) — no driver-side action in the query path
       val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term"))
+      tf.join(broadcast(dfT.join(broadcast(nDocs))
+          .filter(col("df") * 10 < col("n_docs") * 9)
+          .select("term", "df")), "term")
+        .select(col("doc_id"),
+          row_number().over(w).cast(org.apache.spark.sql.types.IntegerType).as("rnk"),
+          col("term"), col("tf"), col("df"))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("doc_id"), col("rnk"))
+    },
+
+    // Same oracle text, served with the CORPUS state (df table +
+    // doc count) read from the incrementally-maintained tables instead
+    // of re-derived — per-doc tf stays scan-stage per serving (it is a
+    // function of each doc alone, not corpus state). The full-recompute
+    // SQL checks that df stayed exact across append → sum-merge →
+    // reconstruct, i.e. that exactly-once ingest really made df
+    // additive over batches.
+    GraftQuery("q_top_terms_incr", topTermsSql) { (s, dir) =>
+      val (dfDir, cntDir) = incrementalTermStatsDirs(s, dir)
+      val (dfT, nDocs) = termStatsFromStored(s, dfDir, cntDir)
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df").asc, col("term"))
       tf.join(broadcast(dfT.join(broadcast(nDocs))
@@ -469,6 +568,22 @@ object TextQueries {
       scoreBitsPerBigram(t(s, dir, "documents"), model)
         .orderBy(col("doc_id"))
     })
+
+  /** q_top_terms' full-recompute DuckDB mirror — shared verbatim by
+    * q_top_terms_incr (one oracle text per result relation).
+    */
+  private def topTermsSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+      |             FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |j AS (SELECT tf.doc_id, tf.term, tf.tf, df.df
+      |      FROM tf JOIN df ON tf.term = df.term
+      |      WHERE df.df * 10 < (SELECT count(*) FROM documents) * 9),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY tf DESC, df ASC, term) AS INTEGER) AS rnk FROM j)
+      |SELECT doc_id, rnk, term, tf, df
+      |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
   /** q_lm_score's full-retrain DuckDB mirror — shared verbatim by
     * q_lm_score_incr (one oracle text per result relation).

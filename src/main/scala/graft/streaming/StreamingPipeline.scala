@@ -469,6 +469,35 @@ object StreamingPipeline {
     }
   }
 
+  /** Streamed term-statistics maintenance — [[startLmIngest]]'s
+    * sibling for the salient-term corpus state (document-frequency
+    * table + doc count). df is additive over batches ONLY because the
+    * file stream delivers each document exactly once (a doc split or
+    * replayed across batches would double-count every term it
+    * contains), so the append's ack protocol is the correctness
+    * condition here, not merely an efficiency —
+    * `TextQueries.appendToTermStatsIdempotent` documents the contract;
+    * the q_top_terms_incr catalog gate checks the maintained state
+    * against a full recompute.
+    */
+  def startTermStatsIngest(
+      spark: SparkSession,
+      incomingDir: String,
+      dfDir: String,
+      cntDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = DefaultCompactEvery): StreamingQuery =
+    startIndexIngest(spark, incomingDir, checkpointDir, docSchema, trigger) {
+      (batch, batchId) =>
+        graft.analytics.TextQueries.appendToTermStatsIdempotent(
+          batch, dfDir, cntDir, batchId)
+        onCadence(compactEvery, batchId) {
+          graft.analytics.TextQueries.compactTermStatsMinor(
+            spark, dfDir, cntDir); ()
+        }
+    }
+
   /** Streamed LM-model maintenance — MODEL state joining the
     * continuously-maintained family: arriving documents' bigram and
     * unigram count DELTAS append exactly-once into the stored model

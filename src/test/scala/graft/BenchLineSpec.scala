@@ -72,23 +72,22 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains("\"calib\":0.123"),
       s"calib shed at real catalog size (line ${line.length} chars)")
     val dropped = "\"dropped\":(\\d+)".r.findFirstMatchIn(line).map(_.group(1).toInt)
-    // the shed allowance scales with the catalog (the fixed char budget
-    // is divided among ever more, ever longer query names): at most
-    // ~1 in 8 of the fastest walls. Since round 9 the shed tail loses
-    // no history — BENCH_full.json (the renderFull sidecar) carries
-    // every query at 3 decimals — so the line only has to keep the
-    // regression-relevant slow tail readable inside the driver's
-    // capture window
-    // /7 (ceiling): at 100 equal-wall queries (the synthetic worst
-    // case — real walls are skewed, so the kept slowest cover far more
-    // of the total) the 1970-char budget keeps ~87; the allowance
-    // tracks that ~1-in-7 shed rate as the catalog grows (floor ran
-    // out of headroom at 102 queries, shedding 15 against a 14
-    // allowance with the line still keeping 87 slowest walls)
-    val allowance = math.max(4, (SparkEntry.queries.size + 6) / 7)
-    assert(dropped.getOrElse(0) <= allowance,
-      s"dropped ${dropped.getOrElse(0)} queries at real catalog size " +
-        s"(allowance $allowance) — too many")
+    // Since round 9 the shed tail loses no history — BENCH_full.json
+    // (the renderFull sidecar) carries every query at 3 decimals — so
+    // the line's one job is keeping the regression-relevant SLOW tail
+    // readable inside the driver's capture window. The right invariant
+    // is therefore an absolute floor on how many slowest walls survive,
+    // not a relative cap on the dropped count: kept ≈ (1970-char budget
+    // − fixed overhead) / mean per-entry length, which the catalog's
+    // size does NOT move (every dropped-allowance formula tried before
+    // — /8 at 94 queries, /7 at 102 — needed retuning the moment a few
+    // long-named queries landed, while the kept count sat near 86–87
+    // the whole time). 80 leaves ~one row-of-names of headroom for the
+    // incremental family's longer names before it would trip.
+    val kept = SparkEntry.queries.size - dropped.getOrElse(0)
+    assert(kept >= 80,
+      s"line keeps only $kept slowest walls at real catalog size " +
+        s"(dropped ${dropped.getOrElse(0)}) — slow tail no longer readable")
     // error/flaky signals survive the shed step: inject one and the
     // line must still carry it at full catalog size
     val withErr = Bench.renderLine(results, "/root/testdata/sf0.1", errors = 1)
