@@ -18,7 +18,7 @@ import graft.streaming.StreamingPipeline
   * probe's (id, sg) columns, the bucket-pruned shingle fetch, and the
   * relabel join — all sublinear-in-wall at these scales).
   *
-  * `args`: [lex|embed|span|backfill] [batches] [batchSize] [buckets]
+  * `args`: [lex|embed|span|lm|terms|backfill] [batches] [batchSize] [buckets]
   * [bits] —
   * default `lex 16 20000` (embed default 16 × 20000 vectors, 4×16-bit
   * bands). Compaction fires every 4 batches, mirroring the stream
@@ -333,6 +333,86 @@ object MaintenanceProbe {
       s"match=${inc == one}")
   }
 
+  /** Order-insensitive checksum of a (term, df) relation — the
+    * term-stats loop's output-identity witness.
+    */
+  private def dfChecksum(df: DataFrame): Long =
+    df.select(pmod(xxhash64(col("term"), col("df")), lit(1L << 31)).as("h"))
+      .agg(coalesce(sum(col("h")), lit(0L))).collect().head.getLong(0)
+
+  /** Continuous term-statistics probe (round 11) — aggregate-on-
+    * compact's second user measured the way the LM loop is. The
+    * maintained state is the document-frequency table + doc count; the
+    * sharper claim vs the LM probe: df state is VOCAB-bounded, not
+    * merely Heaps-sublinear — each batch's delta is ≤|vocab| rows
+    * whatever the batch size, so `collapse` (delta pile ÷ stored)
+    * rises ~linearly in batch count and the stored table PLATEAUS at
+    * the vocabulary. The serve epilogue runs the q_top_terms shape
+    * for a tiny arriving batch — per-doc tf scan-stage on the batch
+    * alone, df/n_docs broadcast from the maintained tables — i.e. the
+    * cost of salient-term extraction for new docs never re-touches
+    * the corpus.
+    */
+  private def termsProbe(spark: SparkSession, batches: Int, m: Long): Unit = {
+    val compactEvery = 4
+    val root = java.nio.file.Files.createTempDirectory("maintterms")
+    val dfDir = root.resolve("df").toString
+    val cntDir = root.resolve("cnt").toString
+    val input = new InputMeter
+    spark.sparkContext.addSparkListener(input)
+    import graft.analytics.TextQueries
+    var deltaRows = 0L
+    for (b <- 0 until batches) {
+      val docs = batchZipfDocs(spark, b, m).localCheckpoint() // gen untimed
+      val inB0 = input.bytes.get()
+      val t1 = System.nanoTime()
+      TextQueries.appendToTermStatsIdempotent(docs, dfDir, cntDir, b.toLong)
+      if (b % compactEvery == compactEvery - 1)
+        TextQueries.compactTermStatsMinor(spark, dfDir, cntDir)
+      val w = (System.nanoTime() - t1) / 1e9
+      deltaRows += TextQueries.dfDeltas(docs, 1).count() // untimed census
+      Thread.sleep(100) // listener bus is async; let stage metrics land
+      val stored = spark.read.parquet(dfDir).count()
+      println(f"MAINT mode=terms batch=$b corpus=${(b + 1) * m} " +
+        f"wall_s=$w%.1f stored_rows=$stored delta_rows=$deltaRows " +
+        f"collapse=${deltaRows.toDouble / stored}%.2f " +
+        f"df_files=${dataFiles(dfDir)} " +
+        f"in_mb=${(input.bytes.get() - inB0) / 1e6}%.1f")
+    }
+    // serve epilogue: salient terms for a tiny arriving batch against
+    // the maintained corpus state (tf is scan-stage on the batch; df +
+    // n_docs broadcast from the stored tables)
+    val tiny = batchZipfDocs(spark, batches.toLong, math.max(m / 200L, 1L))
+      .localCheckpoint()
+    val (dfT, nD) = TextQueries.termStatsFromStored(spark, dfDir, cntDir)
+    val (dfC, nC) = (dfT.localCheckpoint(eager = true),
+      nD.localCheckpoint(eager = true)) // reconstruction untimed, as lmProbe
+    val t2 = System.nanoTime()
+    val tf = tiny
+      .select(col("doc_id"), explode(
+        graft.functions.TextFunctions.tokens(lower(col("text")))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term"))
+    val served = tf.join(broadcast(dfC.join(broadcast(nC))
+        .filter(col("df") * 10 < col("n_docs") * 9).select("term", "df")), "term")
+      .select(col("doc_id"), row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= 3).count()
+    val serveWall = (System.nanoTime() - t2) / 1e9
+    println(f"MAINT-TINY mode=terms corpus=${batches * m} served=$served " +
+      f"serve_wall_s=$serveWall%.1f")
+    // identity: maintained state == one-shot recount over the corpus
+    val all = (0 until batches).map(b => batchZipfDocs(spark, b.toLong, m))
+      .reduce(_ unionByName _)
+    val inc = dfChecksum(dfT)
+    val one = dfChecksum(
+      TextQueries.dfDeltas(all, 1).select(col("term"), col("df")))
+    val nInc = nD.collect().head.getLong(0)
+    println(s"TERMS-IDENTITY incremental_sum=$inc oneshot_sum=$one " +
+      s"match=${inc == one} n_docs=$nInc n_expected=${batches * m} " +
+      s"n_match=${nInc == batches * m}")
+  }
+
   /** Backfill-path probe (round-9 verdict #3): build a stored corpus
     * through `warm` streaming-sized batches, then push ONE
     * corpus-sized batch through the loop under BOTH plan shapes —
@@ -449,6 +529,11 @@ object MaintenanceProbe {
     }
     if (mode == "lm") {
       lmProbe(spark, batches, m)
+      spark.stop()
+      return
+    }
+    if (mode == "terms") {
+      termsProbe(spark, batches, m)
       spark.stop()
       return
     }
