@@ -28,7 +28,9 @@ object PlanReport {
     "q_dedup_spans_df" -> "df-capped span dedup: consumes the SAME stored window table (zero kernel recompute — the df-cap aggregation and both self-join sides scan one parquet table), with the over-cap hot set broadcast into a left-anti join BEFORE the pair join — the boilerplate guard that bounds per-fingerprint group mass by maxDf^2.",
     "q_dedup_clusters_incr" -> "Incremental cluster fold (round-11 serve): the odd-half batch folds into the even-half labeling with the WHOLE contraction + min-label step computed driver-side (batch-bounded union-find) — the served plan is just the relabel join of the existing labels against a broadcast LocalRelation alt-map plus the csize window; no iterative CC job chain appears anywhere.",
     "q_dedup_spans_incr" -> "Incremental span fold (round-11 serve): the lifecycle (append even half -> derive+persist base spans -> append odd half -> minor compaction -> batch-touching probe -> union) ran ONCE at table build; this plan must be a bare parquet scan of the stored span table plus the output sort — no window kernel, no fp self-join, no islands window. The per-trigger probe shape (batch windows x colliders, bucket-pruned + pushed-In stored reads) is pinned by SpanIngestSpec and measured in SCALING.md's 16-batch span series.",
-    "q_top_terms_incr" -> "Salient terms served from MAINTAINED corpus state (round 11): df and n_docs are parquet scans of the incrementally-summed term-stats tables (vocab-bounded, broadcast into the tf join) — the one-shot form's second corpus-wide aggregation (df-from-tf) and its shuffled vocab join are GONE; the only corpus-sized work left is the per-doc tf aggregation + top-3 window, both functions of each doc alone. Faster than the one-shot serve (0.82 vs 1.17 s at sf0.1) before amortizing maintenance.")
+    "q_top_terms_incr" -> "Salient terms served from MAINTAINED corpus state (round 11): df and n_docs are parquet scans of the incrementally-summed term-stats tables (vocab-bounded, broadcast into the tf join) — the one-shot form's second corpus-wide aggregation (df-from-tf) and its shuffled vocab join are GONE; the only corpus-sized work left is the per-doc tf aggregation + top-3 window, both functions of each doc alone. Faster than the one-shot serve (0.82 vs 1.17 s at sf0.1) before amortizing maintenance.",
+    "q_dedup_semantic" -> "SemDeDup cluster-locality pruning (round 11): coarse assignment is the compiled-codebook nearest_cell kernel in the scan stage (no centroid join), the within-cell pair stage is ONE equi-join on the cell id (pair mass bounded by training k, the paper's corpus-proportional dial), and the verdict is a distinct + left join — no cartesian/BNL anywhere, no transitive closure (cell-local prune is the published semantics; q_dedup_embed_clusters is the closure-based sibling).",
+    "q_dedup_semantic_incr" -> "Incremental SemDeDup fold (round-11 serve): the lifecycle (append id-ordered halves into the cell-partitioned member table, per-batch verdicts against stored state, mid-lifecycle compaction) ran ONCE at table build; this plan must be a bare parquet scan of the stored verdicts table plus the output sort — no nearest_cell kernel, no cell self-join. The per-trigger probe shape (|batch| x touched cells, partition-pruned) is pinned by SemanticIncrementalSpec.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

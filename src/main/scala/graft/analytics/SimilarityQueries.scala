@@ -1030,5 +1030,196 @@ object SimilarityQueries {
       // indexes coexist per corpus)
       val codes = s.read.parquet(incrementalCodesPath(s, dir, cbIvf, cbPq))
       ivfPqServeFromCodes(e, codes, cbIvf, cbPq, 10)
+    },
+
+    // ------------------------------------------- semantic dedup (SemDeDup)
+    // Cluster-locality semantic dedup (Abbas et al. 2023, SemDeDup:
+    // k-means-cluster the embeddings, then prune near-duplicates
+    // WITHIN each cluster only) — the published curation technique the
+    // LSH-based q_dedup_embed family approximates from the other
+    // direction. Both blocking structures bound the pair mass without
+    // an all-pairs stage, but they differ in what they can miss and
+    // how they scale: sign-LSH's random hyperplanes admit any pair
+    // with band-collision probability rising in cosine (recall decays
+    // smoothly, corpus-independent), while SemDeDup's learned
+    // partition compares ONLY same-cell pairs (a near-dup pair
+    // straddling a k-means boundary is invisible — the paper's
+    // accepted approximation) and in exchange is embarrassingly
+    // parallel: one equi-join on the cell id, per-cell pair mass
+    // Σ|cell|², bounded by training k ∝ corpus (the paper runs k=50k
+    // at 5B docs; the trainer's k is that dial — the serve plan is
+    // identical at any k). Keep rule: the paper iterates each cluster
+    // sequentially keeping the first non-duplicate encountered; the
+    // deterministic parallel form of that convention is the engine's
+    // encounter-order rule (operators/FirstWins.scala) — a vector is
+    // pruned iff SOME lower-id same-cell vector sits within the
+    // threshold, which needs no sequential scan and no closure (cf.
+    // q_dedup_embed_clusters, which builds the transitive closure
+    // instead of a per-cell verdict). Centroids are the SAME trained
+    // spherical-k-means codebook q_ann_ivf_trained serves from
+    // (cachedSphericalIvf — training is cross-engine deterministic),
+    // so the oracle re-derives them with the unrolled iteration CTEs
+    // and the whole verdict, assignment included, hash-matches.
+    GraftQuery("q_dedup_semantic", semanticSql) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val cb = graft.operators.CodebookTrainer.cachedSphericalIvf(
+        e, corpusKey(s, dir), 16, 64, 2)
+      semanticPipeline(e, cb, 0.4)
+    },
+
+    // --------------------------------------- incremental semantic dedup
+    // SemDeDup as CONTINUOUSLY-MAINTAINED state — the embedding
+    // verdict's maintenance path, joining the incremental family. The
+    // stored state is the cell-partitioned member table (vec_id, cell,
+    // norm, vector): arriving batches append exactly-once
+    // ([[appendToCellsIdempotent]] — assignment against the FIXED
+    // trained codebook is scan-stage, the codebook discipline the
+    // stored-codes family established), and each batch's verdicts
+    // derive from the stored table at |batch| × |touched cells|
+    // (partition-pruned to the ≤k cells the batch lands in) — the
+    // corpus is never re-self-joined and pre-existing docs' verdicts
+    // are never recomputed. The fold is EXACT under id-monotone
+    // arrival (the file stream's delivery order): a doc's verdict
+    // depends only on LOWER-id same-cell members, all of which are
+    // already stored when its batch lands — so the gate splits the
+    // corpus into id-ordered halves (parity splits, which the
+    // pair-symmetric span/cluster gates use, would let a later batch
+    // hold a LOWER id than an earlier doc and the early verdict would
+    // miss it). Checked against the SAME one-shot SQL as
+    // q_dedup_semantic: "incremental fold == one-shot verdict".
+    GraftQuery("q_dedup_semantic_incr", semanticSql) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val cb = graft.operators.CodebookTrainer.cachedSphericalIvf(
+        e, corpusKey(s, dir), 16, 64, 2)
+      val out = Tables.memoizedParquet(storedSemanticIncr,
+        corpusKey(s, dir) + "|semincr", "graft-sem-incr") { out =>
+        val cellsDir = s"$out/cells"
+        val verdictsDir = s"$out/verdicts"
+        val mid = e.agg(max(col("vec_id"))).head.getLong(0) / 2
+        val b0 = e.filter(col("vec_id") <= mid)
+        val b1 = e.filter(col("vec_id") > mid)
+        appendToCellsIdempotent(b0, cellsDir, 0L, cb)
+        batchSemanticVerdicts(s, cellsDir, b0, cb, 0.4)
+          .write.mode("append").parquet(verdictsDir)
+        appendToCellsIdempotent(b1, cellsDir, 1L, cb)
+        // mid-lifecycle compaction: batch-1 verdicts must read the
+        // same rows through the rewritten file tier
+        compactCellsMinor(s, cellsDir)
+        batchSemanticVerdicts(s, cellsDir, b1, cb, 0.4)
+          .write.mode("append").parquet(verdictsDir); ()
+      }
+      s.read.parquet(s"$out/verdicts")
+        .select(col("vec_id"), col("cell"), col("keep"))
+        .orderBy(col("vec_id"))
     })
+
+  /** q_dedup_semantic's DuckDB mirror — the full verdict from scratch,
+    * trained-centroid derivation included (unrolled k-means CTEs, the
+    * q_ann_*_trained discipline); shared verbatim by
+    * q_dedup_semantic_incr (one oracle text per result relation).
+    */
+  private def semanticSql: String =
+    s"""WITH e AS ($embDoubleSql),
+       |qz AS (SELECT vec_id, v,
+       |        [CAST(floor(x * 1048576.0 + 0.5) AS BIGINT) FOR x IN v] AS qv
+       |       FROM e),
+       |${fpIvfInitSql()},
+       |${kmeansIterSql(1, "c0")},
+       |${kmeansIterSql(2, "c1")},
+       |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+       |sasg AS (SELECT n.vec_id, n.v, n.nrm, c.c_id,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY ${dotSql("n.v", "c.cv")} DESC, c.c_id) AS rk
+       |         FROM n, c2 c),
+       |scell AS (SELECT vec_id, v, nrm, c_id AS cell FROM sasg WHERE rk = 1),
+       |sp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |       FROM scell a JOIN scell b
+       |         ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |       WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4)
+       |SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell,
+       |  CAST(c.vec_id NOT IN (SELECT id_b FROM sp) AS INTEGER) AS keep
+       |FROM scell c ORDER BY c.vec_id""".stripMargin
+
+  /** The one-shot SemDeDup verdict: scan-stage cell assignment, ONE
+    * within-cell equi-join, encounter-order keep rule. Shared by
+    * q_dedup_semantic and SemanticIncrementalSpec's one-shot side.
+    */
+  private[graft] def semanticPipeline(
+      e: DataFrame, cb: Array[Double], threshold: Double): DataFrame = {
+    // ONE corpus scan carries (vector, norm, cell) — assignment is
+    // the scan-stage argmax-dot kernel, exactly q_ann_ivf's shape
+    val asg = e.select(col("vec_id"), embNN.as("v"),
+      l2Norm(embNN).as("nrm"),
+      PqExpressions.nearestCell(embNN, cb, 64).as("cell"))
+    val pruned = asg.select(col("cell").as("cell_a"),
+        col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+      .join(asg.select(col("cell").as("cell_b"), col("vec_id").as("id_b"),
+        col("v").as("vb"), col("nrm").as("nb")),
+        col("cell_a") === col("cell_b") && col("id_a") < col("id_b"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb"))
+        >= threshold)
+      .select(col("id_b").as("rid")).distinct()
+    asg.join(pruned, col("vec_id") === col("rid"), "left")
+      .select(col("vec_id"), col("cell").cast(IntegerType).as("cell"),
+        col("rid").isNull.cast(IntegerType).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** A batch's cell-table rows against the FIXED trained codebook —
+    * the scan-stage projection both the append and the verdict probe
+    * share.
+    */
+  private def cellRows(batch: DataFrame, cb: Array[Double]): DataFrame =
+    batch.select(col("vec_id"),
+      PqExpressions.nearestCell(embNN, cb, 64).cast(IntegerType).as("cell"),
+      l2Norm(embNN).as("nrm"), embNN.as("v"))
+
+  /** Exactly-once append of a batch's members into the cell-partitioned
+    * table (hive partition = cell id, so a batch's verdict probe
+    * partition-prunes to the ≤k cells it touches; files sorted by
+    * vec_id inside each cell).
+    */
+  def appendToCellsIdempotent(
+      batch: DataFrame, cellsDir: String, batchId: Long,
+      cb: Array[Double]): Unit =
+    graft.sinks.IncrementalParquet.appendIdempotent(
+      batch.sparkSession, cellsDir, "cell", batchId, Seq("vec_id"))(
+      cellRows(batch, cb))
+
+  /** Minor compaction of the cell table (row-identity — no merge). */
+  def compactCellsMinor(s: SparkSession, cellsDir: String): Int =
+    graft.sinks.IncrementalParquet.compactMinor(s, cellsDir, "cell")
+
+  /** The arriving batch's SemDeDup verdicts against the stored cell
+    * table (which must already contain the batch — append first): a
+    * batch vector is pruned iff SOME lower-id member of its cell sits
+    * within the threshold. Cost |batch| × |touched cells' members|:
+    * the stored read partition-prunes to the batch's ≤k cell ids
+    * (collected driver-side — bounded by the codebook size, not the
+    * data), and nothing outside the batch is re-verdicted.
+    */
+  private[graft] def batchSemanticVerdicts(
+      s: SparkSession, cellsDir: String, batch: DataFrame,
+      cb: Array[Double], threshold: Double): DataFrame = {
+    val b = cellRows(batch, cb)
+    val cells = b.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val stored = s.read.parquet(cellsDir)
+      .filter(col("cell").isin(cells: _*))
+      .select(col("cell").as("cell_a"), col("vec_id").as("id_a"),
+        col("v").as("va"), col("nrm").as("na"))
+    val pruned = stored
+      .join(b.select(col("cell").as("cell_b"), col("vec_id").as("id_b"),
+        col("v").as("vb"), col("nrm").as("nb")),
+        col("cell_a") === col("cell_b") && col("id_a") < col("id_b"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb"))
+        >= threshold)
+      .select(col("id_b").as("rid")).distinct()
+    b.join(pruned, col("vec_id") === col("rid"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("rid").isNull.cast(IntegerType).as("keep"))
+  }
+
+  private val storedSemanticIncr =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 }

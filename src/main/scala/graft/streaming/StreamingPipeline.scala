@@ -370,6 +370,55 @@ object StreamingPipeline {
     }
   }
 
+  /** Streamed SemDeDup maintenance — the semantic-verdict member of
+    * the incremental family: arriving vector batches append
+    * exactly-once into the cell-partitioned member table (assignment
+    * against the FIXED trained codebook is scan-stage — the codebook
+    * discipline of [[startCodesIngest]]), then the batch's verdicts
+    * derive from the stored table at |batch| × |touched cells| and
+    * append exactly-once into the verdicts table. The fold is exact
+    * under id-monotone arrival (a verdict depends only on lower-id
+    * same-cell members, all stored when the batch lands) — the file
+    * stream's lexicographic delivery order IS that contract when
+    * landing files carry ascending id ranges, the same convention the
+    * lexical encounter-order operators (S4/O1) build on.
+    * `SemanticIncrementalSpec` pins fold == one-shot across
+    * mid-stream compaction and replay; the `q_dedup_semantic_incr`
+    * catalog gate checks the two-batch lifecycle under the one-shot
+    * full-verdict DuckDB SQL.
+    */
+  def startSemanticIngest(
+      spark: SparkSession,
+      incomingDir: String,
+      cellsDir: String,
+      verdictsDir: String,
+      checkpointDir: String,
+      cb: Array[Double],
+      threshold: Double = 0.4,
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = DefaultCompactEvery): StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = new StructType()
+      .add("vec_id", LongType, nullable = false)
+      .add("embedding", ArrayType(FloatType, containsNull = false),
+        nullable = false)
+    startIndexIngest(spark, incomingDir, checkpointDir, schema, trigger) {
+      (batch, batchId) =>
+        import graft.analytics.SimilarityQueries
+        SimilarityQueries.appendToCellsIdempotent(batch, cellsDir, batchId, cb)
+        // verdicts are batch-scoped rows — the idempotent append keyed
+        // by the same batchId makes a replayed trigger a no-op on BOTH
+        // tables (cells acked ⇒ verdict probe reads identical state)
+        graft.sinks.IncrementalParquet.appendIdempotent(
+          spark, verdictsDir, "cell", batchId)(
+          SimilarityQueries.batchSemanticVerdicts(
+            spark, cellsDir, batch, cb, threshold))
+        onCadence(compactEvery, batchId) {
+          SimilarityQueries.compactCellsMinor(spark, cellsDir); ()
+        }
+    }
+  }
+
   /** Compaction cadence for the continuous loops: every append leaves
     * one file set per touched partition, so a long-running stream
     * fragments its buckets without bound unless compaction runs BETWEEN

@@ -100,6 +100,20 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("q_dedup_semantic: cell equi-join pair stage, scan-stage assignment, " +
+      "no cartesian/BNL") {
+    val p = plan("q_dedup_semantic")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the within-cell pair stage is an equi-join on the cell id — the
+    // property that makes SemDeDup embarrassingly parallel at any k
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+    // coarse assignment is the compiled-codebook kernel in the scan
+    // stage, not a centroid join (16 rows × corpus would be a BNL)
+    assert(p.contains("nearest_cell"), p.take(2000))
+  }
+
   test("q_ann_multiband: candidate stage is an equi-join, no cartesian/BNL") {
     val p = plan("q_ann_multiband")
     assert(!p.contains("CartesianProduct"), p.take(2000))

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.analytics.SimilarityQueries
+import graft.streaming.StreamingPipeline
+
+/** Continuous SemDeDup maintenance (round 11) — the semantic verdict
+  * joining the incremental family. The fold is exact under id-monotone
+  * arrival because a verdict depends only on LOWER-id same-cell
+  * members: when a batch lands, everything below its ids is already in
+  * the stored cell table. MaintenanceProbe's near-copy vector corpus
+  * (every 7th batch-1 vector is a batch-0 vector with one coordinate
+  * nudged, cosine ≈ 0.999) forces real CROSS-BATCH prunes: batch-1
+  * copies must be pruned by their batch-0 bases through the stored
+  * table, not by anything in their own batch.
+  */
+class SemanticIncrementalSpec extends SparkSpec {
+
+  private def verdictSet(df: DataFrame): Set[(Long, Int, Int)] =
+    df.select(col("vec_id"), col("cell").cast("int"), col("keep"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+
+  test("streamed cell folds == one-shot SemDeDup verdict, across compaction and replay") {
+    withTempDir { root =>
+      val incoming = Files.createDirectory(root.resolve("incoming"))
+      val cells = root.resolve("cells").toString
+      val verdicts = root.resolve("verdicts").toString
+      val ckpt = root.resolve("ckpt").toString
+      val b0 = MaintenanceProbe.batchVecs(spark, 0, 400)
+      val b1 = MaintenanceProbe.batchVecs(spark, 1, 400)
+      // the codebook is train-once FIXED state (the stored-codes
+      // discipline): trained on the first arrival, held for the run
+      val cb = graft.operators.CodebookTrainer.trainSphericalIvf(b0, 16, 64, 2)
+      // random 64-dim geometry: threshold 0.8 (≈6.4σ) as the embed
+      // maintenance loop runs — only planted near-copies verify
+      val thr = 0.8
+
+      land(b0, incoming, "b0.parquet")
+      StreamingPipeline.startSemanticIngest(
+        spark, incoming.toString, cells, verdicts, ckpt, cb, thr,
+        Trigger.AvailableNow()).awaitTermination(120000)
+      assert(verdictSet(spark.read.parquet(verdicts)) ==
+        verdictSet(SimilarityQueries.semanticPipeline(b0, cb, thr)),
+        "verdicts after batch 0 drifted from the one-shot")
+
+      land(b1, incoming, "b1.parquet")
+      // compactEvery = 1: batch-1's verdict probe reads the cell table
+      // through a mid-stream rewritten file tier
+      StreamingPipeline.startSemanticIngest(
+        spark, incoming.toString, cells, verdicts, ckpt, cb, thr,
+        Trigger.AvailableNow(), compactEvery = 1).awaitTermination(120000)
+
+      val union = b0.unionByName(b1)
+      val streamed = verdictSet(spark.read.parquet(verdicts))
+      assert(streamed == verdictSet(
+        SimilarityQueries.semanticPipeline(union, cb, thr)),
+        "incrementally folded verdicts drifted from the one-shot")
+
+      // the near-copy corpus must force CROSS-BATCH prunes: batch-1
+      // vectors pruned by batch-0 bases through the STORED table
+      val prunedB1 = streamed.count { case (id, _, keep) =>
+        id >= 400 && keep == 0 }
+      assert(prunedB1 > 20,
+        s"only $prunedB1 batch-1 prunes — the stored-table probe was vacuous")
+      // batch-0 rows keep their original verdicts (nothing re-verdicted)
+      assert(streamed.count { case (id, _, _) => id < 400 } == 400)
+
+      // replay of an absorbed batch is a no-op on both tables
+      val cellRows0 = spark.read.parquet(cells).count()
+      SimilarityQueries.appendToCellsIdempotent(b1, cells, 1L, cb)
+      assert(spark.read.parquet(cells).count() == cellRows0,
+        "replayed batch re-appended cell rows")
+      graft.sinks.IncrementalParquet.appendIdempotent(
+        spark, verdicts, "cell", 1L)(
+        SimilarityQueries.batchSemanticVerdicts(spark, cells, b1, cb, thr))
+      assert(verdictSet(spark.read.parquet(verdicts)) == streamed,
+        "replayed batch re-appended verdict rows")
+    }
+  }
+}
