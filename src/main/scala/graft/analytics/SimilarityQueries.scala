@@ -425,7 +425,7 @@ object SimilarityQueries {
   private def pinnedIvfPqServe(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val cb = collectCodebook(e, 16)
-    val codes = s.read.parquet(incrementalCodesPath(s, dir, cb, cb))
+    val codes = Tables.parquetCachedSchema(s, incrementalCodesPath(s, dir, cb, cb))
     ivfPqServeFromCodes(e, codes, cb, cb, 10)
   }
 
@@ -461,21 +461,51 @@ object SimilarityQueries {
   private[graft] def ivfPqServeFromCodes(
       e: DataFrame, codes: DataFrame, cbIvf: Array[Double],
       cbPq: Array[Double], nQueries: Int): DataFrame = {
-    // checkpointed: the probe projection is consumed twice (cell-list
-    // collect + candidate join) and must not re-run its kernels/scan
-    val probes = probeTable(e.filter(col("vec_id") < nQueries), cbIvf, cbPq, 2)
-      .localCheckpoint()
-    val cells = probes.select(col("pcell")).distinct()
-      .collect().map(_.getInt(0)).toSeq // bounded: ≤ nQueries × nprobe
+    // ONE tiny collect covers the whole query side: nQueries vectors
+    // with their probe cells, subspace distance lookups, raw vector
+    // and norm — ≤ nQueries rows of driver metadata. The probe table,
+    // the probed-cell list AND the exact-re-rank query side all derive
+    // from it as LOCAL relations, whose broadcasts materialize
+    // driver-side with no job. Round 12 replaced the previous
+    // localCheckpoint + distinct-collect + runtime-broadcast shape
+    // after decomposing the warm serve wall: 12 jobs summing to
+    // 0.27 s under a 0.73 s wall — a job-count × planning floor, not
+    // a data term (ServeProfile; same lesson as the round-11 trigger
+    // work). At scale the query side stays driver-sized by definition
+    // (it IS the query batch); the corpus-side candidate join below is
+    // untouched.
+    val s = e.sparkSession
+    val qside = e.filter(col("vec_id") < nQueries).select(
+      col("vec_id"),
+      PqExpressions.nearestCells(embNN, cbIvf, 64, 2).as("pcells"),
+      PqExpressions.pqSubDists(embNN, cbPq, 8, 8).as("dl"),
+      col("embedding").as("qv"),
+      l2Norm(col("embedding")).as("qn"))
+    val qRows = qside.collect()
+    val dlT = qside.schema("dl").dataType
+    val qvT = qside.schema("qv").dataType
+    val probeSchema = StructType(Seq(
+      StructField("q_id", LongType), StructField("pcell", IntegerType),
+      StructField("dl", dlT)))
+    val probes = s.createDataFrame(
+      java.util.Arrays.asList(qRows.flatMap { r =>
+        r.getAs[scala.collection.Seq[Int]]("pcells").map(c =>
+          org.apache.spark.sql.Row(r.getLong(0), c, r.getAs[Any]("dl")))
+      }: _*), probeSchema)
+    val cells = qRows.flatMap(
+      _.getAs[scala.collection.Seq[Int]]("pcells")).distinct.toSeq
+    val qnSchema = StructType(Seq(
+      StructField("q_id2", LongType), StructField("qv", qvT),
+      StructField("qn", DoubleType)))
+    val qn = s.createDataFrame(
+      java.util.Arrays.asList(qRows.map(r => org.apache.spark.sql.Row(
+        r.getLong(0), r.getAs[Any]("qv"), r.getDouble(4))): _*), qnSchema)
     val cand = adcCandidatesFromCodes(codes, probes, cells, topC = 8)
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id"))
     val fetched = e.join(broadcast(cand), col("vec_id") === col("n_id"))
       .select(col("q_id"), col("n_id"), col("ad2"),
         col("embedding").as("nv"), l2Norm(col("embedding")).as("cn"))
-    val qn = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id2"), col("embedding").as("qv"),
-        l2Norm(col("embedding")).as("qn"))
     fetched.join(broadcast(qn), col("q_id") === col("q_id2"))
       .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(wRank).cast(IntegerType))
@@ -1028,7 +1058,7 @@ object SimilarityQueries {
       // trained serving also goes through the stored index (the memo
       // key folds in the codebook digest, so the trained and pinned
       // indexes coexist per corpus)
-      val codes = s.read.parquet(incrementalCodesPath(s, dir, cbIvf, cbPq))
+      val codes = Tables.parquetCachedSchema(s, incrementalCodesPath(s, dir, cbIvf, cbPq))
       ivfPqServeFromCodes(e, codes, cbIvf, cbPq, 10)
     },
 

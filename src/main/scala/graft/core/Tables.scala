@@ -20,10 +20,42 @@ object Tables {
     // lose precision above 2^53 ns). DuckDB's CAST(ts_ns AS TIMESTAMP)
     // truncates identically, so oracle parity holds.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = parquetCachedSchema(spark, s"$sfDir/$name.parquet")
     df.schema.fields.filter(f => f.name == "ts" && f.dataType == LongType)
       .foldLeft(df)((d, f) =>
         d.withColumn(f.name, timestamp_micros(expr(s"${f.name} div 1000"))))
+  }
+
+  /** Inferred-schema cache for parquet reads of stable-schema tables —
+    * the corpus tables and the engine's stored derived-state tables.
+    * `spark.read.parquet(path)` pays a footer-read JOB per call for
+    * schema inference; at the warm-serve job-count floor (round 11/12:
+    * tiny-input walls are jobs × fixed overhead, not data) that one
+    * job is a measurable slice of EVERY catalog query's wall. The
+    * cache key folds in the top-level FileStatus (len + mtime), so an
+    * in-place rewrite of a table file re-infers. Appends INSIDE an
+    * existing partition dir can leave the top-level mtime unchanged
+    * and hit the cache — safe here by construction: every stored table
+    * kind in this engine has a fixed per-path schema (appends and
+    * compaction never alter columns), and SCHEMA is all the cache
+    * holds; file listings and data reads always run fresh.
+    */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  def parquetCachedSchema(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val key = s"$path:${st.getLen}:${st.getModificationTime}"
+    val cached = schemaCache.get(key)
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaCache.put(key, df.schema)
+      df
+    }
   }
 
   /** Register every table as a temp view (for spark.sql use). */
