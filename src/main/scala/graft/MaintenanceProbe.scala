@@ -232,14 +232,14 @@ object MaintenanceProbe {
     }
     // tiny-batch epilogue BEFORE the identity check (the identity run
     // must cover it too): streaming-cadence scale, pushed-In arm.
-    // Batch index scaled so ids start at batches*m — batchDocs strides
-    // ids by ITS batch size, so passing (batches, tinyM) would re-issue
-    // ids the full batches already own and the one-shot side would see
-    // two texts under one doc_id (the lex/embed epilogues are
-    // insensitive to this — their identity witness prints before the
-    // epilogue — but the span identity covers it)
+    // Batch index CEIL-scaled so tiny ids start AT OR ABOVE batches*m —
+    // batchDocs strides ids by ITS batch size, so passing (batches,
+    // tinyM) would re-issue ids the full batches already own and the
+    // one-shot side would see two texts under one doc_id; floor
+    // division (the round-11 form) had the same collision whenever
+    // tinyM does not divide m, e.g. m=1001 → tiny ids from batches*1000
     val tinyM = math.max(m / 200L, 1L)
-    val tiny = batchDocs(spark, batches * (m / tinyM), tinyM)
+    val tiny = batchDocs(spark, (batches * m + tinyM - 1) / tinyM, tinyM)
       .localCheckpoint()
     Thread.sleep(200)
     val (tinyB0, tinyR0) = (input.bytes.get(), input.records.get())

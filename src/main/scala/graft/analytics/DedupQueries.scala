@@ -580,6 +580,15 @@ object DedupQueries {
     // over-cap arm briefly holds the big array on the driver, the same
     // size class as the broadcast the caller would otherwise build
     // from the exact same frame.
+    // Misuse bound: when the optimizer can already prove the frame
+    // exceeds the cap (a LIMIT/local-relation lineage), skip the
+    // collect without a job. A backfill-sized frame the planner CANNOT
+    // bound (parquet-scan lineage) still pays the full collect before
+    // the over-cap check — `spark.driver.maxResultSize` is the
+    // explicit backstop there (the collect fails loudly, same failure
+    // class as the equally-misused broadcast the caller would build
+    // from the same frame); callers own the broadcastBatch contract.
+    if (df.queryExecution.optimizedPlan.maxRows.exists(_ > cap)) return None
     val rows = df.collect()
     if (rows.length > cap) None
     else {

@@ -1211,10 +1211,56 @@ object SimilarityQueries {
     */
   def appendToCellsIdempotent(
       batch: DataFrame, cellsDir: String, batchId: Long,
-      cb: Array[Double]): Unit =
+      cb: Array[Double]): Unit = {
+    val s = batch.sparkSession
+    // ID-MONOTONICITY GUARD. The semantic fold's exactness contract is
+    // id-monotone batch arrival (batchSemanticVerdicts: a verdict
+    // depends only on LOWER-id same-cell members, all stored by the
+    // time its batch lands). An out-of-order batch would not fail —
+    // it would silently produce verdicts that can never see the late
+    // lower-id neighbor, the silent-wrong-results class the layout
+    // pins guard against elsewhere — so the broken invariant fails
+    // loudly here instead (round-12; the loud-guard convention). Each
+    // ack marker carries its batch's max vec_id (committed atomically
+    // WITH the ack — see appendIdempotent's markerNote), and a
+    // non-replay batch whose min id does not exceed the max acked note
+    // is rejected. Markers without a parsable note (pre-guard tables)
+    // fall back to the true stored max via one column-pruned scan.
+    // replays skip the guard (and its batch agg): the marker already
+    // exists, so appendIdempotent no-ops and never evaluates the note
+    val mm =
+      if (graft.sinks.IncrementalParquet.acked(s, cellsDir, batchId)) None
+      else {
+        val r = batch.agg(
+          min(col("vec_id")).as("mn"), max(col("vec_id")).as("mx")).head
+        if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+      }
+    mm.foreach { case (bMin, _) =>
+      val (wm, allParsed) =
+        graft.sinks.IncrementalParquet.ackedNoteWatermark(s, cellsDir)
+      val storedMax =
+        if (allParsed) wm
+        else s.read.parquet(cellsDir).agg(max(col("vec_id")))
+          .head.getAs[Any](0) match {
+            case null => None
+            case v: Long => Some(v)
+          }
+      storedMax.filter(_ >= bMin).foreach { w =>
+        throw new IllegalStateException(
+          s"out-of-order semantic batch b$batchId: min vec_id $bMin " +
+            s"<= stored watermark $w in $cellsDir — the incremental " +
+            "fold is exact only under id-monotone arrival; recompute " +
+            "via the one-shot semanticPipeline instead")
+      }
+    }
+    // an EMPTY batch's note is Long.MinValue: parsable (so it never
+    // degrades later guards to the fallback scan) and floor-valued (so
+    // it never raises the watermark)
     graft.sinks.IncrementalParquet.appendIdempotent(
-      batch.sparkSession, cellsDir, "cell", batchId, Seq("vec_id"))(
+      s, cellsDir, "cell", batchId, Seq("vec_id"),
+      markerNote = mm.map(_._2).getOrElse(Long.MinValue).toString)(
       cellRows(batch, cb))
+  }
 
   /** Minor compaction of the cell table (row-identity — no merge). */
   def compactCellsMinor(s: SparkSession, cellsDir: String): Int =

@@ -211,9 +211,21 @@ object IncrementalParquet {
     catch {
       case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
         val bak = new Path(dir, s".$LayoutPin.bak")
-        fs.delete(bak, false)
-        if (fs.exists(pin) && !fs.rename(pin, bak))
-          throw new IllegalStateException(s"rename $pin -> $bak failed")
+        if (fs.exists(pin)) {
+          // primary present: the .bak (if any) is an older generation —
+          // safe to clear before parking the current primary into it
+          fs.delete(bak, false)
+          if (!fs.rename(pin, bak))
+            throw new IllegalStateException(s"rename $pin -> $bak failed")
+        } else if (fs.exists(bak)) {
+          // primary ABSENT with a surviving .bak: a prior attempt
+          // crashed between park and install, so the .bak is the sole
+          // pin. Deleting it first (the old order) would leave the
+          // table pinless if THIS attempt crashes before the install —
+          // the exact state the backup exists to prevent. Keep it; the
+          // install below overwrites the primary slot only, and the
+          // stale .bak is cleared after the new pin is live.
+        }
         if (!fs.rename(tmp, pin))
           throw new IllegalStateException(s"rename $tmp -> $pin failed")
         fs.delete(bak, false)
@@ -271,10 +283,19 @@ object IncrementalParquet {
     * key (see [[LayoutPin]]) and pins it; `pinExtra` adds caller-domain
     * layout properties to the same pin. Both verified against an
     * existing pin — drift fails loudly.
+    *
+    * `markerNote` (by-name — never evaluated on a replay) is written
+    * INTO the ack marker, making the ack the atomic carrier of one
+    * small caller fact about the batch. The semantic cell table stores
+    * its max vec_id here, so its id-monotonicity watermark commits in
+    * the SAME create as the ack — a separate watermark file would open
+    * a crash window (acked append, unwritten watermark) in which an
+    * out-of-order batch passes the guard silently.
     */
   def appendIdempotent(spark: SparkSession, dirStr: String, partCol: String,
       batchId: Long, sortCols: Seq[String] = Nil,
-      pinExtra: Map[String, String] = Map.empty)(
+      pinExtra: Map[String, String] = Map.empty,
+      markerNote: => String = "")(
       batchRows: => DataFrame): Unit = {
     val dir = new Path(dirStr)
     val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
@@ -328,7 +349,66 @@ object IncrementalParquet {
       }
     fs.delete(stage, true)
     fs.mkdirs(marker.getParent)
-    fs.create(marker, true).close() // ack LAST: replay-safe until here
+    val ack = fs.create(marker, true) // ack LAST: replay-safe until here
+    val note = markerNote
+    if (note.nonEmpty) ack.write(note.getBytes("UTF-8"))
+    ack.close()
+  }
+
+  /** Whether `batchId` is already acked into `dirStr` — callers use
+    * this to skip pre-append guards on replays (the replay itself
+    * short-circuits inside [[appendIdempotent]] regardless).
+    */
+  def acked(spark: SparkSession, dirStr: String, batchId: Long): Boolean = {
+    val dir = new Path(dirStr)
+    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    fs.exists(new Path(dir, s"_ingested/b$batchId"))
+  }
+
+  /** Marker-note contents are immutable once the ack lands (single
+    * writer; replays never rewrite an existing marker), so each marker
+    * is read from the FS at most once per JVM.
+    */
+  private val noteCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Max numeric ack-marker note across every acked batch of `dirStr`:
+    * `(watermark, allParsed)`. `watermark` is None when no acked batch
+    * carries a parsable note; `allParsed` is false when SOME acked
+    * marker has no parsable note (pre-note-format table, or an ack
+    * whose write was interrupted mid-content) — the caller must then
+    * fall back to deriving the fact from the data instead of trusting
+    * a partial watermark. One `_ingested` listing + one tiny read per
+    * not-yet-cached marker.
+    */
+  def ackedNoteWatermark(
+      spark: SparkSession, dirStr: String): (Option[Long], Boolean) = {
+    val dir = new Path(dirStr)
+    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    val ingested = new Path(dir, "_ingested")
+    if (!fs.exists(ingested)) return (None, true)
+    val notes = fs.listStatus(ingested).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("b"))
+      .map { st =>
+        // keyed by path + length: notes are write-once, but a length
+        // change (e.g. a healed/rewritten marker) must re-read
+        val key = s"${st.getPath}:${st.getLen}"
+        val hit = noteCache.get(key)
+        if (hit != null) hit
+        else {
+          val in = fs.open(st.getPath)
+          val raw =
+            try {
+              val buf = new Array[Byte](64)
+              val n = in.read(buf)
+              if (n <= 0) "" else new String(buf, 0, n, "UTF-8")
+            } finally in.close()
+          noteCache.put(key, raw)
+          raw
+        }
+      }
+    val parsed = notes.map(_.trim.toLongOption)
+    (parsed.flatten.maxOption, parsed.forall(_.isDefined))
   }
 
   /** Compute-once persistence for a batch-scoped derived result — the

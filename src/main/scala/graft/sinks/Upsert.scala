@@ -472,9 +472,16 @@ object Upsert {
         // delete+rename whose mid-crash window leaves the table
         // pinless until the loud rehash-adopt path recovers it.
         val bak = new org.apache.hadoop.fs.Path(dir, "._graft_buckets.bak")
-        fs.delete(bak, false)
-        if (fs.exists(dest) && !fs.rename(dest, bak))
-          throw new IllegalStateException(s"rename $dest -> $bak failed")
+        if (fs.exists(dest)) {
+          // primary present: any .bak is an older generation
+          fs.delete(bak, false)
+          if (!fs.rename(dest, bak))
+            throw new IllegalStateException(s"rename $dest -> $bak failed")
+        }
+        // primary absent + .bak present (prior crash between park and
+        // install): the .bak is the SOLE pin — keep it until the new
+        // primary is live, else a crash in this window leaves the
+        // table pinless, the exact state the backup scheme prevents
         if (!fs.rename(tmp, dest))
           throw new IllegalStateException(s"rename $tmp -> $dest failed")
         fs.delete(bak, false)

@@ -731,8 +731,15 @@ object StreamingPipeline {
       graft.analytics.DedupQueries.appendToVectorsIdempotent(
         batch, vecsDir, batchId)
     }
-    Await.result(fSb, Duration.Inf)
-    Await.result(fVec, Duration.Inf)
+    // await BOTH before rethrowing either failure: propagating fSb's
+    // exception while fVec still runs would let an orphaned writer
+    // outlive the trigger — a restart's replay of the same batch could
+    // then run appendToVectorsIdempotent CONCURRENTLY with the orphan
+    // on the same table and staging dirs, violating the exactly-once
+    // protocol's single-writer assumption
+    val results = Seq(fSb, fVec).map(f =>
+      Await.ready(f, Duration.Inf).value.get)
+    results.collectFirst { case scala.util.Failure(e) => throw e }
     Upsert.recoverParquetPartitioned(spark, labelsDir)
     val (delta, nDelta) =
       graft.sinks.IncrementalParquet.batchScopedResultCounted(

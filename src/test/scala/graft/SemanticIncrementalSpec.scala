@@ -83,4 +83,47 @@ class SemanticIncrementalSpec extends SparkSpec {
         "replayed batch re-appended verdict rows")
     }
   }
+
+  test("out-of-order batch fails loudly instead of silently mis-verdicting") {
+    withTempDir { root =>
+      val cells = root.resolve("cells").toString
+      val b1 = MaintenanceProbe.batchVecs(spark, 1, 400) // ids 400..799
+      val b0 = MaintenanceProbe.batchVecs(spark, 0, 400) // ids 0..399
+      val cb = graft.operators.CodebookTrainer.trainSphericalIvf(b0, 16, 64, 2)
+      SimilarityQueries.appendToCellsIdempotent(b1, cells, 0L, cb)
+
+      // a LOWER-id batch under a NEW batchId: its docs' verdicts could
+      // never be seen by the already-stored higher ids — the fold's
+      // exactness contract (id-monotone arrival) is broken, and the
+      // guard must reject it rather than append
+      val ex = intercept[IllegalStateException] {
+        SimilarityQueries.appendToCellsIdempotent(b0, cells, 1L, cb)
+      }
+      assert(ex.getMessage.contains("id-monotone"),
+        s"wrong failure: ${ex.getMessage}")
+      assert(!graft.sinks.IncrementalParquet.acked(spark, cells, 1L),
+        "rejected batch must not ack")
+
+      // replay of the ALREADY-ACKED batch stays a no-op (its own ids
+      // sit at the watermark — the guard must not fire on replays)
+      SimilarityQueries.appendToCellsIdempotent(b1, cells, 0L, cb)
+
+      // in-order continuation is accepted
+      val b2 = MaintenanceProbe.batchVecs(spark, 2, 400) // ids 800..1199
+      SimilarityQueries.appendToCellsIdempotent(b2, cells, 2L, cb)
+      assert(spark.read.parquet(cells).count() == 800)
+
+      // pre-guard tables (ack markers without a parsable note): the
+      // guard falls back to the true stored max and still rejects
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      for (m <- Seq("b0", "b2"))
+        fs.create(new org.apache.hadoop.fs.Path(s"$cells/_ingested/$m"),
+          true).close() // truncate the note
+      val ex2 = intercept[IllegalStateException] {
+        SimilarityQueries.appendToCellsIdempotent(b0, cells, 3L, cb)
+      }
+      assert(ex2.getMessage.contains("id-monotone"))
+    }
+  }
 }
