@@ -18,8 +18,8 @@ import graft.streaming.StreamingPipeline
   * probe's (id, sg) columns, the bucket-pruned shingle fetch, and the
   * relabel join — all sublinear-in-wall at these scales).
   *
-  * `args`: [lex|embed|span|lm|terms|backfill] [batches] [batchSize] [buckets]
-  * [bits] —
+  * `args`: [lex|embed|span|lm|terms|semantic|backfill] [batches]
+  * [batchSize] [buckets(lex/embed) | k(semantic)] [bits] —
   * default `lex 16 20000` (embed default 16 × 20000 vectors, 4×16-bit
   * bands). Compaction fires every 4 batches, mirroring the stream
   * wiring's cadence hook.
@@ -145,7 +145,7 @@ object MaintenanceProbe {
     * output-identity witness for cross-run comparisons (16 vs 256
     * buckets, broadcast vs shuffled backfill plans).
     */
-  private def labelsChecksum(spark: SparkSession, labelsDir: String): Long =
+  private[graft] def labelsChecksum(spark: SparkSession, labelsDir: String): Long =
     StreamingPipeline.clusterLabels(spark, labelsDir)
       // mod-reduce per row: a raw sum of full-range xxhash64 values
       // overflows long (ANSI arithmetic aborts the job) within ~2 rows
@@ -154,7 +154,7 @@ object MaintenanceProbe {
         lit(1L << 31)).as("h"))
       .agg(coalesce(sum(col("h")), lit(0L))).collect().head.getLong(0)
 
-  private def dataFiles(dir: String): Long = {
+  private[graft] def dataFiles(dir: String): Long = {
     val root = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.exists(root)) 0L
     else {
@@ -177,11 +177,103 @@ object MaintenanceProbe {
     }
   }
 
+  /** Order-insensitive checksum of a SemDeDup verdict set — the
+    * semantic loop's output-identity witness (same mod-reduce
+    * rationale as [[labelsChecksum]]).
+    */
+  private[graft] def verdictChecksum(df: DataFrame): Long =
+    df.select(pmod(xxhash64(col("vec_id"), col("cell").cast("int"),
+        col("keep")), lit(1L << 31)).as("h"))
+      .agg(coalesce(sum(col("h")), lit(0L))).collect().head.getLong(0)
+
+  /** Continuous SemDeDup probe (round 12) — the cell-table member of
+    * the incremental family, measured like its span/LM/terms siblings:
+    * per batch, append the batch's (vector, norm, cell) rows
+    * exactly-once into the cell-partitioned member table and derive
+    * the batch's verdicts from stored state
+    * ([[graft.analytics.SimilarityQueries.batchSemanticVerdicts]] —
+    * the corpus is never re-self-joined). UNLIKE the LSH loops, this
+    * family's per-trigger cost has a NAMED growth term at fixed k:
+    * a new doc must dot-product every lower-id member of its cell, so
+    * per-trigger pair mass = |batch| × corpus/k — linear in the corpus
+    * until k is retrained upward (the paper's dial: k ∝ corpus, 50k
+    * cells at 5B docs). The probe prints `pairs` (the analytic mass)
+    * next to each wall so the series' slope is attributable to it,
+    * and the k knob (args(3), ≤ the trainer's 128-id init pool) lets
+    * a second series show wall ∝ 1/k at the same corpus. The verdict
+    * fold is exact under the loop's id-monotone arrival; the identity
+    * check replays the SAME full corpus through the one-shot
+    * [[graft.analytics.SimilarityQueries.semanticPipeline]].
+    */
+  private def semanticProbe(
+      spark: SparkSession, batches: Int, m: Long, k: Int): Unit = {
+    val compactEvery = 4
+    val thr = 0.8 // random 64-dim geometry — rationale at [[batchVecs]]
+    val root = java.nio.file.Files.createTempDirectory("maintsem")
+    val cells = root.resolve("cells").toString
+    val verdicts = root.resolve("verdicts").toString
+    val input = new InputMeter
+    spark.sparkContext.addSparkListener(input)
+    import graft.analytics.SimilarityQueries
+    // train-once FIXED codebook (the stored-codes discipline): trained
+    // on the first arrival, held for the run — retraining mid-stream
+    // would reassign stored members' cells and invalidate the fold
+    val b0 = batchVecs(spark, 0, m).localCheckpoint()
+    val cb = graft.operators.CodebookTrainer.trainSphericalIvf(b0, k, 64, 2)
+    for (b <- 0 until batches) {
+      val vecs =
+        if (b == 0) b0
+        else batchVecs(spark, b, m).localCheckpoint() // gen untimed
+      val (inB0, inR0) = (input.bytes.get(), input.records.get())
+      val t1 = System.nanoTime()
+      SimilarityQueries.appendToCellsIdempotent(vecs, cells, b.toLong, cb)
+      graft.sinks.IncrementalParquet.appendIdempotent(
+        spark, verdicts, "cell", b.toLong)(
+        SimilarityQueries.batchSemanticVerdicts(spark, cells, vecs, cb, thr))
+      if (b % compactEvery == compactEvery - 1)
+        SimilarityQueries.compactCellsMinor(spark, cells)
+      val w = (System.nanoTime() - t1) / 1e9
+      Thread.sleep(100) // listener bus is async; let stage metrics land
+      val (inMb, inRows) =
+        ((input.bytes.get() - inB0) / 1e6, input.records.get() - inR0)
+      println(f"MAINT mode=semantic batch=$b corpus=${(b + 1) * m} k=$k " +
+        f"wall_s=$w%.1f pairs=${m * b * m / k} " + // |batch| × stored/cell × cells touched
+        f"cells_files=${dataFiles(cells)} in_mb=$inMb%.1f in_rows=$inRows")
+    }
+    // tiny-batch epilogue BEFORE the identity check (the identity run
+    // must cover it too); ids CEIL past batches*m — same collision
+    // rationale as the span probe
+    val tinyM = math.max(m / 200L, 1L)
+    val tiny = batchVecs(spark, (batches * m + tinyM - 1) / tinyM, tinyM)
+      .localCheckpoint()
+    Thread.sleep(200)
+    val (tinyB0, tinyR0) = (input.bytes.get(), input.records.get())
+    val t1 = System.nanoTime()
+    SimilarityQueries.appendToCellsIdempotent(tiny, cells, batches.toLong, cb)
+    graft.sinks.IncrementalParquet.appendIdempotent(
+      spark, verdicts, "cell", batches.toLong)(
+      SimilarityQueries.batchSemanticVerdicts(spark, cells, tiny, cb, thr))
+    val tinyWall = (System.nanoTime() - t1) / 1e9
+    Thread.sleep(100)
+    println(f"MAINT-TINY mode=semantic batch=$batches corpus=${batches * m} " +
+      f"batch_size=$tinyM wall_s=$tinyWall%.1f " +
+      f"in_mb=${(input.bytes.get() - tinyB0) / 1e6}%.1f " +
+      f"in_rows=${input.records.get() - tinyR0}")
+    // identity: accumulated incremental verdicts == one-shot SemDeDup
+    // over the same full corpus (batches 0..B plus the tiny batch)
+    val all = ((0 until batches).map(b => batchVecs(spark, b.toLong, m)) :+
+      tiny).reduce(_ unionByName _)
+    val inc = verdictChecksum(spark.read.parquet(verdicts))
+    val one = verdictChecksum(SimilarityQueries.semanticPipeline(all, cb, thr))
+    println(s"SEMANTIC-IDENTITY incremental_sum=$inc oneshot_sum=$one " +
+      s"match=${inc == one}")
+  }
+
   /** Order-insensitive checksum of a maximal-span set — the span
     * loop's output-identity witness (same mod-reduce rationale as
     * [[labelsChecksum]]).
     */
-  private def spanChecksum(df: DataFrame): Long =
+  private[graft] def spanChecksum(df: DataFrame): Long =
     df.select(pmod(xxhash64(col("doc_a"), col("doc_b"), col("start_a"),
         col("start_b"), col("span_len")), lit(1L << 31)).as("h"))
       .agg(coalesce(sum(col("h")), lit(0L))).collect().head.getLong(0)
@@ -268,7 +360,7 @@ object MaintenanceProbe {
     * output-identity witness (same mod-reduce rationale as
     * [[labelsChecksum]]).
     */
-  private def modelChecksum(df: DataFrame): Long =
+  private[graft] def modelChecksum(df: DataFrame): Long =
     df.select(pmod(xxhash64(col("bigram"), col("w1"), col("c12"),
         col("c1"), col("v")), lit(1L << 31)).as("h"))
       .agg(coalesce(sum(col("h")), lit(0L))).collect().head.getLong(0)
@@ -336,7 +428,7 @@ object MaintenanceProbe {
   /** Order-insensitive checksum of a (term, df) relation — the
     * term-stats loop's output-identity witness.
     */
-  private def dfChecksum(df: DataFrame): Long =
+  private[graft] def dfChecksum(df: DataFrame): Long =
     df.select(pmod(xxhash64(col("term"), col("df")), lit(1L << 31)).as("h"))
       .agg(coalesce(sum(col("h")), lit(0L))).collect().head.getLong(0)
 
@@ -534,6 +626,14 @@ object MaintenanceProbe {
     }
     if (mode == "terms") {
       termsProbe(spark, batches, m)
+      spark.stop()
+      return
+    }
+    if (mode == "semantic") {
+      // args(3) is the k (cell count) knob here, not the bucket knob —
+      // capped by the trainer's 128-id init pool
+      semanticProbe(spark, batches, m,
+        if (args.length > 3) args(3).toInt else 128)
       spark.stop()
       return
     }

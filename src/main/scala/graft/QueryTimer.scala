@@ -25,10 +25,10 @@ object QueryTimer {
     for (name <- names) {
       val fn = SparkEntry.queries.getOrElse(name,
         throw new IllegalArgumentException(s"unknown query $name"))
-      fn(spark, sfDir).count() // warmup (also pays one-time index builds)
+      Bench.materialize(fn(spark, sfDir)) // warmup (also pays one-time index builds)
       val walls = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        Bench.materialize(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       }.sorted
       println(f"TIMER $name reps=$reps min=${walls.head}%.2f " +

@@ -23,8 +23,8 @@ object ServeProfile {
     graft.core.Tables.load(spark, sfDir, "documents").count()
     val fn = SparkEntry.queries(name)
     // warmup: pays training + stored-index build + JIT
-    fn(spark, sfDir).count()
-    fn(spark, sfDir).count()
+    Bench.materialize(fn(spark, sfDir))
+    Bench.materialize(fn(spark, sfDir))
 
     @volatile var rep = -1
     val jobStart =
@@ -51,7 +51,7 @@ object ServeProfile {
     for (r <- 0 until reps) {
       rep = r
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      Bench.materialize(fn(spark, sfDir))
       rep = -1
       println(f"SERVE $name rep=$r wall_s=${(System.nanoTime() - t0) / 1e9}%.3f")
       Thread.sleep(200) // let stragglers' onJobEnd land in this rep
