@@ -234,14 +234,26 @@ object ExtendedQueries {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |  TRUE AS approx_ok, TRUE AS p50_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
-      t(s, dir, "events")
-        .groupBy(col("event_type"))
+      // exact-distinct and the sketch aggregates run as SEPARATE
+      // passes joined on the (few-row) group key: one Aggregate mixing
+      // a DISTINCT agg with non-distinct ones plans as an Expand that
+      // doubles every input row, and each doubled row drags the heavy
+      // sketch buffers (16k-register HLL at rsd 0.01, accuracy-10000
+      // quantile summaries) through the distinct's regrouping — 6.1 s
+      // at sf0.1 vs 0.9 s split (measured round 12, surfaced by the
+      // bench-action fix; under count() the aggs were pruned
+      // entirely). At scale the split also halves the shuffled rows:
+      // each pass exchanges only its own per-group partials.
+      val ev = t(s, dir, "events")
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      val sketch = ev.groupBy(col("event_type"))
         .agg(
-          countDistinct(col("user_id")).as("n_users"),
           approx_count_distinct(col("user_id"), rsd = 0.01).as("au"),
           percentile_approx(col("value"), lit(0.5), lit(10000)).as("ap50"),
           expr("percentile(value, 0.45)").as("lo"),
           expr("percentile(value, 0.55)").as("hi"))
+      exact.join(broadcast(sketch), "event_type")
         .select(col("event_type"), col("n_users"),
           // HLL++ at rsd 1% vs a 5% gate: deterministic for a given
           // dataset, and 5σ of slack across sf changes.

@@ -110,12 +110,21 @@ object PipelineQueries {
         |  coalesce(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER), 0) AS score,
         |  coalesce(TRY_CAST(event_type AS INTEGER), 0) AS bad_cast_default
         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      // sort BEFORE the regex projection: a global orderBy evaluates
+      // its child twice (the range-partitioner's sample pass runs the
+      // full child plan, then the sort stage runs it again), so an
+      // expensive projection below the sort pays double — 1.94 s at
+      // sf0.1 vs 1.0 s projected-above (round 12; surfaced by the
+      // bench-action fix). Above the sort it runs once, after the
+      // exchange; the sort carries the ~100-byte props column instead,
+      // the right trade for a regex-heavy row.
       t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("props"))
+        .orderBy(col("event_id"))
         .select(col("event_id"),
           firstPresent(col("event_type"), lit("unknown")).as("etype"),
           safeInt(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)).as("score"),
           safeInt(col("event_type")).as("bad_cast_default"))
-        .orderBy(col("event_id"))
     },
 
     // ---------------------------------------------------------------- F14

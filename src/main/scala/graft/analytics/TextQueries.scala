@@ -369,13 +369,29 @@ object TextQueries {
          |                     FOR i IN range(1, greatest(len(ts) - 1, 1))])) AS n_shingles
          |FROM (SELECT *, regexp_extract_all(lower(text), '\\S+') AS ts FROM documents)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // tokenize ONCE into an own projection: the shingle transform
+      // references the token array n+1 times, and an inlined
+      // tokenizer expression re-runs the full-text regex PER
+      // REFERENCE AND PER ARRAY ELEMENT (~3×n_tokens regex passes per
+      // row — 19.2 s at sf0.1, caught in round 12 the moment the bench
+      // action stopped letting count() prune the projection; 0.5 s
+      // tokenized-once). CollapseProject keeps the barrier: it never
+      // inlines a non-cheap alias into multiple consumers.
+      // ...and the whole projection sits ABOVE the global sort: an
+      // orderBy's range-sample pass evaluates its child twice, so the
+      // tokenizer below the sort would still run 2× (1.0 s vs 0.55 s
+      // at sf0.1 — same fix as q_normalize_row).
       t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+        .select(col("doc_id"), col("text"),
+          tokens(lower(col("text"))).as("ts"))
         .select(col("doc_id"),
           tokenCount(col("text")).as("n_tokens"),
           subwordCount(col("text")).as("n_subwords"),
-          size(array_distinct(tokens(lower(col("text"))))).as("n_distinct_tokens"),
-          size(array_distinct(shingles(lower(col("text")), 3))).as("n_shingles"))
-        .orderBy(col("doc_id"))
+          size(array_distinct(col("ts"))).as("n_distinct_tokens"),
+          size(array_distinct(shinglesFromTokens(col("ts"), 3)))
+            .as("n_shingles"))
     },
 
     // ------------------------------------------------------------ lang ID
