@@ -1,0 +1,156 @@
+package graft
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.ExecutionContext.Implicits.global
+import scala.concurrent.duration.Duration
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.streaming.StreamingPipeline
+
+/** The EIGHT streaming maintenance wirings running concurrently in one
+  * session — the literal-deployment sibling of [[CombinedLoopsProbe]]
+  * (which fans direct maintenance calls). Here each family is its
+  * actual `StreamingQuery`: eight `start*` wirings with their own
+  * checkpoints and AvailableNow triggers, reading three shared
+  * incoming dirs of landed parquet files (docs → signatures ingest,
+  * span ingest, full lexical dedup maintenance; Zipf docs → LM ingest,
+  * term-stats ingest; vectors → codes ingest, SemDeDup ingest, full
+  * embed dedup maintenance). This exercises the machinery the
+  * future-based probe cannot: concurrent file-source listing and
+  * checkpointing, foreachBatch scheduling across streams, and the
+  * per-table single-writer protocols under real stream concurrency.
+  *
+  * The probe runs the same landed files through fresh state dirs TWICE
+  * — all eight streams SERIAL (start, await, next), then all eight
+  * CONCURRENT (start all, await all) — and prints both walls plus an
+  * order-insensitive checksum of every family's stored output in each
+  * mode. The assertion is printed as `match=`: stream concurrency must
+  * change NOTHING in any stored table.
+  *
+  * `args`: [batches] [batchSize] — default 8 × 10000.
+  */
+object CombinedStreamsProbe {
+
+  private def sumHash(df: DataFrame): Long =
+    df.select(pmod(xxhash64(to_json(struct(df.columns.map(col): _*))),
+        lit(1L << 31)).as("h"))
+      .agg(coalesce(sum(col("h")), lit(0L))).head.getLong(0)
+
+  /** Land `df` as ONE parquet file (the arrival protocol of the ingest
+    * suites — a producer dropping one complete file per batch).
+    */
+  private def land(df: DataFrame, dir: java.nio.file.Path, name: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Files.createTempDirectory("land")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val listing = java.nio.file.Files.list(tmp)
+    val part =
+      try listing.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally listing.close()
+    java.nio.file.Files.move(part, dir.resolve(name))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val batches = if (args.length > 0) args(0).toInt else 8
+    val m = if (args.length > 1) args(1).toLong else 10000L
+    val spark = graft.core.GraftSession.local("combined-streams", 32)
+    spark.range(1).count()
+    val root = java.nio.file.Files.createTempDirectory("cstreams")
+    val (docsIn, zIn, vecsIn) = (root.resolve("in-docs"),
+      root.resolve("in-z"), root.resolve("in-vecs"))
+    Seq(docsIn, zIn, vecsIn).foreach(p => java.nio.file.Files.createDirectory(p))
+    for (b <- 0 until batches) {
+      land(MaintenanceProbe.batchDocs(spark, b, m), docsIn, f"b$b%02d.parquet")
+      land(MaintenanceProbe.batchZipfDocs(spark, b, m), zIn, f"b$b%02d.parquet")
+      land(MaintenanceProbe.batchVecs(spark, b, m), vecsIn, f"b$b%02d.parquet")
+    }
+    val vecs0 = MaintenanceProbe.batchVecs(spark, 0, m).localCheckpoint()
+    val cbIvf = graft.operators.CodebookTrainer.trainSphericalIvf(vecs0, 16, 64, 2)
+    val cbPq = graft.operators.CodebookTrainer.trainPq(vecs0, 8, 8, 16, 2)
+    val cbSem = graft.operators.CodebookTrainer.trainSphericalIvf(vecs0, 128, 64, 2)
+
+    /** The eight wirings against a fresh state root; returns
+      * (family name, start thunk, checksum thunk) triples.
+      */
+    def wirings(mode: String): Seq[(String, () => StreamingQuery, () => Long)] = {
+      val s = root.resolve(mode)
+      java.nio.file.Files.createDirectory(s)
+      def d(n: String) = s.resolve(n).toString
+      Seq(
+        ("signatures",
+          () => StreamingPipeline.startSignaturesIngest(
+            spark, docsIn.toString, d("sig"), d("ck-sig")),
+          () => sumHash(spark.read.parquet(d("sig")))),
+        ("spans",
+          () => StreamingPipeline.startSpanIngest(
+            spark, docsIn.toString, d("win"), d("ck-win")),
+          () => sumHash(spark.read.parquet(d("win")))),
+        ("lex-maint",
+          () => StreamingPipeline.startDedupMaintenance(
+            spark, docsIn.toString, d("msig"), d("mlabels"), d("ck-m")),
+          () => MaintenanceProbe.labelsChecksum(spark, d("mlabels"))),
+        ("lm",
+          () => StreamingPipeline.startLmIngest(
+            spark, zIn.toString, d("bg"), d("uni"), d("ck-lm")),
+          () => MaintenanceProbe.modelChecksum(
+            graft.analytics.TextQueries.lmModelFromStored(spark, d("bg"), d("uni")))),
+        ("terms",
+          () => StreamingPipeline.startTermStatsIngest(
+            spark, zIn.toString, d("df"), d("cnt"), d("ck-t")),
+          () => {
+            val (dfT, nD) = graft.analytics.TextQueries
+              .termStatsFromStored(spark, d("df"), d("cnt"))
+            MaintenanceProbe.dfChecksum(dfT) + nD.head.getLong(0)
+          }),
+        ("codes",
+          () => StreamingPipeline.startCodesIngest(
+            spark, vecsIn.toString, d("codes"), d("ck-c"), cbIvf, cbPq),
+          () => sumHash(spark.read.parquet(d("codes")).drop("label"))),
+        ("semantic",
+          () => StreamingPipeline.startSemanticIngest(
+            spark, vecsIn.toString, d("cells"), d("verdicts"), d("ck-s"),
+            cbSem, 0.8),
+          () => MaintenanceProbe.verdictChecksum(
+            spark.read.parquet(d("verdicts")))),
+        ("embed-maint",
+          () => StreamingPipeline.startEmbedDedupMaintenance(
+            spark, vecsIn.toString, d("buckets"), d("vecs"), d("elabels"),
+            d("ck-e"), threshold = 0.8, bands = 4, bits = 16),
+          () => MaintenanceProbe.labelsChecksum(spark, d("elabels"))))
+    }
+
+    // SERIAL: each stream drains the whole incoming dir alone
+    val serial = wirings("serial")
+    val tS = System.nanoTime()
+    val serialWalls = serial.map { case (name, start, _) =>
+      val t0 = System.nanoTime()
+      start().awaitTermination()
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val serialTotal = (System.nanoTime() - tS) / 1e9
+    println(f"STREAMS mode=serial corpus=${batches * m} total_s=$serialTotal%.1f " +
+      serialWalls.map { case (n, w) => f"$n=$w%.1f" }.mkString(" "))
+
+    // CONCURRENT: all eight streams live at once
+    val conc = wirings("conc")
+    val tC = System.nanoTime()
+    val queries = conc.map { case (name, start, _) => (name, start()) }
+    val concWalls = queries.map { case (name, q) =>
+      Future { q.awaitTermination(); name -> (System.nanoTime() - tC) / 1e9 }
+    }.map(Await.result(_, Duration.Inf))
+    val concTotal = (System.nanoTime() - tC) / 1e9
+    println(f"STREAMS mode=concurrent corpus=${batches * m} total_s=$concTotal%.1f " +
+      concWalls.map { case (n, w) => f"$n=$w%.1f" }.mkString(" "))
+
+    // identity: stream concurrency changed NOTHING in any stored table
+    serial.zip(conc).foreach { case ((name, _, sSum), (_, _, cSum)) =>
+      val (a, b) = (sSum(), cSum())
+      println(s"STREAMS-IDENTITY $name serial=$a concurrent=$b match=${a == b}")
+    }
+    spark.stop()
+  }
+}
