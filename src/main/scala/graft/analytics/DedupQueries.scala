@@ -398,7 +398,7 @@ object DedupQueries {
   private[graft] def lshCandidatesServed(
       s: SparkSession, dir: String, extra: Seq[String]): DataFrame =
     candidatePairsFromSignatures(
-      s.read.parquet(incrementalSignaturesPath(s, dir)), extra)
+      Tables.parquetCachedSchema(s, incrementalSignaturesPath(s, dir)), extra)
 
   // ------------------------------------------------------------------
   // Incremental signature table — the lexical mirror of the stored ANN
@@ -511,7 +511,7 @@ object DedupQueries {
     */
   def candidatePairsFromStored(
       s: SparkSession, sigDir: String, extra: Seq[String] = Seq.empty): DataFrame =
-    candidatePairsFromSignatures(s.read.parquet(sigDir), extra)
+    candidatePairsFromSignatures(Tables.parquetCachedSchema(s, sigDir), extra)
 
   /** The doc-hash buckets a set of ids hashes into — derivable from the
     * ids ALONE (the point of bucketing by id hash, not band key), so
@@ -654,7 +654,7 @@ object DedupQueries {
   def batchVerifiedPairs(
       s: SparkSession, sigDir: String, batch: DataFrame,
       threshold: Double = 0.5, broadcastBatch: Boolean = true): DataFrame = {
-    val stored = s.read.parquet(sigDir)
+    val stored = Tables.parquetCachedSchema(s, sigDir)
     val nBuckets = tableBuckets(s, sigDir)
     // COMPUTE the batch's signature rows, don't fetch them back: they
     // are a pure function of the batch — bit-identical to what the
@@ -941,7 +941,7 @@ object DedupQueries {
   private[graft] def embedPairsServed(
       s: SparkSession, dir: String, threshold: Double): DataFrame =
     embedPairsFromBuckets(
-      s.read.parquet(incrementalSignBucketsPath(s, dir)),
+      Tables.parquetCachedSchema(s, incrementalSignBucketsPath(s, dir)),
       t(s, dir, "embeddings"), threshold)
 
   /** [[signBucketTable]] + the hash bucket column — the embedding
@@ -1028,7 +1028,7 @@ object DedupQueries {
       vecsDir: String, threshold: Double,
       broadcastBatch: Boolean = true,
       bands: Int = 4, bits: Int = 8): DataFrame = {
-    val stored = s.read.parquet(bucketsDir)
+    val stored = Tables.parquetCachedSchema(s, bucketsDir)
     val nBuckets = tableBuckets(s, bucketsDir)
     // COMPUTE the batch's band rows, don't fetch them back — the
     // lexical loop's reasoning verbatim: one O(batch) SignBuckets
@@ -1113,7 +1113,7 @@ object DedupQueries {
       .map(_.map(id => Int.box(hashBucketLocal(id, nv))).distinct)
       .getOrElse(bucketsOf(candIds, "vec_id", nv))
     val vecsPlan = keyPruned(
-      s.read.parquet(vecsDir).filter(col("bkt").isin(candBkts: _*)),
+      Tables.parquetCachedSchema(s, vecsDir).filter(col("bkt").isin(candBkts: _*)),
       "vec_id", idKeys)(
       _.join(hinted(candIds, broadcastBatch), Seq("vec_id"), "left_semi"))
       .select(col("vec_id"), col("embedding"))
@@ -1399,7 +1399,7 @@ object DedupQueries {
     */
   private def spanWindowsServed(s: SparkSession, dir: String, tag: String)(
       corpus: => DataFrame): DataFrame =
-    s.read.parquet(spanWindowsPath(s, dir, tag)(corpus))
+    Tables.parquetCachedSchema(s, spanWindowsPath(s, dir, tag)(corpus))
 
   // ------------------------------------------------------------------
   // Incremental window table — continuous maintenance for the SPAN
@@ -1434,7 +1434,7 @@ object DedupQueries {
     * frame the span pipeline consumes.
     */
   def windowsFromStored(s: SparkSession, winDir: String): DataFrame =
-    s.read.parquet(winDir).select(col("doc_id"), col("pos"), col("fp"))
+    Tables.parquetCachedSchema(s, winDir).select(col("doc_id"), col("pos"), col("fp"))
 
   /** Maximal shared spans TOUCHING a batch, served from the stored
     * window table — the per-trigger span stage of continuous span
@@ -1454,7 +1454,7 @@ object DedupQueries {
   def batchSpanPairs(
       s: SparkSession, winDir: String, batch: DataFrame,
       broadcastBatch: Boolean = true): DataFrame = {
-    val stored = s.read.parquet(winDir)
+    val stored = Tables.parquetCachedSchema(s, winDir)
     val n = tableBuckets(s, winDir)
     val bwPlan = explodedSpanWindows(batch)
     val bwLocal =
@@ -1519,7 +1519,7 @@ object DedupQueries {
       val batch = corpus.filter(pmod(col("doc_id"), lit(2)) === 1)
       appendToWindowsIdempotent(batch, winDir, 1L)
       compactSignaturesMinor(s, winDir) // bkt-partitioned: same machinery
-      s.read.parquet(s"$out/base")
+      Tables.parquetCachedSchema(s, s"$out/base")
         .unionByName(batchSpanPairs(s, winDir, batch))
         .write.parquet(s"$out/spans")
     } + "/spans"
@@ -1575,7 +1575,7 @@ object DedupQueries {
     graft.core.Tables.memoizedParquet(storedSpanIndex,
       Tables.derivedStateKey(s, dir, "documents") + "|spanidx",
       "graft-span-index") { out =>
-      s.read.parquet(spanWindowsPath(s, dir, "raw") {
+      Tables.parquetCachedSchema(s, spanWindowsPath(s, dir, "raw") {
         t(s, dir, "documents")
           .select(col("doc_id"), lower(col("text")).as("text"))
       })
@@ -1796,7 +1796,7 @@ object DedupQueries {
     // split.
     GraftQuery(
       "q_dedup_spans_incr", spanPipelineSql(spanDupCorpusSql, None)) { (s, dir) =>
-      s.read.parquet(incrementalSpansPath(s, dir))
+      Tables.parquetCachedSchema(s, incrementalSpansPath(s, dir))
         .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
     },
 
@@ -2013,7 +2013,7 @@ object DedupQueries {
          |SELECT doc_id, cluster_id,
          |  CAST(count(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS csize
          |FROM cl ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      s.read.parquet(maintainedLabelsPath(s, dir))
+      Tables.parquetCachedSchema(s, maintainedLabelsPath(s, dir))
         .select(col("id").as("doc_id"), col("component").as("cluster_id"))
         .withColumn("csize",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window
@@ -2258,7 +2258,7 @@ object DedupQueries {
         |SELECT vec_id, cluster_id,
         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS csize
         |FROM cl ORDER BY vec_id""".stripMargin) { (s, dir) =>
-      s.read.parquet(maintainedEmbedLabelsPath(s, dir))
+      Tables.parquetCachedSchema(s, maintainedEmbedLabelsPath(s, dir))
         .select(col("id").as("vec_id"), col("component").as("cluster_id"))
         .withColumn("csize",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window

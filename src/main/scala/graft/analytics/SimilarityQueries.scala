@@ -1138,7 +1138,7 @@ object SimilarityQueries {
         batchSemanticVerdicts(s, cellsDir, b1, cb, 0.4)
           .write.mode("append").parquet(verdictsDir); ()
       }
-      s.read.parquet(s"$out/verdicts")
+      Tables.parquetCachedSchema(s, s"$out/verdicts")
         .select(col("vec_id"), col("cell"), col("keep"))
         .orderBy(col("vec_id"))
     })
@@ -1240,7 +1240,7 @@ object SimilarityQueries {
         graft.sinks.IncrementalParquet.ackedNoteWatermark(s, cellsDir)
       val storedMax =
         if (allParsed) wm
-        else s.read.parquet(cellsDir).agg(max(col("vec_id")))
+        else Tables.parquetCachedSchema(s, cellsDir).agg(max(col("vec_id")))
           .head.getAs[Any](0) match {
             case null => None
             case v: Long => Some(v)
@@ -1280,7 +1280,7 @@ object SimilarityQueries {
     val b = cellRows(batch, cb)
     val cells = b.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val stored = s.read.parquet(cellsDir)
+    val stored = Tables.parquetCachedSchema(s, cellsDir)
       .filter(col("cell").isin(cells: _*))
       .select(col("cell").as("cell_a"), col("vec_id").as("id_a"),
         col("v").as("va"), col("nrm").as("na"))

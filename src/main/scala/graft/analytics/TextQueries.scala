@@ -226,12 +226,12 @@ object TextQueries {
     */
   def lmModelFromStored(
       s: SparkSession, bgDir: String, uniDir: String): DataFrame = {
-    val model = s.read.parquet(bgDir).groupBy(col("bigram"))
+    val model = Tables.parquetCachedSchema(s, bgDir).groupBy(col("bigram"))
       .agg(sum(col("c12")).as("c12"))
     val lefts = model
       .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
       .agg(sum(col("c12")).as("c1"))
-    val vocab = s.read.parquet(uniDir)
+    val vocab = Tables.parquetCachedSchema(s, uniDir)
       .agg(countDistinct(col("w")).as("v"))
     model
       .join(lefts, substring_index(col("bigram"), " ", 1) === col("w1"))
@@ -326,8 +326,8 @@ object TextQueries {
     */
   def termStatsFromStored(
       s: SparkSession, dfDir: String, cntDir: String): (DataFrame, DataFrame) =
-    (s.read.parquet(dfDir).groupBy(col("term")).agg(sum(col("df")).as("df")),
-      s.read.parquet(cntDir).agg(sum(col("n")).as("n_docs")))
+    (Tables.parquetCachedSchema(s, dfDir).groupBy(col("term")).agg(sum(col("df")).as("df")),
+      Tables.parquetCachedSchema(s, cntDir).agg(sum(col("n")).as("n_docs")))
 
   private val storedIncTermStats =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -569,7 +569,7 @@ object TextQueries {
       // corpus fingerprint) — the oracle retrains in SQL, but the
       // counts are the same counts, so the hash gate also pins the
       // store/serve round-trip. Same discipline as q_ann_codes_served.
-      val model = s.read.parquet(lmModelPath(s, dir))
+      val model = Tables.parquetCachedSchema(s, lmModelPath(s, dir))
       scoreBitsPerBigram(t(s, dir, "documents"), model)
         .orderBy(col("doc_id"))
     },
@@ -580,7 +580,7 @@ object TextQueries {
     // so the full-retrain SQL checks that continuous model maintenance
     // loses nothing: incremental fold == one-shot retrain, to the bit.
     GraftQuery("q_lm_score_incr", lmScoreSql) { (s, dir) =>
-      val model = s.read.parquet(incrementalLmModelPath(s, dir))
+      val model = Tables.parquetCachedSchema(s, incrementalLmModelPath(s, dir))
       scoreBitsPerBigram(t(s, dir, "documents"), model)
         .orderBy(col("doc_id"))
     })

@@ -663,7 +663,8 @@ object StreamingPipeline {
     val p = new Path(labelsDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p))
-      spark.read.parquet(labelsDir).select(col("id"), col("component"))
+      graft.core.Tables.parquetCachedSchema(spark, labelsDir)
+        .select(col("id"), col("component"))
     else {
       import spark.implicits._
       spark.emptyDataset[(Long, Long)].toDF("id", "component")
