@@ -291,6 +291,117 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // ------------------------------------------------- residual IVF-PQ
+  // IVF-ADC with RESIDUAL encoding (Jégou, Douze, Schmid 2011 §III —
+  // the production IVF-PQ formulation): vectors are PQ-encoded as
+  // v − centroid(cell) instead of raw v, so the sub-quantizers spend
+  // their 16 codes on the (smaller) within-cell residual distribution
+  // rather than the whole sphere, and ADC approximates
+  // ‖r_q − r_n‖² with both residuals taken w.r.t. the SAME probed
+  // cell. Library + recall-spec surface (AnnRecallSpec measures it
+  // against the raw-vector trained pipeline on brute-force ground
+  // truth); not a catalog entry — the raw-vector family carries the
+  // cross-engine oracle, and this variant's value claim is RECALL,
+  // which the spec pins directly.
+
+  /** Per-cell reference points as one float-array-of-arrays literal —
+    * the scan-stage lookup table residual computation probes by cell
+    * id (float, so Spark-side residuals are IEEE-float exact and the
+    * trainer sees the same values the encoder does).
+    */
+  private def centroidLit(cents: Array[Double], dim: Int): Column =
+    array((0 until cents.length / dim).map(c =>
+      typedlit(cents.slice(c * dim, (c + 1) * dim).map(_.toFloat))): _*)
+
+  /** `embedding − reference(cell)` as array<float> (kernel input type). */
+  private def residualFor(cell: Column, cents: Array[Double]): Column =
+    zip_with(embNN, element_at(centroidLit(cents, 64), cell + lit(1)),
+      (a, b) => a - b)
+
+  /** Per-cell MEANS of the assigned members — the residual reference.
+    * NOT the spherical centroids: those are UNIT-normalized (cosine
+    * assignment), and `v − unit_centroid` on near-orthogonal data has
+    * norm ≈ √2 — residuals LARGER than the raw vectors, which measured
+    * recall 0.53 vs raw 0.67 on the first attempt. The L2-correct
+    * residual reference is the unnormalized cell mean (Jégou et al.'s
+    * coarse quantizer is plain k-means, whose centroids ARE the
+    * means); an empty cell keeps a zero row (its residual degenerates
+    * to the raw vector). One aggregation + a 16×64 driver collect.
+    */
+  private[graft] def cellMeans(e: DataFrame, cbIvf: Array[Double]): Array[Double] = {
+    val dim = 64
+    val sums = (0 until dim).map(j =>
+      sum(element_at(embNN, j + 1).cast("double")).as(s"s$j"))
+    val rows = e
+      .groupBy(PqExpressions.nearestCell(embNN, cbIvf, dim).as("cell"))
+      .agg(count(lit(1)).as("n"), sums: _*).collect()
+    val out = new Array[Double](cbIvf.length)
+    rows.foreach { r =>
+      val c = r.getInt(0)
+      val n = r.getLong(1).toDouble
+      var j = 0
+      while (j < dim) { out(c * dim + j) = r.getDouble(2 + j) / n; j += 1 }
+    }
+    out
+  }
+
+  /** Corpus view whose `embedding` column is each vector's residual
+    * w.r.t. its assigned cell's mean — the training input for residual
+    * sub-quantizers (feeds [[graft.operators.CodebookTrainer.trainPq]]
+    * unchanged: the trainer is distribution-agnostic).
+    */
+  private[graft] def residualFrame(
+      e: DataFrame, cbIvf: Array[Double], means: Array[Double]): DataFrame =
+    e.select(col("vec_id"),
+      residualFor(
+        PqExpressions.nearestCell(embNN, cbIvf, 64), means).as("embedding"))
+
+  /** Residual IVF-ADC serving: same plan shape as [[ivfPqPipeline]]
+    * (scan-stage encode, broadcast cell equi-join, ADC top-8, exact
+    * re-rank top-3) — the ONLY change is what gets PQ-coded. The probe
+    * side computes one residual per (query, probed cell) pair, because
+    * the query's residual is cell-relative; still scan-stage, ≤
+    * nQueries × nprobe rows.
+    */
+  private[graft] def ivfPqResidualPipeline(
+      e: DataFrame, cbIvf: Array[Double], means: Array[Double],
+      cbPqRes: Array[Double], nQueries: Int): DataFrame = {
+    val cell = PqExpressions.nearestCell(embNN, cbIvf, 64)
+    val corpus = e.select(col("vec_id").as("n_id"), cell.as("cell"),
+      PqExpressions.pqEncode(residualFor(cell, means), cbPqRes, 8, 8).as("cl"))
+    val probes = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"),
+        explode(PqExpressions.nearestCells(embNN, cbIvf, 64, 2)).as("pcell"),
+        col("embedding"))
+      .select(col("q_id"), col("pcell"),
+        PqExpressions.pqSubDists(
+          residualFor(col("pcell"), means), cbPqRes, 8, 8).as("dl"))
+    val wCand = Window.partitionBy(col("q_id")).orderBy(col("ad2"), col("n_id"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    val cand = corpus.join(broadcast(probes),
+        col("cell") === col("pcell") && col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        PqExpressions.adcScore(col("cl"), col("dl"), 8).as("ad2"))
+      .withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= 8)
+      .select(col("q_id"), col("n_id"), col("ad2"))
+    val fetched = e.join(broadcast(cand), col("vec_id") === col("n_id"))
+      .select(col("q_id"), col("n_id"), col("ad2"),
+        col("embedding").as("nv"), l2Norm(col("embedding")).as("cn"))
+    val qn = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id2"), col("embedding").as("qv"),
+        l2Norm(col("embedding")).as("qn"))
+    fetched.join(broadcast(qn), col("q_id") === col("q_id2"))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wRank).cast(IntegerType))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("n_id"), col("rank"),
+        round(col("ad2"), 4).as("approx_d2"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** q_ann_ivfpq's oracle SQL — shared verbatim by q_ann_codes_served,
     * whose Spark side serves the SAME relation from the stored codes
     * table (the round-4 PQ-family precedent: one oracle text per

@@ -117,4 +117,46 @@ class AnnRecallSpec extends SparkSpec {
     assert(trainedFrac < pinnedFrac,
       s"training did not balance cells: max cell $trainedFrac vs pinned $pinnedFrac")
   }
+
+  test("residual IVF-ADC is non-inferior to raw-vector trained IVF-PQ") {
+    import graft.core.Tables
+    import graft.operators.CodebookTrainer
+    import graft.analytics.SimilarityQueries
+    val e = Tables.load(spark, dir, "embeddings")
+    val cbIvf = CodebookTrainer.trainSphericalIvf(e, 16, 64, 2)
+    def top3Of(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "n_id").collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exact = top3("q_ann_bruteforce")
+    val qs = exact.keySet
+    def recall(m: Map[Long, Set[Long]]): Double =
+      qs.toSeq.map(q => m.getOrElse(q, Set.empty[Long])
+        .count(exact(q).contains)).sum.toDouble / (3.0 * qs.size)
+    // raw-vector trained IVF-PQ (the q_ann_ivfpq_trained composition)
+    val cbPqRaw = CodebookTrainer.trainPq(e, 8, 8, 16, 2)
+    val rRaw = recall(top3Of(
+      SimilarityQueries.ivfPqPipeline(e, cbIvf, cbPqRaw, 10)))
+    // residual IVF-ADC: sub-quantizers trained on v − centroid(cell),
+    // ADC over cell-relative residuals on both sides
+    val means = SimilarityQueries.cellMeans(e, cbIvf)
+    val cbPqRes = CodebookTrainer.trainPq(
+      SimilarityQueries.residualFrame(e, cbIvf, means), 8, 8, 16, 2)
+    val rRes = recall(top3Of(
+      SimilarityQueries.ivfPqResidualPipeline(e, cbIvf, means, cbPqRes, 10)))
+    info(s"recall raw=$rRaw residual=$rRes")
+    // On this near-uniform synthetic sphere the cell means sit near
+    // the origin, so residual ≈ raw and BOTH measure 0.667 — the
+    // recall here is bounded by nprobe=2 cell pruning, not by
+    // quantization (the paper's residual gains come from CLUSTERED
+    // data, where means are far from zero and residual variance is
+    // genuinely smaller). The pinned claim is therefore
+    // non-inferiority at matched candidate budget — the spec's job is
+    // to catch a residual-arithmetic bug (a mismatched cell reference
+    // between the encode and probe sides collapses recall toward 0;
+    // the first implementation's unit-normalized references measured
+    // 0.53), not to manufacture a win the data cannot show.
+    assert(rRes >= rRaw - 0.05,
+      s"residual recall $rRes under raw $rRaw — cell-reference mismatch?")
+    assert(rRes >= 0.6, s"residual IVF-ADC recall $rRes under 0.6")
+  }
 }
