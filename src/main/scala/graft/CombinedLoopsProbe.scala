@@ -145,6 +145,10 @@ object CombinedLoopsProbe {
       println(f"COMBINED batch=$b corpus=${(b + 1) * m} total_s=$total%.1f " +
         f"sum_s=${perLoop.map(_._2).sum}%.1f " +
         perLoop.map { case (n, w) => f"$n=$w%.1f" }.mkString(" "))
+      // drop the trigger's checkpointed batch blocks NOW: 32 batches ×
+      // 3 streams of retained localCheckpoint blocks OOMed the 640k
+      // run's epilogue when left to the async ContextCleaner
+      Seq(docs, zdocs, vecs).filter(_ ne vecs0).foreach(_.unpersist())
     }
     println("COMBINED-TOTALS " + families.map(f =>
       f"$f=${totals(f)}%.1f").mkString(" "))
@@ -161,15 +165,19 @@ object CombinedLoopsProbe {
         TextQueries.lmModelFromStored(spark, bg, uni))} " +
       s"semantic=${MaintenanceProbe.verdictChecksum(
         spark.read.parquet(verdicts))}")
-    val allDocs = (0 until batches)
-      .map(b => MaintenanceProbe.batchDocs(spark, b.toLong, m))
-      .reduce(_ unionByName _)
-    val allZ = (0 until batches)
-      .map(b => MaintenanceProbe.batchZipfDocs(spark, b.toLong, m))
-      .reduce(_ unionByName _)
-    val allVecs = (0 until batches)
-      .map(b => MaintenanceProbe.batchVecs(spark, b.toLong, m))
-      .reduce(_ unionByName _)
+    // one-shot inputs re-generated PARQUET-BACKED, not as a union of B
+    // driver-local relations: at 32×20000 the in-memory unions (3 ×
+    // 640k rows of local data cloned into every plan that references
+    // them) OOMed the LM retrain epilogue
+    def oneShot(name: String, gen: Long => DataFrame): DataFrame = {
+      val dir = root.resolve(s"oneshot-$name").toString
+      (0 until batches).foreach(b =>
+        gen(b.toLong).write.mode("append").parquet(dir))
+      spark.read.parquet(dir)
+    }
+    val allDocs = oneShot("docs", MaintenanceProbe.batchDocs(spark, _, m))
+    val allZ = oneShot("zdocs", MaintenanceProbe.batchZipfDocs(spark, _, m))
+    val allVecs = oneShot("vecs", MaintenanceProbe.batchVecs(spark, _, m))
     val spanInc = MaintenanceProbe.spanChecksum(spark.read.parquet(spans))
     val spanOne = MaintenanceProbe.spanChecksum(DedupQueries.spanPipeline(
       DedupQueries.explodedSpanWindows(allDocs), None))
