@@ -253,7 +253,12 @@ object ExtendedQueries {
           percentile_approx(col("value"), lit(0.5), lit(10000)).as("ap50"),
           expr("percentile(value, 0.45)").as("lo"),
           expr("percentile(value, 0.55)").as("hi"))
-      exact.join(broadcast(sketch), "event_type")
+      // null-safe key (<=> plans as a hash-join key too): a NULL group
+      // key aggregates to a row in BOTH passes, and a plain equi-join
+      // would drop it (null != null) where the single-aggregate form
+      // and the oracle SQL both keep it
+      val sk = sketch.withColumnRenamed("event_type", "sk_event_type")
+      exact.join(broadcast(sk), col("event_type") <=> col("sk_event_type"))
         .select(col("event_type"), col("n_users"),
           // HLL++ at rsd 1% vs a 5% gate: deterministic for a given
           // dataset, and 5σ of slack across sf changes.

@@ -32,28 +32,34 @@ object Tables {
     * schema inference; at the warm-serve job-count floor (round 11/12:
     * tiny-input walls are jobs × fixed overhead, not data) that one
     * job is a measurable slice of EVERY catalog query's wall. The
-    * cache key folds in the top-level FileStatus (len + mtime), so an
-    * in-place rewrite of a table file re-infers. Appends INSIDE an
-    * existing partition dir can leave the top-level mtime unchanged
+    * cache validates against the top-level FileStatus (len + mtime),
+    * so an in-place rewrite of a table file re-infers. Appends INSIDE
+    * an existing partition dir can leave the top-level mtime unchanged
     * and hit the cache — safe here by construction: every stored table
     * kind in this engine has a fixed per-path schema (appends and
     * compaction never alter columns), and SCHEMA is all the cache
-    * holds; file listings and data reads always run fresh.
+    * holds; file listings and data reads always run fresh. One entry
+    * per PATH (the status key is stored in the value and replaced when
+    * it drifts): keying the map by path+status would insert a fresh
+    * entry on every compaction/overwrite that touches the top-level
+    * mtime and never evict the stale one — a slow driver-side leak
+    * over a long-lived maintenance loop's hundreds of firings.
     */
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.sql.types.StructType]()
+    String, (String, org.apache.spark.sql.types.StructType)]()
 
   def parquetCachedSchema(spark: SparkSession, path: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
-    val key = s"$path:${st.getLen}:${st.getModificationTime}"
-    val cached = schemaCache.get(key)
-    if (cached != null) spark.read.schema(cached).parquet(path)
+    val statusKey = s"${st.getLen}:${st.getModificationTime}"
+    val cached = schemaCache.get(path)
+    if (cached != null && cached._1 == statusKey)
+      spark.read.schema(cached._2).parquet(path)
     else {
       val df = spark.read.parquet(path)
-      schemaCache.put(key, df.schema)
+      schemaCache.put(path, (statusKey, df.schema))
       df
     }
   }

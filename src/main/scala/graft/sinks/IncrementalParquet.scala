@@ -290,7 +290,12 @@ object IncrementalParquet {
     * its max vec_id here, so its id-monotonicity watermark commits in
     * the SAME create as the ack — a separate watermark file would open
     * a crash window (acked append, unwritten watermark) in which an
-    * out-of-order batch passes the guard silently.
+    * out-of-order batch passes the guard silently. The note is written
+    * with a trailing `\n` SENTINEL and [[ackedNoteWatermark]] refuses
+    * to parse a note that lacks it: a create interrupted mid-content
+    * can persist any digit PREFIX of the intended note (e.g. `1000`
+    * truncated to `10`), which would otherwise parse as a valid — and
+    * silently understated — watermark.
     */
   def appendIdempotent(spark: SparkSession, dirStr: String, partCol: String,
       batchId: Long, sortCols: Seq[String] = Nil,
@@ -351,7 +356,9 @@ object IncrementalParquet {
     fs.mkdirs(marker.getParent)
     val ack = fs.create(marker, true) // ack LAST: replay-safe until here
     val note = markerNote
-    if (note.nonEmpty) ack.write(note.getBytes("UTF-8"))
+    // "\n" = completeness sentinel; a mid-write crash yields a note
+    // without it, which ackedNoteWatermark treats as unparsed
+    if (note.nonEmpty) ack.write((note + "\n").getBytes("UTF-8"))
     ack.close()
   }
 
@@ -370,7 +377,7 @@ object IncrementalParquet {
     * is read from the FS at most once per JVM.
     */
   private val noteCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, String)]()
 
   /** Max numeric ack-marker note across every acked batch of `dirStr`:
     * `(watermark, allParsed)`. `watermark` is None when no acked batch
@@ -378,7 +385,13 @@ object IncrementalParquet {
     * marker has no parsable note (pre-note-format table, or an ack
     * whose write was interrupted mid-content) — the caller must then
     * fall back to deriving the fact from the data instead of trusting
-    * a partial watermark. One `_ingested` listing + one tiny read per
+    * a partial watermark. A note counts as parsed ONLY when the whole
+    * marker was read (readFully at the listed length — a bare
+    * InputStream.read may legally return a prefix) AND it carries the
+    * trailing `\n` completeness sentinel [[appendIdempotent]] writes:
+    * either truncation mode would otherwise leave a digit PREFIX that
+    * still parses as a Long, silently understating the watermark with
+    * allParsed=true. One `_ingested` listing + one tiny read per
     * not-yet-cached marker.
     */
   def ackedNoteWatermark(
@@ -390,24 +403,27 @@ object IncrementalParquet {
     val notes = fs.listStatus(ingested).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("b"))
       .map { st =>
-        // keyed by path + length: notes are write-once, but a length
-        // change (e.g. a healed/rewritten marker) must re-read
-        val key = s"${st.getPath}:${st.getLen}"
-        val hit = noteCache.get(key)
-        if (hit != null) hit
+        // one entry per marker path; the stored length detects a
+        // healed/rewritten marker and forces a re-read without leaking
+        // the stale entry (notes are otherwise write-once)
+        val len = math.min(st.getLen, 4096L).toInt
+        val hit = noteCache.get(st.getPath.toString)
+        if (hit != null && hit._1 == len) hit._2
         else {
-          val in = fs.open(st.getPath)
           val raw =
-            try {
-              val buf = new Array[Byte](64)
-              val n = in.read(buf)
-              if (n <= 0) "" else new String(buf, 0, n, "UTF-8")
-            } finally in.close()
-          noteCache.put(key, raw)
+            if (len <= 0) ""
+            else {
+              val buf = new Array[Byte](len)
+              val in = fs.open(st.getPath)
+              try in.readFully(0, buf, 0, len) finally in.close()
+              new String(buf, "UTF-8")
+            }
+          noteCache.put(st.getPath.toString, (len, raw))
           raw
         }
       }
-    val parsed = notes.map(_.trim.toLongOption)
+    val parsed = notes.map(raw =>
+      if (raw.endsWith("\n")) raw.trim.toLongOption else None)
     (parsed.flatten.maxOption, parsed.forall(_.isDefined))
   }
 

@@ -37,9 +37,26 @@ class SchemaCacheSpec extends SparkSpec {
       Seq((1L, "a")).toDF("id", "s").write.parquet(dir)
       assert(Tables.parquetCachedSchema(spark, dir)
         .schema.fieldNames.toSet == Set("id", "s"))
-      Thread.sleep(5) // ensure a distinct mtime for the rewrite
-      Seq((1L, 2.0, true)).toDF("id", "d", "b")
-        .write.mode("overwrite").parquet(dir)
+      // the cache invalidates on the top-level (len, mtime) — on a
+      // filesystem with coarse (1s) mtime granularity a fast rewrite
+      // can land under the SAME status key, so retry the overwrite
+      // until the key provably moved (asserted, not assumed: a stale
+      // key would serve the old cached schema and flake this test)
+      def statusKey: String = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(p)
+        s"${st.getLen}:${st.getModificationTime}"
+      }
+      val before = statusKey
+      var tries = 0
+      while ({
+        Seq((1L, 2.0, true)).toDF("id", "d", "b")
+          .write.mode("overwrite").parquet(dir)
+        statusKey == before && tries < 40
+      }) { tries += 1; Thread.sleep(50) }
+      assert(statusKey != before,
+        "rewrite never moved the FileStatus key — cannot test re-inference")
       val df = Tables.parquetCachedSchema(spark, dir)
       assert(df.schema.fieldNames.toSet == Set("id", "d", "b"),
         "rewrite must change the FileStatus key and re-infer")

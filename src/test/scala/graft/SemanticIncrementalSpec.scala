@@ -126,4 +126,34 @@ class SemanticIncrementalSpec extends SparkSpec {
       assert(ex2.getMessage.contains("id-monotone"))
     }
   }
+
+  test("a truncated marker note never parses as an understated watermark") {
+    withTempDir { root =>
+      import spark.implicits._
+      val dir = root.resolve("t").toString
+      graft.sinks.IncrementalParquet.appendIdempotent(
+        spark, dir, "cell", 0L, markerNote = "1000") {
+        Seq((1L, 7)).toDF("vec_id", "cell")
+      }
+      assert(graft.sinks.IncrementalParquet.ackedNoteWatermark(spark, dir) ==
+        (Some(1000L), true), "complete note must parse")
+
+      // simulate an ack create interrupted mid-content: any digit
+      // PREFIX of the intended note persists without the trailing-\n
+      // sentinel. It must be treated as UNPARSED (allParsed=false →
+      // callers fall back to the stored-data scan), not as the valid
+      // watermark 10 — which would let an out-of-order batch with ids
+      // in (10, 1000] pass the monotonicity guard silently.
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$dir/_ingested/b0"), true)
+      out.write("10".getBytes("UTF-8"))
+      out.close()
+      val (wm, allParsed) =
+        graft.sinks.IncrementalParquet.ackedNoteWatermark(spark, dir)
+      assert(!allParsed, "a sentinel-less note must not count as parsed")
+      assert(wm.isEmpty, s"truncated digits must not yield a watermark: $wm")
+    }
+  }
 }
