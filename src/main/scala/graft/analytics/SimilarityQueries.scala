@@ -181,7 +181,7 @@ object SimilarityQueries {
     */
   private def fpPqInitSql(
       k: Int = 16, subspaces: Int = 8, subDim: Int = 8,
-      pool: Int = 128): String = {
+      pool: Int = 128, src: String = "e"): String = {
     def sub(p: String, q: String): String =
       s"""list_reduce([($p[$subDim*s.j + i] - $q[$subDim*s.j + i])
          |             * ($p[$subDim*s.j + i] - $q[$subDim*s.j + i])
@@ -198,7 +198,7 @@ object SimilarityQueries {
          |               ORDER BY mind DESC, vec_id) AS rk FROM pd$i)
          |           WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
-    s"""ppool AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id < $pool),
+    s"""ppool AS MATERIALIZED (SELECT vec_id, v FROM $src WHERE vec_id < $pool),
        |psel1 AS MATERIALIZED (SELECT jj.j, 0 AS c_id, w.vec_id
        |          FROM (SELECT unnest(range(0, $subspaces)) AS j) jj,
        |               (SELECT vec_id FROM ppool ORDER BY vec_id LIMIT 1) w),
@@ -298,25 +298,36 @@ object SimilarityQueries {
   // their 16 codes on the (smaller) within-cell residual distribution
   // rather than the whole sphere, and ADC approximates
   // ‖r_q − r_n‖² with both residuals taken w.r.t. the SAME probed
-  // cell. Library + recall-spec surface (AnnRecallSpec measures it
-  // against the raw-vector trained pipeline on brute-force ground
-  // truth); not a catalog entry — the raw-vector family carries the
-  // cross-engine oracle, and this variant's value claim is RECALL,
-  // which the spec pins directly.
+  // cell. Recall-spec'd (AnnRecallSpec measures it against the
+  // raw-vector trained pipeline on brute-force ground truth) AND,
+  // since round 13, under the cross-engine hash gate as
+  // q_ann_ivfpq_residual: the whole chain — trained coarse centroids,
+  // quantized cell means, float-rounded residuals, residual-trained
+  // sub-quantizers, cell-relative ADC — is deterministic in BOTH
+  // engines, so the oracle re-derives it relationally end to end.
 
-  /** Per-cell reference points as one float-array-of-arrays literal —
+  /** Per-cell reference points as one double-array-of-arrays literal —
     * the scan-stage lookup table residual computation probes by cell
-    * id (float, so Spark-side residuals are IEEE-float exact and the
-    * trainer sees the same values the encoder does).
+    * id.
     */
   private def centroidLit(cents: Array[Double], dim: Int): Column =
     array((0 until cents.length / dim).map(c =>
-      typedlit(cents.slice(c * dim, (c + 1) * dim).map(_.toFloat))): _*)
+      typedlit(cents.slice(c * dim, (c + 1) * dim))): _*)
 
-  /** `embedding − reference(cell)` as array<float> (kernel input type). */
+  /** `embedding − reference(cell)` as array<float> (kernel input
+    * type). The subtraction runs in DOUBLE and the result rounds to
+    * float ONCE — a precision chain both engines reproduce exactly:
+    * float→double is lossless, the double subtraction is one
+    * IEEE-defined rounding, and the double→float cast is one more
+    * (Spark's `(float)` and SQL `CAST(... AS FLOAT)` are the same
+    * round-to-nearest-even). Subtracting float-cast means in FLOAT
+    * arithmetic instead would double-round through a float
+    * intermediate the oracle can't express relationally.
+    */
   private def residualFor(cell: Column, cents: Array[Double]): Column =
-    zip_with(embNN, element_at(centroidLit(cents, 64), cell + lit(1)),
-      (a, b) => a - b)
+    zip_with(embNN.cast("array<double>"),
+      element_at(centroidLit(cents, 64), cell + lit(1)),
+      (a, b) => a - b).cast("array<float>")
 
   /** Per-cell MEANS of the assigned members — the residual reference.
     * NOT the spherical centroids: those are UNIT-normalized (cosine
@@ -326,12 +337,19 @@ object SimilarityQueries {
     * residual reference is the unnormalized cell mean (Jégou et al.'s
     * coarse quantizer is plain k-means, whose centroids ARE the
     * means); an empty cell keeps a zero row (its residual degenerates
-    * to the raw vector). One aggregation + a 16×64 driver collect.
+    * to the raw vector). Sums run over QUANTIZED coordinates (exact
+    * BIGINTs — the [[graft.operators.CodebookTrainer]] discipline), so
+    * the mean is order-independent under any partitioning and a DuckDB
+    * oracle re-derives it bit-for-bit; the mean itself divides in the
+    * same pinned op order as the trainer (sum/n/2²⁰, all doubles). One
+    * aggregation + a 16×64 driver collect.
     */
   private[graft] def cellMeans(e: DataFrame, cbIvf: Array[Double]): Array[Double] = {
     val dim = 64
+    val q = graft.operators.CodebookTrainer.Quant.toDouble
     val sums = (0 until dim).map(j =>
-      sum(element_at(embNN, j + 1).cast("double")).as(s"s$j"))
+      sum(floor(element_at(embNN, j + 1).cast("double") * lit(q) + lit(0.5))
+        .cast("long")).as(s"s$j"))
     val rows = e
       .groupBy(PqExpressions.nearestCell(embNN, cbIvf, dim).as("cell"))
       .agg(count(lit(1)).as("n"), sums: _*).collect()
@@ -340,9 +358,32 @@ object SimilarityQueries {
       val c = r.getInt(0)
       val n = r.getLong(1).toDouble
       var j = 0
-      while (j < dim) { out(c * dim + j) = r.getDouble(2 + j) / n; j += 1 }
+      while (j < dim) {
+        out(c * dim + j) = r.getLong(2 + j).toDouble / n / q; j += 1
+      }
     }
     out
+  }
+
+  /** [[cellMeans]] memoized per (corpus key, coarse codebook) — the
+    * train-once/serve-many discipline of
+    * [[graft.operators.CodebookTrainer.cachedPq]]; defensive copy for
+    * the same reason (callers embed the array into kernel literals).
+    */
+  private val meansMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+
+  private[graft] def cachedCellMeans(
+      e: DataFrame, dataKey: String, cbIvf: Array[Double]): Array[Double] = {
+    val key = s"means|$dataKey|${codebookDigest(cbIvf)}"
+    val hit = meansMemo.get(key)
+    val m = if (hit != null) hit
+    else {
+      val computed = cellMeans(e, cbIvf)
+      val prev = meansMemo.putIfAbsent(key, computed)
+      if (prev != null) prev else computed
+    }
+    m.clone()
   }
 
   /** Corpus view whose `embedding` column is each vector's residual
@@ -636,11 +677,12 @@ object SimilarityQueries {
     * group with no members keeps the previous subspace block via the
     * positional LEFT JOIN + COALESCE.
     */
-  private def pqKmeansIterSql(n: Int, prev: String): String =
+  private def pqKmeansIterSql(
+      n: Int, prev: String, src: String = "qz"): String =
     s"""pasg$n AS (SELECT z.vec_id, z.qv, jj.j, c.c_id,
        |             row_number() OVER (PARTITION BY z.vec_id, jj.j
        |               ORDER BY ${pqSubDistSql("z.v", "c.cv")}, c.c_id) AS rk
-       |           FROM qz z, $prev c, (SELECT unnest(range(0, 8)) AS j) jj),
+       |           FROM $src z, $prev c, (SELECT unnest(range(0, 8)) AS j) jj),
        |pown$n AS (SELECT vec_id, qv, j, c_id FROM pasg$n WHERE rk = 1),
        |pcnt$n AS (SELECT j, c_id, COUNT(*) AS n FROM pown$n GROUP BY j, c_id),
        |psum$n AS (SELECT o.j, o.c_id, i.i AS i,
@@ -1171,6 +1213,101 @@ object SimilarityQueries {
       // indexes coexist per corpus)
       val codes = Tables.parquetCachedSchema(s, incrementalCodesPath(s, dir, cbIvf, cbPq))
       ivfPqServeFromCodes(e, codes, cbIvf, cbPq, 10)
+    },
+
+    // -------------------------------------- residual IVF-ADC (trained)
+    // The Jégou et al. 2011 §III formulation promoted from
+    // recall-spec-only (round 12) to the cross-engine hash gate: PQ
+    // codes quantize v − mean(cell) instead of raw v, and ADC scores
+    // ‖r_q − r_n‖² with BOTH residuals taken w.r.t. the probed cell.
+    // Every stage of the longer training chain is cross-engine
+    // deterministic by the same three disciplines as its siblings:
+    // (1) per-cell coordinate sums are exact quantized BIGINTs
+    // (order-independent — cellMeans uses the trainer's 2²⁰ scale), so
+    // the cell means match bit-for-bit; (2) the residual is ONE double
+    // subtraction rounded to float ONCE (both IEEE-pinned ops), so the
+    // residual corpus the sub-quantizers train on is identical; (3)
+    // the residual PQ training itself is the same unrolled per-
+    // subspace k-means as q_ann_pq_trained, just over the residual
+    // frame. The oracle re-derives ALL of it relationally — coarse
+    // training, assignment, quantized means, residuals, residual PQ
+    // training, per-(query, probed-cell) ADC tables — and the
+    // approximate distances hash-match end to end. Scale shape is
+    // q_ann_ivfpq_trained's plus one corpus aggregation (the means)
+    // and one extra scan-stage subtraction on the encode side.
+    GraftQuery(
+      "q_ann_ivfpq_residual",
+      s"""WITH e AS ($embDoubleSql),
+         |qz AS (SELECT vec_id, v,
+         |        [CAST(floor(x * 1048576.0 + 0.5) AS BIGINT) FOR x IN v] AS qv
+         |       FROM e),
+         |${fpIvfInitSql()},
+         |${kmeansIterSql(1, "c0")},
+         |${kmeansIterSql(2, "c1")},
+         |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+         |asgF AS (SELECT a.vec_id, c.c_id,
+         |          row_number() OVER (PARTITION BY a.vec_id
+         |            ORDER BY ${dotSql("a.v", "c.cv")} DESC, c.c_id) AS crank
+         |        FROM e a, c2 c),
+         |cellsF AS (SELECT vec_id AS n_id, c_id AS cell FROM asgF
+         |           WHERE crank = 1),
+         |probes AS (SELECT vec_id AS q_id, c_id AS cell FROM asgF
+         |           WHERE vec_id < 10 AND crank <= 2),
+         |mcnt AS (SELECT cell, COUNT(*) AS cnt FROM cellsF GROUP BY cell),
+         |msum AS (SELECT cf.cell, i.i AS j, CAST(sum(z.qv[i.i]) AS BIGINT) AS s
+         |         FROM cellsF cf, qz z, (SELECT unnest(range(1, 65)) AS i) i
+         |         WHERE z.vec_id = cf.n_id
+         |         GROUP BY cf.cell, i.i),
+         |meanl AS (SELECT s.cell,
+         |            list(CAST(s.s AS DOUBLE) / CAST(c.cnt AS DOUBLE)
+         |                 / 1048576.0 ORDER BY s.j) AS mv
+         |          FROM msum s JOIN mcnt c ON c.cell = s.cell GROUP BY s.cell),
+         |rz AS (SELECT cf.n_id AS vec_id,
+         |         [CAST(CAST(z.v[i] - m.mv[i] AS FLOAT) AS DOUBLE)
+         |          FOR i IN range(1, 65)] AS v
+         |       FROM cellsF cf JOIN e z ON z.vec_id = cf.n_id
+         |            JOIN meanl m ON m.cell = cf.cell),
+         |rqz AS (SELECT vec_id, v,
+         |         [CAST(floor(x * 1048576.0 + 0.5) AS BIGINT) FOR x IN v] AS qv
+         |        FROM rz),
+         |${fpPqInitSql(src = "rz")},
+         |${pqKmeansIterSql(1, "p0", src = "rqz")},
+         |${pqKmeansIterSql(2, "p1", src = "rqz")},
+         |rpd AS (SELECT a.vec_id AS n_id, c.c_id, jj.j,
+         |          ${pqSubDistSql("a.v", "c.cv")} AS d2
+         |        FROM rz a, p2 c, (SELECT unnest(range(0, 8)) AS j) jj),
+         |rcm AS (SELECT n_id, list(c_id ORDER BY j) AS cl
+         |        FROM (SELECT n_id, j, c_id,
+         |                row_number() OVER (PARTITION BY n_id, j
+         |                  ORDER BY d2, c_id) AS r
+         |              FROM rpd) x
+         |        WHERE x.r = 1 GROUP BY n_id),
+         |pqr AS (SELECT p.q_id, p.cell,
+         |          [CAST(CAST(z.v[i] - COALESCE(m.mv[i], 0.0) AS FLOAT)
+         |                AS DOUBLE) FOR i IN range(1, 65)] AS rv
+         |        FROM probes p JOIN e z ON z.vec_id = p.q_id
+         |             LEFT JOIN meanl m ON m.cell = p.cell),
+         |qpd AS (SELECT q.q_id, q.cell, c.c_id, jj.j,
+         |          ${pqSubDistSql("q.rv", "c.cv")} AS d2
+         |        FROM pqr q, p2 c, (SELECT unnest(range(0, 8)) AS j) jj),
+         |qdl AS (SELECT q_id, cell, list(d2 ORDER BY c_id * 8 + j) AS dl
+         |        FROM qpd GROUP BY q_id, cell),
+         |s AS (SELECT p.q_id, ce.n_id,
+         |        list_reduce([q.dl[k.cl[j + 1] * 8 + j + 1]
+         |                     FOR j IN range(0, 8)], (x, y) -> x + y) AS ad2
+         |      FROM probes p
+         |      JOIN cellsF ce ON ce.cell = p.cell AND ce.n_id <> p.q_id
+         |      JOIN rcm k ON k.n_id = ce.n_id
+         |      JOIN qdl q ON q.q_id = p.q_id AND q.cell = p.cell),
+         |$adcRankTailSql""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val key = corpusKey(s, dir)
+      val cbIvf =
+        graft.operators.CodebookTrainer.cachedSphericalIvf(e, key, 16, 64, 2)
+      val means = cachedCellMeans(e, key, cbIvf)
+      val cbPqRes = graft.operators.CodebookTrainer.cachedPq(
+        residualFrame(e, cbIvf, means), s"$key/residual", 8, 8, 16, 2)
+      ivfPqResidualPipeline(e, cbIvf, means, cbPqRes, 10)
     },
 
     // ------------------------------------------- semantic dedup (SemDeDup)

@@ -179,6 +179,17 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("q_ann_ivfpq_residual: scan-stage residual encode, broadcast cell " +
+      "equi-join, no cartesian/BNL") {
+    val p = plan("q_ann_ivfpq_residual")
+    // residual subtraction + PQ encode stay inside the corpus scan
+    // projection — one encode kernel, broadcast candidate equi-join
+    assert(count(p, "pq_encode_16x8") == 1, p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("q_ann_ivf: scan-stage coarse assign; single ranking exchange") {
     val p = plan("q_ann_ivf")
     assert(count(p, "nearest_cell_16\\(") == 1, p.take(3000))
