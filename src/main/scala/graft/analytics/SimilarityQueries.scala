@@ -397,19 +397,35 @@ object SimilarityQueries {
       residualFor(
         PqExpressions.nearestCell(embNN, cbIvf, 64), means).as("embedding"))
 
+  /** Residual analog of [[codesTable]] — the stored-index frame of the
+    * residual IVF-ADC family: cell assignment and the PQ code of
+    * v − mean(cell), both scan-stage kernels in ONE corpus pass, zero
+    * exchange on the encode side. Written `.partitionBy("cell")` it
+    * backs the same build → ingest → compact lifecycle as the raw
+    * family's codes table.
+    */
+  def residualCodesTable(
+      e: DataFrame, cbIvf: Array[Double], means: Array[Double],
+      cbPqRes: Array[Double]): DataFrame = {
+    val cell = PqExpressions.nearestCell(embNN, cbIvf, 64)
+    e.select(col("vec_id"), cell.as("cell"),
+      PqExpressions.pqEncode(residualFor(cell, means), cbPqRes, 8, 8).as("cl"))
+  }
+
   /** Residual IVF-ADC serving: same plan shape as [[ivfPqPipeline]]
     * (scan-stage encode, broadcast cell equi-join, ADC top-8, exact
     * re-rank top-3) — the ONLY change is what gets PQ-coded. The probe
     * side computes one residual per (query, probed cell) pair, because
     * the query's residual is cell-relative; still scan-stage, ≤
-    * nQueries × nprobe rows.
+    * nQueries × nprobe rows. In-query REFERENCE form: the catalog
+    * entry serves the same relation from the stored residual codes
+    * table ([[ivfPqResidualServeFromCodes]]); spec-pinned equal.
     */
   private[graft] def ivfPqResidualPipeline(
       e: DataFrame, cbIvf: Array[Double], means: Array[Double],
       cbPqRes: Array[Double], nQueries: Int): DataFrame = {
-    val cell = PqExpressions.nearestCell(embNN, cbIvf, 64)
-    val corpus = e.select(col("vec_id").as("n_id"), cell.as("cell"),
-      PqExpressions.pqEncode(residualFor(cell, means), cbPqRes, 8, 8).as("cl"))
+    val corpus = residualCodesTable(e, cbIvf, means, cbPqRes)
+      .withColumnRenamed("vec_id", "n_id")
     val probes = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"),
         explode(PqExpressions.nearestCells(embNN, cbIvf, 64, 2)).as("pcell"),
@@ -569,6 +585,27 @@ object SimilarityQueries {
       t(s, dir, "embeddings"), "vec_id", "cell")(
       codesTable(_, cbIvf, cbPq))
 
+  /** The residual family's memoized stored codes table, built through
+    * the SAME incremental lifecycle as [[incrementalCodesPath]] (even-
+    * half base build, odd half as an arriving batch, fragmented-cell
+    * compaction) — so q_ann_ivfpq_residual's hash gate checks the whole
+    * build → ingest → compact path too. The key folds in the cell
+    * MEANS alongside both codebooks: residual codes are meaningless
+    * under a different reference frame, and a drifted means array must
+    * build a fresh index, not serve stale codes.
+    */
+  private val storedIncResidualCodes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def incrementalResidualCodesPath(
+      s: SparkSession, dir: String, cbIvf: Array[Double],
+      means: Array[Double], cbPqRes: Array[Double]): String =
+    graft.sinks.IncrementalParquet.buildViaLifecycle(storedIncResidualCodes,
+      Tables.derivedStateKey(s, dir, "embeddings") +
+        "|res|" + codebookDigest(cbIvf, means, cbPqRes), "graft-rescodes-inc",
+      t(s, dir, "embeddings"), "vec_id", "cell")(
+      residualCodesTable(_, cbIvf, means, cbPqRes))
+
   /** The one pinned-codebook stored-index serve both q_ann_ivfpq and
     * q_ann_codes_served run (shared so the two entries cannot diverge):
     * read THE memoized incrementally-built codes table for the corpus
@@ -652,7 +689,16 @@ object SimilarityQueries {
     val qn = s.createDataFrame(
       java.util.Arrays.asList(qRows.map(r => org.apache.spark.sql.Row(
         r.getLong(0), r.getAs[Any]("qv"), r.getDouble(4))): _*), qnSchema)
-    val cand = adcCandidatesFromCodes(codes, probes, cells, topC = 8)
+    exactReRankTail(e, adcCandidatesFromCodes(codes, probes, cells, topC = 8), qn)
+  }
+
+  /** Exact-cosine re-rank tail shared by every stored-codes serve:
+    * fetch full vectors ONLY for the broadcast candidate set (≤
+    * topC × nQueries rows), join the driver-local query side, rank by
+    * exact cosine. `qn` must carry (q_id2, qv, qn).
+    */
+  private def exactReRankTail(
+      e: DataFrame, cand: DataFrame, qn: DataFrame): DataFrame = {
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id"))
     val fetched = e.join(broadcast(cand), col("vec_id") === col("n_id"))
@@ -666,6 +712,47 @@ object SimilarityQueries {
         round(col("ad2"), 4).as("approx_d2"),
         round(col("cos"), 4).as("cosine"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Stored-index serve for the residual family — the analog of
+    * [[ivfPqServeFromCodes]] with one structural difference: the ADC
+    * lookup table `dl` is CELL-RELATIVE (the query's residual depends
+    * on the probed cell), so the one collected query side is exploded
+    * to ≤ nQueries × nprobe rows BEFORE the subdist kernel — still
+    * driver-sized by definition (it IS the query batch × nprobe). No
+    * NearestCell / PqEncode runs over the corpus: cell assignment and
+    * residual encoding were paid once at index build.
+    */
+  private[graft] def ivfPqResidualServeFromCodes(
+      e: DataFrame, codes: DataFrame, cbIvf: Array[Double],
+      means: Array[Double], cbPqRes: Array[Double],
+      nQueries: Int): DataFrame = {
+    val s = e.sparkSession
+    val qside = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"),
+        explode(PqExpressions.nearestCells(embNN, cbIvf, 64, 2)).as("pcell"))
+      .select(col("vec_id"), col("pcell"),
+        PqExpressions.pqSubDists(
+          residualFor(col("pcell"), means), cbPqRes, 8, 8).as("dl"),
+        col("embedding").as("qv"), l2Norm(col("embedding")).as("qn"))
+    val qRows = qside.collect()
+    val dlT = qside.schema("dl").dataType
+    val qvT = qside.schema("qv").dataType
+    val probeSchema = StructType(Seq(
+      StructField("q_id", LongType), StructField("pcell", IntegerType),
+      StructField("dl", dlT)))
+    val probes = s.createDataFrame(
+      java.util.Arrays.asList(qRows.map(r => org.apache.spark.sql.Row(
+        r.getLong(0), r.getInt(1), r.getAs[Any]("dl"))): _*), probeSchema)
+    val cells = qRows.map(_.getInt(1)).distinct.toSeq
+    val qnSchema = StructType(Seq(
+      StructField("q_id2", LongType), StructField("qv", qvT),
+      StructField("qn", DoubleType)))
+    val qn = s.createDataFrame(
+      java.util.Arrays.asList(qRows.groupBy(_.getLong(0)).values.toSeq
+        .map(_.head).map(r => org.apache.spark.sql.Row(
+          r.getLong(0), r.getAs[Any]("qv"), r.getDouble(4))): _*), qnSchema)
+    exactReRankTail(e, adcCandidatesFromCodes(codes, probes, cells, topC = 8), qn)
   }
 
   /** One unrolled per-subspace PQ k-means iteration as DuckDB CTEs
@@ -1232,9 +1319,12 @@ object SimilarityQueries {
     // frame. The oracle re-derives ALL of it relationally — coarse
     // training, assignment, quantized means, residuals, residual PQ
     // training, per-(query, probed-cell) ADC tables — and the
-    // approximate distances hash-match end to end. Scale shape is
-    // q_ann_ivfpq_trained's plus one corpus aggregation (the means)
-    // and one extra scan-stage subtraction on the encode side.
+    // approximate distances hash-match end to end. The Spark side
+    // serves from THE stored residual codes table (built once through
+    // the incremental lifecycle — the q_ann_codes_served discipline),
+    // so the gate also checks residual build → ingest → compact; the
+    // in-query composition stays as the spec-level reference
+    // (ivfPqResidualPipeline, equality pinned in CodesIncrementalSpec).
     GraftQuery(
       "q_ann_ivfpq_residual",
       s"""WITH e AS ($embDoubleSql),
@@ -1307,7 +1397,9 @@ object SimilarityQueries {
       val means = cachedCellMeans(e, key, cbIvf)
       val cbPqRes = graft.operators.CodebookTrainer.cachedPq(
         residualFrame(e, cbIvf, means), s"$key/residual", 8, 8, 16, 2)
-      ivfPqResidualPipeline(e, cbIvf, means, cbPqRes, 10)
+      val codes = Tables.parquetCachedSchema(s,
+        incrementalResidualCodesPath(s, dir, cbIvf, means, cbPqRes))
+      ivfPqResidualServeFromCodes(e, codes, cbIvf, means, cbPqRes, 10)
     },
 
     // ------------------------------------------- semantic dedup (SemDeDup)

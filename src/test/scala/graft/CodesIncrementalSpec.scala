@@ -144,4 +144,45 @@ class CodesIncrementalSpec extends SparkSpec {
       assert(served == expected)
     }
   }
+
+  test("residual codes: append-half == build-full, stored serve == in-query " +
+      "pipeline (transitively q_ann_ivfpq_residual)") {
+    withTempDir { root =>
+      val e = Tables.load(spark, sf, "embeddings")
+      val key = Tables.derivedStateKey(spark, sf, "embeddings")
+      val cbIvf = CodebookTrainer.cachedSphericalIvf(e, key, 16, 64, 2)
+      val means = SimilarityQueries.cachedCellMeans(e, key, cbIvf)
+      val cbPqRes = CodebookTrainer.cachedPq(
+        SimilarityQueries.residualFrame(e, cbIvf, means),
+        s"$key/residual", 8, 8, 16, 2)
+      val full = root.resolve("full").toString
+      val inc = root.resolve("inc").toString
+
+      SimilarityQueries.residualCodesTable(e, cbIvf, means, cbPqRes)
+        .write.mode("overwrite").partitionBy("cell").parquet(full)
+      SimilarityQueries
+        .residualCodesTable(e.filter(col("vec_id") % 2 === 0),
+          cbIvf, means, cbPqRes)
+        .write.mode("overwrite").partitionBy("cell").parquet(inc)
+      SimilarityQueries
+        .residualCodesTable(e.filter(col("vec_id") % 2 =!= 0),
+          cbIvf, means, cbPqRes)
+        .write.mode("append").partitionBy("cell").parquet(inc)
+
+      def serve(dir: String) = SimilarityQueries.ivfPqResidualServeFromCodes(
+        e, spark.read.parquet(dir), cbIvf, means, cbPqRes, 10).collect().toSeq
+      val servedInc = serve(inc)
+      // incrementally built == one-shot build
+      assert(servedInc == serve(full))
+      // stored-codes serve == the in-query reference pipeline — the
+      // identity that lets q_ann_ivfpq_residual's oracle (which
+      // re-derives the in-query composition relationally) gate the
+      // stored-index path
+      assert(servedInc == SimilarityQueries.ivfPqResidualPipeline(
+        e, cbIvf, means, cbPqRes, 10).collect().toSeq)
+      // and transitively the catalog entry itself
+      assert(servedInc == SparkEntry.queries("q_ann_ivfpq_residual")(spark, sf)
+        .collect().toSeq)
+    }
+  }
 }

@@ -179,9 +179,34 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
-  test("q_ann_ivfpq_residual: scan-stage residual encode, broadcast cell " +
-      "equi-join, no cartesian/BNL") {
+  test("q_ann_ivfpq_residual: serves from the stored residual codes table — " +
+      "no corpus-side kernels in the query plan") {
+    // cell assignment and residual PQ encoding were paid ONCE at index
+    // build; the serve plan reads the partitioned codes table, scores
+    // by ADC, and never runs an encode kernel over the corpus
     val p = plan("q_ann_ivfpq_residual")
+    assert(count(p, "nearest_cell_16\\(") == 0, p.take(3000))
+    assert(count(p, "pq_encode_16x8") == 0, p.take(3000))
+    assert(p.contains("adc_score"), p.take(3000))
+    assert(p.contains("Scan parquet"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("ivfPqResidualPipeline (in-query reference form): residual encode is " +
+      "a scan-stage kernel, broadcast cell equi-join, no cartesian/BNL") {
+    val e = graft.core.Tables.load(spark, dir, "embeddings")
+    val key = graft.core.Tables.derivedStateKey(spark, dir, "embeddings")
+    val cbIvf = graft.operators.CodebookTrainer
+      .cachedSphericalIvf(e, key, 16, 64, 2)
+    val means = graft.analytics.SimilarityQueries.cachedCellMeans(e, key, cbIvf)
+    val cbPqRes = graft.operators.CodebookTrainer.cachedPq(
+      graft.analytics.SimilarityQueries.residualFrame(e, cbIvf, means),
+      s"$key/residual", 8, 8, 16, 2)
+    val p = graft.analytics.SimilarityQueries
+      .ivfPqResidualPipeline(e, cbIvf, means, cbPqRes, 10)
+      .queryExecution.executedPlan.toString
     // residual subtraction + PQ encode stay inside the corpus scan
     // projection — one encode kernel, broadcast candidate equi-join
     assert(count(p, "pq_encode_16x8") == 1, p.take(3000))
