@@ -902,6 +902,62 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     },
 
+    // ---------------------------------------------------- filtered ANN
+    // Hybrid metadata + vector search — the retrieval shape a curation
+    // pipeline runs constantly ("nearest docs to this one, but only
+    // among <lang/source/quality subset>"): the predicate lives on the
+    // DOCUMENTS table, the vectors on embeddings, and the right plan
+    // PRE-filters — the lang gate pushes into the documents scan
+    // (PushedFilters + doc_id-only ReadSchema, pinned in PlanSpec), a
+    // semi-join keeps only qualifying corpus vectors, and the exact
+    // top-k runs on the survivors. Cost: selectivity × |corpus| pair
+    // dots, vs a post-filter's recall gamble (an ANN candidate list
+    // filtered AFTER retrieval can lose every survivor — the classic
+    // filtered-search failure mode; here recall is exact BY
+    // CONSTRUCTION). Queries come from the full corpus — a query need
+    // not satisfy its own filter. Scale: the id semi-join broadcasts
+    // when the filtered set is small and shuffles otherwise (AQE's
+    // call); the query side broadcasts as in q_ann_bruteforce (the
+    // intended BNL of a 10-row side).
+    GraftQuery(
+      "q_ann_filtered",
+      s"""WITH e AS ($embDoubleSql),
+         |f AS (SELECT e.vec_id, e.v FROM e
+         |      JOIN documents d ON d.doc_id = e.vec_id
+         |      WHERE d.lang = 'en'),
+         |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM f),
+         |q AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e
+         |      WHERE vec_id < 10),
+         |s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |        ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+         |      FROM q, n c WHERE c.vec_id <> q.vec_id),
+         |r AS (SELECT q_id, n_id, cos,
+         |        CAST(row_number() OVER (PARTITION BY q_id
+         |               ORDER BY cos DESC, n_id) AS INTEGER) AS rank
+         |      FROM s)
+         |SELECT q_id, n_id, rank, round(cos, 4) AS cosine
+         |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val ids = t(s, dir, "documents").filter(col("lang") === "en")
+        .select(col("doc_id"))
+      val c = e.join(ids, col("vec_id") === col("doc_id"), "left_semi")
+        .select(col("vec_id").as("n_id"), col("embedding").as("cv"),
+          l2Norm(col("embedding")).as("cn"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          l2Norm(col("embedding")).as("qn"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id"))
+      c.join(broadcast(q), col("n_id") =!= col("q_id"))
+        .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("n_id"),
+          col("rank").cast(IntegerType).as("rank"),
+          round(col("cos"), 4).as("cosine"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+
     // ------------------------------------------------------- LSH bucket
     // Bucketed ANN: 8 deterministic hyperplane sign bits (coordinate
     // differences) → bucket; per-query top-3 within the bucket. Recall

@@ -194,6 +194,22 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("q_ann_filtered: lang predicate pushed to the documents scan, " +
+      "id-only read, pre-filter semi-join") {
+    val p = plan("q_ann_filtered")
+    // the metadata gate must reach the documents parquet scan — a plan
+    // that reads all documents columns (or post-filters retrieved
+    // candidates) is the wrong shape at any scale
+    assert(p.contains("EqualTo(lang,en)"), p.take(4000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      "documents scan must read only (doc_id, lang): " + p.take(4000))
+    // pre-filter: qualifying ids gate the corpus BEFORE the pair stage
+    assert(p.contains("LeftSemi"), p.take(4000))
+    // query side broadcasts (intended BNL of the 10-row side, as
+    // q_ann_bruteforce); never a cartesian
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
   test("ivfPqResidualPipeline (in-query reference form): residual encode is " +
       "a scan-stage kernel, broadcast cell equi-join, no cartesian/BNL") {
     val e = graft.core.Tables.load(spark, dir, "embeddings")
