@@ -649,7 +649,8 @@ object SimilarityQueries {
     */
   private[graft] def ivfPqServeFromCodes(
       e: DataFrame, codes: DataFrame, cbIvf: Array[Double],
-      cbPq: Array[Double], nQueries: Int): DataFrame = {
+      cbPq: Array[Double], nQueries: Int, nprobe: Int = 2,
+      topC: Int = 8): DataFrame = {
     // ONE tiny collect covers the whole query side: nQueries vectors
     // with their probe cells, subspace distance lookups, raw vector
     // and norm — ≤ nQueries rows of driver metadata. The probe table,
@@ -666,7 +667,7 @@ object SimilarityQueries {
     val s = e.sparkSession
     val qside = e.filter(col("vec_id") < nQueries).select(
       col("vec_id"),
-      PqExpressions.nearestCells(embNN, cbIvf, 64, 2).as("pcells"),
+      PqExpressions.nearestCells(embNN, cbIvf, 64, nprobe).as("pcells"),
       PqExpressions.pqSubDists(embNN, cbPq, 8, 8).as("dl"),
       col("embedding").as("qv"),
       l2Norm(col("embedding")).as("qn"))
@@ -689,7 +690,45 @@ object SimilarityQueries {
     val qn = s.createDataFrame(
       java.util.Arrays.asList(qRows.map(r => org.apache.spark.sql.Row(
         r.getLong(0), r.getAs[Any]("qv"), r.getDouble(4))): _*), qnSchema)
-    exactReRankTail(e, adcCandidatesFromCodes(codes, probes, cells, topC = 8), qn)
+    exactReRankTail(e, adcCandidatesFromCodes(codes, probes, cells, topC), qn)
+  }
+
+  /** Index-accelerated FILTERED search — the scale path of
+    * q_ann_filtered once the corpus is indexed: candidates come from
+    * the stored codes table pruned to probed cells, and the metadata
+    * filter lands on the CODES side as a semi-join BEFORE the ADC
+    * top-C cut — the candidate budget is spent on QUALIFYING vectors
+    * only, so the filter costs no recall at the budget boundary (the
+    * classic post-filter failure: top-C retrieved first, filtered
+    * after, possibly to zero survivors). The remaining recall gap is
+    * the usual cell-probe horizon, measured in AnnRecallSpec.
+    * `allowedIds` is a one-column id relation; at 100 TB it is itself
+    * the output of a pushed-down metadata scan, and the semi-join is
+    * an equi-join AQE sizes (broadcast when small).
+    *
+    * `nprobe` AND `topC` should both scale with 1/selectivity
+    * (probe-widening — the standard filtered-search dial): a filter
+    * keeping fraction s of the corpus thins every probed cell to
+    * s·|cell|, so at the unfiltered defaults the candidate horizon
+    * shrinks by s and recall drops with it (measured 0.37 vs 0.67
+    * unfiltered at s≈0.44, nprobe=2/topC=8). The dials are COUPLED:
+    * widening nprobe alone peaks then FALLS (0.60 at nprobe=8 → 0.47
+    * at 16 — the extra cells' candidates crowd a fixed top-8 budget
+    * out through ADC quantization noise), while nprobe=8..12 ×
+    * topC=24 measures 0.73–0.77, above even the unfiltered horizon
+    * ([[graft.ProbeCurve]] reproduces the sweep; AnnRecallSpec pins
+    * the 0.7 floor at nprobe=⌈4/s⌉, topC=24). Widening costs
+    * O(nprobe) driver rows + probed cells scanned and O(topC)
+    * re-ranked candidates — never a per-cell term.
+    */
+  def filteredServeFromCodes(
+      e: DataFrame, codes: DataFrame, allowedIds: DataFrame,
+      cbIvf: Array[Double], cbPq: Array[Double], nQueries: Int,
+      nprobe: Int = 2, topC: Int = 8): DataFrame = {
+    val idCol = allowedIds.columns.head
+    val filtered = codes.join(allowedIds,
+      codes("vec_id") === allowedIds(idCol), "left_semi")
+    ivfPqServeFromCodes(e, filtered, cbIvf, cbPq, nQueries, nprobe, topC)
   }
 
   /** Exact-cosine re-rank tail shared by every stored-codes serve:

@@ -159,4 +159,49 @@ class AnnRecallSpec extends SparkSpec {
       s"residual recall $rRes under raw $rRaw — cell-reference mismatch?")
     assert(rRes >= 0.6, s"residual IVF-ADC recall $rRes under 0.6")
   }
+
+  test("filtered serve from codes: the filter precedes the ADC budget — " +
+      "every result qualifies, recall vs exact filtered search holds") {
+    import graft.core.Tables
+    import graft.operators.CodebookTrainer
+    import graft.analytics.SimilarityQueries
+    import org.apache.spark.sql.functions._
+    val e = Tables.load(spark, dir, "embeddings")
+    val key = Tables.derivedStateKey(spark, dir, "embeddings")
+    val cbIvf = CodebookTrainer.cachedSphericalIvf(e, key, 16, 64, 2)
+    val cbPq = CodebookTrainer.cachedPq(e, key, 8, 8, 16, 2)
+    val codes = SimilarityQueries.codesTable(e, cbIvf, cbPq)
+    val allowed = Tables.load(spark, dir, "documents")
+      .filter(col("lang") === "en").select(col("doc_id"))
+    // probe-widening: the filter keeps s ≈ 0.44 of the corpus, so the
+    // filtered serve widens BOTH dials by 1/s — more cells probed
+    // (nprobe, the horizon) AND a larger ADC candidate budget (topC:
+    // the 2026-08 sweep showed recall PEAKS then falls when nprobe
+    // grows alone — extra cells' candidates crowd a fixed top-8 out
+    // through quantization noise; nprobe=8..12 × topC=24 measured
+    // 0.73–0.77 vs 0.37 at the unfiltered defaults, ProbeCurve)
+    val s = allowed.count().toDouble / e.count().toDouble
+    val nprobe = math.min(16, math.ceil(4.0 / s).toInt)
+    val served = SimilarityQueries.filteredServeFromCodes(
+      e, codes, allowed, cbIvf, cbPq, 10, nprobe, topC = 24)
+      .select("q_id", "n_id").collect()
+    // the filter is exact BY CONSTRUCTION (semi-join on the codes side,
+    // upstream of the top-C cut) — a leak here means the join moved
+    // above the budget boundary
+    val allowedSet = allowed.collect().map(_.getLong(0)).toSet
+    assert(served.nonEmpty)
+    assert(served.forall(r => allowedSet.contains(r.getLong(1))),
+      "an unfiltered candidate leaked through the semi-join")
+    // recall vs the exact pre-filtered search (q_ann_filtered): the
+    // only gap is the nprobe=2 cell horizon, same as the unfiltered
+    // trained family — NOT a post-filter budget loss
+    val exact = top3("q_ann_filtered")
+    val approx = served.groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val qs = exact.keySet
+    val recall = qs.toSeq.map(q => approx.getOrElse(q, Set.empty[Long])
+      .count(exact(q).contains)).sum.toDouble / (3.0 * qs.size)
+    info(s"filtered-from-codes recall $recall (nprobe=$nprobe, topC=24)")
+    assert(recall >= 0.7, s"filtered-from-codes recall $recall under 0.7")
+  }
 }
