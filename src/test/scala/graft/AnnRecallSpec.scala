@@ -204,4 +204,44 @@ class AnnRecallSpec extends SparkSpec {
     info(s"filtered-from-codes recall $recall (nprobe=$nprobe, topC=24)")
     assert(recall >= 0.7, s"filtered-from-codes recall $recall under 0.7")
   }
+
+  test("frozen-codebook staleness: an index trained on half the corpus " +
+      "serves the doubled corpus without losing recall") {
+    // The continuous-ingest reality: codebooks train ONCE, then
+    // appendToCodes encodes every later arrival with the FROZEN books
+    // (retraining would invalidate all stored codes). Under a
+    // stationary distribution the stale quantizer is as good as a
+    // fresh one — that is the property that makes freeze-and-append
+    // sound, and the one a DRIFTING distribution would break (the
+    // operational answer there is distribution monitoring + a staged
+    // index rebuild, not per-batch retraining).
+    import graft.core.Tables
+    import graft.operators.CodebookTrainer
+    import graft.analytics.SimilarityQueries
+    import org.apache.spark.sql.functions._
+    val e = Tables.load(spark, dir, "embeddings")
+    val exact = top3("q_ann_bruteforce")
+    def recallOf(cbIvf: Array[Double], cbPq: Array[Double]): Double = {
+      val codes = SimilarityQueries.codesTable(e, cbIvf, cbPq)
+      val served = SimilarityQueries
+        .ivfPqServeFromCodes(e, codes, cbIvf, cbPq, 5)
+        .select("q_id", "n_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val qs = exact.keySet
+      qs.toSeq.map(q => served.getOrElse(q, Set.empty[Long])
+        .count(exact(q).contains)).sum.toDouble / (3.0 * qs.size)
+    }
+    val fresh = recallOf(
+      CodebookTrainer.trainSphericalIvf(e, 16, 64, 2),
+      CodebookTrainer.trainPq(e, 8, 8, 16, 2))
+    val half = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val stale = recallOf(
+      CodebookTrainer.trainSphericalIvf(half, 16, 64, 2),
+      CodebookTrainer.trainPq(half, 8, 8, 16, 2))
+    info(s"recall fresh=$fresh stale(trained on half)=$stale")
+    assert(stale >= fresh - 0.1,
+      s"half-corpus-trained books lost recall: $stale vs fresh $fresh")
+    assert(stale >= 0.5, s"stale-book recall $stale under 0.5")
+  }
 }
