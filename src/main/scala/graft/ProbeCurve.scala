@@ -13,6 +13,7 @@ package graft
   */
 object ProbeCurve {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("batch")) { batchMode(); return }
     import org.apache.spark.sql.functions._
     import graft.core.Tables
     import graft.operators.CodebookTrainer
@@ -39,6 +40,40 @@ object ProbeCurve {
       val recall = qs.toSeq.map(q => approx.getOrElse(q, Set.empty[Long])
         .count(exact(q).contains)).sum.toDouble / (3.0 * qs.size)
       println(f"CURVE nprobe=$np topC=$tc recall=$recall%.3f")
+    }
+    spark.stop()
+  }
+
+  /** `runMain graft.ProbeCurve batch` — serve wall vs QUERY-BATCH size
+    * on the stored-codes path (sf0.1): the collect-once design claims
+    * the query side stays driver-sized, so the wall should grow far
+    * sublinearly in nQueries until the broadcast side stops being
+    * small. Round-13 measurement at 2k vectors: see SCALING.md.
+    */
+  private def batchMode(): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.core.Tables
+    import graft.operators.CodebookTrainer
+    import graft.analytics.SimilarityQueries
+    val spark = graft.core.GraftSession.local("probe-batch")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val e = Tables.load(spark, dir, "embeddings")
+    val key = Tables.derivedStateKey(spark, dir, "embeddings")
+    val cbIvf = CodebookTrainer.cachedSphericalIvf(e, key, 16, 64, 2)
+    val cbPq = CodebookTrainer.cachedPq(e, key, 8, 8, 16, 2)
+    val codes = SimilarityQueries.codesTable(e, cbIvf, cbPq)
+      .localCheckpoint() // pay the encode once; measure the serve only
+    for (nq <- Seq(10, 50, 100, 200, 400)) {
+      Bench.materialize(SimilarityQueries
+        .ivfPqServeFromCodes(e, codes, cbIvf, cbPq, nq)) // warm
+      val walls = (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        Bench.materialize(SimilarityQueries
+          .ivfPqServeFromCodes(e, codes, cbIvf, cbPq, nq))
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"BATCH nQueries=$nq median=${walls(1)}%.3f all=" +
+        walls.map(w => f"$w%.2f").mkString(","))
     }
     spark.stop()
   }
