@@ -539,6 +539,21 @@ object SimilarityQueries {
       batch.sparkSession, codesDir, "cell", batchId)(
       codesTable(batch, cbIvf, cbPq))
 
+  /** Residual-family twin of [[appendToCodesIdempotent]]: the batch is
+    * encoded against the FROZEN (coarse codebook, cell means, residual
+    * sub-quantizers) triple — the freeze-and-append premise
+    * AnnRecallSpec pins — and appended exactly-once under the same
+    * ack-marker protocol. Crash/replay/compaction semantics are
+    * entirely the shared [[graft.sinks.IncrementalParquet]] machinery.
+    */
+  def appendToResidualCodesIdempotent(
+      batch: DataFrame, codesDir: String, batchId: Long,
+      cbIvf: Array[Double], means: Array[Double],
+      cbPqRes: Array[Double]): Unit =
+    graft.sinks.IncrementalParquet.appendIdempotent(
+      batch.sparkSession, codesDir, "cell", batchId)(
+      residualCodesTable(batch, cbIvf, means, cbPqRes))
+
   /** Compact the stored codes table's fragmented cell partitions to one
     * file each — [[graft.sinks.IncrementalParquet.compact]] carries the
     * protocol (retired-sibling swap, crash recovery, unacked-batch

@@ -370,6 +370,41 @@ object StreamingPipeline {
     }
   }
 
+  /** Residual-family twin of [[startCodesIngest]]: arriving vectors
+    * are encoded against the FROZEN (coarse codebook, cell means,
+    * residual sub-quantizers) triple — the freeze-and-append premise
+    * AnnRecallSpec pins — and appended exactly-once into the
+    * cell-partitioned residual codes table, minor compaction on the
+    * shared cadence. All crash/replay/compaction semantics are the
+    * raw family's (shared `IncrementalParquet` machinery, pinned in
+    * `CodesStreamIngestSpec`); only the encode expression differs.
+    */
+  def startResidualCodesIngest(
+      spark: SparkSession,
+      incomingDir: String,
+      codesDir: String,
+      checkpointDir: String,
+      cbIvf: Array[Double],
+      means: Array[Double],
+      cbPqRes: Array[Double],
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = DefaultCompactEvery): StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = new StructType()
+      .add("vec_id", LongType, nullable = false)
+      .add("embedding", ArrayType(FloatType, containsNull = false),
+        nullable = false)
+      .add("label", IntegerType)
+    startIndexIngest(spark, incomingDir, checkpointDir, schema, trigger) {
+      (batch, batchId) =>
+        graft.analytics.SimilarityQueries.appendToResidualCodesIdempotent(
+          batch, codesDir, batchId, cbIvf, means, cbPqRes)
+        onCadence(compactEvery, batchId) {
+          graft.analytics.SimilarityQueries.compactCodesMinor(spark, codesDir); ()
+        }
+    }
+  }
+
   /** Streamed SemDeDup maintenance — the semantic-verdict member of
     * the incremental family: arriving vector batches append
     * exactly-once into the cell-partitioned member table (assignment

@@ -55,6 +55,46 @@ class CodesStreamIngestSpec extends SparkSpec {
     }
   }
 
+  test("residual codes stream ingest: streamed table serves == the " +
+      "one-shot catalog build (q_ann_ivfpq_residual)") {
+    withTempDir { root =>
+      val e = Tables.load(spark, sf, "embeddings")
+      val key = Tables.derivedStateKey(spark, sf, "embeddings")
+      val cbIvf = CodebookTrainer.cachedSphericalIvf(e, key, 16, 64, 2)
+      val means = SimilarityQueries.cachedCellMeans(e, key, cbIvf)
+      val cbPqRes = CodebookTrainer.cachedPq(
+        SimilarityQueries.residualFrame(e, cbIvf, means),
+        s"$key/residual", 8, 8, 16, 2)
+      val incoming = Files.createDirectory(root.resolve("incoming"))
+      val codes = root.resolve("rescodes").toString
+      val ckpt = root.resolve("ckpt").toString
+
+      SimilarityQueries
+        .residualCodesTable(e.filter(col("vec_id") % 3 === 0),
+          cbIvf, means, cbPqRes)
+        .write.mode("overwrite").partitionBy("cell").parquet(codes)
+
+      // two arriving batches drain through the residual wiring; the
+      // crash/replay/compaction matrix is the raw family's (shared
+      // IncrementalParquet machinery, pinned by the sibling tests) —
+      // this pins the residual ENCODE-side wiring end to end
+      land(e.filter(col("vec_id") % 3 === 1), incoming, "batch1.parquet")
+      StreamingPipeline.startResidualCodesIngest(
+        spark, incoming.toString, codes, ckpt, cbIvf, means, cbPqRes,
+        Trigger.AvailableNow()).awaitTermination(120000)
+      land(e.filter(col("vec_id") % 3 === 2), incoming, "batch2.parquet")
+      StreamingPipeline.startResidualCodesIngest(
+        spark, incoming.toString, codes, ckpt, cbIvf, means, cbPqRes,
+        Trigger.AvailableNow()).awaitTermination(120000)
+
+      val served = SimilarityQueries.ivfPqResidualServeFromCodes(
+        e, spark.read.parquet(codes), cbIvf, means, cbPqRes, 10)
+        .collect().toSeq
+      assert(served == SparkEntry.queries("q_ann_ivfpq_residual")(spark, sf)
+        .collect().toSeq)
+    }
+  }
+
   test("replayed micro-batch converges to the same table state (exactly-once)") {
     withTempDir { root =>
       val e = Tables.load(spark, sf, "embeddings")
