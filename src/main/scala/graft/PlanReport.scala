@@ -30,7 +30,9 @@ object PlanReport {
     "q_dedup_spans_incr" -> "Incremental span fold (round-11 serve): the lifecycle (append even half -> derive+persist base spans -> append odd half -> minor compaction -> batch-touching probe -> union) ran ONCE at table build; this plan must be a bare parquet scan of the stored span table plus the output sort — no window kernel, no fp self-join, no islands window. The per-trigger probe shape (batch windows x colliders, bucket-pruned + pushed-In stored reads) is pinned by SpanIngestSpec and measured in SCALING.md's 16-batch span series.",
     "q_top_terms_incr" -> "Salient terms served from MAINTAINED corpus state (round 11): df and n_docs are parquet scans of the incrementally-summed term-stats tables (vocab-bounded, broadcast into the tf join) — the one-shot form's second corpus-wide aggregation (df-from-tf) and its shuffled vocab join are GONE; the only corpus-sized work left is the per-doc tf aggregation + top-3 window, both functions of each doc alone. Faster than the one-shot serve (0.82 vs 1.17 s at sf0.1) before amortizing maintenance.",
     "q_dedup_semantic" -> "SemDeDup cluster-locality pruning (round 11): coarse assignment is the compiled-codebook nearest_cell kernel in the scan stage (no centroid join), the within-cell pair stage is ONE equi-join on the cell id (pair mass bounded by training k, the paper's corpus-proportional dial), and the verdict is a distinct + left join — no cartesian/BNL anywhere, no transitive closure (cell-local prune is the published semantics; q_dedup_embed_clusters is the closure-based sibling).",
-    "q_dedup_semantic_incr" -> "Incremental SemDeDup fold (round-11 serve): the lifecycle (append id-ordered halves into the cell-partitioned member table, per-batch verdicts against stored state, mid-lifecycle compaction) ran ONCE at table build; this plan must be a bare parquet scan of the stored verdicts table plus the output sort — no nearest_cell kernel, no cell self-join. The per-trigger probe shape (|batch| x touched cells, partition-pruned) is pinned by SemanticIncrementalSpec.")
+    "q_dedup_semantic_incr" -> "Incremental SemDeDup fold (round-11 serve): the lifecycle (append id-ordered halves into the cell-partitioned member table, per-batch verdicts against stored state, mid-lifecycle compaction) ran ONCE at table build; this plan must be a bare parquet scan of the stored verdicts table plus the output sort — no nearest_cell kernel, no cell self-join. The per-trigger probe shape (|batch| x touched cells, partition-pruned) is pinned by SemanticIncrementalSpec.",
+    "q_ann_ivfpq_residual" -> "Residual IVF-ADC served from the STORED residual codes table (round 13): no NearestCell/PqEncode over the corpus — cell assignment and the residual encode were paid once at index build; candidates are ADC-scored stored codes in the probed cells (the probe side's dl table is CELL-RELATIVE, one residual-subdist row per (query, probed cell), still driver-sized); exact cosine re-ranks the broadcast survivors.",
+    "q_ann_filtered" -> "Hybrid metadata + vector search (round 13): the lang predicate is PUSHED into the documents parquet scan (PushedFilters, (doc_id, lang)-only ReadSchema), the qualifying ids PRE-filter the corpus through a semi-join BEFORE the pair stage, and the exact top-k runs on survivors — recall exact by construction; the 10-row query side broadcasts (the intended BNL, as q_ann_bruteforce).")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
