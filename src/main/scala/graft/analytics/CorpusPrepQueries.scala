@@ -355,6 +355,113 @@ object CorpusPrepQueries {
             when(col("bucket") < (col("rate") - floor(col("rate"))) * 1000, 1)
               .otherwise(0)).cast(LongType).as("n_copies"))
         .orderBy(col("doc_id"))
+    },
+
+    // ----------------------------------------- DSIR data selection
+    // Importance-resampling data selection (Xie et al. 2023, DSIR):
+    // score every raw document by how target-like its hashed n-gram
+    // profile is, then keep the top-k. Features are word unigrams +
+    // bigrams of the standard tokenizer, hashed into 1024 buckets via
+    // the engine's cross-engine element hash (sha-prefix → BIGINT —
+    // the q_mixture_resample discipline). Two smoothed bag-of-buckets
+    // models — target = sources src0/src1 (the small high-quality
+    // reference corpus stand-in), raw = the whole corpus — give a
+    // per-bucket log-likelihood ratio; a document's importance weight
+    // is Σ_b n_d[b] · lr[b]. CROSS-ENGINE EXACT because every lr is
+    // quantized to the 2⁻³⁰ dyadic grid (the LM-scoring discipline):
+    // each term n·lr is then an exact dyadic rational and the per-doc
+    // SUM is order-independent under any partitioning — no ordered
+    // fold needed. Selection is deterministic top-k by (weight,
+    // doc_id) through orderBy+limit (TakeOrderedAndProject — no
+    // global-sort exchange), with the rank window over the 100
+    // surviving rows only. Scale shape: two feature-frame
+    // aggregations (bucket models are ≤1024 rows, broadcast), one
+    // per-(doc, bucket) aggregation with map-side combine, and a
+    // distributed top-k — the corpus never shuffles whole documents.
+    // The paper's sampled variant (Gumbel noise on the weights) drops
+    // in by adding hash-derived noise before the top-k; the gated
+    // form pins the deterministic core.
+    GraftQuery(
+      "q_select_dsir",
+      """WITH tok AS (SELECT doc_id, source,
+        |         regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |feat AS (
+        |  SELECT doc_id, source, unnest(ts) AS g FROM tok
+        |  UNION ALL
+        |  SELECT doc_id, source,
+        |    unnest([ts[i] || ' ' || ts[i+1]
+        |            FOR i IN range(1, greatest(len(ts), 1))]) AS g
+        |  FROM tok),
+        |hb AS (SELECT doc_id, source,
+        |         list_sum([(strpos('0123456789abcdef',
+        |                           substring(sha256(g), p, 1)) - 1)
+        |                   * CAST(16**(7 - p) AS BIGINT)
+        |                   FOR p IN range(1, 8)]) % 1024 AS b
+        |       FROM feat),
+        |rc AS (SELECT b, CAST(count(*) AS BIGINT) AS rcnt FROM hb GROUP BY b),
+        |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS tcnt FROM hb
+        |       WHERE source IN ('src0', 'src1') GROUP BY b),
+        |tot AS (SELECT
+        |          (SELECT CAST(count(*) AS BIGINT) FROM hb) AS r_n,
+        |          (SELECT CAST(count(*) AS BIGINT) FROM hb
+        |           WHERE source IN ('src0', 'src1')) AS t_n),
+        |lr AS (SELECT rc.b,
+        |         floor(log2(((COALESCE(tc.tcnt, 0) + 0.5) / (t.t_n + 512.0))
+        |                  / ((rc.rcnt + 0.5) / (t.r_n + 512.0)))
+        |               * 1073741824.0) / 1073741824.0 AS lr
+        |       FROM rc LEFT JOIN tc ON tc.b = rc.b, tot t),
+        |dc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n
+        |       FROM hb GROUP BY doc_id, b),
+        |w AS (SELECT dc.doc_id, SUM(dc.n * lr.lr) AS w
+        |      FROM dc JOIN lr ON lr.b = dc.b GROUP BY dc.doc_id),
+        |wa AS (SELECT d.doc_id, COALESCE(w.w, 0.0) AS w
+        |       FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id),
+        |r AS (SELECT doc_id, w,
+        |        CAST(row_number() OVER (ORDER BY w DESC, doc_id)
+        |             AS INTEGER) AS rank
+        |      FROM wa)
+        |SELECT doc_id, rank, floor(w * 1000) / 1000 AS weight
+        |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin) { (s, dir) =>
+      import graft.functions.SimilarityFunctions.elementHash
+      val docs = t(s, dir, "documents")
+      val isTarget = col("source").isin("src0", "src1")
+      val tok = docs.select(col("doc_id"), col("source"),
+        tokens(lower(col("text"))).as("ts"))
+      val uni = tok.select(col("doc_id"), col("source"),
+        explode(col("ts")).as("g"))
+      val bi = tok.filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), col("source"),
+          explode(zip_with(
+            slice(col("ts"), lit(1), size(col("ts")) - 1),
+            slice(col("ts"), lit(2), size(col("ts")) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("g"))
+      val hb = uni.unionByName(bi).select(col("doc_id"), col("source"),
+        (elementHash(col("g")) % 1024).as("b"))
+      val rc = hb.groupBy(col("b"))
+        .agg(count(lit(1)).cast(LongType).as("rcnt"))
+      val tc = hb.filter(isTarget).groupBy(col("b"))
+        .agg(count(lit(1)).cast(LongType).as("tcnt"))
+        .withColumnRenamed("b", "tb")
+      val tot = hb.agg(count(lit(1)).cast(LongType).as("r_n"),
+        count(when(isTarget, 1)).cast(LongType).as("t_n"))
+      val lr = rc.join(broadcast(tc), col("b") === col("tb"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("b"), TextQueries.quantizeLog2(log2(
+          ((coalesce(col("tcnt"), lit(0L)) + lit(0.5)) /
+            (col("t_n") + lit(512.0))) /
+          ((col("rcnt") + lit(0.5)) / (col("r_n") + lit(512.0))))).as("lr"))
+      val dc = hb.groupBy(col("doc_id"), col("b"))
+        .agg(count(lit(1)).cast(LongType).as("n"))
+      val w = dc.join(broadcast(lr), "b").groupBy(col("doc_id"))
+        .agg(sum(col("n") * col("lr")).as("w"))
+      val wa = docs.select(col("doc_id")).join(w, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("w"), lit(0.0)).as("w"))
+      val top = wa.orderBy(col("w").desc, col("doc_id")).limit(100)
+      val win = Window.orderBy(col("w").desc, col("doc_id"))
+      top.withColumn("rank", row_number().over(win).cast(IntegerType))
+        .select(col("doc_id"), col("rank"),
+          (floor(col("w") * 1000) / 1000).as("weight"))
+        .orderBy(col("rank"))
     }
   )
 }

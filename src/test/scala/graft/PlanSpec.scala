@@ -210,6 +210,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(4000))
   }
 
+  test("q_select_dsir: distributed top-k selection, broadcast bucket models, " +
+      "no cartesian") {
+    val p = plan("q_select_dsir")
+    // selection must be TakeOrderedAndProject (orderBy+limit), never a
+    // global-sort exchange of all per-doc weights
+    assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+    // the ≤1024-row bucket models broadcast into the per-doc join
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    // the single-row totals join is an intended 1-row BNL (scalar
+    // broadcast, the q_sql_having shape); a cartesian is not
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
   test("ivfPqResidualPipeline (in-query reference form): residual encode is " +
       "a scan-stage kernel, broadcast cell equi-join, no cartesian/BNL") {
     val e = graft.core.Tables.load(spark, dir, "embeddings")
