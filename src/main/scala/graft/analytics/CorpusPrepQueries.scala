@@ -62,6 +62,83 @@ object CorpusPrepQueries {
     sh.crossJoin(broadcast(z))
   }
 
+  /** DSIR importance weights (Xie et al. 2023) for every document:
+    * word uni+bigram features hashed into `buckets` buckets
+    * (cross-engine sha-prefix hash), two smoothed bag-of-buckets
+    * models — rows where `isTarget` holds vs the whole frame — and
+    * per-doc weight Σ_b n_d[b] · qlog₂(p̂[b]/q̂[b]). The log-ratios are
+    * quantized to the 2⁻³⁰ dyadic grid, so the per-doc sum is
+    * order-independent EXACT under any partitioning (the catalog
+    * gate's determinism rests on this). Returns `(doc_id, w)` for the
+    * FULL document universe (featureless docs get weight 0.0).
+    *
+    * Scale shape: the feature hash is scan-stage CPU (linear, no
+    * exchange — ~2 sha256 per token; the dominant term at sf10, 20.7 s
+    * for ~20M feature instances, parallelizes embarrassingly); the
+    * only exchanges are the ≤`buckets`-row model aggregations and the
+    * (doc_id, bucket) count; models broadcast into the weight join.
+    */
+  def dsirWeights(
+      docs: DataFrame, isTarget: Column, buckets: Int = 1024): DataFrame = {
+    import graft.functions.SimilarityFunctions.elementHash
+    val tok = docs.select(col("doc_id"), isTarget.as("is_t"),
+      tokens(lower(col("text"))).as("ts"))
+    val uni = tok.select(col("doc_id"), col("is_t"), explode(col("ts")).as("g"))
+    val bi = tok.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("is_t"),
+        explode(zip_with(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("g"))
+    val hb = uni.unionByName(bi).select(col("doc_id"), col("is_t"),
+      (elementHash(col("g")) % buckets).as("b"))
+    val rc = hb.groupBy(col("b"))
+      .agg(count(lit(1)).cast(LongType).as("rcnt"))
+    val tc = hb.filter(col("is_t")).groupBy(col("b"))
+      .agg(count(lit(1)).cast(LongType).as("tcnt"))
+      .withColumnRenamed("b", "tb")
+    val tot = hb.agg(count(lit(1)).cast(LongType).as("r_n"),
+      count(when(col("is_t"), 1)).cast(LongType).as("t_n"))
+    val halfB = buckets * 0.5
+    val lr = rc.join(broadcast(tc), col("b") === col("tb"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"), TextQueries.quantizeLog2(log2(
+        ((coalesce(col("tcnt"), lit(0L)) + lit(0.5)) /
+          (col("t_n") + lit(halfB))) /
+        ((col("rcnt") + lit(0.5)) / (col("r_n") + lit(halfB))))).as("lr"))
+    val dc = hb.groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).cast(LongType).as("n"))
+    val w = dc.join(broadcast(lr), "b").groupBy(col("doc_id"))
+      .agg(sum(col("n") * col("lr")).as("w"))
+    docs.select(col("doc_id")).join(w, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("w"), lit(0.0)).as("w"))
+  }
+
+  /** The paper's SAMPLED selection: Gumbel-top-k draws k documents
+    * without replacement with probability ∝ exp(w) — rank by
+    * w + Gumbel(0,1) noise. The noise is HASH-DERIVED (u from the
+    * salted element hash of the doc id, g = −ln(−ln u)) and quantized
+    * to the dyadic grid, so the draw is DETERMINISTIC per (seed,
+    * doc_id): reruns, retries and both engines agree on the sample —
+    * the only way a distributed pipeline can make "random" selection
+    * idempotent (the q_mixture_resample / q_sample_stratified
+    * discipline). Distributed top-k via orderBy+limit, like the
+    * deterministic form.
+    */
+  def dsirGumbelTopK(
+      weights: DataFrame, k: Int, seed: String): DataFrame = {
+    import graft.functions.SimilarityFunctions.elementHash
+    // u ∈ (0, 1): 28-bit hash scaled by 2⁻²⁸ with a half-step offset,
+    // exact dyadic; g quantized so w + g stays order-stable
+    val u = (elementHash(concat(lit(s"$seed|"),
+      col("doc_id").cast(StringType))) + lit(0.5)) / lit(268435456.0)
+    val g = TextQueries.quantizeLog2(-log2(-log2(u)))
+    weights
+      .withColumn("key", col("w") + g)
+      .orderBy(col("key").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), col("w"), col("key"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     // ------------------------------------------------- quality filters
@@ -358,6 +435,8 @@ object CorpusPrepQueries {
     },
 
     // ----------------------------------------- DSIR data selection
+    // (implementation: [[dsirWeights]] + deterministic top-k; the
+    // sampled selection is [[dsirGumbelTopK]], spec-covered)
     // Importance-resampling data selection (Xie et al. 2023, DSIR):
     // score every raw document by how target-like its hashed n-gram
     // profile is, then keep the top-k. Features are word unigrams +
@@ -422,40 +501,8 @@ object CorpusPrepQueries {
         |      FROM wa)
         |SELECT doc_id, rank, floor(w * 1000) / 1000 AS weight
         |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin) { (s, dir) =>
-      import graft.functions.SimilarityFunctions.elementHash
-      val docs = t(s, dir, "documents")
-      val isTarget = col("source").isin("src0", "src1")
-      val tok = docs.select(col("doc_id"), col("source"),
-        tokens(lower(col("text"))).as("ts"))
-      val uni = tok.select(col("doc_id"), col("source"),
-        explode(col("ts")).as("g"))
-      val bi = tok.filter(size(col("ts")) >= 2)
-        .select(col("doc_id"), col("source"),
-          explode(zip_with(
-            slice(col("ts"), lit(1), size(col("ts")) - 1),
-            slice(col("ts"), lit(2), size(col("ts")) - 1),
-            (a, b) => concat(a, lit(" "), b))).as("g"))
-      val hb = uni.unionByName(bi).select(col("doc_id"), col("source"),
-        (elementHash(col("g")) % 1024).as("b"))
-      val rc = hb.groupBy(col("b"))
-        .agg(count(lit(1)).cast(LongType).as("rcnt"))
-      val tc = hb.filter(isTarget).groupBy(col("b"))
-        .agg(count(lit(1)).cast(LongType).as("tcnt"))
-        .withColumnRenamed("b", "tb")
-      val tot = hb.agg(count(lit(1)).cast(LongType).as("r_n"),
-        count(when(isTarget, 1)).cast(LongType).as("t_n"))
-      val lr = rc.join(broadcast(tc), col("b") === col("tb"), "left")
-        .crossJoin(broadcast(tot))
-        .select(col("b"), TextQueries.quantizeLog2(log2(
-          ((coalesce(col("tcnt"), lit(0L)) + lit(0.5)) /
-            (col("t_n") + lit(512.0))) /
-          ((col("rcnt") + lit(0.5)) / (col("r_n") + lit(512.0))))).as("lr"))
-      val dc = hb.groupBy(col("doc_id"), col("b"))
-        .agg(count(lit(1)).cast(LongType).as("n"))
-      val w = dc.join(broadcast(lr), "b").groupBy(col("doc_id"))
-        .agg(sum(col("n") * col("lr")).as("w"))
-      val wa = docs.select(col("doc_id")).join(w, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("w"), lit(0.0)).as("w"))
+      val wa = dsirWeights(t(s, dir, "documents"),
+        col("source").isin("src0", "src1"))
       val top = wa.orderBy(col("w").desc, col("doc_id")).limit(100)
       val win = Window.orderBy(col("w").desc, col("doc_id"))
       top.withColumn("rank", row_number().over(win).cast(IntegerType))
