@@ -80,6 +80,18 @@ object CorpusPrepQueries {
     */
   def dsirWeights(
       docs: DataFrame, isTarget: Column, buckets: Int = 1024): DataFrame = {
+    val hb = dsirBuckets(docs, isTarget, buckets)
+    val counts = hb.groupBy(col("b")).agg(
+      count(lit(1)).cast(LongType).as("rcnt"),
+      count(when(col("is_t"), 1)).cast(LongType).as("tcnt"))
+    dsirScore(docs, hb, counts, buckets)
+  }
+
+  /** The hashed feature→bucket frame shared by model training and
+    * document scoring: one row per feature INSTANCE with its bucket.
+    */
+  private def dsirBuckets(
+      docs: DataFrame, isTarget: Column, buckets: Int): DataFrame = {
     import graft.functions.SimilarityFunctions.elementHash
     val tok = docs.select(col("doc_id"), isTarget.as("is_t"),
       tokens(lower(col("text"))).as("ts"))
@@ -90,21 +102,25 @@ object CorpusPrepQueries {
           slice(col("ts"), lit(1), size(col("ts")) - 1),
           slice(col("ts"), lit(2), size(col("ts")) - 1),
           (a, b) => concat(a, lit(" "), b))).as("g"))
-    val hb = uni.unionByName(bi).select(col("doc_id"), col("is_t"),
+    uni.unionByName(bi).select(col("doc_id"), col("is_t"),
       (elementHash(col("g")) % buckets).as("b"))
-    val rc = hb.groupBy(col("b"))
-      .agg(count(lit(1)).cast(LongType).as("rcnt"))
-    val tc = hb.filter(col("is_t")).groupBy(col("b"))
-      .agg(count(lit(1)).cast(LongType).as("tcnt"))
-      .withColumnRenamed("b", "tb")
-    val tot = hb.agg(count(lit(1)).cast(LongType).as("r_n"),
-      count(when(col("is_t"), 1)).cast(LongType).as("t_n"))
+  }
+
+  /** Score every document against a `(b, rcnt, tcnt)` bucket-count
+    * model (totals derive by summing it — exact integers): quantized
+    * per-bucket log-ratios, per-doc Σ n·lr, full document universe.
+    * Shared by the one-shot form and the stored-model serve, so the
+    * two cannot diverge.
+    */
+  private def dsirScore(
+      docs: DataFrame, hb: DataFrame, counts: DataFrame,
+      buckets: Int): DataFrame = {
+    val tot = counts.agg(sum(col("rcnt")).cast(LongType).as("r_n"),
+      sum(col("tcnt")).cast(LongType).as("t_n"))
     val halfB = buckets * 0.5
-    val lr = rc.join(broadcast(tc), col("b") === col("tb"), "left")
-      .crossJoin(broadcast(tot))
+    val lr = counts.crossJoin(broadcast(tot))
       .select(col("b"), TextQueries.quantizeLog2(log2(
-        ((coalesce(col("tcnt"), lit(0L)) + lit(0.5)) /
-          (col("t_n") + lit(halfB))) /
+        ((col("tcnt") + lit(0.5)) / (col("t_n") + lit(halfB))) /
         ((col("rcnt") + lit(0.5)) / (col("r_n") + lit(halfB))))).as("lr"))
     val dc = hb.groupBy(col("doc_id"), col("b"))
       .agg(count(lit(1)).cast(LongType).as("n"))
@@ -113,6 +129,96 @@ object CorpusPrepQueries {
     docs.select(col("doc_id")).join(w, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("w"), lit(0.0)).as("w"))
   }
+
+  /** Deterministic top-k tail of the selection (rank window only over
+    * the k survivors of the distributed TakeOrderedAndProject).
+    */
+  private def dsirTopK(wa: DataFrame, k: Int): DataFrame = {
+    val top = wa.orderBy(col("w").desc, col("doc_id")).limit(k)
+    val win = Window.orderBy(col("w").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(win).cast(IntegerType))
+      .select(col("doc_id"), col("rank"),
+        (floor(col("w") * 1000) / 1000).as("weight"))
+      .orderBy(col("rank"))
+  }
+
+  // ------------------------------------------------------------------
+  // Incremental DSIR model — the selection family joins the
+  // continuously-maintained state (signatures, sign buckets, windows,
+  // codes, LM counts, term stats, cells): bucket counts are pure
+  // semigroup state (integer feature-instance sums over disjoint doc
+  // batches), so per-batch DELTAS append exactly-once into one tiny
+  // bkt-partitioned table and minor compaction SUM-MERGES absorbed
+  // tiers (the aggregate-on-compact hook; the stored table stays
+  // ≤`buckets` rows per tier). Reconstruction sums the deltas —
+  // integer arithmetic end-to-end, so the maintained model is
+  // IDENTICAL to a one-shot train and q_select_dsir_incr runs under
+  // q_select_dsir's full-recompute DuckDB SQL. Replay protection is
+  // the correctness condition (a replayed batch would inflate its
+  // buckets' counts and shift every log-ratio).
+
+  /** A batch's bucket-count delta — one O(batch) pass, no table IO. */
+  private[graft] def dsirDeltas(
+      batch: DataFrame, isTarget: Column, buckets: Int = 1024): DataFrame =
+    dsirBuckets(batch, isTarget, buckets)
+      .groupBy(col("b")).agg(
+        count(lit(1)).cast(LongType).as("rcnt"),
+        count(when(col("is_t"), 1)).cast(LongType).as("tcnt"))
+      .withColumn("bkt", pmod(col("b"), lit(8)))
+
+  private val mergeDsirCounts: DataFrame => DataFrame =
+    _.groupBy(col("bkt"), col("b"))
+      .agg(sum(col("rcnt")).as("rcnt"), sum(col("tcnt")).as("tcnt"))
+
+  /** Exactly-once append of a batch's model delta. */
+  def appendToDsirModelIdempotent(
+      batch: DataFrame, isTarget: Column, dir: String, batchId: Long): Unit =
+    graft.sinks.IncrementalParquet.appendIdempotent(
+      batch.sparkSession, dir, "bkt", batchId, Seq("b"))(
+      dsirDeltas(batch, isTarget))
+
+  /** Minor compaction with count merging. */
+  def compactDsirModelMinor(s: SparkSession, dir: String): Int =
+    graft.sinks.IncrementalParquet.compactMinor(
+      s, dir, "bkt", merge = mergeDsirCounts)
+
+  /** Score a corpus against the MAINTAINED model: bucket counts sum
+    * from the stored delta tiers (any unmerged tiers collapse here),
+    * then the shared [[dsirScore]] tail — bit-identical to the
+    * one-shot weights because every stored operand is an integer.
+    */
+  def dsirWeightsFromStoredModel(
+      docs: DataFrame, countsDir: String, buckets: Int = 1024): DataFrame = {
+    val counts = Tables.parquetCachedSchema(docs.sparkSession, countsDir)
+      .groupBy(col("b")).agg(
+        sum(col("rcnt")).cast(LongType).as("rcnt"),
+        sum(col("tcnt")).cast(LongType).as("tcnt"))
+    dsirScore(docs, dsirBuckets(docs, lit(false), buckets), counts, buckets)
+  }
+
+  private val storedIncDsir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** THE incrementally-built DSIR model per corpus fingerprint — the
+    * family's lifecycle gate (the [[TextQueries.incrementalLmModelPath]]
+    * shape): even-doc_id half as batch 0, odd half as batch 1, minor
+    * merge-compaction, serve from the stored counts. Identical to the
+    * one-shot model, so q_select_dsir's oracle checks the whole
+    * append → merge-compact → reconstruct lifecycle.
+    */
+  private[graft] def incrementalDsirModelPath(
+      s: SparkSession, dir: String): String =
+    Tables.memoizedParquet(storedIncDsir,
+      Tables.derivedStateKey(s, dir, "documents") + "|dsirincr",
+      "graft-dsir-incr") { out =>
+      val docs = t(s, dir, "documents")
+      val isTarget = col("source").isin("src0", "src1")
+      appendToDsirModelIdempotent(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), isTarget, out, 0L)
+      appendToDsirModelIdempotent(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), isTarget, out, 1L)
+      compactDsirModelMinor(s, out); ()
+    }
 
   /** The paper's SAMPLED selection: Gumbel-top-k draws k documents
     * without replacement with probability ∝ exp(w) — rank by
@@ -138,6 +244,53 @@ object CorpusPrepQueries {
       .orderBy(col("key").desc, col("doc_id")).limit(k)
       .select(col("doc_id"), col("w"), col("key"))
   }
+
+  /** One oracle text for the WHOLE selection relation — shared by
+    * q_select_dsir and q_select_dsir_incr (the round-4 precedent:
+    * one oracle per result relation, however many physical
+    * strategies compute it — here one-shot train vs maintained
+    * stored-count model).
+    */
+  private val dsirSelectSql: String =
+    """WITH tok AS (SELECT doc_id, source,
+        |         regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |feat AS (
+        |  SELECT doc_id, source, unnest(ts) AS g FROM tok
+        |  UNION ALL
+        |  SELECT doc_id, source,
+        |    unnest([ts[i] || ' ' || ts[i+1]
+        |            FOR i IN range(1, greatest(len(ts), 1))]) AS g
+        |  FROM tok),
+        |hb AS (SELECT doc_id, source,
+        |         list_sum([(strpos('0123456789abcdef',
+        |                           substring(sha256(g), p, 1)) - 1)
+        |                   * CAST(16**(7 - p) AS BIGINT)
+        |                   FOR p IN range(1, 8)]) % 1024 AS b
+        |       FROM feat),
+        |rc AS (SELECT b, CAST(count(*) AS BIGINT) AS rcnt FROM hb GROUP BY b),
+        |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS tcnt FROM hb
+        |       WHERE source IN ('src0', 'src1') GROUP BY b),
+        |tot AS (SELECT
+        |          (SELECT CAST(count(*) AS BIGINT) FROM hb) AS r_n,
+        |          (SELECT CAST(count(*) AS BIGINT) FROM hb
+        |           WHERE source IN ('src0', 'src1')) AS t_n),
+        |lr AS (SELECT rc.b,
+        |         floor(log2(((COALESCE(tc.tcnt, 0) + 0.5) / (t.t_n + 512.0))
+        |                  / ((rc.rcnt + 0.5) / (t.r_n + 512.0)))
+        |               * 1073741824.0) / 1073741824.0 AS lr
+        |       FROM rc LEFT JOIN tc ON tc.b = rc.b, tot t),
+        |dc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n
+        |       FROM hb GROUP BY doc_id, b),
+        |w AS (SELECT dc.doc_id, SUM(dc.n * lr.lr) AS w
+        |      FROM dc JOIN lr ON lr.b = dc.b GROUP BY dc.doc_id),
+        |wa AS (SELECT d.doc_id, COALESCE(w.w, 0.0) AS w
+        |       FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id),
+        |r AS (SELECT doc_id, w,
+        |        CAST(row_number() OVER (ORDER BY w DESC, doc_id)
+        |             AS INTEGER) AS rank
+        |      FROM wa)
+        |SELECT doc_id, rank, floor(w * 1000) / 1000 AS weight
+        |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -462,53 +615,24 @@ object CorpusPrepQueries {
     // form pins the deterministic core.
     GraftQuery(
       "q_select_dsir",
-      """WITH tok AS (SELECT doc_id, source,
-        |         regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
-        |feat AS (
-        |  SELECT doc_id, source, unnest(ts) AS g FROM tok
-        |  UNION ALL
-        |  SELECT doc_id, source,
-        |    unnest([ts[i] || ' ' || ts[i+1]
-        |            FOR i IN range(1, greatest(len(ts), 1))]) AS g
-        |  FROM tok),
-        |hb AS (SELECT doc_id, source,
-        |         list_sum([(strpos('0123456789abcdef',
-        |                           substring(sha256(g), p, 1)) - 1)
-        |                   * CAST(16**(7 - p) AS BIGINT)
-        |                   FOR p IN range(1, 8)]) % 1024 AS b
-        |       FROM feat),
-        |rc AS (SELECT b, CAST(count(*) AS BIGINT) AS rcnt FROM hb GROUP BY b),
-        |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS tcnt FROM hb
-        |       WHERE source IN ('src0', 'src1') GROUP BY b),
-        |tot AS (SELECT
-        |          (SELECT CAST(count(*) AS BIGINT) FROM hb) AS r_n,
-        |          (SELECT CAST(count(*) AS BIGINT) FROM hb
-        |           WHERE source IN ('src0', 'src1')) AS t_n),
-        |lr AS (SELECT rc.b,
-        |         floor(log2(((COALESCE(tc.tcnt, 0) + 0.5) / (t.t_n + 512.0))
-        |                  / ((rc.rcnt + 0.5) / (t.r_n + 512.0)))
-        |               * 1073741824.0) / 1073741824.0 AS lr
-        |       FROM rc LEFT JOIN tc ON tc.b = rc.b, tot t),
-        |dc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n
-        |       FROM hb GROUP BY doc_id, b),
-        |w AS (SELECT dc.doc_id, SUM(dc.n * lr.lr) AS w
-        |      FROM dc JOIN lr ON lr.b = dc.b GROUP BY dc.doc_id),
-        |wa AS (SELECT d.doc_id, COALESCE(w.w, 0.0) AS w
-        |       FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id),
-        |r AS (SELECT doc_id, w,
-        |        CAST(row_number() OVER (ORDER BY w DESC, doc_id)
-        |             AS INTEGER) AS rank
-        |      FROM wa)
-        |SELECT doc_id, rank, floor(w * 1000) / 1000 AS weight
-        |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin) { (s, dir) =>
+      dsirSelectSql) { (s, dir) =>
       val wa = dsirWeights(t(s, dir, "documents"),
         col("source").isin("src0", "src1"))
-      val top = wa.orderBy(col("w").desc, col("doc_id")).limit(100)
-      val win = Window.orderBy(col("w").desc, col("doc_id"))
-      top.withColumn("rank", row_number().over(win).cast(IntegerType))
-        .select(col("doc_id"), col("rank"),
-          (floor(col("w") * 1000) / 1000).as("weight"))
-        .orderBy(col("rank"))
+      dsirTopK(wa, 100)
+    },
+
+    // ------------------------------- DSIR from the MAINTAINED model
+    // Same selection relation served from the incrementally-built
+    // bucket-count table (append even half -> append odd half -> minor
+    // merge-compaction -> reconstruct): counts are integers summed
+    // over a disjoint batch partition of the corpus, so the maintained
+    // model is bit-identical to the one-shot train and the SAME
+    // full-recompute oracle hashes the whole lifecycle.
+    GraftQuery("q_select_dsir_incr", dsirSelectSql) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      dsirTopK(
+        dsirWeightsFromStoredModel(docs, incrementalDsirModelPath(s, dir)),
+        100)
     }
   )
 }

@@ -614,6 +614,45 @@ object StreamingPipeline {
         }
     }
 
+  /** Streamed DSIR model maintenance — the selection family's member
+    * of the maintained-state set (the [[startLmIngest]] shape):
+    * arriving document batches append their hashed-feature
+    * bucket-count DELTAS exactly-once
+    * ([[graft.analytics.CorpusPrepQueries.appendToDsirModelIdempotent]],
+    * one O(batch) pass), tiers SUM-MERGE on the compaction cadence,
+    * and scoring serves from the stored counts bit-identically to a
+    * one-shot train (integer semigroup state; the
+    * q_select_dsir_incr catalog gate pins the lifecycle under the
+    * full-recompute oracle). `isTarget` decides which arriving docs
+    * count toward the target model — exactly-once matters doubly
+    * here: a replayed batch would inflate its buckets and shift every
+    * log-ratio.
+    */
+  def startDsirIngest(
+      spark: SparkSession,
+      incomingDir: String,
+      modelDir: String,
+      checkpointDir: String,
+      isTarget: org.apache.spark.sql.Column,
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = DefaultCompactEvery): StreamingQuery = {
+    import org.apache.spark.sql.types._
+    // wider than docSchema: `isTarget` typically reads the source tag
+    val schema = new StructType()
+      .add("doc_id", LongType, nullable = false)
+      .add("text", StringType)
+      .add("source", StringType)
+    startIndexIngest(spark, incomingDir, checkpointDir, schema, trigger) {
+      (batch, batchId) =>
+        graft.analytics.CorpusPrepQueries.appendToDsirModelIdempotent(
+          batch, isTarget, modelDir, batchId)
+        onCadence(compactEvery, batchId) {
+          graft.analytics.CorpusPrepQueries.compactDsirModelMinor(
+            spark, modelDir); ()
+        }
+    }
+  }
+
   /** Continuous dedup maintenance — the full closed loop a training
     * pipeline runs at ingest time, composed per micro-batch from the
     * pieces that each hold their own exactly-once contract:

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.analytics.CorpusPrepQueries
 import graft.core.Tables
+import graft.streaming.StreamingPipeline
 
 /** DSIR data selection beyond the catalog gate (`q_select_dsir` pins
   * the deterministic top-k end-to-end vs DuckDB): the SAMPLED
@@ -49,5 +50,65 @@ class DataSelectionSpec extends SparkSpec {
     assert(meanOf(s2) > meanAll,
       s"sample mean ${meanOf(s2)} not above universe mean $meanAll")
     w.unpersist()
+  }
+
+  test("incremental DSIR model: appends + merge-compaction reconstruct " +
+      "the one-shot weights exactly; replay is a no-op") {
+    withTempDir { root =>
+      val docs = Tables.load(spark, dir, "documents")
+      val isTarget = col("source").isin("src0", "src1")
+      val mdl = root.resolve("model").toString
+      for (m <- 0 until 3)
+        CorpusPrepQueries.appendToDsirModelIdempotent(
+          docs.filter(pmod(col("doc_id"), lit(3)) === m), isTarget, mdl,
+          m.toLong)
+      val oneShot = CorpusPrepQueries.dsirWeights(docs, isTarget)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      def stored(): Map[Long, Double] =
+        CorpusPrepQueries.dsirWeightsFromStoredModel(docs, mdl)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // counts are integers summed over a disjoint batch partition, so
+      // the maintained model scores BIT-IDENTICALLY to a one-shot train
+      assert(stored() == oneShot)
+      // merge-compaction preserves the relation (sum-merge == re-sum)
+      CorpusPrepQueries.compactDsirModelMinor(spark, mdl)
+      assert(stored() == oneShot, "merge-compaction changed the model")
+      // a replayed batch — even after its files were absorbed — is a
+      // no-op: without the ack guard it would inflate its buckets'
+      // counts and shift every log-ratio
+      CorpusPrepQueries.appendToDsirModelIdempotent(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 1), isTarget, mdl, 1L)
+      assert(stored() == oneShot, "replayed batch changed the model")
+    }
+  }
+
+  test("streamed DSIR ingest converges to the one-shot model") {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.Files
+    withTempDir { root =>
+      val docs = Tables.load(spark, dir, "documents")
+        .select("doc_id", "text", "source")
+      val isTarget = col("source").isin("src0", "src1")
+      val incoming = Files.createDirectory(root.resolve("incoming"))
+      val mdl = root.resolve("model").toString
+      val ckpt = root.resolve("ckpt").toString
+      land(docs.filter(pmod(col("doc_id"), lit(2)) === 0), incoming,
+        "b0.parquet")
+      StreamingPipeline.startDsirIngest(
+        spark, incoming.toString, mdl, ckpt, isTarget,
+        Trigger.AvailableNow()).awaitTermination(120000)
+      land(docs.filter(pmod(col("doc_id"), lit(2)) === 1), incoming,
+        "b1.parquet")
+      StreamingPipeline.startDsirIngest(
+        spark, incoming.toString, mdl, ckpt, isTarget,
+        Trigger.AvailableNow()).awaitTermination(120000)
+      val oneShot = CorpusPrepQueries
+        .dsirWeights(Tables.load(spark, dir, "documents"), isTarget)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val streamed = CorpusPrepQueries
+        .dsirWeightsFromStoredModel(Tables.load(spark, dir, "documents"), mdl)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(streamed == oneShot)
+    }
   }
 }
