@@ -10,21 +10,22 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.streaming.StreamingPipeline
 
-/** The EIGHT streaming maintenance wirings running concurrently in one
+/** The TEN streaming maintenance wirings running concurrently in one
   * session — the literal-deployment sibling of [[CombinedLoopsProbe]]
   * (which fans direct maintenance calls). Here each family is its
-  * actual `StreamingQuery`: eight `start*` wirings with their own
+  * actual `StreamingQuery`: ten `start*` wirings with their own
   * checkpoints and AvailableNow triggers, reading three shared
   * incoming dirs of landed parquet files (docs → signatures ingest,
-  * span ingest, full lexical dedup maintenance; Zipf docs → LM ingest,
-  * term-stats ingest; vectors → codes ingest, SemDeDup ingest, full
-  * embed dedup maintenance). This exercises the machinery the
-  * future-based probe cannot: concurrent file-source listing and
+  * span ingest, full lexical dedup maintenance, DSIR model ingest;
+  * Zipf docs → LM ingest, term-stats ingest; vectors → codes ingest,
+  * residual codes ingest, SemDeDup ingest, full embed dedup
+  * maintenance — round 13 adds the residual and DSIR members).
+  * This exercises the machinery the future-based probe cannot: concurrent file-source listing and
   * checkpointing, foreachBatch scheduling across streams, and the
   * per-table single-writer protocols under real stream concurrency.
   *
   * The probe runs the same landed files through fresh state dirs TWICE
-  * — all eight streams SERIAL (start, await, next), then all eight
+  * — all streams SERIAL (start, await, next), then all
   * CONCURRENT (start all, await all) — and prints both walls plus an
   * order-insensitive checksum of every family's stored output in each
   * mode. The assertion is printed as `match=`: stream concurrency must
@@ -72,8 +73,12 @@ object CombinedStreamsProbe {
     val cbIvf = graft.operators.CodebookTrainer.trainSphericalIvf(vecs0, 16, 64, 2)
     val cbPq = graft.operators.CodebookTrainer.trainPq(vecs0, 8, 8, 16, 2)
     val cbSem = graft.operators.CodebookTrainer.trainSphericalIvf(vecs0, 128, 64, 2)
+    val means = graft.analytics.SimilarityQueries.cellMeans(vecs0, cbIvf)
+    val cbPqRes = graft.operators.CodebookTrainer.trainPq(
+      graft.analytics.SimilarityQueries.residualFrame(vecs0, cbIvf, means),
+      8, 8, 16, 2)
 
-    /** The eight wirings against a fresh state root; returns
+    /** The ten wirings against a fresh state root; returns
       * (family name, start thunk, checksum thunk) triples.
       */
     def wirings(mode: String): Seq[(String, () => StreamingQuery, () => Long)] = {
@@ -116,6 +121,17 @@ object CombinedStreamsProbe {
             cbSem, 0.8),
           () => MaintenanceProbe.verdictChecksum(
             spark.read.parquet(d("verdicts")))),
+        ("rescodes",
+          () => StreamingPipeline.startResidualCodesIngest(
+            spark, vecsIn.toString, d("rescodes"), d("ck-rc"),
+            cbIvf, means, cbPqRes),
+          () => sumHash(spark.read.parquet(d("rescodes")).drop("label"))),
+        ("dsir",
+          () => StreamingPipeline.startDsirIngest(
+            spark, docsIn.toString, d("dsm"), d("ck-d"),
+            pmod(col("doc_id"), lit(10)) === 0),
+          () => sumHash(spark.read.parquet(d("dsm")).groupBy(col("b"))
+            .agg(sum(col("rcnt")).as("r"), sum(col("tcnt")).as("t")))),
         ("embed-maint",
           () => StreamingPipeline.startEmbedDedupMaintenance(
             spark, vecsIn.toString, d("buckets"), d("vecs"), d("elabels"),
@@ -135,7 +151,7 @@ object CombinedStreamsProbe {
     println(f"STREAMS mode=serial corpus=${batches * m} total_s=$serialTotal%.1f " +
       serialWalls.map { case (n, w) => f"$n=$w%.1f" }.mkString(" "))
 
-    // CONCURRENT: all eight streams live at once
+    // CONCURRENT: all ten streams live at once
     val conc = wirings("conc")
     val tC = System.nanoTime()
     val queries = conc.map { case (name, start, _) => (name, start()) }
