@@ -114,7 +114,7 @@ object CombinedStreamsProbe {
         ("codes",
           () => StreamingPipeline.startCodesIngest(
             spark, vecsIn.toString, d("codes"), d("ck-c"), cbIvf, cbPq),
-          () => sumHash(spark.read.parquet(d("codes")).drop("label"))),
+          () => sumHash(spark.read.parquet(d("codes")))),
         ("semantic",
           () => StreamingPipeline.startSemanticIngest(
             spark, vecsIn.toString, d("cells"), d("verdicts"), d("ck-s"),
@@ -125,7 +125,7 @@ object CombinedStreamsProbe {
           () => StreamingPipeline.startResidualCodesIngest(
             spark, vecsIn.toString, d("rescodes"), d("ck-rc"),
             cbIvf, means, cbPqRes),
-          () => sumHash(spark.read.parquet(d("rescodes")).drop("label"))),
+          () => sumHash(spark.read.parquet(d("rescodes")))),
         ("dsir",
           () => StreamingPipeline.startDsirIngest(
             spark, docsIn.toString, d("dsm"), d("ck-d"),

@@ -19,12 +19,13 @@ object ProbeCurve {
     import graft.operators.CodebookTrainer
     import graft.analytics.SimilarityQueries
     val spark = graft.core.GraftSession.local("probe-curve")
-    val dir = "/root/testdata/sf0.01"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val e = Tables.load(spark, dir, "embeddings")
     val key = Tables.derivedStateKey(spark, dir, "embeddings")
     val cbIvf = CodebookTrainer.cachedSphericalIvf(e, key, 16, 64, 2)
     val cbPq = CodebookTrainer.cachedPq(e, key, 8, 8, 16, 2)
     val codes = SimilarityQueries.codesTable(e, cbIvf, cbPq)
+      .localCheckpoint() // pay the encode once; the sweep measures recall
     val allowed = Tables.load(spark, dir, "documents")
       .filter(col("lang") === "en").select(col("doc_id"))
     val exact = SparkEntry.queries("q_ann_filtered")(spark, dir)

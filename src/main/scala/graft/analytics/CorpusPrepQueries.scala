@@ -84,7 +84,9 @@ object CorpusPrepQueries {
     val counts = hb.groupBy(col("b")).agg(
       count(lit(1)).cast(LongType).as("rcnt"),
       count(when(col("is_t"), 1)).cast(LongType).as("tcnt"))
-    dsirScore(docs, hb, counts, buckets)
+    val dc = hb.groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).cast(LongType).as("n"))
+    dsirScore(docs, dc, counts, buckets)
   }
 
   /** The hashed feature→bucket frame shared by model training and
@@ -108,22 +110,36 @@ object CorpusPrepQueries {
 
   /** Score every document against a `(b, rcnt, tcnt)` bucket-count
     * model (totals derive by summing it — exact integers): quantized
-    * per-bucket log-ratios, per-doc Σ n·lr, full document universe.
-    * Shared by the one-shot form and the stored-model serve, so the
-    * two cannot diverge.
+    * per-bucket log-ratios, per-doc Σ n·lr over the `(doc_id, b, n)`
+    * count frame, full document universe. Shared by the one-shot form
+    * and the stored-model serve, so the two cannot diverge.
+    *
+    * The totals come from a GLOBAL WINDOW over the ≤`buckets`-row
+    * model frame, not a separate scalar aggregation: an
+    * `agg`-then-cross-join tot would re-expand the counts subtree —
+    * and for the one-shot form the whole corpus feature pass under
+    * it — as a duplicated plan branch (measured: the original
+    * agg+crossJoin shape ran the tokenize+sha pass 5× per serve,
+    * 10 sha subexpressions in the plan vs 4 now; AQE does not reuse
+    * the differing exchanges). The single-partition window is over at
+    * most `buckets` rows — bounded by construction. A collect-to-
+    * LocalRelation was measured too: least total CPU, but its
+    * serialized extra job LOSES wall everywhere on an idle box
+    * (sf0.1 1.40 → 2.10 s); the window shape keeps everything in one
+    * job so independent stages still overlap.
     */
   private def dsirScore(
-      docs: DataFrame, hb: DataFrame, counts: DataFrame,
+      docs: DataFrame, dc: DataFrame, counts: DataFrame,
       buckets: Int): DataFrame = {
-    val tot = counts.agg(sum(col("rcnt")).cast(LongType).as("r_n"),
-      sum(col("tcnt")).cast(LongType).as("t_n"))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val halfB = buckets * 0.5
-    val lr = counts.crossJoin(broadcast(tot))
+    val lr = counts
+      .withColumn("r_n", sum(col("rcnt")).over(wAll).cast(LongType))
+      .withColumn("t_n", sum(col("tcnt")).over(wAll).cast(LongType))
       .select(col("b"), TextQueries.quantizeLog2(log2(
         ((col("tcnt") + lit(0.5)) / (col("t_n") + lit(halfB))) /
         ((col("rcnt") + lit(0.5)) / (col("r_n") + lit(halfB))))).as("lr"))
-    val dc = hb.groupBy(col("doc_id"), col("b"))
-      .agg(count(lit(1)).cast(LongType).as("n"))
     val w = dc.join(broadcast(lr), "b").groupBy(col("doc_id"))
       .agg(sum(col("n") * col("lr")).as("w"))
     docs.select(col("doc_id")).join(w, Seq("doc_id"), "left")
@@ -193,7 +209,10 @@ object CorpusPrepQueries {
       .groupBy(col("b")).agg(
         sum(col("rcnt")).cast(LongType).as("rcnt"),
         sum(col("tcnt")).cast(LongType).as("tcnt"))
-    dsirScore(docs, dsirBuckets(docs, lit(false), buckets), counts, buckets)
+    val dc = dsirBuckets(docs, lit(false), buckets)
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).cast(LongType).as("n"))
+    dsirScore(docs, dc, counts, buckets)
   }
 
   private val storedIncDsir =
@@ -221,10 +240,15 @@ object CorpusPrepQueries {
     }
 
   /** The paper's SAMPLED selection: Gumbel-top-k draws k documents
-    * without replacement with probability ∝ exp(w) — rank by
-    * w + Gumbel(0,1) noise. The noise is HASH-DERIVED (u from the
-    * salted element hash of the doc id, g = −ln(−ln u)) and quantized
-    * to the dyadic grid, so the draw is DETERMINISTIC per (seed,
+    * without replacement with probability ∝ 2^w — rank by
+    * w + g where g = −log₂(−log₂ u) is BASE-2 Gumbel noise (Gumbel
+    * scale 1/ln2 plus a rank-irrelevant constant shift): `w` is a
+    * base-2 log-ratio sum, so 2^w IS the DSIR importance ratio and
+    * the base-2 noise is the correctly-scaled Gumbel-max companion
+    * (natural-log Gumbel(0,1) would sample ∝ exp(w), a flatter
+    * distribution over base-2 weights). The noise is HASH-DERIVED
+    * (u from the salted element hash of the doc id) and quantized to
+    * the dyadic grid, so the draw is DETERMINISTIC per (seed,
     * doc_id): reruns, retries and both engines agree on the sample —
     * the only way a distributed pipeline can make "random" selection
     * idempotent (the q_mixture_resample / q_sample_stratified

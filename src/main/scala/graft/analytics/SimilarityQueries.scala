@@ -633,6 +633,14 @@ object SimilarityQueries {
     ivfPqServeFromCodes(e, codes, cb, cb, 10)
   }
 
+  /** Driver-local DataFrame from collected rows — the LocalRelation
+    * every stored-codes serve builds its query side from (broadcasts
+    * materialize driver-side with no job).
+    */
+  private def localDf(s: SparkSession, schema: StructType,
+      rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
   /** ADC candidate top-`topC` per query reading ONLY the stored codes
     * table: prune to the probed cells (a static partition filter —
     * `probedCells` is the query batch's cell set, ≤ nQueries×nprobe
@@ -692,19 +700,18 @@ object SimilarityQueries {
     val probeSchema = StructType(Seq(
       StructField("q_id", LongType), StructField("pcell", IntegerType),
       StructField("dl", dlT)))
-    val probes = s.createDataFrame(
-      java.util.Arrays.asList(qRows.flatMap { r =>
-        r.getAs[scala.collection.Seq[Int]]("pcells").map(c =>
-          org.apache.spark.sql.Row(r.getLong(0), c, r.getAs[Any]("dl")))
-      }: _*), probeSchema)
+    val probes = localDf(s, probeSchema, qRows.toSeq.flatMap { r =>
+      r.getAs[scala.collection.Seq[Int]]("pcells").map(c =>
+        org.apache.spark.sql.Row(r.getLong(0), c, r.getAs[Any]("dl")))
+    })
     val cells = qRows.flatMap(
       _.getAs[scala.collection.Seq[Int]]("pcells")).distinct.toSeq
     val qnSchema = StructType(Seq(
       StructField("q_id2", LongType), StructField("qv", qvT),
       StructField("qn", DoubleType)))
-    val qn = s.createDataFrame(
-      java.util.Arrays.asList(qRows.map(r => org.apache.spark.sql.Row(
-        r.getLong(0), r.getAs[Any]("qv"), r.getDouble(4))): _*), qnSchema)
+    val qn = localDf(s, qnSchema, qRows.toSeq.map(r =>
+      org.apache.spark.sql.Row(r.getLong(0), r.getAs[Any]("qv"),
+        r.getDouble(4))))
     exactReRankTail(e, adcCandidatesFromCodes(codes, probes, cells, topC), qn)
   }
 
@@ -795,17 +802,16 @@ object SimilarityQueries {
     val probeSchema = StructType(Seq(
       StructField("q_id", LongType), StructField("pcell", IntegerType),
       StructField("dl", dlT)))
-    val probes = s.createDataFrame(
-      java.util.Arrays.asList(qRows.map(r => org.apache.spark.sql.Row(
-        r.getLong(0), r.getInt(1), r.getAs[Any]("dl"))): _*), probeSchema)
+    val probes = localDf(s, probeSchema, qRows.toSeq.map(r =>
+      org.apache.spark.sql.Row(r.getLong(0), r.getInt(1),
+        r.getAs[Any]("dl"))))
     val cells = qRows.map(_.getInt(1)).distinct.toSeq
     val qnSchema = StructType(Seq(
       StructField("q_id2", LongType), StructField("qv", qvT),
       StructField("qn", DoubleType)))
-    val qn = s.createDataFrame(
-      java.util.Arrays.asList(qRows.groupBy(_.getLong(0)).values.toSeq
-        .map(_.head).map(r => org.apache.spark.sql.Row(
-          r.getLong(0), r.getAs[Any]("qv"), r.getDouble(4))): _*), qnSchema)
+    val qn = localDf(s, qnSchema, qRows.groupBy(_.getLong(0)).values.toSeq
+      .map(_.head).map(r => org.apache.spark.sql.Row(
+        r.getLong(0), r.getAs[Any]("qv"), r.getDouble(4))))
     exactReRankTail(e, adcCandidatesFromCodes(codes, probes, cells, topC = 8), qn)
   }
 

@@ -377,7 +377,7 @@ object IncrementalParquet {
     * is read from the FS at most once per JVM.
     */
   private val noteCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Int, String)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   /** Max numeric ack-marker note across every acked batch of `dirStr`:
     * `(watermark, allParsed)`. `watermark` is None when no acked batch
@@ -403,12 +403,15 @@ object IncrementalParquet {
     val notes = fs.listStatus(ingested).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("b"))
       .map { st =>
-        // one entry per marker path; the stored length detects a
-        // healed/rewritten marker and forces a re-read without leaking
-        // the stale entry (notes are otherwise write-once)
+        // one entry per marker path; the stored (len, mtime) key
+        // detects a healed/rewritten marker — including a SAME-LENGTH
+        // rewrite, which a bare length check would serve stale for the
+        // JVM lifetime — and forces a re-read without leaking the old
+        // entry (notes are otherwise write-once)
         val len = math.min(st.getLen, 4096L).toInt
+        val statusKey = s"$len:${st.getModificationTime}"
         val hit = noteCache.get(st.getPath.toString)
-        if (hit != null && hit._1 == len) hit._2
+        if (hit != null && hit._1 == statusKey) hit._2
         else {
           val raw =
             if (len <= 0) ""
@@ -418,7 +421,7 @@ object IncrementalParquet {
               try in.readFully(0, buf, 0, len) finally in.close()
               new String(buf, "UTF-8")
             }
-          noteCache.put(st.getPath.toString, (len, raw))
+          noteCache.put(st.getPath.toString, (statusKey, raw))
           raw
         }
       }
