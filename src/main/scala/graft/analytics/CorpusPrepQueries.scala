@@ -278,8 +278,8 @@ object CorpusPrepQueries {
   // per-doc features, trained IN the engine by
   // [[graft.operators.QuantizedLr]]'s deterministic full-batch GD.
   // Every training step is cross-engine exact (dyadic-grid weights,
-  // sigma quantization, BIGINT gradient sums — the ladder documented
-  // on the trainer), so the DuckDB oracle re-derives the ENTIRE
+  // sigma quantization, exact integer gradient sums — the ladder
+  // documented on the trainer), so the DuckDB oracle re-derives the ENTIRE
   // training run by unrolling the iterations as CTEs — the k-means
   // discipline applied to supervised learning — and the final scores
   // hash-match end to end.

@@ -753,16 +753,54 @@ object SimilarityQueries {
     ivfPqServeFromCodes(e, filtered, cbIvf, cbPq, nQueries, nprobe, topC)
   }
 
+  /** Corpus-size threshold (bytes) above which [[exactReRankTail]]
+    * switches from the fused broadcast-probe fetch to the collected
+    * point fetch. Runtime conf so specs and probes can force either
+    * arm; default set at the measured crossover (ReRankProbe — see
+    * SCALING.md round 14).
+    */
+  private[graft] val ReRankFetchBytesKey = "graft.ann.rerankFetchBytes"
+  private[graft] val ReRankFetchBytesDefault = 16L * 1024 * 1024
+
   /** Exact-cosine re-rank tail shared by every stored-codes serve:
-    * fetch full vectors ONLY for the broadcast candidate set (≤
-    * topC × nQueries rows), join the driver-local query side, rank by
-    * exact cosine. `qn` must carry (q_id2, qv, qn).
+    * fetch full vectors ONLY for the candidate set (≤ topC × nQueries
+    * rows), join the driver-local query side, rank by exact cosine.
+    * `qn` must carry (q_id2, qv, qn).
+    *
+    * Two size-aware fetch arms, row-identical by construction:
+    *
+    *  - FUSED (small corpus): `e ⋈ broadcast(cand)` — one
+    *    BroadcastHashJoin whose probe side scans the whole embeddings
+    *    table. Below the threshold the scan is cheaper than the extra
+    *    job the other arm pays (tiny-input walls are job-count ×
+    *    planning floors — the round-12 serve lesson), so the serve
+    *    stays a single fused job.
+    *  - POINT FETCH (large corpus): the candidate set is already
+    *    driver-sized by construction (≤ topC × nQueries), so collect
+    *    it, fetch vectors via `vec_id.isin(ids)` — an In predicate
+    *    that pushes to the parquet scan and row-group-skips over the
+    *    vec_id-clustered layout (the SkipProbe evidence: read fraction
+    *    → 0.15 at 160M rows) — and join the now-LOCAL candidate
+    *    relation. Turns the one remaining O(corpus) IO term of every
+    *    stored-index serve into O(candidates).
     */
   private def exactReRankTail(
       e: DataFrame, cand: DataFrame, qn: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    val threshold = s.conf.get(
+      ReRankFetchBytesKey, ReRankFetchBytesDefault.toString).toLong
+    val corpusBytes = e.queryExecution.optimizedPlan.stats.sizeInBytes
+    val (probe, candDf) =
+      if (corpusBytes <= threshold) (e, cand)
+      else {
+        val rows = cand.collect().toSeq
+        val ids = rows.map(_.getLong(1)).distinct
+        (e.filter(col("vec_id").isin(ids: _*)),
+          localDf(s, cand.schema, rows))
+      }
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id"))
-    val fetched = e.join(broadcast(cand), col("vec_id") === col("n_id"))
+    val fetched = probe.join(broadcast(candDf), col("vec_id") === col("n_id"))
       .select(col("q_id"), col("n_id"), col("ad2"),
         col("embedding").as("nv"), l2Norm(col("embedding")).as("cn"))
     fetched.join(broadcast(qn), col("q_id") === col("q_id2"))

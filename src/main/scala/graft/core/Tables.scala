@@ -44,6 +44,11 @@ object Tables {
     * entry on every compaction/overwrite that touches the top-level
     * mtime and never evict the stale one — a slow driver-side leak
     * over a long-lived maintenance loop's hundreds of firings.
+    * Residual risk (shared with IncrementalParquet's note cache): a
+    * same-length rewrite within one mtime tick on a coarse-granularity
+    * filesystem is invisible to the (len, mtime) key — harmless here
+    * because rewrites of a stored table never change its schema, which
+    * is all this cache holds.
     */
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
     String, (String, org.apache.spark.sql.types.StructType)]()

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Deterministic distributed logistic regression — the supervised
   * sibling of [[CodebookTrainer]]'s k-means discipline: full-batch
@@ -24,10 +24,15 @@ import org.apache.spark.sql.types.LongType
   *    quantizeLog2 discipline — boundary-crossing odds ~2⁻³² per
   *    evaluation);
   *  - each per-doc gradient term (σ−y)·xⱼ is an exact 2⁻⁴⁰ dyadic,
-  *    floored onto the 2⁻³⁰ grid and summed as a BIGINT — an integer
-  *    sum is order-independent under any partitioning, and stays
-  *    exactly convertible to double while n·2³⁰ < 2⁵³ (n < 8.4M docs
-  *    per batch; shard the gradient pass beyond that);
+  *    floored onto the 2⁻³⁰ grid (a per-term Long) and summed as
+  *    `decimal(38,0)` — an integer sum is order-independent under any
+  *    partitioning AND exact at any corpus size (a BIGINT sum read
+  *    back as double was only exactly convertible while n·2³⁰ < 2⁵³,
+  *    a silent 8.4M-doc exactness cliff). The one conversion of the
+  *    exact integer sum to double is IEEE round-to-nearest on both
+  *    engines (Java `BigDecimal.doubleValue`, DuckDB `CAST(hugeint
+  *    AS DOUBLE)`), so the converted operand — hence every weight —
+  *    still matches bit-for-bit past the old bound;
   *  - the weight update wⱼ ← ⌊(wⱼ − η·gⱼ/2³⁰/n)·2²⁰⌋/2²⁰ re-lands on
   *    the 2⁻²⁰ grid (η a power of two), so the grid never deepens
   *    across iterations.
@@ -63,10 +68,11 @@ object QuantizedLr {
       val sig = floor(lit(1.0) / (lit(1.0) + exp(-z)) * Q20) / Q20
       val gus = (0 until k).map(j =>
         sum(floor((sig - col("y")) * element_at(col("x"), j + 1) * Q30)
-          .cast(LongType)).as(s"g$j"))
+          .cast(LongType).cast(DecimalType(38, 0))).as(s"g$j"))
       val r = cached.agg(gus.head, gus.tail: _*).head
       w = Array.tabulate(k)(j =>
-        math.floor((w(j) - eta * r.getLong(j).toDouble / Q30 / n) * Q20) / Q20)
+        math.floor(
+          (w(j) - eta * r.getDecimal(j).doubleValue() / Q30 / n) * Q20) / Q20)
     }
     w
   }

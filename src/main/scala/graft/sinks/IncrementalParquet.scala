@@ -407,7 +407,12 @@ object IncrementalParquet {
         // detects a healed/rewritten marker — including a SAME-LENGTH
         // rewrite, which a bare length check would serve stale for the
         // JVM lifetime — and forces a re-read without leaking the old
-        // entry (notes are otherwise write-once)
+        // entry (notes are otherwise write-once). Residual risk: on a
+        // filesystem with coarse (e.g. 1 s) mtime granularity a
+        // same-length rewrite within the same tick is invisible to
+        // this key; markers are write-once in the protocol, so that
+        // window only matters for out-of-protocol manual healing —
+        // bounce the JVM (or clear the cache) after hand-editing one.
         val len = math.min(st.getLen, 4096L).toInt
         val statusKey = s"$len:${st.getModificationTime}"
         val hit = noteCache.get(st.getPath.toString)
@@ -418,11 +423,23 @@ object IncrementalParquet {
             else {
               val buf = new Array[Byte](len)
               val in = fs.open(st.getPath)
-              try in.readFully(0, buf, 0, len) finally in.close()
-              new String(buf, "UTF-8")
+              // a marker whose readable content is shorter than its
+              // listed length (reader racing the creating writer, or a
+              // marker healed between listStatus and open) makes
+              // readFully throw EOFException — that is exactly the
+              // torn/in-flight case the `\n` sentinel exists for, so
+              // degrade to unparsed ("" → allParsed=false, data-derived
+              // fallback) instead of failing the whole watermark call.
+              // The "" is NOT cached: the settled marker re-reads clean
+              // on the next call under its new (len, mtime) key.
+              try { in.readFully(0, buf, 0, len); new String(buf, "UTF-8") }
+              catch { case _: java.io.EOFException => null }
+              finally in.close()
             }
-          noteCache.put(st.getPath.toString, (statusKey, raw))
-          raw
+          if (raw == null) "" else {
+            noteCache.put(st.getPath.toString, (statusKey, raw))
+            raw
+          }
         }
       }
     val parsed = notes.map(raw =>

@@ -185,4 +185,29 @@ class CodesIncrementalSpec extends SparkSpec {
         .collect().toSeq)
     }
   }
+
+  test("point-fetch re-rank arm == fused arm, with the In filter pushed " +
+      "to the embeddings scan") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val cb = CodebookTrainer.initCodebook(e, 16, normalize = false)
+    val codes = SimilarityQueries.codesTable(e, cb, cb).localCheckpoint()
+    val key = SimilarityQueries.ReRankFetchBytesKey
+    def servedAt(threshold: String) = {
+      spark.conf.set(key, threshold)
+      try SimilarityQueries.ivfPqServeFromCodes(e, codes, cb, cb, 10)
+      finally spark.conf.unset(key)
+    }
+    // identity: the two arms fetch the same ≤ topC×nQueries candidate
+    // vectors, so the exact-cosine ranking cannot differ
+    val fused = servedAt(Long.MaxValue.toString).collect().toSeq
+    val point = servedAt("0")
+    assert(point.collect().toSeq == fused)
+    assert(fused.nonEmpty)
+    // the point arm's corpus fetch is an In predicate at the parquet
+    // scan (row-group skip over the vec_id-clustered layout), not a
+    // full-corpus BHJ probe side
+    val plan = point.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(vec_id"),
+      s"no pushed In(vec_id) in point-arm plan:\n$plan")
+  }
 }

@@ -56,4 +56,22 @@ class QuantizedLrSpec extends SparkSpec {
       QuantizedLr.train(feat, 4, 1, 0.3)
     }
   }
+
+  test("gradient sums stay exact past the old BIGINT→double bound " +
+      "(wide feature grid)") {
+    // x = 2^20 makes each first-iteration gradient term
+    // floor((0.5 − 1)·2^20·2^30) = −2^49, so 20k docs put
+    // |g| = 20000·2^49 ≈ 1.13e19 PAST Long.MaxValue (9.22e18): the
+    // pre-round-14 BIGINT sum would silently WRAP (and had already lost
+    // exact double convertibility past 2^53 ≈ 8.4M ordinary docs). The
+    // decimal(38,0) sum is exact at any magnitude, so the one-iteration
+    // update is computable by hand: w = (−1·g/2^30/20000)·1 = 2^19,
+    // every division landing exactly (g = −625·2^54).
+    val feat = spark.range(20000)
+      .select(array(lit(1048576.0)).as("x"), lit(1.0).as("y"))
+    val w1 = QuantizedLr.train(feat.repartition(1), 1, 1, 1.0)
+    val w13 = QuantizedLr.train(feat.repartition(13), 1, 1, 1.0)
+    assert(w1.toSeq == w13.toSeq, s"${w1.toSeq} != ${w13.toSeq}")
+    assert(w1(0) == 524288.0, s"expected exact 2^19, got ${w1(0)}")
+  }
 }
