@@ -114,6 +114,15 @@ object CorpusPrepQueries {
     * count frame, full document universe. Shared by the one-shot form
     * and the stored-model serve, so the two cannot diverge.
     *
+    * `unseenLr`: log-ratio for a scored bucket ABSENT from the model —
+    * only reachable when the model lags the scored corpus (stored-model
+    * scoring mid-drain; in the gated converged forms every scored
+    * bucket is in the model by construction, so the arm is dead there).
+    * When given (the stored-model path), an unseen bucket contributes
+    * the smoothed ratio the Laplace model implies —
+    * qlog₂((0.5/(t_n+halfB))/(0.5/(r_n+halfB))) — instead of silently
+    * dropping out of the inner join as an implicit 0.
+    *
     * The totals come from a GLOBAL WINDOW over the ≤`buckets`-row
     * model frame, not a separate scalar aggregation: an
     * `agg`-then-cross-join tot would re-expand the counts subtree —
@@ -130,18 +139,34 @@ object CorpusPrepQueries {
     */
   private def dsirScore(
       docs: DataFrame, dc: DataFrame, counts: DataFrame,
-      buckets: Int): DataFrame = {
+      buckets: Int, smoothUnseen: Boolean = false): DataFrame = {
     val wAll = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val halfB = buckets * 0.5
-    val lr = counts
+    val lrCore = counts
       .withColumn("r_n", sum(col("rcnt")).over(wAll).cast(LongType))
       .withColumn("t_n", sum(col("tcnt")).over(wAll).cast(LongType))
+    val lr = lrCore
       .select(col("b"), TextQueries.quantizeLog2(log2(
         ((col("tcnt") + lit(0.5)) / (col("t_n") + lit(halfB))) /
         ((col("rcnt") + lit(0.5)) / (col("r_n") + lit(halfB))))).as("lr"))
-    val w = dc.join(broadcast(lr), "b").groupBy(col("doc_id"))
-      .agg(sum(col("n") * col("lr")).as("w"))
+    val terms =
+      if (!smoothUnseen)
+        dc.join(broadcast(lr), "b")
+          .select(col("doc_id"), (col("n") * col("lr")).as("term"))
+      else {
+        // zero-count smoothed log-ratio, one row (the totals are
+        // constant over the ≤`buckets`-row model frame); the 1-row
+        // broadcast BNL is the intended scalar-join shape
+        val dflt = lrCore.select(TextQueries.quantizeLog2(log2(
+          (lit(0.5) / (col("t_n") + lit(halfB))) /
+          (lit(0.5) / (col("r_n") + lit(halfB))))).as("ulr")).limit(1)
+        dc.join(broadcast(lr), Seq("b"), "left")
+          .crossJoin(broadcast(dflt))
+          .select(col("doc_id"),
+            (col("n") * coalesce(col("lr"), col("ulr"))).as("term"))
+      }
+    val w = terms.groupBy(col("doc_id")).agg(sum(col("term")).as("w"))
     docs.select(col("doc_id")).join(w, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("w"), lit(0.0)).as("w"))
   }
@@ -202,6 +227,12 @@ object CorpusPrepQueries {
     * from the stored delta tiers (any unmerged tiers collapse here),
     * then the shared [[dsirScore]] tail — bit-identical to the
     * one-shot weights because every stored operand is an integer.
+    * Scores with `smoothUnseen` on: a stored model that LAGS the
+    * scored corpus (streamed ingest mid-drain) gives buckets it has
+    * never seen the smoothed zero-count log-ratio, not a silent 0;
+    * once every scored doc's batch is absorbed the arm is dead and
+    * the weights equal the one-shot train's exactly (the converged
+    * case the q_select_dsir_incr gate hashes).
     */
   def dsirWeightsFromStoredModel(
       docs: DataFrame, countsDir: String, buckets: Int = 1024): DataFrame = {
@@ -212,7 +243,7 @@ object CorpusPrepQueries {
     val dc = dsirBuckets(docs, lit(false), buckets)
       .groupBy(col("doc_id"), col("b"))
       .agg(count(lit(1)).cast(LongType).as("n"))
-    dsirScore(docs, dc, counts, buckets)
+    dsirScore(docs, dc, counts, buckets, smoothUnseen = true)
   }
 
   private val storedIncDsir =
@@ -386,14 +417,13 @@ object CorpusPrepQueries {
        |  ORDER BY g.j) AS w
        |  FROM g$i g, w${i - 1} w, nn n)""".stripMargin
 
-  /** One oracle text for the WHOLE selection relation — shared by
-    * q_select_dsir and q_select_dsir_incr (the round-4 precedent:
-    * one oracle per result relation, however many physical
-    * strategies compute it — here one-shot train vs maintained
-    * stored-count model).
+  /** The CTE chain through the per-doc weight relation `wa` — the
+    * relational mirror of [[dsirWeights]], shared by all three gated
+    * selection forms (deterministic top-k one-shot + maintained,
+    * Gumbel-sampled).
     */
-  private val dsirSelectSql: String =
-    """WITH tok AS (SELECT doc_id, source,
+  private val dsirWaCtesSql: String =
+    """tok AS (SELECT doc_id, source,
         |         regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
         |feat AS (
         |  SELECT doc_id, source, unnest(ts) AS g FROM tok
@@ -425,12 +455,46 @@ object CorpusPrepQueries {
         |w AS (SELECT dc.doc_id, SUM(dc.n * lr.lr) AS w
         |      FROM dc JOIN lr ON lr.b = dc.b GROUP BY dc.doc_id),
         |wa AS (SELECT d.doc_id, COALESCE(w.w, 0.0) AS w
-        |       FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id),
+        |       FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id)""".stripMargin
+
+  /** One oracle text for the WHOLE deterministic selection relation —
+    * shared by q_select_dsir and q_select_dsir_incr (the round-4
+    * precedent: one oracle per result relation, however many physical
+    * strategies compute it — here one-shot train vs maintained
+    * stored-count model).
+    */
+  private val dsirSelectSql: String =
+    s"""WITH $dsirWaCtesSql,
         |r AS (SELECT doc_id, w,
         |        CAST(row_number() OVER (ORDER BY w DESC, doc_id)
         |             AS INTEGER) AS rank
         |      FROM wa)
         |SELECT doc_id, rank, floor(w * 1000) / 1000 AS weight
+        |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin
+
+  /** q_select_dsir_sampled's oracle: the same weight relation, then
+    * the hash-derived base-2 Gumbel key of [[dsirGumbelTopK]] —
+    * u from the 7-hex-digit sha prefix (the engine's elementHash,
+    * mirrored from q_mixture_resample) with the half-step offset,
+    * g = ⌊−log₂(−log₂ u)·2³⁰⌋/2³⁰ — and the top-100 by (key, doc_id).
+    */
+  private val dsirSampledSql: String =
+    s"""WITH $dsirWaCtesSql,
+        |gk AS (SELECT doc_id, w,
+        |         w + floor(-log2(-log2(
+        |               (list_sum([(strpos('0123456789abcdef',
+        |                  substring(sha256('r14|' || CAST(doc_id AS VARCHAR)),
+        |                            p, 1)) - 1)
+        |                  * CAST(16**(7 - p) AS BIGINT)
+        |                  FOR p IN range(1, 8)]) + 0.5) / 268435456.0))
+        |             * 1073741824.0) / 1073741824.0 AS gumbel_key
+        |       FROM wa),
+        |r AS (SELECT doc_id, w, gumbel_key,
+        |        CAST(row_number() OVER (ORDER BY gumbel_key DESC, doc_id)
+        |             AS INTEGER) AS rank
+        |      FROM gk)
+        |SELECT doc_id, rank, floor(w * 1000) / 1000 AS weight,
+        |  floor(gumbel_key * 1000) / 1000 AS gumbel_key
         |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin
 
   val all: Seq[GraftQuery] = Seq(
@@ -730,7 +794,7 @@ object CorpusPrepQueries {
 
     // ----------------------------------------- DSIR data selection
     // (implementation: [[dsirWeights]] + deterministic top-k; the
-    // sampled selection is [[dsirGumbelTopK]], spec-covered)
+    // sampled selection is gated below as q_select_dsir_sampled)
     // Importance-resampling data selection (Xie et al. 2023, DSIR):
     // score every raw document by how target-like its hashed n-gram
     // profile is, then keep the top-k. Features are word unigrams +
@@ -751,9 +815,9 @@ object CorpusPrepQueries {
     // aggregations (bucket models are ≤1024 rows, broadcast), one
     // per-(doc, bucket) aggregation with map-side combine, and a
     // distributed top-k — the corpus never shuffles whole documents.
-    // The paper's sampled variant (Gumbel noise on the weights) drops
-    // in by adding hash-derived noise before the top-k; the gated
-    // form pins the deterministic core.
+    // The paper's sampled variant (Gumbel noise on the weights) is
+    // gated separately as q_select_dsir_sampled; this form pins the
+    // deterministic core.
     GraftQuery(
       "q_select_dsir",
       dsirSelectSql) { (s, dir) =>
@@ -774,6 +838,28 @@ object CorpusPrepQueries {
       dsirTopK(
         dsirWeightsFromStoredModel(docs, incrementalDsirModelPath(s, dir)),
         100)
+    },
+
+    // ----------------------------------- DSIR, the paper's SAMPLED form
+    // Gumbel-top-k selection ∝ 2^w (the method Xie et al. actually
+    // run; the deterministic top-k above is the ablation): the noise
+    // is hash-derived per (seed, doc_id) and dyadic-quantized
+    // ([[dsirGumbelTopK]]), so the "random" draw is rerun-idempotent
+    // and cross-engine exact — which is what lets the paper's sampled
+    // selection sit under the SAME hash gate as its deterministic
+    // sibling. Scale shape identical to q_select_dsir: the noise is
+    // one scan-stage sha over the ≤corpus-row weight frame, selection
+    // stays TakeOrderedAndProject.
+    GraftQuery("q_select_dsir_sampled", dsirSampledSql) { (s, dir) =>
+      val wa = dsirWeights(t(s, dir, "documents"),
+        col("source").isin("src0", "src1"))
+      val top = dsirGumbelTopK(wa, 100, "r14")
+      val win = Window.orderBy(col("key").desc, col("doc_id"))
+      top.withColumn("rank", row_number().over(win).cast(IntegerType))
+        .select(col("doc_id"), col("rank"),
+          (floor(col("w") * 1000) / 1000).as("weight"),
+          (floor(col("key") * 1000) / 1000).as("gumbel_key"))
+        .orderBy(col("rank"))
     },
 
     // -------------------------------- trained quality classifier (LR)

@@ -470,6 +470,39 @@ object SimilarityQueries {
        |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
        |${ivfPqAdcTailSql("cent", "cent")}""".stripMargin
 
+  /** q_ann_filtered_indexed's oracle: the stored-index filtered serve
+    * re-derived relationally — coarse cells over the pinned codebook,
+    * the metadata filter as a PRE-candidate join on the cell table
+    * (`fcells` — exactly where [[filteredServeFromCodes]] puts its
+    * semi-join, BEFORE the ADC budget cut), probes widened to
+    * nprobe=8 × topC=24 (the coupled probe-widening dial the recall
+    * sweep landed on), PQ encode + ADC over qualifying vectors only,
+    * exact re-rank tail.
+    */
+  private def filteredIndexedSql: String =
+    s"""WITH e AS ($embDoubleSql),
+       |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+       |asg AS (SELECT a.vec_id, c.c_id,
+       |          row_number() OVER (PARTITION BY a.vec_id
+       |            ORDER BY ${dotSql("a.v", "c.cv")} DESC, c.c_id) AS crank
+       |        FROM e a, cent c),
+       |cells AS (SELECT vec_id AS n_id, c_id AS cell FROM asg WHERE crank = 1),
+       |fcells AS (SELECT ce.n_id, ce.cell FROM cells ce
+       |           JOIN documents d ON d.doc_id = ce.n_id
+       |           WHERE d.lang = 'en'),
+       |probes AS (SELECT vec_id AS q_id, c_id AS cell FROM asg
+       |           WHERE vec_id < 10 AND crank <= 8),
+       |${pqEncodeCtesSql("cent")},
+       |s AS (SELECT p.q_id, ce.n_id,
+       |        list_reduce([q.dl[k.cl[j + 1] * 8 + j + 1]
+       |                     FOR j IN range(0, 8)], (x, y) -> x + y) AS ad2
+       |      FROM probes p
+       |      JOIN fcells ce ON p.cell = ce.cell AND ce.n_id <> p.q_id
+       |      JOIN cm k ON k.n_id = ce.n_id
+       |      JOIN qdl q ON q.q_id = p.q_id),
+       |${adcRankTailSql(24)}""".stripMargin
+
   private def codebookDigest(cbs: Array[Double]*): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val buf = java.nio.ByteBuffer.allocate(8)
@@ -756,11 +789,14 @@ object SimilarityQueries {
   /** Corpus-size threshold (bytes) above which [[exactReRankTail]]
     * switches from the fused broadcast-probe fetch to the collected
     * point fetch. Runtime conf so specs and probes can force either
-    * arm; default set at the measured crossover (ReRankProbe — see
-    * SCALING.md round 14).
+    * arm; default set at the measured crossover (ReRankProbe, nq=10,
+    * warm medians: fused/point 0.44/0.49 s at sf0.1 (0.8 MB — the
+    * job floor still wins), 0.63/0.45 s at sf1 (5.1 MB), 0.62/0.60 s
+    * at sf10 (51 MB, where the shared ADC stage dominates both arms) —
+    * see SCALING.md round 14).
     */
   private[graft] val ReRankFetchBytesKey = "graft.ann.rerankFetchBytes"
-  private[graft] val ReRankFetchBytesDefault = 16L * 1024 * 1024
+  private[graft] val ReRankFetchBytesDefault = 4L * 1024 * 1024
 
   /** Exact-cosine re-rank tail shared by every stored-codes serve:
     * fetch full vectors ONLY for the candidate set (≤ topC × nQueries
@@ -905,11 +941,11 @@ object SimilarityQueries {
        |qdl AS (SELECT n_id AS q_id, list(d2 ORDER BY c_id * 8 + j) AS dl
        |        FROM pd WHERE n_id < 10 GROUP BY n_id)""".stripMargin
 
-  /** ADC candidate top-8 → exact-cosine re-rank top-3 → final SELECT —
-    * the closing block every PQ-family oracle shares. Expects CTEs `n`
-    * and `s(q_id, n_id, ad2)` upstream.
+  /** ADC candidate top-`topC` → exact-cosine re-rank top-3 → final
+    * SELECT — the closing block every PQ-family oracle shares. Expects
+    * CTEs `n` and `s(q_id, n_id, ad2)` upstream.
     */
-  private val adcRankTailSql: String =
+  private def adcRankTailSql(topC: Int = 8): String =
     s"""cand AS (SELECT q_id, n_id, ad2,
        |           row_number() OVER (PARTITION BY q_id
        |             ORDER BY ad2, n_id) AS crank
@@ -918,7 +954,7 @@ object SimilarityQueries {
        |        ${dotSql("qn.v", "cn.v")} / (qn.nrm * cn.nrm) AS cos
        |      FROM cand JOIN n qn ON qn.vec_id = cand.q_id
        |                JOIN n cn ON cn.vec_id = cand.n_id
-       |      WHERE crank <= 8),
+       |      WHERE crank <= $topC),
        |t AS (SELECT q_id, n_id, ad2, cos,
        |        CAST(row_number() OVER (PARTITION BY q_id
        |               ORDER BY cos DESC, n_id) AS INTEGER) AS rank
@@ -936,7 +972,7 @@ object SimilarityQueries {
        |        list_reduce([q.dl[c.cl[j + 1] * 8 + j + 1]
        |                     FOR j IN range(0, 8)], (x, y) -> x + y) AS ad2
        |      FROM cm c, qdl q WHERE c.n_id <> q.q_id),
-       |$adcRankTailSql""".stripMargin
+       |${adcRankTailSql()}""".stripMargin
 
   /** Full IVF×PQ oracle tail (q_ann_ivfpq pinned / q_ann_ivfpq_trained):
     * coarse cells/probes from `$centIvf`, encode CTEs from `$centPq`,
@@ -958,7 +994,7 @@ object SimilarityQueries {
        |      JOIN cells ce ON p.cell = ce.cell AND ce.n_id <> p.q_id
        |      JOIN cm k ON k.n_id = ce.n_id
        |      JOIN qdl q ON q.q_id = p.q_id),
-       |$adcRankTailSql""".stripMargin
+       |${adcRankTailSql()}""".stripMargin
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -1243,6 +1279,30 @@ object SimilarityQueries {
     // the index BUILD is memoized — each run re-executes the serve
     // join/rank, so keeping the gate costs one extra serve per round.
     GraftQuery("q_ann_codes_served", ivfPqPinnedSql)(pinnedIvfPqServe),
+
+    // ------------------------- filtered search from the STORED index
+    // The scale tier of q_ann_filtered (whose exact pre-filter scans
+    // selectivity × |corpus| pair dots): candidates come from THE
+    // stored codes table shared with q_ann_ivfpq, the metadata filter
+    // lands on the codes side as a semi-join BEFORE the ADC top-C cut
+    // (no post-filter recall cliff — the budget is spent on QUALIFYING
+    // vectors only), and the dials run at the coupled widening the
+    // recall sweep landed on (nprobe=8 × topC=24; widening nprobe
+    // alone PEAKS THEN FALLS — ProbeCurve). Deterministic end to end —
+    // pinned codebook, tie-broken argmins, dyadic ADC sums — so the
+    // oracle re-derives the whole serve relationally and the hash gate
+    // covers the at-scale form a real user runs, not just the exact
+    // small-corpus tier.
+    GraftQuery("q_ann_filtered_indexed", filteredIndexedSql) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val cb = collectCodebook(e, 16)
+      val codes = Tables.parquetCachedSchema(
+        s, incrementalCodesPath(s, dir, cb, cb))
+      val allowed = t(s, dir, "documents").filter(col("lang") === "en")
+        .select(col("doc_id"))
+      filteredServeFromCodes(e, codes, allowed, cb, cb, 10,
+        nprobe = 8, topC = 24)
+    },
 
     // ----------------------------------------------- multiband dense LSH
     // Multi-table sign-LSH ANN (the recall upgrade over the single
@@ -1543,7 +1603,7 @@ object SimilarityQueries {
          |      JOIN cellsF ce ON ce.cell = p.cell AND ce.n_id <> p.q_id
          |      JOIN rcm k ON k.n_id = ce.n_id
          |      JOIN qdl q ON q.q_id = p.q_id AND q.cell = p.cell),
-         |$adcRankTailSql""".stripMargin) { (s, dir) =>
+         |${adcRankTailSql()}""".stripMargin) { (s, dir) =>
       val e = t(s, dir, "embeddings")
       val key = corpusKey(s, dir)
       val cbIvf =

@@ -82,6 +82,46 @@ class DataSelectionSpec extends SparkSpec {
     }
   }
 
+  test("stored-model scoring with a LAGGING model gives unseen buckets " +
+      "the smoothed zero-count log-ratio, not a silent 0") {
+    withTempDir { root =>
+      import spark.implicits._
+      val mdl = root.resolve("model").toString
+      // model trained on two docs: target 5 feature instances,
+      // non-target 3 → r_n=8, t_n=5 (the totals the smoothed
+      // zero-count ratio is built from)
+      val seen = Seq(
+        (0L, "alpha alpha beta", "src0"),
+        (1L, "gamma delta", "src9")).toDF("doc_id", "text", "source")
+      CorpusPrepQueries.appendToDsirModelIdempotent(
+        seen, col("source") === "src0", mdl, 0L)
+      // a later batch scores against the stored model BEFORE its own
+      // delta is absorbed — every one of its 5 feature instances lands
+      // in a bucket the model never saw
+      val late = Seq((7L, "zyzzyva qwertyuiop plugh", "src9"))
+        .toDF("doc_id", "text", "source")
+      val mdlBuckets = spark.read.parquet(mdl)
+        .select("b").collect().map(_.getLong(0)).toSet
+      val lateBuckets = CorpusPrepQueries.dsirDeltas(late, lit(false))
+        .select("b").collect().map(_.getLong(0)).toSet
+      assert(lateBuckets.intersect(mdlBuckets).isEmpty,
+        "test tokens collide with model buckets — pick different tokens")
+      val w = CorpusPrepQueries
+        .dsirWeightsFromStoredModel(seen.unionByName(late), mdl)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // the smoothed unseen log-ratio the Laplace model implies,
+      // computed with the engine's own expression chain
+      val ulr = spark.range(1).select(
+        graft.analytics.TextQueries.quantizeLog2(log2(
+          (lit(0.5) / (lit(5.0) + lit(512.0))) /
+          (lit(0.5) / (lit(8.0) + lit(512.0)))))).head.getDouble(0)
+      assert(ulr != 0.0)
+      // 3 unigrams + 2 bigrams, each contributing exactly ulr
+      assert(w(7L) == 5 * ulr,
+        s"lagging-model weight ${w(7L)} != 5 × smoothed $ulr")
+    }
+  }
+
   test("streamed DSIR ingest converges to the one-shot model") {
     import org.apache.spark.sql.streaming.Trigger
     import java.nio.file.Files

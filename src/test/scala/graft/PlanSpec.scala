@@ -223,6 +223,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(4000))
   }
 
+  test("q_ann_filtered_indexed: stored-codes serve, semi-join PRE-filter, " +
+      "lang pushed to the documents scan, no corpus-side encode") {
+    val p = plan("q_ann_filtered_indexed")
+    // the metadata gate reaches the documents parquet scan, id-only
+    assert(p.contains("EqualTo(lang,en)"), p.take(4000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      "documents scan must read only (doc_id, lang): " + p.take(4000))
+    // the filter lands on the CODES side as a semi-join BEFORE the ADC
+    // budget cut (pre-filter, not post-filter)
+    assert(p.contains("LeftSemi"), p.take(4000))
+    // serve reads the stored index: no corpus-side cell-assign or
+    // PQ-encode kernel may appear (paid once at build)
+    assert(!p.contains("pq_encode"), p.take(4000))
+    assert(!p.contains("nearest_cell"), p.take(4000))
+    assert(p.contains("adc_score"), p.take(4000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+  }
+
+  test("q_select_dsir_sampled: distributed top-k over the noised keys, " +
+      "broadcast bucket models, no cartesian") {
+    val p = plan("q_select_dsir_sampled")
+    assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
   test("ivfPqResidualPipeline (in-query reference form): residual encode is " +
       "a scan-stage kernel, broadcast cell equi-join, no cartesian/BNL") {
     val e = graft.core.Tables.load(spark, dir, "embeddings")
