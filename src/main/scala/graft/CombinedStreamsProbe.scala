@@ -167,6 +167,44 @@ object CombinedStreamsProbe {
       val (a, b) = (sSum(), cSum())
       println(s"STREAMS-IDENTITY $name serial=$a concurrent=$b match=${a == b}")
     }
+
+    // CHAOS: all ten live again, but one maintainer — the richest
+    // wiring, the lexical dedup maintainer with its three coupled
+    // stores and batch-scoped delta persistence — is KILLED mid-run
+    // while the other nine keep draining, then restarted from its
+    // checkpoint. The per-family recovery preambles + exactly-once
+    // appends must converge every stored table to the serial
+    // checksums anyway: a crash of one member of the composed
+    // deployment is survivable without touching the other nine.
+    val chaos = wirings("chaos")
+    val victim = "lex-maint"
+    val tK = System.nanoTime()
+    val running = chaos.map { case (name, start, _) => (name, start()) }
+    val vq = running.find(_._1 == victim).get._2
+    val killer = Future {
+      Thread.sleep(6000) // lands inside the drain (serial wall ~19 s)
+      val at = Option(vq.lastProgress).map(_.batchId).getOrElse(-1L)
+      vq.stop() // interrupts any in-flight foreachBatch mid-write
+      at
+    }
+    running.foreach { case (name, q) =>
+      try q.awaitTermination()
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          if (name != victim) throw e // victim may die loudly; others not
+      }
+    }
+    val killedAt = Await.result(killer, Duration.Inf)
+    // restart from the same checkpoint: the uncommitted trigger replays,
+    // recovery preambles heal any torn upsert state first
+    chaos.find(_._1 == victim).get._2().awaitTermination()
+    val chaosTotal = (System.nanoTime() - tK) / 1e9
+    println(f"STREAMS mode=chaos corpus=${batches * m} total_s=$chaosTotal%.1f " +
+      s"victim=$victim killed_after_batch=$killedAt restarted=true")
+    serial.zip(chaos).foreach { case ((name, _, sSum), (_, _, cSum)) =>
+      val (a, b) = (sSum(), cSum())
+      println(s"STREAMS-CHAOS-IDENTITY $name serial=$a chaos=$b match=${a == b}")
+    }
     spark.stop()
   }
 }

@@ -79,8 +79,30 @@ object CorpusPrepQueries {
     * (doc_id, bucket) count; models broadcast into the weight join.
     */
   def dsirWeights(
-      docs: DataFrame, isTarget: Column, buckets: Int = 1024): DataFrame = {
-    val hb = dsirBuckets(docs, isTarget, buckets)
+      docs: DataFrame, isTarget: Column, buckets: Int = 1024): DataFrame =
+    dsirWeightsWith(docs, isTarget, buckets, shaBucket(buckets))
+
+  /** The CHEAP-HASH library variant of [[dsirWeights]]: xxhash64
+    * buckets instead of the sha prefix. The sha term is ~80% of
+    * `q_select_dsir`'s sf10 wall (~2 sha256 per token — the price of
+    * cross-engine hashability); xxhash64 is one codegen'd 64-bit mix
+    * per feature, measured ~5× less scan CPU (DsirHashProbe,
+    * SCALING.md round 14). Same model, same smoothing, same
+    * determinism under reruns/retries — but NOT DuckDB-derivable, so
+    * it is spec'd for selection OVERLAP against the gated sha form
+    * (bucket collisions differ, weights shift at the margin), not
+    * hash-gated. Use it when the pipeline doesn't need cross-engine
+    * re-derivation; the sha form stays the reference.
+    */
+  def dsirWeightsFast(
+      docs: DataFrame, isTarget: Column, buckets: Int = 1024): DataFrame =
+    dsirWeightsWith(docs, isTarget, buckets,
+      g => pmod(xxhash64(g), lit(buckets.toLong)))
+
+  private def dsirWeightsWith(
+      docs: DataFrame, isTarget: Column, buckets: Int,
+      bucketOf: Column => Column): DataFrame = {
+    val hb = dsirBuckets(docs, isTarget, buckets, bucketOf)
     val counts = hb.groupBy(col("b")).agg(
       count(lit(1)).cast(LongType).as("rcnt"),
       count(when(col("is_t"), 1)).cast(LongType).as("tcnt"))
@@ -89,12 +111,18 @@ object CorpusPrepQueries {
     dsirScore(docs, dc, counts, buckets)
   }
 
+  /** The gated form's bucket hash: cross-engine sha prefix. */
+  private def shaBucket(buckets: Int): Column => Column = {
+    import graft.functions.SimilarityFunctions.elementHash
+    g => elementHash(g) % buckets
+  }
+
   /** The hashed feature→bucket frame shared by model training and
     * document scoring: one row per feature INSTANCE with its bucket.
     */
   private def dsirBuckets(
-      docs: DataFrame, isTarget: Column, buckets: Int): DataFrame = {
-    import graft.functions.SimilarityFunctions.elementHash
+      docs: DataFrame, isTarget: Column, buckets: Int,
+      bucketOf: Column => Column): DataFrame = {
     val tok = docs.select(col("doc_id"), isTarget.as("is_t"),
       tokens(lower(col("text"))).as("ts"))
     val uni = tok.select(col("doc_id"), col("is_t"), explode(col("ts")).as("g"))
@@ -105,7 +133,7 @@ object CorpusPrepQueries {
           slice(col("ts"), lit(2), size(col("ts")) - 1),
           (a, b) => concat(a, lit(" "), b))).as("g"))
     uni.unionByName(bi).select(col("doc_id"), col("is_t"),
-      (elementHash(col("g")) % buckets).as("b"))
+      bucketOf(col("g")).as("b"))
   }
 
   /** Score every document against a `(b, rcnt, tcnt)` bucket-count
@@ -201,7 +229,7 @@ object CorpusPrepQueries {
   /** A batch's bucket-count delta — one O(batch) pass, no table IO. */
   private[graft] def dsirDeltas(
       batch: DataFrame, isTarget: Column, buckets: Int = 1024): DataFrame =
-    dsirBuckets(batch, isTarget, buckets)
+    dsirBuckets(batch, isTarget, buckets, shaBucket(buckets))
       .groupBy(col("b")).agg(
         count(lit(1)).cast(LongType).as("rcnt"),
         count(when(col("is_t"), 1)).cast(LongType).as("tcnt"))
@@ -240,7 +268,7 @@ object CorpusPrepQueries {
       .groupBy(col("b")).agg(
         sum(col("rcnt")).cast(LongType).as("rcnt"),
         sum(col("tcnt")).cast(LongType).as("tcnt"))
-    val dc = dsirBuckets(docs, lit(false), buckets)
+    val dc = dsirBuckets(docs, lit(false), buckets, shaBucket(buckets))
       .groupBy(col("doc_id"), col("b"))
       .agg(count(lit(1)).cast(LongType).as("n"))
     dsirScore(docs, dc, counts, buckets, smoothUnseen = true)

@@ -569,8 +569,74 @@ object SimilarityQueries {
       batch: DataFrame, codesDir: String, batchId: Long,
       cbIvf: Array[Double], cbPq: Array[Double]): Unit =
     graft.sinks.IncrementalParquet.appendIdempotent(
-      batch.sparkSession, codesDir, "cell", batchId)(
+      batch.sparkSession, codesDir, "cell", batchId,
+      pinExtra = booksPin(cbIvf, cbPq))(
       codesTable(batch, cbIvf, cbPq))
+
+  /** The codebook-GENERATION layout property: codes are meaningless
+    * under different books (cell membership itself changes), so the
+    * digest of the frozen parameter set rides the table's layout pin —
+    * an append or serve under drifted books fails loudly ("a layout
+    * property cannot change over a live table — rebuild it instead")
+    * instead of silently mixing generations. [[stagedRebuildCodes]] IS
+    * that rebuild.
+    */
+  private def booksPin(cbs: Array[Double]*): Map[String, String] =
+    Map("books" -> codebookDigest(cbs: _*))
+
+  /** Record the codebook generation of a codes dir that already holds
+    * data (a table seeded by a plain `codesTable(...).write` — the
+    * adoptLayout escape hatch, asserted by the caller).
+    */
+  def adoptBooks(
+      spark: SparkSession, codesDir: String, cbs: Array[Double]*): Unit =
+    graft.sinks.IncrementalParquet.adoptLayout(spark, codesDir, booksPin(cbs: _*))
+
+  /** Open a stored codes dir for serving under the caller's codebooks:
+    * heal any crashed rebuild swap, then verify the generation pin —
+    * serving stored codes with the wrong books returns silently wrong
+    * neighbors (the ADC scores look plausible; cell pruning drops true
+    * candidates), the silent-wrong class everything else here guards
+    * against. An unpinned dir (pre-pin table) is served as-is.
+    */
+  def codesForServe(
+      spark: SparkSession, codesDir: String, cbs: Array[Double]*): DataFrame = {
+    graft.sinks.IncrementalParquet.recoverRebuildSwap(spark, codesDir)
+    val pinned =
+      graft.sinks.IncrementalParquet.readLayout(spark, codesDir).get("books")
+    val expect = codebookDigest(cbs: _*)
+    require(pinned.forall(_ == expect),
+      s"$codesDir was encoded under books ${pinned.getOrElse("?")} but this " +
+        s"serve compiled $expect — staged-rebuild the index " +
+        "(stagedRebuildCodes); mixing generations mis-prunes silently")
+    Tables.parquetCachedSchema(spark, codesDir)
+  }
+
+  /** Staged codebook rebuild + atomic swap for a serving codes table —
+    * the drift answer SCALING.md promises: when monitoring says the
+    * frozen books have drifted from the corpus (recall sag on fresh
+    * queries), build NEW-generation codes alongside the serving table
+    * (one O(corpus) encode pass — the old generation serves throughout)
+    * and swap in two renames between triggers. Never per-batch
+    * retraining. Protocol, replay-marker carry and crash recovery live
+    * in [[graft.sinks.IncrementalParquet.rebuildSwap]]; this wrapper
+    * contributes the domain half — the new encode and the new
+    * generation's books pin. The residual family rebuilds identically
+    * (swap [[residualCodesTable]] into the build lambda with its
+    * (cbIvf, means, cbPqRes) pin).
+    */
+  def stagedRebuildCodes(
+      corpus: DataFrame, codesDir: String,
+      cbIvfNew: Array[Double], cbPqNew: Array[Double]): Unit = {
+    val spark = corpus.sparkSession
+    graft.sinks.IncrementalParquet.rebuildSwap(spark, codesDir, "cell") {
+      stage =>
+        codesTable(corpus, cbIvfNew, cbPqNew)
+          .write.mode("overwrite").partitionBy("cell").parquet(stage)
+        graft.sinks.IncrementalParquet.adoptLayout(
+          spark, stage, booksPin(cbIvfNew, cbPqNew))
+    }
+  }
 
   /** Residual-family twin of [[appendToCodesIdempotent]]: the batch is
     * encoded against the FROZEN (coarse codebook, cell means, residual
@@ -584,7 +650,8 @@ object SimilarityQueries {
       cbIvf: Array[Double], means: Array[Double],
       cbPqRes: Array[Double]): Unit =
     graft.sinks.IncrementalParquet.appendIdempotent(
-      batch.sparkSession, codesDir, "cell", batchId)(
+      batch.sparkSession, codesDir, "cell", batchId,
+      pinExtra = booksPin(cbIvf, means, cbPqRes))(
       residualCodesTable(batch, cbIvf, means, cbPqRes))
 
   /** Compact the stored codes table's fragmented cell partitions to one
@@ -630,7 +697,8 @@ object SimilarityQueries {
     graft.sinks.IncrementalParquet.buildViaLifecycle(storedIncCodes,
       Tables.derivedStateKey(s, dir, "embeddings") +
         "|inc|" + codebookDigest(cbIvf, cbPq), "graft-codes-inc",
-      t(s, dir, "embeddings"), "vec_id", "cell")(
+      t(s, dir, "embeddings"), "vec_id", "cell",
+      pinExtra = booksPin(cbIvf, cbPq))(
       codesTable(_, cbIvf, cbPq))
 
   /** The residual family's memoized stored codes table, built through
@@ -651,7 +719,8 @@ object SimilarityQueries {
     graft.sinks.IncrementalParquet.buildViaLifecycle(storedIncResidualCodes,
       Tables.derivedStateKey(s, dir, "embeddings") +
         "|res|" + codebookDigest(cbIvf, means, cbPqRes), "graft-rescodes-inc",
-      t(s, dir, "embeddings"), "vec_id", "cell")(
+      t(s, dir, "embeddings"), "vec_id", "cell",
+      pinExtra = booksPin(cbIvf, means, cbPqRes))(
       residualCodesTable(_, cbIvf, means, cbPqRes))
 
   /** The one pinned-codebook stored-index serve both q_ann_ivfpq and

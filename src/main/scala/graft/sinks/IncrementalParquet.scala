@@ -957,4 +957,125 @@ object IncrementalParquet {
     fs.delete(stage, true)
     fragmented.length
   }
+
+  private def rebuildPaths(dir: Path): (Path, Path) = (
+    new Path(dir.getParent, s".${dir.getName}.rebuild"),
+    new Path(dir.getParent, s".${dir.getName}.rebuild-retired"))
+
+  /** Marker committing a staged rebuild as swap-ready — written only
+    * after `build` returned AND the ack markers were carried, so crash
+    * recovery can tell a complete new generation from a partial one.
+    */
+  private val SwapReady = "_swap_ready"
+
+  /** Staged WHOLE-TABLE rebuild + atomic swap — the model-drift answer
+    * for derived tables whose encoding depends on frozen parameters
+    * (codebooks, cell means): when the frozen generation has drifted
+    * from the corpus, the table cannot be migrated in place (partition
+    * membership itself changes — a mixed-generation table mis-prunes),
+    * and per-batch retraining is the one thing the freeze-and-append
+    * design forbids. So: `build` writes the NEW generation into a
+    * staging sibling while the old table keeps serving (the rebuild is
+    * the long part — O(corpus), paid without any serve interruption),
+    * then the swap is two renames executed between triggers.
+    *
+    * Replay protection survives the swap: every `_ingested` ack marker
+    * is COPIED into the staged table before the swap, because a batch
+    * acked into the old generation is already IN the rebuilt bytes
+    * (the rebuild reads the authoritative corpus) — without the carry,
+    * a post-swap replay of the last batch would re-append rows the
+    * rebuild already encoded. Conversely the swap REFUSES a table
+    * holding UNACKED batch files (an in-flight or torn ingest): those
+    * rows' membership in the rebuild snapshot is undecidable here, so
+    * fail loudly and let the ingest settle first (single-writer, like
+    * [[compact]]: run from the driver that owns the stream, between
+    * triggers).
+    *
+    * Crash points (recovery in [[recoverRebuildSwap]], run as the
+    * preamble of every call — serves should run it too after a crash):
+    * mid-build / pre-swap → staging is scratch, deleted; between the
+    * two renames → the staged generation carries [[SwapReady]], so
+    * recovery rolls FORWARD (installs it and discards the parked old
+    * generation); after install, before the parked delete → roll
+    * forward is a delete. Some complete generation is serveable at
+    * every point.
+    */
+  def rebuildSwap(spark: SparkSession, dirStr: String, partCol: String)(
+      build: String => Unit): Unit = {
+    val dir = new Path(dirStr)
+    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    recoverRebuildSwap(spark, dirStr)
+    require(fs.exists(dir), s"$dirStr: no live table to rebuild")
+    val batchFile = "^b(\\d+)-.*".r
+    val unacked = fs.listStatus(dir)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+      .flatMap(st => fs.listStatus(st.getPath)).map(_.getPath.getName)
+      .collect { case n @ batchFile(id)
+        if !fs.exists(new Path(dir, s"_ingested/b$id")) => n }
+    require(unacked.isEmpty,
+      s"$dirStr holds unacked batch files (${unacked.take(3).mkString(", ")}" +
+        s"…): an in-flight ingest's replay after the swap would duplicate " +
+        "rows the rebuild snapshot already encoded — let the ingest settle, " +
+        "then rebuild")
+    val (stage, parked) = rebuildPaths(dir)
+    fs.delete(stage, true)
+    build(stage.toString)
+    val ing = new Path(dir, "_ingested")
+    if (fs.exists(ing)) {
+      val dst = new Path(stage, "_ingested")
+      fs.mkdirs(dst)
+      fs.listStatus(ing).filter(_.isFile).foreach { st =>
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, st.getPath, fs, new Path(dst, st.getPath.getName), false,
+          spark.sparkContext.hadoopConfiguration)
+      }
+    }
+    fs.create(new Path(stage, SwapReady), true).close()
+    fs.delete(parked, true)
+    if (!fs.rename(dir, parked))
+      throw new IllegalStateException(s"rename $dir -> $parked failed")
+    if (!fs.rename(stage, dir))
+      throw new IllegalStateException(s"rename $stage -> $dir failed")
+    fs.delete(new Path(dir, SwapReady), false)
+    fs.delete(parked, true)
+  }
+
+  /** SERVE-SAFE crash recovery for [[rebuildSwap]] — idempotent, cheap
+    * (existence checks on the healthy path), and callable from a serve
+    * path WHILE a rebuild's build step runs on the same driver: it
+    * never touches the staging dir except to roll a ready-marked
+    * generation forward, because a live-table serve cannot tell a
+    * crashed half-built stage from the in-flight build happening right
+    * now (deleting it here would nuke the rebuild under the writer —
+    * scratch-stage hygiene belongs to [[rebuildSwap]]'s own preamble,
+    * where single-writer discipline guarantees no build is in flight).
+    * Roll forward when the staged generation committed ([[SwapReady]]
+    * present), restore the parked old generation otherwise; a parked
+    * survivor next to a live table (crash after install) is retired.
+    */
+  def recoverRebuildSwap(spark: SparkSession, dirStr: String): Unit = {
+    val dir = new Path(dirStr)
+    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    val (stage, parked) = rebuildPaths(dir)
+    if (!fs.exists(dir)) {
+      if (fs.exists(new Path(stage, SwapReady))) {
+        // crashed between the two renames: the new generation is
+        // complete (markers carried, ready-marked) — finish the swap
+        if (!fs.rename(stage, dir))
+          throw new IllegalStateException(s"rename $stage -> $dir failed")
+        fs.delete(new Path(dir, SwapReady), false)
+        fs.delete(parked, true)
+      } else if (fs.exists(parked)) {
+        // crashed with an incomplete stage: restore the old generation
+        // (the half-built stage is left for the writer's preamble)
+        if (!fs.rename(parked, dir))
+          throw new IllegalStateException(s"rename $parked -> $dir failed")
+      }
+    } else {
+      fs.delete(new Path(dir, SwapReady), false) // settle a rolled-forward dir
+      // live + parked together only ever means "crashed after install":
+      // a healthy in-flight swap holds the two states disjointly
+      fs.delete(parked, true)
+    }
+  }
 }

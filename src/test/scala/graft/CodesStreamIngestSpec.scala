@@ -32,6 +32,7 @@ class CodesStreamIngestSpec extends SparkSpec {
       // the index starts from a batch build over a third of the corpus
       SimilarityQueries.codesTable(e.filter(col("vec_id") % 3 === 0), cb, cb)
         .write.mode("overwrite").partitionBy("cell").parquet(codes)
+      SimilarityQueries.adoptBooks(spark, codes, cb, cb)
 
       // two embedding batches arrive as files; one streaming run drains
       // them (maxFilesPerTrigger=4 → they may share or split batches —
@@ -73,6 +74,7 @@ class CodesStreamIngestSpec extends SparkSpec {
         .residualCodesTable(e.filter(col("vec_id") % 3 === 0),
           cbIvf, means, cbPqRes)
         .write.mode("overwrite").partitionBy("cell").parquet(codes)
+      SimilarityQueries.adoptBooks(spark, codes, cbIvf, means, cbPqRes)
 
       // two arriving batches drain through the residual wiring; the
       // crash/replay/compaction matrix is the raw family's (shared
@@ -102,6 +104,7 @@ class CodesStreamIngestSpec extends SparkSpec {
       val codes = root.resolve("codes").toString
       SimilarityQueries.codesTable(e.filter(col("vec_id") % 2 === 0), cb, cb)
         .write.mode("overwrite").partitionBy("cell").parquet(codes)
+      SimilarityQueries.adoptBooks(spark, codes, cb, cb)
 
       val batch = e.filter(col("vec_id") % 2 === 1)
       SimilarityQueries.appendToCodesIdempotent(batch, codes, 7L, cb, cb)
@@ -158,6 +161,7 @@ class CodesStreamIngestSpec extends SparkSpec {
         val codes = root.resolve(name).toString
         SimilarityQueries.codesTable(e.filter(col("vec_id") % 2 === 0), cb, cb)
           .write.mode("overwrite").partitionBy("cell").parquet(codes)
+        SimilarityQueries.adoptBooks(spark, codes, cb, cb)
         codes
       }
       val batch = e.filter(col("vec_id") % 2 === 1)

@@ -82,6 +82,26 @@ class DataSelectionSpec extends SparkSpec {
     }
   }
 
+  test("cheap-hash (xxhash64) weights: deterministic, bias-preserving, " +
+      "high selection overlap with the gated sha form") {
+    val docs = Tables.load(spark, dir, "documents")
+    val isTarget = col("source").isin("src0", "src1")
+    def top(w: org.apache.spark.sql.DataFrame, k: Int): Seq[Long] =
+      w.orderBy(col("w").desc, col("doc_id")).limit(k)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val fast = CorpusPrepQueries.dsirWeightsFast(docs, isTarget)
+    // deterministic across plans/reruns (hash-derived, no RNG state)
+    assert(top(fast, 100) == top(
+      CorpusPrepQueries.dsirWeightsFast(docs.repartition(7), isTarget), 100))
+    // the two hash families train the same model over different bucket
+    // collisions — selections must substantially agree (overlap pinned
+    // loose; the exact value is corpus-dependent, reported for the eye)
+    val sha100 = top(CorpusPrepQueries.dsirWeights(docs, isTarget), 100).toSet
+    val overlap = top(fast, 100).count(sha100.contains) / 100.0
+    info(s"top-100 overlap sha vs xxh: $overlap")
+    assert(overlap >= 0.6, s"selection overlap $overlap under 0.6")
+  }
+
   test("stored-model scoring with a LAGGING model gives unseen buckets " +
       "the smoothed zero-count log-ratio, not a silent 0") {
     withTempDir { root =>
