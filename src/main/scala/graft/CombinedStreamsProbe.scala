@@ -182,9 +182,9 @@ object CombinedStreamsProbe {
     val running = chaos.map { case (name, start, _) => (name, start()) }
     val vq = running.find(_._1 == victim).get._2
     val killer = Future {
-      Thread.sleep(6000) // lands inside the drain (serial wall ~19 s)
+      Thread.sleep(15000) // mid-drain (concurrent victim wall ~46 s)
       val at = Option(vq.lastProgress).map(_.batchId).getOrElse(-1L)
-      vq.stop() // interrupts any in-flight foreachBatch mid-write
+      vq.stop() // interrupts the in-flight foreachBatch mid-write
       at
     }
     running.foreach { case (name, q) =>
@@ -199,8 +199,11 @@ object CombinedStreamsProbe {
     // recovery preambles heal any torn upsert state first
     chaos.find(_._1 == victim).get._2().awaitTermination()
     val chaosTotal = (System.nanoTime() - tK) / 1e9
+    // last_committed=-1 means the stop landed INSIDE the first
+    // in-flight trigger (no batch had committed) — the strongest
+    // window: an uncommitted foreachBatch interrupted mid-write
     println(f"STREAMS mode=chaos corpus=${batches * m} total_s=$chaosTotal%.1f " +
-      s"victim=$victim killed_after_batch=$killedAt restarted=true")
+      s"victim=$victim last_committed_batch_at_kill=$killedAt restarted=true")
     serial.zip(chaos).foreach { case ((name, _, sSum), (_, _, cSum)) =>
       val (a, b) = (sSum(), cSum())
       println(s"STREAMS-CHAOS-IDENTITY $name serial=$a chaos=$b match=${a == b}")

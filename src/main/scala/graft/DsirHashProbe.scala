@@ -9,13 +9,14 @@ import org.apache.spark.sql.functions._
   * q_select_dsir's sf10 wall in the round-13 plan audit; this probe
   * measures what the cheap hash buys and what the selections share.
   *
-  *   SPARK_GRAFT_SF_DIR=<dir> runMain graft.DsirHashProbe [reps]
+  *   SPARK_GRAFT_SF_DIR=<dir> runMain graft.DsirHashProbe [reps] [buckets]
   */
 object DsirHashProbe {
   def main(args: Array[String]): Unit = {
     import graft.analytics.CorpusPrepQueries
     import graft.core.Tables
     val reps = args.headOption.map(_.toInt).getOrElse(3)
+    val buckets = if (args.length > 1) args(1).toInt else 1024
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.GraftSession.local("dsir-hash-probe")
     val docs = Tables.load(spark, dir, "documents")
@@ -27,8 +28,8 @@ object DsirHashProbe {
 
     var shared = -1.0
     for ((arm, weights) <- Seq(
-        "sha" -> (() => CorpusPrepQueries.dsirWeights(docs, isTarget)),
-        "xxh" -> (() => CorpusPrepQueries.dsirWeightsFast(docs, isTarget)))) {
+        "sha" -> (() => CorpusPrepQueries.dsirWeights(docs, isTarget, buckets)),
+        "xxh" -> (() => CorpusPrepQueries.dsirWeightsFast(docs, isTarget, buckets)))) {
       Bench.materialize(weights()) // warm
       val walls = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
@@ -36,11 +37,12 @@ object DsirHashProbe {
         (System.nanoTime() - t0) / 1e9
       }.sorted
       if (arm == "xxh") {
-        val a = topIds(CorpusPrepQueries.dsirWeights(docs, isTarget), 100).toSet
-        val b = topIds(CorpusPrepQueries.dsirWeightsFast(docs, isTarget), 100).toSet
+        val a = topIds(CorpusPrepQueries.dsirWeights(docs, isTarget, buckets), 100).toSet
+        val b = topIds(
+          CorpusPrepQueries.dsirWeightsFast(docs, isTarget, buckets), 100).toSet
         shared = a.intersect(b).size / 100.0
       }
-      println(f"DSIRHASH sf=$dir arm=$arm median=${walls(reps / 2)}%.2f " +
+      println(f"DSIRHASH sf=$dir buckets=$buckets arm=$arm median=${walls(reps / 2)}%.2f " +
         f"all=${walls.map(w => f"$w%.2f").mkString(",")}" +
         (if (shared >= 0 && arm == "xxh") f" top100_overlap=$shared%.2f" else ""))
     }
