@@ -621,9 +621,8 @@ object SimilarityQueries {
     * retraining. Protocol, replay-marker carry and crash recovery live
     * in [[graft.sinks.IncrementalParquet.rebuildSwap]]; this wrapper
     * contributes the domain half — the new encode and the new
-    * generation's books pin. The residual family rebuilds identically
-    * (swap [[residualCodesTable]] into the build lambda with its
-    * (cbIvf, means, cbPqRes) pin).
+    * generation's books pin. [[stagedRebuildResidualCodes]] is the
+    * residual family's twin.
     */
   def stagedRebuildCodes(
       corpus: DataFrame, codesDir: String,
@@ -635,6 +634,25 @@ object SimilarityQueries {
           .write.mode("overwrite").partitionBy("cell").parquet(stage)
         graft.sinks.IncrementalParquet.adoptLayout(
           spark, stage, booksPin(cbIvfNew, cbPqNew))
+    }
+  }
+
+  /** [[stagedRebuildCodes]] for the residual family: the frozen
+    * generation is the (coarse codebook, cell means, residual
+    * sub-quantizers) TRIPLE — a drift in any member invalidates the
+    * stored codes (residuals are meaningless under a different
+    * reference frame), so all three ride the generation pin together.
+    */
+  def stagedRebuildResidualCodes(
+      corpus: DataFrame, codesDir: String, cbIvfNew: Array[Double],
+      meansNew: Array[Double], cbPqResNew: Array[Double]): Unit = {
+    val spark = corpus.sparkSession
+    graft.sinks.IncrementalParquet.rebuildSwap(spark, codesDir, "cell") {
+      stage =>
+        residualCodesTable(corpus, cbIvfNew, meansNew, cbPqResNew)
+          .write.mode("overwrite").partitionBy("cell").parquet(stage)
+        graft.sinks.IncrementalParquet.adoptLayout(
+          spark, stage, booksPin(cbIvfNew, meansNew, cbPqResNew))
     }
   }
 

@@ -170,6 +170,45 @@ class CodebookRebuildSpec extends SparkSpec {
     }
   }
 
+  test("residual family: staged rebuild under a fresh frozen triple " +
+      "serves == one-shot build; stale-triple appends fail loudly") {
+    withTempDir { root =>
+      val e = Tables.load(spark, sf, "embeddings")
+      val key = Tables.derivedStateKey(spark, sf, "embeddings")
+      val cbOld = CodebookTrainer.initCodebook(e, 16, normalize = false)
+      val meansOld = SimilarityQueries.cellMeans(e, cbOld)
+      val cbResOld = CodebookTrainer.initCodebook(e, 16, normalize = false)
+      val codes = root.resolve("rescodes").toString
+      SimilarityQueries.appendToResidualCodesIdempotent(
+        e, codes, 0L, cbOld, meansOld, cbResOld)
+
+      // the drifted-generation rebuild: trained coarse books, their
+      // cell means, residual sub-quantizers trained on the residuals
+      val cbNew = CodebookTrainer.cachedSphericalIvf(e, key, 16, 64, 2)
+      val meansNew = SimilarityQueries.cachedCellMeans(e, key, cbNew)
+      val cbResNew = CodebookTrainer.cachedPq(
+        SimilarityQueries.residualFrame(e, cbNew, meansNew),
+        s"$key/residual", 8, 8, 16, 2)
+      SimilarityQueries.stagedRebuildResidualCodes(
+        e, codes, cbNew, meansNew, cbResNew)
+
+      val served = SimilarityQueries.ivfPqResidualServeFromCodes(
+        e, SimilarityQueries.codesForServe(
+          spark, codes, cbNew, meansNew, cbResNew),
+        cbNew, meansNew, cbResNew, 10).collect().toSeq
+      assert(served == SimilarityQueries.ivfPqResidualPipeline(
+        e, cbNew, meansNew, cbResNew, 10).collect().toSeq,
+        "post-swap residual serve != in-query reference under new triple")
+
+      // an append under the RETIRED triple is the mixed-frame write
+      val boom = intercept[IllegalStateException] {
+        SimilarityQueries.appendToResidualCodesIdempotent(
+          e.limit(5), codes, 1L, cbOld, meansOld, cbResOld)
+      }
+      assert(boom.getMessage.contains("layout pin mismatch"), boom.getMessage)
+    }
+  }
+
   test("rebuildSwap refuses a table with unacked (replayable) batch files") {
     withTempDir { root =>
       val e = Tables.load(spark, sf, "embeddings")
