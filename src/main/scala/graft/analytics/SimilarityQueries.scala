@@ -917,7 +917,8 @@ object SimilarityQueries {
       if (corpusBytes <= threshold) (e, cand)
       else {
         val rows = cand.collect().toSeq
-        val ids = rows.map(_.getLong(1)).distinct
+        val nIdAt = cand.schema.fieldIndex("n_id")
+        val ids = rows.map(_.getLong(nIdAt)).distinct
         (e.filter(col("vec_id").isin(ids: _*)),
           localDf(s, cand.schema, rows))
       }

@@ -999,6 +999,13 @@ object IncrementalParquet {
     * generation); after install, before the parked delete → roll
     * forward is a delete. Some complete generation is serveable at
     * every point.
+    *
+    * The `build` lambda owns the NEW generation's layout pin IN FULL:
+    * the swap copies nothing from the old pin, because every layout
+    * property (sort columns, bucket counts, model digests) describes
+    * BYTES, and the staged bytes are new — carrying an old generation's
+    * props forward would re-certify them unchecked against a layout
+    * that may deliberately differ.
     */
   def rebuildSwap(spark: SparkSession, dirStr: String, partCol: String)(
       build: String => Unit): Unit = {
