@@ -470,6 +470,42 @@ object SimilarityQueries {
        |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
        |${ivfPqAdcTailSql("cent", "cent")}""".stripMargin
 
+  /** The trained residual chain as shared CTEs — coarse k-means
+    * (`c2` after the unrolled iterations), final assignment (`asgF` /
+    * `cellsF`), quantized per-cell means (`meanl` — exact BIGINT sums,
+    * the [[cellMeans]] mirror), and the float-rounded residual frame
+    * (`rz`). Expects CTE `e` upstream; composed by
+    * q_ann_ivfpq_residual and q_embed_outliers (one relational text
+    * for the chain, however many queries serve from it).
+    */
+  private def trainedResidualCtesSql: String =
+    s"""qz AS (SELECT vec_id, v,
+       |        [CAST(floor(x * 1048576.0 + 0.5) AS BIGINT) FOR x IN v] AS qv
+       |       FROM e),
+       |${fpIvfInitSql()},
+       |${kmeansIterSql(1, "c0")},
+       |${kmeansIterSql(2, "c1")},
+       |asgF AS (SELECT a.vec_id, c.c_id,
+       |          row_number() OVER (PARTITION BY a.vec_id
+       |            ORDER BY ${dotSql("a.v", "c.cv")} DESC, c.c_id) AS crank
+       |        FROM e a, c2 c),
+       |cellsF AS (SELECT vec_id AS n_id, c_id AS cell FROM asgF
+       |           WHERE crank = 1),
+       |mcnt AS (SELECT cell, COUNT(*) AS cnt FROM cellsF GROUP BY cell),
+       |msum AS (SELECT cf.cell, i.i AS j, CAST(sum(z.qv[i.i]) AS BIGINT) AS s
+       |         FROM cellsF cf, qz z, (SELECT unnest(range(1, 65)) AS i) i
+       |         WHERE z.vec_id = cf.n_id
+       |         GROUP BY cf.cell, i.i),
+       |meanl AS (SELECT s.cell,
+       |            list(CAST(s.s AS DOUBLE) / CAST(c.cnt AS DOUBLE)
+       |                 / 1048576.0 ORDER BY s.j) AS mv
+       |          FROM msum s JOIN mcnt c ON c.cell = s.cell GROUP BY s.cell),
+       |rz AS (SELECT cf.n_id AS vec_id,
+       |         [CAST(CAST(z.v[i] - m.mv[i] AS FLOAT) AS DOUBLE)
+       |          FOR i IN range(1, 65)] AS v
+       |       FROM cellsF cf JOIN e z ON z.vec_id = cf.n_id
+       |            JOIN meanl m ON m.cell = cf.cell)""".stripMargin
+
   /** q_ann_filtered_indexed's oracle: the stored-index filtered serve
     * re-derived relationally — coarse cells over the pinned codebook,
     * the metadata filter as a PRE-candidate join on the cell table
@@ -1630,35 +1666,10 @@ object SimilarityQueries {
     GraftQuery(
       "q_ann_ivfpq_residual",
       s"""WITH e AS ($embDoubleSql),
-         |qz AS (SELECT vec_id, v,
-         |        [CAST(floor(x * 1048576.0 + 0.5) AS BIGINT) FOR x IN v] AS qv
-         |       FROM e),
-         |${fpIvfInitSql()},
-         |${kmeansIterSql(1, "c0")},
-         |${kmeansIterSql(2, "c1")},
+         |$trainedResidualCtesSql,
          |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
-         |asgF AS (SELECT a.vec_id, c.c_id,
-         |          row_number() OVER (PARTITION BY a.vec_id
-         |            ORDER BY ${dotSql("a.v", "c.cv")} DESC, c.c_id) AS crank
-         |        FROM e a, c2 c),
-         |cellsF AS (SELECT vec_id AS n_id, c_id AS cell FROM asgF
-         |           WHERE crank = 1),
          |probes AS (SELECT vec_id AS q_id, c_id AS cell FROM asgF
          |           WHERE vec_id < 10 AND crank <= 2),
-         |mcnt AS (SELECT cell, COUNT(*) AS cnt FROM cellsF GROUP BY cell),
-         |msum AS (SELECT cf.cell, i.i AS j, CAST(sum(z.qv[i.i]) AS BIGINT) AS s
-         |         FROM cellsF cf, qz z, (SELECT unnest(range(1, 65)) AS i) i
-         |         WHERE z.vec_id = cf.n_id
-         |         GROUP BY cf.cell, i.i),
-         |meanl AS (SELECT s.cell,
-         |            list(CAST(s.s AS DOUBLE) / CAST(c.cnt AS DOUBLE)
-         |                 / 1048576.0 ORDER BY s.j) AS mv
-         |          FROM msum s JOIN mcnt c ON c.cell = s.cell GROUP BY s.cell),
-         |rz AS (SELECT cf.n_id AS vec_id,
-         |         [CAST(CAST(z.v[i] - m.mv[i] AS FLOAT) AS DOUBLE)
-         |          FOR i IN range(1, 65)] AS v
-         |       FROM cellsF cf JOIN e z ON z.vec_id = cf.n_id
-         |            JOIN meanl m ON m.cell = cf.cell),
          |rqz AS (SELECT vec_id, v,
          |         [CAST(floor(x * 1048576.0 + 0.5) AS BIGINT) FOR x IN v] AS qv
          |        FROM rz),
@@ -1702,6 +1713,55 @@ object SimilarityQueries {
       val codes = Tables.parquetCachedSchema(s,
         incrementalResidualCodesPath(s, dir, cbIvf, means, cbPqRes))
       ivfPqResidualServeFromCodes(e, codes, cbIvf, means, cbPqRes, 10)
+    },
+
+    // ---------------------------------- embedding outlier pruning
+    // Per-cluster distance-quantile corpus cleaning — the embedding-
+    // space quality filter beside the lexical rules (the CLIP-score /
+    // LAION-style "drop the weirdest tail" step, and the k-means
+    // outlier criterion of classic data cleaning): every vector's
+    // squared distance to its OWN cell's mean, ranked within the
+    // cell, and the top ⌊n/20⌋ per cell (the 5% tail, integer-exact
+    // cut rk·20 ≤ n) flagged as outliers. Reuses the residual
+    // family's proven cross-engine chain verbatim — trained coarse
+    // books, exact quantized cell means, float-rounded residuals —
+    // so the oracle is the shared CTE text plus a dot, a window and
+    // an integer comparison; the distance is the strict left-to-right
+    // double dot of the float-rounded residual with itself (the
+    // q_ann_* discipline, so even the DISTANCES hash-match). Scale
+    // shape: one scan-stage assign+residual pass, ONE cell exchange
+    // shared by both window functions, no joins over the corpus.
+    GraftQuery(
+      "q_embed_outliers",
+      s"""WITH e AS ($embDoubleSql),
+         |$trainedResidualCtesSql,
+         |d AS (SELECT r.vec_id, cf.cell, ${dotSql("r.v", "r.v")} AS d2
+         |      FROM rz r JOIN cellsF cf ON cf.n_id = r.vec_id),
+         |rk AS (SELECT vec_id, cell, d2,
+         |         row_number() OVER (PARTITION BY cell
+         |           ORDER BY d2 DESC, vec_id) AS rk,
+         |         COUNT(*) OVER (PARTITION BY cell) AS n
+         |       FROM d)
+         |SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+         |  round(d2, 4) AS dist2, rk * 20 <= n AS is_outlier
+         |FROM rk ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val key = corpusKey(s, dir)
+      val cbIvf =
+        graft.operators.CodebookTrainer.cachedSphericalIvf(e, key, 16, 64, 2)
+      val means = cachedCellMeans(e, key, cbIvf)
+      val cell = PqExpressions.nearestCell(embNN, cbIvf, 64)
+      val res = residualFor(cell, means)
+      val wCell = Window.partitionBy(col("cell"))
+        .orderBy(col("d2").desc, col("vec_id"))
+      val wCnt = Window.partitionBy(col("cell"))
+      e.select(col("vec_id"), cell.as("cell"), dot(res, res).as("d2"))
+        .withColumn("rk", row_number().over(wCell))
+        .withColumn("n", count(lit(1)).over(wCnt))
+        .select(col("vec_id"), col("cell"),
+          round(col("d2"), 4).as("dist2"),
+          (col("rk") * 20 <= col("n")).as("is_outlier"))
+        .orderBy(col("vec_id"))
     },
 
     // ------------------------------------------- semantic dedup (SemDeDup)

@@ -989,7 +989,13 @@ object IncrementalParquet {
     * rows' membership in the rebuild snapshot is undecidable here, so
     * fail loudly and let the ingest settle first (single-writer, like
     * [[compact]]: run from the driver that owns the stream, between
-    * triggers).
+    * triggers). The BUILD step tolerates concurrent serves (including
+    * their [[recoverRebuildSwap]] heals — serve-safe by design), but
+    * the two SWAP renames must not interleave with a serve-side heal:
+    * a heal landing inside that µs window would roll the ready stage
+    * forward itself and this writer's second rename would then fail
+    * loudly on the already-completed swap (correct state, spurious
+    * error). Same-driver between-triggers discipline excludes it.
     *
     * Crash points (recovery in [[recoverRebuildSwap]], run as the
     * preamble of every call — serves should run it too after a crash):

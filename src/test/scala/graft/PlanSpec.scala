@@ -242,6 +242,18 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(4000))
   }
 
+  test("q_embed_outliers: scan-stage assign+residual, ONE cell exchange " +
+      "shared by both windows, no joins") {
+    val p = plan("q_embed_outliers")
+    // assignment + residual + self-dot all live in the scan projection;
+    // the only hash exchange is the per-cell window partitioning, and
+    // rank + count share it (same partition spec → one Window subtree
+    // chain, not two shuffles)
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("q_select_dsir_sampled: distributed top-k over the noised keys, " +
       "broadcast bucket models, no cartesian") {
     val p = plan("q_select_dsir_sampled")
