@@ -1925,6 +1925,82 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---------------------------------- cluster representative pick
+    // Keep-BEST-per-cluster curation — what production dedup actually
+    // ships: min-id keep (q_dedup_clusters' convention and FirstWins'
+    // encounter-order rule) is the right default for STREAMING
+    // determinism, but a batch curation pass prefers the highest-
+    // QUALITY member of each near-dup cluster (the C4/RefinedWeb-style
+    // "keep the best copy" rule). Composition: the same verified-pair
+    // closure as q_dedup_clusters (pairs served from the stored
+    // signature table), each clustered doc scored by the engine's
+    // heuristic quality, representative = rank 1 by (quality DESC,
+    // doc_id) within the cluster. Ranking runs on the RAW double score
+    // (identical IEEE chain on both engines — the cosine-rank
+    // discipline); the displayed score floors to 4 decimals
+    // (q_quality_score's rendering note). Scale shape: the closure's
+    // cost dominates; the pick adds one scan-stage quality projection,
+    // one doc_id equi-join against the (small) clustered-labels frame
+    // and one per-cluster window exchange.
+    GraftQuery(
+      "q_cluster_representative", {
+        def reCount(expr: String, pat: String) =
+          s"len(regexp_extract_all($expr, '$pat'))"
+        val quality =
+          s"""(least(1.0, CAST(${reCount("text", "\\S+")} AS DOUBLE) / 64.0)
+             |   * (CASE WHEN length(text) > 0
+             |           THEN CAST(${reCount("text", "[A-Za-z]")} AS DOUBLE)
+             |                / CAST(length(text) AS DOUBLE)
+             |           ELSE 0.0 END)
+             |   * (CASE WHEN length(text) > 0
+             |           THEN greatest(0.0,
+             |                  1.0 - (CAST(${reCount("text", "[.,;:!?]")} AS DOUBLE)
+             |                         / CAST(length(text) AS DOUBLE)) * 4.0)
+             |           ELSE 0.0 END))""".stripMargin
+        s"""${lshCandidatesSql("shs", "shs", recursive = true)},
+           |j AS (SELECT doc_a, doc_b FROM (
+           |        SELECT doc_a, doc_b,
+           |          CAST(len(list_intersect(ea, eb)) AS DOUBLE)
+           |            / (len(ea) + len(eb) - len(list_intersect(ea, eb))) AS jac
+           |        FROM pair)
+           |      WHERE jac >= 0.5),
+           |edges AS (SELECT doc_a AS u, doc_b AS v FROM j
+           |          UNION SELECT doc_b, doc_a FROM j),
+           |reach AS (
+           |  SELECT u AS node, u AS lab FROM (SELECT DISTINCT u FROM edges)
+           |  UNION
+           |  SELECT e.v AS node, r.lab FROM reach r JOIN edges e ON e.u = r.node),
+           |cl AS (SELECT node AS doc_id, min(lab) AS cluster_id
+           |       FROM reach GROUP BY node),
+           |q AS (SELECT doc_id, $quality AS q FROM c),
+           |r AS (SELECT cl.doc_id, cl.cluster_id, q.q,
+           |        row_number() OVER (PARTITION BY cl.cluster_id
+           |          ORDER BY q.q DESC, cl.doc_id) AS rk
+           |      FROM cl JOIN q ON q.doc_id = cl.doc_id)
+           |SELECT doc_id, cluster_id, floor(q * 10000) / 10000 AS quality,
+           |  rk = 1 AS keep
+           |FROM r ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      import graft.functions.TextFunctions.qualityScore
+      val pairs = lshCandidatesServed(s, dir, Seq("shs"))
+        .withColumn("jac", jaccard(col("shs_a"), col("shs_b")))
+        .filter(col("jac") >= 0.5)
+        .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"))
+      val labels = graft.operators.ConnectedComponents
+        .runAdaptive(pairs, "doc_a", "doc_b")._1
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      val scored = nearDupCorpus(t(s, dir, "documents"))
+        .select(col("doc_id"), qualityScore(col("text")).as("q"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id")).orderBy(col("q").desc, col("doc_id"))
+      labels.join(scored, "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .select(col("doc_id"), col("cluster_id"),
+          (floor(col("q") * 10000) / 10000).as("quality"),
+          (col("rk") === 1).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     // -------------------------------------- incremental cluster fold
     // The cluster-MAINTENANCE path under the driver's hash gate: the
     // other O(corpus)-per-batch stage a continuously-ingesting dedup

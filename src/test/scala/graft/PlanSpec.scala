@@ -358,7 +358,8 @@ class PlanSpec extends SparkSpec {
     // LM-score model joins must all plan as equi-joins — a cartesian
     // or nested-loop here is the quadratic regression the blockings
     // exist to prevent
-    for (q <- Seq("q_dedup_simhash64", "q_fuzzy_pairs", "q_lm_score")) {
+    for (q <- Seq("q_dedup_simhash64", "q_fuzzy_pairs", "q_lm_score",
+        "q_cluster_representative")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1500)}")
       // q_lm_score's ONE allowed nested-loop is the broadcast 1-row
