@@ -386,6 +386,23 @@ object SimilarityQueries {
     m.clone()
   }
 
+  /** Scan-stage embedding-outlier scores against a FROZEN (coarse
+    * books, cell means) generation: (vec_id, cell, d2) where d2 is the
+    * strict left-to-right double self-dot of the float-rounded
+    * residual — ‖v − mean(cell)‖² in the exact precision chain the
+    * residual family pins cross-engine. Shared by the gated per-cell
+    * quantile form (q_embed_outliers) and the streaming gate
+    * ([[graft.streaming.StreamingPipeline.outlierGate]]): no join, no
+    * exchange — the parameters compile into the kernels.
+    */
+  def embedOutlierScores(
+      vecs: DataFrame, cbIvf: Array[Double],
+      means: Array[Double]): DataFrame = {
+    val cell = PqExpressions.nearestCell(embNN, cbIvf, 64)
+    val res = residualFor(cell, means)
+    vecs.select(col("vec_id"), cell.as("cell"), dot(res, res).as("d2"))
+  }
+
   /** Corpus view whose `embedding` column is each vector's residual
     * w.r.t. its assigned cell's mean — the training input for residual
     * sub-quantizers (feeds [[graft.operators.CodebookTrainer.trainPq]]
@@ -1750,12 +1767,10 @@ object SimilarityQueries {
       val cbIvf =
         graft.operators.CodebookTrainer.cachedSphericalIvf(e, key, 16, 64, 2)
       val means = cachedCellMeans(e, key, cbIvf)
-      val cell = PqExpressions.nearestCell(embNN, cbIvf, 64)
-      val res = residualFor(cell, means)
       val wCell = Window.partitionBy(col("cell"))
         .orderBy(col("d2").desc, col("vec_id"))
       val wCnt = Window.partitionBy(col("cell"))
-      e.select(col("vec_id"), cell.as("cell"), dot(res, res).as("d2"))
+      embedOutlierScores(e, cbIvf, means)
         .withColumn("rk", row_number().over(wCell))
         .withColumn("n", count(lit(1)).over(wCnt))
         .select(col("vec_id"), col("cell"),

@@ -949,6 +949,25 @@ object StreamingPipeline {
       .withColumn("contaminated", col("n_matched") >= minWindows)
   }
 
+  /** Streaming embedding-outlier gate — q_embed_outliers' online
+    * sibling, and the embedding-space member of the quality-gate
+    * family (decontamination, perplexity, span contamination):
+    * arriving vectors score ‖v − mean(cell)‖² against a FROZEN
+    * (codebook, means) generation ENTIRELY scan-stage — the
+    * parameters compile into the kernels, so the gate carries no
+    * join and no state; verdicts are a pure per-row function, hence
+    * trivially idempotent under replay. The threshold is CALIBRATED
+    * OFFLINE from the batch form's per-cell quantiles — an in-stream
+    * per-batch quantile would make a vector's verdict depend on its
+    * batch's composition (non-reproducible under re-batching, the
+    * failure mode the deterministic-sampling family exists to avoid).
+    */
+  def outlierGate(
+      vecs: DataFrame, cbIvf: Array[Double], means: Array[Double],
+      maxD2: Double): DataFrame =
+    graft.analytics.SimilarityQueries.embedOutlierScores(vecs, cbIvf, means)
+      .withColumn("outlier", col("d2") > maxD2)
+
   /** Stream-stream interval join (J6 streaming form): purchases joined
     * to the same user's clicks from the preceding `window`. Watermarks
     * on BOTH sides + the time-bound condition let the state store evict

@@ -325,6 +325,53 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming embedding-outlier gate: scan-stage verdicts match the " +
+      "batch scorer against the frozen generation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val key = graft.core.Tables.derivedStateKey(
+      spark, "/root/testdata/sf0.001", "embeddings")
+    val cbIvf = graft.operators.CodebookTrainer
+      .cachedSphericalIvf(e, key, 16, 64, 2)
+    val means = graft.analytics.SimilarityQueries.cachedCellMeans(e, key, cbIvf)
+    // threshold calibrated offline: the batch scorer's median d2 —
+    // splits the corpus so both verdicts provably occur
+    val d2s = graft.analytics.SimilarityQueries
+      .embedOutlierScores(e, cbIvf, means)
+      .select("d2").collect().map(_.getDouble(0)).sorted
+    val maxD2 = d2s(d2s.length / 2)
+    val arrivals = e.limit(64)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect()
+    val input = MemoryStream[(Long, Array[Float])]
+    val query = StreamingPipeline
+      .outlierGate(input.toDF().toDF("vec_id", "embedding"),
+        cbIvf, means, maxD2)
+      .writeStream.format("memory").queryName("outlier_gate")
+      .outputMode("append").start()
+    try {
+      input.addData(arrivals.toSeq)
+      query.processAllAvailable()
+      val streamed = spark.table("outlier_gate").collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Double]("d2"), r.getAs[Boolean]("outlier")))).toMap
+      val batch = graft.analytics.SimilarityQueries
+        .embedOutlierScores(e.limit(64), cbIvf, means)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(streamed.keySet == batch.keySet)
+      // frozen-generation scoring is a pure per-row function: the
+      // streamed d2 equals the batch d2 bit-for-bit, verdict included
+      streamed.foreach { case (id, (d2, flag)) =>
+        assert(d2 == batch(id), s"vec $id: streamed $d2 != batch ${batch(id)}")
+        assert(flag == (d2 > maxD2))
+      }
+      assert(streamed.values.exists(_._2) && streamed.values.exists(!_._2),
+        "threshold did not split the arrivals — test not probative")
+    } finally query.stop()
+  }
+
   test("streaming span gate flags arrivals carrying a copied >=8-token run") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
