@@ -890,6 +890,55 @@ object CorpusPrepQueries {
         .orderBy(col("rank"))
     },
 
+    // ------------------------------- DSIR to a TOKEN budget
+    // What a training run actually buys is tokens, not documents: the
+    // budgeted form selects the greedy weight-ordered prefix whose
+    // cumulative token count first covers the budget (every doc whose
+    // PRECEDING selection is still under budget — the last one may
+    // overshoot, the standard greedy-prefix convention). Scale shape:
+    // any selected doc has rank ≤ budget (each contributes ≥1 token),
+    // so the plan cuts to the top-`budget` docs FIRST via the
+    // distributed TakeOrderedAndProject — the cumulative-sum window
+    // (inherently a global prefix scan) then runs over ≤budget rows,
+    // never over the corpus. All-integer cumulative arithmetic; rank
+    // ties broken by doc_id; cross-engine exact like its siblings.
+    GraftQuery(
+      "q_select_dsir_budget",
+      s"""WITH $dsirWaCtesSql,
+         |tk AS (SELECT doc_id,
+         |         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+         |           AS n_tok
+         |       FROM documents),
+         |r AS (SELECT wa.doc_id, wa.w, tk.n_tok,
+         |        CAST(row_number() OVER (ORDER BY wa.w DESC, wa.doc_id)
+         |             AS INTEGER) AS rank,
+         |        CAST(sum(tk.n_tok) OVER (ORDER BY wa.w DESC, wa.doc_id
+         |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+         |      FROM wa JOIN tk ON tk.doc_id = wa.doc_id)
+         |SELECT doc_id, rank, n_tok, cum_tok,
+         |  floor(w * 1000) / 1000 AS weight
+         |FROM r WHERE cum_tok - n_tok < 4096 ORDER BY rank""".stripMargin) {
+      (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val budget = 4096L
+      val wa = dsirWeights(docs, col("source").isin("src0", "src1"))
+      val toks = docs.select(col("doc_id"),
+        tokenCount(col("text")).cast(LongType).as("n_tok"))
+      // distributed top-k cut BEFORE the prefix windows: ≥1 token per
+      // doc bounds the greedy prefix at `budget` docs
+      val cand = wa.join(toks, "doc_id")
+        .orderBy(col("w").desc, col("doc_id")).limit(budget.toInt)
+      val ord = Window.orderBy(col("w").desc, col("doc_id"))
+      val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cand
+        .withColumn("rank", row_number().over(ord).cast(IntegerType))
+        .withColumn("cum_tok", sum(col("n_tok")).over(cum).cast(LongType))
+        .filter(col("cum_tok") - col("n_tok") < budget)
+        .select(col("doc_id"), col("rank"), col("n_tok"), col("cum_tok"),
+          (floor(col("w") * 1000) / 1000).as("weight"))
+        .orderBy(col("rank"))
+    },
+
     // -------------------------------- trained quality classifier (LR)
     // Model-based quality filtering: logistic regression distilled
     // from the composite heuristic verdict, trained in-engine by

@@ -583,6 +583,53 @@ object TextQueries {
       val model = Tables.parquetCachedSchema(s, incrementalLmModelPath(s, dir))
       scoreBitsPerBigram(t(s, dir, "documents"), model)
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------ CCNet perplexity bucketing
+    // CCNet's actual corpus-split step (Wenzek et al. 2020): within
+    // each source (CCNet splits per language; source is this corpus's
+    // stand-in), documents rank by LM perplexity and split into
+    // head / middle / tail terciles — head (lowest bits-per-bigram,
+    // most model-like) trains as-is, middle gets filtered harder,
+    // tail is usually dropped. The cut is integer-exact
+    // (rk·3 ≤ n / rk·3 ≤ 2n over the per-source rank), ranking on the
+    // already-gated floored bits with doc_id tie-break, so the bucket
+    // assignment is cross-engine deterministic end to end. Serves from
+    // the STORED model (train-once memoized — the q_lm_score
+    // discipline); only docs with ≥1 bigram are scored, exactly as
+    // q_lm_score emits. Scale shape: the scoring pass + one doc_id
+    // join + one per-source window exchange.
+    GraftQuery(
+      "q_ccnet_buckets",
+      s"""WITH $lmScoredCtesSql,
+         |src AS (SELECT l.doc_id, d.source, l.bits_per_bigram
+         |        FROM lmdoc l JOIN documents d ON d.doc_id = l.doc_id),
+         |rk AS (SELECT doc_id, source, bits_per_bigram,
+         |         row_number() OVER (PARTITION BY source
+         |           ORDER BY bits_per_bigram, doc_id) AS rk,
+         |         COUNT(*) OVER (PARTITION BY source) AS n
+         |       FROM src)
+         |SELECT doc_id, source, bits_per_bigram,
+         |  CASE WHEN rk * 3 <= n THEN 'head'
+         |       WHEN rk * 3 <= 2 * n THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket
+         |FROM rk ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val model = Tables.parquetCachedSchema(s, lmModelPath(s, dir))
+      val scored = scoreBitsPerBigram(t(s, dir, "documents"), model)
+      val srcs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("bits_per_bigram"), col("doc_id"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+      scored.join(srcs, "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wc))
+        .select(col("doc_id"), col("source"), col("bits_per_bigram"),
+          when(col("rk") * 3 <= col("n"), "head")
+            .when(col("rk") * 3 <= col("n") * 2, "middle")
+            .otherwise("tail").as("ppl_bucket"))
+        .orderBy(col("doc_id"))
     })
 
   /** q_top_terms' full-recompute DuckDB mirror — shared verbatim by
@@ -601,11 +648,12 @@ object TextQueries {
       |SELECT doc_id, rnk, term, tf, df
       |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
-  /** q_lm_score's full-retrain DuckDB mirror — shared verbatim by
-    * q_lm_score_incr (one oracle text per result relation).
+  /** The full-retrain LM scoring chain through the per-doc relation
+    * `lmdoc(doc_id, n_bigrams, bits_per_bigram)` — shared by
+    * q_lm_score / q_lm_score_incr and the CCNet bucketing oracle.
     */
-  private def lmScoreSql: String =
-    s"""WITH tk AS (
+  private[analytics] def lmScoredCtesSql: String =
+    s"""tk AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts
        |  FROM documents),
        |bg AS (
@@ -625,10 +673,19 @@ object TextQueries {
        |  FROM bg b
        |  JOIN model m ON b.bigram = m.bigram
        |  JOIN lefts l ON split_part(b.bigram, ' ', 1) = l.w1
-       |  CROSS JOIN vocab)
-       |SELECT doc_id,
-       |  CAST(count(*) AS BIGINT) AS n_bigrams,
-       |  floor(-list_reduce(list(logp ORDER BY pos), (a, x) -> a + x)
-       |        / count(*) * 1000) / 1000 AS bits_per_bigram
-       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |  CROSS JOIN vocab),
+       |lmdoc AS (
+       |  SELECT doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    floor(-list_reduce(list(logp ORDER BY pos), (a, x) -> a + x)
+       |          / count(*) * 1000) / 1000 AS bits_per_bigram
+       |  FROM scored GROUP BY doc_id)""".stripMargin
+
+  /** q_lm_score's full-retrain DuckDB mirror — shared verbatim by
+    * q_lm_score_incr (one oracle text per result relation).
+    */
+  private def lmScoreSql: String =
+    s"""WITH $lmScoredCtesSql
+       |SELECT doc_id, n_bigrams, bits_per_bigram
+       |FROM lmdoc ORDER BY doc_id""".stripMargin
 }

@@ -262,6 +262,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(4000))
   }
 
+  test("q_select_dsir_budget: distributed top-k cut BEFORE the prefix " +
+      "windows, no cartesian") {
+    val p = plan("q_select_dsir_budget")
+    // the budget-bounded candidate cut must be the distributed top-k
+    // (each doc carries ≥1 token ⇒ the greedy prefix has ≤budget
+    // docs); the cumulative-sum window then sees ≤budget rows, never
+    // a corpus-wide global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
+  test("q_ccnet_buckets: serves from the stored LM model — no retraining; " +
+      "single per-source window exchange after scoring") {
+    val p = plan("q_ccnet_buckets")
+    assert(p.contains("graft-lm-model"), p.take(3000))
+    assert(!p.toLowerCase.contains("distinct"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("ivfPqResidualPipeline (in-query reference form): residual encode is " +
       "a scan-stage kernel, broadcast cell equi-join, no cartesian/BNL") {
     val e = graft.core.Tables.load(spark, dir, "embeddings")
