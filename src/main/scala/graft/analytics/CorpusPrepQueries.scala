@@ -895,20 +895,26 @@ object CorpusPrepQueries {
     // budgeted form selects the greedy weight-ordered prefix whose
     // cumulative token count first covers the budget (every doc whose
     // PRECEDING selection is still under budget — the last one may
-    // overshoot, the standard greedy-prefix convention). Scale shape:
-    // any selected doc has rank ≤ budget (each contributes ≥1 token),
-    // so the plan cuts to the top-`budget` docs FIRST via the
-    // distributed TakeOrderedAndProject — the cumulative-sum window
-    // (inherently a global prefix scan) then runs over ≤budget rows,
-    // never over the corpus. All-integer cumulative arithmetic; rank
-    // ties broken by doc_id; cross-engine exact like its siblings.
+    // overshoot, the standard greedy-prefix convention). Zero-token
+    // docs are excluded UP FRONT on both sides: they contribute
+    // nothing a training run buys, and — load-bearing for the plan —
+    // every candidate then advances the cumulative sum by ≥1, so any
+    // selected doc has rank ≤ budget and the plan cuts to the
+    // top-`budget` docs FIRST via the distributed
+    // TakeOrderedAndProject; the cumulative-sum window (inherently a
+    // global prefix scan) runs over ≤budget rows, never the corpus
+    // (without the exclusion, a run of zero-token docs inside the
+    // prefix could push true selections past any fixed cut).
+    // All-integer cumulative arithmetic; rank ties broken by doc_id;
+    // cross-engine exact like its siblings.
     GraftQuery(
       "q_select_dsir_budget",
       s"""WITH $dsirWaCtesSql,
          |tk AS (SELECT doc_id,
          |         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
          |           AS n_tok
-         |       FROM documents),
+         |       FROM documents
+         |       WHERE len(regexp_extract_all(text, '\\S+')) >= 1),
          |r AS (SELECT wa.doc_id, wa.w, tk.n_tok,
          |        CAST(row_number() OVER (ORDER BY wa.w DESC, wa.doc_id)
          |             AS INTEGER) AS rank,
@@ -924,6 +930,7 @@ object CorpusPrepQueries {
       val wa = dsirWeights(docs, col("source").isin("src0", "src1"))
       val toks = docs.select(col("doc_id"),
         tokenCount(col("text")).cast(LongType).as("n_tok"))
+        .filter(col("n_tok") >= 1)
       // distributed top-k cut BEFORE the prefix windows: ≥1 token per
       // doc bounds the greedy prefix at `budget` docs
       val cand = wa.join(toks, "doc_id")
