@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.analytics.{AdvancedQueries, CoreQueries, CorpusPrepQueries, DedupQueries, ExtendedQueries, GraftQuery, MultimodalQueries, PipelineQueries, SimilarityQueries, TextQueries}
+import graft.analytics.{AdvancedQueries, CoreQueries, CorpusPrepQueries, DedupQueries, ExtendedQueries, GraftQuery, MultimodalQueries, PipelineQueries, RetrievalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +18,8 @@ object SparkEntry {
   def catalog: Seq[GraftQuery] =
     PipelineQueries.all ++ CoreQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
-      ExtendedQueries.all ++ AdvancedQueries.all ++ CorpusPrepQueries.all
+      ExtendedQueries.all ++ AdvancedQueries.all ++ CorpusPrepQueries.all ++
+      RetrievalQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A multi-
     * operator slice: star join + filter + agg + top-k (TPC-H Q5 shape).

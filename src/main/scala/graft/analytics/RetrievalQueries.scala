@@ -1,0 +1,441 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+import graft.core.Tables
+import graft.functions.SimilarityFunctions.{dot, l2Norm}
+import graft.functions.TextFunctions.tokens
+import graft.analytics.SimilarityQueries.{dotSql, embDoubleSql}
+
+/** Lexical retrieval over the document corpus — the keyword half of the
+  * retrieval stack the ANN family provides the vector half of. Okapi
+  * BM25 (Robertson et al., TREC-3) top-k search, a stored inverted
+  * postings index with the engine's exactly-once incremental lifecycle,
+  * and reciprocal-rank fusion (Cormack et al. 2009) of the lexical and
+  * vector rankings — the standard hybrid-search combiner.
+  *
+  * Cross-engine exactness (the hash-gate discipline):
+  *
+  *   - The BM25 term-frequency normalization is computed as ONE exact
+  *     integer ratio. With k1 = 6/5 and b = 3/4 the textbook form
+  *     tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), avgdl = totlen/N,
+  *     rearranges to
+  *
+  *         44·tf·totlen / (20·tf·totlen + 6·totlen + 18·dl·N)
+  *
+  *     — every operand a BIGINT (exact while 44·tf·totlen < 2⁶³, i.e.
+  *     tf·totlen < 2·10¹⁷: a 100 TB corpus at ~10¹³ tokens with tf ≤
+  *     10³ sits at 10¹⁶; DuckDB widens to HUGEINT, Spark's headroom is
+  *     documented here) — followed by exactly one INT→DOUBLE conversion
+  *     per side (IEEE round-to-nearest, identical in both engines) and
+  *     one IEEE division.
+  *   - idf = log2(1 + (N − df + ½)/(df + ½)) (the Lucene always-
+  *     positive variant) runs libm log2 on a bit-identical argument and
+  *     is quantized to the 2⁻³⁰ dyadic grid ([[TextQueries.quantizeLog2]])
+  *     so a 1-ulp cross-engine log2 difference cannot reach the sum —
+  *     the exact mechanism the LM perplexity gate proved.
+  *   - Per-candidate scores fold in TERM order (sort_array → left fold
+  *     / DuckDB `list(... ORDER BY term)` → list_reduce), so the float
+  *     sum is order-identical; ranking runs on the raw folded double
+  *     (bit-identical), display rounds after.
+  *
+  * 100 TB shape: the query-term table is tiny (queries × top terms) and
+  * broadcasts; corpus postings semi-join it BEFORE any aggregation, so
+  * candidate mass is bounded by the posting lists of the query terms —
+  * the inverted-index access path, not a corpus scan. df/dl/totlen/N
+  * are corpus STATE (stored, incrementally maintained — see
+  * [[incrementalPostingsDirs]]); the served form never tokenizes the
+  * corpus. This synthetic corpus's 31-word vocabulary makes every term
+  * a stopword (posting lists ≈ the corpus), which exercises the worst
+  * case; a real vocabulary prunes by orders of magnitude.
+  *
+  * Reference anchor: the reference pipeline has no search operator —
+  * this family is part of the training-data-curation surface (query-
+  * based decontamination, targeted corpus audit) the 100 TB engine
+  * needs beyond the reference's ingest scope.
+  */
+object RetrievalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Number of query documents (doc_id < NQueries) and query terms per
+    * document — the per-doc salient terms become the lexical query,
+    * mirroring the ANN family's "first n vectors are the query set".
+    */
+  private val NQueries = 5
+  private val TermsPerQuery = 3
+  private val TopK = 10
+  /** Per-family candidate depth feeding the RRF fusion. */
+  private val FuseDepth = 20
+
+  // ------------------------------------------------------------------
+  // Shared oracle SQL
+  // ------------------------------------------------------------------
+
+  /** The BM25 chain through the ranked relation `bmr(q_id, n_id,
+    * matched, score, rank)` — shared verbatim by q_bm25_topk,
+    * q_bm25_served (full-recompute oracle for the stored-index serve)
+    * and the hybrid fusion oracle.
+    */
+  private[analytics] def bm25CtesSql: String =
+    s"""tokq AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+       |         FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tokq GROUP BY doc_id),
+       |gs AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |              (SELECT count(*) FROM tokq) AS totlen),
+       |qtf AS (SELECT doc_id AS q_id, term, count(*) AS tf FROM tokq
+       |        WHERE doc_id < $NQueries GROUP BY doc_id, term),
+       |qt AS (SELECT q_id, term FROM (
+       |         SELECT q_id, term, row_number() OVER (PARTITION BY q_id
+       |           ORDER BY tf DESC, term) AS rk FROM qtf)
+       |       WHERE rk <= $TermsPerQuery),
+       |pst AS (SELECT doc_id, term, count(*) AS tf FROM tokq
+       |        WHERE term IN (SELECT DISTINCT term FROM qt)
+       |        GROUP BY doc_id, term),
+       |dft AS (SELECT term, count(*) AS df FROM pst GROUP BY term),
+       |idf AS (SELECT d.term,
+       |          floor(log2(1.0 + (g.n - d.df + 0.5) / (d.df + 0.5))
+       |                * 1073741824.0) / 1073741824.0 AS idf
+       |        FROM dft d, gs g),
+       |sc AS (SELECT q.q_id, p.doc_id AS n_id, p.term,
+       |         i.idf * (CAST(44 * p.tf * g.totlen AS DOUBLE)
+       |                  / CAST(20 * p.tf * g.totlen + 6 * g.totlen
+       |                         + 18 * l.dl * g.n AS DOUBLE)) AS sc
+       |       FROM qt q
+       |       JOIN pst p ON p.term = q.term AND p.doc_id <> q.q_id
+       |       JOIN idf i ON i.term = q.term
+       |       JOIN dl l ON l.doc_id = p.doc_id
+       |       CROSS JOIN gs g),
+       |bagg AS (SELECT q_id, n_id,
+       |           CAST(count(*) AS INTEGER) AS matched,
+       |           list_reduce(list(sc ORDER BY term), (a, x) -> a + x) AS score
+       |         FROM sc GROUP BY q_id, n_id),
+       |bmr AS (SELECT q_id, n_id, matched, score,
+       |          CAST(row_number() OVER (PARTITION BY q_id
+       |            ORDER BY score DESC, n_id) AS INTEGER) AS rank
+       |        FROM bagg)""".stripMargin
+
+  private def bm25TopkSql: String =
+    s"""WITH $bm25CtesSql
+       |SELECT q_id, n_id, rank, matched,
+       |  floor(score * 10000) / 10000 AS bm25
+       |FROM bmr WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Shared Spark-side pieces
+  // ------------------------------------------------------------------
+
+  /** The salient-term query set (q_id, term) for documents doc_id <
+    * NQueries: top terms by (tf DESC, term) WITHIN the query document —
+    * integer-exact ranking, no corpus state, so the query side is a
+    * pure function of the query docs alone.
+    */
+  private def queryTerms(docs: DataFrame): DataFrame = {
+    val qtok = docs.filter(col("doc_id") < NQueries)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+    val wq = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("term"))
+    qtok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= TermsPerQuery)
+      .select(col("doc_id").as("q_id"), col("term"))
+  }
+
+  /** BM25 ranked candidates `(q_id, n_id, matched, score, rank)` from
+    * the corpus-state relations: `pst(doc_id, term, tf)` already
+    * restricted to query terms, `dl(doc_id, dl)`, and the 1-row
+    * `gs(n, totlen)`. Shared by the one-shot, served and hybrid forms —
+    * only WHERE the state comes from differs (recompute vs stored).
+    */
+  private def bm25Ranked(
+      qt: DataFrame, pst: DataFrame, dl: DataFrame, gs: DataFrame): DataFrame = {
+    // term-partition barrier: both consumers below (the df aggregation
+    // and the scoring join) read `p` behind the SAME exchange, so
+    // ReuseExchange runs the postings subtree ONCE — without it each
+    // reference re-executes the tokenize/scan chain (the q_top_terms
+    // lesson; 5 full-corpus tokenizer passes in this query's first
+    // plan shape, 1 after)
+    val p = pst.repartition(col("term"))
+    // df of the query terms only — derived from the already-filtered
+    // postings, so the aggregation is posting-list-sized; the 1-row
+    // (n, totlen) scalars ride the broadcast idf frame so their
+    // subtree is referenced exactly once in the whole plan
+    val dft = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = dft.crossJoin(broadcast(gs)).select(col("term"),
+      TextQueries.quantizeLog2(log2(lit(1.0) +
+        (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))).as("idf"),
+      col("n"), col("totlen"))
+    // one exact integer ratio per (candidate, term): BIGINT products
+    // (exact — headroom documented in the object scaladoc), ONE cast to
+    // double per side, one IEEE division, one IEEE multiply
+    val sc = broadcast(qt)
+      .join(p.withColumnRenamed("doc_id", "n_id"), Seq("term"))
+      .filter(col("n_id") =!= col("q_id"))
+      .join(broadcast(idf), Seq("term"))
+      .join(dl.withColumnRenamed("doc_id", "n_id"), Seq("n_id"))
+      .select(col("q_id"), col("n_id"), col("term"),
+        (col("idf") *
+          ((lit(44L) * col("tf") * col("totlen")).cast("double") /
+            (lit(20L) * col("tf") * col("totlen") + lit(6L) * col("totlen")
+              + lit(18L) * col("dl") * col("n")).cast("double"))).as("sc"))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id"))
+    // fold per-term scores in TERM order so the double sum is
+    // order-identical with the oracle's list_reduce(list(... ORDER BY term))
+    sc.groupBy(col("q_id"), col("n_id"))
+      .agg(count(lit(1)).cast(IntegerType).as("matched"),
+        aggregate(
+          sort_array(collect_list(struct(col("term"), col("sc")))),
+          lit(0.0d), (acc, x) => acc + x.getField("sc")).as("score"))
+      .withColumn("rank", row_number().over(wr).cast(IntegerType))
+  }
+
+  private def bm25Project(ranked: DataFrame): DataFrame =
+    ranked.filter(col("rank") <= TopK)
+      .select(col("q_id"), col("n_id"), col("rank"), col("matched"),
+        (floor(col("score") * 10000) / 10000).as("bm25"))
+      .orderBy(col("q_id"), col("rank"))
+
+  /** Full-recompute corpus state from the documents table: postings
+    * restricted to the query terms, per-doc length, and the 1-row
+    * (n, totlen) scalars.
+    */
+  private def recomputedState(
+      docs: DataFrame, qt: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val tok = docs.select(col("doc_id"),
+      explode(tokens(lower(col("text")))).as("term"))
+    // semi-join the (tiny, broadcast) query-term set BEFORE the tf
+    // aggregation: only matching postings ever reach an exchange
+    val pst = tok.join(broadcast(qt.select("term").distinct()), Seq("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // doc length and corpus totals via regexp_count — scan-stage
+    // projections with NO array materialization, explode or exchange
+    // (the q_token_stats lesson); counting '\S+' matches equals
+    // counting exploded tokens, so the oracle's groupBy form agrees
+    val dl = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+        .as("dl"))
+    val gs = docs.agg(count(lit(1)).as("n"),
+      sum(graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+        .as("totlen"))
+    (pst, dl, gs)
+  }
+
+  // ------------------------------------------------------------------
+  // Stored inverted postings — the engine's incremental-lifecycle
+  // discipline applied to the lexical index: postings (doc_id, term,
+  // tf) and doc stats (doc_id, dl) are document-keyed and immutable
+  // (a doc's postings never change), so incremental maintenance is
+  // pure exactly-once APPEND of each batch's rows — the ack protocol
+  // is the correctness condition (a replayed batch would double every
+  // tf), exactly as for the df table in TextQueries. The doc-count
+  // table is sum-mergeable semigroup state. The SERVED query never
+  // tokenizes the corpus: scoring state comes entirely from the stored
+  // tables, and the full-recompute oracle checks the round trip.
+  // ------------------------------------------------------------------
+
+  /** A batch's postings rows: one (doc_id, term, tf) per distinct term
+    * of each batch doc, term-bucketed so a query-term join can prune.
+    */
+  private[graft] def postingsDeltas(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("bkt", pmod(hash(col("term")), lit(n)))
+
+  /** A batch's per-doc token counts (docs with zero tokens have no
+    * postings and are omitted — they can never join a query term).
+    */
+  private[graft] def docStatsDeltas(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .withColumn("bkt", pmod(hash(col("doc_id")), lit(n)))
+
+  /** A batch's doc-count delta — one row (counts EVERY batch doc,
+    * including token-less ones: N is the corpus size BM25's idf sees).
+    */
+  private[graft] def docCountDelta(docs: DataFrame): DataFrame =
+    docs.agg(count(lit(1)).as("n")).withColumn("bkt", lit(0))
+
+  private val mergeDocCounts: DataFrame => DataFrame =
+    _.groupBy(col("bkt")).agg(sum(col("n")).as("n"))
+
+  /** Exactly-once append of one batch's index rows into the three
+    * stored tables (postings / doc stats / doc count).
+    */
+  def appendToPostingsIdempotent(batch: DataFrame, pstDir: String,
+      dlDir: String, cntDir: String, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val nb = DedupQueries.tableBuckets(s, pstDir)
+    graft.sinks.IncrementalParquet.appendIdempotent(
+      s, pstDir, "bkt", batchId, Seq("term", "doc_id"),
+      Map("buckets" -> nb.toString))(postingsDeltas(batch, nb))
+    graft.sinks.IncrementalParquet.appendIdempotent(
+      s, dlDir, "bkt", batchId, Seq("doc_id"),
+      Map("buckets" -> nb.toString))(docStatsDeltas(batch, nb))
+    graft.sinks.IncrementalParquet.appendIdempotent(
+      s, cntDir, "bkt", batchId)(docCountDelta(batch))
+  }
+
+  /** Minor compaction: postings/doc-stats rows are disjoint across
+    * batches (document-keyed) so compaction only re-files them; the
+    * doc count sum-merges.
+    */
+  def compactPostingsMinor(
+      s: SparkSession, pstDir: String, dlDir: String, cntDir: String): Int =
+    graft.sinks.IncrementalParquet.compactMinor(s, pstDir, "bkt") +
+      graft.sinks.IncrementalParquet.compactMinor(s, dlDir, "bkt") +
+      graft.sinks.IncrementalParquet.compactMinor(
+        s, cntDir, "bkt", merge = mergeDocCounts)
+
+  private val storedPostings =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** THE incrementally-built postings index per corpus fingerprint —
+    * even half as batch 0, odd half as batch 1, minor compaction; the
+    * same split every stored-state family uses, so the oracle's
+    * full-recompute hash check pins append → compact → reconstruct.
+    */
+  private[graft] def incrementalPostingsDirs(
+      s: SparkSession, dir: String): (String, String, String) = {
+    val out = Tables.memoizedParquet(storedPostings,
+      Tables.derivedStateKey(s, dir, "documents") + "|postings",
+      "graft-postings-incr") { out =>
+      val docs = t(s, dir, "documents")
+      appendToPostingsIdempotent(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        s"$out/pst", s"$out/dl", s"$out/cnt", 0L)
+      appendToPostingsIdempotent(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        s"$out/pst", s"$out/dl", s"$out/cnt", 1L)
+      compactPostingsMinor(s, s"$out/pst", s"$out/dl", s"$out/cnt"); ()
+    }
+    (s"$out/pst", s"$out/dl", s"$out/cnt")
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ------------------------------------------------------ BM25 top-k
+    // Okapi BM25 keyword search: for each query document (doc_id < 5),
+    // its 3 most salient terms retrieve the top-10 corpus documents.
+    // Plan: tokenize → broadcast-semi-join on query terms → tf agg →
+    // idf broadcast → per-candidate ordered fold → per-query rank.
+    GraftQuery("q_bm25_topk", bm25TopkSql) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val qt = queryTerms(docs)
+      val (pst, dl, gs) = recomputedState(docs, qt)
+      bm25Project(bm25Ranked(qt, pst, dl, gs))
+    },
+
+    // Same oracle text, served from the STORED inverted index: the
+    // corpus never tokenizes at query time — postings, doc lengths and
+    // the (N, totlen) scalars all read from the incrementally-built
+    // tables (two exactly-once batches + compaction), and the
+    // full-recompute SQL checks nothing was lost on the round trip.
+    // This is the form a user runs at scale: query cost is bounded by
+    // the query terms' posting lists plus one doc-stats-sized scalar
+    // aggregation, independent of the corpus text.
+    GraftQuery("q_bm25_served", bm25TopkSql) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val (pstDir, dlDir, cntDir) = incrementalPostingsDirs(s, dir)
+      val qt = queryTerms(docs)
+      val pst = Tables.parquetCachedSchema(s, pstDir)
+        .join(broadcast(qt.select("term").distinct()), Seq("term"))
+        .select(col("doc_id"), col("term"), col("tf"))
+      val dlT = Tables.parquetCachedSchema(s, dlDir)
+        .select(col("doc_id"), col("dl"))
+      val gs = Tables.parquetCachedSchema(s, cntDir)
+        .agg(sum(col("n")).as("n"))
+        .crossJoin(Tables.parquetCachedSchema(s, dlDir)
+          .agg(sum(col("dl")).as("totlen")))
+      bm25Project(bm25Ranked(qt, pst, dlT, gs))
+    },
+
+    // ------------------------------------------- hybrid RRF retrieval
+    // Reciprocal-rank fusion (Cormack et al. 2009) of the lexical BM25
+    // ranking and the exact cosine vector ranking — the standard
+    // hybrid-search combiner (k = 60): rrf = Σ 1/(60 + rank) over the
+    // rankings that retrieved the doc within depth 20. Every fusion
+    // term is one IEEE division of 1.0 by a small exact integer and
+    // the sum has at most two addends — no libm anywhere, so the
+    // fused score is bit-identical cross-engine with NO quantization.
+    // Absent ranks surface as 0 (kept integer so the gate sees no
+    // int/float skew). Scale: both inputs are top-depth-per-query
+    // relations (queries × depth rows) — the fusion join, window and
+    // output are all query-batch-sized, nothing corpus-sized.
+    GraftQuery(
+      "q_hybrid_rrf",
+      s"""WITH $bm25CtesSql,
+         |e AS ($embDoubleSql),
+         |nq AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+         |cs AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |         ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+         |       FROM nq q JOIN nq c ON c.vec_id <> q.vec_id
+         |       WHERE q.vec_id < $NQueries),
+         |crk AS (SELECT q_id, n_id,
+         |          CAST(row_number() OVER (PARTITION BY q_id
+         |            ORDER BY cos DESC, n_id) AS INTEGER) AS cos_rank
+         |        FROM cs),
+         |bt AS (SELECT q_id, n_id, rank AS bm_rank FROM bmr
+         |       WHERE rank <= $FuseDepth),
+         |ct AS (SELECT q_id, n_id, cos_rank FROM crk
+         |       WHERE cos_rank <= $FuseDepth),
+         |fu AS (SELECT coalesce(bt.q_id, ct.q_id) AS q_id,
+         |         coalesce(bt.n_id, ct.n_id) AS n_id,
+         |         coalesce(1.0 / (60 + bt.bm_rank), 0.0)
+         |           + coalesce(1.0 / (60 + ct.cos_rank), 0.0) AS rrf,
+         |         coalesce(bt.bm_rank, 0) AS bm_rank,
+         |         coalesce(ct.cos_rank, 0) AS cos_rank
+         |       FROM bt FULL OUTER JOIN ct
+         |         ON bt.q_id = ct.q_id AND bt.n_id = ct.n_id),
+         |fr AS (SELECT q_id, n_id, rrf, bm_rank, cos_rank,
+         |         CAST(row_number() OVER (PARTITION BY q_id
+         |           ORDER BY rrf DESC, n_id) AS INTEGER) AS rank
+         |       FROM fu)
+         |SELECT q_id, n_id, rank, bm_rank, cos_rank,
+         |  floor(rrf * 1000000) / 1000000 AS rrf_score
+         |FROM fr WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin) {
+      (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val qt = queryTerms(docs)
+        val (pst, dl, gs) = recomputedState(docs, qt)
+        val bt = bm25Ranked(qt, pst, dl, gs)
+          .filter(col("rank") <= FuseDepth)
+          .select(col("q_id"), col("n_id"), col("rank").as("bm_rank"))
+        // exact cosine ranking, q_ann_bruteforce's proven shape: the
+        // query side broadcasts; the corpus never shuffles for the join
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+            l2Norm(col("embedding")).as("qn"))
+        val c = e.select(col("vec_id").as("n_id"), col("embedding").as("cv"),
+          l2Norm(col("embedding")).as("cn"))
+        val wc = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("n_id"))
+        val ct = c.join(broadcast(q), col("n_id") =!= col("q_id"))
+          .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .withColumn("cos_rank", row_number().over(wc).cast(IntegerType))
+          .filter(col("cos_rank") <= FuseDepth)
+          .select(col("q_id"), col("n_id"), col("cos_rank"))
+        val wr = Window.partitionBy(col("q_id"))
+          .orderBy(col("rrf").desc, col("n_id"))
+        bt.join(ct, Seq("q_id", "n_id"), "full_outer")
+          .select(col("q_id"), col("n_id"),
+            (coalesce(lit(1.0) / (lit(60) + col("bm_rank")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("cos_rank")), lit(0.0)))
+              .as("rrf"),
+            coalesce(col("bm_rank"), lit(0)).cast(IntegerType).as("bm_rank"),
+            coalesce(col("cos_rank"), lit(0)).cast(IntegerType)
+              .as("cos_rank"))
+          .withColumn("rank", row_number().over(wr).cast(IntegerType))
+          .filter(col("rank") <= TopK)
+          .select(col("q_id"), col("n_id"), col("rank"), col("bm_rank"),
+            col("cos_rank"),
+            (floor(col("rrf") * 1000000) / 1000000).as("rrf_score"))
+          .orderBy(col("q_id"), col("rank"))
+    })
+}

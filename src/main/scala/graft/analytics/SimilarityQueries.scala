@@ -37,11 +37,13 @@ object SimilarityQueries {
   private def corpusKey(s: SparkSession, dir: String): String =
     Tables.derivedStateKey(s, dir, "embeddings")
 
-  /** DuckDB: strict left-to-right dot product of 64-dim double lists. */
-  private def dotSql(a: String, b: String): String =
+  /** DuckDB: strict left-to-right dot product of 64-dim double lists.
+    * Shared with [[RetrievalQueries]] (hybrid lexical+vector fusion).
+    */
+  private[analytics] def dotSql(a: String, b: String): String =
     s"list_reduce([$a[i] * $b[i] FOR i IN range(1, 65)], (x, y) -> x + y)"
 
-  private val embDoubleSql =
+  private[analytics] val embDoubleSql =
     "SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings"
 
   private def pqSubDistSql(a: String, b: String): String =

@@ -582,6 +582,37 @@ object StreamingPipeline {
         }
     }
 
+  /** Streamed inverted-postings maintenance — the lexical search index
+    * joining the continuously-maintained family: arriving documents'
+    * postings (doc_id, term, tf) and doc-length rows append
+    * exactly-once (document-keyed and immutable, so a batch's rows are
+    * disjoint from every other batch's — replay would DOUBLE every tf,
+    * making the ack protocol the correctness condition, exactly as for
+    * df above); the doc-count table sum-merges on the compaction
+    * cadence. A concurrent BM25 serve ([[graft.analytics
+    * .RetrievalQueries]] `q_bm25_served`) reads corpus state from these
+    * tables only — the q_bm25_served catalog gate checks the maintained
+    * index against a full recompute.
+    */
+  def startPostingsIngest(
+      spark: SparkSession,
+      incomingDir: String,
+      pstDir: String,
+      dlDir: String,
+      cntDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = DefaultCompactEvery): StreamingQuery =
+    startIndexIngest(spark, incomingDir, checkpointDir, docSchema, trigger) {
+      (batch, batchId) =>
+        graft.analytics.RetrievalQueries.appendToPostingsIdempotent(
+          batch, pstDir, dlDir, cntDir, batchId)
+        onCadence(compactEvery, batchId) {
+          graft.analytics.RetrievalQueries.compactPostingsMinor(
+            spark, pstDir, dlDir, cntDir); ()
+        }
+    }
+
   /** Streamed LM-model maintenance — MODEL state joining the
     * continuously-maintained family: arriving documents' bigram and
     * unigram count DELTAS append exactly-once into the stored model

@@ -486,4 +486,45 @@ class PlanSpec extends SparkSpec {
       .linesIterator.find(_.contains("ReadSchema")).get
     assert(!read.contains("lang") && !read.contains("source"), read)
   }
+
+  test("q_bm25_topk: one-pass corpus state — term barrier present, " +
+      "scalars referenced once, doc length scan-stage, no cartesian") {
+    val p = plan("q_bm25_topk")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the postings term-repartition barrier (ReuseExchange dedups both
+    // consumers at runtime — verified below on the adaptive plan)
+    assert(p.contains("REPARTITION_BY_COL"), p.take(3000))
+    // the (n, totlen) scalar aggregate rides the broadcast idf frame,
+    // so its text-only corpus scan appears exactly once
+    assert(count(p, "ReadSchema: struct<text:string>") == 1, p.take(3000))
+    // doc length is regexp_count in the scan stage, never an
+    // explode+groupBy over the corpus: every Generate feeds either the
+    // postings subtree or the pushed-down query side
+    assert(p.contains("LessThan(doc_id,5)"), p.take(3000))
+  }
+
+  test("q_bm25_topk: the postings subtree runs ONCE at runtime " +
+      "(exchange reuse across the df aggregation and the scoring join)") {
+    val df = SparkEntry.queries("q_bm25_topk")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"), p.take(4000))
+  }
+
+  test("q_bm25_served: the serve never reads corpus text — every " +
+      "documents scan carries the query-side pushdown") {
+    val p = plan("q_bm25_served")
+    assert(p.contains("graft-postings-incr"), p.take(3000))
+    val docScans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("documents.parquet"))
+      .toSeq
+    assert(docScans.nonEmpty &&
+      docScans.forall(_.contains("LessThan(doc_id,5)")),
+      docScans.mkString("\n"))
+  }
+
+  test("q_hybrid_rrf: fusion of two top-depth rankings — no cartesian") {
+    val p = plan("q_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }

@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.analytics.RetrievalQueries
+import graft.streaming.StreamingPipeline
+
+/** The lexical retrieval family (round 14): BM25 semantics against a
+  * hand-derived synthetic corpus, the stored-postings lifecycle
+  * (streamed ingest == one-shot recount; replay is a no-op — the
+  * exactly-once ack is the CORRECTNESS condition, a replayed doc would
+  * double every tf), served == recomputed identity, and RRF fusion
+  * self-consistency. Cross-engine exactness is pinned by the catalog
+  * gates (q_bm25_topk / q_bm25_served / q_hybrid_rrf share the
+  * full-recompute DuckDB oracle).
+  */
+class RetrievalSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** A corpus whose BM25 ranking is hand-derivable. Query docs are
+    * doc_id < 5 (the family's query-set convention); doc 0's single
+    * salient term is "rare".
+    */
+  private def tinyCorpus: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0L, "rare rare rare"), // query: salient term = rare, dl=3
+      (1L, "filler"), (2L, "filler"), (3L, "filler"), (4L, "filler"),
+      (5L, "rare common common common"),  // tf(rare)=1, dl=4
+      (6L, "rare rare common common"),    // tf(rare)=2, dl=4
+      (7L, "common common common common") // no rare: not a candidate
+    ).toDF("doc_id", "text")
+  }
+
+  private def postingsSet(dir: String): Set[(Long, String, Long)] =
+    spark.read.parquet(dir).select(col("doc_id"), col("term"), col("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  test("BM25 over the hand-derived corpus: tf ordering, idf value, " +
+      "non-candidates absent") {
+    withTempDir { root =>
+      tinyCorpus.repartition(1).write.parquet(s"$root/documents.parquet")
+      val out = SparkEntry.queries("q_bm25_topk")(spark, root.toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getInt(2), r.getInt(3), r.getDouble(4)))
+      val q0 = out.filter(_._1 == 0L)
+      // candidates for "rare": docs 5 and 6 only (doc 0 is the query
+      // itself, doc 7 has no query term, fillers share no term)
+      assert(q0.map(_._2).toSet == Set(5L, 6L), q0.mkString(", "))
+      // higher tf at equal dl ranks first
+      assert(q0.find(_._2 == 6L).get._3 == 1 && q0.find(_._2 == 5L).get._3 == 2)
+      // hand-derived score for (q0, doc6): N=8, totlen=19, df(rare)=3,
+      // idf = floor(log2(1 + 5.5/3.5)·2^30)/2^30, tfnorm = 44·2·19 /
+      // (20·2·19 + 6·19 + 18·4·8); display floors at 1e-4
+      val idf = math.floor(
+        (math.log(1.0 + 5.5 / 3.5) / math.log(2.0)) * 1073741824.0) / 1073741824.0
+      val expected = math.floor(
+        idf * (44.0 * 2 * 19 / (20 * 2 * 19 + 6 * 19 + 18 * 4 * 8)) * 10000) / 10000
+      val got = q0.find(_._2 == 6L).get._5
+      assert(math.abs(got - expected) < 1e-6, s"got $got expected $expected")
+      // matched-term count: exactly the one query term
+      assert(q0.forall(_._4 == 1))
+    }
+  }
+
+  test("streamed postings ingest == one-shot recount; replayed batch " +
+      "is a no-op") {
+    withTempDir { root =>
+      val incoming = Files.createDirectory(root.resolve("incoming"))
+      val pstDir = root.resolve("pst").toString
+      val dlDir = root.resolve("dl").toString
+      val cntDir = root.resolve("cnt").toString
+      val ckpt = root.resolve("ckpt").toString
+      val b0 = MaintenanceProbe.batchDocs(spark, 0, 80)
+      val b1 = MaintenanceProbe.batchDocs(spark, 1, 80)
+
+      land(b0, incoming, "b0.parquet")
+      StreamingPipeline.startPostingsIngest(
+        spark, incoming.toString, pstDir, dlDir, cntDir, ckpt,
+        Trigger.AvailableNow()).awaitTermination(120000)
+      val oneShot0 = RetrievalQueries.postingsDeltas(b0, 1)
+        .select(col("doc_id"), col("term"), col("tf")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(postingsSet(pstDir) == oneShot0,
+        "stored postings after batch 0 drifted from a one-shot recount")
+
+      land(b1, incoming, "b1.parquet")
+      StreamingPipeline.startPostingsIngest(
+        spark, incoming.toString, pstDir, dlDir, cntDir, ckpt,
+        Trigger.AvailableNow()).awaitTermination(120000)
+      val both = RetrievalQueries.postingsDeltas(b0.union(b1), 1)
+        .select(col("doc_id"), col("term"), col("tf")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(postingsSet(pstDir) == both,
+        "stored postings after batch 1 drifted from a full recount")
+
+      // replay: re-append batch 0 under its original batchId — the ack
+      // marker must short-circuit; a double-ingested doc would double
+      // its tf rows
+      RetrievalQueries.appendToPostingsIdempotent(b0, pstDir, dlDir, cntDir, 0L)
+      assert(postingsSet(pstDir) == both, "replayed batch mutated the index")
+      val n = spark.read.parquet(cntDir).agg(sum("n")).head.getLong(0)
+      assert(n == 160L, s"doc count $n after replay")
+      val totlen = spark.read.parquet(dlDir).agg(sum("dl")).head.getLong(0)
+      assert(totlen == 160L * 40, s"totlen $totlen after replay")
+    }
+  }
+
+  test("q_bm25_served == q_bm25_topk on the same corpus (store/serve " +
+      "round trip loses nothing)") {
+    val a = SparkEntry.queries("q_bm25_topk")(spark, sfDir).collect().toSeq
+    val b = SparkEntry.queries("q_bm25_served")(spark, sfDir).collect().toSeq
+    assert(a == b)
+  }
+
+  test("q_hybrid_rrf: fused score is exactly the sum of its rank " +
+      "reciprocals; ordering follows the fused score") {
+    val rows = SparkEntry.queries("q_hybrid_rrf")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    for ((_, _, bm, cs, sc) <- rows) {
+      assert(bm >= 0 && bm <= 20 && cs >= 0 && cs <= 20, s"ranks $bm/$cs")
+      assert(bm > 0 || cs > 0, "a fused row must come from some ranking")
+      val expect = math.floor(
+        ((if (bm > 0) 1.0 / (60 + bm) else 0.0) +
+          (if (cs > 0) 1.0 / (60 + cs) else 0.0)) * 1000000) / 1000000
+      assert(sc == expect, s"rrf_score $sc != $expect for ranks $bm/$cs")
+    }
+    // within each query the output rank ordering is non-increasing in
+    // the fused score
+    rows.groupBy(_._1).foreach { case (_, qr) =>
+      val byRank = qr.sortBy(_._2).map(_._5)
+      assert(byRank.zip(byRank.tail).forall { case (x, y) => x >= y })
+    }
+  }
+}
