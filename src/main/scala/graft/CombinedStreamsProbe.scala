@@ -10,16 +10,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.streaming.StreamingPipeline
 
-/** The TEN streaming maintenance wirings running concurrently in one
-  * session — the literal-deployment sibling of [[CombinedLoopsProbe]]
-  * (which fans direct maintenance calls). Here each family is its
-  * actual `StreamingQuery`: ten `start*` wirings with their own
-  * checkpoints and AvailableNow triggers, reading three shared
-  * incoming dirs of landed parquet files (docs → signatures ingest,
-  * span ingest, full lexical dedup maintenance, DSIR model ingest;
-  * Zipf docs → LM ingest, term-stats ingest; vectors → codes ingest,
-  * residual codes ingest, SemDeDup ingest, full embed dedup
-  * maintenance — round 13 adds the residual and DSIR members).
+/** The ELEVEN streaming maintenance wirings running concurrently in
+  * one session — the literal-deployment sibling of
+  * [[CombinedLoopsProbe]] (which fans direct maintenance calls). Here
+  * each family is its actual `StreamingQuery`: eleven `start*` wirings
+  * with their own checkpoints and AvailableNow triggers, reading three
+  * shared incoming dirs of landed parquet files (docs → signatures
+  * ingest, span ingest, full lexical dedup maintenance, DSIR model
+  * ingest, inverted-postings ingest; Zipf docs → LM ingest, term-stats
+  * ingest; vectors → codes ingest, residual codes ingest, SemDeDup
+  * ingest, full embed dedup maintenance — round 13 added the residual
+  * and DSIR members, round 14 the BM25 postings index).
   * This exercises the machinery the future-based probe cannot: concurrent file-source listing and
   * checkpointing, foreachBatch scheduling across streams, and the
   * per-table single-writer protocols under real stream concurrency.
@@ -78,7 +79,7 @@ object CombinedStreamsProbe {
       graft.analytics.SimilarityQueries.residualFrame(vecs0, cbIvf, means),
       8, 8, 16, 2)
 
-    /** The ten wirings against a fresh state root; returns
+    /** The eleven wirings against a fresh state root; returns
       * (family name, start thunk, checksum thunk) triples.
       */
     def wirings(mode: String): Seq[(String, () => StreamingQuery, () => Long)] = {
@@ -126,6 +127,14 @@ object CombinedStreamsProbe {
             spark, vecsIn.toString, d("rescodes"), d("ck-rc"),
             cbIvf, means, cbPqRes),
           () => sumHash(spark.read.parquet(d("rescodes")))),
+        ("postings",
+          () => StreamingPipeline.startPostingsIngest(
+            spark, docsIn.toString, d("pst"), d("pdl"), d("pcnt"), d("ck-p")),
+          () => sumHash(spark.read.parquet(d("pst"))
+              .select(col("doc_id"), col("term"), col("tf"))) +
+            sumHash(spark.read.parquet(d("pdl"))
+              .select(col("doc_id"), col("dl"))) +
+            spark.read.parquet(d("pcnt")).agg(sum(col("n"))).head.getLong(0)),
         ("dsir",
           () => StreamingPipeline.startDsirIngest(
             spark, docsIn.toString, d("dsm"), d("ck-d"),
@@ -151,7 +160,7 @@ object CombinedStreamsProbe {
     println(f"STREAMS mode=serial corpus=${batches * m} total_s=$serialTotal%.1f " +
       serialWalls.map { case (n, w) => f"$n=$w%.1f" }.mkString(" "))
 
-    // CONCURRENT: all ten streams live at once
+    // CONCURRENT: all eleven streams live at once
     val conc = wirings("conc")
     val tC = System.nanoTime()
     val queries = conc.map { case (name, start, _) => (name, start()) }
@@ -168,14 +177,14 @@ object CombinedStreamsProbe {
       println(s"STREAMS-IDENTITY $name serial=$a concurrent=$b match=${a == b}")
     }
 
-    // CHAOS: all ten live again, but one maintainer — the richest
+    // CHAOS: all eleven live again, but one maintainer — the richest
     // wiring, the lexical dedup maintainer with its three coupled
     // stores and batch-scoped delta persistence — is KILLED mid-run
-    // while the other nine keep draining, then restarted from its
+    // while the other ten keep draining, then restarted from its
     // checkpoint. The per-family recovery preambles + exactly-once
     // appends must converge every stored table to the serial
     // checksums anyway: a crash of one member of the composed
-    // deployment is survivable without touching the other nine.
+    // deployment is survivable without touching the other ten.
     val chaos = wirings("chaos")
     val victim = "lex-maint"
     val tK = System.nanoTime()

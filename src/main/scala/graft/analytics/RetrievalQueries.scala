@@ -355,6 +355,79 @@ object RetrievalQueries {
       bm25Project(bm25Ranked(qt, pst, dlT, gs))
     },
 
+    // ------------------------------------------------- phrase search
+    // Exact-phrase retrieval over positional bigram postings — the
+    // adjacency-aware operator BM25's bag-of-words scoring cannot
+    // express (a doc containing both words of a phrase in unrelated
+    // positions must NOT match). Each query doc's most frequent bigram
+    // (ties lexicographic) is its phrase; candidates rank by occurrence
+    // count. Adjacency is encoded in the shingle construction itself,
+    // so the whole chain is INTEGER-exact — no floats anywhere, the
+    // strongest possible hash gate. Longer phrases are the same
+    // mechanism at n>2 (shinglesFromTokens is n-ary). Plan: the bigram
+    // explode is scan-stage; the (tiny) phrase set broadcasts and
+    // semi-joins the bigram stream BEFORE the occurrence aggregation —
+    // candidate mass is bounded by the phrases' posting lists, the
+    // positional-index access path.
+    GraftQuery(
+      "q_phrase_search",
+      s"""WITH tk AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bigram
+         |  FROM (SELECT doc_id, ts,
+         |          unnest(range(1, len(ts))) AS i FROM tk)
+         |  WHERE len(ts) >= 2),
+         |qp AS (SELECT doc_id AS q_id, bigram AS phrase FROM (
+         |         SELECT doc_id, bigram,
+         |           row_number() OVER (PARTITION BY doc_id
+         |             ORDER BY count(*) DESC, bigram) AS rk
+         |         FROM bg WHERE doc_id < $NQueries GROUP BY doc_id, bigram)
+         |       WHERE rk = 1),
+         |m AS (SELECT doc_id AS n_id, bigram, count(*) AS occurrences
+         |      FROM bg WHERE bigram IN (SELECT phrase FROM qp)
+         |      GROUP BY doc_id, bigram),
+         |j AS (SELECT q.q_id, m.n_id, m.occurrences FROM qp q
+         |      JOIN m ON m.bigram = q.phrase AND m.n_id <> q.q_id),
+         |r AS (SELECT q_id, n_id, occurrences,
+         |        CAST(row_number() OVER (PARTITION BY q_id
+         |          ORDER BY occurrences DESC, n_id) AS INTEGER) AS rank
+         |      FROM j)
+         |SELECT q_id, n_id, rank, occurrences
+         |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin) {
+      (s, dir) =>
+        import graft.functions.TextFunctions.shinglesFromTokens
+        val docs = t(s, dir, "documents")
+        def bigrams(d: DataFrame): DataFrame =
+          d.select(col("doc_id"), tokens(lower(col("text"))).as("ts"))
+            .select(col("doc_id"),
+              explode(shinglesFromTokens(col("ts"), 2)).as("bigram"))
+        val wq = Window.partitionBy(col("doc_id"))
+          .orderBy(col("cnt").desc, col("bigram"))
+        val qp = bigrams(docs.filter(col("doc_id") < NQueries))
+          .groupBy(col("doc_id"), col("bigram"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(wq)).filter(col("rk") === 1)
+          .select(col("doc_id").as("q_id"), col("bigram").as("phrase"))
+        // semi-join the broadcast phrase set BEFORE the occurrence agg
+        val m = bigrams(docs)
+          .join(broadcast(qp.select(col("phrase")).distinct()),
+            col("bigram") === col("phrase"))
+          .groupBy(col("doc_id"), col("bigram"))
+          .agg(count(lit(1)).as("occurrences"))
+        val wr = Window.partitionBy(col("q_id"))
+          .orderBy(col("occurrences").desc, col("n_id"))
+        m.withColumnRenamed("doc_id", "n_id")
+          .join(broadcast(qp), col("bigram") === col("phrase") &&
+            col("n_id") =!= col("q_id"))
+          .select(col("q_id"), col("n_id"), col("occurrences"))
+          .withColumn("rank", row_number().over(wr).cast(IntegerType))
+          .filter(col("rank") <= TopK)
+          .select(col("q_id"), col("n_id"), col("rank"), col("occurrences"))
+          .orderBy(col("q_id"), col("rank"))
+    },
+
     // ------------------------------------------- hybrid RRF retrieval
     // Reciprocal-rank fusion (Cormack et al. 2009) of the lexical BM25
     // ranking and the exact cosine vector ranking — the standard

@@ -527,4 +527,12 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_hybrid_rrf")
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("q_phrase_search: broadcast phrase semi-join before the " +
+      "occurrence aggregation — no cartesian, integer-only chain") {
+    val p = plan("q_phrase_search")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
 }

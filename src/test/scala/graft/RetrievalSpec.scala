@@ -118,6 +118,29 @@ class RetrievalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("phrase search matches ADJACENT word pairs only, counts " +
+      "occurrences — bag-of-words co-occurrence must not match") {
+    import spark.implicits._
+    withTempDir { root =>
+      Seq(
+        (0L, "alpha beta alpha beta"), // phrase = "alpha beta" (2 > 1)
+        (1L, "filler pad"), (2L, "filler pad"), (3L, "filler pad"),
+        (4L, "filler pad"),
+        (5L, "alpha beta x"),                    // adjacent once
+        (6L, "alpha x beta"),                    // both words, NOT adjacent
+        (7L, "alpha beta alpha beta alpha beta") // adjacent thrice
+      ).toDF("doc_id", "text").repartition(1)
+        .write.parquet(s"$root/documents.parquet")
+      val q0 = SparkEntry.queries("q_phrase_search")(spark, root.toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getLong(3))).filter(_._1 == 0L)
+      assert(q0.map(x => x._2 -> x._4).toMap == Map(5L -> 1L, 7L -> 3L),
+        q0.mkString(", "))
+      // occurrence-count ordering: doc 7 (3 hits) above doc 5 (1 hit)
+      assert(q0.find(_._2 == 7L).get._3 == 1 && q0.find(_._2 == 5L).get._3 == 2)
+    }
+  }
+
   test("q_hybrid_rrf: fused score is exactly the sum of its rank " +
       "reciprocals; ordering follows the fused score") {
     val rows = SparkEntry.queries("q_hybrid_rrf")(spark, sfDir)
