@@ -535,4 +535,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
+
+  test("q_mmr_diversify: the 5-step greedy loop runs over checkpointed " +
+      "local relations — the corpus scan never re-executes per step") {
+    val p = plan("q_mmr_diversify")
+    // the candidate + pairwise frames are localCheckpoint-materialized
+    // BEFORE the selection loop, so the final plan reads ExistingRDDs
+    // and contains NO embeddings scan at all
+    assert(!p.contains("embeddings.parquet"), p.take(3000))
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }

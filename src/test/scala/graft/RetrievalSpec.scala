@@ -141,6 +141,38 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("MMR diversification: an exact near-duplicate of the first pick " +
+      "loses to a dissimilar lower-relevance candidate") {
+    import spark.implicits._
+    withTempDir { root =>
+      def vec(parts: (Int, Float)*): Array[Float] = {
+        val a = Array.fill(64)(0.0f)
+        parts.foreach { case (i, x) => a(i) = x }
+        a
+      }
+      val rows = Seq(
+        (0L, vec(0 -> 1.0f)), // the query
+        // junk fillers for the other query slots (anti-aligned)
+        (1L, vec(0 -> -1.0f)), (2L, vec(0 -> -1.0f)),
+        (3L, vec(0 -> -1.0f)), (4L, vec(0 -> -1.0f)),
+        (5L, vec(0 -> 0.995f, 1 -> 0.0999f)), // A: top relevance
+        (6L, vec(0 -> 0.995f, 1 -> 0.0999f)), // B: exact duplicate of A
+        (7L, vec(2 -> 1.0f, 0 -> 0.05f))      // C: dissimilar, low rel
+      ).map { case (id, v) => (id, v, 0) }
+      rows.toDF("vec_id", "embedding", "label").repartition(1)
+        .write.parquet(s"$root/embeddings.parquet")
+      val q0 = SparkEntry.queries("q_mmr_diversify")(spark, root.toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .filter(_._1 == 0L).sortBy(_._3)
+      // pick 1 = A (5, ties to B broken by id); pick 2 must be C (7):
+      // B's mmr = ½·rel − ½·1.0 < 0 while C's ≈ ½·0.05 − ε — pure
+      // top-k would have returned B second
+      assert(q0(0)._2 == 5L, q0.mkString(", "))
+      assert(q0(1)._2 == 7L, q0.mkString(", "))
+      assert(!q0.take(2).exists(_._2 == 6L))
+    }
+  }
+
   test("q_hybrid_rrf: fused score is exactly the sum of its rank " +
       "reciprocals; ordering follows the fused score") {
     val rows = SparkEntry.queries("q_hybrid_rrf")(spark, sfDir)
