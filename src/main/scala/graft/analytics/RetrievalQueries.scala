@@ -134,8 +134,8 @@ object RetrievalQueries {
     * integer-exact ranking, no corpus state, so the query side is a
     * pure function of the query docs alone.
     */
-  private def queryTerms(docs: DataFrame): DataFrame = {
-    val qtok = docs.filter(col("doc_id") < NQueries)
+  private def queryTerms(docs: DataFrame, nQueries: Int = NQueries): DataFrame = {
+    val qtok = docs.filter(col("doc_id") < nQueries)
       .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
     val wq = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("term"))
@@ -144,6 +144,29 @@ object RetrievalQueries {
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= TermsPerQuery)
       .select(col("doc_id").as("q_id"), col("term"))
+  }
+
+  /** The stored-index BM25 serve at an arbitrary query-batch size —
+    * the library form behind q_bm25_served (which fixes nQueries to
+    * the gated catalog value). Used by the batch-amortization probe:
+    * the per-query cost of a stored-index serve falls with batch size
+    * because the posting-list scan and the scalar aggregation are paid
+    * once per BATCH, not per query.
+    */
+  def bm25ServedTopK(s: SparkSession, dir: String, nQueries: Int): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (pstDir, dlDir, cntDir) = incrementalPostingsDirs(s, dir)
+    val qt = queryTerms(docs, nQueries)
+    val pst = Tables.parquetCachedSchema(s, pstDir)
+      .join(broadcast(qt.select("term").distinct()), Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"))
+    val dlT = Tables.parquetCachedSchema(s, dlDir)
+      .select(col("doc_id"), col("dl"))
+    val gs = Tables.parquetCachedSchema(s, cntDir)
+      .agg(sum(col("n")).as("n"))
+      .crossJoin(Tables.parquetCachedSchema(s, dlDir)
+        .agg(sum(col("dl")).as("totlen")))
+    bm25Project(bm25Ranked(qt, pst, dlT, gs))
   }
 
   /** BM25 ranked candidates `(q_id, n_id, matched, score, rank)` from
@@ -370,19 +393,74 @@ object RetrievalQueries {
     // the query terms' posting lists plus one doc-stats-sized scalar
     // aggregation, independent of the corpus text.
     GraftQuery("q_bm25_served", bm25TopkSql) { (s, dir) =>
+      bm25ServedTopK(s, dir, NQueries)
+    },
+
+    // -------------------------------------------- diversity report
+    // Per-source corpus diversity — the type-token and distinct-bigram
+    // ratios a mixture decision reads before weighting a source (a
+    // low-diversity source is template/boilerplate mass that a raw
+    // token count over-credits; self-repetition metrics are standard
+    // curation signals beside the per-doc repetition gates). Every
+    // statistic is an exact BIGINT; the two ratios are ONE IEEE
+    // division of exact integers each — bit-identical cross-engine, no
+    // quantization needed. Plan: two grouped distinct-aggregations
+    // (unigram and bigram streams explode differently, so the passes
+    // cannot share a scan) plus one plain count pass — all map-side
+    // partial-aggregated, output |sources| rows.
+    GraftQuery(
+      "q_diversity_report",
+      s"""WITH tk AS (
+         |  SELECT doc_id, source, regexp_extract_all(lower(text), '\\S+') AS ts
+         |  FROM documents),
+         |uni AS (SELECT source, count(*) AS n_tokens,
+         |          count(DISTINCT term) AS uniq_unigrams
+         |        FROM (SELECT source, unnest(ts) AS term FROM tk)
+         |        GROUP BY source),
+         |bi AS (SELECT source, count(*) AS n_bigrams,
+         |         count(DISTINCT bigram) AS uniq_bigrams
+         |       FROM (SELECT source, ts[i] || ' ' || ts[i+1] AS bigram
+         |             FROM (SELECT source, ts,
+         |                     unnest(range(1, len(ts))) AS i FROM tk)
+         |             WHERE len(ts) >= 2)
+         |       GROUP BY source),
+         |d AS (SELECT source, count(*) AS n_docs FROM documents
+         |      GROUP BY source)
+         |SELECT d.source, d.n_docs, uni.n_tokens, uni.uniq_unigrams,
+         |  coalesce(bi.uniq_bigrams, 0) AS uniq_bigrams,
+         |  CAST(uni.uniq_unigrams AS DOUBLE)
+         |    / CAST(uni.n_tokens AS DOUBLE) AS ttr,
+         |  CASE WHEN coalesce(bi.n_bigrams, 0) = 0 THEN 0.0
+         |       ELSE CAST(bi.uniq_bigrams AS DOUBLE)
+         |              / CAST(bi.n_bigrams AS DOUBLE) END AS bigram_ratio
+         |FROM d JOIN uni ON uni.source = d.source
+         |LEFT JOIN bi ON bi.source = d.source
+         |ORDER BY d.source""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions.shinglesFromTokens
       val docs = t(s, dir, "documents")
-      val (pstDir, dlDir, cntDir) = incrementalPostingsDirs(s, dir)
-      val qt = queryTerms(docs)
-      val pst = Tables.parquetCachedSchema(s, pstDir)
-        .join(broadcast(qt.select("term").distinct()), Seq("term"))
-        .select(col("doc_id"), col("term"), col("tf"))
-      val dlT = Tables.parquetCachedSchema(s, dlDir)
-        .select(col("doc_id"), col("dl"))
-      val gs = Tables.parquetCachedSchema(s, cntDir)
-        .agg(sum(col("n")).as("n"))
-        .crossJoin(Tables.parquetCachedSchema(s, dlDir)
-          .agg(sum(col("dl")).as("totlen")))
-      bm25Project(bm25Ranked(qt, pst, dlT, gs))
+      val tk = docs.select(col("doc_id"), col("source"),
+        tokens(lower(col("text"))).as("ts"))
+      val uni = tk.select(col("source"), explode(col("ts")).as("term"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("term")).as("uniq_unigrams"))
+      val bi = tk.select(col("source"),
+          explode(shinglesFromTokens(col("ts"), 2)).as("bigram"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          countDistinct(col("bigram")).as("uniq_bigrams"))
+      val d = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      d.join(uni, Seq("source"))
+        .join(bi, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("uniq_unigrams"),
+          coalesce(col("uniq_bigrams"), lit(0L)).as("uniq_bigrams"),
+          (col("uniq_unigrams").cast("double") /
+            col("n_tokens").cast("double")).as("ttr"),
+          when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0))
+            .otherwise(col("uniq_bigrams").cast("double") /
+              col("n_bigrams").cast("double")).as("bigram_ratio"))
+        .orderBy(col("source"))
     },
 
     // ------------------------------------------------- phrase search
