@@ -157,8 +157,26 @@ object RetrievalQueries {
     val docs = t(s, dir, "documents")
     val (pstDir, dlDir, cntDir) = incrementalPostingsDirs(s, dir)
     val qt = queryTerms(docs, nQueries)
+    // the query-term set is driver-sized BY DEFINITION (queries ×
+    // TermsPerQuery — the ANN family's query-side-collect precedent),
+    // so collect it and push LITERAL In-filters into the postings scan:
+    // `bkt` prunes hive PARTITIONS (only buckets containing a query
+    // term are listed at all) and `term` prunes parquet ROW GROUPS
+    // (files are term-sorted). Without this the serve reads the whole
+    // postings table to then join ≤ queries×terms distinct terms — the
+    // difference between O(index) and O(posting lists of the query) IO
+    // at 100 TB. This corpus's 31-term vocabulary hits every bucket
+    // (worst case by design); the plan shape is pinned regardless.
+    val nb = DedupQueries.tableBuckets(s, pstDir)
+    // bucket ids via the SAME plan-side expression the writer used
+    // (pmod∘hash), so the two can never drift
+    val termRows = qt.select(col("term"),
+        pmod(hash(col("term")), lit(nb)).as("bkt"))
+      .distinct().collect()
+    val terms = termRows.map(_.getString(0)).toSeq.distinct
+    val bkts = termRows.map(_.getInt(1)).toSeq.distinct
     val pst = Tables.parquetCachedSchema(s, pstDir)
-      .join(broadcast(qt.select("term").distinct()), Seq("term"))
+      .filter(col("bkt").isin(bkts: _*) && col("term").isin(terms: _*))
       .select(col("doc_id"), col("term"), col("tf"))
     val dlT = Tables.parquetCachedSchema(s, dlDir)
       .select(col("doc_id"), col("dl"))

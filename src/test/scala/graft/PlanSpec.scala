@@ -523,6 +523,17 @@ class PlanSpec extends SparkSpec {
       docScans.mkString("\n"))
   }
 
+  test("q_bm25_served: the postings scan prunes — bkt partition filter " +
+      "+ term row-group pushdown from the collected query-term set") {
+    val p = plan("q_bm25_served")
+    val pstScans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("/pst")).toSeq
+    assert(pstScans.nonEmpty, p.take(3000))
+    assert(pstScans.forall(l =>
+      l.contains("PartitionFilters: [bkt") && l.contains("In(term")),
+      pstScans.mkString("\n").take(2000))
+  }
+
   test("q_hybrid_rrf: fusion of two top-depth rankings — no cartesian") {
     val p = plan("q_hybrid_rrf")
     assert(!p.contains("CartesianProduct"), p.take(2000))
