@@ -388,6 +388,71 @@ object RetrievalQueries {
     steps.mkString(",\n")
   }
 
+  // ------------------------------------------------------------------
+  // Streaming relevance scoring — the retrieval family's gate member
+  // (the quality-gate pattern: perplexity, outlier, span-contamination
+  // gates all score arrivals against FROZEN stored state). A relevance
+  // gate routes arriving documents by BM25 score against a fixed query
+  // — targeted corpus collection ("keep docs relevant to X"), the
+  // query-driven sibling of DSIR's distribution-driven selection.
+  // ------------------------------------------------------------------
+
+  /** The frozen relevance model for a fixed query-term set: the
+    * (term, idf) rows and the 1-row (n, totlen) scalars, all read from
+    * the stored index tables and localCheckpoint-materialized — the
+    * frozen-generation discipline (scoring must not depend on when the
+    * maintainer last ran mid-stream).
+    */
+  def relevanceModel(s: SparkSession, pstDir: String, dlDir: String,
+      cntDir: String, terms: Seq[String]): (DataFrame, DataFrame) = {
+    val nb = DedupQueries.tableBuckets(s, pstDir)
+    val bkts = terms.map(tm => // plan-side hash, collected via a 1-row job
+      graft.core.Tables.hashBucket(s, tm, nb)).distinct
+    val dft = Tables.parquetCachedSchema(s, pstDir)
+      .filter(col("bkt").isin(bkts: _*) && col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val gs = Tables.parquetCachedSchema(s, cntDir)
+      .agg(sum(col("n")).as("n"))
+      .crossJoin(Tables.parquetCachedSchema(s, dlDir)
+        .agg(sum(col("dl")).as("totlen")))
+      .localCheckpoint()
+    val idf = dft.crossJoin(broadcast(gs)).select(col("term"),
+      TextQueries.quantizeLog2(log2(lit(1.0) +
+        (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))).as("idf"))
+      .localCheckpoint()
+    (idf, gs)
+  }
+
+  /** BM25 scores of `docs` against the frozen (idf, gs) model — a pure
+    * per-document function of the arriving text plus broadcast model
+    * state (no join against the corpus, no streaming state), so the
+    * streamed scores are bit-identical to a batch pass by construction.
+    * Emits only docs matching ≥1 model term (nothing to score
+    * otherwise — gate upstream on tokenCount if every doc needs a row).
+    */
+  def bm25RelevanceScores(docs: DataFrame, idf: DataFrame,
+      gs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+          .as("dl"),
+        explode(tokens(lower(col("text")))).as("term"))
+      .join(broadcast(idf), Seq("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"), col("idf"))
+      .agg(count(lit(1)).as("tf"))
+    tf.crossJoin(broadcast(gs))
+      .select(col("doc_id"), col("term"),
+        (col("idf") *
+          ((lit(44L) * col("tf") * col("totlen")).cast("double") /
+            (lit(20L) * col("tf") * col("totlen") + lit(6L) * col("totlen")
+              + lit(18L) * col("dl") * col("n")).cast("double"))).as("sc"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(IntegerType).as("matched"),
+        aggregate(
+          sort_array(collect_list(struct(col("term"), col("sc")))),
+          lit(0.0d), (acc, x) => acc + x.getField("sc")).as("score"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     // ------------------------------------------------------ BM25 top-k

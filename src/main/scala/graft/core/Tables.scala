@@ -69,6 +69,14 @@ object Tables {
     }
   }
 
+  /** The bucket id the incremental writers assign to `value` —
+    * computed via the SAME plan-side expression (pmod∘hash) they use,
+    * evaluated on a 1-row frame, so a driver-side reimplementation can
+    * never drift from the stored layout.
+    */
+  def hashBucket(spark: SparkSession, value: String, n: Int): Int =
+    spark.range(1).select(pmod(hash(lit(value)), lit(n))).head.getInt(0)
+
   /** Register every table as a temp view (for spark.sql use). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     All.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))

@@ -999,6 +999,24 @@ object StreamingPipeline {
     graft.analytics.SimilarityQueries.embedOutlierScores(vecs, cbIvf, means)
       .withColumn("outlier", col("d2") > maxD2)
 
+  /** Streaming relevance gate — the retrieval family's member of the
+    * quality-gate family: arriving documents BM25-score against a
+    * FROZEN (idf, corpus-stats) model for a fixed query
+    * ([[graft.analytics.RetrievalQueries.relevanceModel]], read once
+    * from the stored postings index — the frozen-generation
+    * discipline), routing targeted corpus collection ("keep docs
+    * relevant to X" — the query-driven sibling of DSIR's
+    * distribution-driven selection). Scoring is a pure per-document
+    * function of the arriving text plus broadcast model state — no
+    * corpus join, no streaming state — so streamed scores are
+    * bit-identical to a batch pass by construction (RetrievalSpec).
+    * Docs matching no model term are not emitted.
+    */
+  def relevanceGate(docs: DataFrame, idf: DataFrame, gs: DataFrame,
+      minScore: Double): DataFrame =
+    graft.analytics.RetrievalQueries.bm25RelevanceScores(docs, idf, gs)
+      .withColumn("relevant", col("score") >= minScore)
+
   /** Stream-stream interval join (J6 streaming form): purchases joined
     * to the same user's clicks from the preceding `window`. Watermarks
     * on BOTH sides + the time-bound condition let the state store evict

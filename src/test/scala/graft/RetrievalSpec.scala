@@ -173,6 +173,74 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("relevance gate: streamed scores == one batch pass bit-for-bit, " +
+      "and agree with the gated q_bm25_topk scores for the same query") {
+    import graft.analytics.RetrievalQueries
+    // frozen model for query doc 0's salient terms, read from the
+    // stored index the catalog lifecycle built for sf0.001
+    val (pstDir, dlDir, cntDir) =
+      RetrievalQueries.incrementalPostingsDirs(spark, sfDir)
+    // query 0's terms as the catalog derives them: from the gated
+    // top-k output we only know the ranking, so re-derive via the
+    // oracle route — take them from the q_bm25_topk implementation's
+    // own query frame by scoring and matching below instead
+    val topk = SparkEntry.queries("q_bm25_topk")(spark, sfDir)
+      .collect().filter(_.getLong(0) == 0L)
+      .map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    // terms of doc 0 (top-3 by tf desc, term asc — the family's rule)
+    val terms = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") === 0L)
+      .select(explode(graft.functions.TextFunctions.tokens(
+        lower(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term")).limit(3)
+      .collect().map(_.getString(0)).toSeq
+    val (idf, gs) = RetrievalQueries.relevanceModel(
+      spark, pstDir, dlDir, cntDir, terms)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+    // batch pass
+    val batch = StreamingPipeline.relevanceGate(docs, idf, gs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getBoolean(3))).sortBy(_._1)
+
+    // the same docs through a real stream (two landed files)
+    withTempDir { root =>
+      val incoming = Files.createDirectory(root.resolve("incoming"))
+      val outDir = root.resolve("out").toString
+      land(docs.filter(pmod(col("doc_id"), lit(2)) === 0), incoming, "a.parquet")
+      land(docs.filter(pmod(col("doc_id"), lit(2)) === 1), incoming, "b.parquet")
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+        .add("text", org.apache.spark.sql.types.StringType)
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(incoming.toString)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", root.resolve("ck").toString)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          StreamingPipeline.relevanceGate(b, idf, gs, 0.5)
+            .write.mode("append").parquet(outDir); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val streamed = spark.read.parquet(outDir)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+          r.getBoolean(3))).sortBy(_._1)
+      assert(streamed.toSeq == batch.toSeq,
+        "streamed relevance scores drifted from the batch pass")
+    }
+
+    // consistency with the gated ranking: every (q0, n_id) row of
+    // q_bm25_topk carries floor(score·1e4)/1e4 — the gate's score for
+    // that doc must floor to the same value
+    val byDoc = batch.map(r => r._1 -> r._3).toMap
+    topk.foreach { case (nId, bm) =>
+      val s = math.floor(byDoc(nId) * 10000) / 10000
+      assert(s == bm, s"doc $nId: gate ${s} vs catalog $bm")
+    }
+  }
+
   test("q_hybrid_rrf: fused score is exactly the sum of its rank " +
       "reciprocals; ordering follows the fused score") {
     val rows = SparkEntry.queries("q_hybrid_rrf")(spark, sfDir)
