@@ -214,5 +214,97 @@ object MultimodalQueries {
         .withColumn("fh", col("fh").cast(IntegerType))
         .withColumn("fps", col("fps").cast(IntegerType))
         .orderBy(col("media_id"))
+    },
+
+    // ----------------------------------------------- content fingerprint
+    // Cross-container media dedup key — a 16-block integer average-hash
+    // (aHash family) over the DECODED tensor: block t covers tensor
+    // indices {i : ⌊i·16/n⌋ = t}, bit t set when the block mean ≥ the
+    // global mean, compared by exact integer cross-multiplication
+    // (s_t·n ≥ total·cnt_t — no division anywhere). Because the hash is
+    // a function of decoded CONTENT, the same pixels in different
+    // containers (BMP vs PNG share one pixel construction here)
+    // fingerprint identically — the property a payload-byte hash
+    // (q_multimodal_meta's sha) cannot give, and what makes this the
+    // media-side member of the dedup family. The oracle re-derives the
+    // expected decode from the construction (the q_multimodal_decoded
+    // discipline: the DuckDB side never parses a container) and the
+    // same block math relationally. dup_count/canonical_id come from
+    // one window over (fmt, fp) — at scale the fingerprint is the
+    // grouping key for a hash-groupBy media dedup, exactly like the
+    // 64-hex key of q_dedup_exact.
+    GraftQuery(
+      "q_multimodal_fingerprint",
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS L
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, L,
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN CAST(greatest((L + 14) // 15, 1) * 15 AS BIGINT)
+        |         ELSE CAST(L // 2 AS BIGINT) END AS nv,
+        |    [(strpos('0123456789ABCDEF', substring(hx, 2*t+1, 1))-1)*16
+        |     + (strpos('0123456789ABCDEF', substring(hx, 2*t+2, 1))-1)
+        |     FOR t IN range(0, L)] AS bs
+        |  FROM b),
+        |w AS (
+        |  SELECT doc_id, nv,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN [CASE WHEN i < L THEN bs[i+1] ELSE 0 END
+        |            FOR i IN range(0, nv)]
+        |      ELSE [CASE WHEN bs[2*i+1] + 256*bs[2*i+2] >= 32768
+        |            THEN bs[2*i+1] + 256*bs[2*i+2] - 65536
+        |            ELSE bs[2*i+1] + 256*bs[2*i+2] END
+        |            FOR i IN range(0, nv)] END AS vals
+        |  FROM v),
+        |ex AS (
+        |  SELECT doc_id, nv, total, vals[i+1] AS val, (i * 16) // nv AS blk
+        |  FROM (SELECT doc_id, nv, vals,
+        |          CAST(coalesce(list_sum(vals), 0) AS BIGINT) AS total,
+        |          unnest(range(0, nv)) AS i FROM w)),
+        |blocks AS (
+        |  SELECT doc_id, blk, max(nv) AS nv, max(total) AS total,
+        |    CAST(sum(val) AS BIGINT) AS s, count(*) AS cnt
+        |  FROM ex GROUP BY doc_id, blk),
+        |fpt AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(sum(CASE WHEN s * nv >= total * cnt
+        |      THEN (CAST(1 AS BIGINT) << blk) ELSE 0 END), 0) AS BIGINT) AS fp,
+        |    max(nv) AS n_vals
+        |  FROM blocks GROUP BY doc_id)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS fmt,
+        |  n_vals, fp,
+        |  CAST(count(*) OVER (PARTITION BY doc_id % 2, fp) AS BIGINT)
+        |    AS dup_count,
+        |  min(doc_id) OVER (PARTITION BY doc_id % 2, fp) AS canonical_id
+        |FROM fpt ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val dec = Multimodal.decode(
+        Multimodal.fromDocumentsEncoded(Tables.load(s, dir, "documents")))
+      val fps = dec.map { d =>
+        val scale = if (d.kind == "image") 255f else 32768f
+        val ints = d.tensor.map(v => Math.round(v * scale).toLong)
+        val nv = ints.size
+        val total = ints.sum
+        val sums = new Array[Long](16)
+        val cnts = new Array[Long](16)
+        ints.iterator.zipWithIndex.foreach { case (v, i) =>
+          val b = ((i.toLong * 16) / nv).toInt
+          sums(b) += v; cnts(b) += 1
+        }
+        val fp = (0 until 16).foldLeft(0L) { (acc, t) =>
+          if (cnts(t) > 0 && sums(t) * nv >= total * cnts(t))
+            acc | (1L << t)
+          else acc
+        }
+        (d.media_id, d.kind, nv.toLong, fp)
+      }.toDF("media_id", "fmt", "n_vals", "fp")
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fmt"), col("fp"))
+      fps.withColumn("dup_count", count(lit(1)).over(wf))
+        .withColumn("canonical_id", min(col("media_id")).over(wf))
+        .orderBy(col("media_id"))
     })
 }

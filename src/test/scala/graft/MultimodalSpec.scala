@@ -518,4 +518,34 @@ class MultimodalSpec extends SparkSpec {
       ((ab(2 * i) & 0xff) | ((ab(2 * i + 1) & 0xff) << 8)).toShort)
     assert(aud.tensor.map(v => Math.round(v * 32768f).toShort) == exp)
   }
+
+  test("content fingerprint is container-invariant: the same pixels in " +
+      "BMP and PNG fingerprint identically (cross-container dedup)") {
+    import spark.implicits._
+    withTempDir { root =>
+      // ids 0 (BMP) and 4 (BMP) vs 2 (PNG): same text => same pixel
+      // construction in different containers; ids 1/3 (WAV): same text
+      // => same samples. id 6 (PNG) carries different text.
+      val txt = "the same media content bytes 123"
+      Seq(
+        (0L, txt), (2L, txt), (4L, txt),
+        (1L, txt), (3L, txt),
+        (6L, "entirely different media payload")
+      ).toDF("doc_id", "text").repartition(1)
+        .write.parquet(s"$root/documents.parquet")
+      val rows = SparkEntry.queries("q_multimodal_fingerprint")(
+        spark, root.toString).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toMap
+      // BMP 0, PNG 2, BMP 4: one cluster of 3, canonical 0
+      assert(rows(0L)._2 == rows(2L)._2 && rows(2L)._2 == rows(4L)._2)
+      assert(Seq(0L, 2L, 4L).forall(id =>
+        rows(id)._3 == 3L && rows(id)._4 == 0L), rows.toString)
+      // the different-content PNG lands outside the cluster
+      assert(rows(6L)._2 != rows(0L)._2 || rows(6L)._4 != 0L)
+      // audio pair clusters too
+      assert(rows(1L)._2 == rows(3L)._2 && rows(1L)._3 == 2L &&
+        rows(1L)._4 == 1L)
+    }
+  }
 }
