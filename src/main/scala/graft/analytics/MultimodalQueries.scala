@@ -216,6 +216,122 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     },
 
+    // ------------------------------------------------ pixel-plane resize
+    // REAL 2× box downsample over the DECODED image — the brief's
+    // "resize" at the pixel plane (Multimodal.resize is the
+    // metadata-plane transform; this one averages actual decoded
+    // pixels): output pixel (r, c, ch) = floor(mean of the 2×2 input
+    // block), exact integer arithmetic (sum of 4 bytes // 4 — floor
+    // division agrees across engines on non-negatives), odd edge
+    // cropped as a box filter does. The oracle re-derives the expected
+    // DECODED pixels from the construction (never parsing a container)
+    // and the same block math; ds_pos_sum binds output layout — any
+    // row/col/channel mix-up shifts values to different positions and
+    // breaks the hash. Scale: decode + resize are partition-local over
+    // the payload column; the output is 4 scalars per image.
+    GraftQuery(
+      "q_multimodal_resize",
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS L
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |v AS (
+        |  SELECT doc_id, L,
+        |    CAST(greatest((L + 14) // 15, 1) AS BIGINT) AS h,
+        |    [(strpos('0123456789ABCDEF', substring(hx, 2*t+1, 1))-1)*16
+        |     + (strpos('0123456789ABCDEF', substring(hx, 2*t+2, 1))-1)
+        |     FOR t IN range(0, L)] AS bs
+        |  FROM b),
+        |r AS (
+        |  SELECT doc_id, h // 2 AS oh, CAST(2 AS BIGINT) AS ow,
+        |    [((CASE WHEN (2*(k//6))*15   + 2*((k%6)//3)*3     + k%3 < L THEN bs[(2*(k//6))*15   + 2*((k%6)//3)*3     + k%3 + 1] ELSE 0 END)
+        |     + (CASE WHEN (2*(k//6))*15   + (2*((k%6)//3)+1)*3 + k%3 < L THEN bs[(2*(k//6))*15   + (2*((k%6)//3)+1)*3 + k%3 + 1] ELSE 0 END)
+        |     + (CASE WHEN (2*(k//6)+1)*15 + 2*((k%6)//3)*3     + k%3 < L THEN bs[(2*(k//6)+1)*15 + 2*((k%6)//3)*3     + k%3 + 1] ELSE 0 END)
+        |     + (CASE WHEN (2*(k//6)+1)*15 + (2*((k%6)//3)+1)*3 + k%3 < L THEN bs[(2*(k//6)+1)*15 + (2*((k%6)//3)+1)*3 + k%3 + 1] ELSE 0 END)
+        |     ) // 4
+        |     FOR k IN range(0, (h // 2) * 6)] AS ds
+        |  FROM v)
+        |SELECT doc_id AS media_id,
+        |  CAST(oh AS INTEGER) AS out_h, CAST(ow AS INTEGER) AS out_w,
+        |  CAST(coalesce(list_sum(ds), 0) AS BIGINT) AS ds_sum,
+        |  CAST(coalesce(list_sum([ds[k+1] * k
+        |    FOR k IN range(0, oh * 6)]), 0) AS BIGINT) AS ds_pos_sum
+        |FROM r ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val dec = Multimodal.decode(
+        Multimodal.fromDocumentsEncoded(Tables.load(s, dir, "documents")))
+        .filter(col("kind") === "image").as[Multimodal.DecodedMedia]
+      dec.map { d =>
+        val ints = d.tensor.map(v => Math.round(v * 255f).toLong)
+        val h = d.shape.head
+        val (oh, ow) = (h / 2, 2)
+        def px(row: Int, colc: Int, ch: Int): Long = {
+          val i = row * 15 + colc * 3 + ch
+          if (i < ints.size) ints(i) else 0L
+        }
+        var dsSum = 0L
+        var dsPos = 0L
+        var k = 0
+        for (r <- 0 until oh; c <- 0 until ow; ch <- 0 until 3) {
+          val v = (px(2 * r, 2 * c, ch) + px(2 * r, 2 * c + 1, ch) +
+            px(2 * r + 1, 2 * c, ch) + px(2 * r + 1, 2 * c + 1, ch)) / 4
+          dsSum += v; dsPos += v * k; k += 1
+        }
+        (d.media_id, oh, ow, dsSum, dsPos)
+      }.toDF("media_id", "out_h", "out_w", "ds_sum", "ds_pos_sum")
+        .withColumn("out_h", col("out_h").cast(IntegerType))
+        .withColumn("out_w", col("out_w").cast(IntegerType))
+        .orderBy(col("media_id"))
+    },
+
+    // ------------------------------------------------- audio features
+    // Decoded-audio quality features — the audio-side heuristics a
+    // media curation pass reads (silence/noise gating, clipping
+    // detection): zero-crossing count (s_i·s_{i+1} < 0 — exact integer
+    // product), total energy Σs² (BIGINT — 32768²·n is ~1e12 at these
+    // lengths), and peak |s|. All integers end to end.
+    GraftQuery(
+      "q_multimodal_audio_stats",
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS L
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |v AS (
+        |  SELECT doc_id, L // 2 AS n,
+        |    [(strpos('0123456789ABCDEF', substring(hx, 2*t+1, 1))-1)*16
+        |     + (strpos('0123456789ABCDEF', substring(hx, 2*t+2, 1))-1)
+        |     FOR t IN range(0, L)] AS bs
+        |  FROM b),
+        |w AS (
+        |  SELECT doc_id, n,
+        |    [CASE WHEN bs[2*t+1] + 256*bs[2*t+2] >= 32768
+        |          THEN bs[2*t+1] + 256*bs[2*t+2] - 65536
+        |          ELSE bs[2*t+1] + 256*bs[2*t+2] END
+        |     FOR t IN range(0, n)] AS smp
+        |  FROM v)
+        |SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(coalesce(len([i FOR i IN range(0, n - 1)
+        |    IF smp[i+1] * smp[i+2] < 0]), 0) AS BIGINT) AS zero_cross,
+        |  CAST(coalesce(list_sum([smp[i+1] * smp[i+1]
+        |    FOR i IN range(0, n)]), 0) AS BIGINT) AS energy,
+        |  CAST(coalesce(list_max([abs(smp[i+1])
+        |    FOR i IN range(0, n)]), 0) AS BIGINT) AS peak
+        |FROM w ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val dec = Multimodal.decode(
+        Multimodal.fromDocumentsEncoded(Tables.load(s, dir, "documents")))
+        .filter(col("kind") === "audio").as[Multimodal.DecodedMedia]
+      dec.map { d =>
+        val smp = d.tensor.map(v => Math.round(v * 32768f).toLong)
+        val zc = (0 until smp.size - 1)
+          .count(i => smp(i) * smp(i + 1) < 0).toLong
+        val energy = smp.iterator.map(v => v * v).sum
+        val peak = if (smp.isEmpty) 0L else smp.iterator.map(math.abs).max
+        (d.media_id, smp.size.toLong, zc, energy, peak)
+      }.toDF("media_id", "n_samples", "zero_cross", "energy", "peak")
+        .orderBy(col("media_id"))
+    },
+
     // ----------------------------------------------- content fingerprint
     // Cross-container media dedup key — a 16-block integer average-hash
     // (aHash family) over the DECODED tensor: block t covers tensor
