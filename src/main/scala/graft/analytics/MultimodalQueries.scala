@@ -216,6 +216,71 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     },
 
+    // -------------------------------------------------- video scene cuts
+    // Inter-frame difference analysis over the DECODED video — the
+    // frame-sampling companion (shot-boundary detection is how a video
+    // curation pass picks representative frames): per adjacent frame
+    // pair, the sum of absolute pixel differences (exact integers), and
+    // `cut_after` = the frame boundary with the largest difference
+    // (earliest wins ties) — the most likely scene boundary. The Spark
+    // side walks the REAL AVI container (RIFF/strh/DIB — the
+    // q_multimodal_video decoder); the oracle computes expected frame
+    // bytes from the construction (frame f holds bytes
+    // [L·f/4, L·(f+1)/4) zero-padded into a w·h·3 buffer).
+    GraftQuery(
+      "q_multimodal_scenecut",
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS L
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, L,
+        |    CAST(greatest(((L + 3) // 4 + 14) // 15, 1) AS BIGINT) AS h,
+        |    [(strpos('0123456789ABCDEF', substring(hx, 2*t+1, 1))-1)*16
+        |     + (strpos('0123456789ABCDEF', substring(hx, 2*t+2, 1))-1)
+        |     FOR t IN range(0, L)] AS bs
+        |  FROM b),
+        |d AS (
+        |  SELECT doc_id, h,
+        |    [CAST(coalesce(list_sum(
+        |       [abs((CASE WHEN k < (L*(f+1))//4 - (L*f)//4
+        |              THEN bs[(L*f)//4 + k + 1] ELSE 0 END)
+        |           - (CASE WHEN k < (L*(f+2))//4 - (L*(f+1))//4
+        |              THEN bs[(L*(f+1))//4 + k + 1] ELSE 0 END))
+        |        FOR k IN range(0, h * 15)]), 0) AS BIGINT)
+        |     FOR f IN range(0, 3)] AS diffs
+        |  FROM v)
+        |SELECT doc_id AS media_id,
+        |  diffs[1] AS diff_01, diffs[2] AS diff_12, diffs[3] AS diff_23,
+        |  CAST(CASE WHEN diffs[1] >= diffs[2] AND diffs[1] >= diffs[3] THEN 1
+        |            WHEN diffs[2] >= diffs[3] THEN 2
+        |            ELSE 3 END AS INTEGER) AS cut_after
+        |FROM d ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val dec = Multimodal.decode(
+        Multimodal.videoFromDocuments(Tables.load(s, dir, "documents")))
+      dec.map { d =>
+        val ints = d.tensor.map(v => Math.round(v * 255f).toLong)
+        val fsz = ints.size / 4 // 4 frames, h*15 values each
+        val diffs = (0 until 3).map { f =>
+          var acc = 0L
+          var k = 0
+          while (k < fsz) {
+            acc += math.abs(ints(f * fsz + k) - ints((f + 1) * fsz + k))
+            k += 1
+          }
+          acc
+        }
+        val cut =
+          if (diffs(0) >= diffs(1) && diffs(0) >= diffs(2)) 1
+          else if (diffs(1) >= diffs(2)) 2
+          else 3
+        (d.media_id, diffs(0), diffs(1), diffs(2), cut)
+      }.toDF("media_id", "diff_01", "diff_12", "diff_23", "cut_after")
+        .withColumn("cut_after", col("cut_after").cast(IntegerType))
+        .orderBy(col("media_id"))
+    },
+
     // ------------------------------------------------ pixel-plane resize
     // REAL 2× box downsample over the DECODED image — the brief's
     // "resize" at the pixel plane (Multimodal.resize is the
