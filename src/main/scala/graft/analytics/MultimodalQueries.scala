@@ -323,9 +323,11 @@ object MultimodalQueries {
         |    FOR k IN range(0, oh * 6)]), 0) AS BIGINT) AS ds_pos_sum
         |FROM r ORDER BY media_id""".stripMargin) { (s, dir) =>
       import s.implicits._
+      // filter BEFORE decode: the kind is a MediaRecord field, so the
+      // audio half's payloads never reach the (inflate-heavy) decoder
       val dec = Multimodal.decode(
-        Multimodal.fromDocumentsEncoded(Tables.load(s, dir, "documents")))
-        .filter(col("kind") === "image").as[Multimodal.DecodedMedia]
+        Multimodal.fromDocumentsEncoded(Tables.load(s, dir, "documents"))
+          .filter(col("kind") === "image").as[Multimodal.MediaRecord])
       dec.map { d =>
         val ints = d.tensor.map(v => Math.round(v * 255f).toLong)
         val h = d.shape.head
@@ -383,9 +385,10 @@ object MultimodalQueries {
         |    FOR i IN range(0, n)]), 0) AS BIGINT) AS peak
         |FROM w ORDER BY media_id""".stripMargin) { (s, dir) =>
       import s.implicits._
+      // filter BEFORE decode — see q_multimodal_resize
       val dec = Multimodal.decode(
-        Multimodal.fromDocumentsEncoded(Tables.load(s, dir, "documents")))
-        .filter(col("kind") === "audio").as[Multimodal.DecodedMedia]
+        Multimodal.fromDocumentsEncoded(Tables.load(s, dir, "documents"))
+          .filter(col("kind") === "audio").as[Multimodal.MediaRecord])
       dec.map { d =>
         val smp = d.tensor.map(v => Math.round(v * 32768f).toLong)
         val zc = (0 until smp.size - 1)
