@@ -10,17 +10,18 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.streaming.StreamingPipeline
 
-/** The ELEVEN streaming maintenance wirings running concurrently in
+/** The TWELVE streaming maintenance wirings running concurrently in
   * one session — the literal-deployment sibling of
   * [[CombinedLoopsProbe]] (which fans direct maintenance calls). Here
-  * each family is its actual `StreamingQuery`: eleven `start*` wirings
+  * each family is its actual `StreamingQuery`: twelve `start*` wirings
   * with their own checkpoints and AvailableNow triggers, reading three
   * shared incoming dirs of landed parquet files (docs → signatures
   * ingest, span ingest, full lexical dedup maintenance, DSIR model
-  * ingest, inverted-postings ingest; Zipf docs → LM ingest, term-stats
-  * ingest; vectors → codes ingest, residual codes ingest, SemDeDup
-  * ingest, full embed dedup maintenance — round 13 added the residual
-  * and DSIR members, round 14 the BM25 postings index).
+  * ingest, inverted-postings ingest, diversity-state ingest; Zipf docs
+  * → LM ingest, term-stats ingest; vectors → codes ingest, residual
+  * codes ingest, SemDeDup ingest, full embed dedup maintenance —
+  * round 13 added the residual and DSIR members, round 14 the BM25
+  * postings index and the diversity state).
   * This exercises the machinery the future-based probe cannot: concurrent file-source listing and
   * checkpointing, foreachBatch scheduling across streams, and the
   * per-table single-writer protocols under real stream concurrency.
@@ -66,7 +67,12 @@ object CombinedStreamsProbe {
       root.resolve("in-z"), root.resolve("in-vecs"))
     Seq(docsIn, zIn, vecsIn).foreach(p => java.nio.file.Files.createDirectory(p))
     for (b <- 0 until batches) {
-      land(MaintenanceProbe.batchDocs(spark, b, m), docsIn, f"b$b%02d.parquet")
+      // the landed doc files carry a source column for the diversity
+      // maintainer; every other doc stream's fixed read schema
+      // projects it away
+      land(MaintenanceProbe.batchDocs(spark, b, m)
+        .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(4)))),
+        docsIn, f"b$b%02d.parquet")
       land(MaintenanceProbe.batchZipfDocs(spark, b, m), zIn, f"b$b%02d.parquet")
       land(MaintenanceProbe.batchVecs(spark, b, m), vecsIn, f"b$b%02d.parquet")
     }
@@ -79,7 +85,7 @@ object CombinedStreamsProbe {
       graft.analytics.SimilarityQueries.residualFrame(vecs0, cbIvf, means),
       8, 8, 16, 2)
 
-    /** The eleven wirings against a fresh state root; returns
+    /** The twelve wirings against a fresh state root; returns
       * (family name, start thunk, checksum thunk) triples.
       */
     def wirings(mode: String): Seq[(String, () => StreamingQuery, () => Long)] = {
@@ -135,6 +141,17 @@ object CombinedStreamsProbe {
             sumHash(spark.read.parquet(d("pdl"))
               .select(col("doc_id"), col("dl"))) +
             spark.read.parquet(d("pcnt")).agg(sum(col("n"))).head.getLong(0)),
+        ("diversity",
+          () => StreamingPipeline.startDiversityIngest(
+            spark, docsIn.toString, d("duni"), d("dbi"), d("dcnt"),
+            d("ck-dv")),
+          () => sumHash(spark.read.parquet(d("duni"))
+              .select(col("source"), col("term")).distinct()) +
+            sumHash(spark.read.parquet(d("dbi"))
+              .select(col("source"), col("term")).distinct()) +
+            sumHash(spark.read.parquet(d("dcnt")).groupBy(col("source"))
+              .agg(sum(col("n_docs")).as("d"), sum(col("n_tokens")).as("t"),
+                sum(col("n_bigrams")).as("b")))),
         ("dsir",
           () => StreamingPipeline.startDsirIngest(
             spark, docsIn.toString, d("dsm"), d("ck-d"),
@@ -160,7 +177,7 @@ object CombinedStreamsProbe {
     println(f"STREAMS mode=serial corpus=${batches * m} total_s=$serialTotal%.1f " +
       serialWalls.map { case (n, w) => f"$n=$w%.1f" }.mkString(" "))
 
-    // CONCURRENT: all eleven streams live at once
+    // CONCURRENT: all twelve streams live at once
     val conc = wirings("conc")
     val tC = System.nanoTime()
     val queries = conc.map { case (name, start, _) => (name, start()) }
@@ -177,14 +194,14 @@ object CombinedStreamsProbe {
       println(s"STREAMS-IDENTITY $name serial=$a concurrent=$b match=${a == b}")
     }
 
-    // CHAOS: all eleven live again, but one maintainer — the richest
+    // CHAOS: all twelve live again, but one maintainer — the richest
     // wiring, the lexical dedup maintainer with its three coupled
     // stores and batch-scoped delta persistence — is KILLED mid-run
-    // while the other ten keep draining, then restarted from its
+    // while the other eleven keep draining, then restarted from its
     // checkpoint. The per-family recovery preambles + exactly-once
     // appends must converge every stored table to the serial
     // checksums anyway: a crash of one member of the composed
-    // deployment is survivable without touching the other ten.
+    // deployment is survivable without touching the other eleven.
     val chaos = wirings("chaos")
     val victim = "lex-maint"
     val tK = System.nanoTime()

@@ -358,6 +358,144 @@ object RetrievalQueries {
     (s"$out/pst", s"$out/dl", s"$out/cnt")
   }
 
+  // ------------------------------------------------------------------
+  // Incrementally-maintained diversity state — the corpus state behind
+  // q_diversity_report as continuously-maintained tables: the distinct
+  // unigram and bigram sets per source are SET-UNION semigroup state
+  // (append new grams exactly-once, dedup on compaction — the stored
+  // tables stay Heaps-bounded instead of growing with batch count),
+  // and the per-source totals (docs, tokens, bigrams) are sum-merge
+  // counters. Unlike df/tf state, a REPLAYED batch cannot corrupt the
+  // gram sets (set union is idempotent) — but it WOULD double the
+  // totals, so the ack protocol still carries the counters'
+  // correctness.
+  // ------------------------------------------------------------------
+
+  private def gramFrames(docs: DataFrame): (DataFrame, DataFrame) = {
+    val tk = docs.select(col("source"), tokens(lower(col("text"))).as("ts"))
+    val uni = tk.select(col("source"), explode(col("ts")).as("term"))
+    val bi = tk.select(col("source"), explode(
+      graft.functions.TextFunctions.shinglesFromTokens(col("ts"), 2))
+      .as("term"))
+    (uni, bi)
+  }
+
+  private def gramDeltas(grams: DataFrame, n: Int): DataFrame =
+    grams.distinct()
+      .withColumn("bkt", pmod(hash(col("term")), lit(n)))
+
+  private[graft] def diversityCountsDelta(docs: DataFrame): DataFrame = {
+    val (uni, bi) = gramFrames(docs)
+    val d = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val u = uni.groupBy(col("source")).agg(count(lit(1)).as("n_tokens"))
+    val b = bi.groupBy(col("source")).agg(count(lit(1)).as("n_bigrams"))
+    d.join(u, Seq("source"), "left").join(b, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+      .withColumn("bkt", lit(0))
+  }
+
+  private val mergeDistinctGrams: DataFrame => DataFrame = _.distinct()
+  private val mergeDivCounts: DataFrame => DataFrame =
+    _.groupBy(col("bkt"), col("source")).agg(
+      sum(col("n_docs")).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"),
+      sum(col("n_bigrams")).as("n_bigrams"))
+
+  /** Exactly-once append of one batch's diversity deltas. */
+  def appendToDiversityIdempotent(batch: DataFrame, uniDir: String,
+      biDir: String, cntDir: String, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val nb = DedupQueries.tableBuckets(s, uniDir)
+    val (uni, bi) = gramFrames(batch)
+    graft.sinks.IncrementalParquet.appendIdempotent(
+      s, uniDir, "bkt", batchId, Seq("term"),
+      Map("buckets" -> nb.toString))(gramDeltas(uni, nb))
+    graft.sinks.IncrementalParquet.appendIdempotent(
+      s, biDir, "bkt", batchId, Seq("term"),
+      Map("buckets" -> nb.toString))(gramDeltas(bi, nb))
+    graft.sinks.IncrementalParquet.appendIdempotent(
+      s, cntDir, "bkt", batchId)(diversityCountsDelta(batch))
+  }
+
+  /** Minor compaction: gram tables dedup (set union), counters sum. */
+  def compactDiversityMinor(s: SparkSession, uniDir: String,
+      biDir: String, cntDir: String): Int =
+    graft.sinks.IncrementalParquet.compactMinor(
+      s, uniDir, "bkt", merge = mergeDistinctGrams) +
+      graft.sinks.IncrementalParquet.compactMinor(
+        s, biDir, "bkt", merge = mergeDistinctGrams) +
+      graft.sinks.IncrementalParquet.compactMinor(
+        s, cntDir, "bkt", merge = mergeDivCounts)
+
+  private val storedDiversity =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def incrementalDiversityDirs(
+      s: SparkSession, dir: String): (String, String, String) = {
+    val out = Tables.memoizedParquet(storedDiversity,
+      Tables.derivedStateKey(s, dir, "documents") + "|diversity",
+      "graft-diversity-incr") { out =>
+      val docs = t(s, dir, "documents")
+      appendToDiversityIdempotent(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        s"$out/uni", s"$out/bi", s"$out/cnt", 0L)
+      appendToDiversityIdempotent(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        s"$out/uni", s"$out/bi", s"$out/cnt", 1L)
+      compactDiversityMinor(s, s"$out/uni", s"$out/bi", s"$out/cnt"); ()
+    }
+    (s"$out/uni", s"$out/bi", s"$out/cnt")
+  }
+
+  /** q_diversity_report's DuckDB mirror — shared verbatim by
+    * q_diversity_report_incr (one oracle text per result relation).
+    */
+  private def diversityReportSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, source, regexp_extract_all(lower(text), '\\S+') AS ts
+       |  FROM documents),
+       |uni AS (SELECT source, count(*) AS n_tokens,
+       |          count(DISTINCT term) AS uniq_unigrams
+       |        FROM (SELECT source, unnest(ts) AS term FROM tk)
+       |        GROUP BY source),
+       |bi AS (SELECT source, count(*) AS n_bigrams,
+       |         count(DISTINCT bigram) AS uniq_bigrams
+       |       FROM (SELECT source, ts[i] || ' ' || ts[i+1] AS bigram
+       |             FROM (SELECT source, ts,
+       |                     unnest(range(1, len(ts))) AS i FROM tk)
+       |             WHERE len(ts) >= 2)
+       |       GROUP BY source),
+       |d AS (SELECT source, count(*) AS n_docs FROM documents
+       |      GROUP BY source)
+       |SELECT d.source, d.n_docs, uni.n_tokens, uni.uniq_unigrams,
+       |  coalesce(bi.uniq_bigrams, 0) AS uniq_bigrams,
+       |  CAST(uni.uniq_unigrams AS DOUBLE)
+       |    / CAST(uni.n_tokens AS DOUBLE) AS ttr,
+       |  CASE WHEN coalesce(bi.n_bigrams, 0) = 0 THEN 0.0
+       |       ELSE CAST(bi.uniq_bigrams AS DOUBLE)
+       |              / CAST(bi.n_bigrams AS DOUBLE) END AS bigram_ratio
+       |FROM d JOIN uni ON uni.source = d.source
+       |LEFT JOIN bi ON bi.source = d.source
+       |ORDER BY d.source""".stripMargin
+
+  /** The report's shared output projection over a frame carrying
+    * (source, n_docs, n_tokens, uniq_unigrams, n_bigrams?,
+    * uniq_bigrams?) — both physical strategies (recompute / stored)
+    * end here so the aliases and edge handling cannot drift.
+    */
+  private def diversityProject(j: DataFrame): DataFrame =
+    j.select(col("source"), col("n_docs"), col("n_tokens"),
+        col("uniq_unigrams"),
+        coalesce(col("uniq_bigrams"), lit(0L)).as("uniq_bigrams"),
+        (col("uniq_unigrams").cast("double") /
+          col("n_tokens").cast("double")).as("ttr"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("uniq_bigrams").cast("double") /
+            col("n_bigrams").cast("double")).as("bigram_ratio"))
+      .orderBy(col("source"))
+
   /** MMR picks (diversified top-k size). */
   private val MmrPicks = 5
 
@@ -493,32 +631,7 @@ object RetrievalQueries {
     // partial-aggregated, output |sources| rows.
     GraftQuery(
       "q_diversity_report",
-      s"""WITH tk AS (
-         |  SELECT doc_id, source, regexp_extract_all(lower(text), '\\S+') AS ts
-         |  FROM documents),
-         |uni AS (SELECT source, count(*) AS n_tokens,
-         |          count(DISTINCT term) AS uniq_unigrams
-         |        FROM (SELECT source, unnest(ts) AS term FROM tk)
-         |        GROUP BY source),
-         |bi AS (SELECT source, count(*) AS n_bigrams,
-         |         count(DISTINCT bigram) AS uniq_bigrams
-         |       FROM (SELECT source, ts[i] || ' ' || ts[i+1] AS bigram
-         |             FROM (SELECT source, ts,
-         |                     unnest(range(1, len(ts))) AS i FROM tk)
-         |             WHERE len(ts) >= 2)
-         |       GROUP BY source),
-         |d AS (SELECT source, count(*) AS n_docs FROM documents
-         |      GROUP BY source)
-         |SELECT d.source, d.n_docs, uni.n_tokens, uni.uniq_unigrams,
-         |  coalesce(bi.uniq_bigrams, 0) AS uniq_bigrams,
-         |  CAST(uni.uniq_unigrams AS DOUBLE)
-         |    / CAST(uni.n_tokens AS DOUBLE) AS ttr,
-         |  CASE WHEN coalesce(bi.n_bigrams, 0) = 0 THEN 0.0
-         |       ELSE CAST(bi.uniq_bigrams AS DOUBLE)
-         |              / CAST(bi.n_bigrams AS DOUBLE) END AS bigram_ratio
-         |FROM d JOIN uni ON uni.source = d.source
-         |LEFT JOIN bi ON bi.source = d.source
-         |ORDER BY d.source""".stripMargin) { (s, dir) =>
+      diversityReportSql) { (s, dir) =>
       import graft.functions.TextFunctions.shinglesFromTokens
       val docs = t(s, dir, "documents")
       val tk = docs.select(col("doc_id"), col("source"),
@@ -533,17 +646,36 @@ object RetrievalQueries {
         .agg(count(lit(1)).as("n_bigrams"),
           countDistinct(col("bigram")).as("uniq_bigrams"))
       val d = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-      d.join(uni, Seq("source"))
-        .join(bi, Seq("source"), "left")
-        .select(col("source"), col("n_docs"), col("n_tokens"),
-          col("uniq_unigrams"),
-          coalesce(col("uniq_bigrams"), lit(0L)).as("uniq_bigrams"),
-          (col("uniq_unigrams").cast("double") /
-            col("n_tokens").cast("double")).as("ttr"),
-          when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0))
-            .otherwise(col("uniq_bigrams").cast("double") /
-              col("n_bigrams").cast("double")).as("bigram_ratio"))
-        .orderBy(col("source"))
+      diversityProject(d.join(uni, Seq("source"))
+        .join(bi, Seq("source"), "left"))
+    },
+
+    // Same oracle text, served from the CONTINUOUSLY-MAINTAINED
+    // diversity state: the distinct unigram/bigram tables (set-union
+    // semigroup — dedup-on-compact keeps them Heaps-bounded) and the
+    // sum-merge per-source counters, built through two exactly-once
+    // batches + compaction. The full-recompute SQL pins that append →
+    // dedup-compact → reconstruct loses nothing — i.e. that the
+    // distinct-gram union really is corpus state, not a per-query
+    // recount. Serving is three |vocab|-bounded aggregations; the
+    // corpus text is never touched.
+    GraftQuery("q_diversity_report_incr", diversityReportSql) { (s, dir) =>
+      val (uniDir, biDir, cntDir) = incrementalDiversityDirs(s, dir)
+      val uniq = Tables.parquetCachedSchema(s, uniDir)
+        .select(col("source"), col("term")).distinct()
+        .groupBy(col("source")).agg(count(lit(1)).as("uniq_unigrams"))
+      val biq = Tables.parquetCachedSchema(s, biDir)
+        .select(col("source"), col("term")).distinct()
+        .groupBy(col("source")).agg(count(lit(1)).as("uniq_bigrams"))
+      val cnt = Tables.parquetCachedSchema(s, cntDir)
+        .groupBy(col("source")).agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_bigrams")).as("n_bigrams"))
+      // mirror the one-shot's INNER join on the unigram relation:
+      // a source with zero tokens is absent from the report
+      diversityProject(cnt.filter(col("n_tokens") > 0)
+        .join(uniq, Seq("source"))
+        .join(biq, Seq("source"), "left"))
     },
 
     // ------------------------------------------------- phrase search

@@ -582,6 +582,41 @@ object StreamingPipeline {
         }
     }
 
+  /** Streamed diversity-state maintenance: the per-source distinct
+    * unigram/bigram tables (SET-UNION semigroup — dedup-on-compact
+    * keeps them Heaps-bounded) and the sum-merge per-source counters
+    * behind `q_diversity_report_incr`. Gram-set replay is harmless
+    * (union is idempotent); the COUNTERS are why the ack protocol
+    * matters — a replayed batch would double a source's token totals
+    * and silently shift its ratios.
+    */
+  def startDiversityIngest(
+      spark: SparkSession,
+      incomingDir: String,
+      uniDir: String,
+      biDir: String,
+      cntDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = DefaultCompactEvery): StreamingQuery =
+    startIndexIngest(spark, incomingDir, checkpointDir, docSourceSchema,
+      trigger) { (batch, batchId) =>
+      graft.analytics.RetrievalQueries.appendToDiversityIdempotent(
+        batch, uniDir, biDir, cntDir, batchId)
+      onCadence(compactEvery, batchId) {
+        graft.analytics.RetrievalQueries.compactDiversityMinor(
+          spark, uniDir, biDir, cntDir); ()
+      }
+    }
+
+  private def docSourceSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    new StructType()
+      .add("doc_id", LongType, nullable = false)
+      .add("text", StringType)
+      .add("source", StringType)
+  }
+
   /** Streamed inverted-postings maintenance — the lexical search index
     * joining the continuously-maintained family: arriving documents'
     * postings (doc_id, term, tf) and doc-length rows append

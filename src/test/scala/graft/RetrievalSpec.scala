@@ -111,6 +111,43 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("streamed diversity state == one-shot recount; gram-set replay " +
+      "is idempotent but the counters need the ack (replay is a no-op)") {
+    import spark.implicits._
+    withTempDir { root =>
+      val incoming = Files.createDirectory(root.resolve("incoming"))
+      val (uniDir, biDir, cntDir) = (root.resolve("uni").toString,
+        root.resolve("bi").toString, root.resolve("cnt").toString)
+      val ckpt = root.resolve("ck").toString
+      def batch(b: Long) = MaintenanceProbe.batchDocs(spark, b, 60)
+        .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(3))))
+      land(batch(0), incoming, "b0.parquet")
+      land(batch(1), incoming, "b1.parquet")
+      StreamingPipeline.startDiversityIngest(
+        spark, incoming.toString, uniDir, biDir, cntDir, ckpt,
+        Trigger.AvailableNow()).awaitTermination(120000)
+      val both = batch(0).union(batch(1))
+      def uniSet(dir: String) = spark.read.parquet(dir)
+        .select(col("source"), col("term")).distinct().collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val expUni = graft.functions.TextFunctions
+        .tokens(lower(col("text")))
+      val expect = both.select(col("source"), explode(expUni).as("term"))
+        .distinct().collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(uniSet(uniDir) == expect, "stored unigram set drifted")
+      val totTokens = spark.read.parquet(cntDir)
+        .agg(sum("n_tokens")).head.getLong(0)
+      assert(totTokens == 120L * 40, s"token total $totTokens")
+      // replay batch 0: gram union is idempotent anyway; the COUNTERS
+      // are what the ack must protect
+      RetrievalQueries.appendToDiversityIdempotent(
+        batch(0), uniDir, biDir, cntDir, 0L)
+      assert(spark.read.parquet(cntDir).agg(sum("n_tokens"))
+        .head.getLong(0) == 120L * 40, "replayed batch doubled the totals")
+      assert(uniSet(uniDir) == expect)
+    }
+  }
+
   test("q_bm25_served == q_bm25_topk on the same corpus (store/serve " +
       "round trip loses nothing)") {
     val a = SparkEntry.queries("q_bm25_topk")(spark, sfDir).collect().toSeq
