@@ -617,6 +617,62 @@ object RetrievalQueries {
       bm25ServedTopK(s, dir, NQueries)
     },
 
+    // --------------------------------------------- leakage-free splits
+    // Dedup-aware train/val/test assignment — the leakage guard
+    // q_split_assign's per-doc hash cannot give: hashing doc_id puts
+    // two IDENTICAL documents in different splits with probability
+    // ~2·p·(1−p), silently leaking train content into test. Keying the
+    // split hash on the exact-dup FINGERPRINT (the normalized-text
+    // sha — q_dedup_exact's cluster key) makes every copy of a
+    // document land in the same split BY CONSTRUCTION, and the query
+    // PROVES it cross-engine: leaky_docs counts docs whose cluster
+    // spans >1 split and must be 0. Pure scan-stage hash + one window
+    // over the cluster key; same 80/10/10 recipe as q_split_assign.
+    GraftQuery(
+      "q_split_leakfree",
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id, source, fp,
+        |    CASE WHEN bucket < 80 THEN 'train'
+        |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, source, fp,
+        |          list_sum([(strpos('0123456789abcdef', substring(h, p, 1)) - 1)
+        |                    * CAST(16**(7 - p) AS BIGINT)
+        |                    FOR p IN range(1, 8)]) % 100 AS bucket
+        |        FROM (SELECT doc_id, source, fp,
+        |                substring(sha256(fp), 1, 7) AS h FROM b))),
+        |lk AS (
+        |  SELECT doc_id, source, split,
+        |    count(DISTINCT split) OVER (PARTITION BY fp) AS n_splits
+        |  FROM a)
+        |SELECT source, split, count(*) AS n,
+        |  CAST(coalesce(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS leaky_docs
+        |FROM lk GROUP BY source, split ORDER BY source, split""".stripMargin) {
+      (s, dir) =>
+        import graft.functions.TextFunctions.fingerprint
+        import graft.functions.SimilarityFunctions.elementHash
+        val a = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            fingerprint(col("text")).as("fp"))
+          .withColumn("bucket", elementHash(col("fp")) % 100)
+          .withColumn("split",
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "val").otherwise("test"))
+        val wFp = Window.partitionBy(col("fp"))
+        a.withColumn("n_splits",
+            org.apache.spark.sql.functions.size(
+              collect_set(col("split")).over(wFp)))
+          .groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(when(col("n_splits") > 1, 1L).otherwise(0L)),
+              lit(0L)).as("leaky_docs"))
+          .orderBy(col("source"), col("split"))
+    },
+
     // -------------------------------------------- diversity report
     // Per-source corpus diversity — the type-token and distinct-bigram
     // ratios a mixture decision reads before weighting a source (a

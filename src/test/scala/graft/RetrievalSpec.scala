@@ -111,6 +111,37 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("leak-free splits: planted duplicates that the per-id recipe " +
+      "would separate stay co-located; leaky_docs is zero") {
+    import spark.implicits._
+    import graft.functions.SimilarityFunctions.elementHash
+    // find two doc ids whose ID-keyed buckets land in DIFFERENT splits
+    // (the q_split_assign recipe would leak a duplicate across them)
+    val buckets = spark.range(0, 64)
+      .select(col("id"), (elementHash(col("id").cast("string")) % 100)
+        .as("b")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def sp(b: Long) = if (b < 80) "train" else if (b < 90) "val" else "test"
+    val pair = (for {
+      a <- 0L until 64L; c <- (a + 1) until 64L
+      if sp(buckets(a)) != sp(buckets(c))
+    } yield (a, c)).head
+    withTempDir { root =>
+      val dup = "this exact document appears twice"
+      (Seq((pair._1, dup, "s0"), (pair._2, dup, "s1")) ++
+        (0L until 64L).filterNot(i => i == pair._1 || i == pair._2)
+          .map(i => (i, s"unique text $i", s"s${i % 2}")))
+        .toDF("doc_id", "text", "source").repartition(1)
+        .write.parquet(s"$root/documents.parquet")
+      val out = SparkEntry.queries("q_split_leakfree")(spark, root.toString)
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3)))
+      // the guard the query PROVES: no document's dup cluster spans
+      // two splits — even for the pair the per-id hash separates
+      assert(out.forall(_._4 == 0L), out.mkString(", "))
+      assert(out.map(_._3).sum == 64L)
+    }
+  }
+
   test("streamed diversity state == one-shot recount; gram-set replay " +
       "is idempotent but the counters need the ack (replay is a no-op)") {
     import spark.implicits._
