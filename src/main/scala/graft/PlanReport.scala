@@ -32,7 +32,9 @@ object PlanReport {
     "q_dedup_semantic" -> "SemDeDup cluster-locality pruning (round 11): coarse assignment is the compiled-codebook nearest_cell kernel in the scan stage (no centroid join), the within-cell pair stage is ONE equi-join on the cell id (pair mass bounded by training k, the paper's corpus-proportional dial), and the verdict is a distinct + left join — no cartesian/BNL anywhere, no transitive closure (cell-local prune is the published semantics; q_dedup_embed_clusters is the closure-based sibling).",
     "q_dedup_semantic_incr" -> "Incremental SemDeDup fold (round-11 serve): the lifecycle (append id-ordered halves into the cell-partitioned member table, per-batch verdicts against stored state, mid-lifecycle compaction) ran ONCE at table build; this plan must be a bare parquet scan of the stored verdicts table plus the output sort — no nearest_cell kernel, no cell self-join. The per-trigger probe shape (|batch| x touched cells, partition-pruned) is pinned by SemanticIncrementalSpec.",
     "q_ann_ivfpq_residual" -> "Residual IVF-ADC served from the STORED residual codes table (round 13): no NearestCell/PqEncode over the corpus — cell assignment and the residual encode were paid once at index build; candidates are ADC-scored stored codes in the probed cells (the probe side's dl table is CELL-RELATIVE, one residual-subdist row per (query, probed cell), still driver-sized); exact cosine re-ranks the broadcast survivors.",
-    "q_ann_filtered" -> "Hybrid metadata + vector search (round 13): the lang predicate is PUSHED into the documents parquet scan (PushedFilters, (doc_id, lang)-only ReadSchema), the qualifying ids PRE-filter the corpus through a semi-join BEFORE the pair stage, and the exact top-k runs on survivors — recall exact by construction; the 10-row query side broadcasts (the intended BNL, as q_ann_bruteforce).")
+    "q_ann_filtered" -> "Hybrid metadata + vector search (round 13): the lang predicate is PUSHED into the documents parquet scan (PushedFilters, (doc_id, lang)-only ReadSchema), the qualifying ids PRE-filter the corpus through a semi-join BEFORE the pair stage, and the exact top-k runs on survivors — recall exact by construction; the 10-row query side broadcasts (the intended BNL, as q_ann_bruteforce).",
+    "q_bm25_served" -> "BM25 served from the STORED inverted index (round 14): the corpus text never appears — every documents scan carries the query-side doc_id<5 pushdown; the postings scan shows PartitionFilters [bkt INSET ...] (hive-partition pruning from the collected query-term buckets) AND PushedFilters In(term, ...) (row-group skip over term-sorted files); doc stats and the (n, totlen) scalars read the maintained tables. The one-shot sibling's corpus tokenizer pass is GONE.",
+    "q_mmr_diversify" -> "MMR diversified top-k (round 14): the candidate rank is the only corpus-sized stage; the 5-step greedy loop reads localCheckpoint-materialized relations (Scan ExistingRDD) — NO embeddings scan appears in this plan at all, and no step re-executes its predecessors (the naive lineage was a 2^k blowup, measured 5.1 -> 2.1 s at sf0.1).")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
