@@ -496,6 +496,49 @@ object RetrievalQueries {
             col("n_bigrams").cast("double")).as("bigram_ratio"))
       .orderBy(col("source"))
 
+  /** The RRF fusion tail shared by both hybrid queries: full-outer
+    * join of the two top-depth rankings (`bt`: q_id, n_id, bm_rank;
+    * `ct`: q_id, n_id, cos_rank), rrf = Σ 1/(60+rank) — IEEE-exact,
+    * no libm — ranked and cut at [[TopK]].
+    */
+  private def rrfFuse(bt: DataFrame, ct: DataFrame): DataFrame = {
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("n_id"))
+    bt.join(ct, Seq("q_id", "n_id"), "full_outer")
+      .select(col("q_id"), col("n_id"),
+        (coalesce(lit(1.0) / (lit(60) + col("bm_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("cos_rank")), lit(0.0)))
+          .as("rrf"),
+        coalesce(col("bm_rank"), lit(0)).cast(IntegerType).as("bm_rank"),
+        coalesce(col("cos_rank"), lit(0)).cast(IntegerType).as("cos_rank"))
+      .withColumn("rank", row_number().over(wr).cast(IntegerType))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("n_id"), col("rank"), col("bm_rank"),
+        col("cos_rank"),
+        (floor(col("rrf") * 1000000) / 1000000).as("rrf_score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The fusion tail's oracle mirror — `bt`/`ct` CTEs expected
+    * upstream with the same columns.
+    */
+  private def rrfFuseSql: String =
+    s"""fu AS (SELECT coalesce(bt.q_id, ct.q_id) AS q_id,
+       |         coalesce(bt.n_id, ct.n_id) AS n_id,
+       |         coalesce(1.0 / (60 + bt.bm_rank), 0.0)
+       |           + coalesce(1.0 / (60 + ct.cos_rank), 0.0) AS rrf,
+       |         coalesce(bt.bm_rank, 0) AS bm_rank,
+       |         coalesce(ct.cos_rank, 0) AS cos_rank
+       |       FROM bt FULL OUTER JOIN ct
+       |         ON bt.q_id = ct.q_id AND bt.n_id = ct.n_id),
+       |fr AS (SELECT q_id, n_id, rrf, bm_rank, cos_rank,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |           ORDER BY rrf DESC, n_id) AS INTEGER) AS rank
+       |       FROM fu)
+       |SELECT q_id, n_id, rank, bm_rank, cos_rank,
+       |  floor(rrf * 1000000) / 1000000 AS rrf_score
+       |FROM fr WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+
   /** MMR picks (diversified top-k size). */
   private val MmrPicks = 5
 
@@ -935,21 +978,7 @@ object RetrievalQueries {
          |       WHERE rank <= $FuseDepth),
          |ct AS (SELECT q_id, n_id, cos_rank FROM crk
          |       WHERE cos_rank <= $FuseDepth),
-         |fu AS (SELECT coalesce(bt.q_id, ct.q_id) AS q_id,
-         |         coalesce(bt.n_id, ct.n_id) AS n_id,
-         |         coalesce(1.0 / (60 + bt.bm_rank), 0.0)
-         |           + coalesce(1.0 / (60 + ct.cos_rank), 0.0) AS rrf,
-         |         coalesce(bt.bm_rank, 0) AS bm_rank,
-         |         coalesce(ct.cos_rank, 0) AS cos_rank
-         |       FROM bt FULL OUTER JOIN ct
-         |         ON bt.q_id = ct.q_id AND bt.n_id = ct.n_id),
-         |fr AS (SELECT q_id, n_id, rrf, bm_rank, cos_rank,
-         |         CAST(row_number() OVER (PARTITION BY q_id
-         |           ORDER BY rrf DESC, n_id) AS INTEGER) AS rank
-         |       FROM fu)
-         |SELECT q_id, n_id, rank, bm_rank, cos_rank,
-         |  floor(rrf * 1000000) / 1000000 AS rrf_score
-         |FROM fr WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin) {
+         |$rrfFuseSql""".stripMargin) {
       (s, dir) =>
         val docs = t(s, dir, "documents")
         val qt = queryTerms(docs)
@@ -972,21 +1001,57 @@ object RetrievalQueries {
           .withColumn("cos_rank", row_number().over(wc).cast(IntegerType))
           .filter(col("cos_rank") <= FuseDepth)
           .select(col("q_id"), col("n_id"), col("cos_rank"))
-        val wr = Window.partitionBy(col("q_id"))
-          .orderBy(col("rrf").desc, col("n_id"))
-        bt.join(ct, Seq("q_id", "n_id"), "full_outer")
-          .select(col("q_id"), col("n_id"),
-            (coalesce(lit(1.0) / (lit(60) + col("bm_rank")), lit(0.0)) +
-              coalesce(lit(1.0) / (lit(60) + col("cos_rank")), lit(0.0)))
-              .as("rrf"),
-            coalesce(col("bm_rank"), lit(0)).cast(IntegerType).as("bm_rank"),
-            coalesce(col("cos_rank"), lit(0)).cast(IntegerType)
-              .as("cos_rank"))
-          .withColumn("rank", row_number().over(wr).cast(IntegerType))
-          .filter(col("rank") <= TopK)
-          .select(col("q_id"), col("n_id"), col("rank"), col("bm_rank"),
-            col("cos_rank"),
-            (floor(col("rrf") * 1000000) / 1000000).as("rrf_score"))
-          .orderBy(col("q_id"), col("rank"))
+        rrfFuse(bt, ct)
+    },
+
+    // ---------------------------------- hybrid fusion, INDEXED tiers
+    // The hybrid form a user runs at scale: BOTH fusion arms serve
+    // from their stored indexes — BM25 from the maintained postings
+    // tables (bucket/term-pruned scan, no corpus tokenize) and the
+    // vector arm from the stored IVF-PQ codes table (the
+    // q_ann_codes_served chain at the fusion dials: topC widened to 24
+    // so the exact re-rank can fill depth 20). Deterministic end to
+    // end — pinned codebook, tie-broken argmins, dyadic ADC sums, the
+    // IEEE-exact fusion — so the oracle re-derives BOTH index chains
+    // plus the fusion relationally, and the hash gate covers the
+    // at-scale form, not just the exact small-corpus tier (the
+    // q_ann_filtered_indexed discipline applied to hybrid search).
+    GraftQuery(
+      "q_hybrid_rrf_indexed",
+      s"""WITH $bm25CtesSql,
+         |e AS ($embDoubleSql),
+         |${SimilarityQueries.ivfPqRankedCtesSql(NQueries, 2, 24)},
+         |bt AS (SELECT q_id, n_id, rank AS bm_rank FROM bmr
+         |       WHERE rank <= $FuseDepth),
+         |ct AS (SELECT q_id, n_id, rank AS cos_rank FROM annr
+         |       WHERE rank <= $FuseDepth),
+         |$rrfFuseSql""".stripMargin) { (s, dir) =>
+      val bt = {
+        val docs = t(s, dir, "documents")
+        val (pstDir, dlDir, cntDir) = incrementalPostingsDirs(s, dir)
+        val qt = queryTerms(docs)
+        val nb = DedupQueries.tableBuckets(s, pstDir)
+        val termRows = qt.select(col("term"),
+            pmod(hash(col("term")), lit(nb)).as("bkt"))
+          .distinct().collect()
+        val terms = termRows.map(_.getString(0)).toSeq.distinct
+        val bkts = termRows.map(_.getInt(1)).toSeq.distinct
+        val pst = Tables.parquetCachedSchema(s, pstDir)
+          .filter(col("bkt").isin(bkts: _*) && col("term").isin(terms: _*))
+          .select(col("doc_id"), col("term"), col("tf"))
+        val dlT = Tables.parquetCachedSchema(s, dlDir)
+          .select(col("doc_id"), col("dl"))
+        val gs = Tables.parquetCachedSchema(s, cntDir)
+          .agg(sum(col("n")).as("n"))
+          .crossJoin(Tables.parquetCachedSchema(s, dlDir)
+            .agg(sum(col("dl")).as("totlen")))
+        bm25Ranked(qt, pst, dlT, gs)
+          .filter(col("rank") <= FuseDepth)
+          .select(col("q_id"), col("n_id"), col("rank").as("bm_rank"))
+      }
+      val ct = SimilarityQueries.pinnedServedRanked(
+        s, dir, NQueries, nprobe = 2, topC = 24, depth = FuseDepth)
+        .select(col("q_id"), col("n_id"), col("rank").as("cos_rank"))
+      rrfFuse(bt, ct)
     })
 }

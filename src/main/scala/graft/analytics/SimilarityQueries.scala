@@ -848,7 +848,7 @@ object SimilarityQueries {
   private[graft] def ivfPqServeFromCodes(
       e: DataFrame, codes: DataFrame, cbIvf: Array[Double],
       cbPq: Array[Double], nQueries: Int, nprobe: Int = 2,
-      topC: Int = 8): DataFrame = {
+      topC: Int = 8, depth: Int = 3): DataFrame = {
     // ONE tiny collect covers the whole query side: nQueries vectors
     // with their probe cells, subspace distance lookups, raw vector
     // and norm — ≤ nQueries rows of driver metadata. The probe table,
@@ -887,8 +887,63 @@ object SimilarityQueries {
     val qn = localDf(s, qnSchema, qRows.toSeq.map(r =>
       org.apache.spark.sql.Row(r.getLong(0), r.getAs[Any]("qv"),
         r.getDouble(4))))
-    exactReRankTail(e, adcCandidatesFromCodes(codes, probes, cells, topC), qn)
+    exactReRankTail(e, adcCandidatesFromCodes(codes, probes, cells, topC),
+      qn, depth)
   }
+
+  /** The pinned-codebook stored-index serve as a RANKED relation at an
+    * arbitrary depth — the ANN arm of the indexed hybrid fusion
+    * ([[RetrievalQueries]] q_hybrid_rrf_indexed): same codes table and
+    * serve chain as q_ann_codes_served, with the re-rank budget (topC)
+    * and emitted depth widened to the fusion dials.
+    */
+  private[analytics] def pinnedServedRanked(s: SparkSession, dir: String,
+      nQueries: Int, nprobe: Int, topC: Int, depth: Int): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cb = collectCodebook(e, 16)
+    val codes = Tables.parquetCachedSchema(s,
+      incrementalCodesPath(s, dir, cb, cb))
+    ivfPqServeFromCodes(e, codes, cb, cb, nQueries, nprobe, topC, depth)
+  }
+
+  /** The pinned-codebook stored-index ranking as shared oracle CTEs,
+    * through the relation `annr(q_id, n_id, rank)` (rank over the
+    * exact-cosine re-rank of the top-`topC` ADC candidates). Expects
+    * CTE `e` (double-cast embeddings) upstream; CTE names are chosen
+    * to compose with [[RetrievalQueries.bm25CtesSql]].
+    */
+  private[analytics] def ivfPqRankedCtesSql(
+      nQueries: Int, nprobe: Int, topC: Int): String =
+    s"""nv AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+       |asg AS (SELECT a.vec_id, c.c_id,
+       |          row_number() OVER (PARTITION BY a.vec_id
+       |            ORDER BY ${dotSql("a.v", "c.cv")} DESC, c.c_id) AS crank
+       |        FROM e a, cent c),
+       |cells AS (SELECT vec_id AS n_id, c_id AS cell FROM asg WHERE crank = 1),
+       |probes AS (SELECT vec_id AS q_id, c_id AS cell FROM asg
+       |           WHERE vec_id < $nQueries AND crank <= $nprobe),
+       |${pqEncodeCtesSql("cent")},
+       |s AS (SELECT p.q_id, ce.n_id,
+       |        list_reduce([q.dl[k.cl[j + 1] * 8 + j + 1]
+       |                     FOR j IN range(0, 8)], (x, y) -> x + y) AS ad2
+       |      FROM probes p
+       |      JOIN cells ce ON p.cell = ce.cell AND ce.n_id <> p.q_id
+       |      JOIN cm k ON k.n_id = ce.n_id
+       |      JOIN qdl q ON q.q_id = p.q_id),
+       |acand AS (SELECT q_id, n_id, ad2,
+       |            row_number() OVER (PARTITION BY q_id
+       |              ORDER BY ad2, n_id) AS crank2
+       |          FROM s),
+       |ar AS (SELECT a.q_id, a.n_id,
+       |         ${dotSql("qn.v", "cn.v")} / (qn.nrm * cn.nrm) AS cos
+       |       FROM acand a JOIN nv qn ON qn.vec_id = a.q_id
+       |                    JOIN nv cn ON cn.vec_id = a.n_id
+       |       WHERE a.crank2 <= $topC),
+       |annr AS (SELECT q_id, n_id,
+       |           CAST(row_number() OVER (PARTITION BY q_id
+       |             ORDER BY cos DESC, n_id) AS INTEGER) AS rank
+       |         FROM ar)""".stripMargin
 
   /** Index-accelerated FILTERED search — the scale path of
     * q_ann_filtered once the corpus is indexed: candidates come from
@@ -963,7 +1018,8 @@ object SimilarityQueries {
     *    stored-index serve into O(candidates).
     */
   private def exactReRankTail(
-      e: DataFrame, cand: DataFrame, qn: DataFrame): DataFrame = {
+      e: DataFrame, cand: DataFrame, qn: DataFrame,
+      depth: Int = 3): DataFrame = {
     val s = e.sparkSession
     val threshold = s.conf.get(
       ReRankFetchBytesKey, ReRankFetchBytesDefault.toString).toLong
@@ -985,7 +1041,7 @@ object SimilarityQueries {
     fetched.join(broadcast(qn), col("q_id") === col("q_id2"))
       .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(wRank).cast(IntegerType))
-      .filter(col("rank") <= 3)
+      .filter(col("rank") <= depth)
       .select(col("q_id"), col("n_id"), col("rank"),
         round(col("ad2"), 4).as("approx_d2"),
         round(col("cos"), 4).as("cosine"))
