@@ -547,6 +547,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("q_hybrid_rrf_indexed: both fusion arms are index serves — " +
+      "corpus text only behind the query-side pushdown, codes table " +
+      "present, no corpus-side encode kernel") {
+    val p = plan("q_hybrid_rrf_indexed")
+    assert(p.contains("graft-postings-incr"), p.take(3000))
+    assert(p.contains("graft-codes-inc"), p.take(3000))
+    val docScans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("documents.parquet"))
+      .toSeq
+    assert(docScans.nonEmpty &&
+      docScans.forall(_.contains("LessThan(doc_id,5)")),
+      docScans.mkString("\n"))
+    // the vector arm serves from stored codes: no PQ encode or coarse
+    // assignment kernel may touch the corpus side
+    assert(!p.contains("pq_encode"), "corpus-side PQ encode in serve plan")
+    assert(!p.contains("nearest_cell") ||
+      p.indexOf("nearest_cell") == p.lastIndexOf("nearest_cell"),
+      "corpus-side coarse assignment in serve plan")
+  }
+
   test("q_mmr_diversify: the 5-step greedy loop runs over checkpointed " +
       "local relations — the corpus scan never re-executes per step") {
     val p = plan("q_mmr_diversify")
