@@ -153,7 +153,15 @@ object RetrievalQueries {
     * because the posting-list scan and the scalar aggregation are paid
     * once per BATCH, not per query.
     */
-  def bm25ServedTopK(s: SparkSession, dir: String, nQueries: Int): DataFrame = {
+  def bm25ServedTopK(s: SparkSession, dir: String, nQueries: Int): DataFrame =
+    bm25Project(bm25ServedRanked(s, dir, nQueries))
+
+  /** The stored-index serve as a RANKED relation (q_id, n_id, matched,
+    * score, rank) — the BM25 arm of the indexed hybrid fusion and the
+    * body behind [[bm25ServedTopK]].
+    */
+  private def bm25ServedRanked(
+      s: SparkSession, dir: String, nQueries: Int): DataFrame = {
     val docs = t(s, dir, "documents")
     val (pstDir, dlDir, cntDir) = incrementalPostingsDirs(s, dir)
     val qt = queryTerms(docs, nQueries)
@@ -184,7 +192,7 @@ object RetrievalQueries {
       .agg(sum(col("n")).as("n"))
       .crossJoin(Tables.parquetCachedSchema(s, dlDir)
         .agg(sum(col("dl")).as("totlen")))
-    bm25Project(bm25Ranked(qt, pst, dlT, gs))
+    bm25Ranked(qt, pst, dlT, gs)
   }
 
   /** BM25 ranked candidates `(q_id, n_id, matched, score, rank)` from
@@ -1026,29 +1034,9 @@ object RetrievalQueries {
          |ct AS (SELECT q_id, n_id, rank AS cos_rank FROM annr
          |       WHERE rank <= $FuseDepth),
          |$rrfFuseSql""".stripMargin) { (s, dir) =>
-      val bt = {
-        val docs = t(s, dir, "documents")
-        val (pstDir, dlDir, cntDir) = incrementalPostingsDirs(s, dir)
-        val qt = queryTerms(docs)
-        val nb = DedupQueries.tableBuckets(s, pstDir)
-        val termRows = qt.select(col("term"),
-            pmod(hash(col("term")), lit(nb)).as("bkt"))
-          .distinct().collect()
-        val terms = termRows.map(_.getString(0)).toSeq.distinct
-        val bkts = termRows.map(_.getInt(1)).toSeq.distinct
-        val pst = Tables.parquetCachedSchema(s, pstDir)
-          .filter(col("bkt").isin(bkts: _*) && col("term").isin(terms: _*))
-          .select(col("doc_id"), col("term"), col("tf"))
-        val dlT = Tables.parquetCachedSchema(s, dlDir)
-          .select(col("doc_id"), col("dl"))
-        val gs = Tables.parquetCachedSchema(s, cntDir)
-          .agg(sum(col("n")).as("n"))
-          .crossJoin(Tables.parquetCachedSchema(s, dlDir)
-            .agg(sum(col("dl")).as("totlen")))
-        bm25Ranked(qt, pst, dlT, gs)
-          .filter(col("rank") <= FuseDepth)
-          .select(col("q_id"), col("n_id"), col("rank").as("bm_rank"))
-      }
+      val bt = bm25ServedRanked(s, dir, NQueries)
+        .filter(col("rank") <= FuseDepth)
+        .select(col("q_id"), col("n_id"), col("rank").as("bm_rank"))
       val ct = SimilarityQueries.pinnedServedRanked(
         s, dir, NQueries, nprobe = 2, topC = 24, depth = FuseDepth)
         .select(col("q_id"), col("n_id"), col("rank").as("cos_rank"))
