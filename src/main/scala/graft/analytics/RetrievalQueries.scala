@@ -3,7 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{DecimalType, IntegerType}
 
 import graft.core.Tables
 import graft.functions.SimilarityFunctions.{dot, l2Norm}
@@ -26,12 +26,18 @@ import graft.analytics.SimilarityQueries.{dotSql, embDoubleSql}
   *
   *         44·tf·totlen / (20·tf·totlen + 6·totlen + 18·dl·N)
   *
-  *     — every operand a BIGINT (exact while 44·tf·totlen < 2⁶³, i.e.
-  *     tf·totlen < 2·10¹⁷: a 100 TB corpus at ~10¹³ tokens with tf ≤
-  *     10³ sits at 10¹⁶; DuckDB widens to HUGEINT, Spark's headroom is
-  *     documented here) — followed by exactly one INT→DOUBLE conversion
-  *     per side (IEEE round-to-nearest, identical in both engines) and
-  *     one IEEE division.
+  *     — products widened to decimal(38,0) on the Spark side and
+  *     HUGEINT on the DuckDB side ([[tfNorm]]), so both engines carry
+  *     exact 128-bit-class integers to ~10³⁸: a BIGINT product would
+  *     silently wrap past 44·tf·totlen ≥ 2⁶³ (one megatoken document
+  *     against a 10¹³-token corpus puts tf·totlen at 10¹⁹ > 2·10¹⁷)
+  *     while DuckDB widened — wrong-but-plausible scores invisible to
+  *     the oracle. Widened, the ratio is exact to tf·totlen < 2·10³⁶
+  *     (beyond any physical corpus), followed by exactly one
+  *     exact-INT→DOUBLE conversion per side (IEEE round-to-nearest,
+  *     identical in both engines) and one IEEE division.
+  *     [[RetrievalSpec]] drives the product past 2⁶³ and checks the
+  *     hand-computed BigDecimal value on both scoring consumers.
   *   - idf = log2(1 + (N − df + ½)/(df + ½)) (the Lucene always-
   *     positive variant) runs libm log2 on a bit-identical argument and
   *     is quantized to the 2⁻³⁰ dyadic grid ([[TextQueries.quantizeLog2]])
@@ -102,9 +108,10 @@ object RetrievalQueries {
        |                * 1073741824.0) / 1073741824.0 AS idf
        |        FROM dft d, gs g),
        |sc AS (SELECT q.q_id, p.doc_id AS n_id, p.term,
-       |         i.idf * (CAST(44 * p.tf * g.totlen AS DOUBLE)
-       |                  / CAST(20 * p.tf * g.totlen + 6 * g.totlen
-       |                         + 18 * l.dl * g.n AS DOUBLE)) AS sc
+       |         i.idf * (CAST(44 * CAST(p.tf AS HUGEINT) * g.totlen AS DOUBLE)
+       |                  / CAST(20 * CAST(p.tf AS HUGEINT) * g.totlen
+       |                         + 6 * CAST(g.totlen AS HUGEINT)
+       |                         + 18 * CAST(l.dl AS HUGEINT) * g.n AS DOUBLE)) AS sc
        |       FROM qt q
        |       JOIN pst p ON p.term = q.term AND p.doc_id <> q.q_id
        |       JOIN idf i ON i.term = q.term
@@ -128,6 +135,31 @@ object RetrievalQueries {
   // ------------------------------------------------------------------
   // Shared Spark-side pieces
   // ------------------------------------------------------------------
+
+  /** The exact BM25 tf-normalization ratio
+    * 44·tf·totlen / (20·tf·totlen + 6·totlen + 18·dl·N) — THE scoring
+    * kernel of every BM25 consumer (one-shot, served, both hybrid
+    * arms, the streaming relevance gate), factored out so the overflow
+    * guard cannot drift between them. Every product runs in
+    * decimal(38,0) (exact integers to ~10³⁸ — decimal×decimal at
+    * scale 0 keeps scale 0, so no rounding ever occurs), mirroring the
+    * oracle's HUGEINT widening; the ONLY inexact steps are the final
+    * exact-integer→DOUBLE conversion per side (IEEE round-to-nearest
+    * in both engines: Spark's Decimal.toDouble and DuckDB's
+    * HUGEINT→DOUBLE are both correctly rounded) and one IEEE division.
+    * A BIGINT pipeline wraps silently past 44·tf·totlen ≥ 2⁶³ — the
+    * unguarded-overflow class [[graft.operators.QuantizedLr]] was
+    * cured of with exactly this widening.
+    */
+  private[graft] def tfNorm(
+      tf: Column, dl: Column, n: Column, totlen: Column): Column = {
+    val d = DecimalType(38, 0)
+    val tfTot = tf.cast(d) * totlen.cast(d)
+    val num = lit(44).cast(d) * tfTot
+    val den = lit(20).cast(d) * tfTot + lit(6).cast(d) * totlen.cast(d) +
+      lit(18).cast(d) * dl.cast(d) * n.cast(d)
+    num.cast("double") / den.cast("double")
+  }
 
   /** The salient-term query set (q_id, term) for documents doc_id <
     * NQueries: top terms by (tf DESC, term) WITHIN the query document —
@@ -201,7 +233,7 @@ object RetrievalQueries {
     * `gs(n, totlen)`. Shared by the one-shot, served and hybrid forms —
     * only WHERE the state comes from differs (recompute vs stored).
     */
-  private def bm25Ranked(
+  private[graft] def bm25Ranked(
       qt: DataFrame, pst: DataFrame, dl: DataFrame, gs: DataFrame): DataFrame = {
     // term-partition barrier: both consumers below (the df aggregation
     // and the scoring join) read `p` behind the SAME exchange, so
@@ -219,9 +251,9 @@ object RetrievalQueries {
       TextQueries.quantizeLog2(log2(lit(1.0) +
         (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))).as("idf"),
       col("n"), col("totlen"))
-    // one exact integer ratio per (candidate, term): BIGINT products
-    // (exact — headroom documented in the object scaladoc), ONE cast to
-    // double per side, one IEEE division, one IEEE multiply
+    // one exact integer ratio per (candidate, term): decimal(38,0)
+    // products (overflow-proof — see [[tfNorm]]), ONE cast to double
+    // per side, one IEEE division, one IEEE multiply
     val sc = broadcast(qt)
       .join(p.withColumnRenamed("doc_id", "n_id"), Seq("term"))
       .filter(col("n_id") =!= col("q_id"))
@@ -229,9 +261,7 @@ object RetrievalQueries {
       .join(dl.withColumnRenamed("doc_id", "n_id"), Seq("n_id"))
       .select(col("q_id"), col("n_id"), col("term"),
         (col("idf") *
-          ((lit(44L) * col("tf") * col("totlen")).cast("double") /
-            (lit(20L) * col("tf") * col("totlen") + lit(6L) * col("totlen")
-              + lit(18L) * col("dl") * col("n")).cast("double"))).as("sc"))
+          tfNorm(col("tf"), col("dl"), col("n"), col("totlen"))).as("sc"))
     val wr = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("n_id"))
     // fold per-term scores in TERM order so the double sum is
@@ -298,10 +328,16 @@ object RetrievalQueries {
 
   /** A batch's per-doc token counts (docs with zero tokens have no
     * postings and are omitted — they can never join a query term).
+    * Scan-stage regexp_count — counting '\S+' matches equals counting
+    * exploded tokens (the q_token_stats lesson), so the batch text is
+    * NOT re-tokenized for the doc-stats delta: [[postingsDeltas]]'s
+    * explode is the only tokenizer pass per trigger.
     */
   private[graft] def docStatsDeltas(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+          .as("dl"))
+      .filter(col("dl") > 0)
       .withColumn("bkt", pmod(hash(col("doc_id")), lit(n)))
 
   /** A batch's doc-count delta — one row (counts EVERY batch doc,
@@ -392,17 +428,21 @@ object RetrievalQueries {
     grams.distinct()
       .withColumn("bkt", pmod(hash(col("term")), lit(n)))
 
-  private[graft] def diversityCountsDelta(docs: DataFrame): DataFrame = {
-    val (uni, bi) = gramFrames(docs)
-    val d = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-    val u = uni.groupBy(col("source")).agg(count(lit(1)).as("n_tokens"))
-    val b = bi.groupBy(col("source")).agg(count(lit(1)).as("n_bigrams"))
-    d.join(u, Seq("source"), "left").join(b, Seq("source"), "left")
-      .select(col("source"), col("n_docs"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+  /** Per-source counter deltas — ONE scan-stage pass: a doc of dl
+    * tokens contributes dl unigrams and max(dl−1, 0) bigrams (the
+    * shingle count by construction), so the counters need no explode
+    * and no second tokenizer pass over the batch (the gram deltas'
+    * [[gramFrames]] explode is the only one per trigger).
+    */
+  private[graft] def diversityCountsDelta(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+          .as("dl"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("n_tokens"),
+        sum(greatest(col("dl") - 1, lit(0L))).as("n_bigrams"))
       .withColumn("bkt", lit(0))
-  }
 
   private val mergeDistinctGrams: DataFrame => DataFrame = _.distinct()
   private val mergeDivCounts: DataFrame => DataFrame =
@@ -595,8 +635,14 @@ object RetrievalQueries {
   def relevanceModel(s: SparkSession, pstDir: String, dlDir: String,
       cntDir: String, terms: Seq[String]): (DataFrame, DataFrame) = {
     val nb = DedupQueries.tableBuckets(s, pstDir)
-    val bkts = terms.map(tm => // plan-side hash, collected via a 1-row job
-      graft.core.Tables.hashBucket(s, tm, nb)).distinct
+    // all bucket ids in ONE local-relation job via the SAME plan-side
+    // expression the writer used (pmod∘hash) — the per-term
+    // Tables.hashBucket loop launched one 1-row Spark job per term,
+    // needlessly serial past a handful of terms
+    import s.implicits._
+    val bkts = terms.toDF("term")
+      .select(pmod(hash(col("term")), lit(nb)))
+      .collect().map(_.getInt(0)).toSeq.distinct
     val dft = Tables.parquetCachedSchema(s, pstDir)
       .filter(col("bkt").isin(bkts: _*) && col("term").isin(terms: _*))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -632,9 +678,7 @@ object RetrievalQueries {
     tf.crossJoin(broadcast(gs))
       .select(col("doc_id"), col("term"),
         (col("idf") *
-          ((lit(44L) * col("tf") * col("totlen")).cast("double") /
-            (lit(20L) * col("tf") * col("totlen") + lit(6L) * col("totlen")
-              + lit(18L) * col("dl") * col("n")).cast("double"))).as("sc"))
+          tfNorm(col("tf"), col("dl"), col("n"), col("totlen"))).as("sc"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast(IntegerType).as("matched"),
         aggregate(
