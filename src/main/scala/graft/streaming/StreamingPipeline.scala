@@ -648,6 +648,32 @@ object StreamingPipeline {
         }
     }
 
+  /** Streamed positional-bigram postings maintenance — the phrase
+    * index joining the continuously-maintained family: arriving
+    * documents' (doc_id, bigram, occ) rows append exactly-once
+    * (document-keyed and immutable, the tf-postings argument verbatim
+    * — replay would double every occ), compaction re-files on cadence.
+    * A concurrent phrase serve ([[graft.analytics.RetrievalQueries]]
+    * `q_phrase_served`) reads candidates from this table only; the
+    * catalog gate checks it against a full recompute.
+    */
+  def startPhraseIngest(
+      spark: SparkSession,
+      incomingDir: String,
+      bpstDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = DefaultCompactEvery): StreamingQuery =
+    startIndexIngest(spark, incomingDir, checkpointDir, docSchema, trigger) {
+      (batch, batchId) =>
+        graft.analytics.RetrievalQueries.appendToPhraseIdempotent(
+          batch, bpstDir, batchId)
+        onCadence(compactEvery, batchId) {
+          graft.analytics.RetrievalQueries.compactPhraseMinor(
+            spark, bpstDir); ()
+        }
+    }
+
   /** Streamed LM-model maintenance — MODEL state joining the
     * continuously-maintained family: arriving documents' bigram and
     * unigram count DELTAS append exactly-once into the stored model

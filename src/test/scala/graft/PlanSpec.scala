@@ -547,6 +547,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("q_phrase_served: no corpus tokenize at query time — stored " +
+      "bigram table present, every documents scan query-side-pushed, " +
+      "bkt partition filter + bigram row-group pushdown") {
+    val p = plan("q_phrase_served")
+    assert(p.contains("graft-phrase-incr"), p.take(3000))
+    val docScans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("documents.parquet"))
+      .toSeq
+    assert(docScans.nonEmpty &&
+      docScans.forall(_.contains("LessThan(doc_id,5)")),
+      docScans.mkString("\n"))
+    val bpstScans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("/bpst")).toSeq
+    assert(bpstScans.nonEmpty, p.take(3000))
+    assert(bpstScans.forall(l =>
+      l.contains("PartitionFilters: [bkt") && l.contains("In(bigram")),
+      bpstScans.mkString("\n").take(2000))
+  }
+
   test("q_hybrid_rrf_indexed: both fusion arms are index serves — " +
       "corpus text only behind the query-side pushdown, codes table " +
       "present, no corpus-side encode kernel") {

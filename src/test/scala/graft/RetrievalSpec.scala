@@ -209,6 +209,50 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("streamed phrase-index ingest == one-shot recount; replayed " +
+      "batch is a no-op; the serve reads ONLY the stored bigrams") {
+    withTempDir { root =>
+      val incoming = Files.createDirectory(root.resolve("incoming"))
+      val bpstDir = root.resolve("bpst").toString
+      val ckpt = root.resolve("ckpt").toString
+      val b0 = MaintenanceProbe.batchDocs(spark, 0, 80)
+      val b1 = MaintenanceProbe.batchDocs(spark, 1, 80)
+      def stored() = spark.read.parquet(bpstDir)
+        .select(col("doc_id"), col("bigram"), col("occ")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      def recount(d: DataFrame) = RetrievalQueries.phrasePostingsDeltas(d, 1)
+        .select(col("doc_id"), col("bigram"), col("occ")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+      land(b0, incoming, "b0.parquet")
+      StreamingPipeline.startPhraseIngest(
+        spark, incoming.toString, bpstDir, ckpt,
+        Trigger.AvailableNow()).awaitTermination(120000)
+      assert(stored() == recount(b0),
+        "stored bigram postings after batch 0 drifted from a recount")
+
+      land(b1, incoming, "b1.parquet")
+      StreamingPipeline.startPhraseIngest(
+        spark, incoming.toString, bpstDir, ckpt,
+        Trigger.AvailableNow()).awaitTermination(120000)
+      val both = recount(b0.union(b1))
+      assert(stored() == both,
+        "stored bigram postings after batch 1 drifted from a recount")
+
+      // replay batch 0 under its original batchId: the ack marker must
+      // short-circuit — a double-ingested doc would double its occ rows
+      RetrievalQueries.appendToPhraseIdempotent(b0, bpstDir, 0L)
+      assert(stored() == both, "replayed batch mutated the phrase index")
+    }
+  }
+
+  test("q_phrase_served == q_phrase_search on the same corpus " +
+      "(store/serve round trip loses nothing)") {
+    val a = SparkEntry.queries("q_phrase_search")(spark, sfDir).collect().toSeq
+    val b = SparkEntry.queries("q_phrase_served")(spark, sfDir).collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("MMR diversification: an exact near-duplicate of the first pick " +
       "loses to a dissimilar lower-relevance candidate") {
     import spark.implicits._
