@@ -188,6 +188,31 @@ object RetrievalQueries {
   def bm25ServedTopK(s: SparkSession, dir: String, nQueries: Int): DataFrame =
     bm25Project(bm25ServedRanked(s, dir, nQueries))
 
+  /** Query-term-count BOUND (nQueries × TermsPerQuery — known on the
+    * driver before any job) above which [[bm25ServedRanked]] switches
+    * from the collect-and-literal-pushdown fetch to a broadcast
+    * semi-join of the term frame against the postings table. The
+    * literal arm is the interactive-batch plan: O(query posting lists)
+    * IO via bkt partition + term row-group pruning — but its collect
+    * and the In-literal planning cost grow with the term count (tens
+    * of thousands of literals stall the driver, the million-query
+    * offline-join shape the round-14 self-review named). The JOIN arm
+    * reads the postings table once and semi-joins the (still
+    * vocab-bounded, broadcastable) distinct-term frame — no collect,
+    * no literal explosion; at that query scale a full index pass is
+    * the right plan. Runtime conf so specs and probes force either
+    * arm; default set at the measured crossover (Bm25ArmsProbe,
+    * 200k docs × 100k-term synthetic vocabulary, warm medians:
+    * literal/join 1.02/1.84 s at 15 terms, 1.63/2.43 at 1.5k,
+    * 2.79/3.77 at 6k, 4.53/4.72 at 18k, 6.55/5.91 at 45k — crossover
+    * ~2·10⁴, and it moves UP with corpus size because the join arm's
+    * postings pass is corpus-sized while the literal arm's
+    * collect+planning cost is corpus-independent — see SCALING.md
+    * round 15).
+    */
+  private[graft] val PushdownTermsMaxKey = "graft.bm25.pushdownTermsMax"
+  private[graft] val PushdownTermsMaxDefault = 16384
+
   /** The stored-index serve as a RANKED relation (q_id, n_id, matched,
     * score, rank) — the BM25 arm of the indexed hybrid fusion and the
     * body behind [[bm25ServedTopK]].
@@ -197,27 +222,42 @@ object RetrievalQueries {
     val docs = t(s, dir, "documents")
     val (pstDir, dlDir, cntDir) = incrementalPostingsDirs(s, dir)
     val qt = queryTerms(docs, nQueries)
-    // the query-term set is driver-sized BY DEFINITION (queries ×
-    // TermsPerQuery — the ANN family's query-side-collect precedent),
-    // so collect it and push LITERAL In-filters into the postings scan:
-    // `bkt` prunes hive PARTITIONS (only buckets containing a query
-    // term are listed at all) and `term` prunes parquet ROW GROUPS
-    // (files are term-sorted). Without this the serve reads the whole
-    // postings table to then join ≤ queries×terms distinct terms — the
-    // difference between O(index) and O(posting lists of the query) IO
-    // at 100 TB. This corpus's 31-term vocabulary hits every bucket
-    // (worst case by design); the plan shape is pinned regardless.
-    val nb = DedupQueries.tableBuckets(s, pstDir)
-    // bucket ids via the SAME plan-side expression the writer used
-    // (pmod∘hash), so the two can never drift
-    val termRows = qt.select(col("term"),
-        pmod(hash(col("term")), lit(nb)).as("bkt"))
-      .distinct().collect()
-    val terms = termRows.map(_.getString(0)).toSeq.distinct
-    val bkts = termRows.map(_.getInt(1)).toSeq.distinct
-    val pst = Tables.parquetCachedSchema(s, pstDir)
-      .filter(col("bkt").isin(bkts: _*) && col("term").isin(terms: _*))
-      .select(col("doc_id"), col("term"), col("tf"))
+    val termBound = nQueries.toLong * TermsPerQuery
+    val maxLit = s.conf.get(
+      PushdownTermsMaxKey, PushdownTermsMaxDefault.toString).toLong
+    val pst =
+      if (termBound <= maxLit) {
+        // LITERAL arm — the query-term set is driver-sized (queries ×
+        // TermsPerQuery; the ANN family's query-side-collect
+        // precedent): collect it and push LITERAL In-filters into the
+        // postings scan: `bkt` prunes hive PARTITIONS (only buckets
+        // containing a query term are listed at all) and `term` prunes
+        // parquet ROW GROUPS (files are term-sorted). Without this the
+        // serve reads the whole postings table to then join ≤
+        // queries×terms distinct terms — the difference between
+        // O(index) and O(posting lists of the query) IO at 100 TB.
+        // This corpus's 31-term vocabulary hits every bucket (worst
+        // case by design); the plan shape is pinned regardless.
+        val nb = DedupQueries.tableBuckets(s, pstDir)
+        // bucket ids via the SAME plan-side expression the writer used
+        // (pmod∘hash), so the two can never drift
+        val termRows = qt.select(col("term"),
+            pmod(hash(col("term")), lit(nb)).as("bkt"))
+          .distinct().collect()
+        val terms = termRows.map(_.getString(0)).toSeq.distinct
+        val bkts = termRows.map(_.getInt(1)).toSeq.distinct
+        Tables.parquetCachedSchema(s, pstDir)
+          .filter(col("bkt").isin(bkts: _*) && col("term").isin(terms: _*))
+          .select(col("doc_id"), col("term"), col("tf"))
+      } else {
+        // JOIN arm — the offline bulk-query shape: one postings pass,
+        // broadcast semi-join on the distinct-term frame (bounded by
+        // the vocabulary, never by the query count)
+        Tables.parquetCachedSchema(s, pstDir)
+          .join(broadcast(qt.select(col("term")).distinct()),
+            Seq("term"), "left_semi")
+          .select(col("doc_id"), col("term"), col("tf"))
+      }
     val dlT = Tables.parquetCachedSchema(s, dlDir)
       .select(col("doc_id"), col("dl"))
     val gs = Tables.parquetCachedSchema(s, cntDir)

@@ -209,6 +209,31 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("BM25 serve arms: join arm == literal arm row-identical; the " +
+      "join arm plans a postings semi-join, the literal arm pushes " +
+      "In(term) literals") {
+    def servedAt(conf: String) = {
+      spark.conf.set(RetrievalQueries.PushdownTermsMaxKey, conf)
+      try SparkEntry.queries("q_bm25_served")(spark, sfDir)
+      finally spark.conf.unset(RetrievalQueries.PushdownTermsMaxKey)
+    }
+    // identity: both arms restrict the postings to the same distinct
+    // query-term set, so the scored relation cannot differ
+    val litArm = servedAt(Long.MaxValue.toString)
+    val joinArm = servedAt("0")
+    val a = litArm.collect().toSeq
+    val b = joinArm.collect().toSeq
+    assert(a.nonEmpty && a == b)
+    // arm identity is a PLAN property: the literal arm's postings scan
+    // carries the collected In(term) pushdown; the join arm has no
+    // term literals anywhere and restricts via a broadcast semi-join
+    val lp = litArm.queryExecution.executedPlan.toString
+    assert(lp.contains("In(term"), lp.take(3000))
+    val jp = joinArm.queryExecution.executedPlan.toString
+    assert(!jp.contains("In(term"), jp.take(3000))
+    assert(jp.contains("LeftSemi"), jp.take(3000))
+  }
+
   test("streamed phrase-index ingest == one-shot recount; replayed " +
       "batch is a no-op; the serve reads ONLY the stored bigrams") {
     withTempDir { root =>
