@@ -761,7 +761,7 @@ object RetrievalQueries {
        |  floor(rrf * 1000000) / 1000000 AS rrf_score
        |FROM fr WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
 
-  /** MMR picks (diversified top-k size). */
+  /** MMR picks (diversified top-k size) at the catalog's default dial. */
   private val MmrPicks = 5
 
   /** The unrolled MMR selection CTEs for the oracle: step 1 picks
@@ -769,16 +769,18 @@ object RetrievalQueries {
     * selected aggregate and picks argmax λ·rel − (1−λ)·maxsim over the
     * not-yet-selected pool — the QuantizedLr discipline (the oracle
     * re-derives every iteration of an iterative algorithm relationally).
+    * λ and 1−λ arrive as SQL literals (dyadic doubles, so both engines'
+    * products round identically).
     */
-  private def mmrStepsSql: String = {
-    val steps = (2 to MmrPicks).map { k =>
+  private def mmrStepsSql(picks: Int, lam: String, lamC: String): String = {
+    val steps = (2 to picks).map { k =>
       val prev = k - 1
       s"""sel$prev AS (${(1 until k).map(i =>
         s"SELECT q_id, n_id FROM s$i").mkString(" UNION ALL ")}),
          |s$k AS (SELECT q_id, n_id, mmr FROM (
-         |  SELECT c.q_id, c.n_id, 0.5 * c.rel - 0.5 * mx.sm AS mmr,
+         |  SELECT c.q_id, c.n_id, $lam * c.rel - $lamC * mx.sm AS mmr,
          |    row_number() OVER (PARTITION BY c.q_id
-         |      ORDER BY 0.5 * c.rel - 0.5 * mx.sm DESC, c.n_id) AS rk
+         |      ORDER BY $lam * c.rel - $lamC * mx.sm DESC, c.n_id) AS rk
          |  FROM cand c JOIN (
          |    SELECT p.q_id, p.da, max(p.sim) AS sm
          |    FROM ps p JOIN sel$prev s ON p.q_id = s.q_id AND p.db = s.n_id
@@ -789,6 +791,101 @@ object RetrievalQueries {
          |WHERE rk = 1)""".stripMargin
     }
     steps.mkString(",\n")
+  }
+
+  /** The complete MMR oracle text at a (pool, picks, λ) dial — shared
+    * by both gated dials so a third is one line.
+    */
+  private def mmrSql(pool: Int, picks: Int, lam: String, lamC: String): String =
+    s"""WITH e AS ($embDoubleSql),
+       |nq AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+       |cd0 AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |          ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS rel,
+       |          c.v AS cv, c.nrm AS cn
+       |        FROM nq q JOIN nq c ON c.vec_id <> q.vec_id
+       |        WHERE q.vec_id < $NQueries),
+       |cand AS (SELECT q_id, n_id, rel, cv, cn FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY q_id
+       |            ORDER BY rel DESC, n_id) AS rk FROM cd0)
+       |         WHERE rk <= $pool),
+       |ps AS (SELECT a.q_id, a.n_id AS da, b.n_id AS db,
+       |         ${dotSql("a.cv", "b.cv")} / (a.cn * b.cn) AS sim
+       |       FROM cand a JOIN cand b
+       |         ON a.q_id = b.q_id AND a.n_id <> b.n_id),
+       |s1 AS (SELECT q_id, n_id, $lam * rel AS mmr FROM (
+       |         SELECT q_id, n_id, rel, row_number() OVER (
+       |           PARTITION BY q_id ORDER BY rel DESC, n_id) AS rk
+       |         FROM cand) WHERE rk = 1),
+       |${mmrStepsSql(picks, lam, lamC)}
+       |SELECT q_id, n_id, pick, floor(mmr * 10000) / 10000 AS mmr_score
+       |FROM (${(1 to picks).map(k =>
+        s"SELECT q_id, n_id, CAST($k AS INTEGER) AS pick, mmr FROM s$k")
+        .mkString(" UNION ALL ")})
+       |ORDER BY q_id, pick""".stripMargin
+
+  /** The MMR greedy selection at an arbitrary (pool, picks, λ) dial —
+    * the library form behind both gated catalog dials. λ must be a
+    * dyadic double (λ and 1−λ exactly representable) for the
+    * cross-engine trajectory identity the catalog gates rely on; the
+    * library itself is correct for any λ ∈ [0,1].
+    */
+  def mmrDiversified(s: SparkSession, dir: String, nQueries: Int,
+      pool: Int, picks: Int, lam: Double): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val nq = e.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    val q = nq.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val c = nq.select(col("vec_id").as("n_id"), col("embedding").as("cv"),
+      col("nrm").as("cn"))
+    val wrel = Window.partitionBy(col("q_id"))
+      .orderBy(col("rel").desc, col("n_id"))
+    val cand = c.join(broadcast(q), col("n_id") =!= col("q_id"))
+      .withColumn("rel", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(wrel))
+      .filter(col("rk") <= pool)
+      .select(col("q_id"), col("n_id"), col("rel"), col("cv"), col("cn"))
+      .localCheckpoint()
+    val ps = cand.select(col("q_id"), col("n_id").as("da"),
+        col("cv").as("av"), col("cn").as("an"))
+      .join(cand.select(col("q_id"), col("n_id").as("db"),
+        col("cv").as("bv"), col("cn").as("bn")), Seq("q_id"))
+      .filter(col("da") =!= col("db"))
+      .select(col("q_id"), col("da"), col("db"),
+        (dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("sim"))
+      .localCheckpoint()
+    // each step's picks checkpoint too (≤ queries rows): without it
+    // step k's lineage re-executes steps 1..k-1 — a 2^k plan blowup
+    // that cost ~4 s of tiny-job overhead at ANY corpus size
+    val s1 = cand.withColumn("rk", row_number().over(wrel))
+      .filter(col("rk") === 1)
+      .select(col("q_id"), col("n_id"),
+        (lit(lam) * col("rel")).as("mmr"), lit(1).as("pick"))
+      .localCheckpoint()
+    var out = s1
+    var selIds = s1.select(col("q_id"), col("n_id"))
+    val wStep = Window.partitionBy(col("q_id"))
+      .orderBy(col("mmr").desc, col("n_id"))
+    for (k <- 2 to picks) {
+      val mx = ps.join(selIds.withColumnRenamed("n_id", "db"),
+          Seq("q_id", "db"))
+        .groupBy(col("q_id"), col("da")).agg(max(col("sim")).as("sm"))
+      val sk = cand.join(selIds, Seq("q_id", "n_id"), "left_anti")
+        .join(mx.withColumnRenamed("da", "n_id"), Seq("q_id", "n_id"))
+        .withColumn("mmr",
+          lit(lam) * col("rel") - lit(1.0 - lam) * col("sm"))
+        .withColumn("rk", row_number().over(wStep))
+        .filter(col("rk") === 1)
+        .select(col("q_id"), col("n_id"), col("mmr"), lit(k).as("pick"))
+        .localCheckpoint()
+      out = out.unionByName(sk)
+      selIds = selIds.unionByName(sk.select(col("q_id"), col("n_id")))
+    }
+    out.select(col("q_id"), col("n_id"),
+        col("pick").cast(IntegerType).as("pick"),
+        (floor(col("mmr") * 10000) / 10000).as("mmr_score"))
+      .orderBy(col("q_id"), col("pick"))
   }
 
   // ------------------------------------------------------------------
@@ -1079,85 +1176,22 @@ object RetrievalQueries {
     // re-running the corpus scan per step (the iterative-plan lesson).
     GraftQuery(
       "q_mmr_diversify",
-      s"""WITH e AS ($embDoubleSql),
-         |nq AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
-         |cd0 AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-         |          ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS rel,
-         |          c.v AS cv, c.nrm AS cn
-         |        FROM nq q JOIN nq c ON c.vec_id <> q.vec_id
-         |        WHERE q.vec_id < $NQueries),
-         |cand AS (SELECT q_id, n_id, rel, cv, cn FROM (
-         |          SELECT *, row_number() OVER (PARTITION BY q_id
-         |            ORDER BY rel DESC, n_id) AS rk FROM cd0)
-         |         WHERE rk <= $FuseDepth),
-         |ps AS (SELECT a.q_id, a.n_id AS da, b.n_id AS db,
-         |         ${dotSql("a.cv", "b.cv")} / (a.cn * b.cn) AS sim
-         |       FROM cand a JOIN cand b
-         |         ON a.q_id = b.q_id AND a.n_id <> b.n_id),
-         |s1 AS (SELECT q_id, n_id, 0.5 * rel AS mmr FROM (
-         |         SELECT q_id, n_id, rel, row_number() OVER (
-         |           PARTITION BY q_id ORDER BY rel DESC, n_id) AS rk
-         |         FROM cand) WHERE rk = 1),
-         |$mmrStepsSql
-         |SELECT q_id, n_id, pick, floor(mmr * 10000) / 10000 AS mmr_score
-         |FROM (${(1 to MmrPicks).map(k =>
-          s"SELECT q_id, n_id, CAST($k AS INTEGER) AS pick, mmr FROM s$k")
-          .mkString(" UNION ALL ")})
-         |ORDER BY q_id, pick""".stripMargin) { (s, dir) =>
-      val e = t(s, dir, "embeddings")
-      val nq = e.select(col("vec_id"), col("embedding"),
-        l2Norm(col("embedding")).as("nrm"))
-      val q = nq.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-          col("nrm").as("qn"))
-      val c = nq.select(col("vec_id").as("n_id"), col("embedding").as("cv"),
-        col("nrm").as("cn"))
-      val wrel = Window.partitionBy(col("q_id"))
-        .orderBy(col("rel").desc, col("n_id"))
-      val cand = c.join(broadcast(q), col("n_id") =!= col("q_id"))
-        .withColumn("rel", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-        .withColumn("rk", row_number().over(wrel))
-        .filter(col("rk") <= FuseDepth)
-        .select(col("q_id"), col("n_id"), col("rel"), col("cv"), col("cn"))
-        .localCheckpoint()
-      val ps = cand.select(col("q_id"), col("n_id").as("da"),
-          col("cv").as("av"), col("cn").as("an"))
-        .join(cand.select(col("q_id"), col("n_id").as("db"),
-          col("cv").as("bv"), col("cn").as("bn")), Seq("q_id"))
-        .filter(col("da") =!= col("db"))
-        .select(col("q_id"), col("da"), col("db"),
-          (dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("sim"))
-        .localCheckpoint()
-      // each step's picks checkpoint too (≤ queries rows): without it
-      // step k's lineage re-executes steps 1..k-1 — a 2^k plan blowup
-      // that cost ~4 s of tiny-job overhead at ANY corpus size
-      val s1 = cand.withColumn("rk", row_number().over(wrel))
-        .filter(col("rk") === 1)
-        .select(col("q_id"), col("n_id"),
-          (lit(0.5) * col("rel")).as("mmr"), lit(1).as("pick"))
-        .localCheckpoint()
-      var out = s1
-      var selIds = s1.select(col("q_id"), col("n_id"))
-      val wStep = Window.partitionBy(col("q_id"))
-        .orderBy(col("mmr").desc, col("n_id"))
-      for (k <- 2 to MmrPicks) {
-        val mx = ps.join(selIds.withColumnRenamed("n_id", "db"),
-            Seq("q_id", "db"))
-          .groupBy(col("q_id"), col("da")).agg(max(col("sim")).as("sm"))
-        val sk = cand.join(selIds, Seq("q_id", "n_id"), "left_anti")
-          .join(mx.withColumnRenamed("da", "n_id"), Seq("q_id", "n_id"))
-          .withColumn("mmr", lit(0.5) * col("rel") - lit(0.5) * col("sm"))
-          .withColumn("rk", row_number().over(wStep))
-          .filter(col("rk") === 1)
-          .select(col("q_id"), col("n_id"), col("mmr"), lit(k).as("pick"))
-          .localCheckpoint()
-        out = out.unionByName(sk)
-        selIds = selIds.unionByName(sk.select(col("q_id"), col("n_id")))
-      }
-      out.select(col("q_id"), col("n_id"),
-          col("pick").cast(IntegerType).as("pick"),
-          (floor(col("mmr") * 10000) / 10000).as("mmr_score"))
-        .orderBy(col("q_id"), col("pick"))
+      mmrSql(FuseDepth, MmrPicks, "0.5", "0.5")) { (s, dir) =>
+      mmrDiversified(s, dir, NQueries, FuseDepth, MmrPicks, 0.5)
+    },
+
+    // The SAME library form at a second (pool, picks, λ) dial — pool
+    // 16, picks 7, λ=¼ (relevance-light, diversity-heavy) — so the
+    // generalized MMR is oracle-proven beyond the catalog constants
+    // (the round-14 verdict's "one property the user actually varies"
+    // item): the dial reaches the λ-asymmetric branch (0.25·rel −
+    // 0.75·sim — both factors dyadic, so the greedy trajectory stays
+    // bit-identical cross-engine) and a picks count that exceeds the
+    // default, exercising two more unrolled selection steps.
+    GraftQuery(
+      "q_mmr_diversify_l25",
+      mmrSql(16, 7, "0.25", "0.75")) { (s, dir) =>
+      mmrDiversified(s, dir, NQueries, 16, 7, 0.25)
     },
 
     // ------------------------------------------- hybrid RRF retrieval
