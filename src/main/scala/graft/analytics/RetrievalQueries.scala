@@ -957,6 +957,83 @@ object RetrievalQueries {
           lit(0.0d), (acc, x) => acc + x.getField("sc")).as("score"))
   }
 
+  /** The exact hybrid tier: full-recompute BM25 arm fused with the
+    * brute-force cosine arm — the oracle-friendly small-corpus form
+    * behind q_hybrid_rrf.
+    */
+  def hybridRrfExact(s: SparkSession, dir: String, nQueries: Int): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val qt = queryTerms(docs, nQueries)
+    val (pst, dl, gs) = recomputedState(docs, qt)
+    val bt = bm25Ranked(qt, pst, dl, gs)
+      .filter(col("rank") <= FuseDepth)
+      .select(col("q_id"), col("n_id"), col("rank").as("bm_rank"))
+    // exact cosine ranking, q_ann_bruteforce's proven shape: the
+    // query side broadcasts; the corpus never shuffles for the join
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        l2Norm(col("embedding")).as("qn"))
+    val c = e.select(col("vec_id").as("n_id"), col("embedding").as("cv"),
+      l2Norm(col("embedding")).as("cn"))
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    val ct = c.join(broadcast(q), col("n_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cos_rank", row_number().over(wc).cast(IntegerType))
+      .filter(col("cos_rank") <= FuseDepth)
+      .select(col("q_id"), col("n_id"), col("cos_rank"))
+    rrfFuse(bt, ct)
+  }
+
+  /** The indexed hybrid tier: BOTH arms from stored indexes — the
+    * form behind q_hybrid_rrf_indexed.
+    */
+  def hybridRrfIndexed(
+      s: SparkSession, dir: String, nQueries: Int): DataFrame = {
+    val bt = bm25ServedRanked(s, dir, nQueries)
+      .filter(col("rank") <= FuseDepth)
+      .select(col("q_id"), col("n_id"), col("rank").as("bm_rank"))
+    val ct = SimilarityQueries.pinnedServedRanked(
+      s, dir, nQueries, nprobe = 2, topC = 24, depth = FuseDepth)
+      .select(col("q_id"), col("n_id"), col("rank").as("cos_rank"))
+    rrfFuse(bt, ct)
+  }
+
+  /** Corpus-size threshold (bytes, embeddings-table stats) above which
+    * [[hybridRrf]] serves the INDEXED tier instead of the exact one.
+    * The exact tier's vector arm is a brute-force cosine scan — the
+    * right plan only while the corpus is small enough that index
+    * plumbing costs more than the scan it avoids (tiny-input walls are
+    * job-count × planning floors — the re-rank fetch lesson). Default
+    * set at the measured crossover (SCALING.md round 14: exact/indexed
+    * 1.56/2.08 s at sf0.1 = 0.80 MB, 2.57/2.43 at sf1 = 5.2 MB,
+    * 5.84/2.50 at sf10 — the exact arm is linear, the indexed arm
+    * near-flat): 2 MB sits between the two measured scale points.
+    */
+  private[graft] val HybridExactMaxBytesKey = "graft.hybrid.exactMaxBytes"
+  private[graft] val HybridExactMaxBytesDefault = 2L * 1024 * 1024
+
+  /** Size-aware hybrid retrieval — the single library entry point: the
+    * arm is picked from the embeddings table's optimizer stats against
+    * [[HybridExactMaxBytesKey]], so a user gets the oracle-exact tier
+    * on a small corpus and the near-flat indexed tier at scale without
+    * choosing (the exactReRankTail precedent). Both tiers stay
+    * available directly ([[hybridRrfExact]]/[[hybridRrfIndexed]], each
+    * oracle-gated as its own catalog query); NOTE the tiers are
+    * different RANKINGS by design — the indexed vector arm is IVF-PQ
+    * approximate — so the switch trades recall for scan cost exactly
+    * like any ANN-vs-exact choice.
+    */
+  def hybridRrf(s: SparkSession, dir: String, nQueries: Int): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val threshold = s.conf.get(
+      HybridExactMaxBytesKey, HybridExactMaxBytesDefault.toString).toLong
+    val corpusBytes = e.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (corpusBytes <= threshold) hybridRrfExact(s, dir, nQueries)
+    else hybridRrfIndexed(s, dir, nQueries)
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     // ------------------------------------------------------ BM25 top-k
@@ -1223,30 +1300,8 @@ object RetrievalQueries {
          |       WHERE rank <= $FuseDepth),
          |ct AS (SELECT q_id, n_id, cos_rank FROM crk
          |       WHERE cos_rank <= $FuseDepth),
-         |$rrfFuseSql""".stripMargin) {
-      (s, dir) =>
-        val docs = t(s, dir, "documents")
-        val qt = queryTerms(docs)
-        val (pst, dl, gs) = recomputedState(docs, qt)
-        val bt = bm25Ranked(qt, pst, dl, gs)
-          .filter(col("rank") <= FuseDepth)
-          .select(col("q_id"), col("n_id"), col("rank").as("bm_rank"))
-        // exact cosine ranking, q_ann_bruteforce's proven shape: the
-        // query side broadcasts; the corpus never shuffles for the join
-        val e = t(s, dir, "embeddings")
-        val q = e.filter(col("vec_id") < NQueries)
-          .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-            l2Norm(col("embedding")).as("qn"))
-        val c = e.select(col("vec_id").as("n_id"), col("embedding").as("cv"),
-          l2Norm(col("embedding")).as("cn"))
-        val wc = Window.partitionBy(col("q_id"))
-          .orderBy(col("cos").desc, col("n_id"))
-        val ct = c.join(broadcast(q), col("n_id") =!= col("q_id"))
-          .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-          .withColumn("cos_rank", row_number().over(wc).cast(IntegerType))
-          .filter(col("cos_rank") <= FuseDepth)
-          .select(col("q_id"), col("n_id"), col("cos_rank"))
-        rrfFuse(bt, ct)
+         |$rrfFuseSql""".stripMargin) { (s, dir) =>
+      hybridRrfExact(s, dir, NQueries)
     },
 
     // ---------------------------------- hybrid fusion, INDEXED tiers
@@ -1271,12 +1326,6 @@ object RetrievalQueries {
          |ct AS (SELECT q_id, n_id, rank AS cos_rank FROM annr
          |       WHERE rank <= $FuseDepth),
          |$rrfFuseSql""".stripMargin) { (s, dir) =>
-      val bt = bm25ServedRanked(s, dir, NQueries)
-        .filter(col("rank") <= FuseDepth)
-        .select(col("q_id"), col("n_id"), col("rank").as("bm_rank"))
-      val ct = SimilarityQueries.pinnedServedRanked(
-        s, dir, NQueries, nprobe = 2, topC = 24, depth = FuseDepth)
-        .select(col("q_id"), col("n_id"), col("rank").as("cos_rank"))
-      rrfFuse(bt, ct)
+      hybridRrfIndexed(s, dir, NQueries)
     })
 }

@@ -430,6 +430,37 @@ class RetrievalSpec extends SparkSpec {
       s"gate score ${scored.head.getDouble(1)} != ${2.5 * exactNorm}")
   }
 
+  test("size-aware hybridRrf: picks the exact tier under the byte " +
+      "threshold and the indexed tier above it, each row-identical to " +
+      "its gated catalog form") {
+    import graft.analytics.RetrievalQueries
+    def armAt(conf: String) = {
+      spark.conf.set(RetrievalQueries.HybridExactMaxBytesKey, conf)
+      try RetrievalQueries.hybridRrf(spark, sfDir, 5)
+      finally spark.conf.unset(RetrievalQueries.HybridExactMaxBytesKey)
+    }
+    // forced-exact arm == the gated exact query; its plan carries no
+    // stored-index table
+    val exact = armAt(Long.MaxValue.toString)
+    assert(exact.collect().toSeq ==
+      SparkEntry.queries("q_hybrid_rrf")(spark, sfDir).collect().toSeq)
+    assert(!exact.queryExecution.executedPlan.toString
+      .contains("graft-codes-inc"))
+    // forced-indexed arm == the gated indexed query; its plan serves
+    // from the stored codes table
+    val indexed = armAt("0")
+    assert(indexed.collect().toSeq ==
+      SparkEntry.queries("q_hybrid_rrf_indexed")(spark, sfDir)
+        .collect().toSeq)
+    assert(indexed.queryExecution.executedPlan.toString
+      .contains("graft-codes-inc"))
+    // the default threshold keeps sf0.001 (and sf0.1 — 0.80 MB) on
+    // the exact tier
+    assert(RetrievalQueries.hybridRrf(spark, sfDir, 5)
+      .queryExecution.executedPlan.toString
+      .contains("graft-codes-inc") == false)
+  }
+
   test("q_hybrid_rrf: fused score is exactly the sum of its rank " +
       "reciprocals; ordering follows the fused score") {
     val rows = SparkEntry.queries("q_hybrid_rrf")(spark, sfDir)
