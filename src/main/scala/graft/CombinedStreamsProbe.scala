@@ -10,10 +10,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.streaming.StreamingPipeline
 
-/** The TWELVE streaming maintenance wirings running concurrently in
+/** The THIRTEEN streaming maintenance wirings running concurrently in
   * one session — the literal-deployment sibling of
   * [[CombinedLoopsProbe]] (which fans direct maintenance calls). Here
-  * each family is its actual `StreamingQuery`: twelve `start*` wirings
+  * each family is its actual `StreamingQuery`: thirteen `start*` wirings
   * with their own checkpoints and AvailableNow triggers, reading three
   * shared incoming dirs of landed parquet files (docs → signatures
   * ingest, span ingest, full lexical dedup maintenance, DSIR model
@@ -21,7 +21,8 @@ import graft.streaming.StreamingPipeline
   * → LM ingest, term-stats ingest; vectors → codes ingest, residual
   * codes ingest, SemDeDup ingest, full embed dedup maintenance —
   * round 13 added the residual and DSIR members, round 14 the BM25
-  * postings index and the diversity state).
+  * postings index and the diversity state, round 15 the positional
+  * bigram phrase index).
   * This exercises the machinery the future-based probe cannot: concurrent file-source listing and
   * checkpointing, foreachBatch scheduling across streams, and the
   * per-table single-writer protocols under real stream concurrency.
@@ -85,7 +86,7 @@ object CombinedStreamsProbe {
       graft.analytics.SimilarityQueries.residualFrame(vecs0, cbIvf, means),
       8, 8, 16, 2)
 
-    /** The twelve wirings against a fresh state root; returns
+    /** The thirteen wirings against a fresh state root; returns
       * (family name, start thunk, checksum thunk) triples.
       */
     def wirings(mode: String): Seq[(String, () => StreamingQuery, () => Long)] = {
@@ -141,10 +142,15 @@ object CombinedStreamsProbe {
             sumHash(spark.read.parquet(d("pdl"))
               .select(col("doc_id"), col("dl"))) +
             spark.read.parquet(d("pcnt")).agg(sum(col("n"))).head.getLong(0)),
+        ("phrase",
+          () => StreamingPipeline.startPhraseIngest(
+            spark, docsIn.toString, d("bpst"), d("ck-ph")),
+          () => sumHash(spark.read.parquet(d("bpst"))
+            .select(col("doc_id"), col("bigram"), col("occ")))),
         ("diversity",
           () => StreamingPipeline.startDiversityIngest(
             spark, docsIn.toString, d("duni"), d("dbi"), d("dcnt"),
-            d("ck-dv")),
+            d("dskt"), d("ck-dv")),
           () => sumHash(spark.read.parquet(d("duni"))
               .select(col("source"), col("term")).distinct()) +
             sumHash(spark.read.parquet(d("dbi"))
@@ -177,7 +183,7 @@ object CombinedStreamsProbe {
     println(f"STREAMS mode=serial corpus=${batches * m} total_s=$serialTotal%.1f " +
       serialWalls.map { case (n, w) => f"$n=$w%.1f" }.mkString(" "))
 
-    // CONCURRENT: all twelve streams live at once
+    // CONCURRENT: all thirteen streams live at once
     val conc = wirings("conc")
     val tC = System.nanoTime()
     val queries = conc.map { case (name, start, _) => (name, start()) }
@@ -194,14 +200,14 @@ object CombinedStreamsProbe {
       println(s"STREAMS-IDENTITY $name serial=$a concurrent=$b match=${a == b}")
     }
 
-    // CHAOS: all twelve live again, but one maintainer — the richest
+    // CHAOS: all thirteen live again, but one maintainer — the richest
     // wiring, the lexical dedup maintainer with its three coupled
     // stores and batch-scoped delta persistence — is KILLED mid-run
-    // while the other eleven keep draining, then restarted from its
+    // while the other twelve keep draining, then restarted from its
     // checkpoint. The per-family recovery preambles + exactly-once
     // appends must converge every stored table to the serial
     // checksums anyway: a crash of one member of the composed
-    // deployment is survivable without touching the other eleven.
+    // deployment is survivable without touching the other twelve.
     val chaos = wirings("chaos")
     val victim = "lex-maint"
     val tK = System.nanoTime()

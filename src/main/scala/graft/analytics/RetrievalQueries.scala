@@ -624,51 +624,194 @@ object RetrievalQueries {
       sum(col("n_docs")).as("n_docs"),
       sum(col("n_tokens")).as("n_tokens"),
       sum(col("n_bigrams")).as("n_bigrams"))
+  private val mergeSketches: DataFrame => DataFrame =
+    _.groupBy(col("bkt"), col("source"), col("kind"))
+      .agg(hll_union_agg(col("sketch")).as("sketch"))
 
-  /** Exactly-once append of one batch's diversity deltas. */
+  /** Per-source distinct-gram cap on the EXACT diversity gram tables —
+    * the guard against the vocabulary-explosion case (a source of
+    * random hex blobs grows its gram set linearly with tokens, not
+    * Heaps-bounded, so the stored table would grow with the corpus).
+    * Enforcement is at append time against the maintained HLL
+    * sketches ([[appendToDiversityIdempotent]]): a source whose
+    * estimated distinct-gram count would exceed the cap either fails
+    * the append LOUDLY (`graft.diversity.onGramCap=fail`, the default
+    * — the old-book-append discipline) or, in `sketch` mode, has its
+    * gram rows EXCLUDED from the exact tables from that batch on while
+    * the sketches (4 KB per source×kind, always maintained, replay-
+    * idempotent by set semantics) keep serving its uniq counts within
+    * HLL error (~2% at the default lgConfigK). The serve picks the arm
+    * per source by the same monotone estimate-vs-cap rule, so a source
+    * whose exact set is incomplete can never be served from it.
+    */
+  private[graft] val MaxGramsPerSourceKey = "graft.diversity.maxGramsPerSource"
+  private[graft] val MaxGramsPerSourceDefault = 10000000L
+  private[graft] val OnGramCapKey = "graft.diversity.onGramCap"
+
+  private def gramCap(s: SparkSession): Long = s.conf.get(
+    MaxGramsPerSourceKey, MaxGramsPerSourceDefault.toString).toLong
+
+  /** Stored sketch rows, or an empty frame before the first append. */
+  private def storedSketches(s: SparkSession, sktDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(sktDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      p.toUri, s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Tables.parquetCachedSchema(s, sktDir)
+      .select(col("source"), col("kind"), col("sketch"))
+    else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("kind",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("sketch",
+          org.apache.spark.sql.types.BinaryType))))
+  }
+
+  /** Union-merged per-(source, kind) distinct-gram estimates from the
+    * stored sketches plus any extra sketch rows — |sources|×2 rows.
+    */
+  private def sketchEstimates(
+      stored: DataFrame, extra: Option[DataFrame] = None): DataFrame =
+    extra.fold(stored)(e =>
+        stored.unionByName(e.select(col("source"), col("kind"), col("sketch"))))
+      .groupBy(col("source"), col("kind"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est"))
+
+  /** Exactly-once append of one batch's diversity deltas, cap-guarded
+    * (see [[MaxGramsPerSourceKey]]).
+    */
   def appendToDiversityIdempotent(batch: DataFrame, uniDir: String,
-      biDir: String, cntDir: String, batchId: Long): Unit = {
+      biDir: String, cntDir: String, sktDir: String, batchId: Long): Unit = {
     val s = batch.sparkSession
     val nb = DedupQueries.tableBuckets(s, uniDir)
     val (uni, bi) = gramFrames(batch)
+    // one tokenizer pass per batch: the distinct gram deltas
+    // materialize once and feed the exact appends, the sketch append
+    // AND the cap estimate (a sketch over distinct grams equals one
+    // over all grams)
+    val u = gramDeltas(uni, nb).localCheckpoint()
+    val b = gramDeltas(bi, nb).localCheckpoint()
+    val batchSk = u.groupBy(col("source"))
+      .agg(hll_sketch_agg(col("term")).as("sketch"))
+      .withColumn("kind", lit("uni"))
+      .unionByName(b.groupBy(col("source"))
+        .agg(hll_sketch_agg(col("term")).as("sketch"))
+        .withColumn("kind", lit("bi")))
+      .withColumn("bkt", lit(0))
+      .select(col("bkt"), col("source"), col("kind"), col("sketch"))
+      .localCheckpoint()
+    // sources whose distinct-gram estimate WOULD exceed the cap after
+    // this batch — evaluated BEFORE any write, so fail mode refuses
+    // with all four tables untouched
+    val cap = gramCap(s)
+    val over = sketchEstimates(storedSketches(s, sktDir), Some(batchSk))
+      .filter(col("est") > cap)
+      .select(col("source")).distinct().collect()
+      .map(_.getString(0)).toSeq.sorted
+    if (over.nonEmpty &&
+        s.conf.get(OnGramCapKey, "fail") != "sketch")
+      throw new IllegalStateException(
+        s"diversity gram cap ($cap distinct grams/source) exceeded by " +
+          s"source(s) ${over.mkString(", ")} at batch $batchId — the " +
+          "exact gram tables would grow unbounded for a non-Heaps " +
+          s"vocabulary; raise $MaxGramsPerSourceKey or set " +
+          s"$OnGramCapKey=sketch to serve their uniq counts from the " +
+          "maintained HLL sketches instead")
+    def exactPart(d: DataFrame) =
+      if (over.isEmpty) d else d.filter(!col("source").isin(over: _*))
     graft.sinks.IncrementalParquet.appendIdempotent(
       s, uniDir, "bkt", batchId, Seq("term"),
-      Map("buckets" -> nb.toString))(gramDeltas(uni, nb))
+      Map("buckets" -> nb.toString))(exactPart(u))
     graft.sinks.IncrementalParquet.appendIdempotent(
       s, biDir, "bkt", batchId, Seq("term"),
-      Map("buckets" -> nb.toString))(gramDeltas(bi, nb))
+      Map("buckets" -> nb.toString))(exactPart(b))
     graft.sinks.IncrementalParquet.appendIdempotent(
       s, cntDir, "bkt", batchId)(diversityCountsDelta(batch))
+    graft.sinks.IncrementalParquet.appendIdempotent(
+      s, sktDir, "bkt", batchId)(batchSk)
   }
 
-  /** Minor compaction: gram tables dedup (set union), counters sum. */
+  /** Minor compaction: gram tables dedup (set union), counters sum,
+    * sketches HLL-union.
+    */
   def compactDiversityMinor(s: SparkSession, uniDir: String,
-      biDir: String, cntDir: String): Int =
+      biDir: String, cntDir: String, sktDir: String): Int =
     graft.sinks.IncrementalParquet.compactMinor(
       s, uniDir, "bkt", merge = mergeDistinctGrams) +
       graft.sinks.IncrementalParquet.compactMinor(
         s, biDir, "bkt", merge = mergeDistinctGrams) +
       graft.sinks.IncrementalParquet.compactMinor(
-        s, cntDir, "bkt", merge = mergeDivCounts)
+        s, cntDir, "bkt", merge = mergeDivCounts) +
+      graft.sinks.IncrementalParquet.compactMinor(
+        s, sktDir, "bkt", merge = mergeSketches)
 
   private val storedDiversity =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[graft] def incrementalDiversityDirs(
-      s: SparkSession, dir: String): (String, String, String) = {
+      s: SparkSession, dir: String): (String, String, String, String) = {
     val out = Tables.memoizedParquet(storedDiversity,
       Tables.derivedStateKey(s, dir, "documents") + "|diversity",
       "graft-diversity-incr") { out =>
       val docs = t(s, dir, "documents")
       appendToDiversityIdempotent(
         docs.filter(pmod(col("doc_id"), lit(2)) === 0),
-        s"$out/uni", s"$out/bi", s"$out/cnt", 0L)
+        s"$out/uni", s"$out/bi", s"$out/cnt", s"$out/skt", 0L)
       appendToDiversityIdempotent(
         docs.filter(pmod(col("doc_id"), lit(2)) === 1),
-        s"$out/uni", s"$out/bi", s"$out/cnt", 1L)
-      compactDiversityMinor(s, s"$out/uni", s"$out/bi", s"$out/cnt"); ()
+        s"$out/uni", s"$out/bi", s"$out/cnt", s"$out/skt", 1L)
+      compactDiversityMinor(
+        s, s"$out/uni", s"$out/bi", s"$out/cnt", s"$out/skt"); ()
     }
-    (s"$out/uni", s"$out/bi", s"$out/cnt")
+    (s"$out/uni", s"$out/bi", s"$out/cnt", s"$out/skt")
+  }
+
+  /** The maintained-state diversity serve. Per-source arm choice by
+    * the SAME monotone estimate-vs-cap rule the append guard uses
+    * (estimates only grow, so any source whose exact gram set an
+    * append ever truncated is still over the cap here — an incomplete
+    * exact set can never serve): normal sources aggregate the exact
+    * stored gram tables (bit-identical to a full recount — the oracle
+    * gate), capped sources serve their uniq counts from the HLL
+    * sketches (~2% error, 4 KB state regardless of vocabulary).
+    */
+  def diversityServed(s: SparkSession, uniDir: String, biDir: String,
+      cntDir: String, sktDir: String): DataFrame = {
+    val ests = sketchEstimates(storedSketches(s, sktDir)).localCheckpoint()
+    val capped = ests.filter(col("est") > gramCap(s))
+      .select(col("source")).distinct().collect()
+      .map(_.getString(0)).toSeq // driver-sized: ≤ |sources|
+    def exact(dirStr: String, alias: String) = {
+      val base = Tables.parquetCachedSchema(s, dirStr)
+        .select(col("source"), col("term"))
+      val kept =
+        if (capped.isEmpty) base
+        else base.filter(!col("source").isin(capped: _*))
+      kept.distinct()
+        .groupBy(col("source")).agg(count(lit(1)).as(alias))
+    }
+    def sketched(kind: String, alias: String) =
+      ests.filter(col("kind") === kind && col("source").isin(capped: _*))
+        .select(col("source"), col("est").as(alias))
+    val uniq =
+      if (capped.isEmpty) exact(uniDir, "uniq_unigrams")
+      else exact(uniDir, "uniq_unigrams")
+        .unionByName(sketched("uni", "uniq_unigrams"))
+    val biq =
+      if (capped.isEmpty) exact(biDir, "uniq_bigrams")
+      else exact(biDir, "uniq_bigrams")
+        .unionByName(sketched("bi", "uniq_bigrams"))
+    val cnt = Tables.parquetCachedSchema(s, cntDir)
+      .groupBy(col("source")).agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_bigrams")).as("n_bigrams"))
+    // mirror the one-shot's INNER join on the unigram relation:
+    // a source with zero tokens is absent from the report
+    diversityProject(cnt.filter(col("n_tokens") > 0)
+      .join(uniq, Seq("source"))
+      .join(biq, Seq("source"), "left"))
   }
 
   /** q_diversity_report's DuckDB mirror — shared verbatim by
@@ -1159,22 +1302,8 @@ object RetrievalQueries {
     // recount. Serving is three |vocab|-bounded aggregations; the
     // corpus text is never touched.
     GraftQuery("q_diversity_report_incr", diversityReportSql) { (s, dir) =>
-      val (uniDir, biDir, cntDir) = incrementalDiversityDirs(s, dir)
-      val uniq = Tables.parquetCachedSchema(s, uniDir)
-        .select(col("source"), col("term")).distinct()
-        .groupBy(col("source")).agg(count(lit(1)).as("uniq_unigrams"))
-      val biq = Tables.parquetCachedSchema(s, biDir)
-        .select(col("source"), col("term")).distinct()
-        .groupBy(col("source")).agg(count(lit(1)).as("uniq_bigrams"))
-      val cnt = Tables.parquetCachedSchema(s, cntDir)
-        .groupBy(col("source")).agg(sum(col("n_docs")).as("n_docs"),
-          sum(col("n_tokens")).as("n_tokens"),
-          sum(col("n_bigrams")).as("n_bigrams"))
-      // mirror the one-shot's INNER join on the unigram relation:
-      // a source with zero tokens is absent from the report
-      diversityProject(cnt.filter(col("n_tokens") > 0)
-        .join(uniq, Seq("source"))
-        .join(biq, Seq("source"), "left"))
+      val (uniDir, biDir, cntDir, sktDir) = incrementalDiversityDirs(s, dir)
+      diversityServed(s, uniDir, biDir, cntDir, sktDir)
     },
 
     // ------------------------------------------------- phrase search

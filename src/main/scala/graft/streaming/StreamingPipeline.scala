@@ -596,16 +596,17 @@ object StreamingPipeline {
       uniDir: String,
       biDir: String,
       cntDir: String,
+      sktDir: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
       compactEvery: Int = DefaultCompactEvery): StreamingQuery =
     startIndexIngest(spark, incomingDir, checkpointDir, docSourceSchema,
       trigger) { (batch, batchId) =>
       graft.analytics.RetrievalQueries.appendToDiversityIdempotent(
-        batch, uniDir, biDir, cntDir, batchId)
+        batch, uniDir, biDir, cntDir, sktDir, batchId)
       onCadence(compactEvery, batchId) {
         graft.analytics.RetrievalQueries.compactDiversityMinor(
-          spark, uniDir, biDir, cntDir); ()
+          spark, uniDir, biDir, cntDir, sktDir); ()
       }
     }
 

@@ -147,15 +147,16 @@ class RetrievalSpec extends SparkSpec {
     import spark.implicits._
     withTempDir { root =>
       val incoming = Files.createDirectory(root.resolve("incoming"))
-      val (uniDir, biDir, cntDir) = (root.resolve("uni").toString,
-        root.resolve("bi").toString, root.resolve("cnt").toString)
+      val (uniDir, biDir, cntDir, sktDir) = (root.resolve("uni").toString,
+        root.resolve("bi").toString, root.resolve("cnt").toString,
+        root.resolve("skt").toString)
       val ckpt = root.resolve("ck").toString
       def batch(b: Long) = MaintenanceProbe.batchDocs(spark, b, 60)
         .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(3))))
       land(batch(0), incoming, "b0.parquet")
       land(batch(1), incoming, "b1.parquet")
       StreamingPipeline.startDiversityIngest(
-        spark, incoming.toString, uniDir, biDir, cntDir, ckpt,
+        spark, incoming.toString, uniDir, biDir, cntDir, sktDir, ckpt,
         Trigger.AvailableNow()).awaitTermination(120000)
       val both = batch(0).union(batch(1))
       def uniSet(dir: String) = spark.read.parquet(dir)
@@ -172,7 +173,7 @@ class RetrievalSpec extends SparkSpec {
       // replay batch 0: gram union is idempotent anyway; the COUNTERS
       // are what the ack must protect
       RetrievalQueries.appendToDiversityIdempotent(
-        batch(0), uniDir, biDir, cntDir, 0L)
+        batch(0), uniDir, biDir, cntDir, sktDir, 0L)
       assert(spark.read.parquet(cntDir).agg(sum("n_tokens"))
         .head.getLong(0) == 120L * 40, "replayed batch doubled the totals")
       assert(uniSet(uniDir) == expect)
@@ -206,6 +207,74 @@ class RetrievalSpec extends SparkSpec {
         q0.mkString(", "))
       // occurrence-count ordering: doc 7 (3 hits) above doc 5 (1 hit)
       assert(q0.find(_._2 == 7L).get._3 == 1 && q0.find(_._2 == 5L).get._3 == 2)
+    }
+  }
+
+  test("gram-cap guard: a non-Heaps random-token source refuses LOUDLY " +
+      "in fail mode (nothing written); in sketch mode its exact rows " +
+      "are excluded (stored state bounded) and the report serves its " +
+      "uniq counts from the HLL sketches while normal sources stay " +
+      "bit-exact") {
+    import spark.implicits._
+    withTempDir { root =>
+      val (uniDir, biDir, cntDir, sktDir) = (root.resolve("uni").toString,
+        root.resolve("bi").toString, root.resolve("cnt").toString,
+        root.resolve("skt").toString)
+      // adversarial source: EVERY token unique (the hex-blob case —
+      // gram growth linear in tokens); normal source: fixed 4-word
+      // vocabulary
+      def mkBatch(b: Int): DataFrame =
+        ((0 until 30).map(i => (b * 1000L + i,
+          (0 until 20).map(j => s"x${b}_${i}_$j").mkString(" "), "hex")) ++
+          (0 until 30).map(i => (b * 1000L + 500 + i,
+            "alpha beta gamma delta", "norm")))
+          .toDF("doc_id", "text", "source")
+      def append(d: DataFrame, id: Long) =
+        RetrievalQueries.appendToDiversityIdempotent(
+          d, uniDir, biDir, cntDir, sktDir, id)
+      spark.conf.set(RetrievalQueries.MaxGramsPerSourceKey, "100")
+      try {
+        // FAIL mode (the default): the first append already puts the
+        // hex source past 100 distinct grams — refuse before ANY write
+        val e = intercept[IllegalStateException] { append(mkBatch(0), 0L) }
+        assert(e.getMessage.contains("hex") &&
+          e.getMessage.contains("sketch"), e.getMessage)
+        assert(!Files.exists(root.resolve("uni")) &&
+          !Files.exists(root.resolve("skt")),
+          "fail mode must leave all four tables untouched")
+
+        // SKETCH mode: appends proceed, the capped source's gram rows
+        // never reach the exact tables
+        spark.conf.set(RetrievalQueries.OnGramCapKey, "sketch")
+        append(mkBatch(0), 0L)
+        append(mkBatch(1), 1L)
+        RetrievalQueries.compactDiversityMinor(
+          spark, uniDir, biDir, cntDir, sktDir)
+        val uniBySource = spark.read.parquet(uniDir)
+          .groupBy(col("source")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(!uniBySource.contains("hex"),
+          s"capped source leaked into the exact table: $uniBySource")
+        assert(uniBySource("norm") == 4L, uniBySource.toString)
+
+        val report = RetrievalQueries.diversityServed(
+            spark, uniDir, biDir, cntDir, sktDir)
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+        // normal source: exact arm, bit-identical to a recount
+        assert(report("norm") == ((60L, 240L, 4L, 3L)), report.toString)
+        // capped source: counters stay EXACT (they are sum-merge
+        // state, never sketched); uniq counts come from the sketches
+        // within HLL error (true distincts: 1200 unigrams, 1140
+        // bigrams — every gram unique)
+        val (hd, ht, hu, hb) = report("hex")
+        assert(hd == 60L && ht == 1200L, report.toString)
+        assert(math.abs(hu - 1200.0) / 1200.0 < 0.05, s"uni est $hu")
+        assert(math.abs(hb - 1140.0) / 1140.0 < 0.05, s"bi est $hb")
+      } finally {
+        spark.conf.unset(RetrievalQueries.MaxGramsPerSourceKey)
+        spark.conf.unset(RetrievalQueries.OnGramCapKey)
+      }
     }
   }
 
