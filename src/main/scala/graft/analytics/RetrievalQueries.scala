@@ -166,8 +166,15 @@ object RetrievalQueries {
     * integer-exact ranking, no corpus state, so the query side is a
     * pure function of the query docs alone.
     */
-  private def queryTerms(docs: DataFrame, nQueries: Int = NQueries): DataFrame = {
-    val qtok = docs.filter(col("doc_id") < nQueries)
+  private def queryTerms(docs: DataFrame, nQueries: Int = NQueries): DataFrame =
+    queryTermsAll(docs.filter(col("doc_id") < nQueries))
+
+  /** Salient terms of EVERY doc in `qdocs` — the un-filtered body
+    * behind [[queryTerms]], shared with the external-text search
+    * entry ([[bm25SearchText]], whose query frame is not id-bounded).
+    */
+  private def queryTermsAll(qdocs: DataFrame): DataFrame = {
+    val qtok = qdocs
       .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
     val wq = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("term"))
@@ -218,11 +225,44 @@ object RetrievalQueries {
     * body behind [[bm25ServedTopK]].
     */
   private def bm25ServedRanked(
-      s: SparkSession, dir: String, nQueries: Int): DataFrame = {
-    val docs = t(s, dir, "documents")
+      s: SparkSession, dir: String, nQueries: Int): DataFrame =
+    bm25RankedFromIndex(s, dir,
+      queryTerms(t(s, dir, "documents"), nQueries),
+      nQueries.toLong * TermsPerQuery)
+
+  /** BM25 top-k for EXTERNAL query strings against the stored index —
+    * the user-facing serve (the catalog's `q_bm25_served` derives its
+    * queries from corpus docs so the DuckDB oracle can re-derive
+    * them; a real search batch arrives as text). Each query string
+    * gets the same salient-term treatment (top [[TermsPerQuery]] by
+    * tf desc, term asc). Query ids in the output are the input
+    * positions 0..n−1; internally they ride as NEGATIVE ids so the
+    * corpus self-exclusion filter (n_id ≠ q_id, meaningful only when
+    * queries ARE corpus docs) can never collide with a corpus doc id
+    * — an external query that exactly matches a stored document must
+    * retrieve it.
+    */
+  def bm25SearchText(
+      s: SparkSession, dir: String, queries: Seq[String]): DataFrame = {
+    import s.implicits._
+    val qdocs = queries.zipWithIndex
+      .map { case (text, i) => (-(i + 1).toLong, text) }
+      .toDF("doc_id", "text")
+    val qt = queryTermsAll(qdocs)
+    val ranked = bm25RankedFromIndex(
+      s, dir, qt, queries.size.toLong * TermsPerQuery)
+    bm25Project(ranked)
+      .withColumn("q_id", -col("q_id") - 1)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The stored-index serve body over an arbitrary query-term frame:
+    * arm choice (see [[PushdownTermsMaxKey]]), pruned postings fetch,
+    * corpus scalars, ranking.
+    */
+  private def bm25RankedFromIndex(s: SparkSession, dir: String,
+      qt: DataFrame, termBound: Long): DataFrame = {
     val (pstDir, dlDir, cntDir) = incrementalPostingsDirs(s, dir)
-    val qt = queryTerms(docs, nQueries)
-    val termBound = nQueries.toLong * TermsPerQuery
     val maxLit = s.conf.get(
       PushdownTermsMaxKey, PushdownTermsMaxDefault.toString).toLong
     val pst =
@@ -468,10 +508,19 @@ object RetrievalQueries {
         graft.functions.TextFunctions.shinglesFromTokens(col("ts"), 2))
         .as("bigram"))
 
-  /** A batch's bigram postings rows, bigram-bucketed for pruning. */
+  /** A batch's POSITIONAL bigram postings rows — (doc_id, bigram,
+    * pos) with pos the 0-based shingle offset — bigram-bucketed for
+    * pruning. Positions (not just counts) are what make the index a
+    * real phrase index: bigram counts serve 2-word phrases, and an
+    * n-word phrase is a position-join — its n−1 constituent bigrams
+    * at consecutive offsets (the Lucene phrase-query walk); counts
+    * stay derivable as a group-by over the pruned scan.
+    */
   private[graft] def phrasePostingsDeltas(docs: DataFrame, n: Int): DataFrame =
-    bigramStream(docs)
-      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("occ"))
+    docs.select(col("doc_id"), tokens(lower(col("text"))).as("ts"))
+      .select(col("doc_id"), posexplode(
+        graft.functions.TextFunctions.shinglesFromTokens(col("ts"), 2)))
+      .withColumnRenamed("col", "bigram")
       .withColumn("bkt", pmod(hash(col("bigram")), lit(n)))
 
   /** Exactly-once append of one batch's bigram postings. */
@@ -538,6 +587,60 @@ object RetrievalQueries {
     m.join(broadcast(qp), col("bigram") === col("phrase") &&
         col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"), col("occurrences"))
+      .withColumn("rank", row_number().over(wr).cast(IntegerType))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("n_id"), col("rank"), col("occurrences"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Exact-phrase search for EXTERNAL phrase strings of ANY length
+    * n ≥ 2 against the stored positional index — the user-facing
+    * generalization of the gated bigram/trigram forms: a phrase of n
+    * words occurs at base offset p iff each of its n−1 constituent
+    * bigrams sits at p+k (k = 0..n−2) — ONE pruned positional scan,
+    * one broadcast join against the (phrase, bigram, offset) triples,
+    * and a group-by that demands all n−1 distinct offsets per
+    * (phrase, doc, base). Output: (q_id = input position, n_id, rank,
+    * occurrences), occurrence-ranked like the gated forms. Phrases
+    * are lowercased and whitespace-tokenized with the corpus rule.
+    */
+  def phraseSearchText(
+      s: SparkSession, dir: String, phrases: Seq[String]): DataFrame = {
+    import s.implicits._
+    val bpstDir = incrementalPhraseDir(s, dir)
+    val nb = DedupQueries.tableBuckets(s, bpstDir)
+    // (q_id, bigram, off, need) triples — driver-sized by definition
+    val triples = phrases.zipWithIndex.flatMap { case (p, i) =>
+      val ts = p.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+      require(ts.length >= 2,
+        s"phrase '$p' has ${ts.length} token(s); phrases need n >= 2")
+      ts.sliding(2).zipWithIndex.map { case (bg, k) =>
+        (i.toLong, bg.mkString(" "), k, ts.length - 1)
+      }.toSeq
+    }
+    val need = triples.map(_._2).distinct
+    val needBkts = need.toDF("b")
+      .select(pmod(hash(col("b")), lit(nb))).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val pruned = Tables.parquetCachedSchema(s, bpstDir)
+      .filter(col("bkt").isin(needBkts: _*) && col("bigram").isin(need: _*))
+      .select(col("doc_id"), col("bigram"), col("pos"))
+    val tripleDf = broadcast(
+      triples.toDF("q_id", "bigram", "off", "need"))
+    // every (constituent bigram, stored position) pair votes for base
+    // offset pos − off; a base with all n−1 distinct offsets is one
+    // phrase occurrence
+    val hits = pruned.join(tripleDf, Seq("bigram"))
+      .select(col("q_id"), col("doc_id"), col("need"),
+        (col("pos") - col("off")).as("base"), col("off"))
+      .groupBy(col("q_id"), col("doc_id"), col("need"), col("base"))
+      .agg(countDistinct(col("off")).as("got"))
+      .filter(col("got") === col("need"))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("occurrences").desc, col("n_id"))
+    hits.groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("occurrences"))
+      .withColumnRenamed("doc_id", "n_id")
       .withColumn("rank", row_number().over(wr).cast(IntegerType))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("n_id"), col("rank"), col("occurrences"))
@@ -1357,11 +1460,100 @@ object RetrievalQueries {
         .distinct().collect()
       val phrases = phraseRows.map(_.getString(0)).toSeq.distinct
       val bkts = phraseRows.map(_.getInt(1)).toSeq.distinct
+      // occurrence counts are a group-by over the PRUNED positional
+      // scan — posting-list-sized, never corpus-sized
       val m = Tables.parquetCachedSchema(s, bpstDir)
         .filter(col("bkt").isin(bkts: _*) && col("bigram").isin(phrases: _*))
-        .select(col("doc_id").as("n_id"), col("bigram"),
-          col("occ").as("occurrences"))
+        .groupBy(col("doc_id"), col("bigram"))
+        .agg(count(lit(1)).as("occurrences"))
+        .withColumnRenamed("doc_id", "n_id")
       phraseRank(qp, m)
+    },
+
+    // The n>2 phrase form, served from the SAME positional bigram
+    // index: each query doc's most frequent TRIGRAM is its phrase; a
+    // trigram "a b c" occurs at offset p iff bigram "a b" sits at p
+    // AND bigram "b c" sits at p+1 — the positional-index
+    // intersection (the Lucene phrase-query walk), so the serve is
+    // two literal-pruned scans of the stored positions and one
+    // position-equijoin, integer-exact end to end; the corpus text is
+    // never tokenized at query time (the oracle re-derives everything
+    // from raw text). This discharges the "longer phrases are the
+    // same mechanism" claim with a gated query instead of prose.
+    GraftQuery(
+      "q_phrase_trigram",
+      s"""WITH tk AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts
+         |  FROM documents),
+         |tg AS (
+         |  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS trigram
+         |  FROM (SELECT doc_id, ts,
+         |          unnest(range(1, len(ts) - 1)) AS i FROM tk)
+         |  WHERE len(ts) >= 3),
+         |qp AS (SELECT doc_id AS q_id, trigram AS phrase FROM (
+         |         SELECT doc_id, trigram,
+         |           row_number() OVER (PARTITION BY doc_id
+         |             ORDER BY count(*) DESC, trigram) AS rk
+         |         FROM tg WHERE doc_id < $NQueries GROUP BY doc_id, trigram)
+         |       WHERE rk = 1),
+         |m AS (SELECT doc_id AS n_id, trigram, count(*) AS occurrences
+         |      FROM tg WHERE trigram IN (SELECT phrase FROM qp)
+         |      GROUP BY doc_id, trigram),
+         |j AS (SELECT q.q_id, m.n_id, m.occurrences FROM qp q
+         |      JOIN m ON m.trigram = q.phrase AND m.n_id <> q.q_id),
+         |r AS (SELECT q_id, n_id, occurrences,
+         |        CAST(row_number() OVER (PARTITION BY q_id
+         |          ORDER BY occurrences DESC, n_id) AS INTEGER) AS rank
+         |      FROM j)
+         |SELECT q_id, n_id, rank, occurrences
+         |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val bpstDir = incrementalPhraseDir(s, dir)
+        // query-side trigram phrases (query docs only, pushed down)
+        val wq = Window.partitionBy(col("doc_id"))
+          .orderBy(col("cnt").desc, col("trigram"))
+        val qp = docs.filter(col("doc_id") < NQueries)
+          .select(col("doc_id"), tokens(lower(col("text"))).as("ts"))
+          .select(col("doc_id"), explode(
+            graft.functions.TextFunctions.shinglesFromTokens(col("ts"), 3))
+            .as("trigram"))
+          .groupBy(col("doc_id"), col("trigram"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(wq)).filter(col("rk") === 1)
+          .select(col("doc_id").as("q_id"), col("trigram").as("phrase"))
+        // the phrase set is driver-sized (one trigram per query doc):
+        // split each into its two constituent bigrams locally and push
+        // literal In-filters into the positional scans
+        val nb = DedupQueries.tableBuckets(s, bpstDir)
+        val pairs = qp.select(col("phrase")).distinct().collect()
+          .map(_.getString(0)).toSeq.map { p =>
+            val t3 = p.split(' ')
+            (p, s"${t3(0)} ${t3(1)}", s"${t3(1)} ${t3(2)}")
+          }
+        val pairDf = broadcast(pairs.toDF("phrase", "b1", "b2"))
+        val need = pairs.flatMap(x => Seq(x._2, x._3)).distinct
+        val needBkts = if (need.isEmpty) Seq.empty[Int]
+          else need.toDF("b")
+            .select(pmod(hash(col("b")), lit(nb))).distinct()
+            .collect().map(_.getInt(0)).toSeq
+        val pruned = Tables.parquetCachedSchema(s, bpstDir)
+          .filter(col("bkt").isin(needBkts: _*) &&
+            col("bigram").isin(need: _*))
+          .select(col("doc_id"), col("bigram"), col("pos"))
+        // positional intersection: b1@p ∧ b2@(p+1) ⇒ one phrase hit
+        val hits = pruned.join(pairDf, col("bigram") === col("b1"))
+          .select(col("phrase"), col("doc_id"), col("pos"), col("b2"))
+          .join(pruned.select(col("doc_id"), col("bigram").as("bg2"),
+            col("pos").as("pos2")),
+            Seq("doc_id"))
+          .filter(col("bg2") === col("b2") && col("pos2") === col("pos") + 1)
+        val m = hits.groupBy(col("doc_id"), col("phrase"))
+          .agg(count(lit(1)).as("occurrences"))
+          .select(col("doc_id").as("n_id"),
+            col("phrase").as("bigram"), col("occurrences"))
+        phraseRank(qp, m)
     },
 
     // ------------------------------------------ MMR diversified top-k

@@ -566,6 +566,26 @@ class PlanSpec extends SparkSpec {
       bpstScans.mkString("\n").take(2000))
   }
 
+  test("q_phrase_trigram: positional intersection serve — stored " +
+      "positions present, documents scans query-side-pushed, bigram " +
+      "literals pushed, no cartesian") {
+    val p = plan("q_phrase_trigram")
+    assert(p.contains("graft-phrase-incr"), p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    val docScans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("documents.parquet"))
+      .toSeq
+    assert(docScans.nonEmpty &&
+      docScans.forall(_.contains("LessThan(doc_id,5)")),
+      docScans.mkString("\n"))
+    val bpstScans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("/bpst")).toSeq
+    assert(bpstScans.nonEmpty &&
+      bpstScans.forall(_.contains("In(bigram")),
+      bpstScans.mkString("\n").take(2000))
+  }
+
   test("q_hybrid_rrf_indexed: both fusion arms are index serves — " +
       "corpus text only behind the query-side pushdown, codes table " +
       "present, no corpus-side encode kernel") {

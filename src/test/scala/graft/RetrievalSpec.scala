@@ -278,6 +278,36 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("external-text BM25 search: an arbitrary query string serves " +
+      "from the stored index; scores match the corpus-doc serve and an " +
+      "exact-match document is retrievable (no self-exclusion leak)") {
+    withTempDir { root =>
+      tinyCorpus.repartition(1).write.parquet(s"$root/documents.parquet")
+      // the catalog ranking for corpus-doc query 0 ("rare rare rare"):
+      // candidates 5 and 6 with scores that depend only on corpus
+      // state + the term — not on who asked
+      val catalog = SparkEntry.queries("q_bm25_topk")(spark, root.toString)
+        .collect().filter(_.getLong(0) == 0L)
+        .map(r => r.getLong(1) -> r.getDouble(4)).toMap
+      val out = RetrievalQueries.bm25SearchText(
+          spark, root.toString, Seq("rare rare rare"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getDouble(4)))
+      // q_id is the input position
+      assert(out.forall(_._1 == 0L), out.mkString(", "))
+      // the EXACT-MATCH corpus doc (doc 0 carries the same text) is
+      // retrieved — the corpus-doc serve's self-exclusion must not
+      // fire for external queries — and ranks FIRST (tf 3 at dl 3
+      // beats tf 2 and tf 1 at dl 4)
+      assert(out.map(_._2).toSet == Set(0L, 5L, 6L), out.mkString(", "))
+      assert(out.find(_._2 == 0L).get._3 == 1)
+      // docs 5 and 6 score exactly what the catalog serve gave them
+      for (n <- Seq(5L, 6L))
+        assert(out.find(_._2 == n).get._4 == catalog(n),
+          s"doc $n: ${out.find(_._2 == n).get._4} vs ${catalog(n)}")
+    }
+  }
+
   test("BM25 serve arms: join arm == literal arm row-identical; the " +
       "join arm plans a postings semi-join, the literal arm pushes " +
       "In(term) literals") {
@@ -312,11 +342,11 @@ class RetrievalSpec extends SparkSpec {
       val b0 = MaintenanceProbe.batchDocs(spark, 0, 80)
       val b1 = MaintenanceProbe.batchDocs(spark, 1, 80)
       def stored() = spark.read.parquet(bpstDir)
-        .select(col("doc_id"), col("bigram"), col("occ")).collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+        .select(col("doc_id"), col("bigram"), col("pos")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
       def recount(d: DataFrame) = RetrievalQueries.phrasePostingsDeltas(d, 1)
-        .select(col("doc_id"), col("bigram"), col("occ")).collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+        .select(col("doc_id"), col("bigram"), col("pos")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
 
       land(b0, incoming, "b0.parquet")
       StreamingPipeline.startPhraseIngest(
@@ -345,6 +375,58 @@ class RetrievalSpec extends SparkSpec {
     val a = SparkEntry.queries("q_phrase_search")(spark, sfDir).collect().toSeq
     val b = SparkEntry.queries("q_phrase_served")(spark, sfDir).collect().toSeq
     assert(a.nonEmpty && a == b)
+  }
+
+  test("trigram phrase via positional intersection: three words in " +
+      "order match, a bigram-pair in the WRONG order or with a gap " +
+      "does not") {
+    import spark.implicits._
+    withTempDir { root =>
+      Seq(
+        (0L, "alpha beta gamma alpha beta gamma"), // phrase: alpha beta gamma (×2)
+        (1L, "pad x"), (2L, "pad x"), (3L, "pad x"), (4L, "pad x"),
+        (5L, "alpha beta gamma end"),       // exact trigram once
+        (6L, "alpha beta x beta gamma"),    // both bigrams, NOT consecutive
+        (7L, "beta gamma alpha beta zzz"),  // both bigrams, wrong order
+        (8L, "alpha beta gamma alpha beta gamma zz") // twice
+      ).toDF("doc_id", "text").repartition(1)
+        .write.parquet(s"$root/documents.parquet")
+      val q0 = SparkEntry.queries("q_phrase_trigram")(spark, root.toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getLong(3))).filter(_._1 == 0L)
+      // docs 6 and 7 contain BOTH constituent bigrams ("alpha beta",
+      // "beta gamma") but never at consecutive offsets in order —
+      // a count-only bigram index would wrongly admit them
+      assert(q0.map(x => x._2 -> x._4).toMap == Map(5L -> 1L, 8L -> 2L),
+        q0.mkString(", "))
+      assert(q0.find(_._2 == 8L).get._3 == 1)
+    }
+  }
+
+  test("external-text phrase search at arbitrary n: a 4-word phrase " +
+      "matches only aligned consecutive bigrams; all-bigrams-present-" +
+      "but-unaligned does not match; n=2 degenerates to the bigram walk") {
+    import spark.implicits._
+    withTempDir { root =>
+      Seq(
+        (0L, "w x y z w x y z"),      // "w x y z" twice (bases 0 and 4)
+        (1L, "x y pad w x pad y z"),  // ALL 3 bigrams, never aligned
+        (2L, "w x y pad"),            // prefix only (2 of 3 bigrams)
+        (3L, "pad w x y z pad")       // once, mid-doc
+      ).toDF("doc_id", "text").repartition(1)
+        .write.parquet(s"$root/documents.parquet")
+      val out = RetrievalQueries.phraseSearchText(
+          spark, root.toString, Seq("w x y z", "w x"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getLong(3)))
+      val q0 = out.filter(_._1 == 0L).map(x => x._2 -> x._4).toMap
+      assert(q0 == Map(0L -> 2L, 3L -> 1L), out.mkString(", "))
+      // the n=2 phrase is the plain bigram posting walk: docs 0 (×2),
+      // 1, 2, 3 all contain "w x" once except doc 0
+      val q1 = out.filter(_._1 == 1L).map(x => x._2 -> x._4).toMap
+      assert(q1 == Map(0L -> 2L, 1L -> 1L, 2L -> 1L, 3L -> 1L),
+        out.mkString(", "))
+    }
   }
 
   test("MMR diversification: an exact near-duplicate of the first pick " +
