@@ -848,7 +848,45 @@ object SimilarityQueries {
   private[graft] def ivfPqServeFromCodes(
       e: DataFrame, codes: DataFrame, cbIvf: Array[Double],
       cbPq: Array[Double], nQueries: Int, nprobe: Int = 2,
-      topC: Int = 8, depth: Int = 3): DataFrame = {
+      topC: Int = 8, depth: Int = 3): DataFrame =
+    ivfPqServeForQueries(e, codes, cbIvf, cbPq,
+      e.filter(col("vec_id") < nQueries), nprobe, topC, depth)
+
+  /** ANN top-k for EXTERNAL query vectors against the stored codes
+    * table — the user-facing vector-search entry (the catalog serves
+    * draw queries from stored embeddings so the DuckDB oracle can
+    * re-derive them; a real search batch arrives as raw vectors,
+    * exactly like [[graft.analytics.RetrievalQueries.bm25SearchText]]
+    * on the lexical side). Query ids in the output are the input
+    * positions 0..n−1; internally they ride as NEGATIVE ids so the
+    * corpus self-exclusion (n_id ≠ q_id, meaningful only when queries
+    * ARE corpus vectors) can never collide — a query equal to a
+    * stored vector retrieves it at rank 1 with cosine 1.
+    */
+  def annSearchVectors(s: SparkSession, dir: String,
+      vectors: Seq[Array[Float]], nprobe: Int = 2, topC: Int = 8,
+      depth: Int = 3): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val cb = collectCodebook(e, 16)
+    val codes = Tables.parquetCachedSchema(
+      s, incrementalCodesPath(s, dir, cb, cb))
+    val qdf = vectors.zipWithIndex
+      .map { case (v, i) => (-(i + 1).toLong, v) }
+      .toDF("vec_id", "embedding")
+    ivfPqServeForQueries(e, codes, cb, cb, qdf, nprobe, topC, depth)
+      .withColumn("q_id", -col("q_id") - 1)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The stored-codes serve body over an arbitrary query-vector frame
+    * (vec_id, embedding) — shared by the corpus-query form above and
+    * the external-vector entry [[annSearchVectors]].
+    */
+  private def ivfPqServeForQueries(
+      e: DataFrame, codes: DataFrame, cbIvf: Array[Double],
+      cbPq: Array[Double], queryVecs: DataFrame, nprobe: Int,
+      topC: Int, depth: Int): DataFrame = {
     // ONE tiny collect covers the whole query side: nQueries vectors
     // with their probe cells, subspace distance lookups, raw vector
     // and norm — ≤ nQueries rows of driver metadata. The probe table,
@@ -863,7 +901,7 @@ object SimilarityQueries {
     // (it IS the query batch); the corpus-side candidate join below is
     // untouched.
     val s = e.sparkSession
-    val qside = e.filter(col("vec_id") < nQueries).select(
+    val qside = queryVecs.select(
       col("vec_id"),
       PqExpressions.nearestCells(embNN, cbIvf, 64, nprobe).as("pcells"),
       PqExpressions.pqSubDists(embNN, cbPq, 8, 8).as("dl"),

@@ -186,6 +186,26 @@ class CodesIncrementalSpec extends SparkSpec {
     }
   }
 
+  test("external-vector ANN search: a query equal to a stored vector " +
+      "retrieves it at rank 1 with cosine 1.0 (no self-exclusion for " +
+      "external ids); results serve from the stored codes table") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val v7 = e.filter(col("vec_id") === 7L)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    val df = SimilarityQueries.annSearchVectors(spark, sf, Seq(v7))
+    val out = df.collect()
+    assert(out.nonEmpty && out.forall(_.getLong(0) == 0L))
+    // the exact-match stored vector: its own cell is its top probe,
+    // its ADC distance ~0 survives any topC, the exact re-rank puts
+    // it first at cosine exactly 1 (rounded display)
+    assert(out.head.getLong(1) == 7L && out.head.getInt(2) == 1,
+      out.mkString(", "))
+    assert(out.head.getDouble(4) == 1.0, out.head.toString)
+    // the serve reads the STORED codes table, not a corpus-side encode
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-codes-inc"), plan.take(2000))
+  }
+
   test("point-fetch re-rank arm == fused arm, with the In filter pushed " +
       "to the embeddings scan") {
     val e = Tables.load(spark, sf, "embeddings")
