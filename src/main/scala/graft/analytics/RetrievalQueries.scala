@@ -1246,6 +1246,36 @@ object RetrievalQueries {
     rrfFuse(bt, ct)
   }
 
+  /** Hybrid (RRF) search for EXTERNAL queries — each query a (text,
+    * embedding) pair — with BOTH arms served from the stored indexes:
+    * BM25 from the maintained postings tables
+    * ([[bm25SearchText]]'s chain) and the vector arm from the stored
+    * IVF-PQ codes table at the fusion dials
+    * ([[SimilarityQueries.annRankedForVectors]]). The user-facing
+    * sibling of the gated q_hybrid_rrf_indexed: a search batch
+    * arrives as raw text + raw vectors, never staged into the corpus.
+    * Query ids are input positions; both arms ride negative internal
+    * ids so corpus self-exclusion never fires for external queries.
+    */
+  def hybridSearch(s: SparkSession, dir: String,
+      queries: Seq[(String, Array[Float])]): DataFrame = {
+    import s.implicits._
+    val qdocs = queries.zipWithIndex
+      .map { case ((text, _), i) => (-(i + 1).toLong, text) }
+      .toDF("doc_id", "text")
+    val bt = bm25RankedFromIndex(s, dir, queryTermsAll(qdocs),
+        queries.size.toLong * TermsPerQuery)
+      .filter(col("rank") <= FuseDepth)
+      .select(col("q_id"), col("n_id"), col("rank").as("bm_rank"))
+    val ct = SimilarityQueries.annRankedForVectors(
+        s, dir, queries.map(_._2), nprobe = 2, topC = 24,
+        depth = FuseDepth)
+      .select(col("q_id"), col("n_id"), col("rank").as("cos_rank"))
+    rrfFuse(bt, ct)
+      .withColumn("q_id", -col("q_id") - 1)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Corpus-size threshold (bytes, embeddings-table stats) above which
     * [[hybridRrf]] serves the INDEXED tier instead of the exact one.
     * The exact tier's vector arm is a brute-force cosine scan — the

@@ -865,7 +865,19 @@ object SimilarityQueries {
     */
   def annSearchVectors(s: SparkSession, dir: String,
       vectors: Seq[Array[Float]], nprobe: Int = 2, topC: Int = 8,
-      depth: Int = 3): DataFrame = {
+      depth: Int = 3): DataFrame =
+    annRankedForVectors(s, dir, vectors, nprobe, topC, depth)
+      .withColumn("q_id", -col("q_id") - 1)
+      .orderBy(col("q_id"), col("rank"))
+
+  /** The external-vector serve as a RANKED relation that KEEPS the
+    * negative internal query ids — the vector arm of
+    * [[graft.analytics.RetrievalQueries.hybridSearch]] (the fusion
+    * joins both arms on the internal ids before mapping back).
+    */
+  private[analytics] def annRankedForVectors(s: SparkSession, dir: String,
+      vectors: Seq[Array[Float]], nprobe: Int, topC: Int,
+      depth: Int): DataFrame = {
     import s.implicits._
     val e = t(s, dir, "embeddings")
     val cb = collectCodebook(e, 16)
@@ -875,8 +887,6 @@ object SimilarityQueries {
       .map { case (v, i) => (-(i + 1).toLong, v) }
       .toDF("vec_id", "embedding")
     ivfPqServeForQueries(e, codes, cb, cb, qdf, nprobe, topC, depth)
-      .withColumn("q_id", -col("q_id") - 1)
-      .orderBy(col("q_id"), col("rank"))
   }
 
   /** The stored-codes serve body over an arbitrary query-vector frame

@@ -612,6 +612,31 @@ class RetrievalSpec extends SparkSpec {
       .contains("graft-codes-inc") == false)
   }
 
+  test("external hybrid search: a (text, vector) query fuses both " +
+      "stored-index arms; an exact-match document arrives through the " +
+      "vector arm at rank 1 and the fused score is the reciprocal sum") {
+    val text7 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") === 7L).select(col("text")).head.getString(0)
+    val v7 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") === 7L).select(col("embedding"))
+      .head.getSeq[Float](0).toArray
+    val out = RetrievalQueries.hybridSearch(
+        spark, sfDir, Seq((text7, v7)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getInt(4), r.getDouble(5)))
+    assert(out.nonEmpty && out.forall(_._1 == 0L))
+    // the identical stored vector comes through the vector arm first
+    val r7 = out.find(_._2 == 7L)
+    assert(r7.isDefined && r7.get._5 == 1, out.mkString(", "))
+    // fused score is exactly the reciprocal sum of present ranks
+    for ((_, _, _, bm, cs, sc) <- out) {
+      val expect = math.floor(
+        ((if (bm > 0) 1.0 / (60 + bm) else 0.0) +
+          (if (cs > 0) 1.0 / (60 + cs) else 0.0)) * 1000000) / 1000000
+      assert(sc == expect, s"rrf $sc != $expect for ranks $bm/$cs")
+    }
+  }
+
   test("q_hybrid_rrf: fused score is exactly the sum of its rank " +
       "reciprocals; ordering follows the fused score") {
     val rows = SparkEntry.queries("q_hybrid_rrf")(spark, sfDir)
