@@ -265,8 +265,9 @@ object RetrievalQueries {
     val (pstDir, dlDir, cntDir) = incrementalPostingsDirs(s, dir)
     val maxLit = s.conf.get(
       PushdownTermsMaxKey, PushdownTermsMaxDefault.toString).toLong
+    val literalArm = termBound <= maxLit
     val pst =
-      if (termBound <= maxLit) {
+      if (literalArm) {
         // LITERAL arm — the query-term set is driver-sized (queries ×
         // TermsPerQuery; the ANN family's query-side-collect
         // precedent): collect it and push LITERAL In-filters into the
@@ -304,7 +305,10 @@ object RetrievalQueries {
       .agg(sum(col("n")).as("n"))
       .crossJoin(Tables.parquetCachedSchema(s, dlDir)
         .agg(sum(col("dl")).as("totlen")))
-    bm25Ranked(qt, pst, dlT, gs)
+    // the bulk-query arm also drops the query-frame broadcast hint:
+    // at the query scales that pick it, the term frame itself may be
+    // too large to force through the driver
+    bm25Ranked(qt, pst, dlT, gs, broadcastQueries = literalArm)
   }
 
   /** BM25 ranked candidates `(q_id, n_id, matched, score, rank)` from
@@ -314,7 +318,14 @@ object RetrievalQueries {
     * only WHERE the state comes from differs (recompute vs stored).
     */
   private[graft] def bm25Ranked(
-      qt: DataFrame, pst: DataFrame, dl: DataFrame, gs: DataFrame): DataFrame = {
+      qt: DataFrame, pst: DataFrame, dl: DataFrame, gs: DataFrame,
+      broadcastQueries: Boolean = true): DataFrame = {
+    // interactive batches broadcast the (queries × TermsPerQuery) term
+    // frame; the bulk-query JOIN arm drops the hint so an unbounded
+    // offline query set shuffle-joins on term instead of being forced
+    // through a driver-sized broadcast (AQE still broadcasts small
+    // frames on its own)
+    def qtSide(d: DataFrame) = if (broadcastQueries) broadcast(d) else d
     // term-partition barrier: both consumers below (the df aggregation
     // and the scoring join) read `p` behind the SAME exchange, so
     // ReuseExchange runs the postings subtree ONCE — without it each
@@ -334,7 +345,7 @@ object RetrievalQueries {
     // one exact integer ratio per (candidate, term): decimal(38,0)
     // products (overflow-proof — see [[tfNorm]]), ONE cast to double
     // per side, one IEEE division, one IEEE multiply
-    val sc = broadcast(qt)
+    val sc = qtSide(qt)
       .join(p.withColumnRenamed("doc_id", "n_id"), Seq("term"))
       .filter(col("n_id") =!= col("q_id"))
       .join(broadcast(idf), Seq("term"))
