@@ -1089,13 +1089,38 @@ object RetrievalQueries {
   def mmrDiversified(s: SparkSession, dir: String, nQueries: Int,
       pool: Int, picks: Int, lam: Double): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val nq = e.select(col("vec_id"), col("embedding"),
-      l2Norm(col("embedding")).as("nrm"))
-    val q = nq.filter(col("vec_id") < nQueries)
+    val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-        col("nrm").as("qn"))
-    val c = nq.select(col("vec_id").as("n_id"), col("embedding").as("cv"),
-      col("nrm").as("cn"))
+        l2Norm(col("embedding")).as("qn"))
+    mmrForQueries(s, dir, q, pool, picks, lam)
+  }
+
+  /** MMR-diversified top-k for EXTERNAL query vectors — the
+    * diversified sibling of [[SimilarityQueries.annSearchVectors]]:
+    * raw vectors in, (q_id = input position, n_id, pick, mmr_score)
+    * out, negative internal ids so corpus self-exclusion never fires.
+    */
+  def mmrSearchVectors(s: SparkSession, dir: String,
+      vectors: Seq[Array[Float]], pool: Int = FuseDepth,
+      picks: Int = MmrPicks, lam: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val q = vectors.zipWithIndex
+      .map { case (v, i) => (-(i + 1).toLong, v) }
+      .toDF("q_id", "qv")
+      .select(col("q_id"), col("qv"), l2Norm(col("qv")).as("qn"))
+    mmrForQueries(s, dir, q, pool, picks, lam)
+      .withColumn("q_id", -col("q_id") - 1)
+      .orderBy(col("q_id"), col("pick"))
+  }
+
+  /** The MMR greedy selection over an arbitrary query frame
+    * (q_id, qv, qn) — shared by the corpus-query and external forms.
+    */
+  private def mmrForQueries(s: SparkSession, dir: String, q: DataFrame,
+      pool: Int, picks: Int, lam: Double): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val c = e.select(col("vec_id").as("n_id"), col("embedding").as("cv"),
+      l2Norm(col("embedding")).as("cn"))
     val wrel = Window.partitionBy(col("q_id"))
       .orderBy(col("rel").desc, col("n_id"))
     val cand = c.join(broadcast(q), col("n_id") =!= col("q_id"))

@@ -461,6 +461,34 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("external-vector MMR search: diversification holds for a raw " +
+      "query vector — the exact duplicate of pick 1 loses pick 2 to a " +
+      "dissimilar lower-relevance candidate") {
+    import spark.implicits._
+    withTempDir { root =>
+      def vec(parts: (Int, Float)*): Array[Float] = {
+        val a = Array.fill(64)(0.0f)
+        parts.foreach { case (i, x) => a(i) = x }
+        a
+      }
+      Seq(
+        (1L, vec(0 -> 0.995f, 1 -> 0.0999f)), // A: top relevance
+        (2L, vec(0 -> 0.995f, 1 -> 0.0999f)), // B: exact duplicate of A
+        (3L, vec(2 -> 1.0f, 0 -> 0.05f)),     // C: dissimilar, low rel
+        (4L, vec(0 -> -1.0f)), (5L, vec(0 -> -1.0f))
+      ).map { case (id, v) => (id, v, 0) }
+        .toDF("vec_id", "embedding", "label").repartition(1)
+        .write.parquet(s"$root/embeddings.parquet")
+      val out = RetrievalQueries.mmrSearchVectors(
+          spark, root.toString, Seq(vec(0 -> 1.0f)), pool = 5, picks = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(out.forall(_._1 == 0L), out.mkString(", "))
+      val byPick = out.sortBy(_._3)
+      assert(byPick(0)._2 == 1L, out.mkString(", ")) // A first (tie → id)
+      assert(byPick(1)._2 == 3L, out.mkString(", ")) // C beats the dup B
+    }
+  }
+
   test("relevance gate: streamed scores == one batch pass bit-for-bit, " +
       "and agree with the gated q_bm25_topk scores for the same query") {
     import graft.analytics.RetrievalQueries
