@@ -34,7 +34,9 @@ object PlanReport {
     "q_ann_ivfpq_residual" -> "Residual IVF-ADC served from the STORED residual codes table (round 13): no NearestCell/PqEncode over the corpus — cell assignment and the residual encode were paid once at index build; candidates are ADC-scored stored codes in the probed cells (the probe side's dl table is CELL-RELATIVE, one residual-subdist row per (query, probed cell), still driver-sized); exact cosine re-ranks the broadcast survivors.",
     "q_ann_filtered" -> "Hybrid metadata + vector search (round 13): the lang predicate is PUSHED into the documents parquet scan (PushedFilters, (doc_id, lang)-only ReadSchema), the qualifying ids PRE-filter the corpus through a semi-join BEFORE the pair stage, and the exact top-k runs on survivors — recall exact by construction; the 10-row query side broadcasts (the intended BNL, as q_ann_bruteforce).",
     "q_bm25_served" -> "BM25 served from the STORED inverted index (round 14): the corpus text never appears — every documents scan carries the query-side doc_id<5 pushdown; the postings scan shows PartitionFilters [bkt INSET ...] (hive-partition pruning from the collected query-term buckets) AND PushedFilters In(term, ...) (row-group skip over term-sorted files); doc stats and the (n, totlen) scalars read the maintained tables. The one-shot sibling's corpus tokenizer pass is GONE.",
-    "q_mmr_diversify" -> "MMR diversified top-k (round 14): the candidate rank is the only corpus-sized stage; the 5-step greedy loop reads localCheckpoint-materialized relations (Scan ExistingRDD) — NO embeddings scan appears in this plan at all, and no step re-executes its predecessors (the naive lineage was a 2^k blowup, measured 5.1 -> 2.1 s at sf0.1).")
+    "q_mmr_diversify" -> "MMR diversified top-k (round 14): the candidate rank is the only corpus-sized stage; the 5-step greedy loop reads localCheckpoint-materialized relations (Scan ExistingRDD) — NO embeddings scan appears in this plan at all, and no step re-executes its predecessors (the naive lineage was a 2^k blowup, measured 5.1 -> 2.1 s at sf0.1).",
+    "q_phrase_served" -> "Exact-phrase search served from the STORED positional bigram index (round 15): the corpus text is never tokenized or shingled — the only documents scans carry the query-side doc_id<5 pushdown (phrase derivation); candidates come from the bigram-bucketed stored table behind PartitionFilters [bkt INSET ...] + PushedFilters In(bigram, ...), and occurrence counts are a group-by over that pruned scan. The one-shot sibling's corpus-wide shingle explode is GONE.",
+    "q_phrase_trigram" -> "Trigram phrase via POSITIONAL intersection (round 15): a 3-word phrase is its two constituent bigrams at consecutive stored offsets (b1@p JOIN b2@p+1 on doc_id) — the Lucene phrase-query walk over the same stored positional table, two literal-pruned scans + one position-equijoin, integer-exact; no corpus text anywhere except the pushed-down query side.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
