@@ -146,7 +146,7 @@ object CombinedStreamsProbe {
           () => StreamingPipeline.startPhraseIngest(
             spark, docsIn.toString, d("bpst"), d("ck-ph")),
           () => sumHash(spark.read.parquet(d("bpst"))
-            .select(col("doc_id"), col("bigram"), col("occ")))),
+            .select(col("doc_id"), col("bigram"), col("pos")))),
         ("diversity",
           () => StreamingPipeline.startDiversityIngest(
             spark, docsIn.toString, d("duni"), d("dbi"), d("dcnt"),

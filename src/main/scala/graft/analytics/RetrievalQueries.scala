@@ -280,13 +280,7 @@ object RetrievalQueries {
         // This corpus's 31-term vocabulary hits every bucket (worst
         // case by design); the plan shape is pinned regardless.
         val nb = DedupQueries.tableBuckets(s, pstDir)
-        // bucket ids via the SAME plan-side expression the writer used
-        // (pmod∘hash), so the two can never drift
-        val termRows = qt.select(col("term"),
-            pmod(hash(col("term")), lit(nb)).as("bkt"))
-          .distinct().collect()
-        val terms = termRows.map(_.getString(0)).toSeq.distinct
-        val bkts = termRows.map(_.getInt(1)).toSeq.distinct
+        val (terms, bkts) = Tables.valueBuckets(qt.select(col("term")), nb)
         Tables.parquetCachedSchema(s, pstDir)
           .filter(col("bkt").isin(bkts: _*) && col("term").isin(terms: _*))
           .select(col("doc_id"), col("term"), col("tf"))
@@ -495,11 +489,13 @@ object RetrievalQueries {
 
   // ------------------------------------------------------------------
   // Stored POSITIONAL bigram postings — the phrase-search analog of
-  // the inverted tf postings: (doc_id, bigram, occ) where occ counts
-  // ADJACENT occurrences (adjacency is encoded by the shingle
-  // construction itself). Document-keyed and immutable like the tf
-  // table, so maintenance is pure exactly-once append + re-filing
-  // compaction; a replayed batch would double every occ, so the ack
+  // the inverted tf postings: (doc_id, bigram, pos) with pos the
+  // 0-based shingle offset (adjacency is encoded by the shingle
+  // construction itself; counts are a group-by over the pruned
+  // scan). Document-keyed and immutable like the tf table, so
+  // maintenance is pure exactly-once append + re-filing
+  // compaction; a replayed batch would duplicate every position
+  // row (doubling derived counts), so the ack
   // protocol is again the correctness condition. The served phrase
   // query never tokenizes the corpus: candidates come from the stored
   // table behind literal bkt/bigram pushdown — the positional-index
@@ -622,7 +618,11 @@ object RetrievalQueries {
     val nb = DedupQueries.tableBuckets(s, bpstDir)
     // (q_id, bigram, off, need) triples — driver-sized by definition
     val triples = phrases.zipWithIndex.flatMap { case (p, i) =>
-      val ts = p.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+      // Locale.ROOT: the stored index lowercased via Spark's
+      // locale-free lower(); a tr_TR default locale would dotless-ı
+      // "Istanbul" here and never match a stored bigram
+      val ts = p.trim.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").toSeq.filter(_.nonEmpty)
       require(ts.length >= 2,
         s"phrase '$p' has ${ts.length} token(s); phrases need n >= 2")
       ts.sliding(2).zipWithIndex.map { case (bg, k) =>
@@ -630,9 +630,7 @@ object RetrievalQueries {
       }.toSeq
     }
     val need = triples.map(_._2).distinct
-    val needBkts = need.toDF("b")
-      .select(pmod(hash(col("b")), lit(nb))).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    val needBkts = Tables.valueBuckets(need.toDF("b"), nb)._2
     val pruned = Tables.parquetCachedSchema(s, bpstDir)
       .filter(col("bkt").isin(needBkts: _*) && col("bigram").isin(need: _*))
       .select(col("doc_id"), col("bigram"), col("pos"))
@@ -724,8 +722,11 @@ object RetrievalQueries {
     */
   private[graft] def diversityCountsDelta(docs: DataFrame): DataFrame =
     docs.select(col("source"),
-        graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
-          .as("dl"))
+        // coalesce per row: tokenCount(null text) is null, and a
+        // source whose whole batch is null-text must keep the old
+        // explode-path contract of 0 counters, not a NULL row
+        coalesce(graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long"), lit(0L)).as("dl"))
       .groupBy(col("source")).agg(
         count(lit(1)).as("n_docs"),
         sum(col("dl")).as("n_tokens"),
@@ -783,6 +784,52 @@ object RetrievalQueries {
           org.apache.spark.sql.types.BinaryType))))
   }
 
+  /** Persisted was-ever-truncated markers. The estimate-vs-cap rule
+    * alone is monotone only for a CONSTANT cap: a source excluded
+    * from the exact gram tables at cap c would silently serve its
+    * partial exact counts if the cap were later raised above its
+    * estimate (and the fail-mode error text itself coaches raising
+    * the cap). So sketch-mode truncation also drops one tiny marker
+    * file per source under the sketch dir — create-if-absent, so
+    * replay-safe — and both the append exclusion and the serve arm
+    * choice honor the markers forever: an exact set that ever lost a
+    * batch can never serve again, at any cap.
+    */
+  private def truncatedDir(sktDir: String) = s"$sktDir/_truncated"
+
+  private def fsFor(s: SparkSession, path: org.apache.hadoop.fs.Path) =
+    org.apache.hadoop.fs.FileSystem.get(
+      path.toUri, s.sparkContext.hadoopConfiguration)
+
+  private def markTruncated(
+      s: SparkSession, sktDir: String, sources: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(truncatedDir(sktDir))
+    val fs = fsFor(s, dir)
+    fs.mkdirs(dir)
+    sources.foreach { src =>
+      val name = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(src.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+      val p = new Path(dir, name)
+      if (!fs.exists(p)) {
+        val out = fs.create(p, true)
+        try out.write(src.getBytes("UTF-8")) finally out.close()
+      }
+    }
+  }
+
+  private def truncatedSources(
+      s: SparkSession, sktDir: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(truncatedDir(sktDir))
+    val fs = fsFor(s, dir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map { st =>
+      val in = fs.open(st.getPath)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+  }
+
   /** Union-merged per-(source, kind) distinct-gram estimates from the
     * stored sketches plus any extra sketch rows — |sources|×2 rows.
     */
@@ -833,8 +880,14 @@ object RetrievalQueries {
           s"vocabulary; raise $MaxGramsPerSourceKey or set " +
           s"$OnGramCapKey=sketch to serve their uniq counts from the " +
           "maintained HLL sketches instead")
+    if (over.nonEmpty) markTruncated(s, sktDir, over)
+    // exclude BOTH the newly-over sources and every source ever
+    // truncated before (its exact set is already incomplete — adding
+    // new batches back after a cap raise would mix partial history
+    // with fresh rows)
+    val excluded = (over ++ truncatedSources(s, sktDir)).distinct
     def exactPart(d: DataFrame) =
-      if (over.isEmpty) d else d.filter(!col("source").isin(over: _*))
+      if (excluded.isEmpty) d else d.filter(!col("source").isin(excluded: _*))
     graft.sinks.IncrementalParquet.appendIdempotent(
       s, uniDir, "bkt", batchId, Seq("term"),
       Map("buckets" -> nb.toString))(exactPart(u))
@@ -894,9 +947,12 @@ object RetrievalQueries {
   def diversityServed(s: SparkSession, uniDir: String, biDir: String,
       cntDir: String, sktDir: String): DataFrame = {
     val ests = sketchEstimates(storedSketches(s, sktDir)).localCheckpoint()
-    val capped = ests.filter(col("est") > gramCap(s))
+    // over-cap now, OR ever truncated (an exact set that lost a batch
+    // can never serve, at any later cap — see [[truncatedDir]])
+    val capped = (ests.filter(col("est") > gramCap(s))
       .select(col("source")).distinct().collect()
-      .map(_.getString(0)).toSeq // driver-sized: ≤ |sources|
+      .map(_.getString(0)).toSeq ++
+      truncatedSources(s, sktDir)).distinct // driver-sized: ≤ |sources|
     def exact(dirStr: String, alias: String) = {
       val base = Tables.parquetCachedSchema(s, dirStr)
         .select(col("source"), col("term"))
@@ -1188,14 +1244,10 @@ object RetrievalQueries {
   def relevanceModel(s: SparkSession, pstDir: String, dlDir: String,
       cntDir: String, terms: Seq[String]): (DataFrame, DataFrame) = {
     val nb = DedupQueries.tableBuckets(s, pstDir)
-    // all bucket ids in ONE local-relation job via the SAME plan-side
-    // expression the writer used (pmod∘hash) — the per-term
-    // Tables.hashBucket loop launched one 1-row Spark job per term,
-    // needlessly serial past a handful of terms
+    // all bucket ids in ONE local-relation job (the per-term
+    // Tables.hashBucket loop launched one 1-row Spark job per term)
     import s.implicits._
-    val bkts = terms.toDF("term")
-      .select(pmod(hash(col("term")), lit(nb)))
-      .collect().map(_.getInt(0)).toSeq.distinct
+    val bkts = Tables.valueBuckets(terms.toDF("term"), nb)._2
     val dft = Tables.parquetCachedSchema(s, pstDir)
       .filter(col("bkt").isin(bkts: _*) && col("term").isin(terms: _*))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -1521,11 +1573,8 @@ object RetrievalQueries {
       // query doc) — collect it and push literal In-filters into the
       // stored postings scan, the bm25ServedRanked precedent
       val nb = DedupQueries.tableBuckets(s, bpstDir)
-      val phraseRows = qp.select(col("phrase"),
-          pmod(hash(col("phrase")), lit(nb)).as("bkt"))
-        .distinct().collect()
-      val phrases = phraseRows.map(_.getString(0)).toSeq.distinct
-      val bkts = phraseRows.map(_.getInt(1)).toSeq.distinct
+      val (phrases, bkts) =
+        Tables.valueBuckets(qp.select(col("phrase")), nb)
       // occurrence counts are a group-by over the PRUNED positional
       // scan — posting-list-sized, never corpus-sized
       val m = Tables.parquetCachedSchema(s, bpstDir)
@@ -1601,9 +1650,7 @@ object RetrievalQueries {
         val pairDf = broadcast(pairs.toDF("phrase", "b1", "b2"))
         val need = pairs.flatMap(x => Seq(x._2, x._3)).distinct
         val needBkts = if (need.isEmpty) Seq.empty[Int]
-          else need.toDF("b")
-            .select(pmod(hash(col("b")), lit(nb))).distinct()
-            .collect().map(_.getInt(0)).toSeq
+          else Tables.valueBuckets(need.toDF("b"), nb)._2
         val pruned = Tables.parquetCachedSchema(s, bpstDir)
           .filter(col("bkt").isin(needBkts: _*) &&
             col("bigram").isin(need: _*))

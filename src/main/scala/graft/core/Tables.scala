@@ -77,6 +77,23 @@ object Tables {
   def hashBucket(spark: SparkSession, value: String, n: Int): Int =
     spark.range(1).select(pmod(hash(lit(value)), lit(n))).head.getInt(0)
 
+  /** The distinct values of `values`' single string column together
+    * with their writer-side bucket ids — THE one implementation of
+    * the collect-for-literal-pushdown idiom every stored-index serve
+    * uses (bm25 literal arm, phrase serves, relevance model): bucket
+    * ids come from the SAME plan-side expression the incremental
+    * writers use (pmod∘hash), evaluated in ONE job over the
+    * (driver-sized by construction) value frame, so a serve-side
+    * reimplementation can never drift from the stored layout.
+    */
+  def valueBuckets(values: DataFrame, n: Int): (Seq[String], Seq[Int]) = {
+    val c = col(values.columns.head)
+    val rows = values.select(c.as("v"), pmod(hash(c), lit(n)).as("bkt"))
+      .distinct().collect()
+    (rows.map(_.getString(0)).toSeq.distinct,
+      rows.map(_.getInt(1)).toSeq.distinct)
+  }
+
   /** Register every table as a temp view (for spark.sql use). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     All.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))

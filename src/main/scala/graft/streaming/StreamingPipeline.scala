@@ -651,9 +651,10 @@ object StreamingPipeline {
 
   /** Streamed positional-bigram postings maintenance — the phrase
     * index joining the continuously-maintained family: arriving
-    * documents' (doc_id, bigram, occ) rows append exactly-once
-    * (document-keyed and immutable, the tf-postings argument verbatim
-    * — replay would double every occ), compaction re-files on cadence.
+    * documents' positional (doc_id, bigram, pos) rows append
+    * exactly-once (document-keyed and immutable, the tf-postings
+    * argument verbatim — replay would duplicate every position row),
+    * compaction re-files on cadence.
     * A concurrent phrase serve ([[graft.analytics.RetrievalQueries]]
     * `q_phrase_served`) reads candidates from this table only; the
     * catalog gate checks it against a full recompute.

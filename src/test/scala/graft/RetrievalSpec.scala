@@ -278,6 +278,49 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("cap raise after truncation: a source whose exact gram set " +
+      "ever lost a batch keeps serving from the sketches at ANY later " +
+      "cap — partial exact counts can never masquerade as exact") {
+    import spark.implicits._
+    withTempDir { root =>
+      val (uniDir, biDir, cntDir, sktDir) = (root.resolve("uni").toString,
+        root.resolve("bi").toString, root.resolve("cnt").toString,
+        root.resolve("skt").toString)
+      // 600 fresh unigrams per batch for the hex source
+      def mkBatch(b: Int): DataFrame =
+        (0 until 30).map(i => (b * 1000L + i,
+          (0 until 20).map(j => s"x${b}_${i}_$j").mkString(" "), "hex"))
+          .toDF("doc_id", "text", "source")
+      def append(d: DataFrame, id: Long) =
+        RetrievalQueries.appendToDiversityIdempotent(
+          d, uniDir, biDir, cntDir, sktDir, id)
+      spark.conf.set(RetrievalQueries.OnGramCapKey, "sketch")
+      spark.conf.set(RetrievalQueries.MaxGramsPerSourceKey, "1300")
+      try {
+        append(mkBatch(0), 0L) // 600  <= 1300: appended exactly
+        append(mkBatch(1), 1L) // 1200 <= 1300: appended exactly
+        append(mkBatch(2), 2L) // 1800 > 1300: truncated + marked
+        val exactRows = spark.read.parquet(uniDir)
+          .filter(col("source") === "hex").count()
+        assert(exactRows == 1200L, s"exact rows $exactRows")
+        // raise the cap far above the estimate: without the persisted
+        // marker the serve would fall back to the exact arm and report
+        // the PARTIAL 1200 as if it were exact
+        spark.conf.set(RetrievalQueries.MaxGramsPerSourceKey, "10000000")
+        val hex = RetrievalQueries.diversityServed(
+            spark, uniDir, biDir, cntDir, sktDir)
+          .filter(col("source") === "hex")
+          .select(col("uniq_unigrams")).head.getLong(0)
+        assert(math.abs(hex - 1800.0) / 1800.0 < 0.05,
+          s"served $hex — expected ~1800 from the sketch, not the " +
+            "1200-row partial exact set")
+      } finally {
+        spark.conf.unset(RetrievalQueries.MaxGramsPerSourceKey)
+        spark.conf.unset(RetrievalQueries.OnGramCapKey)
+      }
+    }
+  }
+
   test("external-text BM25 search: an arbitrary query string serves " +
       "from the stored index; scores match the corpus-doc serve and an " +
       "exact-match document is retrievable (no self-exclusion leak)") {
