@@ -321,6 +321,47 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("phraseSearchText == driver-side brute force over a seeded " +
+      "random corpus (overlapping and self-repeating phrases included)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(421)
+    val alphabet = Vector("a", "b", "c", "d")
+    // tiny alphabet ⇒ dense repeats and overlapping occurrences — the
+    // positional-walk edge cases (e.g. "a a a a" contains "a a" 3×)
+    val docs = (0L until 40L).map(i =>
+      (i, Seq.fill(3 + rnd.nextInt(18))(
+        alphabet(rnd.nextInt(alphabet.size))).mkString(" ")))
+    val phrases = Seq.fill(6)(
+      Seq.fill(2 + rnd.nextInt(3))(
+        alphabet(rnd.nextInt(alphabet.size))).mkString(" ")).distinct
+    def bruteOcc(text: String, phrase: String): Long = {
+      val ts = text.split(" ").toSeq
+      val ps = phrase.split(" ").toSeq
+      (0 to ts.length - ps.length)
+        .count(i => ts.slice(i, i + ps.length) == ps).toLong
+    }
+    withTempDir { root =>
+      docs.toDF("doc_id", "text").repartition(1)
+        .write.parquet(s"$root/documents.parquet")
+      val got = RetrievalQueries.phraseSearchText(
+          spark, root.toString, phrases)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getLong(3)))
+        .toMap
+      for ((p, qi) <- phrases.zipWithIndex) {
+        val expected = docs.map { case (id, t) => id -> bruteOcc(t, p) }
+          .filter(_._2 > 0L)
+          .sortBy { case (id, occ) => (-occ, id) }
+          .take(10) // TopK
+          .zipWithIndex.map { case ((id, occ), rk) =>
+            (qi.toLong, id) -> ((rk + 1), occ) }
+          .toMap
+        assert(got.view.filterKeys(_._1 == qi).toMap == expected,
+          s"phrase '$p': got ${got.filter(_._1._1 == qi)} vs $expected")
+      }
+    }
+  }
+
   test("external-text BM25 search: an arbitrary query string serves " +
       "from the stored index; scores match the corpus-doc serve and an " +
       "exact-match document is retrievable (no self-exclusion leak)") {
