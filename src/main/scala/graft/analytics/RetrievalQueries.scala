@@ -286,11 +286,15 @@ object RetrievalQueries {
           .select(col("doc_id"), col("term"), col("tf"))
       } else {
         // JOIN arm — the offline bulk-query shape: one postings pass,
-        // broadcast semi-join on the distinct-term frame (bounded by
-        // the vocabulary, never by the query count)
+        // semi-joined on the distinct-term frame with NO broadcast
+        // hint: corpus-derived query sets are vocab-bounded, but an
+        // external bulk batch's distinct terms grow with the query
+        // text, and a forced broadcast bypasses AQE's size check and
+        // targets the driver at exactly the scale this arm exists
+        // for. AQE still broadcasts small term frames on its own; an
+        // oversized one shuffle-joins on term and the job survives.
         Tables.parquetCachedSchema(s, pstDir)
-          .join(broadcast(qt.select(col("term")).distinct()),
-            Seq("term"), "left_semi")
+          .join(qt.select(col("term")).distinct(), Seq("term"), "left_semi")
           .select(col("doc_id"), col("term"), col("tf"))
       }
     val dlT = Tables.parquetCachedSchema(s, dlDir)
@@ -801,6 +805,12 @@ object RetrievalQueries {
     org.apache.hadoop.fs.FileSystem.get(
       path.toUri, s.sparkContext.hadoopConfiguration)
 
+  private def markerBytes(
+      s: SparkSession, p: org.apache.hadoop.fs.Path): Array[Byte] = {
+    val in = fsFor(s, p).open(p)
+    try in.readAllBytes() finally in.close()
+  }
+
   private def markTruncated(
       s: SparkSession, sktDir: String, sources: Seq[String]): Unit = {
     import org.apache.hadoop.fs.Path
@@ -808,12 +818,35 @@ object RetrievalQueries {
     val fs = fsFor(s, dir)
     fs.mkdirs(dir)
     sources.foreach { src =>
+      val bytes = src.getBytes("UTF-8")
+      // FULL 64-hex digest (markers are forever — a truncated name's
+      // collision would silently leave the second source unmarked)
       val name = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(src.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+        .digest(bytes).map("%02x".format(_)).mkString
       val p = new Path(dir, name)
-      if (!fs.exists(p)) {
-        val out = fs.create(p, true)
-        try out.write(src.getBytes("UTF-8")) finally out.close()
+      // an existing marker counts only if its content round-trips to
+      // the source: a crash mid-write leaves an empty/partial file
+      // that a bare exists() check would never repair, and the
+      // wrong-content serve arm would follow it forever (an unreadable
+      // marker — e.g. checksum mismatch — is equally not intact)
+      val intact = fs.exists(p) && scala.util.Try(
+        java.util.Arrays.equals(markerBytes(s, p), bytes)).getOrElse(false)
+      if (!intact) {
+        // write-then-rename: rename is atomic on HDFS-like
+        // filesystems, so the marker either exists complete or not
+        // at all — never partially
+        val tmp = new Path(dir, s"_tmp.$name")
+        val out = fs.create(tmp, true)
+        try out.write(bytes) finally out.close()
+        fs.delete(p, false)
+        if (!fs.rename(tmp, p)) {
+          // a concurrent marker won the race; trust it only if intact
+          val ok = fs.exists(p) &&
+            java.util.Arrays.equals(markerBytes(s, p), bytes)
+          fs.delete(tmp, false)
+          if (!ok) throw new java.io.IOException(
+            s"could not persist truncation marker for source '$src' at $p")
+        }
       }
     }
   }
@@ -824,10 +857,13 @@ object RetrievalQueries {
     val dir = new Path(truncatedDir(sktDir))
     val fs = fsFor(s, dir)
     if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq.map { st =>
-      val in = fs.open(st.getPath)
-      try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    }
+    else fs.listStatus(dir).toSeq
+      // in-flight temp files and crash-orphaned empties are NOT
+      // markers (an empty marker would read as source "" — wrong
+      // forever); markTruncated repairs empties on its next call
+      .filter(st => !st.getPath.getName.startsWith("_tmp.") && st.getLen > 0)
+      .map(st => new String(markerBytes(s, st.getPath), "UTF-8"))
+      .distinct
   }
 
   /** Union-merged per-(source, kind) distinct-gram estimates from the

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -314,6 +316,37 @@ class RetrievalSpec extends SparkSpec {
         assert(math.abs(hex - 1800.0) / 1800.0 < 0.05,
           s"served $hex — expected ~1800 from the sketch, not the " +
             "1200-row partial exact set")
+        // marker resilience: markers are full-digest-named,
+        // content-verified, and written via atomic rename. A
+        // crash-orphaned EMPTY file and an in-flight _tmp. file are
+        // NOT markers (an empty one would read as source "" forever);
+        // the next truncating append REPAIRS the corrupted marker
+        // because a marker whose content doesn't round-trip is
+        // treated as absent and rewritten.
+        val mdir = root.resolve("skt").resolve("_truncated")
+        val marker = Files.list(mdir).iterator().asScala.toSeq
+          .filterNot(_.getFileName.toString.startsWith(".")) match {
+          case Seq(one) => one
+          case other => fail(s"expected 1 marker, got $other")
+        }
+        assert(marker.getFileName.toString.length == 64,
+          s"marker name must be the full sha-256 hex: $marker")
+        Files.write(marker, Array.emptyByteArray)            // crashed write
+        // drop the stale checksum sidecar too — a real partial write
+        // has a matching partial crc, not the old content's
+        Files.deleteIfExists(mdir.resolve("." + marker.getFileName + ".crc"))
+        Files.write(mdir.resolve("_tmp.orphan"), "hex".getBytes("UTF-8"))
+        spark.conf.set(RetrievalQueries.MaxGramsPerSourceKey, "1300")
+        append(mkBatch(3), 3L) // still over cap: re-marks, repairing
+        assert(new String(Files.readAllBytes(marker), "UTF-8") == "hex",
+          "truncating append must rewrite the corrupted marker")
+        spark.conf.set(RetrievalQueries.MaxGramsPerSourceKey, "10000000")
+        val hex2 = RetrievalQueries.diversityServed(
+            spark, uniDir, biDir, cntDir, sktDir)
+          .filter(col("source") === "hex")
+          .select(col("uniq_unigrams")).head.getLong(0)
+        assert(math.abs(hex2 - 2400.0) / 2400.0 < 0.05,
+          s"served $hex2 — expected ~2400 from the sketch after repair")
       } finally {
         spark.conf.unset(RetrievalQueries.MaxGramsPerSourceKey)
         spark.conf.unset(RetrievalQueries.OnGramCapKey)
