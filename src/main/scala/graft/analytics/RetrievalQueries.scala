@@ -88,18 +88,51 @@ object RetrievalQueries {
     * and the hybrid fusion oracle.
     */
   private[analytics] def bm25CtesSql: String =
-    s"""tokq AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
-       |         FROM documents),
-       |dl AS (SELECT doc_id, count(*) AS dl FROM tokq GROUP BY doc_id),
-       |gs AS (SELECT (SELECT count(*) FROM documents) AS n,
-       |              (SELECT count(*) FROM tokq) AS totlen),
+    s"""$bm25CorpusCtesSql,
        |qtf AS (SELECT doc_id AS q_id, term, count(*) AS tf FROM tokq
        |        WHERE doc_id < $NQueries GROUP BY doc_id, term),
        |qt AS (SELECT q_id, term FROM (
        |         SELECT q_id, term, row_number() OVER (PARTITION BY q_id
        |           ORDER BY tf DESC, term) AS rk FROM qtf)
        |       WHERE rk <= $TermsPerQuery),
-       |pst AS (SELECT doc_id, term, count(*) AS tf FROM tokq
+       |$bm25ScoreCtesSql""".stripMargin
+
+  /** The corpus-state CTEs (tokenized stream, doc lengths, the 1-row
+    * scalars) — shared by the corpus-derived and external-text query
+    * forms.
+    */
+  private def bm25CorpusCtesSql: String =
+    s"""tokq AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+       |         FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tokq GROUP BY doc_id),
+       |gs AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |              (SELECT count(*) FROM tokq) AS totlen)""".stripMargin
+
+  /** External-text query-term CTEs: query texts arrive as
+    * (q_id < 0, text) rows in `xqSql` — the NEGATIVE internal ids of
+    * the user-facing search entries, so the corpus self-exclusion in
+    * the scoring join never fires and an external query that exactly
+    * matches a stored document retrieves it. Same salient-term rule
+    * as the corpus form (top [[TermsPerQuery]] by tf desc, term asc).
+    */
+  private def bm25TextQtSql(xqSql: String): String =
+    s"""xq AS ($xqSql),
+       |xtok AS (SELECT q_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+       |         FROM xq),
+       |qtf AS (SELECT q_id, term, count(*) AS tf FROM xtok
+       |        GROUP BY q_id, term),
+       |qt AS (SELECT q_id, term FROM (
+       |         SELECT q_id, term, row_number() OVER (PARTITION BY q_id
+       |           ORDER BY tf DESC, term) AS rk FROM qtf)
+       |       WHERE rk <= $TermsPerQuery)""".stripMargin
+
+  /** The scoring chain from `qt(q_id, term)` through the ranked
+    * relation `bmr` — shared by every BM25 oracle so the kernel
+    * (HUGEINT ratio, quantized idf, term-ordered fold) cannot drift
+    * between the corpus-derived and external-text forms.
+    */
+  private def bm25ScoreCtesSql: String =
+    s"""pst AS (SELECT doc_id, term, count(*) AS tf FROM tokq
        |        WHERE term IN (SELECT DISTINCT term FROM qt)
        |        GROUP BY doc_id, term),
        |dft AS (SELECT term, count(*) AS df FROM pst GROUP BY term),
@@ -131,6 +164,91 @@ object RetrievalQueries {
        |SELECT q_id, n_id, rank, matched,
        |  floor(score * 10000) / 10000 AS bm25
        |FROM bmr WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+
+  // ------------------------------------------------------------------
+  // External-search catalog twins: the user-facing serve entries
+  // (bm25SearchText / phraseSearchText / hybridSearch) under the SAME
+  // DuckDB hash gate as everything else. The query inputs must be
+  // re-derivable by the oracle, so each twin takes one query drawn
+  // from a corpus row (collected driver-side and passed through the
+  // EXTERNAL entry — the negative-id path end to end, including
+  // exact-match retrieval of the stored twin) plus, for BM25, one
+  // pure literal string.
+  // ------------------------------------------------------------------
+
+  /** Corpus row whose text (and, for hybrid, embedding) plays the
+    * external query — deliberately ≥ NQueries so the twin exercises a
+    * query the corpus-derived gates never use, and < 10 (the ANN
+    * encode CTEs' query-lookup bound).
+    */
+  private val ExternalQueryId = 7
+
+  /** A pure literal external query — vocabulary words so it retrieves
+    * rows at every scale factor; 4 distinct tf-1 terms so the
+    * salient-term cut (top 3 by tf desc, term asc) is non-trivial.
+    */
+  private val ExternalLiteralQuery = "stream filter window merge"
+
+  private def bm25TextSql: String =
+    s"""WITH $bm25CorpusCtesSql,
+       |${bm25TextQtSql(
+        s"""SELECT CAST(-1 AS BIGINT) AS q_id, text FROM documents
+           |          WHERE doc_id = $ExternalQueryId
+           |          UNION ALL
+           |          SELECT CAST(-2 AS BIGINT) AS q_id,
+           |            '$ExternalLiteralQuery' AS text""".stripMargin)},
+       |$bm25ScoreCtesSql
+       |SELECT -q_id - 1 AS q_id, n_id, rank, matched,
+       |  floor(score * 10000) / 10000 AS bm25
+       |FROM bmr WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+
+  /** The external 4-gram phrase twin's oracle: the phrase is the
+    * first four tokens of the query document, occurrences counted by
+    * a direct sliding 4-gram window (the full-recompute mirror of the
+    * positional-index walk — same relation, proven equivalent by the
+    * seeded brute-force spec).
+    */
+  private def phraseTextSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts
+       |  FROM documents),
+       |ph AS (SELECT ts[1] || ' ' || ts[2] || ' ' || ts[3] || ' ' || ts[4]
+       |         AS phrase
+       |       FROM tk WHERE doc_id = $ExternalQueryId),
+       |win AS (SELECT doc_id, ts,
+       |          unnest(range(1, len(ts) - 2)) AS i
+       |        FROM tk WHERE len(ts) >= 4),
+       |occ AS (SELECT w.doc_id AS n_id, count(*) AS occurrences
+       |        FROM win w CROSS JOIN ph p
+       |        WHERE w.ts[i] || ' ' || w.ts[i+1] || ' ' || w.ts[i+2]
+       |              || ' ' || w.ts[i+3] = p.phrase
+       |        GROUP BY w.doc_id),
+       |r AS (SELECT CAST(0 AS BIGINT) AS q_id, n_id, occurrences,
+       |        CAST(row_number() OVER (
+       |          ORDER BY occurrences DESC, n_id) AS INTEGER) AS rank
+       |      FROM occ)
+       |SELECT q_id, n_id, rank, occurrences
+       |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+
+  /** The external hybrid twin's oracle: BM25 arm from the external-
+    * text CTEs, vector arm from the external-vector ANN chain (both
+    * riding internal id −1, mapped to position 0 before fusion — the
+    * map is per-query bijective, so fusing mapped ids equals mapping
+    * the fused result).
+    */
+  private def hybridTextSql: String =
+    s"""WITH $bm25CorpusCtesSql,
+       |${bm25TextQtSql(
+        s"""SELECT CAST(-1 AS BIGINT) AS q_id, text FROM documents
+           |          WHERE doc_id = $ExternalQueryId""".stripMargin)},
+       |$bm25ScoreCtesSql,
+       |e AS ($embDoubleSql),
+       |${SimilarityQueries.ivfPqRankedExternalCtesSql(ExternalQueryId, 2, 24)},
+       |bt AS (SELECT -q_id - 1 AS q_id, n_id, rank AS bm_rank FROM bmr
+       |       WHERE rank <= $FuseDepth),
+       |ct AS (SELECT -q_id - 1 AS q_id, n_id, rank AS cos_rank FROM annr
+       |       WHERE rank <= $FuseDepth),
+       |$rrfFuseSql""".stripMargin
 
   // ------------------------------------------------------------------
   // Shared Spark-side pieces
@@ -1142,6 +1260,28 @@ object RetrievalQueries {
     steps.mkString(",\n")
   }
 
+  /** The greedy tail shared by the exact and indexed oracle texts —
+    * everything downstream of the `cand(q_id, n_id, rel, cv, cn)`
+    * CTE (pairwise sims, seed pick, unrolled steps, final projection),
+    * factored so the two candidate-pool strategies cannot drift in
+    * their selection semantics.
+    */
+  private def mmrTailSql(picks: Int, lam: String, lamC: String): String =
+    s"""ps AS (SELECT a.q_id, a.n_id AS da, b.n_id AS db,
+       |         ${dotSql("a.cv", "b.cv")} / (a.cn * b.cn) AS sim
+       |       FROM cand a JOIN cand b
+       |         ON a.q_id = b.q_id AND a.n_id <> b.n_id),
+       |s1 AS (SELECT q_id, n_id, $lam * rel AS mmr FROM (
+       |         SELECT q_id, n_id, rel, row_number() OVER (
+       |           PARTITION BY q_id ORDER BY rel DESC, n_id) AS rk
+       |         FROM cand) WHERE rk = 1),
+       |${mmrStepsSql(picks, lam, lamC)}
+       |SELECT q_id, n_id, pick, floor(mmr * 10000) / 10000 AS mmr_score
+       |FROM (${(1 to picks).map(k =>
+        s"SELECT q_id, n_id, CAST($k AS INTEGER) AS pick, mmr FROM s$k")
+        .mkString(" UNION ALL ")})
+       |ORDER BY q_id, pick""".stripMargin
+
   /** The complete MMR oracle text at a (pool, picks, λ) dial — shared
     * by both gated dials so a third is one line.
     */
@@ -1157,20 +1297,25 @@ object RetrievalQueries {
        |          SELECT *, row_number() OVER (PARTITION BY q_id
        |            ORDER BY rel DESC, n_id) AS rk FROM cd0)
        |         WHERE rk <= $pool),
-       |ps AS (SELECT a.q_id, a.n_id AS da, b.n_id AS db,
-       |         ${dotSql("a.cv", "b.cv")} / (a.cn * b.cn) AS sim
-       |       FROM cand a JOIN cand b
-       |         ON a.q_id = b.q_id AND a.n_id <> b.n_id),
-       |s1 AS (SELECT q_id, n_id, $lam * rel AS mmr FROM (
-       |         SELECT q_id, n_id, rel, row_number() OVER (
-       |           PARTITION BY q_id ORDER BY rel DESC, n_id) AS rk
-       |         FROM cand) WHERE rk = 1),
-       |${mmrStepsSql(picks, lam, lamC)}
-       |SELECT q_id, n_id, pick, floor(mmr * 10000) / 10000 AS mmr_score
-       |FROM (${(1 to picks).map(k =>
-        s"SELECT q_id, n_id, CAST($k AS INTEGER) AS pick, mmr FROM s$k")
-        .mkString(" UNION ALL ")})
-       |ORDER BY q_id, pick""".stripMargin
+       |${mmrTailSql(picks, lam, lamC)}""".stripMargin
+
+  /** The INDEXED MMR oracle text: the candidate pool is the stored-
+    * codes ANN serve's ranking (the q_hybrid_rrf_indexed discipline —
+    * the oracle re-derives the whole IVF-PQ chain relationally), rel
+    * recomputed as the exact cosine over the pooled ids, then the
+    * same greedy tail as the exact dials.
+    */
+  private def mmrIndexedSql(
+      pool: Int, picks: Int, lam: String, lamC: String): String =
+    s"""WITH e AS ($embDoubleSql),
+       |${SimilarityQueries.ivfPqRankedCtesSql(NQueries, 2, MmrIndexedTopC)},
+       |cand AS (SELECT a.q_id, a.n_id,
+       |           ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS rel,
+       |           c.v AS cv, c.nrm AS cn
+       |         FROM annr a JOIN nv q ON q.vec_id = a.q_id
+       |                     JOIN nv c ON c.vec_id = a.n_id
+       |         WHERE a.rank <= $pool),
+       |${mmrTailSql(picks, lam, lamC)}""".stripMargin
 
   /** The MMR greedy selection at an arbitrary (pool, picks, λ) dial —
     * the library form behind both gated catalog dials. λ must be a
@@ -1179,18 +1324,46 @@ object RetrievalQueries {
     * library itself is correct for any λ ∈ [0,1].
     */
   def mmrDiversified(s: SparkSession, dir: String, nQueries: Int,
-      pool: Int, picks: Int, lam: Double): DataFrame = {
-    val e = t(s, dir, "embeddings")
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-        l2Norm(col("embedding")).as("qn"))
-    mmrForQueries(s, dir, q, pool, picks, lam)
-  }
+      pool: Int, picks: Int, lam: Double): DataFrame =
+    mmrForQueries(s, dir, mmrCorpusQueryFrame(s, dir, nQueries),
+      pool, picks, lam)
+
+  /** The INDEXED MMR tier: same greedy selection, but the candidate
+    * pool comes from the stored-codes ANN serve instead of an exact
+    * full-corpus cosine scan — the form a user runs at scale (the
+    * q_hybrid_rrf_indexed discipline applied to diversified
+    * retrieval). The pool is APPROXIMATE exactly like any ANN-vs-exact
+    * choice: candidates are the exact-cosine re-rank of the IVF-PQ
+    * ADC top-[[MmrIndexedTopC]]; the greedy trajectory over that pool
+    * is deterministic end to end, so the oracle re-derives the whole
+    * chain and the hash gate covers this tier too.
+    */
+  def mmrDiversifiedIndexed(s: SparkSession, dir: String, nQueries: Int,
+      pool: Int, picks: Int, lam: Double): DataFrame =
+    mmrGreedy(
+      mmrIndexedCandidates(s, dir, mmrCorpusQueryFrame(s, dir, nQueries),
+        pool),
+      picks, lam)
+
+  /** Corpus-size threshold (bytes, embeddings-table stats) above which
+    * [[mmrSearchVectors]] pools candidates from the stored-codes ANN
+    * serve instead of the exact full-corpus cosine scan — the
+    * [[HybridExactMaxBytesKey]] recipe: the exact pool is the right
+    * plan only while the corpus is small enough that index plumbing
+    * costs more than the scan it avoids, and the switch trades recall
+    * for scan cost exactly like any ANN-vs-exact choice.
+    */
+  private[graft] val MmrExactMaxBytesKey = "graft.mmr.exactMaxBytes"
+  private[graft] val MmrExactMaxBytesDefault = 2L * 1024 * 1024
 
   /** MMR-diversified top-k for EXTERNAL query vectors — the
     * diversified sibling of [[SimilarityQueries.annSearchVectors]]:
     * raw vectors in, (q_id = input position, n_id, pick, mmr_score)
     * out, negative internal ids so corpus self-exclusion never fires.
+    * Size-aware: the candidate pool is exact below
+    * [[MmrExactMaxBytesKey]] and the stored-codes ANN serve above it,
+    * so an interactive user gets the near-flat indexed tier at scale
+    * without choosing.
     */
   def mmrSearchVectors(s: SparkSession, dir: String,
       vectors: Seq[Array[Float]], pool: Int = FuseDepth,
@@ -1200,13 +1373,29 @@ object RetrievalQueries {
       .map { case (v, i) => (-(i + 1).toLong, v) }
       .toDF("q_id", "qv")
       .select(col("q_id"), col("qv"), l2Norm(col("qv")).as("qn"))
-    mmrForQueries(s, dir, q, pool, picks, lam)
+    val threshold = s.conf.get(
+      MmrExactMaxBytesKey, MmrExactMaxBytesDefault.toString).toLong
+    val corpusBytes = t(s, dir, "embeddings")
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    val picked =
+      if (corpusBytes <= threshold) mmrForQueries(s, dir, q, pool, picks, lam)
+      else mmrGreedy(mmrIndexedCandidates(s, dir, q, pool), picks, lam)
+    picked
       .withColumn("q_id", -col("q_id") - 1)
       .orderBy(col("q_id"), col("pick"))
   }
 
-  /** The MMR greedy selection over an arbitrary query frame
-    * (q_id, qv, qn) — shared by the corpus-query and external forms.
+  /** The corpus-query frame (q_id, qv, qn) for doc_id < nQueries —
+    * shared by both gated MMR families.
+    */
+  private[graft] def mmrCorpusQueryFrame(
+      s: SparkSession, dir: String, nQueries: Int): DataFrame =
+    t(s, dir, "embeddings").filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        l2Norm(col("embedding")).as("qn"))
+
+  /** The EXACT candidate pool + greedy selection over an arbitrary
+    * query frame (q_id, qv, qn) — the oracle-exact small-corpus form.
     */
   private def mmrForQueries(s: SparkSession, dir: String, q: DataFrame,
       pool: Int, picks: Int, lam: Double): DataFrame = {
@@ -1220,7 +1409,65 @@ object RetrievalQueries {
       .withColumn("rk", row_number().over(wrel))
       .filter(col("rk") <= pool)
       .select(col("q_id"), col("n_id"), col("rel"), col("cv"), col("cn"))
-      .localCheckpoint()
+    mmrGreedy(cand, picks, lam)
+  }
+
+  /** Exact-cosine re-rank depth of the ADC candidate stage feeding the
+    * indexed MMR pool — the q_hybrid_rrf_indexed dial (wide enough to
+    * fill a [[FuseDepth]]-sized pool).
+    */
+  private[graft] val MmrIndexedTopC = 24
+
+  /** The INDEXED candidate pool (q_id, n_id, rel, cv, cn) over an
+    * arbitrary query frame (q_id, qv, qn): candidate ids from the
+    * stored-codes ANN serve (never a corpus-side encode or exact-scan
+    * — the index work was paid at build time), then a point fetch of
+    * the ≤ queries × pool candidate vectors for the greedy stage's
+    * exact rel/sim math. Both stages are bounded by the query batch:
+    * the candidate-pair collect is ≤ queries × pool driver rows, and
+    * the fetch prunes the embeddings scan to the candidate ids.
+    */
+  /** The stored-codes ANN ranking that seeds the indexed pool —
+    * exposed separately so the plan spec can pin the serve stage
+    * (stored codes in, no corpus-side encode, no exact-cosine corpus
+    * join) independently of the point-fetch stage below.
+    */
+  private[graft] def mmrIndexedPool(s: SparkSession, dir: String,
+      q: DataFrame, pool: Int): DataFrame =
+    SimilarityQueries.servedRankedForQueryFrame(s, dir,
+      q.select(col("q_id").as("vec_id"), col("qv").as("embedding")),
+      nprobe = 2, topC = MmrIndexedTopC, depth = pool)
+
+  private[graft] def mmrIndexedCandidates(s: SparkSession, dir: String,
+      q: DataFrame, pool: Int): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val ranked = mmrIndexedPool(s, dir, q, pool)
+    val pairRows = ranked.select(col("q_id"), col("n_id")).collect().toSeq
+    val ids = pairRows.map(_.getLong(1)).distinct
+    val pairs = s.createDataFrame(
+      java.util.Arrays.asList(pairRows: _*),
+      StructType(Seq(StructField("q_id", LongType),
+        StructField("n_id", LongType))))
+    t(s, dir, "embeddings")
+      .filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("n_id"), col("embedding").as("cv"),
+        l2Norm(col("embedding")).as("cn"))
+      .join(broadcast(pairs), Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("rel"),
+        col("cv"), col("cn"))
+  }
+
+  /** The MMR greedy selection over a candidate pool (q_id, n_id, rel,
+    * cv, cn) — shared by the exact and indexed tiers so the selection
+    * semantics cannot drift between them.
+    */
+  private def mmrGreedy(
+      cand0: DataFrame, picks: Int, lam: Double): DataFrame = {
+    val wrel = Window.partitionBy(col("q_id"))
+      .orderBy(col("rel").desc, col("n_id"))
+    val cand = cand0.localCheckpoint()
     val ps = cand.select(col("q_id"), col("n_id").as("da"),
         col("cv").as("av"), col("cn").as("an"))
       .join(cand.select(col("q_id"), col("n_id").as("db"),
@@ -1741,6 +1988,22 @@ object RetrievalQueries {
       mmrDiversified(s, dir, NQueries, 16, 7, 0.25)
     },
 
+    // The INDEXED MMR tier — the form a user runs at scale: the
+    // candidate pool is the stored-codes ANN serve (IVF-PQ ADC top-24,
+    // exact-cosine re-ranked, cut at the pool size) instead of an
+    // exact full-corpus cosine scan; the greedy selection is the SAME
+    // shared tail as the exact dials. Deterministic end to end —
+    // pinned codebook, tie-broken argmins, dyadic ADC sums, exact
+    // rel/sim cosines over the pooled ids — so the oracle re-derives
+    // the whole IVF-PQ chain plus all unrolled greedy steps, and the
+    // hash gate covers the at-scale form (the q_hybrid_rrf_indexed
+    // discipline applied to diversified retrieval).
+    GraftQuery(
+      "q_mmr_diversify_indexed",
+      mmrIndexedSql(FuseDepth, MmrPicks, "0.5", "0.5")) { (s, dir) =>
+      mmrDiversifiedIndexed(s, dir, NQueries, FuseDepth, MmrPicks, 0.5)
+    },
+
     // ------------------------------------------- hybrid RRF retrieval
     // Reciprocal-rank fusion (Cormack et al. 2009) of the lexical BM25
     // ranking and the exact cosine vector ranking — the standard
@@ -1797,5 +2060,42 @@ object RetrievalQueries {
          |       WHERE rank <= $FuseDepth),
          |$rrfFuseSql""".stripMargin) { (s, dir) =>
       hybridRrfIndexed(s, dir, NQueries)
+    },
+
+    // --------------------------------- external search API, gated
+    // The user-facing serve entries under the driver's hash gate: the
+    // query rides the EXTERNAL path end to end (negative internal
+    // ids, stored-index serve, position-mapped output) — one query
+    // drawn from a corpus row so the oracle can re-derive it, one
+    // pure literal. Each twin exercises exact-match retrieval of the
+    // stored twin (no self-exclusion on external ids).
+    GraftQuery("q_bm25_text", bm25TextSql) { (s, dir) =>
+      val qtext = t(s, dir, "documents")
+        .filter(col("doc_id") === ExternalQueryId)
+        .select(col("text")).head.getString(0)
+      bm25SearchText(s, dir, Seq(qtext, ExternalLiteralQuery))
+    },
+
+    // Arbitrary-n phrase search (n = 4) from the stored positional
+    // bigram index — the n > 3 path no corpus-derived gate reaches.
+    GraftQuery("q_phrase_text_n4", phraseTextSql) { (s, dir) =>
+      val phrase = t(s, dir, "documents")
+        .filter(col("doc_id") === ExternalQueryId)
+        .select(col("text")).head.getString(0)
+        .trim.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty).take(4).mkString(" ")
+      phraseSearchText(s, dir, Seq(phrase))
+    },
+
+    // Hybrid (text, vector) search with BOTH arms on the external
+    // path — the full user-facing chain behind one hash gate.
+    GraftQuery("q_hybrid_text", hybridTextSql) { (s, dir) =>
+      val qtext = t(s, dir, "documents")
+        .filter(col("doc_id") === ExternalQueryId)
+        .select(col("text")).head.getString(0)
+      val qvec = t(s, dir, "embeddings")
+        .filter(col("vec_id") === ExternalQueryId)
+        .select(col("embedding")).head.getSeq[Float](0).toArray
+      hybridSearch(s, dir, Seq((qtext, qvec)))
     })
 }

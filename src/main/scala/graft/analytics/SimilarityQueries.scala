@@ -879,14 +879,27 @@ object SimilarityQueries {
       vectors: Seq[Array[Float]], nprobe: Int, topC: Int,
       depth: Int): DataFrame = {
     import s.implicits._
+    val qdf = vectors.zipWithIndex
+      .map { case (v, i) => (-(i + 1).toLong, v) }
+      .toDF("vec_id", "embedding")
+    servedRankedForQueryFrame(s, dir, qdf, nprobe, topC, depth)
+  }
+
+  /** The pinned-codebook stored-codes serve over an ARBITRARY query
+    * frame (vec_id, embedding) at caller-chosen dials — the shared
+    * body behind the external-vector entry above and the indexed MMR
+    * tier's candidate pool ([[graft.analytics.RetrievalQueries]]
+    * q_mmr_diversify_indexed / mmrSearchVectors): same codes table and
+    * serve chain as q_ann_codes_served.
+    */
+  private[analytics] def servedRankedForQueryFrame(s: SparkSession,
+      dir: String, queryVecs: DataFrame, nprobe: Int, topC: Int,
+      depth: Int): DataFrame = {
     val e = t(s, dir, "embeddings")
     val cb = collectCodebook(e, 16)
     val codes = Tables.parquetCachedSchema(
       s, incrementalCodesPath(s, dir, cb, cb))
-    val qdf = vectors.zipWithIndex
-      .map { case (v, i) => (-(i + 1).toLong, v) }
-      .toDF("vec_id", "embedding")
-    ivfPqServeForQueries(e, codes, cb, cb, qdf, nprobe, topC, depth)
+    ivfPqServeForQueries(e, codes, cb, cb, queryVecs, nprobe, topC, depth)
   }
 
   /** The stored-codes serve body over an arbitrary query-vector frame
@@ -986,6 +999,52 @@ object SimilarityQueries {
        |ar AS (SELECT a.q_id, a.n_id,
        |         ${dotSql("qn.v", "cn.v")} / (qn.nrm * cn.nrm) AS cos
        |       FROM acand a JOIN nv qn ON qn.vec_id = a.q_id
+       |                    JOIN nv cn ON cn.vec_id = a.n_id
+       |       WHERE a.crank2 <= $topC),
+       |annr AS (SELECT q_id, n_id,
+       |           CAST(row_number() OVER (PARTITION BY q_id
+       |             ORDER BY cos DESC, n_id) AS INTEGER) AS rank
+       |         FROM ar)""".stripMargin
+
+  /** The stored-codes serve for ONE EXTERNAL query vector equal to
+    * corpus vector `src`, riding internal id −1 — the negative-id
+    * discipline of [[annRankedForVectors]]: self-exclusion never
+    * fires, so an exact-match external query retrieves its stored
+    * twin at rank 1. Emits `annr(q_id = −1, n_id, rank)`; expects CTE
+    * `e` upstream; composes with [[RetrievalQueries]]' BM25 text CTEs
+    * (the q_hybrid_text oracle). `src` must be < 10 (the encode CTEs'
+    * query-lookup bound).
+    */
+  private[analytics] def ivfPqRankedExternalCtesSql(
+      src: Int, nprobe: Int, topC: Int): String =
+    s"""nv AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+       |asg AS (SELECT a.vec_id, c.c_id,
+       |          row_number() OVER (PARTITION BY a.vec_id
+       |            ORDER BY ${dotSql("a.v", "c.cv")} DESC, c.c_id) AS crank
+       |        FROM e a, cent c),
+       |cells AS (SELECT vec_id AS n_id, c_id AS cell FROM asg WHERE crank = 1),
+       |probes AS (SELECT CAST(-1 AS BIGINT) AS q_id, c_id AS cell FROM asg
+       |           WHERE vec_id = $src AND crank <= $nprobe),
+       |${pqEncodeCtesSql("cent")},
+       |xdl AS (SELECT CAST(-1 AS BIGINT) AS q_id, dl FROM qdl
+       |        WHERE q_id = $src),
+       |s AS (SELECT p.q_id, ce.n_id,
+       |        list_reduce([q.dl[k.cl[j + 1] * 8 + j + 1]
+       |                     FOR j IN range(0, 8)], (x, y) -> x + y) AS ad2
+       |      FROM probes p
+       |      JOIN cells ce ON p.cell = ce.cell
+       |      JOIN cm k ON k.n_id = ce.n_id
+       |      CROSS JOIN xdl q),
+       |acand AS (SELECT q_id, n_id, ad2,
+       |            row_number() OVER (PARTITION BY q_id
+       |              ORDER BY ad2, n_id) AS crank2
+       |          FROM s),
+       |xv AS (SELECT CAST(-1 AS BIGINT) AS q_id, v, nrm FROM nv
+       |       WHERE vec_id = $src),
+       |ar AS (SELECT a.q_id, a.n_id,
+       |         ${dotSql("qn.v", "cn.v")} / (qn.nrm * cn.nrm) AS cos
+       |       FROM acand a JOIN xv qn ON qn.q_id = a.q_id
        |                    JOIN nv cn ON cn.vec_id = a.n_id
        |       WHERE a.crank2 <= $topC),
        |annr AS (SELECT q_id, n_id,

@@ -606,6 +606,59 @@ class PlanSpec extends SparkSpec {
       "corpus-side coarse assignment in serve plan")
   }
 
+  test("q_mmr_diversify_indexed: greedy over checkpointed local " +
+      "relations; the candidate stage reads the stored codes table " +
+      "with id-pruned embeddings fetches — no full-corpus exact-cosine " +
+      "join anywhere") {
+    val p = plan("q_mmr_diversify_indexed")
+    // final plan: same checkpointed-local-relation shape as the exact
+    // dials — no embeddings scan re-executes per greedy step
+    assert(!p.contains("embeddings.parquet"), p.take(3000))
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+      p.take(3000))
+    // the candidate STAGE carries the scale claim and is checkpointed
+    // away from the final plan — pin it directly. Force the
+    // point-fetch re-rank arm (the at-scale shape) so EVERY embeddings
+    // scan must be id- or query-pruned; the serve stage itself must
+    // source from the stored codes, never a corpus-side encode or an
+    // exact-cosine corpus join (the exact tier's
+    // BroadcastNestedLoopJoin on n_id ≠ q_id).
+    spark.conf.set("graft.ann.rerankFetchBytes", "0")
+    try {
+      val pool = graft.analytics.RetrievalQueries.mmrIndexedPool(
+        spark, dir,
+        graft.analytics.RetrievalQueries.mmrCorpusQueryFrame(spark, dir, 5),
+        20)
+      val pp = pool.queryExecution.executedPlan.toString
+      assert(!pp.contains("pq_encode"),
+        "corpus-side PQ encode in the serve stage:\n" + pp.take(3000))
+      assert(!pp.contains("BroadcastNestedLoopJoin") &&
+        !pp.contains("CartesianProduct"), pp.take(3000))
+      val cand = graft.analytics.RetrievalQueries.mmrIndexedCandidates(
+        spark, dir,
+        graft.analytics.RetrievalQueries.mmrCorpusQueryFrame(spark, dir, 5),
+        20)
+      val cp = cand.queryExecution.executedPlan.toString
+      assert(!cp.contains("BroadcastNestedLoopJoin") &&
+        !cp.contains("CartesianProduct"),
+        "full-corpus cosine join in candidate plan:\n" + cp.take(3000))
+      val eScans = cp.linesIterator
+        .filter(_.contains("embeddings.parquet")).toSeq
+      assert(eScans.nonEmpty && eScans.forall(l =>
+        l.contains("In(vec_id") || l.contains("LessThan(vec_id")),
+        eScans.mkString("\n").take(2000))
+      // …and the candidates COME from the stored codes table: under
+      // the fused re-rank arm the ADC stage stays in-plan — pin it
+      spark.conf.set("graft.ann.rerankFetchBytes", Long.MaxValue.toString)
+      val fused = graft.analytics.RetrievalQueries.mmrIndexedPool(
+        spark, dir,
+        graft.analytics.RetrievalQueries.mmrCorpusQueryFrame(spark, dir, 5),
+        20)
+      val fp = fused.queryExecution.executedPlan.toString
+      assert(fp.contains("graft-codes-inc"), fp.take(3000))
+    } finally spark.conf.unset("graft.ann.rerankFetchBytes")
+  }
+
   test("q_mmr_diversify: the 5-step greedy loop runs over checkpointed " +
       "local relations — the corpus scan never re-executes per step") {
     val p = plan("q_mmr_diversify")

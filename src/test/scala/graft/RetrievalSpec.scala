@@ -606,6 +606,38 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("mmrSearchVectors: size-aware candidate pool — the default " +
+      "equals the forced-exact arm on a small corpus, and the forced-" +
+      "indexed arm pools from the stored codes, seeding with an " +
+      "exact-match external query's stored twin at pick 1") {
+    val v7 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") === 7).select(col("embedding"))
+      .head.getSeq[Float](0).toArray
+    def run() = RetrievalQueries.mmrSearchVectors(spark, sfDir, Seq(v7))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    val dflt = run()
+    spark.conf.set(RetrievalQueries.MmrExactMaxBytesKey,
+      Long.MaxValue.toString)
+    val exact =
+      try run()
+      finally spark.conf.unset(RetrievalQueries.MmrExactMaxBytesKey)
+    assert(dflt == exact,
+      s"below the threshold the default must pick the exact arm:\n" +
+        s"$dflt\nvs\n$exact")
+    spark.conf.set(RetrievalQueries.MmrExactMaxBytesKey, "0")
+    val indexed =
+      try run()
+      finally spark.conf.unset(RetrievalQueries.MmrExactMaxBytesKey)
+    // pick 1 maximizes λ·rel: BOTH arms must seed with the stored twin
+    // (cos 1.0 → mmr = λ = 0.5) — external ids never self-exclude, and
+    // the indexed pool must surface the twin through the codes serve
+    assert(exact.head == ((0L, 7L, 1, 0.5)), exact.toString)
+    assert(indexed.head == ((0L, 7L, 1, 0.5)), indexed.toString)
+    assert(exact.map(_._3) == (1 to 5) && indexed.map(_._3) == (1 to 5),
+      s"both arms must fill all picks: $exact / $indexed")
+  }
+
   test("relevance gate: streamed scores == one batch pass bit-for-bit, " +
       "and agree with the gated q_bm25_topk scores for the same query") {
     import graft.analytics.RetrievalQueries
