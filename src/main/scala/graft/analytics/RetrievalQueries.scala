@@ -362,16 +362,37 @@ object RetrievalQueries {
     */
   def bm25SearchText(
       s: SparkSession, dir: String, queries: Seq[String]): DataFrame = {
-    import s.implicits._
-    val qdocs = queries.zipWithIndex
-      .map { case (text, i) => (-(i + 1).toLong, text) }
-      .toDF("doc_id", "text")
-    val qt = queryTermsAll(qdocs)
-    val ranked = bm25RankedFromIndex(
-      s, dir, qt, queries.size.toLong * TermsPerQuery)
+    val ranked = bm25RankedFromIndex(s, dir,
+      externalQueryTerms(s, queries), queries.size.toLong * TermsPerQuery)
     bm25Project(ranked)
       .withColumn("q_id", -col("q_id") - 1)
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Driver-side salient-term derivation for EXTERNAL query strings —
+    * the query texts are driver strings already, so the per-query
+    * top-terms cut runs as plain Scala and lands in the plan as ONE
+    * local relation: no tokenize/window jobs per invocation, and the
+    * literal arm's bucket collect reads it without a Spark job (the
+    * interactive-serve planning floor is job-count × fixed overhead —
+    * the round-12 ServeProfile lesson). Semantics mirror
+    * [[queryTermsAll]] exactly: whitespace tokens (the same java.util
+    * .regex \\S+ class Spark's regexp_extract_all compiles) of the
+    * lowercased text (Locale.ROOT — the [[phraseSearchText]]
+    * discipline), top [[TermsPerQuery]] by (tf desc, term asc). The
+    * q_bm25_text / q_hybrid_text hash gates pin the identity
+    * cross-engine.
+    */
+  private def externalQueryTerms(
+      s: SparkSession, queries: Seq[String]): DataFrame = {
+    import s.implicits._
+    queries.zipWithIndex.flatMap { case (text, i) =>
+      "\\S+".r.findAllIn(text.toLowerCase(java.util.Locale.ROOT)).toSeq
+        .groupBy(identity).view.mapValues(_.size).toSeq
+        .sortBy { case (t, n) => (-n, t) }
+        .take(TermsPerQuery)
+        .map { case (t, _) => (-(i + 1).toLong, t) }
+    }.toDF("q_id", "term")
   }
 
   /** The stored-index serve body over an arbitrary query-term frame:
@@ -417,14 +438,39 @@ object RetrievalQueries {
       }
     val dlT = Tables.parquetCachedSchema(s, dlDir)
       .select(col("doc_id"), col("dl"))
-    val gs = Tables.parquetCachedSchema(s, cntDir)
-      .agg(sum(col("n")).as("n"))
-      .crossJoin(Tables.parquetCachedSchema(s, dlDir)
-        .agg(sum(col("dl")).as("totlen")))
     // the bulk-query arm also drops the query-frame broadcast hint:
     // at the query scales that pick it, the term frame itself may be
     // too large to force through the driver
-    bm25Ranked(qt, pst, dlT, gs, broadcastQueries = literalArm)
+    bm25Ranked(qt, pst, dlT, gsLocal(s, dlDir, cntDir),
+      broadcastQueries = literalArm)
+  }
+
+  private val storedGsScalars =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  /** The 1-row (N, totlen) corpus scalars of a stored postings
+    * generation, aggregated ONCE per (cnt, dl) table pair and served
+    * as a local relation afterwards: an interactive search call must
+    * not pay a doc-stats-table aggregation per invocation — at scale
+    * that is a corpus-doc-count-sized scan on every query (the
+    * planning-floor lesson). The scalars are exact integer sums, so
+    * the memo is bit-identical to the aggregation it replaces; the
+    * table dirs are themselves fingerprint-memoized per corpus, so a
+    * changed corpus changes the key (and the catalog hash gates pin
+    * the round trip).
+    */
+  private def gsLocal(
+      s: SparkSession, dlDir: String, cntDir: String): DataFrame = {
+    val (n, totlen) = storedGsScalars.computeIfAbsent(s"$cntDir|$dlDir", _ => {
+      val r = Tables.parquetCachedSchema(s, cntDir)
+        .agg(sum(col("n")).as("n"))
+        .crossJoin(Tables.parquetCachedSchema(s, dlDir)
+          .agg(sum(col("dl")).as("totlen")))
+        .head
+      (r.getLong(0), r.getLong(1))
+    })
+    import s.implicits._
+    Seq((n, totlen)).toDF("n", "totlen")
   }
 
   /** BM25 ranked candidates `(q_id, n_id, matched, score, rank)` from
@@ -1351,10 +1397,16 @@ object RetrievalQueries {
     * [[HybridExactMaxBytesKey]] recipe: the exact pool is the right
     * plan only while the corpus is small enough that index plumbing
     * costs more than the scan it avoids, and the switch trades recall
-    * for scan cost exactly like any ANN-vs-exact choice.
+    * for scan cost exactly like any ANN-vs-exact choice. Default set
+    * just ABOVE the largest measured exact-wins point (round 16,
+    * forced-arm medians for a 1-query batch: exact/indexed 0.41/0.67 s
+    * at sf1 = 5 MB, 0.51/0.71 s at sf10 = 51 MB — the indexed arm is
+    * a flat ~0.7 s job floor while the exact scan's growth is still
+    * shallow at local scale): exact through every scale this box
+    * measured it winning, the flat indexed tier beyond.
     */
   private[graft] val MmrExactMaxBytesKey = "graft.mmr.exactMaxBytes"
-  private[graft] val MmrExactMaxBytesDefault = 2L * 1024 * 1024
+  private[graft] val MmrExactMaxBytesDefault = 64L * 1024 * 1024
 
   /** MMR-diversified top-k for EXTERNAL query vectors — the
     * diversified sibling of [[SimilarityQueries.annSearchVectors]]:
@@ -1465,47 +1517,55 @@ object RetrievalQueries {
     */
   private def mmrGreedy(
       cand0: DataFrame, picks: Int, lam: Double): DataFrame = {
-    val wrel = Window.partitionBy(col("q_id"))
-      .orderBy(col("rel").desc, col("n_id"))
-    val cand = cand0.localCheckpoint()
-    val ps = cand.select(col("q_id"), col("n_id").as("da"),
-        col("cv").as("av"), col("cn").as("an"))
-      .join(cand.select(col("q_id"), col("n_id").as("db"),
-        col("cv").as("bv"), col("cn").as("bn")), Seq("q_id"))
-      .filter(col("da") =!= col("db"))
-      .select(col("q_id"), col("da"), col("db"),
-        (dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("sim"))
-      .localCheckpoint()
-    // each step's picks checkpoint too (≤ queries rows): without it
-    // step k's lineage re-executes steps 1..k-1 — a 2^k plan blowup
-    // that cost ~4 s of tiny-job overhead at ANY corpus size
-    val s1 = cand.withColumn("rk", row_number().over(wrel))
-      .filter(col("rk") === 1)
-      .select(col("q_id"), col("n_id"),
-        (lit(lam) * col("rel")).as("mmr"), lit(1).as("pick"))
-      .localCheckpoint()
-    var out = s1
-    var selIds = s1.select(col("q_id"), col("n_id"))
-    val wStep = Window.partitionBy(col("q_id"))
-      .orderBy(col("mmr").desc, col("n_id"))
-    for (k <- 2 to picks) {
-      val mx = ps.join(selIds.withColumnRenamed("n_id", "db"),
-          Seq("q_id", "db"))
-        .groupBy(col("q_id"), col("da")).agg(max(col("sim")).as("sm"))
-      val sk = cand.join(selIds, Seq("q_id", "n_id"), "left_anti")
-        .join(mx.withColumnRenamed("da", "n_id"), Seq("q_id", "n_id"))
-        .withColumn("mmr",
-          lit(lam) * col("rel") - lit(1.0 - lam) * col("sm"))
-        .withColumn("rk", row_number().over(wStep))
-        .filter(col("rk") === 1)
-        .select(col("q_id"), col("n_id"), col("mmr"), lit(k).as("pick"))
-        .localCheckpoint()
-      out = out.unionByName(sk)
-      selIds = selIds.unionByName(sk.select(col("q_id"), col("n_id")))
+    val s = cand0.sparkSession
+    // The pool is query-batch-sized BY CONSTRUCTION (≤ queries × pool
+    // rows of 64-dim vectors — driver metadata, the ANN serve's
+    // collect-once discipline), so the greedy selection runs as plain
+    // driver arithmetic on ONE collected frame. Rounds 13–15 ran the
+    // loop distributed over per-step localCheckpoints: correct, but
+    // 8+ scheduler jobs per pick on query-batch-sized local relations
+    // — a 46-job floor for a 1-query search (SearchProfile, round
+    // 16). Every double op below mirrors the relational form the
+    // unrolled oracle CTEs re-derive — FloatVectorDot's strict
+    // left-to-right accumulation, λ·rel − (1−λ)·max-sim with the same
+    // literal products, ties by (value desc, n_id asc) — so the
+    // catalog hash gates pin this path bit-for-bit at every dial.
+    val rows = cand0.collect()
+    val lamC = 1.0 - lam
+    def dotD(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
     }
-    out.select(col("q_id"), col("n_id"),
-        col("pick").cast(IntegerType).as("pick"),
-        (floor(col("mmr") * 10000) / 10000).as("mmr_score"))
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int, Double)]
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      // (n_id, rel, cv, cn), pool-sized
+      val cs = rs.map(r => (r.getLong(1), r.getDouble(2),
+        r.getSeq[Float](3).toArray, r.getDouble(4)))
+      val sim = scala.collection.mutable.HashMap.empty[(Long, Long), Double]
+      for (a <- cs; b <- cs; if a._1 != b._1)
+        sim((a._1, b._1)) = dotD(a._3, b._3) / (a._4 * b._4)
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      for (k <- 1 to picks) {
+        val scored = cs.filter(c => !selected.contains(c._1)).map { c =>
+          val mmr =
+            if (k == 1) lam * c._2
+            else lam * c._2 -
+              lamC * selected.map(sel => sim((c._1, sel))).max
+          (c._1, mmr)
+        }
+        if (scored.nonEmpty) {
+          val (n, mmr) = scored.minBy { case (n, m) => (-m, n) }
+          selected += n
+          out += ((q, n, k, math.floor(mmr * 10000) / 10000))
+        }
+      }
+    }
+    import s.implicits._
+    out.toSeq.toDF("q_id", "n_id", "pick", "mmr_score")
       .orderBy(col("q_id"), col("pick"))
   }
 
@@ -1630,11 +1690,8 @@ object RetrievalQueries {
     */
   def hybridSearch(s: SparkSession, dir: String,
       queries: Seq[(String, Array[Float])]): DataFrame = {
-    import s.implicits._
-    val qdocs = queries.zipWithIndex
-      .map { case ((text, _), i) => (-(i + 1).toLong, text) }
-      .toDF("doc_id", "text")
-    val bt = bm25RankedFromIndex(s, dir, queryTermsAll(qdocs),
+    val bt = bm25RankedFromIndex(s, dir,
+        externalQueryTerms(s, queries.map(_._1)),
         queries.size.toLong * TermsPerQuery)
       .filter(col("rank") <= FuseDepth)
       .select(col("q_id"), col("n_id"), col("rank").as("bm_rank"))

@@ -803,10 +803,26 @@ object SimilarityQueries {
     */
   private def pinnedIvfPqServe(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val cb = collectCodebook(e, 16)
+    val cb = pinnedCodebook(s, dir)
     val codes = Tables.parquetCachedSchema(s, incrementalCodesPath(s, dir, cb, cb))
     ivfPqServeFromCodes(e, codes, cb, cb, 10)
   }
+
+  private val pinnedCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+
+  /** The PINNED 16-centroid codebook (first 16 corpus vectors),
+    * collected ONCE per corpus fingerprint: every pinned-codebook
+    * serve needs it, and an interactive search call must not pay the
+    * collect job per invocation (the trained codebooks have had this
+    * memo since round 4 — CodebookMemoSpec). Deterministic collect, so
+    * the memo is value-identical; the fingerprint key invalidates on
+    * corpus change like every derived-state memo.
+    */
+  private def pinnedCodebook(s: SparkSession, dir: String): Array[Double] =
+    pinnedCodebooks.computeIfAbsent(
+      Tables.derivedStateKey(s, dir, "embeddings") + "|pinned16",
+      _ => collectCodebook(t(s, dir, "embeddings"), 16))
 
   /** Driver-local DataFrame from collected rows — the LocalRelation
     * every stored-codes serve builds its query side from (broadcasts
@@ -896,7 +912,7 @@ object SimilarityQueries {
       dir: String, queryVecs: DataFrame, nprobe: Int, topC: Int,
       depth: Int): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val cb = collectCodebook(e, 16)
+    val cb = pinnedCodebook(s, dir)
     val codes = Tables.parquetCachedSchema(
       s, incrementalCodesPath(s, dir, cb, cb))
     ivfPqServeForQueries(e, codes, cb, cb, queryVecs, nprobe, topC, depth)
@@ -961,7 +977,7 @@ object SimilarityQueries {
   private[analytics] def pinnedServedRanked(s: SparkSession, dir: String,
       nQueries: Int, nprobe: Int, topC: Int, depth: Int): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val cb = collectCodebook(e, 16)
+    val cb = pinnedCodebook(s, dir)
     val codes = Tables.parquetCachedSchema(s,
       incrementalCodesPath(s, dir, cb, cb))
     ivfPqServeFromCodes(e, codes, cb, cb, nQueries, nprobe, topC, depth)
