@@ -23,7 +23,11 @@ object SearchProfile {
     val qvec = graft.core.Tables.load(spark, sfDir, "embeddings")
       .filter(col("vec_id") === 7).select("embedding")
       .head.getSeq[Float](0).toArray
-    val phrase = qtext.split("\\s+").take(4).mkString(" ")
+    // same derivation as the q_phrase_text_n4 gate: leading
+    // whitespace must not inject an empty token (a 3-gram would
+    // measure a cheaper walk than the 4-gram this labels)
+    val phrase = qtext.trim.split("\\s+").filter(_.nonEmpty)
+      .take(4).mkString(" ")
     val entries: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
       "bm25SearchText" -> (() =>
         graft.analytics.RetrievalQueries.bm25SearchText(
@@ -76,8 +80,12 @@ object SearchProfile {
         val t0 = System.nanoTime()
         Bench.materialize(f())
         val w = (System.nanoTime() - t0) / 1e9
-        label = null; verbose = false
+        // listener events deliver asynchronously: let the bus drain
+        // BEFORE clearing the label, or the rep's last jobs are
+        // skipped by the guard and jobs= undercounts — the number
+        // this instrument exists to report
         Thread.sleep(150)
+        label = null; verbose = false
         (w, jobCount.get())
       }
       val med = walls.map(_._1).sorted.apply(walls.size / 2)

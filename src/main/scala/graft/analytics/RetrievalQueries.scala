@@ -389,10 +389,32 @@ object RetrievalQueries {
     queries.zipWithIndex.flatMap { case (text, i) =>
       "\\S+".r.findAllIn(text.toLowerCase(java.util.Locale.ROOT)).toSeq
         .groupBy(identity).view.mapValues(_.size).toSeq
-        .sortBy { case (t, n) => (-n, t) }
+        .sortWith { case ((t1, n1), (t2, n2)) =>
+          n1 > n2 || (n1 == n2 && utf8Compare(t1, t2) < 0) }
         .take(TermsPerQuery)
         .map { case (t, _) => (-(i + 1).toLong, t) }
     }.toDF("q_id", "term")
+  }
+
+  /** Unsigned UTF-8 byte comparison — the string order Spark
+    * (UTF8String) and DuckDB (VARCHAR) both sort by. Java's
+    * String.compareTo orders by UTF-16 code UNITS, which disagrees
+    * for supplementary-plane characters (surrogates sort below
+    * high-BMP code points), so a driver-side tie-break must not use
+    * it: the salient-term cut could pick a different term than the
+    * oracle re-derives at the TermsPerQuery boundary.
+    */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
   }
 
   /** The stored-index serve body over an arbitrary query-term frame:
@@ -1026,7 +1048,20 @@ object RetrievalQueries {
       // markers (an empty marker would read as source "" — wrong
       // forever); markTruncated repairs empties on its next call
       .filter(st => !st.getPath.getName.startsWith("_tmp.") && st.getLen > 0)
-      .map(st => new String(markerBytes(s, st.getPath), "UTF-8"))
+      .map { st =>
+        // an UNREADABLE marker (e.g. a stale checksum sidecar from a
+        // pre-atomic-rename crash) must fail ACTIONABLY, not serve:
+        // we cannot know which source it names, so skipping it could
+        // serve a partial exact set after a cap raise — the exact
+        // hole the markers exist to close
+        scala.util.Try(new String(markerBytes(s, st.getPath), "UTF-8"))
+          .getOrElse(throw new IllegalStateException(
+            s"unreadable truncation marker ${st.getPath} — restore its " +
+              "content (the truncated source name) or delete it and " +
+              "re-run a truncating append for its source; serving " +
+              "without it could report a partial exact gram set as " +
+              "exact"))
+      }
       .distinct
   }
 
@@ -1486,9 +1521,15 @@ object RetrievalQueries {
     */
   private[graft] def mmrIndexedPool(s: SparkSession, dir: String,
       q: DataFrame, pool: Int): DataFrame =
+    // the re-rank budget must cover the requested pool: a fixed topC
+    // would silently cap a pool > MmrIndexedTopC at the ADC cut and
+    // the greedy stage would diversify over fewer candidates than the
+    // exact arm returns for the same dial (the pool can still come up
+    // short when the probed cells hold fewer vectors — inherent to
+    // any ANN candidate source)
     SimilarityQueries.servedRankedForQueryFrame(s, dir,
       q.select(col("q_id").as("vec_id"), col("qv").as("embedding")),
-      nprobe = 2, topC = MmrIndexedTopC, depth = pool)
+      nprobe = 2, topC = math.max(MmrIndexedTopC, pool), depth = pool)
 
   private[graft] def mmrIndexedCandidates(s: SparkSession, dir: String,
       q: DataFrame, pool: Int): DataFrame = {

@@ -987,40 +987,22 @@ object SimilarityQueries {
     * through the relation `annr(q_id, n_id, rank)` (rank over the
     * exact-cosine re-rank of the top-`topC` ADC candidates). Expects
     * CTE `e` (double-cast embeddings) upstream; CTE names are chosen
-    * to compose with [[RetrievalQueries.bm25CtesSql]].
+    * to compose with [[RetrievalQueries.bm25CtesSql]]. The corpus
+    * side (nv/cent/asg/cells/encode) and the ADC → re-rank → rank
+    * tail are SHARED with the external form below — only the
+    * query-side CTEs (qprobe/qd/qv2) and the self-exclusion differ,
+    * so the two oracles cannot drift (the bm25ScoreCtesSql
+    * discipline).
     */
   private[analytics] def ivfPqRankedCtesSql(
       nQueries: Int, nprobe: Int, topC: Int): String =
-    s"""nv AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
-       |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
-       |asg AS (SELECT a.vec_id, c.c_id,
-       |          row_number() OVER (PARTITION BY a.vec_id
-       |            ORDER BY ${dotSql("a.v", "c.cv")} DESC, c.c_id) AS crank
-       |        FROM e a, cent c),
-       |cells AS (SELECT vec_id AS n_id, c_id AS cell FROM asg WHERE crank = 1),
-       |probes AS (SELECT vec_id AS q_id, c_id AS cell FROM asg
+    s"""$ivfPqCorpusCtesSql,
+       |qprobe AS (SELECT vec_id AS q_id, c_id AS cell FROM asg
        |           WHERE vec_id < $nQueries AND crank <= $nprobe),
-       |${pqEncodeCtesSql("cent")},
-       |s AS (SELECT p.q_id, ce.n_id,
-       |        list_reduce([q.dl[k.cl[j + 1] * 8 + j + 1]
-       |                     FOR j IN range(0, 8)], (x, y) -> x + y) AS ad2
-       |      FROM probes p
-       |      JOIN cells ce ON p.cell = ce.cell AND ce.n_id <> p.q_id
-       |      JOIN cm k ON k.n_id = ce.n_id
-       |      JOIN qdl q ON q.q_id = p.q_id),
-       |acand AS (SELECT q_id, n_id, ad2,
-       |            row_number() OVER (PARTITION BY q_id
-       |              ORDER BY ad2, n_id) AS crank2
-       |          FROM s),
-       |ar AS (SELECT a.q_id, a.n_id,
-       |         ${dotSql("qn.v", "cn.v")} / (qn.nrm * cn.nrm) AS cos
-       |       FROM acand a JOIN nv qn ON qn.vec_id = a.q_id
-       |                    JOIN nv cn ON cn.vec_id = a.n_id
-       |       WHERE a.crank2 <= $topC),
-       |annr AS (SELECT q_id, n_id,
-       |           CAST(row_number() OVER (PARTITION BY q_id
-       |             ORDER BY cos DESC, n_id) AS INTEGER) AS rank
-       |         FROM ar)""".stripMargin
+       |qd AS (SELECT q_id, dl FROM qdl WHERE q_id < $nQueries),
+       |qv2 AS (SELECT vec_id AS q_id, v, nrm FROM nv
+       |        WHERE vec_id < $nQueries),
+       |${ivfPqRankedTailSql(topC, excludeSelf = true)}""".stripMargin
 
   /** The stored-codes serve for ONE EXTERNAL query vector equal to
     * corpus vector `src`, riding internal id −1 — the negative-id
@@ -1029,10 +1011,24 @@ object SimilarityQueries {
     * twin at rank 1. Emits `annr(q_id = −1, n_id, rank)`; expects CTE
     * `e` upstream; composes with [[RetrievalQueries]]' BM25 text CTEs
     * (the q_hybrid_text oracle). `src` must be < 10 (the encode CTEs'
-    * query-lookup bound).
+    * query-lookup bound). Same shared corpus body and tail as the
+    * corpus form above.
     */
   private[analytics] def ivfPqRankedExternalCtesSql(
       src: Int, nprobe: Int, topC: Int): String =
+    s"""$ivfPqCorpusCtesSql,
+       |qprobe AS (SELECT CAST(-1 AS BIGINT) AS q_id, c_id AS cell FROM asg
+       |           WHERE vec_id = $src AND crank <= $nprobe),
+       |qd AS (SELECT CAST(-1 AS BIGINT) AS q_id, dl FROM qdl
+       |       WHERE q_id = $src),
+       |qv2 AS (SELECT CAST(-1 AS BIGINT) AS q_id, v, nrm FROM nv
+       |        WHERE vec_id = $src),
+       |${ivfPqRankedTailSql(topC, excludeSelf = false)}""".stripMargin
+
+  /** The corpus-side CTEs shared by both ranked-serve oracles: norms,
+    * pinned centroids, coarse assignment, cells, PQ encode.
+    */
+  private def ivfPqCorpusCtesSql: String =
     s"""nv AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
        |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
        |asg AS (SELECT a.vec_id, c.c_id,
@@ -1040,27 +1036,31 @@ object SimilarityQueries {
        |            ORDER BY ${dotSql("a.v", "c.cv")} DESC, c.c_id) AS crank
        |        FROM e a, cent c),
        |cells AS (SELECT vec_id AS n_id, c_id AS cell FROM asg WHERE crank = 1),
-       |probes AS (SELECT CAST(-1 AS BIGINT) AS q_id, c_id AS cell FROM asg
-       |           WHERE vec_id = $src AND crank <= $nprobe),
-       |${pqEncodeCtesSql("cent")},
-       |xdl AS (SELECT CAST(-1 AS BIGINT) AS q_id, dl FROM qdl
-       |        WHERE q_id = $src),
-       |s AS (SELECT p.q_id, ce.n_id,
+       |${pqEncodeCtesSql("cent")}""".stripMargin
+
+  /** ADC scoring → exact-cosine re-rank → `annr` rank tail shared by
+    * both ranked-serve oracles. Expects query-side CTEs
+    * `qprobe(q_id, cell)`, `qd(q_id, dl)`, `qv2(q_id, v, nrm)`;
+    * `excludeSelf` is the corpus-query self-exclusion (external
+    * queries ride ids no corpus vector carries, so it must NOT fire
+    * there — an exact-match query retrieves its stored twin).
+    */
+  private def ivfPqRankedTailSql(topC: Int, excludeSelf: Boolean): String =
+    s"""s AS (SELECT p.q_id, ce.n_id,
        |        list_reduce([q.dl[k.cl[j + 1] * 8 + j + 1]
        |                     FOR j IN range(0, 8)], (x, y) -> x + y) AS ad2
-       |      FROM probes p
-       |      JOIN cells ce ON p.cell = ce.cell
+       |      FROM qprobe p
+       |      JOIN cells ce ON p.cell = ce.cell${
+        if (excludeSelf) " AND ce.n_id <> p.q_id" else ""}
        |      JOIN cm k ON k.n_id = ce.n_id
-       |      CROSS JOIN xdl q),
+       |      JOIN qd q ON q.q_id = p.q_id),
        |acand AS (SELECT q_id, n_id, ad2,
        |            row_number() OVER (PARTITION BY q_id
        |              ORDER BY ad2, n_id) AS crank2
        |          FROM s),
-       |xv AS (SELECT CAST(-1 AS BIGINT) AS q_id, v, nrm FROM nv
-       |       WHERE vec_id = $src),
        |ar AS (SELECT a.q_id, a.n_id,
        |         ${dotSql("qn.v", "cn.v")} / (qn.nrm * cn.nrm) AS cos
-       |       FROM acand a JOIN xv qn ON qn.q_id = a.q_id
+       |       FROM acand a JOIN qv2 qn ON qn.q_id = a.q_id
        |                    JOIN nv cn ON cn.vec_id = a.n_id
        |       WHERE a.crank2 <= $topC),
        |annr AS (SELECT q_id, n_id,

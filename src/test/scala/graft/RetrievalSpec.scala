@@ -638,6 +638,24 @@ class RetrievalSpec extends SparkSpec {
       s"both arms must fill all picks: $exact / $indexed")
   }
 
+  test("indexed MMR honors dials beyond the default ADC budget: a " +
+      "pool > 24 widens the re-rank cut so every pick fills (a fixed " +
+      "topC would silently cap the pool at the ADC stage)") {
+    val v7 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") === 7).select(col("embedding"))
+      .head.getSeq[Float](0).toArray
+    spark.conf.set(RetrievalQueries.MmrExactMaxBytesKey, "0")
+    val out =
+      try RetrievalQueries.mmrSearchVectors(
+          spark, sfDir, Seq(v7), pool = 30, picks = 25)
+        .collect().map(r => (r.getInt(2), r.getLong(1))).toSeq
+      finally spark.conf.unset(RetrievalQueries.MmrExactMaxBytesKey)
+    assert(out.map(_._1) == (1 to 25),
+      s"picks must fill past the 24-candidate ADC default: " +
+        s"${out.map(_._1)}")
+    assert(out.map(_._2).distinct.length == 25, out.toString)
+  }
+
   test("relevance gate: streamed scores == one batch pass bit-for-bit, " +
       "and agree with the gated q_bm25_topk scores for the same query") {
     import graft.analytics.RetrievalQueries
