@@ -1271,7 +1271,20 @@ object RetrievalQueries {
     * `ct`: q_id, n_id, cos_rank), rrf = Σ 1/(60+rank) — IEEE-exact,
     * no libm — ranked and cut at [[TopK]].
     */
-  private def rrfFuse(bt: DataFrame, ct: DataFrame): DataFrame = {
+  private def rrfFuse(bt: DataFrame, ct: DataFrame): DataFrame =
+    rrfFusedRanked(bt, ct)
+      .select(col("q_id"), col("n_id"), col("rank"), col("bm_rank"),
+        col("cos_rank"),
+        (floor(col("rrf") * 1000000) / 1000000).as("rrf_score"))
+      .orderBy(col("q_id"), col("rank"))
+
+  /** The fused ranking with the RAW rrf double kept (q_id, n_id, rrf,
+    * bm_rank, cos_rank, rank), cut at [[TopK]] — the body behind
+    * [[rrfFuse]] and the candidate source of the diversified hybrid
+    * chain (MMR's rel must be the raw score, not the display-rounded
+    * one).
+    */
+  private def rrfFusedRanked(bt: DataFrame, ct: DataFrame): DataFrame = {
     val wr = Window.partitionBy(col("q_id"))
       .orderBy(col("rrf").desc, col("n_id"))
     bt.join(ct, Seq("q_id", "n_id"), "full_outer")
@@ -1283,16 +1296,13 @@ object RetrievalQueries {
         coalesce(col("cos_rank"), lit(0)).cast(IntegerType).as("cos_rank"))
       .withColumn("rank", row_number().over(wr).cast(IntegerType))
       .filter(col("rank") <= TopK)
-      .select(col("q_id"), col("n_id"), col("rank"), col("bm_rank"),
-        col("cos_rank"),
-        (floor(col("rrf") * 1000000) / 1000000).as("rrf_score"))
-      .orderBy(col("q_id"), col("rank"))
   }
 
-  /** The fusion tail's oracle mirror — `bt`/`ct` CTEs expected
-    * upstream with the same columns.
+  /** The fusion CTEs (`fu`, `fr`) — `bt`/`ct` expected upstream with
+    * the same columns; shared by the fused final SELECT and the
+    * diversified chain's candidate CTE.
     */
-  private def rrfFuseSql: String =
+  private def rrfCtesSql: String =
     s"""fu AS (SELECT coalesce(bt.q_id, ct.q_id) AS q_id,
        |         coalesce(bt.n_id, ct.n_id) AS n_id,
        |         coalesce(1.0 / (60 + bt.bm_rank), 0.0)
@@ -1304,7 +1314,13 @@ object RetrievalQueries {
        |fr AS (SELECT q_id, n_id, rrf, bm_rank, cos_rank,
        |         CAST(row_number() OVER (PARTITION BY q_id
        |           ORDER BY rrf DESC, n_id) AS INTEGER) AS rank
-       |       FROM fu)
+       |       FROM fu)""".stripMargin
+
+  /** The fusion tail's oracle mirror — `bt`/`ct` CTEs expected
+    * upstream with the same columns.
+    */
+  private def rrfFuseSql: String =
+    s"""$rrfCtesSql
        |SELECT q_id, n_id, rank, bm_rank, cos_rank,
        |  floor(rrf * 1000000) / 1000000 AS rrf_score
        |FROM fr WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
@@ -1745,19 +1761,111 @@ object RetrievalQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Diversified hybrid retrieval — MMR over the RRF-fused candidate
+    * list: rel is the RAW fused rrf (IEEE-exact, a sum of at most two
+    * 1/(60+rank) divisions — no libm, no quantization), sim is the
+    * exact embedding cosine between candidates, so near-duplicate
+    * documents cannot crowd a fused result list (Carbonell &
+    * Goldstein's MMR applied to Cormack's RRF — the full modern
+    * retrieval stack in one chain). Both fusion arms serve from their
+    * stored indexes (the q_hybrid_rrf_indexed chain); the candidate
+    * list is query-batch-sized, its vectors arrive by id-pruned point
+    * fetch, and the greedy runs driver-side — nothing corpus-sized
+    * after the two index serves.
+    */
+  def hybridDiversified(s: SparkSession, dir: String, nQueries: Int,
+      picks: Int, lam: Double): DataFrame = {
+    val bt = bm25ServedRanked(s, dir, nQueries)
+      .filter(col("rank") <= FuseDepth)
+      .select(col("q_id"), col("n_id"), col("rank").as("bm_rank"))
+    val ct = SimilarityQueries.pinnedServedRanked(
+      s, dir, nQueries, nprobe = 2, topC = 24, depth = FuseDepth)
+      .select(col("q_id"), col("n_id"), col("rank").as("cos_rank"))
+    mmrGreedy(fusedCandidates(s, dir, rrfFusedRanked(bt, ct)), picks, lam)
+  }
+
+  /** Diversified hybrid search for EXTERNAL (text, vector) queries —
+    * the diversified sibling of [[hybridSearch]]: same two stored-
+    * index arms and fusion, then the MMR cut over the fused top-k.
+    * Query ids are input positions; negative internal ids throughout.
+    */
+  def searchDiversified(s: SparkSession, dir: String,
+      queries: Seq[(String, Array[Float])], picks: Int = MmrPicks,
+      lam: Double = 0.5): DataFrame = {
+    val bt = bm25RankedFromIndex(s, dir,
+        externalQueryTerms(s, queries.map(_._1)),
+        queries.size.toLong * TermsPerQuery)
+      .filter(col("rank") <= FuseDepth)
+      .select(col("q_id"), col("n_id"), col("rank").as("bm_rank"))
+    val ct = SimilarityQueries.annRankedForVectors(
+        s, dir, queries.map(_._2), nprobe = 2, topC = 24,
+        depth = FuseDepth)
+      .select(col("q_id"), col("n_id"), col("rank").as("cos_rank"))
+    mmrGreedy(fusedCandidates(s, dir, rrfFusedRanked(bt, ct)), picks, lam)
+      .withColumn("q_id", -col("q_id") - 1)
+      .orderBy(col("q_id"), col("pick"))
+  }
+
+  /** The MMR candidate frame (q_id, n_id, rel, cv, cn) over a fused
+    * ranking: collect the query-batch-sized (q_id, n_id, rrf) triples,
+    * point-fetch the candidate vectors by id (the indexed-MMR fetch
+    * shape — the embeddings scan prunes to candidate ids).
+    */
+  private def fusedCandidates(
+      s: SparkSession, dir: String, fused: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val rows = fused.select(col("q_id"), col("n_id"), col("rrf"))
+      .collect().toSeq
+    val ids = rows.map(_.getLong(1)).distinct
+    val pairs = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("q_id", LongType),
+        StructField("n_id", LongType), StructField("rel", DoubleType))))
+    t(s, dir, "embeddings")
+      .filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("n_id"), col("embedding").as("cv"),
+        l2Norm(col("embedding")).as("cn"))
+      .join(broadcast(pairs), Seq("n_id"))
+      .select(col("q_id"), col("n_id"), col("rel"), col("cv"), col("cn"))
+  }
+
+  /** The diversified hybrid oracle: the full fused chain (both index
+    * serves re-derived relationally, fusion CTEs) feeding the shared
+    * MMR greedy tail with rel = raw rrf.
+    */
+  private def searchDiversifiedSql(
+      picks: Int, lam: String, lamC: String): String =
+    s"""WITH $bm25CtesSql,
+       |e AS ($embDoubleSql),
+       |${SimilarityQueries.ivfPqRankedCtesSql(NQueries, 2, 24)},
+       |bt AS (SELECT q_id, n_id, rank AS bm_rank FROM bmr
+       |       WHERE rank <= $FuseDepth),
+       |ct AS (SELECT q_id, n_id, rank AS cos_rank FROM annr
+       |       WHERE rank <= $FuseDepth),
+       |$rrfCtesSql,
+       |cand AS (SELECT f.q_id, f.n_id, f.rrf AS rel,
+       |           n.v AS cv, n.nrm AS cn
+       |         FROM fr f JOIN nv n ON n.vec_id = f.n_id
+       |         WHERE f.rank <= $TopK),
+       |${mmrTailSql(picks, lam, lamC)}""".stripMargin
+
   /** Corpus-size threshold (bytes, embeddings-table stats) above which
     * [[hybridRrf]] serves the INDEXED tier instead of the exact one.
     * The exact tier's vector arm is a brute-force cosine scan — the
     * right plan only while the corpus is small enough that index
     * plumbing costs more than the scan it avoids (tiny-input walls are
     * job-count × planning floors — the re-rank fetch lesson). Default
-    * set at the measured crossover (SCALING.md round 14: exact/indexed
-    * 1.56/2.08 s at sf0.1 = 0.80 MB, 2.57/2.43 at sf1 = 5.2 MB,
-    * 5.84/2.50 at sf10 — the exact arm is linear, the indexed arm
-    * near-flat): 2 MB sits between the two measured scale points.
+    * set at the measured crossover, re-measured in round 16 after the
+    * serve-floor cuts (memoized codebook + corpus scalars) moved it
+    * DOWN: exact/indexed 1.79/1.60 s at sf0.01 = 80 KB (near-tie),
+    * 2.74/2.13 at sf0.1 = 0.80 MB, 2.58/2.31 at sf1 = 5.2 MB — the
+    * indexed arm now wins from sf0.1 up (round 14 had measured
+    * 1.56/2.08 there). 512 KB sits between the near-tie point (where
+    * the exact tier's exact vector ranking is worth keeping) and the
+    * first clear indexed win.
     */
   private[graft] val HybridExactMaxBytesKey = "graft.hybrid.exactMaxBytes"
-  private[graft] val HybridExactMaxBytesDefault = 2L * 1024 * 1024
+  private[graft] val HybridExactMaxBytesDefault = 512L * 1024
 
   /** Size-aware hybrid retrieval — the single library entry point: the
     * arm is picked from the embeddings table's optimizer stats against
@@ -2158,6 +2266,19 @@ object RetrievalQueries {
          |       WHERE rank <= $FuseDepth),
          |$rrfFuseSql""".stripMargin) { (s, dir) =>
       hybridRrfIndexed(s, dir, NQueries)
+    },
+
+    // ---------------------------------- diversified hybrid retrieval
+    // MMR over the RRF-fused top-k — the full retrieval stack (two
+    // stored-index arms → IEEE-exact fusion → diversification) under
+    // ONE hash gate: the oracle re-derives both index chains, the
+    // fusion CTEs and every greedy step. rel is the raw fused rrf
+    // (bit-identical cross-engine by construction), sim the exact
+    // candidate cosine, all frames query-batch-sized after the serves.
+    GraftQuery(
+      "q_search_diversified",
+      searchDiversifiedSql(MmrPicks, "0.5", "0.5")) { (s, dir) =>
+      hybridDiversified(s, dir, NQueries, MmrPicks, 0.5)
     },
 
     // --------------------------------- external search API, gated

@@ -638,6 +638,30 @@ class RetrievalSpec extends SparkSpec {
       s"both arms must fill all picks: $exact / $indexed")
   }
 
+  test("searchDiversified: external (text, vector) query — the " +
+      "exact-match stored doc tops BOTH fused arms and seeds pick 1 " +
+      "with mmr = lambda * 2/61; picks are distinct") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val qtext = docs.filter(col("doc_id") === 7)
+      .select(col("text")).head.getString(0)
+    val qvec = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") === 7).select(col("embedding"))
+      .head.getSeq[Float](0).toArray
+    val out = RetrievalQueries.searchDiversified(
+        spark, sfDir, Seq((qtext, qvec)))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(out.forall(_._1 == 0L), out.mkString(", "))
+    // doc 7 is rank 1 in the BM25 arm (exact-match text, no
+    // self-exclusion on external ids) AND rank 1 in the vector arm
+    // (cosine 1.0) → rrf = 2/61, the maximum any doc can score →
+    // seed pick, mmr = 0.5 * 2/61 floored to 4 decimals
+    assert(out.head == ((0L, 7L, 1, math.floor(1.0 / 61 * 10000) / 10000)),
+      out.mkString(", "))
+    assert(out.map(_._3) == (1 to out.size) &&
+      out.map(_._2).distinct.size == out.size, out.mkString(", "))
+  }
+
   test("indexed MMR honors dials beyond the default ADC budget: a " +
       "pool > 24 widens the re-rank cut so every pick fills (a fixed " +
       "topC would silently cap the pool at the ADC stage)") {
