@@ -43,6 +43,9 @@ object SearchProfile {
           spark, sfDir, Seq(qvec))),
       "hybridSearch" -> (() =>
         graft.analytics.RetrievalQueries.hybridSearch(
+          spark, sfDir, Seq((qtext, qvec)))),
+      "searchDiversified" -> (() =>
+        graft.analytics.RetrievalQueries.searchDiversified(
           spark, sfDir, Seq((qtext, qvec)))))
 
     // warm: one-time index builds + JIT, untimed
