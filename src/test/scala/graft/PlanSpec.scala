@@ -659,6 +659,21 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("graft.ann.rerankFetchBytes")
   }
 
+  test("q_search_diversified: the greedy output is a local relation " +
+      "and no un-pruned corpus scan survives into the final plan") {
+    // the fused arms are the same pinned chains as q_hybrid_rrf_indexed
+    // (their own tests above); here the diversified tail's claim is
+    // pinned: after the arms, everything is query-batch-sized — the
+    // candidate-vector fetch prunes the embeddings scan to candidate
+    // ids inside fusedCandidates' collect, and the final plan is the
+    // driver-greedy local relation
+    val p = plan("q_search_diversified")
+    assert(!p.contains("embeddings.parquet") &&
+      !p.contains("documents.parquet"), p.take(3000))
+    assert(p.contains("LocalTableScan") || p.contains("ExistingRDD"),
+      p.take(3000))
+  }
+
   test("q_mmr_diversify: the 5-step greedy loop runs over checkpointed " +
       "local relations — the corpus scan never re-executes per step") {
     val p = plan("q_mmr_diversify")
