@@ -639,6 +639,10 @@ object RetrievalQueries {
       Map("buckets" -> nb.toString))(docStatsDeltas(batch, nb))
     graft.sinks.IncrementalParquet.appendIdempotent(
       s, cntDir, "bkt", batchId)(docCountDelta(batch))
+    // the (N, totlen) scalar memo (gsLocal) is keyed on the table
+    // dirs; a public append into the same dirs within the JVM must
+    // invalidate it or later serves score with stale idf/avgdl
+    storedGsScalars.remove(s"$cntDir|$dlDir"); ()
   }
 
   /** Minor compaction: postings/doc-stats rows are disjoint across
@@ -646,11 +650,16 @@ object RetrievalQueries {
     * doc count sum-merges.
     */
   def compactPostingsMinor(
-      s: SparkSession, pstDir: String, dlDir: String, cntDir: String): Int =
+      s: SparkSession, pstDir: String, dlDir: String, cntDir: String): Int = {
+    // compaction never changes the scalar SUMS, but dropping the memo
+    // here keeps the invalidation rule uniform: any public mutation of
+    // the (cnt, dl) tables clears their cached (N, totlen)
+    storedGsScalars.remove(s"$cntDir|$dlDir")
     graft.sinks.IncrementalParquet.compactMinor(s, pstDir, "bkt") +
       graft.sinks.IncrementalParquet.compactMinor(s, dlDir, "bkt") +
       graft.sinks.IncrementalParquet.compactMinor(
         s, cntDir, "bkt", merge = mergeDocCounts)
+  }
 
   private val storedPostings =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1020,11 +1029,19 @@ object RetrievalQueries {
       if (!intact) {
         // write-then-rename: rename is atomic on HDFS-like
         // filesystems, so the marker either exists complete or not
-        // at all — never partially
-        val tmp = new Path(dir, s"_tmp.$name")
+        // at all — never partially. The tmp name is UNIQUE per
+        // repairer (two concurrent repairs must not truncate each
+        // other's in-flight tmp), and the destination is deleted
+        // ONLY when a file is actually present (i.e. verified
+        // corrupt by the intact check above) — the common
+        // first-write path renames directly with no delete, so the
+        // no-marker window exists only during repair of an
+        // already-corrupt marker, never on creation
+        val tmp = new Path(dir,
+          s"_tmp.$name.${java.util.UUID.randomUUID.toString.take(8)}")
         val out = fs.create(tmp, true)
         try out.write(bytes) finally out.close()
-        fs.delete(p, false)
+        if (fs.exists(p)) fs.delete(p, false)
         if (!fs.rename(tmp, p)) {
           // a concurrent marker won the race; trust it only if intact
           val ok = fs.exists(p) &&
@@ -1044,11 +1061,23 @@ object RetrievalQueries {
     val fs = fsFor(s, dir)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq
-      // in-flight temp files and crash-orphaned empties are NOT
-      // markers (an empty marker would read as source "" — wrong
-      // forever); markTruncated repairs empties on its next call
-      .filter(st => !st.getPath.getName.startsWith("_tmp.") && st.getLen > 0)
+      // in-flight temp files are NOT markers (unique-suffixed, only
+      // ever renamed away); everything else in the dir must be a
+      // complete marker or the serve cannot proceed
+      .filter(st => !st.getPath.getName.startsWith("_tmp."))
       .map { st =>
+        // an EMPTY marker is as unknowable as an unreadable one: it
+        // names no source, so skipping it would serve that source's
+        // partial exact gram set as exact — the hole the markers
+        // exist to close — and it never self-heals unless a later
+        // truncating append happens to hit the same source. Fail
+        // with the same actionable message as the unreadable case.
+        if (st.getLen == 0) throw new IllegalStateException(
+          s"empty truncation marker ${st.getPath} — restore its " +
+            "content (the truncated source name) or delete it and " +
+            "re-run a truncating append for its source; serving " +
+            "without it could report a partial exact gram set as " +
+            "exact")
         // an UNREADABLE marker (e.g. a stale checksum sidecar from a
         // pre-atomic-rename crash) must fail ACTIONABLY, not serve:
         // we cannot know which source it names, so skipping it could
@@ -1405,7 +1434,12 @@ object RetrievalQueries {
   private def mmrIndexedSql(
       pool: Int, picks: Int, lam: String, lamC: String): String =
     s"""WITH e AS ($embDoubleSql),
-       |${SimilarityQueries.ivfPqRankedCtesSql(NQueries, 2, MmrIndexedTopC)},
+       |${SimilarityQueries.ivfPqRankedCtesSql(NQueries, 2,
+          // the driver (mmrIndexedPool) widens the ADC re-rank budget
+          // to cover the requested pool; the oracle must share the
+          // widening rule or a pool dial past MmrIndexedTopC silently
+          // drifts the two
+          math.max(MmrIndexedTopC, pool))},
        |cand AS (SELECT a.q_id, a.n_id,
        |           ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS rel,
        |           c.v AS cv, c.nrm AS cn
@@ -1607,17 +1641,28 @@ object RetrievalQueries {
         sim((a._1, b._1)) = dotD(a._3, b._3) / (a._4 * b._4)
       val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
       for (k <- 1 to picks) {
-        val scored = cs.filter(c => !selected.contains(c._1)).map { c =>
-          val mmr =
-            if (k == 1) lam * c._2
-            else lam * c._2 -
+        if (k == 1 && cs.nonEmpty) {
+          // seed pick mirrors the oracle's s1 CTE EXACTLY: ordered by
+          // (rel desc, n_id asc), mmr emitted as λ·rel. Ordering by
+          // λ·rel would diverge at λ=0 (every product ties at 0 and
+          // the tie-break would pick the lowest n_id regardless of
+          // relevance) — the library documents correctness for any
+          // λ ∈ [0,1], so the seed must not depend on λ's sign-
+          // collapsing the relevance order.
+          val c = cs.minBy(c => (-c._2, c._1))
+          selected += c._1
+          out += ((q, c._1, 1, math.floor(lam * c._2 * 10000) / 10000))
+        } else {
+          val scored = cs.filter(c => !selected.contains(c._1)).map { c =>
+            val mmr = lam * c._2 -
               lamC * selected.map(sel => sim((c._1, sel))).max
-          (c._1, mmr)
-        }
-        if (scored.nonEmpty) {
-          val (n, mmr) = scored.minBy { case (n, m) => (-m, n) }
-          selected += n
-          out += ((q, n, k, math.floor(mmr * 10000) / 10000))
+            (c._1, mmr)
+          }
+          if (scored.nonEmpty) {
+            val (n, mmr) = scored.minBy { case (n, m) => (-m, n) }
+            selected += n
+            out += ((q, n, k, math.floor(mmr * 10000) / 10000))
+          }
         }
       }
     }

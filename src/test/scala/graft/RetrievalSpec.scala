@@ -317,12 +317,13 @@ class RetrievalSpec extends SparkSpec {
           s"served $hex — expected ~1800 from the sketch, not the " +
             "1200-row partial exact set")
         // marker resilience: markers are full-digest-named,
-        // content-verified, and written via atomic rename. A
-        // crash-orphaned EMPTY file and an in-flight _tmp. file are
-        // NOT markers (an empty one would read as source "" forever);
-        // the next truncating append REPAIRS the corrupted marker
-        // because a marker whose content doesn't round-trip is
-        // treated as absent and rewritten.
+        // content-verified, and written via atomic rename. An
+        // in-flight _tmp. file is NOT a marker; a crash-orphaned
+        // EMPTY file is an UNKNOWABLE marker (it names no source) —
+        // the next truncating append REPAIRS it (a marker whose
+        // content doesn't round-trip is treated as absent and
+        // rewritten), and an unrepaired one fails the serve
+        // actionably (asserted below).
         val mdir = root.resolve("skt").resolve("_truncated")
         val marker = Files.list(mdir).iterator().asScala.toSeq
           .filterNot(_.getFileName.toString.startsWith(".")) match {
@@ -347,6 +348,21 @@ class RetrievalSpec extends SparkSpec {
           .select(col("uniq_unigrams")).head.getLong(0)
         assert(math.abs(hex2 - 2400.0) / 2400.0 < 0.05,
           s"served $hex2 — expected ~2400 from the sketch after repair")
+        // an empty marker that NO later append repairs (e.g. a
+        // legacy non-atomic write for a source never appended again)
+        // names an unknown truncated source: the serve must fail
+        // actionably, never skip it — skipping would report that
+        // source's partial exact gram set as exact forever
+        val orphan = mdir.resolve("0" * 64)
+        Files.write(orphan, Array.emptyByteArray)
+        val ex = intercept[IllegalStateException] {
+          RetrievalQueries.diversityServed(
+            spark, uniDir, biDir, cntDir, sktDir).collect()
+        }
+        assert(ex.getMessage.contains("empty truncation marker"),
+          s"wrong failure: ${ex.getMessage}")
+        Files.deleteIfExists(orphan)
+        Files.deleteIfExists(mdir.resolve("." + orphan.getFileName + ".crc"))
       } finally {
         spark.conf.unset(RetrievalQueries.MaxGramsPerSourceKey)
         spark.conf.unset(RetrievalQueries.OnGramCapKey)
