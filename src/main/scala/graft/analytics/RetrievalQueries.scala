@@ -202,29 +202,49 @@ object RetrievalQueries {
        |  floor(score * 10000) / 10000 AS bm25
        |FROM bmr WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
 
-  /** The external 4-gram phrase twin's oracle: the phrase is the
-    * first four tokens of the query document, occurrences counted by
-    * a direct sliding 4-gram window (the full-recompute mirror of the
-    * positional-index walk — same relation, proven equivalent by the
-    * seeded brute-force spec).
+  /** The external n=4 phrase twins' oracle: THREE phrases, each
+    * re-derivable from the corpus by a deterministic rule so the gate
+    * carries a multi-row, distinct-count ranking instead of the 1-row
+    * existence check it started as —
+    *  - q 0: the corpus-wide most frequent 4-gram (occurrences DESC,
+    *    gram ASC) — multi-document hits, so the (occurrences DESC,
+    *    n_id) ranking's tie-break is exercised across several rows;
+    *  - q 1: the 4-gram with the highest single-document repeat count
+    *    (max-per-doc DESC, occurrences DESC, gram ASC) — rows with
+    *    occurrences > 1, so the result set carries DISTINCT counts and
+    *    a count-ordering bug cannot hash-match;
+    *  - q 2: the first four tokens of the query document (the original
+    *    exact-match twin).
+    * Occurrences counted by a direct sliding 4-gram window (the
+    * full-recompute mirror of the positional-index walk — same
+    * relation, proven equivalent by the seeded brute-force spec).
     */
   private def phraseTextSql: String =
     s"""WITH tk AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts
        |  FROM documents),
-       |ph AS (SELECT ts[1] || ' ' || ts[2] || ' ' || ts[3] || ' ' || ts[4]
-       |         AS phrase
-       |       FROM tk WHERE doc_id = $ExternalQueryId),
        |win AS (SELECT doc_id, ts,
        |          unnest(range(1, len(ts) - 2)) AS i
        |        FROM tk WHERE len(ts) >= 4),
-       |occ AS (SELECT w.doc_id AS n_id, count(*) AS occurrences
-       |        FROM win w CROSS JOIN ph p
-       |        WHERE w.ts[i] || ' ' || w.ts[i+1] || ' ' || w.ts[i+2]
-       |              || ' ' || w.ts[i+3] = p.phrase
-       |        GROUP BY w.doc_id),
-       |r AS (SELECT CAST(0 AS BIGINT) AS q_id, n_id, occurrences,
-       |        CAST(row_number() OVER (
+       |g4 AS (SELECT doc_id,
+       |         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+       |           AS g
+       |       FROM win),
+       |per AS (SELECT g, doc_id, count(*) AS c FROM g4 GROUP BY g, doc_id),
+       |st AS (SELECT g, sum(c) AS occ, max(c) AS mx FROM per GROUP BY g),
+       |p0 AS (SELECT g FROM st ORDER BY occ DESC, g LIMIT 1),
+       |p1 AS (SELECT g FROM st ORDER BY mx DESC, occ DESC, g LIMIT 1),
+       |p2 AS (SELECT ts[1] || ' ' || ts[2] || ' ' || ts[3] || ' ' || ts[4]
+       |         AS g
+       |       FROM tk WHERE doc_id = $ExternalQueryId),
+       |ph AS (SELECT CAST(0 AS BIGINT) AS q_id, g FROM p0
+       |       UNION ALL SELECT CAST(1 AS BIGINT) AS q_id, g FROM p1
+       |       UNION ALL SELECT CAST(2 AS BIGINT) AS q_id, g FROM p2),
+       |occ AS (SELECT p.q_id, w.doc_id AS n_id, count(*) AS occurrences
+       |        FROM g4 w JOIN ph p ON w.g = p.g
+       |        GROUP BY p.q_id, w.doc_id),
+       |r AS (SELECT q_id, n_id, occurrences,
+       |        CAST(row_number() OVER (PARTITION BY q_id
        |          ORDER BY occurrences DESC, n_id) AS INTEGER) AS rank
        |      FROM occ)
        |SELECT q_id, n_id, rank, occurrences
@@ -2342,13 +2362,45 @@ object RetrievalQueries {
 
     // Arbitrary-n phrase search (n = 4) from the stored positional
     // bigram index — the n > 3 path no corpus-derived gate reaches.
+    // Three phrases (see [[phraseTextSql]]): the corpus-frequent
+    // 4-gram (multi-doc tie-break ranking), the highest-repeat 4-gram
+    // (occurrences > 1 — distinct counts in the result), and the
+    // query document's leading 4-gram (the exact-match twin). The
+    // corpus-derived picks cost one tokenize + gram aggregation —
+    // gate-input derivation, not part of the serve under test (the
+    // serve itself still never tokenizes the corpus).
     GraftQuery("q_phrase_text_n4", phraseTextSql) { (s, dir) =>
-      val phrase = t(s, dir, "documents")
+      // tokens materialized FIRST in their own projection: the 4-gram
+      // window references the array 5 times, and inlining the
+      // tokenizer would re-run the regex per reference (the
+      // shinglesFromTokens lesson)
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(lower(col("text"))).as("ts"))
+        .filter(size(col("ts")) >= 4)
+      val per = tok
+        .select(col("doc_id"), explode(
+          graft.functions.TextFunctions.shinglesFromTokens(col("ts"), 4))
+          .as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      // both rule winners in ONE aggregation job: min_by over a
+      // struct whose trailing field is the gram itself, so the
+      // ordering key is unique per gram (deterministic min_by) and
+      // (-occ, g) / (-mx, -occ, g) mirror the oracle's ORDER BY
+      val w = per.groupBy(col("g"))
+        .agg(sum(col("c")).as("occ"), max(col("c")).as("mx"))
+        .agg(
+          min_by(col("g"), struct((-col("occ")).as("a"), col("g").as("g")))
+            .as("p0"),
+          min_by(col("g"), struct((-col("mx")).as("a"),
+            (-col("occ")).as("b"), col("g").as("g"))).as("p1"))
+        .head
+      val leading = t(s, dir, "documents")
         .filter(col("doc_id") === ExternalQueryId)
         .select(col("text")).head.getString(0)
         .trim.toLowerCase(java.util.Locale.ROOT)
         .split("\\s+").filter(_.nonEmpty).take(4).mkString(" ")
-      phraseSearchText(s, dir, Seq(phrase))
+      phraseSearchText(s, dir,
+        Seq(w.getString(0), w.getString(1), leading))
     },
 
     // Hybrid (text, vector) search with BOTH arms on the external
