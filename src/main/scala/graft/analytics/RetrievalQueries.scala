@@ -311,7 +311,7 @@ object RetrievalQueries {
     * behind [[queryTerms]], shared with the external-text search
     * entry ([[bm25SearchText]], whose query frame is not id-bounded).
     */
-  private def queryTermsAll(qdocs: DataFrame): DataFrame = {
+  private[graft] def queryTermsAll(qdocs: DataFrame): DataFrame = {
     val qtok = qdocs
       .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
     val wq = Window.partitionBy(col("doc_id"))
@@ -403,7 +403,7 @@ object RetrievalQueries {
     * q_bm25_text / q_hybrid_text hash gates pin the identity
     * cross-engine.
     */
-  private def externalQueryTerms(
+  private[graft] def externalQueryTerms(
       s: SparkSession, queries: Seq[String]): DataFrame = {
     import s.implicits._
     queries.zipWithIndex.flatMap { case (text, i) =>
@@ -1477,7 +1477,7 @@ object RetrievalQueries {
   def mmrDiversified(s: SparkSession, dir: String, nQueries: Int,
       pool: Int, picks: Int, lam: Double): DataFrame =
     mmrForQueries(s, dir, mmrCorpusQueryFrame(s, dir, nQueries),
-      pool, picks, lam)
+      pool, picks, lam, nQueries.toLong)
 
   /** The INDEXED MMR tier: same greedy selection, but the candidate
     * pool comes from the stored-codes ANN serve instead of an exact
@@ -1491,10 +1491,10 @@ object RetrievalQueries {
     */
   def mmrDiversifiedIndexed(s: SparkSession, dir: String, nQueries: Int,
       pool: Int, picks: Int, lam: Double): DataFrame =
-    mmrGreedy(
+    mmrSelect(
       mmrIndexedCandidates(s, dir, mmrCorpusQueryFrame(s, dir, nQueries),
-        pool),
-      picks, lam)
+        pool, bulk = mmrBulk(s, nQueries.toLong)),
+      picks, lam, nQueries.toLong)
 
   /** Corpus-size threshold (bytes, embeddings-table stats) above which
     * [[mmrSearchVectors]] pools candidates from the stored-codes ANN
@@ -1534,9 +1534,13 @@ object RetrievalQueries {
       MmrExactMaxBytesKey, MmrExactMaxBytesDefault.toString).toLong
     val corpusBytes = t(s, dir, "embeddings")
       .queryExecution.optimizedPlan.stats.sizeInBytes
+    val nq = vectors.size.toLong
     val picked =
-      if (corpusBytes <= threshold) mmrForQueries(s, dir, q, pool, picks, lam)
-      else mmrGreedy(mmrIndexedCandidates(s, dir, q, pool), picks, lam)
+      if (corpusBytes <= threshold)
+        mmrForQueries(s, dir, q, pool, picks, lam, nq)
+      else mmrSelect(
+        mmrIndexedCandidates(s, dir, q, pool, bulk = mmrBulk(s, nq)),
+        picks, lam, nq)
     picked
       .withColumn("q_id", -col("q_id") - 1)
       .orderBy(col("q_id"), col("pick"))
@@ -1555,18 +1559,24 @@ object RetrievalQueries {
     * query frame (q_id, qv, qn) — the oracle-exact small-corpus form.
     */
   private def mmrForQueries(s: SparkSession, dir: String, q: DataFrame,
-      pool: Int, picks: Int, lam: Double): DataFrame = {
+      pool: Int, picks: Int, lam: Double, numQueries: Long): DataFrame = {
     val e = t(s, dir, "embeddings")
     val c = e.select(col("vec_id").as("n_id"), col("embedding").as("cv"),
       l2Norm(col("embedding")).as("cn"))
     val wrel = Window.partitionBy(col("q_id"))
       .orderBy(col("rel").desc, col("n_id"))
-    val cand = c.join(broadcast(q), col("n_id") =!= col("q_id"))
+    // interactive batches broadcast the query frame; a bulk batch's
+    // query frame may exceed driver-broadcast size, so the hint drops
+    // and AQE decides (the BM25 JOIN-arm discipline) — the theta-join
+    // pool is then a shuffle join, still never all-pairs materialized
+    // past the rank cut
+    val qSide = if (mmrBulk(s, numQueries)) q else broadcast(q)
+    val cand = c.join(qSide, col("n_id") =!= col("q_id"))
       .withColumn("rel", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rk", row_number().over(wrel))
       .filter(col("rk") <= pool)
       .select(col("q_id"), col("n_id"), col("rel"), col("cv"), col("cn"))
-    mmrGreedy(cand, picks, lam)
+    mmrSelect(cand, picks, lam, numQueries)
   }
 
   /** Exact-cosine re-rank depth of the ADC candidate stage feeding the
@@ -1602,46 +1612,62 @@ object RetrievalQueries {
       nprobe = 2, topC = math.max(MmrIndexedTopC, pool), depth = pool)
 
   private[graft] def mmrIndexedCandidates(s: SparkSession, dir: String,
-      q: DataFrame, pool: Int): DataFrame = {
+      q: DataFrame, pool: Int, bulk: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val ranked = mmrIndexedPool(s, dir, q, pool)
-    val pairRows = ranked.select(col("q_id"), col("n_id")).collect().toSeq
-    val ids = pairRows.map(_.getLong(1)).distinct
-    val pairs = s.createDataFrame(
-      java.util.Arrays.asList(pairRows: _*),
-      StructType(Seq(StructField("q_id", LongType),
-        StructField("n_id", LongType))))
-    t(s, dir, "embeddings")
-      .filter(col("vec_id").isin(ids: _*))
-      .select(col("vec_id").as("n_id"), col("embedding").as("cv"),
-        l2Norm(col("embedding")).as("cn"))
-      .join(broadcast(pairs), Seq("n_id"))
-      .join(broadcast(q), Seq("q_id"))
+    val fetched =
+      if (bulk) {
+        // BULK fetch arm: the pair frame stays distributed and the
+        // candidate vectors arrive by JOIN — a collect + `isin`
+        // literal over millions of candidate ids would bottleneck the
+        // driver and blow the plan (the BM25 JOIN-arm discipline). No
+        // broadcast hints: at the batch sizes that pick this arm the
+        // pair/query frames may exceed driver-broadcast size; AQE
+        // still broadcasts small ones on its own.
+        t(s, dir, "embeddings")
+          .select(col("vec_id").as("n_id"), col("embedding").as("cv"),
+            l2Norm(col("embedding")).as("cn"))
+          .join(ranked.select(col("q_id"), col("n_id")), Seq("n_id"))
+          .join(q, Seq("q_id"))
+      } else {
+        val pairRows = ranked.select(col("q_id"), col("n_id")).collect().toSeq
+        val ids = pairRows.map(_.getLong(1)).distinct
+        val pairs = s.createDataFrame(
+          java.util.Arrays.asList(pairRows: _*),
+          StructType(Seq(StructField("q_id", LongType),
+            StructField("n_id", LongType))))
+        t(s, dir, "embeddings")
+          .filter(col("vec_id").isin(ids: _*))
+          .select(col("vec_id").as("n_id"), col("embedding").as("cv"),
+            l2Norm(col("embedding")).as("cn"))
+          .join(broadcast(pairs), Seq("n_id"))
+          .join(broadcast(q), Seq("q_id"))
+      }
+    fetched
       .select(col("q_id"), col("n_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("rel"),
         col("cv"), col("cn"))
   }
 
-  /** The MMR greedy selection over a candidate pool (q_id, n_id, rel,
-    * cv, cn) — shared by the exact and indexed tiers so the selection
-    * semantics cannot drift between them.
+  /** ONE query's MMR greedy selection over its candidate pool rows
+    * `(n_id, rel, cv, cn)` → `(n_id, pick, mmr_score)` — THE selection
+    * kernel, shared bit-for-bit by the driver arm ([[mmrGreedy]]) and
+    * the distributed bulk arm ([[mmrGreedyDistributed]]): the same
+    * compiled arithmetic runs in both places, so the arms cannot
+    * drift. Every double op mirrors the relational form the unrolled
+    * oracle CTEs re-derive — FloatVectorDot's strict left-to-right
+    * accumulation, λ·rel − (1−λ)·max-sim with the same literal
+    * products, ties by (value desc, n_id asc); the seed pick mirrors
+    * the oracle's s1 CTE EXACTLY: ordered by (rel desc, n_id asc)
+    * with mmr emitted as λ·rel (ordering by λ·rel would diverge at
+    * λ=0, where every product ties at 0 and the tie-break would pick
+    * the lowest n_id regardless of relevance). Order-independent in
+    * the candidate order: every pick is an argmin over a key made
+    * unique by its trailing n_id.
     */
-  private def mmrGreedy(
-      cand0: DataFrame, picks: Int, lam: Double): DataFrame = {
-    val s = cand0.sparkSession
-    // The pool is query-batch-sized BY CONSTRUCTION (≤ queries × pool
-    // rows of 64-dim vectors — driver metadata, the ANN serve's
-    // collect-once discipline), so the greedy selection runs as plain
-    // driver arithmetic on ONE collected frame. Rounds 13–15 ran the
-    // loop distributed over per-step localCheckpoints: correct, but
-    // 8+ scheduler jobs per pick on query-batch-sized local relations
-    // — a 46-job floor for a 1-query search (SearchProfile, round
-    // 16). Every double op below mirrors the relational form the
-    // unrolled oracle CTEs re-derive — FloatVectorDot's strict
-    // left-to-right accumulation, λ·rel − (1−λ)·max-sim with the same
-    // literal products, ties by (value desc, n_id asc) — so the
-    // catalog hash gates pin this path bit-for-bit at every dial.
-    val rows = cand0.collect()
+  private[graft] def mmrGreedyPerQuery(
+      cs: Array[(Long, Double, Array[Float], Double)],
+      picks: Int, lam: Double): Seq[(Long, Int, Double)] = {
     val lamC = 1.0 - lam
     def dotD(a: Array[Float], b: Array[Float]): Double = {
       val n = math.min(a.length, b.length)
@@ -1650,46 +1676,129 @@ object RetrievalQueries {
       while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
       acc
     }
+    val sim = scala.collection.mutable.HashMap.empty[(Long, Long), Double]
+    for (a <- cs; b <- cs; if a._1 != b._1)
+      sim((a._1, b._1)) = dotD(a._3, b._3) / (a._4 * b._4)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double)]
+    for (k <- 1 to picks) {
+      if (k == 1 && cs.nonEmpty) {
+        val c = cs.minBy(c => (-c._2, c._1))
+        selected += c._1
+        out += ((c._1, 1, math.floor(lam * c._2 * 10000) / 10000))
+      } else {
+        val scored = cs.filter(c => !selected.contains(c._1)).map { c =>
+          val mmr = lam * c._2 -
+            lamC * selected.map(sel => sim((c._1, sel))).max
+          (c._1, mmr)
+        }
+        if (scored.nonEmpty) {
+          val (n, mmr) = scored.minBy { case (n, m) => (-m, n) }
+          selected += n
+          out += ((n, k, math.floor(mmr * 10000) / 10000))
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** The MMR greedy selection over a candidate pool (q_id, n_id, rel,
+    * cv, cn) — shared by the exact and indexed tiers so the selection
+    * semantics cannot drift between them. This is the INTERACTIVE
+    * (driver) arm: the pool is query-batch-sized BY CONSTRUCTION
+    * (≤ queries × pool rows of 64-dim vectors — driver metadata, the
+    * ANN serve's collect-once discipline), so the greedy selection
+    * runs as plain driver arithmetic on ONE collected frame. Rounds
+    * 13–15 ran the loop distributed over per-step localCheckpoints:
+    * correct, but 8+ scheduler jobs per pick on query-batch-sized
+    * local relations — a 46-job floor for a 1-query search
+    * (SearchProfile, round 16). For OFFLINE bulk batches the per-query
+    * kernel runs distributed instead ([[mmrGreedyDistributed]]); the
+    * catalog hash gates pin the shared kernel bit-for-bit at every
+    * dial, and the arm-identity spec pins the two arms row-identical.
+    */
+  private[graft] def mmrGreedy(
+      cand0: DataFrame, picks: Int, lam: Double): DataFrame = {
+    val s = cand0.sparkSession
+    val rows = cand0.collect()
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Int, Double)]
     rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
       // (n_id, rel, cv, cn), pool-sized
       val cs = rs.map(r => (r.getLong(1), r.getDouble(2),
         r.getSeq[Float](3).toArray, r.getDouble(4)))
-      val sim = scala.collection.mutable.HashMap.empty[(Long, Long), Double]
-      for (a <- cs; b <- cs; if a._1 != b._1)
-        sim((a._1, b._1)) = dotD(a._3, b._3) / (a._4 * b._4)
-      val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
-      for (k <- 1 to picks) {
-        if (k == 1 && cs.nonEmpty) {
-          // seed pick mirrors the oracle's s1 CTE EXACTLY: ordered by
-          // (rel desc, n_id asc), mmr emitted as λ·rel. Ordering by
-          // λ·rel would diverge at λ=0 (every product ties at 0 and
-          // the tie-break would pick the lowest n_id regardless of
-          // relevance) — the library documents correctness for any
-          // λ ∈ [0,1], so the seed must not depend on λ's sign-
-          // collapsing the relevance order.
-          val c = cs.minBy(c => (-c._2, c._1))
-          selected += c._1
-          out += ((q, c._1, 1, math.floor(lam * c._2 * 10000) / 10000))
-        } else {
-          val scored = cs.filter(c => !selected.contains(c._1)).map { c =>
-            val mmr = lam * c._2 -
-              lamC * selected.map(sel => sim((c._1, sel))).max
-            (c._1, mmr)
-          }
-          if (scored.nonEmpty) {
-            val (n, mmr) = scored.minBy { case (n, m) => (-m, n) }
-            selected += n
-            out += ((q, n, k, math.floor(mmr * 10000) / 10000))
-          }
-        }
-      }
+      mmrGreedyPerQuery(cs, picks, lam).foreach { case (n, k, m) =>
+        out += ((q, n, k, m)) }
     }
     import s.implicits._
     out.toSeq.toDF("q_id", "n_id", "pick", "mmr_score")
       .orderBy(col("q_id"), col("pick"))
   }
+
+  /** The BULK (distributed) greedy arm: the per-query kernel runs
+    * inside `flatMapGroups` keyed on q_id — embarrassingly parallel
+    * (queries never interact), so an offline million-query
+    * diversification scales with the cluster instead of collecting
+    * queries × pool candidate VECTORS to the driver and running the
+    * selection single-threaded. Same compiled kernel as the driver
+    * arm — identical output by construction (and pinned row-identical
+    * by the arm-identity spec on random pools).
+    */
+  private[graft] def mmrGreedyDistributed(
+      cand0: DataFrame, picks: Int, lam: Double): DataFrame = {
+    val s = cand0.sparkSession
+    import s.implicits._
+    cand0.select(col("q_id"), col("n_id"), col("rel"), col("cv"), col("cn"))
+      .as[(Long, Long, Double, Array[Float], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (q: Long,
+          it: Iterator[(Long, Long, Double, Array[Float], Double)]) =>
+        val cs = it.map(t => (t._2, t._3, t._4, t._5)).toArray
+        mmrGreedyPerQuery(cs, picks, lam).iterator
+          .map { case (n, k, m) => (q, n, k, m) }
+      }
+      .toDF("q_id", "n_id", "pick", "mmr_score")
+      .orderBy(col("q_id"), col("pick"))
+  }
+
+  /** Query-batch-size bound (count of queries — known on the driver
+    * before any job, the [[PushdownTermsMaxKey]] discipline) above
+    * which the diversified family's greedy and candidate-fetch stages
+    * switch from the interactive driver arm (collect + literal-pruned
+    * point fetch + driver arithmetic) to the distributed bulk arm
+    * (join-based vector fetch + grouped per-query greedy). The driver
+    * arm's collect carries the candidate VECTORS (≈ queries × pool ×
+    * 64 floats ≈ 300 B/row) and builds an `isin` literal over the
+    * candidate ids, both linear in the batch — fine interactive,
+    * driver-bound for offline million-query batches. The default is
+    * set by the STRUCTURAL bound, not local wall-clock: the round-17
+    * measurement (SCALING.md, MmrBulkProfile at sf1) has the bulk arm
+    * winning at EVERY batch size on this box (n=1: 0.78 vs 1.02 s;
+    * n=512: 1.60 vs 1.97; n=10k: 9.6 vs 12.3) because a 5 MB local
+    * corpus makes the bulk arm's un-pruned embeddings scan free — but
+    * at 100 TB that scan term dominates a small batch, and the driver
+    * arm's id-pruned point fetch (O(candidates) IO) is the right plan
+    * exactly while the candidate-id set fits the literal-pushdown
+    * discipline: 512 queries × pool 20 = 10,240 ids, just under the
+    * [[PushdownTermsMaxDefault]] 16,384-literal line. Above it the
+    * literal stops pruning anyway and the measured-everywhere-faster
+    * bulk arm takes over.
+    */
+  private[graft] val MmrBulkQueriesMinKey = "graft.mmr.bulkQueriesMin"
+  private[graft] val MmrBulkQueriesMinDefault = 512L
+
+  private def mmrBulk(s: SparkSession, numQueries: Long): Boolean =
+    numQueries > s.conf.get(
+      MmrBulkQueriesMinKey, MmrBulkQueriesMinDefault.toString).toLong
+
+  /** Size-aware greedy dispatch — driver arm at interactive batch
+    * sizes, distributed arm above [[MmrBulkQueriesMinKey]].
+    */
+  private def mmrSelect(cand: DataFrame, picks: Int, lam: Double,
+      numQueries: Long): DataFrame =
+    if (mmrBulk(cand.sparkSession, numQueries))
+      mmrGreedyDistributed(cand, picks, lam)
+    else mmrGreedy(cand, picks, lam)
 
   // ------------------------------------------------------------------
   // Streaming relevance scoring — the retrieval family's gate member
@@ -1834,9 +1943,13 @@ object RetrievalQueries {
     * Goldstein's MMR applied to Cormack's RRF — the full modern
     * retrieval stack in one chain). Both fusion arms serve from their
     * stored indexes (the q_hybrid_rrf_indexed chain); the candidate
-    * list is query-batch-sized, its vectors arrive by id-pruned point
-    * fetch, and the greedy runs driver-side — nothing corpus-sized
-    * after the two index serves.
+    * list is query-batch-sized and nothing is corpus-sized after the
+    * two index serves. Size-aware like every retrieval entry: at
+    * interactive batch sizes the vectors arrive by id-pruned point
+    * fetch and the greedy runs driver-side; above
+    * [[MmrBulkQueriesMinKey]] the fetch is an un-hinted join and the
+    * per-query greedy runs distributed (same kernel — arm-identity
+    * pinned).
     */
   def hybridDiversified(s: SparkSession, dir: String, nQueries: Int,
       picks: Int, lam: Double): DataFrame = {
@@ -1846,7 +1959,8 @@ object RetrievalQueries {
     val ct = SimilarityQueries.pinnedServedRanked(
       s, dir, nQueries, nprobe = 2, topC = 24, depth = FuseDepth)
       .select(col("q_id"), col("n_id"), col("rank").as("cos_rank"))
-    mmrGreedy(fusedCandidates(s, dir, rrfFusedRanked(bt, ct)), picks, lam)
+    mmrSelect(fusedCandidates(s, dir, rrfFusedRanked(bt, ct),
+      bulk = mmrBulk(s, nQueries.toLong)), picks, lam, nQueries.toLong)
   }
 
   /** Diversified hybrid search for EXTERNAL (text, vector) queries —
@@ -1866,32 +1980,41 @@ object RetrievalQueries {
         s, dir, queries.map(_._2), nprobe = 2, topC = 24,
         depth = FuseDepth)
       .select(col("q_id"), col("n_id"), col("rank").as("cos_rank"))
-    mmrGreedy(fusedCandidates(s, dir, rrfFusedRanked(bt, ct)), picks, lam)
+    mmrSelect(fusedCandidates(s, dir, rrfFusedRanked(bt, ct),
+        bulk = mmrBulk(s, queries.size.toLong)),
+        picks, lam, queries.size.toLong)
       .withColumn("q_id", -col("q_id") - 1)
       .orderBy(col("q_id"), col("pick"))
   }
 
   /** The MMR candidate frame (q_id, n_id, rel, cv, cn) over a fused
-    * ranking: collect the query-batch-sized (q_id, n_id, rrf) triples,
-    * point-fetch the candidate vectors by id (the indexed-MMR fetch
-    * shape — the embeddings scan prunes to candidate ids).
+    * ranking. Interactive arm: collect the query-batch-sized (q_id,
+    * n_id, rrf) triples, point-fetch the candidate vectors by id (the
+    * indexed-MMR fetch shape — the embeddings scan prunes to candidate
+    * ids). Bulk arm: the triples stay distributed and the vectors
+    * arrive by un-hinted join (see [[mmrIndexedCandidates]]).
     */
-  private def fusedCandidates(
-      s: SparkSession, dir: String, fused: DataFrame): DataFrame = {
+  private def fusedCandidates(s: SparkSession, dir: String,
+      fused: DataFrame, bulk: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
-    val rows = fused.select(col("q_id"), col("n_id"), col("rrf"))
-      .collect().toSeq
-    val ids = rows.map(_.getLong(1)).distinct
-    val pairs = s.createDataFrame(
-      java.util.Arrays.asList(rows: _*),
-      StructType(Seq(StructField("q_id", LongType),
-        StructField("n_id", LongType), StructField("rel", DoubleType))))
-    t(s, dir, "embeddings")
-      .filter(col("vec_id").isin(ids: _*))
+    val cands = t(s, dir, "embeddings")
       .select(col("vec_id").as("n_id"), col("embedding").as("cv"),
         l2Norm(col("embedding")).as("cn"))
-      .join(broadcast(pairs), Seq("n_id"))
-      .select(col("q_id"), col("n_id"), col("rel"), col("cv"), col("cn"))
+    val joined =
+      if (bulk)
+        cands.join(fused.select(col("q_id"), col("n_id"),
+          col("rrf").as("rel")), Seq("n_id"))
+      else {
+        val rows = fused.select(col("q_id"), col("n_id"), col("rrf"))
+          .collect().toSeq
+        val ids = rows.map(_.getLong(1)).distinct
+        val pairs = s.createDataFrame(
+          java.util.Arrays.asList(rows: _*),
+          StructType(Seq(StructField("q_id", LongType),
+            StructField("n_id", LongType), StructField("rel", DoubleType))))
+        cands.filter(col("n_id").isin(ids: _*)).join(broadcast(pairs), Seq("n_id"))
+      }
+    joined.select(col("q_id"), col("n_id"), col("rel"), col("cv"), col("cn"))
   }
 
   /** The diversified hybrid oracle: the full fused chain (both index

@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -892,5 +892,154 @@ class RetrievalSpec extends SparkSpec {
       val byRank = qr.sortBy(_._2).map(_._5)
       assert(byRank.zip(byRank.tail).forall { case (x, y) => x >= y })
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Property specs for the driver-side semantic twins: the external
+  // entries replicate Spark tokenize/fold semantics in plain Scala
+  // (a second implementation of record). The catalog hash gates pin
+  // today's behavior at three corpora; these generator-based
+  // equivalences pin the twins against FUTURE edits the gated corpora
+  // don't happen to contain (e.g. the round-16 UTF-16-vs-UTF-8
+  // tie-break bug class).
+  // ------------------------------------------------------------------
+
+  test("property: externalQueryTerms == queryTermsAll on 120+ random " +
+      "unicode texts (supplementary plane, mixed case, ragged " +
+      "whitespace, tf ties at the salient-term boundary)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1701)
+    // token pool chosen to be ADVERSARIAL for the twin's two known
+    // drift axes: case folding (sharp s, dotted capital I, final
+    // sigma) and tie-break byte order (U+1F600 sorts BELOW U+FFEE in
+    // UTF-16 code units but ABOVE it in UTF-8 bytes)
+    val pool = Vector("a", "b", "zz", "Ab", "AB", "ß", "İ", "ı",
+      "Σα", "ς", "漢字", "😀", "￮", "x😀y", "a1", "1", "!?", "é", "É")
+    val seps = Vector(" ", "  ", "\t", "\n", " \t ", "　")
+    def randText(): String = {
+      val n = rnd.nextInt(28)
+      (0 until n).map(_ => pool(rnd.nextInt(pool.size)))
+        .mkString(seps(rnd.nextInt(seps.size)))
+    }
+    val crafted = Seq(
+      "", "   ", "\t\n", "single",
+      // equal-tf tie at the top-3 boundary where UTF-16 and UTF-8
+      // orders DISAGREE: a(2) b(2) then one of {😀, ￮} — UTF-8 must
+      // pick ￮ (EF BF AE < F0 9F 98 80)
+      "a a b b ￮ 😀",
+      "😀 ￮ a a b b",
+      "ß ß SS ss İ i̇")
+    val texts = crafted ++ Seq.fill(120)(randText())
+    val expected = RetrievalQueries.queryTermsAll(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getString(1)).toSet).toMap
+    val got = RetrievalQueries.externalQueryTerms(spark, texts)
+      .collect().groupBy(r => -r.getLong(0) - 1)
+      .view.mapValues(_.map(_.getString(1)).toSet).toMap
+    assert(got.keySet == expected.keySet,
+      s"texts with terms differ: ${got.keySet.diff(expected.keySet)} / " +
+        s"${expected.keySet.diff(got.keySet)}")
+    for ((i, terms) <- expected)
+      assert(got(i) == terms,
+        s"text #$i '${texts(i.toInt)}': driver ${got(i)} vs spark $terms")
+  }
+
+  /** Test-local INDEPENDENT reference MMR: a from-scratch re-derivation
+    * of the Carbonell & Goldstein recurrence (sorted-argmax form, no
+    * shared code with the production kernel) so a kernel edit that
+    * drifts from the defined semantics cannot hide behind arm identity.
+    */
+  private def referenceMmr(
+      cand: Seq[(Long, Long, Double, Array[Float], Double)],
+      picks: Int, lam: Double): Seq[(Long, Long, Int, Double)] = {
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0
+      for (i <- 0 until math.min(a.length, b.length))
+        acc += a(i).toDouble * b(i).toDouble
+      acc
+    }
+    cand.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      val cs = rows.map(r => (r._2, r._3, r._4, r._5))
+      var selected = Vector.empty[(Long, Double, Array[Float], Double)]
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Int, Double)]
+      for (k <- 1 to picks) {
+        val open = cs.filterNot(c => selected.exists(_._1 == c._1))
+        if (open.nonEmpty) {
+          if (k == 1) {
+            val c = open.sortBy(c => (-c._2, c._1)).head
+            selected :+= c
+            out += ((q, c._1, 1, math.floor(lam * c._2 * 1e4) / 1e4))
+          } else {
+            val best = open.map { c =>
+              val mx = selected
+                .map(s => dot(c._3, s._3) / (c._4 * s._4)).max
+              (c, lam * c._2 - (1.0 - lam) * mx)
+            }.sortBy { case (c, m) => (-m, c._1) }.head
+            selected :+= best._1
+            out += ((q, best._1._1, k, math.floor(best._2 * 1e4) / 1e4))
+          }
+        }
+      }
+      out
+    }
+  }
+
+  test("property: driver greedy == distributed bulk greedy == " +
+      "independent reference MMR on 100 random (pool, lambda) cases " +
+      "including exact rel ties and lambda in {0, 0.25, 0.5, 1}") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9042)
+    for (lam <- Seq(0.0, 0.25, 0.5, 1.0)) {
+      // one frame of 25 independent query pools per lambda — the
+      // greedy never crosses q_id, so each pool is its own case
+      val cand = (0 until 25).flatMap { q =>
+        val ids = rnd.shuffle((0L until 40L).toList).take(8 + rnd.nextInt(8))
+        // quantized rel so EXACT ties occur regularly (tie-break path)
+        ids.map { n =>
+          val rel = math.floor(rnd.nextDouble() * 8) / 8.0
+          val cv = Array.fill(8)(rnd.nextInt(5).toFloat - 2f)
+          val cn = math.sqrt(
+            cv.map(x => x.toDouble * x.toDouble).sum).max(1e-9)
+          (q.toLong, n, rel, cv, cn)
+        }
+      }
+      val df = cand.map { case (q, n, r, cv, cn) => (q, n, r, cv.toSeq, cn) }
+        .toDF("q_id", "n_id", "rel", "cv", "cn")
+      def key(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getDouble(3))).sortBy(t => (t._1, t._3)).toSeq
+      val driver = key(RetrievalQueries.mmrGreedy(df, 5, lam).collect())
+      val dist = key(
+        RetrievalQueries.mmrGreedyDistributed(df, 5, lam).collect())
+      val ref = referenceMmr(cand, 5, lam)
+        .map(t => (t._1, t._2, t._3, t._4)).sortBy(t => (t._1, t._3))
+      assert(driver == dist,
+        s"lambda=$lam: driver and distributed arms diverge")
+      assert(driver == ref,
+        s"lambda=$lam: kernel diverges from the independent reference")
+    }
+  }
+
+  test("bulk arm end-to-end: searchDiversified and " +
+      "mmrDiversifiedIndexed forced through the distributed path are " +
+      "row-identical to the interactive driver path") {
+    val qtext = "stream filter window merge"
+    val qvec = Array.tabulate(64)(i => (i % 7).toFloat / 7f)
+    def run(): (Seq[Row], Seq[Row]) = (
+      RetrievalQueries.searchDiversified(
+        spark, sfDir, Seq((qtext, qvec))).collect().toSeq,
+      RetrievalQueries.mmrDiversifiedIndexed(
+        spark, sfDir, 3, 20, 5, 0.5).collect().toSeq)
+    val (sd1, mi1) = run()
+    spark.conf.set(RetrievalQueries.MmrBulkQueriesMinKey, "0")
+    try {
+      val (sd2, mi2) = run()
+      assert(sd1 == sd2, "searchDiversified arms diverge")
+      assert(mi1 == mi2, "mmrDiversifiedIndexed arms diverge")
+      assert(sd1.nonEmpty && mi1.nonEmpty)
+    } finally spark.conf.unset(RetrievalQueries.MmrBulkQueriesMinKey)
   }
 }
