@@ -10,10 +10,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.streaming.StreamingPipeline
 
-/** The THIRTEEN streaming maintenance wirings running concurrently in
+/** The FOURTEEN streaming maintenance wirings running concurrently in
   * one session — the literal-deployment sibling of
   * [[CombinedLoopsProbe]] (which fans direct maintenance calls). Here
-  * each family is its actual `StreamingQuery`: thirteen `start*` wirings
+  * each family is its actual `StreamingQuery`: fourteen `start*` wirings
   * with their own checkpoints and AvailableNow triggers, reading three
   * shared incoming dirs of landed parquet files (docs → signatures
   * ingest, span ingest, full lexical dedup maintenance, DSIR model
@@ -22,7 +22,9 @@ import graft.streaming.StreamingPipeline
   * codes ingest, SemDeDup ingest, full embed dedup maintenance —
   * round 13 added the residual and DSIR members, round 14 the BM25
   * postings index and the diversity state, round 15 the positional
-  * bigram phrase index).
+  * bigram phrase index, round 17 the takedown maintainer — the
+  * deletion lifecycle running CONCURRENTLY with the ingest of the
+  * very tables it tombstones).
   * This exercises the machinery the future-based probe cannot: concurrent file-source listing and
   * checkpointing, foreachBatch scheduling across streams, and the
   * per-table single-writer protocols under real stream concurrency.
@@ -86,7 +88,7 @@ object CombinedStreamsProbe {
       graft.analytics.SimilarityQueries.residualFrame(vecs0, cbIvf, means),
       8, 8, 16, 2)
 
-    /** The thirteen wirings against a fresh state root; returns
+    /** The fourteen wirings against a fresh state root; returns
       * (family name, start thunk, checksum thunk) triples.
       */
     def wirings(mode: String): Seq[(String, () => StreamingQuery, () => Long)] = {
@@ -136,12 +138,11 @@ object CombinedStreamsProbe {
           () => sumHash(spark.read.parquet(d("rescodes")))),
         ("postings",
           () => StreamingPipeline.startPostingsIngest(
-            spark, docsIn.toString, d("pst"), d("pdl"), d("pcnt"), d("ck-p")),
+            spark, docsIn.toString, d("pst"), d("pdl"), d("ck-p")),
           () => sumHash(spark.read.parquet(d("pst"))
               .select(col("doc_id"), col("term"), col("tf"))) +
             sumHash(spark.read.parquet(d("pdl"))
-              .select(col("doc_id"), col("dl"))) +
-            spark.read.parquet(d("pcnt")).agg(sum(col("n"))).head.getLong(0)),
+              .select(col("doc_id"), col("dl")))),
         ("phrase",
           () => StreamingPipeline.startPhraseIngest(
             spark, docsIn.toString, d("bpst"), d("ck-ph")),
@@ -168,7 +169,28 @@ object CombinedStreamsProbe {
           () => StreamingPipeline.startEmbedDedupMaintenance(
             spark, vecsIn.toString, d("buckets"), d("vecs"), d("elabels"),
             d("ck-e"), threshold = 0.8, bands = 4, bits = 16),
-          () => MaintenanceProbe.labelsChecksum(spark, d("elabels"))))
+          () => MaintenanceProbe.labelsChecksum(spark, d("elabels"))),
+        // the deletion lifecycle's maintainer: takedown requests
+        // tombstone the SAME postings tables the postings stream is
+        // appending into — tombstone appends touch only the
+        // `_tombstones` siblings, so the two writers compose; the
+        // checksum is the tombstone-FILTERED serve state, which must
+        // be mode-invariant once both streams drain
+        ("takedown",
+          () => {
+            val tin = s.resolve("in-takedown")
+            java.nio.file.Files.createDirectory(tin)
+            land(spark.range(100)
+              .select((col("id") * 13L).as("doc_id")), tin, "t0.parquet")
+            StreamingPipeline.startTakedownIngest(
+              spark, tin.toString, d("pst"), d("pdl"), d("ck-tk"))
+          },
+          () => sumHash(graft.sinks.IncrementalParquet.applyTombstones(
+              spark, d("pst"), "doc_id")(spark.read.parquet(d("pst")))
+              .select(col("doc_id"), col("term"), col("tf"))) +
+            sumHash(graft.sinks.IncrementalParquet.applyTombstones(
+              spark, d("pdl"), "doc_id")(spark.read.parquet(d("pdl")))
+              .select(col("doc_id"), col("dl")))))
     }
 
     // SERIAL: each stream drains the whole incoming dir alone
@@ -183,7 +205,7 @@ object CombinedStreamsProbe {
     println(f"STREAMS mode=serial corpus=${batches * m} total_s=$serialTotal%.1f " +
       serialWalls.map { case (n, w) => f"$n=$w%.1f" }.mkString(" "))
 
-    // CONCURRENT: all thirteen streams live at once
+    // CONCURRENT: all fourteen streams live at once
     val conc = wirings("conc")
     val tC = System.nanoTime()
     val queries = conc.map { case (name, start, _) => (name, start()) }
@@ -200,14 +222,14 @@ object CombinedStreamsProbe {
       println(s"STREAMS-IDENTITY $name serial=$a concurrent=$b match=${a == b}")
     }
 
-    // CHAOS: all thirteen live again, but one maintainer — the richest
+    // CHAOS: all fourteen live again, but one maintainer — the richest
     // wiring, the lexical dedup maintainer with its three coupled
     // stores and batch-scoped delta persistence — is KILLED mid-run
-    // while the other twelve keep draining, then restarted from its
+    // while the other thirteen keep draining, then restarted from its
     // checkpoint. The per-family recovery preambles + exactly-once
     // appends must converge every stored table to the serial
     // checksums anyway: a crash of one member of the composed
-    // deployment is survivable without touching the other twelve.
+    // deployment is survivable without touching the other thirteen.
     val chaos = wirings("chaos")
     val victim = "lex-maint"
     val tK = System.nanoTime()

@@ -398,7 +398,7 @@ object DedupQueries {
   private[graft] def lshCandidatesServed(
       s: SparkSession, dir: String, extra: Seq[String]): DataFrame =
     candidatePairsFromSignatures(
-      Tables.parquetCachedSchema(s, incrementalSignaturesPath(s, dir)), extra)
+      storedSignaturesLive(s, incrementalSignaturesPath(s, dir)), extra)
 
   // ------------------------------------------------------------------
   // Incremental signature table — the lexical mirror of the stored ANN
@@ -504,6 +504,43 @@ object DedupQueries {
   def compactSignaturesMinor(spark: SparkSession, sigDir: String): Int =
     graft.sinks.IncrementalParquet.compactMinor(spark, sigDir, "bkt")
 
+  /** Exactly-once TAKEDOWN of a batch of document ids from a stored
+    * signature table (lexical MinHash or embedding sign-buckets — the
+    * protocol never looks at the signature bytes): the ids land as
+    * tombstones on the table's `_tombstones` sibling (own ack
+    * namespace — a replayed delete batch is a no-op forever) and every
+    * serve filters them from the moment the batch acks
+    * ([[storedSignaturesLive]]): the doc stops pairing, so it leaves
+    * every candidate pair, every verified near-dup edge and every
+    * cluster derived from the table — INCLUDING re-splitting a cluster
+    * it alone bridged, because cluster labels are derived from the
+    * surviving edges at serve time, not stored. O(batch), no table
+    * rewrite; [[purgeSignaturesTombstones]] is the physical removal.
+    */
+  def deleteFromSignaturesIdempotent(
+      docIds: DataFrame, sigDir: String, batchId: Long): Unit =
+    graft.sinks.IncrementalParquet.appendTombstonesIdempotent(
+      docIds.sparkSession, sigDir, "doc_id", batchId)(docIds)
+
+  /** Physical purge of tombstoned docs from a stored signature table —
+    * O(touched buckets), never O(table): a doc's signature lives in
+    * exactly ONE doc-hash bucket, so a takedown batch rewrites
+    * ≤ |batch| buckets. Returns buckets rewritten.
+    */
+  def purgeSignaturesTombstones(s: SparkSession, sigDir: String): Int =
+    graft.sinks.IncrementalParquet.purgeTombstoned(
+      s, sigDir, "bkt", "doc_id")(v => Int.box(v.toInt))
+
+  /** Read a stored signature table for SERVING with the deletion
+    * lifecycle applied: tombstoned docs stop pairing the moment their
+    * delete batch acks. Identity — no plan change — for a
+    * never-deleted table, so the LSH plan pins hold unchanged.
+    */
+  private[analytics] def storedSignaturesLive(
+      s: SparkSession, sigDir: String): DataFrame =
+    graft.sinks.IncrementalParquet.applyTombstones(s, sigDir, "doc_id")(
+      Tables.parquetCachedSchema(s, sigDir))
+
   /** Candidate pairs served from the incremental table on disk: the
     * stored signatures band-join themselves (plus optionally a new
     * unstored batch via [[crossBatchCandidatePairs]]); no tokenizer /
@@ -511,7 +548,7 @@ object DedupQueries {
     */
   def candidatePairsFromStored(
       s: SparkSession, sigDir: String, extra: Seq[String] = Seq.empty): DataFrame =
-    candidatePairsFromSignatures(Tables.parquetCachedSchema(s, sigDir), extra)
+    candidatePairsFromSignatures(storedSignaturesLive(s, sigDir), extra)
 
   /** The doc-hash buckets a set of ids hashes into — derivable from the
     * ids ALONE (the point of bucketing by id hash, not band key), so
@@ -654,7 +691,7 @@ object DedupQueries {
   def batchVerifiedPairs(
       s: SparkSession, sigDir: String, batch: DataFrame,
       threshold: Double = 0.5, broadcastBatch: Boolean = true): DataFrame = {
-    val stored = Tables.parquetCachedSchema(s, sigDir)
+    val stored = storedSignaturesLive(s, sigDir)
     val nBuckets = tableBuckets(s, sigDir)
     // COMPUTE the batch's signature rows, don't fetch them back: they
     // are a pure function of the batch — bit-identical to what the
@@ -834,6 +871,29 @@ object DedupQueries {
       nearDupCorpus(t(s, dir, "documents")), "doc_id", "bkt")(
       bucketedSignatures)
 
+  private val storedIncSignaturesDeleted =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The DELETION-lifecycle signature table: the standard incremental
+    * build, then the takedown protocol end to end (ids ≡ 3 mod 14
+    * physically purged, ≡ 10 mod 14 tombstone-served, a replayed
+    * delete batch pinned as a no-op —
+    * [[graft.sinks.IncrementalParquet.buildViaDeleteLifecycle]]).
+    * q_dedup_clusters_deleted serves the whole LSH → verify → closure
+    * chain from it, so its one oracle hash pins both removal
+    * mechanisms — including the cluster RE-SPLIT a deleted bridge doc
+    * forces, the part no incremental label fold can express — against
+    * the full recompute over the surviving corpus.
+    */
+  private[graft] def incrementalSignaturesDeletedPath(
+      s: SparkSession, dir: String): String =
+    graft.sinks.IncrementalParquet.buildViaDeleteLifecycle(
+      storedIncSignaturesDeleted,
+      Tables.derivedStateKey(s, dir, "documents") + "|inc-del",
+      "graft-sig-del",
+      nearDupCorpus(t(s, dir, "documents")), "doc_id", "bkt")(
+      bucketedSignatures)
+
   /** DuckDB mirror of [[lshCandidates]] through the `pair` CTE.
     * `recursive = true` emits `WITH RECURSIVE` so callers can append a
     * recursive CTE (DuckDB requires the keyword on the WITH clause even
@@ -856,6 +916,51 @@ object DedupQueries {
        |                a.$extraA AS ea, b.$extraB AS eb
        |         FROM band a JOIN band b
        |           ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** The cluster-closure oracle text shared by q_dedup_clusters and
+    * q_dedup_clusters_deleted — `candFilter` injects the deletion
+    * gate's survivor predicate at the verified-edge stage, exactly
+    * where the served tombstone anti-join removes a deleted doc's
+    * pairs (filtering per-doc pairs commutes with filtering the
+    * signature rows: banding is per-doc, with no cross-doc state).
+    */
+  private def clustersClosureSql(candFilter: String = ""): String =
+    s"""${lshCandidatesSql("shs", "shs", recursive = true)},
+       |j AS (SELECT doc_a, doc_b FROM (
+       |        SELECT doc_a, doc_b,
+       |          CAST(len(list_intersect(ea, eb)) AS DOUBLE)
+       |            / (len(ea) + len(eb) - len(list_intersect(ea, eb))) AS jac
+       |        FROM pair)
+       |      WHERE jac >= 0.5$candFilter),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM j
+       |          UNION SELECT doc_b, doc_a FROM j),
+       |reach AS (
+       |  SELECT u AS node, u AS lab FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.v AS node, r.lab FROM reach r JOIN edges e ON e.u = r.node),
+       |cl AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+       |SELECT doc_id, cluster_id,
+       |  CAST(count(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS csize
+       |FROM cl ORDER BY doc_id""".stripMargin
+
+  /** The verified-pair closure served from an EXPLICIT stored
+    * signature table (tombstone-filtered) — the shared Spark body of
+    * q_dedup_clusters and q_dedup_clusters_deleted.
+    */
+  private def clustersFromSignatureTable(
+      s: SparkSession, sigDir: String): DataFrame = {
+    val pairs = candidatePairsFromSignatures(
+      storedSignaturesLive(s, sigDir), Seq("shs"))
+      .withColumn("jac", jaccard(col("shs_a"), col("shs_b")))
+      .filter(col("jac") >= 0.5)
+      .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"))
+    graft.operators.ConnectedComponents.runAdaptive(pairs, "doc_a", "doc_b")._1
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      .withColumn("csize",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))).cast(IntegerType))
+      .orderBy(col("doc_id"))
+  }
 
   /** Embedding near-dup pairs via banded DENSE sign-hyperplane blocking
     * + exact cosine verify, over a (vec_id, embedding) frame. Public so
@@ -1890,39 +1995,30 @@ object DedupQueries {
     // are min-reachable-id on both sides, so the outputs are identical
     // without any ordering convention beyond the final ORDER BY.
     GraftQuery(
-      "q_dedup_clusters",
-      s"""${lshCandidatesSql("shs", "shs", recursive = true)},
-         |j AS (SELECT doc_a, doc_b FROM (
-         |        SELECT doc_a, doc_b,
-         |          CAST(len(list_intersect(ea, eb)) AS DOUBLE)
-         |            / (len(ea) + len(eb) - len(list_intersect(ea, eb))) AS jac
-         |        FROM pair)
-         |      WHERE jac >= 0.5),
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM j
-         |          UNION SELECT doc_b, doc_a FROM j),
-         |reach AS (
-         |  SELECT u AS node, u AS lab FROM (SELECT DISTINCT u FROM edges)
-         |  UNION
-         |  SELECT e.v AS node, r.lab FROM reach r JOIN edges e ON e.u = r.node),
-         |cl AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
-         |SELECT doc_id, cluster_id,
-         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS csize
-         |FROM cl ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      "q_dedup_clusters", clustersClosureSql()) { (s, dir) =>
       // pair stage served from the same incrementally-built signature
       // table as q_dedup_minhash/q_dedup_jaccard (build half → append
       // half → compact), so this query's hash gate covers the lexical
       // index lifecycle the way q_ann_codes_served covers the codes
       // table's
-      val pairs = lshCandidatesServed(s, dir, Seq("shs"))
-        .withColumn("jac", jaccard(col("shs_a"), col("shs_b")))
-        .filter(col("jac") >= 0.5)
-        .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"))
-      graft.operators.ConnectedComponents.runAdaptive(pairs, "doc_a", "doc_b")._1
-        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
-        .withColumn("csize",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("cluster_id"))).cast(IntegerType))
-        .orderBy(col("doc_id"))
+      clustersFromSignatureTable(s, incrementalSignaturesPath(s, dir))
+    },
+
+    // The near-dup DELETION lifecycle under the oracle hash: the same
+    // LSH → Jaccard-verify → closure chain served from a signature
+    // table built as build + append + takedown A (doc_id ≡ 3 mod 14,
+    // physically PURGED) + takedown B (≡ 10 mod 14, tombstone-SERVED)
+    // + replayed batch A (pinned no-op). A deleted doc leaves every
+    // pair and every cluster — and a cluster it alone bridged
+    // RE-SPLITS, the repair no stored-label fold can express: labels
+    // here derive from the surviving edges at serve time, which is
+    // why takedown on this family is O(batch) instead of O(affected
+    // components).
+    GraftQuery(
+      "q_dedup_clusters_deleted",
+      clustersClosureSql(
+        candFilter = " AND doc_a % 7 <> 3 AND doc_b % 7 <> 3")) { (s, dir) =>
+      clustersFromSignatureTable(s, incrementalSignaturesDeletedPath(s, dir))
     },
 
     // ---------------------------------- cluster representative pick

@@ -165,6 +165,36 @@ object RetrievalQueries {
        |  floor(score * 10000) / 10000 AS bm25
        |FROM bmr WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
 
+  /** The deletion-lifecycle oracle: a full recompute over the
+    * SURVIVING corpus (every doc_id ≡ 3 mod 7 taken down) with the
+    * query side still drawn from the ORIGINAL query documents — a
+    * deleted doc stops being retrievABLE, not askable. Shares
+    * [[bm25ScoreCtesSql]] verbatim, so the scoring kernel cannot
+    * drift between the standard and post-takedown forms; dl / gs /
+    * pst all derive from the survivor-filtered token stream, which is
+    * exactly the retraction the served index must reproduce through
+    * its tombstones and purged bytes.
+    */
+  private def bm25DeletedSql: String =
+    s"""WITH tokq0 AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+       |  FROM documents),
+       |qtf AS (SELECT doc_id AS q_id, term, count(*) AS tf FROM tokq0
+       |        WHERE doc_id < $NQueries GROUP BY doc_id, term),
+       |qt AS (SELECT q_id, term FROM (
+       |         SELECT q_id, term, row_number() OVER (PARTITION BY q_id
+       |           ORDER BY tf DESC, term) AS rk FROM qtf)
+       |       WHERE rk <= $TermsPerQuery),
+       |tokq AS (SELECT * FROM tokq0 WHERE doc_id % 7 <> 3),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tokq GROUP BY doc_id),
+       |gs AS (SELECT (SELECT count(*) FROM documents
+       |               WHERE doc_id % 7 <> 3) AS n,
+       |              (SELECT count(*) FROM tokq) AS totlen),
+       |$bm25ScoreCtesSql
+       |SELECT q_id, n_id, rank, matched,
+       |  floor(score * 10000) / 10000 AS bm25
+       |FROM bmr WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+
   // ------------------------------------------------------------------
   // External-search catalog twins: the user-facing serve entries
   // (bm25SearchText / phraseSearchText / hybridSearch) under the SAME
@@ -442,8 +472,17 @@ object RetrievalQueries {
     * corpus scalars, ranking.
     */
   private def bm25RankedFromIndex(s: SparkSession, dir: String,
+      qt: DataFrame, termBound: Long): DataFrame =
+    bm25RankedFromDirs(s, incrementalPostingsDirs(s, dir), qt, termBound)
+
+  /** [[bm25RankedFromIndex]] against EXPLICIT stored-table dirs — the
+    * body behind both the standard serve and the deletion-lifecycle
+    * gate (which serves from its own build+delete index tables).
+    */
+  private[graft] def bm25RankedFromDirs(s: SparkSession,
+      dirs: (String, String),
       qt: DataFrame, termBound: Long): DataFrame = {
-    val (pstDir, dlDir, cntDir) = incrementalPostingsDirs(s, dir)
+    val (pstDir, dlDir) = dirs
     val maxLit = s.conf.get(
       PushdownTermsMaxKey, PushdownTermsMaxDefault.toString).toLong
     val literalArm = termBound <= maxLit
@@ -478,12 +517,19 @@ object RetrievalQueries {
           .join(qt.select(col("term")).distinct(), Seq("term"), "left_semi")
           .select(col("doc_id"), col("term"), col("tf"))
       }
-    val dlT = Tables.parquetCachedSchema(s, dlDir)
+    // takedown filtering: tombstoned docs stop ranking and stop
+    // counting toward df the moment their delete batch acks (identity
+    // — no plan change — for a never-deleted index)
+    val pstLive = graft.sinks.IncrementalParquet
+      .applyTombstones(s, pstDir, "doc_id")(pst)
+    val dlT = graft.sinks.IncrementalParquet
+      .applyTombstones(s, dlDir, "doc_id")(
+        Tables.parquetCachedSchema(s, dlDir))
       .select(col("doc_id"), col("dl"))
     // the bulk-query arm also drops the query-frame broadcast hint:
     // at the query scales that pick it, the term frame itself may be
     // too large to force through the driver
-    bm25Ranked(qt, pst, dlT, gsLocal(s, dlDir, cntDir),
+    bm25Ranked(qt, pstLive, dlT, gsLocal(s, dlDir),
       broadcastQueries = literalArm)
   }
 
@@ -491,28 +537,44 @@ object RetrievalQueries {
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
 
   /** The 1-row (N, totlen) corpus scalars of a stored postings
-    * generation, aggregated ONCE per (cnt, dl) table pair and served
-    * as a local relation afterwards: an interactive search call must
-    * not pay a doc-stats-table aggregation per invocation — at scale
-    * that is a corpus-doc-count-sized scan on every query (the
+    * generation, aggregated ONCE per doc-stats table and served as a
+    * local relation afterwards: an interactive search call must not
+    * pay a doc-stats-table aggregation per invocation — at scale that
+    * is a corpus-doc-count-sized scan on every query (the
     * planning-floor lesson). The scalars are exact integer sums, so
     * the memo is bit-identical to the aggregation it replaces; the
     * table dirs are themselves fingerprint-memoized per corpus, so a
     * changed corpus changes the key (and the catalog hash gates pin
-    * the round trip).
+    * the round trip), and every public mutation (append, takedown,
+    * purge, compaction) invalidates the key.
     */
-  private def gsLocal(
-      s: SparkSession, dlDir: String, cntDir: String): DataFrame = {
-    val (n, totlen) = storedGsScalars.computeIfAbsent(s"$cntDir|$dlDir", _ => {
-      val r = Tables.parquetCachedSchema(s, cntDir)
-        .agg(sum(col("n")).as("n"))
-        .crossJoin(Tables.parquetCachedSchema(s, dlDir)
-          .agg(sum(col("dl")).as("totlen")))
-        .head
-      (r.getLong(0), r.getLong(1))
-    })
+  private def gsLocal(s: SparkSession, dlDir: String): DataFrame = {
+    val (n, totlen) = storedGsScalars.computeIfAbsent(dlDir,
+      _ => survivingScalars(s, dlDir))
     import s.implicits._
     Seq((n, totlen)).toDF("n", "totlen")
+  }
+
+  /** The SURVIVING (N, totlen) corpus scalars in ONE aggregation over
+    * the tombstone-filtered doc-stats table: N = count of surviving dl
+    * rows — exact because [[docStatsDeltas]] writes a dl row for EVERY
+    * ingested doc (token-less ones carry dl = 0) — and totlen their
+    * sum. Self-maintaining under the whole lifecycle: appends add
+    * rows, a takedown's tombstones filter them, a purge removes them
+    * physically (and clears the tombstones) — the scalars follow the
+    * rows with no separate counter to retract (a separate doc-count
+    * table would need its own exactly-once NEGATIVE deltas, and a
+    * crash between retraction and purge would double-retract).
+    */
+  private def survivingScalars(
+      s: SparkSession, dlDir: String): (Long, Long) = {
+    val r = graft.sinks.IncrementalParquet
+      .applyTombstones(s, dlDir, "doc_id")(
+        Tables.parquetCachedSchema(s, dlDir))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("totlen"))
+      .head
+    (r.getLong(0), r.getLong(1))
   }
 
   /** BM25 ranked candidates `(q_id, n_id, matched, score, rank)` from
@@ -579,7 +641,7 @@ object RetrievalQueries {
     * restricted to the query terms, per-doc length, and the 1-row
     * (n, totlen) scalars.
     */
-  private def recomputedState(
+  private[graft] def recomputedState(
       docs: DataFrame, qt: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val tok = docs.select(col("doc_id"),
       explode(tokens(lower(col("text")))).as("term"))
@@ -621,22 +683,29 @@ object RetrievalQueries {
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .withColumn("bkt", pmod(hash(col("term")), lit(n)))
 
-  /** A batch's per-doc token counts (docs with zero tokens have no
-    * postings and are omitted — they can never join a query term).
-    * Scan-stage regexp_count — counting '\S+' matches equals counting
-    * exploded tokens (the q_token_stats lesson), so the batch text is
-    * NOT re-tokenized for the doc-stats delta: [[postingsDeltas]]'s
-    * explode is the only tokenizer pass per trigger.
+  /** A batch's per-doc token counts — EVERY batch doc gets a row,
+    * including token-less ones (dl = 0): a dl row can never surface a
+    * candidate (no postings to join), but the row's PRESENCE is what
+    * makes the deletion lifecycle's N retraction exact — the surviving
+    * doc count is derived from tombstone-matched dl rows
+    * ([[survivingScalars]]), so a takedown of a token-less doc must
+    * find one to retract. Scan-stage regexp_count — counting '\S+'
+    * matches equals counting exploded tokens (the q_token_stats
+    * lesson), so the batch text is NOT re-tokenized for the doc-stats
+    * delta: [[postingsDeltas]]'s explode is the only tokenizer pass
+    * per trigger.
     */
   private[graft] def docStatsDeltas(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"),
         graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
           .as("dl"))
-      .filter(col("dl") > 0)
       .withColumn("bkt", pmod(hash(col("doc_id")), lit(n)))
 
-  /** A batch's doc-count delta — one row (counts EVERY batch doc,
-    * including token-less ones: N is the corpus size BM25's idf sees).
+  /** A batch's doc-count delta — one row, counting EVERY batch doc.
+    * Used by the TERM-STATS family ([[TextQueries]]); the BM25
+    * postings family derives N from its dl rows instead
+    * ([[survivingScalars]]) so the deletion lifecycle needs no
+    * separate counter retraction.
     */
   private[graft] def docCountDelta(docs: DataFrame): DataFrame =
     docs.agg(count(lit(1)).as("n")).withColumn("bkt", lit(0))
@@ -648,7 +717,7 @@ object RetrievalQueries {
     * stored tables (postings / doc stats / doc count).
     */
   def appendToPostingsIdempotent(batch: DataFrame, pstDir: String,
-      dlDir: String, cntDir: String, batchId: Long): Unit = {
+      dlDir: String, batchId: Long): Unit = {
     val s = batch.sparkSession
     val nb = DedupQueries.tableBuckets(s, pstDir)
     graft.sinks.IncrementalParquet.appendIdempotent(
@@ -657,12 +726,53 @@ object RetrievalQueries {
     graft.sinks.IncrementalParquet.appendIdempotent(
       s, dlDir, "bkt", batchId, Seq("doc_id"),
       Map("buckets" -> nb.toString))(docStatsDeltas(batch, nb))
-    graft.sinks.IncrementalParquet.appendIdempotent(
-      s, cntDir, "bkt", batchId)(docCountDelta(batch))
     // the (N, totlen) scalar memo (gsLocal) is keyed on the table
     // dirs; a public append into the same dirs within the JVM must
     // invalidate it or later serves score with stale idf/avgdl
-    storedGsScalars.remove(s"$cntDir|$dlDir"); ()
+    storedGsScalars.remove(dlDir); ()
+  }
+
+  /** Exactly-once TAKEDOWN of a batch of document ids from the stored
+    * BM25 index — the deletion lifecycle's lexical member (the GDPR
+    * shape: the reference salts PII hashes at Fetch_reddit.py:58-63;
+    * removal of a stored document's derived state is the complement).
+    * The ids land as tombstones on the postings and doc-stats tables
+    * (sibling `_tombstones` tables, own ack namespace — a replayed
+    * delete batch is a no-op forever) and every serve filters them
+    * from the moment the batch acks: the doc stops ranking, its
+    * posting rows stop counting toward df, and the (N, totlen)
+    * scalars retract its contribution ([[survivingScalars]] derives
+    * the retraction from tombstone-MATCHED dl rows, so deleting a
+    * never-ingested id retracts nothing). O(batch) — no table
+    * rewrite; [[purgePostingsTombstones]] does the physical removal.
+    */
+  def deleteFromPostingsIdempotent(docIds: DataFrame, pstDir: String,
+      dlDir: String, batchId: Long): Unit = {
+    val s = docIds.sparkSession
+    graft.sinks.IncrementalParquet.appendTombstonesIdempotent(
+      s, pstDir, "doc_id", batchId)(docIds)
+    graft.sinks.IncrementalParquet.appendTombstonesIdempotent(
+      s, dlDir, "doc_id", batchId)(docIds)
+    storedGsScalars.remove(dlDir); ()
+  }
+
+  /** Physical purge of tombstoned rows from the stored BM25 index —
+    * O(touched partitions), never O(corpus): only partitions holding
+    * a deleted doc's rows are rewritten (postings are term-bucketed,
+    * so a doc's rows spread across the buckets of its terms; doc
+    * stats are doc-bucketed, one partition per deleted doc). Serves
+    * are correct before, during and after (the tombstones filter
+    * until the rows are physically gone). Returns partitions
+    * rewritten.
+    */
+  def purgePostingsTombstones(
+      s: SparkSession, pstDir: String, dlDir: String): Int = {
+    val n = graft.sinks.IncrementalParquet.purgeTombstoned(
+      s, pstDir, "bkt", "doc_id")(v => Int.box(v.toInt)) +
+      graft.sinks.IncrementalParquet.purgeTombstoned(
+        s, dlDir, "bkt", "doc_id")(v => Int.box(v.toInt))
+    storedGsScalars.remove(dlDir)
+    n
   }
 
   /** Minor compaction: postings/doc-stats rows are disjoint across
@@ -670,15 +780,13 @@ object RetrievalQueries {
     * doc count sum-merges.
     */
   def compactPostingsMinor(
-      s: SparkSession, pstDir: String, dlDir: String, cntDir: String): Int = {
+      s: SparkSession, pstDir: String, dlDir: String): Int = {
     // compaction never changes the scalar SUMS, but dropping the memo
     // here keeps the invalidation rule uniform: any public mutation of
-    // the (cnt, dl) tables clears their cached (N, totlen)
-    storedGsScalars.remove(s"$cntDir|$dlDir")
+    // the dl table clears its cached (N, totlen)
+    storedGsScalars.remove(dlDir)
     graft.sinks.IncrementalParquet.compactMinor(s, pstDir, "bkt") +
-      graft.sinks.IncrementalParquet.compactMinor(s, dlDir, "bkt") +
-      graft.sinks.IncrementalParquet.compactMinor(
-        s, cntDir, "bkt", merge = mergeDocCounts)
+      graft.sinks.IncrementalParquet.compactMinor(s, dlDir, "bkt")
   }
 
   private val storedPostings =
@@ -690,20 +798,60 @@ object RetrievalQueries {
     * full-recompute hash check pins append → compact → reconstruct.
     */
   private[graft] def incrementalPostingsDirs(
-      s: SparkSession, dir: String): (String, String, String) = {
+      s: SparkSession, dir: String): (String, String) = {
     val out = Tables.memoizedParquet(storedPostings,
       Tables.derivedStateKey(s, dir, "documents") + "|postings",
       "graft-postings-incr") { out =>
       val docs = t(s, dir, "documents")
       appendToPostingsIdempotent(
         docs.filter(pmod(col("doc_id"), lit(2)) === 0),
-        s"$out/pst", s"$out/dl", s"$out/cnt", 0L)
+        s"$out/pst", s"$out/dl", 0L)
       appendToPostingsIdempotent(
         docs.filter(pmod(col("doc_id"), lit(2)) === 1),
-        s"$out/pst", s"$out/dl", s"$out/cnt", 1L)
-      compactPostingsMinor(s, s"$out/pst", s"$out/dl", s"$out/cnt"); ()
+        s"$out/pst", s"$out/dl", 1L)
+      compactPostingsMinor(s, s"$out/pst", s"$out/dl"); ()
     }
-    (s"$out/pst", s"$out/dl", s"$out/cnt")
+    (s"$out/pst", s"$out/dl")
+  }
+
+  private val storedPostingsDeleted =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The DELETION-lifecycle postings index: the same two-batch
+    * incremental build, then an exactly-once TAKEDOWN batch (every
+    * doc_id ≡ 3 mod 7), a REPLAY of that batch (must be a no-op — a
+    * double retraction would shift every idf the oracle re-derives),
+    * minor compaction, and a physical purge of the postings table
+    * while the doc-stats table keeps serving through its tombstones —
+    * so ONE oracle hash pins both removal mechanisms (purged bytes
+    * and tombstone-filtered serve) against the full recompute over
+    * the SURVIVING corpus.
+    */
+  private[graft] def incrementalPostingsDeletedDirs(
+      s: SparkSession, dir: String): (String, String) = {
+    val out = Tables.memoizedParquet(storedPostingsDeleted,
+      Tables.derivedStateKey(s, dir, "documents") + "|postings-del",
+      "graft-postings-del") { out =>
+      val docs = t(s, dir, "documents")
+      val (pst, dl) = (s"$out/pst", s"$out/dl")
+      appendToPostingsIdempotent(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), pst, dl, 0L)
+      appendToPostingsIdempotent(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), pst, dl, 1L)
+      val takedown = docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+        .select(col("doc_id"))
+      deleteFromPostingsIdempotent(takedown, pst, dl, 0L)
+      // replay with DIFFERENT content: the ack must make it a no-op
+      deleteFromPostingsIdempotent(
+        docs.limit(1).select(col("doc_id")), pst, dl, 0L)
+      compactPostingsMinor(s, pst, dl)
+      // physical purge of the postings table; the doc-stats table
+      // deliberately stays tombstone-served
+      graft.sinks.IncrementalParquet.purgeTombstoned(
+        s, pst, "bkt", "doc_id")(v => Int.box(v.toInt))
+      storedGsScalars.remove(dl); ()
+    }
+    (s"$out/pst", s"$out/dl")
   }
 
   // ------------------------------------------------------------------
@@ -765,6 +913,36 @@ object RetrievalQueries {
   def compactPhraseMinor(s: SparkSession, bpstDir: String): Int =
     graft.sinks.IncrementalParquet.compactMinor(s, bpstDir, "bkt")
 
+  /** Exactly-once TAKEDOWN of a batch of document ids from the stored
+    * positional bigram index — the phrase family's member of the
+    * deletion lifecycle: the ids land as tombstones (sibling table,
+    * own ack namespace — a replayed delete batch is a no-op forever)
+    * and every phrase serve filters them from the moment the batch
+    * acks. O(batch); [[purgePhraseTombstones]] is the physical
+    * removal.
+    */
+  def deleteFromPhraseIdempotent(
+      docIds: DataFrame, bpstDir: String, batchId: Long): Unit =
+    graft.sinks.IncrementalParquet.appendTombstonesIdempotent(
+      docIds.sparkSession, bpstDir, "doc_id", batchId)(docIds)
+
+  /** Physical purge of tombstoned docs from the stored bigram index —
+    * O(touched buckets): a doc's position rows spread across the
+    * buckets of its bigrams, so a takedown batch rewrites only the
+    * buckets its docs' bigrams hash into. Returns buckets rewritten.
+    */
+  def purgePhraseTombstones(s: SparkSession, bpstDir: String): Int =
+    graft.sinks.IncrementalParquet.purgeTombstoned(
+      s, bpstDir, "bkt", "doc_id")(v => Int.box(v.toInt))
+
+  /** Read the stored bigram index for SERVING with the deletion
+    * lifecycle applied (identity for a never-deleted table — the
+    * phrase plan pins hold unchanged).
+    */
+  private def storedPhraseLive(s: SparkSession, bpstDir: String): DataFrame =
+    graft.sinks.IncrementalParquet.applyTombstones(s, bpstDir, "doc_id")(
+      Tables.parquetCachedSchema(s, bpstDir))
+
   private val storedPhrase =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -784,6 +962,46 @@ object RetrievalQueries {
       appendToPhraseIdempotent(
         docs.filter(pmod(col("doc_id"), lit(2)) === 1), s"$out/bpst", 1L)
       compactPhraseMinor(s, s"$out/bpst"); ()
+    }
+    s"$out/bpst"
+  }
+
+  private val storedPhraseDeleted =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The DELETION-lifecycle bigram index: the standard two-batch
+    * build, then the takedown protocol end to end — batch A (doc_id ≡
+    * 3 mod 14) physically PURGED, batch B (≡ 10 mod 14)
+    * tombstone-SERVED, batch A replayed post-purge (pinned no-op),
+    * minor compaction last so the tombstones also ride through a
+    * compaction firing. q_phrase_deleted's one oracle hash pins both
+    * removal mechanisms against the full recompute over the surviving
+    * corpus.
+    */
+  private[graft] def incrementalPhraseDeletedDir(
+      s: SparkSession, dir: String): String = {
+    val out = Tables.memoizedParquet(storedPhraseDeleted,
+      Tables.derivedStateKey(s, dir, "documents") + "|phrase-del",
+      "graft-phrase-del") { out =>
+      val docs = t(s, dir, "documents")
+      val bp = s"$out/bpst"
+      appendToPhraseIdempotent(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), bp, 0L)
+      appendToPhraseIdempotent(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), bp, 1L)
+      deleteFromPhraseIdempotent(docs
+        .filter(pmod(col("doc_id"), lit(14)) === 3).select(col("doc_id")),
+        bp, 0L)
+      purgePhraseTombstones(s, bp)
+      deleteFromPhraseIdempotent(docs
+        .filter(pmod(col("doc_id"), lit(14)) === 10).select(col("doc_id")),
+        bp, 1L)
+      // replay batch A with different content after its purge: the
+      // retained ack must make it a no-op
+      deleteFromPhraseIdempotent(docs
+        .filter(pmod(col("doc_id"), lit(7)) =!= 3).limit(1)
+        .select(col("doc_id")), bp, 0L)
+      compactPhraseMinor(s, bp); ()
     }
     s"$out/bpst"
   }
@@ -850,7 +1068,7 @@ object RetrievalQueries {
     }
     val need = triples.map(_._2).distinct
     val needBkts = Tables.valueBuckets(need.toDF("b"), nb)._2
-    val pruned = Tables.parquetCachedSchema(s, bpstDir)
+    val pruned = storedPhraseLive(s, bpstDir)
       .filter(col("bkt").isin(needBkts: _*) && col("bigram").isin(need: _*))
       .select(col("doc_id"), col("bigram"), col("pos"))
     val tripleDf = broadcast(
@@ -875,12 +1093,45 @@ object RetrievalQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** The stored-index phrase serve body shared by q_phrase_served and
+    * q_phrase_deleted — candidates from the (tombstone-filtered)
+    * stored bigram index behind literal bkt/bigram In-filters, query
+    * phrases always derived from the original query documents.
+    */
+  private def phraseServedFrom(
+      s: SparkSession, docs: DataFrame, bpstDir: String): DataFrame = {
+    val qp = queryPhrases(docs)
+    // the phrase set is driver-sized BY DEFINITION (one bigram per
+    // query doc) — collect it and push literal In-filters into the
+    // stored postings scan, the bm25ServedRanked precedent
+    val nb = DedupQueries.tableBuckets(s, bpstDir)
+    val (phrases, bkts) =
+      Tables.valueBuckets(qp.select(col("phrase")), nb)
+    // occurrence counts are a group-by over the PRUNED positional
+    // scan — posting-list-sized, never corpus-sized
+    val m = storedPhraseLive(s, bpstDir)
+      .filter(col("bkt").isin(bkts: _*) && col("bigram").isin(phrases: _*))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("occurrences"))
+      .withColumnRenamed("doc_id", "n_id")
+    phraseRank(qp, m)
+  }
+
   /** q_phrase_search's DuckDB mirror — shared verbatim by
     * q_phrase_served (the q_bm25_served discipline: one full-recompute
     * oracle text per result relation, so the stored-index round trip
     * is hash-gated).
     */
-  private def phraseSearchSql: String =
+  private def phraseSearchSql: String = phraseSearchSqlWith("")
+
+  /** [[phraseSearchSql]] with `candFilter` injected at the candidate
+    * stage (`m`) — the deletion gate's survivor predicate sits exactly
+    * where the served tombstone anti-join removes a deleted doc's
+    * position rows; the query side (`qp`) stays drawn from the
+    * ORIGINAL query documents (a deleted doc stops being retrievable,
+    * not askable).
+    */
+  private def phraseSearchSqlWith(candFilter: String): String =
     s"""WITH tk AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts
        |  FROM documents),
@@ -896,7 +1147,7 @@ object RetrievalQueries {
        |         FROM bg WHERE doc_id < $NQueries GROUP BY doc_id, bigram)
        |       WHERE rk = 1),
        |m AS (SELECT doc_id AS n_id, bigram, count(*) AS occurrences
-       |      FROM bg WHERE bigram IN (SELECT phrase FROM qp)
+       |      FROM bg WHERE bigram IN (SELECT phrase FROM qp)$candFilter
        |      GROUP BY doc_id, bigram),
        |j AS (SELECT q.q_id, m.n_id, m.occurrences FROM qp q
        |      JOIN m ON m.bigram = q.phrase AND m.n_id <> q.q_id),
@@ -1816,20 +2067,21 @@ object RetrievalQueries {
     * maintainer last ran mid-stream).
     */
   def relevanceModel(s: SparkSession, pstDir: String, dlDir: String,
-      cntDir: String, terms: Seq[String]): (DataFrame, DataFrame) = {
+      terms: Seq[String]): (DataFrame, DataFrame) = {
     val nb = DedupQueries.tableBuckets(s, pstDir)
     // all bucket ids in ONE local-relation job (the per-term
     // Tables.hashBucket loop launched one 1-row Spark job per term)
     import s.implicits._
     val bkts = Tables.valueBuckets(terms.toDF("term"), nb)._2
-    val dft = Tables.parquetCachedSchema(s, pstDir)
-      .filter(col("bkt").isin(bkts: _*) && col("term").isin(terms: _*))
+    // tombstone-filtered like every stored-index read: a taken-down
+    // doc must stop counting toward the frozen model's df and scalars
+    val dft = graft.sinks.IncrementalParquet
+      .applyTombstones(s, pstDir, "doc_id")(
+        Tables.parquetCachedSchema(s, pstDir)
+          .filter(col("bkt").isin(bkts: _*) && col("term").isin(terms: _*)))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val gs = Tables.parquetCachedSchema(s, cntDir)
-      .agg(sum(col("n")).as("n"))
-      .crossJoin(Tables.parquetCachedSchema(s, dlDir)
-        .agg(sum(col("dl")).as("totlen")))
-      .localCheckpoint()
+    val (nS, totS) = survivingScalars(s, dlDir)
+    val gs = Seq((nS, totS)).toDF("n", "totlen")
     val idf = dft.crossJoin(broadcast(gs)).select(col("term"),
       TextQueries.quantizeLog2(log2(lit(1.0) +
         (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))).as("idf"))
@@ -2101,6 +2353,22 @@ object RetrievalQueries {
       bm25ServedTopK(s, dir, NQueries)
     },
 
+    // The DELETION lifecycle under the oracle hash: build + append +
+    // exactly-once takedown batch (doc_id ≡ 3 mod 7) + REPLAYED
+    // takedown (pinned no-op — a double retraction would shift every
+    // idf) + minor compaction + physical purge of the postings table,
+    // with the doc-stats table left tombstone-served — one hash pins
+    // BOTH removal mechanisms against the full recompute over the
+    // surviving corpus. Deleted docs stop ranking, stop counting
+    // toward df, and their (1, dl) contribution leaves the scalars;
+    // queries still come from the original query documents.
+    GraftQuery("q_bm25_deleted", bm25DeletedSql) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      bm25Project(bm25RankedFromDirs(s,
+        incrementalPostingsDeletedDirs(s, dir),
+        queryTerms(docs), NQueries.toLong * TermsPerQuery))
+    },
+
     // --------------------------------------------- leakage-free splits
     // Dedup-aware train/val/test assignment — the leakage guard
     // q_split_assign's per-doc hash cannot give: hashing doc_id puts
@@ -2243,23 +2511,21 @@ object RetrievalQueries {
     // This closes the round-14 verdict's one perf-weak catalog entry:
     // at 100 TB a phrase query must not tokenize the corpus.
     GraftQuery("q_phrase_served", phraseSearchSql) { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val bpstDir = incrementalPhraseDir(s, dir)
-      val qp = queryPhrases(docs)
-      // the phrase set is driver-sized BY DEFINITION (one bigram per
-      // query doc) — collect it and push literal In-filters into the
-      // stored postings scan, the bm25ServedRanked precedent
-      val nb = DedupQueries.tableBuckets(s, bpstDir)
-      val (phrases, bkts) =
-        Tables.valueBuckets(qp.select(col("phrase")), nb)
-      // occurrence counts are a group-by over the PRUNED positional
-      // scan — posting-list-sized, never corpus-sized
-      val m = Tables.parquetCachedSchema(s, bpstDir)
-        .filter(col("bkt").isin(bkts: _*) && col("bigram").isin(phrases: _*))
-        .groupBy(col("doc_id"), col("bigram"))
-        .agg(count(lit(1)).as("occurrences"))
-        .withColumnRenamed("doc_id", "n_id")
-      phraseRank(qp, m)
+      phraseServedFrom(s, t(s, dir, "documents"),
+        incrementalPhraseDir(s, dir))
+    },
+
+    // The phrase-index DELETION lifecycle under the oracle hash:
+    // build + append + takedown A (doc_id ≡ 3 mod 14, physically
+    // PURGED) + takedown B (≡ 10 mod 14, tombstone-SERVED) + replayed
+    // batch A (pinned no-op) + minor compaction — one hash pins both
+    // removal mechanisms against the full recompute over the
+    // surviving corpus, with queries still drawn from the original
+    // query documents.
+    GraftQuery("q_phrase_deleted",
+      phraseSearchSqlWith(" AND doc_id % 7 <> 3")) { (s, dir) =>
+      phraseServedFrom(s, t(s, dir, "documents"),
+        incrementalPhraseDeletedDir(s, dir))
     },
 
     // The n>2 phrase form, served from the SAME positional bigram
@@ -2328,7 +2594,7 @@ object RetrievalQueries {
         val need = pairs.flatMap(x => Seq(x._2, x._3)).distinct
         val needBkts = if (need.isEmpty) Seq.empty[Int]
           else Tables.valueBuckets(need.toDF("b"), nb)._2
-        val pruned = Tables.parquetCachedSchema(s, bpstDir)
+        val pruned = storedPhraseLive(s, bpstDir)
           .filter(col("bkt").isin(needBkts: _*) &&
             col("bigram").isin(need: _*))
           .select(col("doc_id"), col("bigram"), col("pos"))

@@ -489,6 +489,22 @@ object SimilarityQueries {
        |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
        |${ivfPqAdcTailSql("cent", "cent")}""".stripMargin
 
+  /** The deletion-lifecycle ANN oracle: the [[ivfPqPinnedSql]] serve
+    * re-derived with every vec_id ≡ 3 mod 7 taken down — the
+    * CANDIDATE side filters to survivors while queries, centroids and
+    * the frozen encode stay drawn from the ORIGINAL corpus (deletion
+    * removes retrievABILITY, never retrains the frozen books — the
+    * generation-pin discipline). The filter sits exactly where the
+    * served tombstone anti-join sits: before the ADC budget cut, so
+    * survivors fill the freed candidate slots on both engines.
+    */
+  private def ivfPqDeletedSql: String =
+    s"""WITH e AS ($embDoubleSql),
+       |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+       |${ivfPqAdcTailSql("cent", "cent",
+          candFilter = " AND ce.n_id % 7 <> 3")}""".stripMargin
+
   /** The trained residual chain as shared CTEs — coarse k-means
     * (`c2` after the unrolled iterations), final assignment (`asgF` /
     * `cellsF`), quantized per-cell means (`meanl` — exact BIGINT sums,
@@ -747,6 +763,46 @@ object SimilarityQueries {
   def compactCodesMinor(spark: SparkSession, codesDir: String): Int =
     graft.sinks.IncrementalParquet.compactMinor(spark, codesDir, "cell")
 
+  /** Exactly-once TAKEDOWN of a batch of vector ids from a stored
+    * codes table (pinned, trained or residual — the protocol never
+    * looks at the code bytes): the ids land as tombstones on the
+    * table's `_tombstones` sibling (own ack namespace — a replayed
+    * delete batch is a no-op forever) and every serve filters them
+    * from the moment the batch acks ([[storedCodesLive]]): the vector
+    * stops surfacing as an ANN candidate in every tier that reads the
+    * table. O(batch), no table rewrite — [[purgeCodesTombstones]] is
+    * the physical removal. Deletion never retrains the frozen books
+    * (the generation pin is untouched): removal is a corpus change,
+    * not a codebook change — the staged-rebuild path remains the
+    * answer to DRIFT, this the answer to TAKEDOWN.
+    */
+  def deleteFromCodesIdempotent(
+      vecIds: DataFrame, codesDir: String, batchId: Long): Unit =
+    graft.sinks.IncrementalParquet.appendTombstonesIdempotent(
+      vecIds.sparkSession, codesDir, "vec_id", batchId)(vecIds)
+
+  /** Physical purge of tombstoned vectors from a stored codes table —
+    * O(touched cells), never O(index): only the cells holding a
+    * deleted vector's code are rewritten (a vector's code lives in
+    * exactly ONE cell, so a takedown batch touches ≤ |batch| cells).
+    * Serves stay correct before, during and after (tombstones filter
+    * until the bytes are gone). Returns cells rewritten.
+    */
+  def purgeCodesTombstones(s: SparkSession, codesDir: String): Int =
+    graft.sinks.IncrementalParquet.purgeTombstoned(
+      s, codesDir, "cell", "vec_id")(v => Int.box(v.toInt))
+
+  /** Read a stored codes table for SERVING with the deletion
+    * lifecycle applied: tombstoned vec_ids stop surfacing as
+    * candidates the moment their delete batch acks. Identity — no
+    * plan change at all — for a never-deleted table, so the plan pins
+    * on every codes serve hold unchanged.
+    */
+  private[analytics] def storedCodesLive(
+      s: SparkSession, codesDir: String): DataFrame =
+    graft.sinks.IncrementalParquet.applyTombstones(s, codesDir, "vec_id")(
+      Tables.parquetCachedSchema(s, codesDir))
+
   /** THE memoized stored codes table per (corpus, codebooks), built
     * through the incremental lifecycle
     * ([[graft.sinks.IncrementalParquet.buildViaLifecycle]]: even-half
@@ -770,6 +826,28 @@ object SimilarityQueries {
     graft.sinks.IncrementalParquet.buildViaLifecycle(storedIncCodes,
       Tables.derivedStateKey(s, dir, "embeddings") +
         "|inc|" + codebookDigest(cbIvf, cbPq), "graft-codes-inc",
+      t(s, dir, "embeddings"), "vec_id", "cell",
+      pinExtra = booksPin(cbIvf, cbPq))(
+      codesTable(_, cbIvf, cbPq))
+
+  private val storedIncCodesDeleted =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The DELETION-lifecycle codes table: the standard incremental
+    * build, then the takedown protocol exercised end to end (batch A
+    * ids ≡ 3 mod 14 physically purged, batch B ids ≡ 10 mod 14 left
+    * tombstone-served, batch A replayed post-purge as a pinned no-op
+    * — [[graft.sinks.IncrementalParquet.buildViaDeleteLifecycle]]),
+    * so q_ann_deleted's one oracle hash pins both removal mechanisms
+    * against the full recompute over the surviving corpus.
+    */
+  private[graft] def incrementalCodesDeletedPath(
+      s: SparkSession, dir: String,
+      cbIvf: Array[Double], cbPq: Array[Double]): String =
+    graft.sinks.IncrementalParquet.buildViaDeleteLifecycle(
+      storedIncCodesDeleted,
+      Tables.derivedStateKey(s, dir, "embeddings") +
+        "|inc-del|" + codebookDigest(cbIvf, cbPq), "graft-codes-del",
       t(s, dir, "embeddings"), "vec_id", "cell",
       pinExtra = booksPin(cbIvf, cbPq))(
       codesTable(_, cbIvf, cbPq))
@@ -804,7 +882,7 @@ object SimilarityQueries {
   private def pinnedIvfPqServe(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val cb = pinnedCodebook(s, dir)
-    val codes = Tables.parquetCachedSchema(s, incrementalCodesPath(s, dir, cb, cb))
+    val codes = storedCodesLive(s, incrementalCodesPath(s, dir, cb, cb))
     ivfPqServeFromCodes(e, codes, cb, cb, 10)
   }
 
@@ -913,8 +991,7 @@ object SimilarityQueries {
       depth: Int): DataFrame = {
     val e = t(s, dir, "embeddings")
     val cb = pinnedCodebook(s, dir)
-    val codes = Tables.parquetCachedSchema(
-      s, incrementalCodesPath(s, dir, cb, cb))
+    val codes = storedCodesLive(s, incrementalCodesPath(s, dir, cb, cb))
     ivfPqServeForQueries(e, codes, cb, cb, queryVecs, nprobe, topC, depth)
   }
 
@@ -978,8 +1055,7 @@ object SimilarityQueries {
       nQueries: Int, nprobe: Int, topC: Int, depth: Int): DataFrame = {
     val e = t(s, dir, "embeddings")
     val cb = pinnedCodebook(s, dir)
-    val codes = Tables.parquetCachedSchema(s,
-      incrementalCodesPath(s, dir, cb, cb))
+    val codes = storedCodesLive(s, incrementalCodesPath(s, dir, cb, cb))
     ivfPqServeFromCodes(e, codes, cb, cb, nQueries, nprobe, topC, depth)
   }
 
@@ -1300,7 +1376,8 @@ object SimilarityQueries {
     * coarse cells/probes from `$centIvf`, encode CTEs from `$centPq`,
     * probed-cells-only ADC scoring + rank tail.
     */
-  private def ivfPqAdcTailSql(centIvf: String, centPq: String): String =
+  private def ivfPqAdcTailSql(centIvf: String, centPq: String,
+      candFilter: String = ""): String =
     s"""asg AS (SELECT a.vec_id, c.c_id,
        |          row_number() OVER (PARTITION BY a.vec_id
        |            ORDER BY ${dotSql("a.v", "c.cv")} DESC, c.c_id) AS crank
@@ -1313,7 +1390,7 @@ object SimilarityQueries {
        |        list_reduce([q.dl[k.cl[j + 1] * 8 + j + 1]
        |                     FOR j IN range(0, 8)], (x, y) -> x + y) AS ad2
        |      FROM probes p
-       |      JOIN cells ce ON p.cell = ce.cell AND ce.n_id <> p.q_id
+       |      JOIN cells ce ON p.cell = ce.cell AND ce.n_id <> p.q_id$candFilter
        |      JOIN cm k ON k.n_id = ce.n_id
        |      JOIN qdl q ON q.q_id = p.q_id),
        |${adcRankTailSql()}""".stripMargin
@@ -1602,6 +1679,22 @@ object SimilarityQueries {
     // join/rank, so keeping the gate costs one extra serve per round.
     GraftQuery("q_ann_codes_served", ivfPqPinnedSql)(pinnedIvfPqServe),
 
+    // The ANN deletion lifecycle under the oracle hash: build + append
+    // + takedown batch A (vec_id ≡ 3 mod 14, physically PURGED) +
+    // takedown batch B (≡ 10 mod 14, tombstone-SERVED) + replayed
+    // batch A (pinned no-op) — one hash pins both removal mechanisms
+    // against the full IVF-PQ recompute over the surviving corpus.
+    // Queries and the frozen books stay drawn from the original
+    // corpus: a deleted vector stops being retrievable, not askable,
+    // and removal never retrains a generation.
+    GraftQuery("q_ann_deleted", ivfPqDeletedSql) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val cb = pinnedCodebook(s, dir)
+      val codes = storedCodesLive(
+        s, incrementalCodesDeletedPath(s, dir, cb, cb))
+      ivfPqServeFromCodes(e, codes, cb, cb, 10)
+    },
+
     // ------------------------- filtered search from the STORED index
     // The scale tier of q_ann_filtered (whose exact pre-filter scans
     // selectivity × |corpus| pair dots): candidates come from THE
@@ -1618,8 +1711,7 @@ object SimilarityQueries {
     GraftQuery("q_ann_filtered_indexed", filteredIndexedSql) { (s, dir) =>
       val e = t(s, dir, "embeddings")
       val cb = collectCodebook(e, 16)
-      val codes = Tables.parquetCachedSchema(
-        s, incrementalCodesPath(s, dir, cb, cb))
+      val codes = storedCodesLive(s, incrementalCodesPath(s, dir, cb, cb))
       val allowed = t(s, dir, "documents").filter(col("lang") === "en")
         .select(col("doc_id"))
       filteredServeFromCodes(e, codes, allowed, cb, cb, 10,
@@ -1834,7 +1926,7 @@ object SimilarityQueries {
       // trained serving also goes through the stored index (the memo
       // key folds in the codebook digest, so the trained and pinned
       // indexes coexist per corpus)
-      val codes = Tables.parquetCachedSchema(s, incrementalCodesPath(s, dir, cbIvf, cbPq))
+      val codes = storedCodesLive(s, incrementalCodesPath(s, dir, cbIvf, cbPq))
       ivfPqServeFromCodes(e, codes, cbIvf, cbPq, 10)
     },
 
@@ -1908,7 +2000,7 @@ object SimilarityQueries {
       val means = cachedCellMeans(e, key, cbIvf)
       val cbPqRes = graft.operators.CodebookTrainer.cachedPq(
         residualFrame(e, cbIvf, means), s"$key/residual", 8, 8, 16, 2)
-      val codes = Tables.parquetCachedSchema(s,
+      val codes = storedCodesLive(s,
         incrementalResidualCodesPath(s, dir, cbIvf, means, cbPqRes))
       ivfPqResidualServeFromCodes(e, codes, cbIvf, means, cbPqRes, 10)
     },

@@ -184,10 +184,15 @@ object TextQueries {
   /** Sum-merges for aggregate-on-compact — serve-equivalent because
     * [[lmModelFromStored]] sums these columns anyway.
     */
+  // zero-drop: a fully-retracted bigram/token folds to 0 at a
+  // compaction firing and leaves the table physically (the semigroup
+  // deletion lifecycle — see [[retractFromLmModelIdempotent]])
   private val mergeBigramCounts: DataFrame => DataFrame =
     _.groupBy(col("bkt"), col("bigram")).agg(sum(col("c12")).as("c12"))
+      .filter(col("c12") =!= 0)
   private val mergeUnigramCounts: DataFrame => DataFrame =
     _.groupBy(col("bkt"), col("w")).agg(sum(col("c")).as("c"))
+      .filter(col("c") =!= 0)
 
   /** Exactly-once append of a batch's model deltas into the two stored
     * count tables (replay/ack/layout-pin protocol in
@@ -205,6 +210,34 @@ object TextQueries {
     graft.sinks.IncrementalParquet.appendIdempotent(
       s, uniDir, "bkt", batchId, Seq("w"),
       Map("buckets" -> nu.toString))(unigramDeltas(batch, nu))
+  }
+
+  /** Exactly-once RETRACTION of a batch of DELETED documents from the
+    * maintained LM model — the [[retractFromTermStatsIdempotent]]
+    * mechanism on the model family: negative bigram/unigram deltas
+    * through the same append protocol under the negative id space, so
+    * serves net them out immediately, a replayed retraction is a
+    * no-op forever, and merge-compaction folds them away physically
+    * (a fully-retracted bigram leaves the model — absent, not
+    * zero-count, which matters under add-0.5 smoothing). Retraining-
+    * free removal: the takedown shifts exactly the counts the deleted
+    * docs contributed — the Zipf-bounded state never rebuilds.
+    */
+  def retractFromLmModelIdempotent(
+      deletedDocs: DataFrame, bgDir: String, uniDir: String,
+      batchId: Long): Unit = {
+    val s = deletedDocs.sparkSession
+    val rid = graft.sinks.IncrementalParquet.retractionBatchId(batchId)
+    val nb = DedupQueries.tableBuckets(s, bgDir)
+    graft.sinks.IncrementalParquet.appendIdempotent(
+      s, bgDir, "bkt", rid, Seq("bigram"),
+      Map("buckets" -> nb.toString))(
+      bigramDeltas(deletedDocs, nb).withColumn("c12", -col("c12")))
+    val nu = DedupQueries.tableBuckets(s, uniDir)
+    graft.sinks.IncrementalParquet.appendIdempotent(
+      s, uniDir, "bkt", rid, Seq("w"),
+      Map("buckets" -> nu.toString))(
+      unigramDeltas(deletedDocs, nu).withColumn("c", -col("c")))
   }
 
   /** Minor compaction of both model tables WITH count merging — the
@@ -226,13 +259,21 @@ object TextQueries {
     */
   def lmModelFromStored(
       s: SparkSession, bgDir: String, uniDir: String): DataFrame = {
+    // the > 0 cuts make reconstruction retraction-exact between a
+    // delete batch's ack and its compaction fold: a fully-retracted
+    // bigram sums to 0 and must LEAVE the model (absent ≠ zero under
+    // add-0.5 smoothing), and v counts only tokens with surviving
+    // occurrences — identity for a never-retracted table (counts are
+    // positive by construction)
     val model = Tables.parquetCachedSchema(s, bgDir).groupBy(col("bigram"))
-      .agg(sum(col("c12")).as("c12"))
+      .agg(sum(col("c12")).as("c12")).filter(col("c12") > 0)
     val lefts = model
       .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
       .agg(sum(col("c12")).as("c1"))
     val vocab = Tables.parquetCachedSchema(s, uniDir)
-      .agg(countDistinct(col("w")).as("v"))
+      .groupBy(col("w")).agg(sum(col("c")).as("c"))
+      .filter(col("c") > 0)
+      .agg(count(lit(1)).as("v"))
     model
       .join(lefts, substring_index(col("bigram"), " ", 1) === col("w1"))
       .crossJoin(broadcast(vocab))
@@ -267,6 +308,39 @@ object TextQueries {
       lmModelFromStored(s, bgDir, uniDir).write.parquet(s"$out/model")
     } + "/model"
 
+  private val storedIncLmModelDeleted =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The DELETION-lifecycle LM model: the standard two-batch build,
+    * then a retraction batch (every doc ≡ 3 mod 7), a replayed
+    * retraction (pinned no-op — a double retraction shifts every
+    * smoothed probability), and merge-compaction folding the
+    * negatives away before the model materializes. Serving it under
+    * the full-retrain-over-survivors oracle pins retraining-free
+    * model takedown to the bit.
+    */
+  private[graft] def incrementalLmModelDeletedPath(
+      s: SparkSession, dir: String): String =
+    Tables.memoizedParquet(storedIncLmModelDeleted,
+      Tables.derivedStateKey(s, dir, "documents") + "|lmincr-del",
+      "graft-lm-del") { out =>
+      val docs = t(s, dir, "documents")
+      val bgDir = s"$out/bg"
+      val uniDir = s"$out/uni"
+      appendToLmModelIdempotent(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), bgDir, uniDir, 0L)
+      appendToLmModelIdempotent(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), bgDir, uniDir, 1L)
+      retractFromLmModelIdempotent(
+        docs.filter(pmod(col("doc_id"), lit(7)) === 3), bgDir, uniDir, 0L)
+      // replay with DIFFERENT content: the ack must make it a no-op
+      retractFromLmModelIdempotent(
+        docs.filter(pmod(col("doc_id"), lit(7)) =!= 3).limit(1),
+        bgDir, uniDir, 0L)
+      compactLmModelMinor(s, bgDir, uniDir)
+      lmModelFromStored(s, bgDir, uniDir).write.parquet(s"$out/model")
+    } + "/model"
+
   // ------------------------------------------------------------------
   // Incremental term statistics — aggregate-on-compact's second user
   // (round 11), maintaining the CORPUS state behind salient-term
@@ -295,8 +369,13 @@ object TextQueries {
   private[graft] def docCountDelta(docs: DataFrame): DataFrame =
     docs.agg(count(lit(1)).as("n")).withColumn("bkt", lit(0))
 
+  // the zero-drop makes merge-compaction the semigroup family's
+  // physical removal: a fully-retracted term's (positive, negative)
+  // rows fold to 0 and LEAVE the table — after a compaction firing the
+  // bytes carry no evidence the term was ever ingested
   private val mergeDfCounts: DataFrame => DataFrame =
     _.groupBy(col("bkt"), col("term")).agg(sum(col("df")).as("df"))
+      .filter(col("df") =!= 0)
   private val mergeDocCounts: DataFrame => DataFrame =
     _.groupBy(col("bkt")).agg(sum(col("n")).as("n"))
 
@@ -310,6 +389,37 @@ object TextQueries {
       Map("buckets" -> nb.toString))(dfDeltas(batch, nb))
     graft.sinks.IncrementalParquet.appendIdempotent(
       s, cntDir, "bkt", batchId)(docCountDelta(batch))
+  }
+
+  /** Exactly-once RETRACTION of a batch of DELETED documents from the
+    * maintained term-stats state — the deletion lifecycle's SEMIGROUP
+    * arm: df/doc-count rows are sum-mergeable, so removal is the
+    * NEGATIVE of exactly the deltas ingest appended
+    * ([[dfDeltas]]/[[docCountDelta]] of the deleted docs, negated),
+    * installed through the SAME exactly-once append protocol under
+    * [[graft.sinks.IncrementalParquet.retractionBatchId]]'s negative
+    * id space (no ack collision with ingest ids; a replayed
+    * retraction is a no-op forever). Serves net the negatives out
+    * with no plan change from the moment the batch acks;
+    * [[compactTermStatsMinor]]'s sum-merge then folds them into the
+    * base rows physically — a fully-retracted term leaves the table.
+    * The caller passes the deleted documents' ROWS (id + text): a
+    * takedown resolves the doc from the corpus store before removing
+    * it, because only the text can say which counts to retract.
+    */
+  def retractFromTermStatsIdempotent(
+      deletedDocs: DataFrame, dfDir: String, cntDir: String,
+      batchId: Long): Unit = {
+    val s = deletedDocs.sparkSession
+    val nb = DedupQueries.tableBuckets(s, dfDir)
+    val rid = graft.sinks.IncrementalParquet.retractionBatchId(batchId)
+    graft.sinks.IncrementalParquet.appendIdempotent(
+      s, dfDir, "bkt", rid, Seq("term"),
+      Map("buckets" -> nb.toString))(
+      dfDeltas(deletedDocs, nb).withColumn("df", -col("df")))
+    graft.sinks.IncrementalParquet.appendIdempotent(
+      s, cntDir, "bkt", rid)(
+      docCountDelta(deletedDocs).withColumn("n", -col("n")))
   }
 
   /** Minor compaction of both term-stats tables with count merging. */
@@ -326,7 +436,11 @@ object TextQueries {
     */
   def termStatsFromStored(
       s: SparkSession, dfDir: String, cntDir: String): (DataFrame, DataFrame) =
-    (Tables.parquetCachedSchema(s, dfDir).groupBy(col("term")).agg(sum(col("df")).as("df")),
+    // df > 0: between a retraction's ack and its compaction fold, a
+    // fully-retracted term sums to exactly 0 — a term present in no
+    // surviving doc has no df row in the recomputed relation
+    (Tables.parquetCachedSchema(s, dfDir).groupBy(col("term"))
+      .agg(sum(col("df")).as("df")).filter(col("df") > 0),
       Tables.parquetCachedSchema(s, cntDir).agg(sum(col("n")).as("n_docs")))
 
   private val storedIncTermStats =
@@ -347,6 +461,41 @@ object TextQueries {
         docs.filter(pmod(col("doc_id"), lit(2)) === 0), dfDir, cntDir, 0L)
       appendToTermStatsIdempotent(
         docs.filter(pmod(col("doc_id"), lit(2)) === 1), dfDir, cntDir, 1L)
+      compactTermStatsMinor(s, dfDir, cntDir); ()
+    }
+    (s"$out/df", s"$out/cnt")
+  }
+
+  private val storedIncTermStatsDeleted =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The DELETION-lifecycle term-stats state: the standard two-batch
+    * build, then a RETRACTION batch (every doc ≡ 3 mod 7, negative
+    * deltas through the same append protocol), a REPLAY of that batch
+    * (pinned no-op — a double retraction would shift every df and the
+    * stopword cut), and sum-merge compaction that folds the negatives
+    * into the base rows physically. q_top_terms_deleted's oracle hash
+    * then pins the whole semigroup removal mechanism against the full
+    * recompute over the surviving corpus.
+    */
+  private[graft] def incrementalTermStatsDeletedDirs(
+      s: SparkSession, dir: String): (String, String) = {
+    val out = Tables.memoizedParquet(storedIncTermStatsDeleted,
+      Tables.derivedStateKey(s, dir, "documents") + "|termincr-del",
+      "graft-terms-del") { out =>
+      val docs = t(s, dir, "documents")
+      val dfDir = s"$out/df"
+      val cntDir = s"$out/cnt"
+      appendToTermStatsIdempotent(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), dfDir, cntDir, 0L)
+      appendToTermStatsIdempotent(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), dfDir, cntDir, 1L)
+      val deleted = docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+      retractFromTermStatsIdempotent(deleted, dfDir, cntDir, 0L)
+      // replay with DIFFERENT content: the ack must make it a no-op
+      retractFromTermStatsIdempotent(
+        docs.filter(pmod(col("doc_id"), lit(7)) =!= 3).limit(1),
+        dfDir, cntDir, 0L)
       compactTermStatsMinor(s, dfDir, cntDir); ()
     }
     (s"$out/df", s"$out/cnt")
@@ -481,6 +630,38 @@ object TextQueries {
         .orderBy(col("doc_id"), col("rnk"))
     },
 
+    // The SEMIGROUP deletion lifecycle under the oracle hash: term
+    // stats built as build + append + RETRACTION batch (doc ≡ 3 mod
+    // 7, negative deltas through the same exactly-once protocol) +
+    // replayed retraction (pinned no-op) + sum-merge compaction that
+    // folds the negatives away physically. One hash pins the whole
+    // mechanism — df shifts, the corpus-size scalar retracts (moving
+    // the stopword cut), fully-retracted terms vanish — against the
+    // full recompute over the surviving corpus. tf is per-doc
+    // scan-stage state over the post-takedown corpus store, not
+    // maintained state.
+    GraftQuery("q_top_terms_deleted",
+      topTermsSqlOver("(SELECT * FROM documents WHERE doc_id % 7 <> 3)")) {
+      (s, dir) =>
+      val (dfDir, cntDir) = incrementalTermStatsDeletedDirs(s, dir)
+      val (dfT, nDocs) = termStatsFromStored(s, dfDir, cntDir)
+      val tf = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(7)) =!= 3)
+        .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term"))
+      tf.join(broadcast(dfT.join(broadcast(nDocs))
+          .filter(col("df") * 10 < col("n_docs") * 9)
+          .select("term", "df")), "term")
+        .select(col("doc_id"),
+          row_number().over(w).cast(org.apache.spark.sql.types.IntegerType).as("rnk"),
+          col("term"), col("tf"), col("df"))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("doc_id"), col("rnk"))
+    },
+
     // --------------------------------------------------------- splits
     // Deterministic hash-based train/val/test assignment (reproducible
     // corpus splits — the property random() sampling loses): bucket =
@@ -585,6 +766,28 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // The MODEL-family deletion lifecycle under the oracle hash: the
+    // maintained bigram/unigram counts built as build + append +
+    // RETRACTION batch (doc ≡ 3 mod 7) + replayed retraction (pinned
+    // no-op) + merge-compaction, then served against the surviving
+    // docs. The oracle retrains from scratch on the survivors — so
+    // the hash pins that retraining-free count retraction equals a
+    // full retrain to the bit: every smoothed probability shifts
+    // (c1, v and the vanished bigrams all move), not just the deleted
+    // docs' rows.
+    GraftQuery("q_lm_score_deleted",
+      s"""WITH ${lmScoredCtesSqlOver(
+            "(SELECT * FROM documents WHERE doc_id % 7 <> 3)")}
+         |SELECT doc_id, n_bigrams, bits_per_bigram
+         |FROM lmdoc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val model = Tables.parquetCachedSchema(
+        s, incrementalLmModelDeletedPath(s, dir))
+      scoreBitsPerBigram(
+        t(s, dir, "documents").filter(pmod(col("doc_id"), lit(7)) =!= 3),
+        model)
+        .orderBy(col("doc_id"))
+    },
+
     // ------------------------------------ CCNet perplexity bucketing
     // CCNet's actual corpus-split step (Wenzek et al. 2020): within
     // each source (CCNet splits per language; source is this corpus's
@@ -635,27 +838,39 @@ object TextQueries {
   /** q_top_terms' full-recompute DuckDB mirror — shared verbatim by
     * q_top_terms_incr (one oracle text per result relation).
     */
-  private def topTermsSql: String =
-    """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
-      |             FROM documents),
-      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-      |j AS (SELECT tf.doc_id, tf.term, tf.tf, df.df
-      |      FROM tf JOIN df ON tf.term = df.term
-      |      WHERE df.df * 10 < (SELECT count(*) FROM documents) * 9),
-      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
-      |        ORDER BY tf DESC, df ASC, term) AS INTEGER) AS rnk FROM j)
-      |SELECT doc_id, rnk, term, tf, df
-      |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+  private def topTermsSql: String = topTermsSqlOver("documents")
+
+  /** [[topTermsSql]] over an arbitrary corpus relation — the deletion
+    * gate recomputes over the SURVIVING corpus; every derived quantity
+    * (tf, df, the stopword cut's corpus size) follows the source.
+    */
+  private def topTermsSqlOver(src: String): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+       |             FROM $src),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |j AS (SELECT tf.doc_id, tf.term, tf.tf, df.df
+       |      FROM tf JOIN df ON tf.term = df.term
+       |      WHERE df.df * 10 < (SELECT count(*) FROM $src) * 9),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY tf DESC, df ASC, term) AS INTEGER) AS rnk FROM j)
+       |SELECT doc_id, rnk, term, tf, df
+       |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
   /** The full-retrain LM scoring chain through the per-doc relation
     * `lmdoc(doc_id, n_bigrams, bits_per_bigram)` — shared by
     * q_lm_score / q_lm_score_incr and the CCNet bucketing oracle.
     */
   private[analytics] def lmScoredCtesSql: String =
+    lmScoredCtesSqlOver("documents")
+
+  /** [[lmScoredCtesSql]] over an arbitrary corpus relation — the
+    * deletion gate retrains AND scores over the surviving corpus.
+    */
+  private def lmScoredCtesSqlOver(src: String): String =
     s"""tk AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts
-       |  FROM documents),
+       |  FROM $src),
        |bg AS (
        |  SELECT doc_id, i AS pos, ts[i] || ' ' || ts[i+1] AS bigram
        |  FROM (SELECT doc_id, ts,

@@ -561,25 +561,69 @@ object IncrementalParquet {
       transform: DataFrame => DataFrame): String =
     graft.core.Tables.memoizedParquet(memo, key, tmpPrefix) { out =>
       // by-name source: a memo-hit serve never constructs the DataFrame
+      lifecycleBuild(out, source, idCol, partCol, sortCols, pinExtra)(
+        transform)
+    }
+
+  private def lifecycleBuild(out: String, source: DataFrame, idCol: String,
+      partCol: String, sortCols: Seq[String],
+      pinExtra: Map[String, String])(
+      transform: DataFrame => DataFrame): Unit = {
+    val src = source
+    val spark = src.sparkSession
+    // pmod, not %: Spark's % keeps the dividend's sign, so a plain
+    // `% 2 === 1` split would silently drop negative odd ids
+    clustered(transform(src.filter(pmod(col(idCol), lit(2)) === 0)),
+        partCol, sortCols)
+      .write.mode("overwrite").options(clusteredWriteOpts(sortCols))
+      .partitionBy(partCol).parquet(out)
+    // record the base bytes' layout as the table's birth pin — this
+    // writer just produced them with exactly these options, which is
+    // the one situation adoptLayout exists for (the append below
+    // refuses to stamp a pin onto pre-existing unpinned data)
+    adoptLayout(spark, out,
+      (if (sortCols.nonEmpty) Map("sort" -> sortCols.mkString(","))
+       else Map.empty[String, String]) ++ pinExtra)
+    appendIdempotent(spark, out, partCol, 1L, sortCols, pinExtra) {
+      transform(src.filter(pmod(col(idCol), lit(2)) === 1))
+    }
+    compact(spark, out, partCol)(s => Int.box(s.toInt)); ()
+  }
+
+  /** The standard DELETED-index build every `q_*_deleted` gate serves
+    * from: [[buildViaLifecycle]]'s build → append → compact, then the
+    * deletion lifecycle exercised END TO END on the result — takedown
+    * batch A (ids ≡ 3 mod 14) physically PURGED to bytes, takedown
+    * batch B (ids ≡ 10 mod 14) left tombstone-SERVED, and batch A
+    * REPLAYED with different content after its purge (pinned no-op:
+    * the `_ingested` ack outlives the cleared tombstone rows). A ∪ B
+    * is exactly the residue class id ≡ 3 (mod 7), so ONE oracle hash
+    * over a serve from this table pins BOTH removal mechanisms — and
+    * the replay guard — against the full recompute over the surviving
+    * corpus. `idCol` doubles as the tombstone key: every family here
+    * is keyed by the id its rows derive from.
+    */
+  def buildViaDeleteLifecycle(
+      memo: java.util.concurrent.ConcurrentHashMap[String, String],
+      key: String, tmpPrefix: String,
+      source: => DataFrame, idCol: String, partCol: String,
+      sortCols: Seq[String] = Nil,
+      pinExtra: Map[String, String] = Map.empty)(
+      transform: DataFrame => DataFrame): String =
+    graft.core.Tables.memoizedParquet(memo, key, tmpPrefix) { out =>
       val src = source
       val spark = src.sparkSession
-      // pmod, not %: Spark's % keeps the dividend's sign, so a plain
-      // `% 2 === 1` split would silently drop negative odd ids
-      clustered(transform(src.filter(pmod(col(idCol), lit(2)) === 0)),
-          partCol, sortCols)
-        .write.mode("overwrite").options(clusteredWriteOpts(sortCols))
-        .partitionBy(partCol).parquet(out)
-      // record the base bytes' layout as the table's birth pin — this
-      // writer just produced them with exactly these options, which is
-      // the one situation adoptLayout exists for (the append below
-      // refuses to stamp a pin onto pre-existing unpinned data)
-      adoptLayout(spark, out,
-        (if (sortCols.nonEmpty) Map("sort" -> sortCols.mkString(","))
-         else Map.empty[String, String]) ++ pinExtra)
-      appendIdempotent(spark, out, partCol, 1L, sortCols, pinExtra) {
-        transform(src.filter(pmod(col(idCol), lit(2)) === 1))
-      }
-      compact(spark, out, partCol)(s => Int.box(s.toInt))
+      lifecycleBuild(out, src, idCol, partCol, sortCols, pinExtra)(transform)
+      appendTombstonesIdempotent(spark, out, idCol, 0L)(
+        src.filter(pmod(col(idCol), lit(14)) === 3).select(col(idCol)))
+      purgeTombstoned(spark, out, partCol, idCol)(v => Int.box(v.toInt))
+      appendTombstonesIdempotent(spark, out, idCol, 1L)(
+        src.filter(pmod(col(idCol), lit(14)) === 10).select(col(idCol)))
+      // replay batch 0 with DIFFERENT content: the retained ack must
+      // make it a no-op even though its tombstone rows were cleared
+      appendTombstonesIdempotent(spark, out, idCol, 0L)(
+        src.filter(pmod(col(idCol), lit(7)) =!= 3).limit(1)
+          .select(col(idCol)))
     }
 
   /** LSM-style MINOR compaction — the in-loop companion of [[compact]]
@@ -653,7 +697,7 @@ object IncrementalParquet {
     val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return 0
     val markerDir = new Path(dir, "_compact")
-    val batchFile = "^b(\\d+)-.*".r
+    val batchFile = "^b(-?\\d+)-.*".r
     val baseFile = "^c(\\d+)-.*".r
     // shared crash recovery first: a crashed FULL compact's retired
     // state, then pending committed deletions and orphan
@@ -777,7 +821,7 @@ object IncrementalParquet {
   private def recoverRetired(fs: FileSystem, dir: Path, partCol: String): Unit = {
     val retiredDir = new Path(dir.getParent, s".${dir.getName}.retired")
     if (!fs.exists(retiredDir)) return
-    val batchFile = "^b(\\d+)-.*".r
+    val batchFile = "^b(-?\\d+)-.*".r
     fs.listStatus(retiredDir).foreach { st =>
       val live = new Path(dir, st.getPath.getName)
       if (!fs.exists(live)) {
@@ -905,7 +949,7 @@ object IncrementalParquet {
     val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
     val stage = new Path(dir.getParent, s".${dir.getName}.compact")
     val retiredDir = new Path(dir.getParent, s".${dir.getName}.retired")
-    val batchFile = "^b(\\d+)-.*".r
+    val batchFile = "^b(-?\\d+)-.*".r
     def ackedOrNotBatch(name: String): Boolean = name match {
       case batchFile(id) => fs.exists(new Path(dir, s"_ingested/b$id"))
       case _ => true
@@ -932,20 +976,39 @@ object IncrementalParquet {
       .map(_.getPath.getName.stripPrefix(s"$partCol="))
       .sorted
     if (fragmented.isEmpty) return 0
+    rewriteWholePartitions(spark, dirStr, partCol, fragmented, merge)(partValue)
+  }
 
-    // partition-pruned read of ONLY the fragmented values; one shuffle
-    // task per value => one output file per partition, re-sorted by the
-    // pinned cluster columns so a full rewrite keeps the probe layout
+  /** The whole-partition rewrite core shared by [[compact]] and
+    * [[purgeTombstoned]]: partition-pruned read of ONLY the selected
+    * values (one shuffle task per value ⇒ one output file per
+    * partition, re-sorted by the pinned cluster columns so a full
+    * rewrite keeps the probe layout), then the retired-sibling swap. A
+    * selected partition whose rewrite produces NO rows (a purge that
+    * deletes everything in it) is retired with no replacement — the
+    * partition disappears, which is the correct post-delete state; a
+    * crash between its retire and the final cleanup restores it
+    * ([[recoverRetired]]), and the caller's tombstones keep the
+    * restored rows filtered until the re-run retires it again.
+    */
+  private def rewriteWholePartitions(spark: SparkSession, dirStr: String,
+      partCol: String, selected: Seq[String],
+      merge: DataFrame => DataFrame)(partValue: String => Any): Int = {
+    val dir = new Path(dirStr)
+    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    val stage = new Path(dir.getParent, s".${dir.getName}.compact")
+    val retiredDir = new Path(dir.getParent, s".${dir.getName}.retired")
+    fs.delete(stage, true) // scratch hygiene (single-writer contract)
     val sortCols = pinnedSort(fs, dir)
     clustered(
       merge(spark.read.parquet(dirStr)
-        .filter(col(partCol).isin(fragmented.map(partValue): _*))),
+        .filter(col(partCol).isin(selected.map(partValue): _*))),
       partCol, sortCols)
       .write.options(clusteredWriteOpts(sortCols))
       .partitionBy(partCol).parquet(stage.toString)
 
     fs.mkdirs(retiredDir)
-    fragmented.foreach { v =>
+    selected.foreach { v =>
       val live = new Path(dir, s"$partCol=$v")
       val next = new Path(stage, s"$partCol=$v")
       if (fs.exists(live) && !fs.rename(live, new Path(retiredDir, s"$partCol=$v")))
@@ -955,7 +1018,7 @@ object IncrementalParquet {
     }
     fs.delete(retiredDir, true)
     fs.delete(stage, true)
-    fragmented.length
+    selected.length
   }
 
   private def rebuildPaths(dir: Path): (Path, Path) = (
@@ -1019,7 +1082,7 @@ object IncrementalParquet {
     val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
     recoverRebuildSwap(spark, dirStr)
     require(fs.exists(dir), s"$dirStr: no live table to rebuild")
-    val batchFile = "^b(\\d+)-.*".r
+    val batchFile = "^b(-?\\d+)-.*".r
     val unacked = fs.listStatus(dir)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
       .flatMap(st => fs.listStatus(st.getPath)).map(_.getPath.getName)
@@ -1089,6 +1152,182 @@ object IncrementalParquet {
       // live + parked together only ever means "crashed after install":
       // a healthy in-flight swap holds the two states disjointly
       fs.delete(parked, true)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // DELETION LIFECYCLE — tombstones + serve-side filtering + physical
+  // purge, the takedown machinery for every document-keyed stored
+  // table this object maintains (GDPR-class removal; the reference is
+  // itself a GDPR pipeline — salted PII hashing at
+  // Fetch_reddit.py:58-63). Three cooperating pieces:
+  //
+  //  1. appendTombstonesIdempotent — a takedown batch's keys land in a
+  //     SIBLING incremental table `<dir>/_tombstones` (underscore-
+  //     prefixed, so parent-table parquet reads never see it; its own
+  //     `_ingested/b<id>` ack namespace, so delete-stream batch ids
+  //     never collide with the parent's ingest ids). Exactly-once by
+  //     the same ack protocol as any append: a REPLAYED delete batch
+  //     is a no-op forever, including after the rows it named are
+  //     physically gone.
+  //  2. applyTombstones — the serve-side anti-join every family's read
+  //     path routes through: a tombstoned key stops appearing in every
+  //     serve the moment the delete batch acks, with NO table rewrite
+  //     on the takedown path (O(batch), the same cost class as an
+  //     append). Tables that never saw a delete pay one existence
+  //     check (no join is added to their plans — the gates' plan pins
+  //     hold unchanged).
+  //  3. purgeTombstoned — physical removal, O(touched partitions)
+  //     never O(table): one column-pruned (partCol, keyCol) scan finds
+  //     the partitions actually holding tombstoned rows, each is
+  //     rewritten through the retired-sibling swap with the tombstones
+  //     anti-joined out, and partitions with no match are never read
+  //     again nor rewritten. When every touched partition purged (none
+  //     skipped for in-flight ingest state), the tombstone ROWS are
+  //     cleared — the acks stay, so replayed delete batches remain
+  //     no-ops — and the table is byte-clean of the deleted keys.
+  //
+  // Crash analysis: a crash mid-purge leaves some partitions rewritten
+  // and some not — the tombstones are still present (cleared LAST), so
+  // serves stay correct throughout and the re-run purges the rest. A
+  // crash between the last rewrite and the clear re-runs as an empty
+  // purge (no partition matches) and clears. recoverRetired restores a
+  // partition retired-but-not-replaced; its rows resurface FILTERED
+  // (tombstones still present) until the re-run retires it again.
+  // Deleting a key that was never ingested is a harmless no-op (the
+  // anti-join matches nothing); re-ingesting a key AFTER its purge
+  // cycle completes makes it live again (delete-then-reinsert =
+  // present — the tombstone names bytes, not an identity ban).
+  // ------------------------------------------------------------------
+
+  /** The RETRACTION id space — the deletion lifecycle's SEMIGROUP arm
+    * (count tables: df/term stats, LM bigrams, DSIR buckets — rows are
+    * sum-mergeable, so removal is data, not filtering): a family's
+    * delete stream installs NEGATIVE deltas through the ordinary
+    * [[appendIdempotent]] protocol with its batch ids mapped into the
+    * negative half of the id space, so they can never collide with
+    * ingest ids in the shared `_ingested` ack namespace (ingest batch
+    * 7 acks `b7` and names files `b7-k`; retraction batch 7 acks
+    * `b-8` and names `b-8-k` — no shared prefix, so neither replay
+    * can clear the other's files). Everything else is the existing
+    * machinery: a replayed retraction is a no-op forever, serve-side
+    * sums net the negatives out with NO plan change, and the family's
+    * merge-compaction physically folds a retraction into its base
+    * rows — a fully-retracted key's zero row is dropped by the merge,
+    * leaving the table byte-clean of the deleted contribution.
+    * Document-keyed families use tombstones (below) instead; count
+    * families use this because their rows aren't keyed by the deleted
+    * id at all.
+    */
+  def retractionBatchId(batchId: Long): Long = -batchId - 1
+
+  /** The tombstone sibling table of a stored table. */
+  def tombstoneDir(dirStr: String): String = s"$dirStr/_tombstones"
+
+  /** Exactly-once append of one takedown batch's keys (any DataFrame
+    * with `keyCol`; deduplicated here) into `<dir>/_tombstones`.
+    */
+  def appendTombstonesIdempotent(spark: SparkSession, dirStr: String,
+      keyCol: String, batchId: Long)(keys: => DataFrame): Unit =
+    appendIdempotent(spark, tombstoneDir(dirStr), "tb", batchId) {
+      keys.select(col(keyCol)).distinct().withColumn("tb", lit(0))
+    }
+
+  /** Whether a replayed takedown batch is already acked. */
+  def tombstoneAcked(
+      spark: SparkSession, dirStr: String, batchId: Long): Boolean =
+    acked(spark, tombstoneDir(dirStr), batchId)
+
+  /** Whether any tombstone ROWS exist (cheap driver-side listing —
+    * `false` both for a never-deleted table and after a completed
+    * purge cycle cleared the rows).
+    */
+  def hasTombstones(spark: SparkSession, dirStr: String): Boolean = {
+    val dir = new Path(tombstoneDir(dirStr))
+    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    fs.exists(dir) && fs.listStatus(dir)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("tb=") &&
+        fs.listStatus(st.getPath).exists(f =>
+          f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith(".")))
+  }
+
+  /** The distinct tombstoned keys as a 1-column frame (None when the
+    * table has none — the common fast path).
+    */
+  def tombstoneKeys(spark: SparkSession, dirStr: String,
+      keyCol: String): Option[DataFrame] =
+    if (!hasTombstones(spark, dirStr)) None
+    else Some(spark.read.parquet(tombstoneDir(dirStr))
+      .select(col(keyCol)).distinct())
+
+  /** Serve-side deletion: anti-join `df` against the table's
+    * tombstones on `keyCol`. Identity (no plan change at all) for a
+    * table with no tombstone rows. No broadcast hint — a takedown
+    * wave's key set is unbounded, and AQE broadcasts small frames on
+    * its own.
+    */
+  def applyTombstones(spark: SparkSession, dirStr: String, keyCol: String)(
+      df: DataFrame): DataFrame =
+    tombstoneKeys(spark, dirStr, keyCol)
+      .fold(df)(t => df.join(t, Seq(keyCol), "left_anti"))
+
+  /** Physical purge of tombstoned rows — O(touched partitions): one
+    * column-pruned scan locates the partitions holding tombstoned
+    * rows, each is rewritten (retired-sibling swap) with the
+    * tombstones anti-joined out. Partitions holding UNACKED batch
+    * files are skipped (an in-flight ingest's replay needs its
+    * batch-scoped names; the tombstones keep their rows filtered) and
+    * the tombstone rows are then retained for the next purge. Returns
+    * the number of partitions rewritten.
+    */
+  def purgeTombstoned(spark: SparkSession, dirStr: String, partCol: String,
+      keyCol: String)(partValue: String => Any): Int = {
+    val dir = new Path(dirStr)
+    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    val tombOpt = tombstoneKeys(spark, dirStr, keyCol)
+    if (tombOpt.isEmpty || !fs.exists(dir)) return 0
+    val tomb = tombOpt.get
+    recoverRetired(fs, dir, partCol)
+    recoverMinorState(fs, dir, partCol)
+    val batchFile = "^b(-?\\d+)-.*".r
+    // touched partitions: (partCol, keyCol) columns only — parquet
+    // reads nothing else, and partitions without a tombstoned key are
+    // never rewritten
+    val touched = spark.read.parquet(dirStr)
+      .select(col(partCol), col(keyCol))
+      .join(tomb, Seq(keyCol), "left_semi")
+      .select(col(partCol)).distinct()
+      .collect().map(_.get(0).toString).toSeq.sorted
+    val (clean, skipped) = touched.partition { v =>
+      val live = new Path(dir, s"$partCol=$v")
+      !fs.exists(live) || fs.listStatus(live).forall { f =>
+        f.getPath.getName match {
+          case batchFile(id) =>
+            fs.exists(new Path(dir, s"_ingested/b$id"))
+          case _ => true
+        }
+      }
+    }
+    val purged =
+      if (clean.isEmpty) 0
+      else rewriteWholePartitions(spark, dirStr, partCol, clean,
+        _.join(tomb, Seq(keyCol), "left_anti"))(partValue)
+    // clear the tombstone ROWS only when nothing still references them
+    // (no partition skipped); the `_ingested` acks stay forever so a
+    // replayed delete batch can never re-append
+    if (skipped.isEmpty) clearTombstoneRows(fs, new Path(tombstoneDir(dirStr)))
+    purged
+  }
+
+  private def clearTombstoneRows(fs: FileSystem, tdir: Path): Unit = {
+    if (!fs.exists(tdir)) return
+    fs.listStatus(tdir).foreach { st =>
+      val n = st.getPath.getName
+      // keep the ack namespace (`_ingested`) and the layout pin; drop
+      // the data partitions and compaction markers
+      if (st.isDirectory && (n.startsWith("tb=") || n == "_compact"))
+        fs.delete(st.getPath, true)
     }
   }
 }

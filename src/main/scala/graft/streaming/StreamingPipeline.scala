@@ -635,19 +635,64 @@ object StreamingPipeline {
       incomingDir: String,
       pstDir: String,
       dlDir: String,
-      cntDir: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
       compactEvery: Int = DefaultCompactEvery): StreamingQuery =
     startIndexIngest(spark, incomingDir, checkpointDir, docSchema, trigger) {
       (batch, batchId) =>
         graft.analytics.RetrievalQueries.appendToPostingsIdempotent(
-          batch, pstDir, dlDir, cntDir, batchId)
+          batch, pstDir, dlDir, batchId)
         onCadence(compactEvery, batchId) {
           graft.analytics.RetrievalQueries.compactPostingsMinor(
-            spark, pstDir, dlDir, cntDir); ()
+            spark, pstDir, dlDir); ()
         }
     }
+
+  /** Streamed TAKEDOWN maintenance — the deletion lifecycle's
+    * maintainer (the GDPR shape: the reference's pipeline salts PII
+    * hashes at ingest, Fetch_reddit.py:58-63; this is the removal
+    * complement for the derived index state). Arriving takedown
+    * requests — (doc_id) rows — land as exactly-once tombstone batches
+    * on the stored BM25 index: the doc stops appearing in every serve
+    * the moment its batch acks (serve-side anti-join; the (N, totlen)
+    * scalars retract its contribution), a REPLAYED request is a no-op
+    * forever, and the takedown path never rewrites the table
+    * (O(batch), the same cost class as an append). Tombstone appends
+    * touch only the `_tombstones` sibling dirs, so this maintainer is
+    * safe to run CONCURRENTLY with the table's
+    * [[startPostingsIngest]].
+    *
+    * Physical purge ([[graft.analytics.RetrievalQueries
+    * .purgePostingsTombstones]], O(touched partitions)) fires on
+    * `purgeEvery` cadence ONLY when `purgeEvery > 0` — purge rewrites
+    * live partitions, so it carries the same single-writer requirement
+    * as compaction (quiesce the table's ingest stream first); the
+    * default leaves rows tombstone-served, byte-removal an explicit
+    * maintenance step.
+    */
+  def startTakedownIngest(
+      spark: SparkSession,
+      incomingDir: String,
+      pstDir: String,
+      dlDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      purgeEvery: Int = 0): StreamingQuery = {
+    val takedownSchema = {
+      import org.apache.spark.sql.types._
+      new StructType().add("doc_id", LongType, nullable = false)
+    }
+    startIndexIngest(spark, incomingDir, checkpointDir, takedownSchema,
+      trigger) { (batch, batchId) =>
+      graft.analytics.RetrievalQueries.deleteFromPostingsIdempotent(
+        batch.select(org.apache.spark.sql.functions.col("doc_id")),
+        pstDir, dlDir, batchId)
+      if (purgeEvery > 0) onCadence(purgeEvery, batchId) {
+        graft.analytics.RetrievalQueries.purgePostingsTombstones(
+          spark, pstDir, dlDir); ()
+      }
+    }
+  }
 
   /** Streamed positional-bigram postings maintenance — the phrase
     * index joining the continuously-maintained family: arriving

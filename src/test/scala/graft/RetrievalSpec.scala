@@ -76,14 +76,13 @@ class RetrievalSpec extends SparkSpec {
       val incoming = Files.createDirectory(root.resolve("incoming"))
       val pstDir = root.resolve("pst").toString
       val dlDir = root.resolve("dl").toString
-      val cntDir = root.resolve("cnt").toString
       val ckpt = root.resolve("ckpt").toString
       val b0 = MaintenanceProbe.batchDocs(spark, 0, 80)
       val b1 = MaintenanceProbe.batchDocs(spark, 1, 80)
 
       land(b0, incoming, "b0.parquet")
       StreamingPipeline.startPostingsIngest(
-        spark, incoming.toString, pstDir, dlDir, cntDir, ckpt,
+        spark, incoming.toString, pstDir, dlDir, ckpt,
         Trigger.AvailableNow()).awaitTermination(120000)
       val oneShot0 = RetrievalQueries.postingsDeltas(b0, 1)
         .select(col("doc_id"), col("term"), col("tf")).collect()
@@ -93,7 +92,7 @@ class RetrievalSpec extends SparkSpec {
 
       land(b1, incoming, "b1.parquet")
       StreamingPipeline.startPostingsIngest(
-        spark, incoming.toString, pstDir, dlDir, cntDir, ckpt,
+        spark, incoming.toString, pstDir, dlDir, ckpt,
         Trigger.AvailableNow()).awaitTermination(120000)
       val both = RetrievalQueries.postingsDeltas(b0.union(b1), 1)
         .select(col("doc_id"), col("term"), col("tf")).collect()
@@ -104,12 +103,96 @@ class RetrievalSpec extends SparkSpec {
       // replay: re-append batch 0 under its original batchId — the ack
       // marker must short-circuit; a double-ingested doc would double
       // its tf rows
-      RetrievalQueries.appendToPostingsIdempotent(b0, pstDir, dlDir, cntDir, 0L)
+      RetrievalQueries.appendToPostingsIdempotent(b0, pstDir, dlDir, 0L)
       assert(postingsSet(pstDir) == both, "replayed batch mutated the index")
-      val n = spark.read.parquet(cntDir).agg(sum("n")).head.getLong(0)
+      // N = count of dl rows (one per ingested doc — the scalar source)
+      val n = spark.read.parquet(dlDir).count()
       assert(n == 160L, s"doc count $n after replay")
       val totlen = spark.read.parquet(dlDir).agg(sum("dl")).head.getLong(0)
       assert(totlen == 160L * 40, s"totlen $totlen after replay")
+    }
+  }
+
+  test("streamed takedown: a deleted doc stops appearing in the serve " +
+      "the moment its batch acks; the serve equals a full recompute " +
+      "over the surviving corpus; a replayed delete (direct AND via " +
+      "stream restart) is a no-op; purge leaves the serve unchanged " +
+      "and the bytes clean") {
+    withTempDir { root =>
+      val incoming = Files.createDirectory(root.resolve("incoming"))
+      val takedowns = Files.createDirectory(root.resolve("takedowns"))
+      val pstDir = root.resolve("pst").toString
+      val dlDir = root.resolve("dl").toString
+      val dirs = (pstDir, dlDir)
+      val b0 = MaintenanceProbe.batchDocs(spark, 0, 80)
+      val b1 = MaintenanceProbe.batchDocs(spark, 1, 80)
+      land(b0, incoming, "b0.parquet")
+      land(b1, incoming, "b1.parquet")
+      StreamingPipeline.startPostingsIngest(
+        spark, incoming.toString, pstDir, dlDir,
+        root.resolve("ckpt").toString, Trigger.AvailableNow())
+        .awaitTermination(120000)
+      val qt = RetrievalQueries.queryTermsAll(b0.filter(col("doc_id") < 3))
+      def serve(): Seq[(Long, Long, Int, Double)] =
+        RetrievalQueries.bm25RankedFromDirs(spark, dirs, qt, 9L)
+          .select(col("q_id"), col("n_id"), col("rank"), col("score"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+            r.getDouble(3))).sortBy(t => (t._1, t._3)).toSeq
+      val before = serve()
+      // victim: a ranked non-query doc (takedown of a doc users FIND)
+      val victim = before.map(_._2).find(_ >= 3L).get
+      assert(before.exists(_._2 == victim))
+
+      import spark.implicits._
+      land(Seq(victim).toDF("doc_id"), takedowns, "t0.parquet")
+      val tkCkpt = root.resolve("tkckpt").toString
+      StreamingPipeline.startTakedownIngest(
+        spark, takedowns.toString, pstDir, dlDir, tkCkpt,
+        Trigger.AvailableNow()).awaitTermination(120000)
+      val after = serve()
+      assert(!after.exists(_._2 == victim),
+        "deleted doc still appears in the serve")
+      // the served ranking equals a FULL RECOMPUTE over survivors —
+      // including the (N, totlen) retraction, which shifts every
+      // surviving score's idf/avgdl, not just the victim's rows
+      val survivors = b0.union(b1).filter(col("doc_id") =!= victim)
+      val (rp, rd, rg) = RetrievalQueries.recomputedState(survivors, qt)
+      val expected = RetrievalQueries.bm25Ranked(qt, rp, rd, rg)
+        .select(col("q_id"), col("n_id"), col("rank"), col("score"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getDouble(3))).sortBy(t => (t._1, t._3)).toSeq
+      assert(after == expected,
+        "post-takedown serve drifted from the surviving-corpus recompute")
+
+      // replayed delete batch (direct call, same id, different keys):
+      // the tombstone ack must make it a no-op
+      RetrievalQueries.deleteFromPostingsIdempotent(
+        Seq(3L).toDF("doc_id"), pstDir, dlDir, 0L)
+      assert(serve() == after, "replayed delete batch mutated the index")
+      // streaming replay: restarting the takedown stream on the same
+      // checkpoint re-delivers nothing and changes nothing
+      StreamingPipeline.startTakedownIngest(
+        spark, takedowns.toString, pstDir, dlDir, tkCkpt,
+        Trigger.AvailableNow()).awaitTermination(120000)
+      assert(serve() == after, "takedown stream restart mutated the index")
+
+      // physical purge: serve identical, bytes clean, tombstones
+      // cleared — and the replayed batch STILL a no-op afterwards
+      val purged = RetrievalQueries.purgePostingsTombstones(
+        spark, pstDir, dlDir)
+      assert(purged > 0)
+      assert(serve() == after, "purge changed the served ranking")
+      assert(spark.read.parquet(pstDir)
+        .filter(col("doc_id") === victim).count() == 0L)
+      assert(spark.read.parquet(dlDir)
+        .filter(col("doc_id") === victim).count() == 0L)
+      assert(!graft.sinks.IncrementalParquet.hasTombstones(spark, pstDir))
+      RetrievalQueries.deleteFromPostingsIdempotent(
+        Seq(5L).toDF("doc_id"), pstDir, dlDir, 0L)
+      assert(serve() == after,
+        "replayed delete batch re-applied after purge")
     }
   }
 
@@ -701,7 +784,7 @@ class RetrievalSpec extends SparkSpec {
     import graft.analytics.RetrievalQueries
     // frozen model for query doc 0's salient terms, read from the
     // stored index the catalog lifecycle built for sf0.001
-    val (pstDir, dlDir, cntDir) =
+    val (pstDir, dlDir) =
       RetrievalQueries.incrementalPostingsDirs(spark, sfDir)
     // query 0's terms as the catalog derives them: from the gated
     // top-k output we only know the ranking, so re-derive via the
@@ -719,7 +802,7 @@ class RetrievalSpec extends SparkSpec {
       .orderBy(col("tf").desc, col("term")).limit(3)
       .collect().map(_.getString(0)).toSeq
     val (idf, gs) = RetrievalQueries.relevanceModel(
-      spark, pstDir, dlDir, cntDir, terms)
+      spark, pstDir, dlDir, terms)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
 
