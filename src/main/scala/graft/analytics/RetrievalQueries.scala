@@ -1754,15 +1754,21 @@ object RetrievalQueries {
     * plan only while the corpus is small enough that index plumbing
     * costs more than the scan it avoids, and the switch trades recall
     * for scan cost exactly like any ANN-vs-exact choice. Default set
-    * just ABOVE the largest measured exact-wins point (round 16,
-    * forced-arm medians for a 1-query batch: exact/indexed 0.41/0.67 s
-    * at sf1 = 5 MB, 0.51/0.71 s at sf10 = 51 MB — the indexed arm is
-    * a flat ~0.7 s job floor while the exact scan's growth is still
-    * shallow at local scale): exact through every scale this box
-    * measured it winning, the flat indexed tier beyond.
+    * at the MEASURED intersection, not an extrapolation (round 17,
+    * [[graft.MmrArmsProbe]], forced-arm warm medians): at 5 MB the
+    * exact arm wins every batch size (0.45 vs 0.89 s at nq=10); at
+    * 52 MB the indexed arm already wins any multi-query batch (1.19
+    * vs 1.87 s at nq=10; nq=1 is a 0.71-vs-0.93 near-tie held up only
+    * by the indexed job floor); at 523 MB (an sf100 embeddings-only
+    * up-sample) indexed wins everywhere — 2.11 vs 2.47 s at nq=1 and
+    * 2.51 vs 39.9 s at nq=10, the exact pool's scan×sort term in full
+    * effect. 16 MB is the geometric midpoint of the nq≥10
+    * intersection bracket (5–52 MB) — conservative in the direction a
+    * real cluster moves it, since the scan term grows with IO while
+    * the indexed serve stays candidate-bounded.
     */
   private[graft] val MmrExactMaxBytesKey = "graft.mmr.exactMaxBytes"
-  private[graft] val MmrExactMaxBytesDefault = 64L * 1024 * 1024
+  private[graft] val MmrExactMaxBytesDefault = 16L * 1024 * 1024
 
   /** MMR-diversified top-k for EXTERNAL query vectors — the
     * diversified sibling of [[SimilarityQueries.annSearchVectors]]:
