@@ -235,9 +235,13 @@ object CorpusPrepQueries {
         count(when(col("is_t"), 1)).cast(LongType).as("tcnt"))
       .withColumn("bkt", pmod(col("b"), lit(8)))
 
+  // zero-drop: a bucket whose every feature instance was retracted
+  // folds to (0, 0) at a compaction firing and leaves the table —
+  // absent, exactly like a bucket the one-shot train never saw
   private val mergeDsirCounts: DataFrame => DataFrame =
     _.groupBy(col("bkt"), col("b"))
       .agg(sum(col("rcnt")).as("rcnt"), sum(col("tcnt")).as("tcnt"))
+      .filter(col("rcnt") =!= 0 || col("tcnt") =!= 0)
 
   /** Exactly-once append of a batch's model delta. */
   def appendToDsirModelIdempotent(
@@ -245,6 +249,27 @@ object CorpusPrepQueries {
     graft.sinks.IncrementalParquet.appendIdempotent(
       batch.sparkSession, dir, "bkt", batchId, Seq("b"))(
       dsirDeltas(batch, isTarget))
+
+  /** Exactly-once RETRACTION of a batch of DELETED documents from the
+    * maintained DSIR model — the
+    * [[TextQueries.retractFromTermStatsIdempotent]] mechanism on the
+    * selection family: negative bucket-count deltas through the same
+    * append protocol under the negative id space. The bucket totals
+    * (r_n, t_n) derive from the summed counts, so they retract with
+    * no separate state, and every log-ratio shifts exactly as a
+    * retrain on the survivors would shift it. `isTarget` must be the
+    * same predicate the ingest used — retraction negates exactly the
+    * deltas the deleted docs contributed.
+    */
+  def retractFromDsirModelIdempotent(
+      deletedDocs: DataFrame, isTarget: Column, dir: String,
+      batchId: Long): Unit =
+    graft.sinks.IncrementalParquet.appendIdempotent(
+      deletedDocs.sparkSession, dir, "bkt",
+      graft.sinks.IncrementalParquet.retractionBatchId(batchId), Seq("b"))(
+      dsirDeltas(deletedDocs, isTarget)
+        .withColumn("rcnt", -col("rcnt"))
+        .withColumn("tcnt", -col("tcnt")))
 
   /** Minor compaction with count merging. */
   def compactDsirModelMinor(s: SparkSession, dir: String): Int =
@@ -268,6 +293,10 @@ object CorpusPrepQueries {
       .groupBy(col("b")).agg(
         sum(col("rcnt")).cast(LongType).as("rcnt"),
         sum(col("tcnt")).cast(LongType).as("tcnt"))
+      // between a retraction's ack and its compaction fold, a fully-
+      // retracted bucket sums to (0, 0) — it must score as ABSENT
+      // (the smoothed-unseen arm), like a bucket never trained on
+      .filter(col("rcnt") =!= 0 || col("tcnt") =!= 0)
     val dc = dsirBuckets(docs, lit(false), buckets, shaBucket(buckets))
       .groupBy(col("doc_id"), col("b"))
       .agg(count(lit(1)).cast(LongType).as("n"))
@@ -295,6 +324,35 @@ object CorpusPrepQueries {
         docs.filter(pmod(col("doc_id"), lit(2)) === 0), isTarget, out, 0L)
       appendToDsirModelIdempotent(
         docs.filter(pmod(col("doc_id"), lit(2)) === 1), isTarget, out, 1L)
+      compactDsirModelMinor(s, out); ()
+    }
+
+  private val storedIncDsirDeleted =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The DELETION-lifecycle DSIR model: build + append + RETRACTION
+    * batch (every doc ≡ 3 mod 7) + replayed retraction (pinned no-op
+    * — a double retraction shifts every log-ratio) + merge-compaction
+    * folding the negatives away. q_select_dsir_deleted serves from it
+    * under the full-retrain-over-survivors oracle.
+    */
+  private[graft] def incrementalDsirModelDeletedPath(
+      s: SparkSession, dir: String): String =
+    Tables.memoizedParquet(storedIncDsirDeleted,
+      Tables.derivedStateKey(s, dir, "documents") + "|dsirincr-del",
+      "graft-dsir-del") { out =>
+      val docs = t(s, dir, "documents")
+      val isTarget = col("source").isin("src0", "src1")
+      appendToDsirModelIdempotent(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), isTarget, out, 0L)
+      appendToDsirModelIdempotent(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), isTarget, out, 1L)
+      retractFromDsirModelIdempotent(
+        docs.filter(pmod(col("doc_id"), lit(7)) === 3), isTarget, out, 0L)
+      // replay with DIFFERENT content: the ack must make it a no-op
+      retractFromDsirModelIdempotent(
+        docs.filter(pmod(col("doc_id"), lit(7)) =!= 3).limit(1),
+        isTarget, out, 0L)
       compactDsirModelMinor(s, out); ()
     }
 
@@ -450,9 +508,16 @@ object CorpusPrepQueries {
     * selection forms (deterministic top-k one-shot + maintained,
     * Gumbel-sampled).
     */
-  private val dsirWaCtesSql: String =
-    """tok AS (SELECT doc_id, source,
-        |         regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+  private val dsirWaCtesSql: String = dsirWaCtesSqlOver("documents")
+
+  /** [[dsirWaCtesSql]] over an arbitrary corpus relation — the
+    * deletion gate retrains AND scores over the surviving corpus
+    * (every count, both totals and the weight join's right side
+    * follow the source).
+    */
+  private def dsirWaCtesSqlOver(src: String): String =
+    s"""tok AS (SELECT doc_id, source,
+        |         regexp_extract_all(lower(text), '\\S+') AS ts FROM $src),
         |feat AS (
         |  SELECT doc_id, source, unnest(ts) AS g FROM tok
         |  UNION ALL
@@ -483,7 +548,7 @@ object CorpusPrepQueries {
         |w AS (SELECT dc.doc_id, SUM(dc.n * lr.lr) AS w
         |      FROM dc JOIN lr ON lr.b = dc.b GROUP BY dc.doc_id),
         |wa AS (SELECT d.doc_id, COALESCE(w.w, 0.0) AS w
-        |       FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id)""".stripMargin
+        |       FROM $src d LEFT JOIN w ON w.doc_id = d.doc_id)""".stripMargin
 
   /** One oracle text for the WHOLE deterministic selection relation —
     * shared by q_select_dsir and q_select_dsir_incr (the round-4
@@ -865,6 +930,30 @@ object CorpusPrepQueries {
       val docs = t(s, dir, "documents")
       dsirTopK(
         dsirWeightsFromStoredModel(docs, incrementalDsirModelPath(s, dir)),
+        100)
+    },
+
+    // The selection family's deletion lifecycle under the oracle
+    // hash: the maintained bucket counts built as build + append +
+    // RETRACTION batch (doc ≡ 3 mod 7) + replayed retraction (pinned
+    // no-op) + merge-compaction, then the selection served over the
+    // surviving docs. The oracle retrains from scratch on the
+    // survivors — counts, totals and every log-ratio shift, and the
+    // top-100 re-ranks accordingly.
+    GraftQuery("q_select_dsir_deleted",
+      s"""WITH ${dsirWaCtesSqlOver(
+            "(SELECT * FROM documents WHERE doc_id % 7 <> 3)")},
+          |r AS (SELECT doc_id, w,
+          |        CAST(row_number() OVER (ORDER BY w DESC, doc_id)
+          |             AS INTEGER) AS rank
+          |      FROM wa)
+          |SELECT doc_id, rank, floor(w * 1000) / 1000 AS weight
+          |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(7)) =!= 3)
+      dsirTopK(
+        dsirWeightsFromStoredModel(
+          docs, incrementalDsirModelDeletedPath(s, dir)),
         100)
     },
 

@@ -1045,9 +1045,49 @@ object DedupQueries {
 
   private[graft] def embedPairsServed(
       s: SparkSession, dir: String, threshold: Double): DataFrame =
+    embedPairsFromBucketsTable(
+      s, incrementalSignBucketsPath(s, dir), t(s, dir, "embeddings"),
+      threshold)
+
+  /** [[embedPairsFromBuckets]] against an EXPLICIT stored sign-bucket
+    * table with the deletion lifecycle applied — tombstoned vec_ids
+    * stop pairing the moment their delete batch acks (the candidate
+    * stage filters, so the verify's vector fetch is survivor-only for
+    * free); identity plan for a never-deleted table.
+    */
+  private def embedPairsFromBucketsTable(s: SparkSession,
+      bucketsDir: String, e: DataFrame, threshold: Double): DataFrame =
     embedPairsFromBuckets(
-      Tables.parquetCachedSchema(s, incrementalSignBucketsPath(s, dir)),
-      t(s, dir, "embeddings"), threshold)
+      graft.sinks.IncrementalParquet.applyTombstones(s, bucketsDir, "vec_id")(
+        Tables.parquetCachedSchema(s, bucketsDir)),
+      e, threshold)
+
+  /** Exactly-once TAKEDOWN of vector ids from a stored sign-bucket
+    * table — the embedding mirror of
+    * [[deleteFromSignaturesIdempotent]] (key `vec_id`); same protocol,
+    * same O(batch) cost, same [[purgeSignaturesTombstones]] physical
+    * removal (the table is `bkt`-partitioned like its lexical twin).
+    */
+  def deleteFromSignBucketsIdempotent(
+      vecIds: DataFrame, bucketsDir: String, batchId: Long): Unit =
+    graft.sinks.IncrementalParquet.appendTombstonesIdempotent(
+      vecIds.sparkSession, bucketsDir, "vec_id", batchId)(vecIds)
+
+  private val storedIncSignBucketsDeleted =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The DELETION-lifecycle sign-bucket table — the embedding mirror
+    * of [[incrementalSignaturesDeletedPath]] (build + purge-arm +
+    * tombstone-arm + replayed-batch no-op), serving
+    * q_dedup_embed_clusters_deleted.
+    */
+  private[graft] def incrementalSignBucketsDeletedPath(
+      s: SparkSession, dir: String): String =
+    graft.sinks.IncrementalParquet.buildViaDeleteLifecycle(
+      storedIncSignBucketsDeleted,
+      Tables.derivedStateKey(s, dir, "embeddings") + "|inc-del",
+      "graft-sbuckets-del",
+      t(s, dir, "embeddings"), "vec_id", "bkt")(bucketedSignBuckets(_))
 
   /** [[signBucketTable]] + the hash bucket column — the embedding
     * mirror of [[bucketedSignatures]]: a vector's band rows all land
@@ -1289,6 +1329,46 @@ object DedupQueries {
       Tables.derivedStateKey(s, dir, "embeddings") + "|inc",
       "graft-sbuckets-inc",
       t(s, dir, "embeddings"), "vec_id", "bkt")(bucketedSignBuckets(_))
+
+  /** The embedding cluster-closure oracle shared by
+    * q_dedup_embed_clusters and its deletion gate — `candFilter`
+    * injects the survivor predicate at the verified-edge stage (`pe`),
+    * exactly where the served tombstone anti-join removes a deleted
+    * vector's pairs.
+    */
+  private def embedClustersSql(candFilter: String = ""): String =
+    s"""${embedPairSql(recursive = true)},
+      |pe AS (SELECT id_a, id_b FROM p WHERE cos >= 0.4$candFilter),
+      |edges AS (SELECT id_a AS u, id_b AS w FROM pe
+      |          UNION SELECT id_b, id_a FROM pe),
+      |reach AS (
+      |  SELECT u AS node, u AS lab FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT e.w AS node, r.lab FROM reach r JOIN edges e ON e.u = r.node),
+      |cl AS (SELECT node AS vec_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+      |SELECT vec_id, cluster_id,
+      |  CAST(count(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS csize,
+      |  CAST(vec_id = cluster_id AS INTEGER) AS keep
+      |FROM cl ORDER BY vec_id""".stripMargin
+
+  /** The verified-pair closure + keep-min-id verdict served from an
+    * EXPLICIT stored sign-bucket table (tombstone-filtered) — the
+    * shared Spark body of q_dedup_embed_clusters and its deletion
+    * gate.
+    */
+  private def embedClustersFromBuckets(
+      s: SparkSession, bucketsDir: String, e: DataFrame): DataFrame = {
+    val pairs = embedPairsFromBucketsTable(s, bucketsDir, e, 0.4)
+      .select(col("id_a"), col("id_b"))
+    graft.operators.ConnectedComponents.runAdaptive(pairs, "id_a", "id_b")._1
+      .select(col("id").as("vec_id"), col("component").as("cluster_id"))
+      .withColumn("csize",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))).cast(IntegerType))
+      .withColumn("keep",
+        (col("vec_id") === col("cluster_id")).cast(IntegerType))
+      .orderBy(col("vec_id"))
+  }
 
   /** DuckDB mirror of [[embedNearDupPairs]] up through the `p` CTE
     * (id_a, id_b, cos) — shared by q_dedup_embed and its cluster
@@ -1536,10 +1616,48 @@ object DedupQueries {
   }
 
   /** The stored incremental window table as the `(doc_id, pos, fp)`
-    * frame the span pipeline consumes.
+    * frame the span pipeline consumes — tombstone-filtered: a
+    * taken-down doc's windows stop seeding spans the moment its
+    * delete batch acks (identity plan for a never-deleted table).
     */
   def windowsFromStored(s: SparkSession, winDir: String): DataFrame =
-    Tables.parquetCachedSchema(s, winDir).select(col("doc_id"), col("pos"), col("fp"))
+    graft.sinks.IncrementalParquet.applyTombstones(s, winDir, "doc_id")(
+      Tables.parquetCachedSchema(s, winDir))
+      .select(col("doc_id"), col("pos"), col("fp"))
+
+  /** Exactly-once TAKEDOWN of document ids from a stored window
+    * table — the span family's member of the deletion lifecycle
+    * (same protocol as [[deleteFromSignaturesIdempotent]]; physical
+    * removal is O(touched buckets) via
+    * [[purgeSignaturesTombstones]] — the table is `bkt`-partitioned,
+    * a doc's windows spread across the buckets its fingerprints hash
+    * into).
+    */
+  def deleteFromWindowsIdempotent(
+      docIds: DataFrame, winDir: String, batchId: Long): Unit =
+    graft.sinks.IncrementalParquet.appendTombstonesIdempotent(
+      docIds.sparkSession, winDir, "doc_id", batchId)(docIds)
+
+  private val storedIncWindowsDeleted =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The DELETION-lifecycle window table over the span-dup corpus —
+    * build + purge-arm + tombstone-arm + replayed-batch no-op
+    * ([[graft.sinks.IncrementalParquet.buildViaDeleteLifecycle]]),
+    * serving q_dedup_spans_deleted.
+    */
+  private[graft] def incrementalWindowsDeletedPath(
+      s: SparkSession, dir: String): String = {
+    val n = signatureBuckets(s)
+    graft.sinks.IncrementalParquet.buildViaDeleteLifecycle(
+      storedIncWindowsDeleted,
+      Tables.derivedStateKey(s, dir, "documents") + "|spanwin-del",
+      "graft-spanwin-del",
+      spanDupCorpus(t(s, dir, "documents")), "doc_id", "bkt",
+      sortCols = Seq("fp"), pinExtra = Map("buckets" -> n.toString))(
+      docs => explodedSpanWindows(docs)
+        .withColumn("bkt", pmod(hash(col("fp")), lit(n))))
+  }
 
   /** Maximal shared spans TOUCHING a batch, served from the stored
     * window table — the per-trigger span stage of continuous span
@@ -1902,6 +2020,25 @@ object DedupQueries {
     GraftQuery(
       "q_dedup_spans_incr", spanPipelineSql(spanDupCorpusSql, None)) { (s, dir) =>
       Tables.parquetCachedSchema(s, incrementalSpansPath(s, dir))
+        .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
+    },
+
+    // The span family's deletion lifecycle under the oracle hash: the
+    // fp-bucketed window table built as build + append + takedown A
+    // (doc_id ≡ 3 mod 14, physically PURGED) + takedown B (≡ 10 mod
+    // 14, tombstone-SERVED) + replayed batch A (pinned no-op); the
+    // span pipeline then runs over the surviving windows. A deleted
+    // doc leaves every shared span — including spans where it was one
+    // side of the only copy pair, which vanish entirely (span
+    // "clusters" are per-pair, so no closure repair arises). Oracle:
+    // the one-shot span SQL over the surviving span corpus.
+    GraftQuery(
+      "q_dedup_spans_deleted",
+      spanPipelineSql(
+        s"SELECT * FROM ($spanDupCorpusSql) WHERE doc_id % 7 <> 3",
+        None)) { (s, dir) =>
+      spanPipeline(
+        windowsFromStored(s, incrementalWindowsDeletedPath(s, dir)), None)
         .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
     },
 
@@ -2374,33 +2511,27 @@ object DedupQueries {
     // min-reachable-id on both sides, so outputs align without any
     // ordering convention beyond the final ORDER BY.
     GraftQuery(
-      "q_dedup_embed_clusters",
-      s"""${embedPairSql(recursive = true)},
-        |pe AS (SELECT id_a, id_b FROM p WHERE cos >= 0.4),
-        |edges AS (SELECT id_a AS u, id_b AS w FROM pe
-        |          UNION SELECT id_b, id_a FROM pe),
-        |reach AS (
-        |  SELECT u AS node, u AS lab FROM (SELECT DISTINCT u FROM edges)
-        |  UNION
-        |  SELECT e.w AS node, r.lab FROM reach r JOIN edges e ON e.u = r.node),
-        |cl AS (SELECT node AS vec_id, min(lab) AS cluster_id FROM reach GROUP BY node)
-        |SELECT vec_id, cluster_id,
-        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS csize,
-        |  CAST(vec_id = cluster_id AS INTEGER) AS keep
-        |FROM cl ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      "q_dedup_embed_clusters", embedClustersSql()) { (s, dir) =>
       // pair stage served from the same incrementally-built sign-bucket
       // table as q_dedup_embed (build half → append half → compact) —
       // the embedding mirror of q_dedup_clusters' lifecycle gate
-      val pairs = embedPairsServed(s, dir, 0.4)
-        .select(col("id_a"), col("id_b"))
-      graft.operators.ConnectedComponents.runAdaptive(pairs, "id_a", "id_b")._1
-        .select(col("id").as("vec_id"), col("component").as("cluster_id"))
-        .withColumn("csize",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("cluster_id"))).cast(IntegerType))
-        .withColumn("keep",
-          (col("vec_id") === col("cluster_id")).cast(IntegerType))
-        .orderBy(col("vec_id"))
+      embedClustersFromBuckets(s, incrementalSignBucketsPath(s, dir),
+        t(s, dir, "embeddings"))
+    },
+
+    // The embedding deletion lifecycle under the oracle hash — the
+    // semantic mirror of q_dedup_clusters_deleted: the sign-bucket
+    // index built as build + append + takedown A (vec_id ≡ 3 mod 14,
+    // physically PURGED) + takedown B (≡ 10 mod 14, tombstone-SERVED)
+    // + replayed batch A (pinned no-op). A deleted vector leaves every
+    // pair and cluster, and a cluster it bridged re-splits — labels
+    // derive from surviving edges at serve time.
+    GraftQuery(
+      "q_dedup_embed_clusters_deleted",
+      embedClustersSql(
+        candFilter = " AND id_a % 7 <> 3 AND id_b % 7 <> 3")) { (s, dir) =>
+      embedClustersFromBuckets(s, incrementalSignBucketsDeletedPath(s, dir),
+        t(s, dir, "embeddings"))
     },
 
     // ------------------------------ maintained semantic labels serve
