@@ -1204,11 +1204,15 @@ object RetrievalQueries {
       .withColumn("bkt", lit(0))
 
   private val mergeDistinctGrams: DataFrame => DataFrame = _.distinct()
+  // zero-drop: a source whose every doc was taken down folds to an
+  // all-zero counter row at a compaction firing and leaves the table
   private val mergeDivCounts: DataFrame => DataFrame =
     _.groupBy(col("bkt"), col("source")).agg(
       sum(col("n_docs")).as("n_docs"),
       sum(col("n_tokens")).as("n_tokens"),
       sum(col("n_bigrams")).as("n_bigrams"))
+      .filter(col("n_docs") =!= 0 || col("n_tokens") =!= 0 ||
+        col("n_bigrams") =!= 0)
   private val mergeSketches: DataFrame => DataFrame =
     _.groupBy(col("bkt"), col("source"), col("kind"))
       .agg(hll_union_agg(col("sketch")).as("sketch"))
@@ -1277,6 +1281,14 @@ object RetrievalQueries {
     try in.readAllBytes() finally in.close()
   }
 
+  /** A source's marker file name — the FULL 64-hex digest (markers
+    * are long-lived; a truncated name's collision would silently
+    * leave the second source unmarked, or clear the wrong one).
+    */
+  private def markerName(src: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(src.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   private def markTruncated(
       s: SparkSession, sktDir: String, sources: Seq[String]): Unit = {
     import org.apache.hadoop.fs.Path
@@ -1285,10 +1297,7 @@ object RetrievalQueries {
     fs.mkdirs(dir)
     sources.foreach { src =>
       val bytes = src.getBytes("UTF-8")
-      // FULL 64-hex digest (markers are forever — a truncated name's
-      // collision would silently leave the second source unmarked)
-      val name = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(bytes).map("%02x".format(_)).mkString
+      val name = markerName(src)
       val p = new Path(dir, name)
       // an existing marker counts only if its content round-trips to
       // the source: a crash mid-write leaves an empty/partial file
@@ -1435,6 +1444,115 @@ object RetrievalQueries {
       s, sktDir, "bkt", batchId)(batchSk)
   }
 
+  /** Exactly-once TAKEDOWN of a batch of deleted documents from the
+    * maintained diversity state — the deletion lifecycle's HARD case,
+    * because the state spans all three removal classes at once. The
+    * counter table is semigroup state: removal is the standard exact
+    * NEGATIVE delta under the retraction id space. The distinct-gram
+    * tables and HLL sketches are SET-UNION state — not subtractable
+    * (a gram the deleted doc carried may still be justified by a
+    * surviving doc, and an HLL cannot forget) — so every TOUCHED
+    * source's gram rows and sketches are RE-DERIVED from the
+    * surviving corpus and installed by atomic replacement
+    * ([[graft.sinks.IncrementalParquet.replaceKeyRows]]). `survivors`
+    * must be the surviving documents of (at least) the touched
+    * sources: at 100 TB that is a source-pruned scan of the curated
+    * corpus (the hive-by-source layout), O(touched sources' docs) +
+    * an O(gram-table-bytes) rewrite — Heaps-bounded, never O(corpus).
+    *
+    * Exactly-once: the count retraction rides the ack protocol (a
+    * replayed batch retracts nothing), and the re-derive is
+    * idempotent by construction (same survivors → same rows), so a
+    * replayed takedown converges to the identical state. Crash
+    * between retraction and rebuild: the serve transiently pairs
+    * retracted counters with stale gram sets for the touched sources
+    * — re-running the takedown (the stream's replay) heals it; the
+    * sketches are replaced with survivor-only sketches, so the
+    * deleted doc's content leaves even the approximate state. Cap
+    * interaction: a touched source whose REBUILT estimate still
+    * exceeds the gram cap keeps its truncation marker and serves from
+    * the fresh sketches; a source that drops back under the cap now
+    * has a COMPLETE survivor-derived exact set, so its marker clears
+    * — the one legitimate un-truncation, because completeness was
+    * re-established from the source of truth, not assumed.
+    */
+  def deleteFromDiversityIdempotent(deletedDocs: DataFrame,
+      survivors: => DataFrame, uniDir: String, biDir: String,
+      cntDir: String, sktDir: String, batchId: Long): Unit = {
+    val s = deletedDocs.sparkSession
+    val touched = deletedDocs.select(col("source")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (touched.isEmpty) return
+    graft.sinks.IncrementalParquet.appendIdempotent(
+      s, cntDir, "bkt",
+      graft.sinks.IncrementalParquet.retractionBatchId(batchId))(
+      diversityCountsDelta(deletedDocs)
+        .withColumn("n_docs", -col("n_docs"))
+        .withColumn("n_tokens", -col("n_tokens"))
+        .withColumn("n_bigrams", -col("n_bigrams")))
+    rebuildDiversitySources(
+      s, survivors, touched, uniDir, biDir, sktDir)
+  }
+
+  /** Re-derive the touched sources' gram rows and sketches from the
+    * surviving corpus and install them atomically — the set-union
+    * arm of [[deleteFromDiversityIdempotent]].
+    */
+  private def rebuildDiversitySources(s: SparkSession, survivors: DataFrame,
+      touched: Seq[String], uniDir: String, biDir: String,
+      sktDir: String): Unit = {
+    val surv = survivors.filter(col("source").isin(touched: _*))
+    val nb = DedupQueries.tableBuckets(s, uniDir)
+    val (uni, bi) = gramFrames(surv)
+    val u = gramDeltas(uni, nb).localCheckpoint()
+    val b = gramDeltas(bi, nb).localCheckpoint()
+    val sk = u.groupBy(col("source"))
+      .agg(hll_sketch_agg(col("term")).as("sketch"))
+      .withColumn("kind", lit("uni"))
+      .unionByName(b.groupBy(col("source"))
+        .agg(hll_sketch_agg(col("term")).as("sketch"))
+        .withColumn("kind", lit("bi")))
+      .withColumn("bkt", lit(0))
+      .select(col("bkt"), col("source"), col("kind"), col("sketch"))
+      .localCheckpoint()
+    // cap rule over the REBUILT estimates: still-over sources keep
+    // truncation (gram rows stay excluded, sketches serve); back-under
+    // sources are complete again from the source of truth
+    val cap = gramCap(s)
+    val over = sk.groupBy(col("source"), col("kind"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est"))
+      .filter(col("est") > cap)
+      .select(col("source")).distinct().collect()
+      .map(_.getString(0)).toSeq.sorted
+    def keep(d: DataFrame) =
+      if (over.isEmpty) d else d.filter(!col("source").isin(over: _*))
+    graft.sinks.IncrementalParquet.replaceKeyRows(
+      s, uniDir, "bkt", "source", touched, keep(u))(v => Int.box(v.toInt))
+    graft.sinks.IncrementalParquet.replaceKeyRows(
+      s, biDir, "bkt", "source", touched, keep(b))(v => Int.box(v.toInt))
+    graft.sinks.IncrementalParquet.replaceKeyRows(
+      s, sktDir, "bkt", "source", touched, sk)(v => Int.box(v.toInt))
+    if (over.nonEmpty) markTruncated(s, sktDir, over)
+    clearTruncated(s, sktDir, touched.filterNot(over.contains))
+  }
+
+  /** Remove the truncation markers of sources whose exact gram sets
+    * were just re-established COMPLETE from the surviving corpus —
+    * only [[rebuildDiversitySources]] may call this (everywhere else
+    * the markers are forever, see [[truncatedDir]]).
+    */
+  private def clearTruncated(
+      s: SparkSession, sktDir: String, sources: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(truncatedDir(sktDir))
+    val fs = fsFor(s, dir)
+    if (!fs.exists(dir) || sources.isEmpty) return
+    val names = sources.map(markerName).toSet
+    fs.listStatus(dir).foreach { st =>
+      if (names.contains(st.getPath.getName)) fs.delete(st.getPath, false)
+    }
+  }
+
   /** Minor compaction: gram tables dedup (set union), counters sum,
     * sketches HLL-union.
     */
@@ -1466,6 +1584,42 @@ object RetrievalQueries {
         s"$out/uni", s"$out/bi", s"$out/cnt", s"$out/skt", 1L)
       compactDiversityMinor(
         s, s"$out/uni", s"$out/bi", s"$out/cnt", s"$out/skt"); ()
+    }
+    (s"$out/uni", s"$out/bi", s"$out/cnt", s"$out/skt")
+  }
+
+  private val storedDiversityDeleted =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The DELETION-lifecycle diversity state: the standard two-batch
+    * build, then a takedown of every doc ≡ 3 mod 7 through all three
+    * removal arms at once (count retraction + gram/sketch re-derive
+    * from the survivors), a REPLAYED takedown (the count retraction
+    * no-ops on its ack; the re-derive converges to identical rows),
+    * and minor compaction folding the negative counters away.
+    */
+  private[graft] def incrementalDiversityDeletedDirs(
+      s: SparkSession, dir: String): (String, String, String, String) = {
+    val out = Tables.memoizedParquet(storedDiversityDeleted,
+      Tables.derivedStateKey(s, dir, "documents") + "|diversity-del",
+      "graft-diversity-del") { out =>
+      val docs = t(s, dir, "documents")
+      val dirs = (s"$out/uni", s"$out/bi", s"$out/cnt", s"$out/skt")
+      appendToDiversityIdempotent(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        dirs._1, dirs._2, dirs._3, dirs._4, 0L)
+      appendToDiversityIdempotent(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        dirs._1, dirs._2, dirs._3, dirs._4, 1L)
+      val deleted = docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+      val survivors = docs.filter(pmod(col("doc_id"), lit(7)) =!= 3)
+      deleteFromDiversityIdempotent(deleted, survivors,
+        dirs._1, dirs._2, dirs._3, dirs._4, 0L)
+      // replayed takedown: identical end state (retraction acked,
+      // re-derive idempotent)
+      deleteFromDiversityIdempotent(deleted, survivors,
+        dirs._1, dirs._2, dirs._3, dirs._4, 0L)
+      compactDiversityMinor(s, dirs._1, dirs._2, dirs._3, dirs._4); ()
     }
     (s"$out/uni", s"$out/bi", s"$out/cnt", s"$out/skt")
   }
@@ -1522,10 +1676,15 @@ object RetrievalQueries {
   /** q_diversity_report's DuckDB mirror — shared verbatim by
     * q_diversity_report_incr (one oracle text per result relation).
     */
-  private def diversityReportSql: String =
+  private def diversityReportSql: String = diversityReportSqlOver("documents")
+
+  /** [[diversityReportSql]] over an arbitrary corpus relation — the
+    * deletion gate recomputes every report column over the survivors.
+    */
+  private def diversityReportSqlOver(src: String): String =
     s"""WITH tk AS (
        |  SELECT doc_id, source, regexp_extract_all(lower(text), '\\S+') AS ts
-       |  FROM documents),
+       |  FROM $src),
        |uni AS (SELECT source, count(*) AS n_tokens,
        |          count(DISTINCT term) AS uniq_unigrams
        |        FROM (SELECT source, unnest(ts) AS term FROM tk)
@@ -1537,7 +1696,7 @@ object RetrievalQueries {
        |                     unnest(range(1, len(ts))) AS i FROM tk)
        |             WHERE len(ts) >= 2)
        |       GROUP BY source),
-       |d AS (SELECT source, count(*) AS n_docs FROM documents
+       |d AS (SELECT source, count(*) AS n_docs FROM $src
        |      GROUP BY source)
        |SELECT d.source, d.n_docs, uni.n_tokens, uni.uniq_unigrams,
        |  coalesce(bi.uniq_bigrams, 0) AS uniq_bigrams,
@@ -2475,6 +2634,24 @@ object RetrievalQueries {
     // corpus text is never touched.
     GraftQuery("q_diversity_report_incr", diversityReportSql) { (s, dir) =>
       val (uniDir, biDir, cntDir, sktDir) = incrementalDiversityDirs(s, dir)
+      diversityServed(s, uniDir, biDir, cntDir, sktDir)
+    },
+
+    // The diversity family's deletion lifecycle under the oracle hash
+    // — the HARD case, all three removal arms in one takedown: exact
+    // negative counter deltas (semigroup), and per-source re-derive
+    // of the distinct-gram sets and HLL sketches from the survivors
+    // (set-union state can neither tombstone nor subtract — a deleted
+    // doc's gram may still be justified by a surviving doc, and an
+    // HLL cannot forget). Build + append + takedown (doc ≡ 3 mod 7) +
+    // REPLAYED takedown (retraction acked, re-derive idempotent) +
+    // merge-compaction; the oracle recomputes every report column
+    // over the surviving corpus.
+    GraftQuery("q_diversity_report_deleted",
+      diversityReportSqlOver(
+        "(SELECT * FROM documents WHERE doc_id % 7 <> 3)")) { (s, dir) =>
+      val (uniDir, biDir, cntDir, sktDir) =
+        incrementalDiversityDeletedDirs(s, dir)
       diversityServed(s, uniDir, biDir, cntDir, sktDir)
     },
 

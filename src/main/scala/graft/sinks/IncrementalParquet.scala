@@ -1320,6 +1320,42 @@ object IncrementalParquet {
     purged
   }
 
+  /** Crash-safe REPLACEMENT of every row carrying one of `keys` with
+    * `fresh` — the deletion lifecycle's third arm, for SET-UNION state
+    * (distinct-gram tables, HLL sketches) that neither tombstones nor
+    * negative deltas can express: a set cannot forget an element
+    * (surviving rows may still justify it) and a sketch cannot
+    * subtract, so the only exact takedown is RE-DERIVATION — the
+    * caller computes `fresh` (the keys' rows recomputed from the
+    * surviving corpus) and this installs it atomically per partition
+    * through the retired-sibling swap. Key rows spread across
+    * partitions (they are bucketed by VALUE hash, not key hash), so
+    * the rewrite touches every partition — O(table bytes), the
+    * honest price of set-union state, bounded by Heaps' law rather
+    * than the corpus. Idempotent by construction (same survivors →
+    * same rows), so the caller's replay protection can ride its
+    * count-retraction ack alone; a crash mid-swap heals through
+    * [[recoverRetired]] on the next append/replace.
+    */
+  def replaceKeyRows(spark: SparkSession, dirStr: String, partCol: String,
+      keyCol: String, keys: Seq[String], fresh: DataFrame)(
+      partValue: String => Any): Int = {
+    val dir = new Path(dirStr)
+    val fs = FileSystem.get(dir.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir) || keys.isEmpty) return 0
+    recoverRetired(fs, dir, partCol)
+    recoverMinorState(fs, dir, partCol)
+    val existing = fs.listStatus(dir)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+      .map(_.getPath.getName.stripPrefix(s"$partCol=")).toSeq
+    val freshParts = fresh.select(col(partCol)).distinct()
+      .collect().map(_.get(0).toString).toSeq
+    val selected = (existing ++ freshParts).distinct.sorted
+    rewriteWholePartitions(spark, dirStr, partCol, selected,
+      old => old.filter(!col(keyCol).isin(keys: _*))
+        .unionByName(fresh))(partValue)
+  }
+
   private def clearTombstoneRows(fs: FileSystem, tdir: Path): Unit = {
     if (!fs.exists(tdir)) return
     fs.listStatus(tdir).foreach { st =>
