@@ -213,6 +213,16 @@ object RetrievalQueries {
     */
   private val ExternalQueryId = 7
 
+  /** Corpus-prefix bound for q_phrase_text_n4's WINNER derivation —
+    * the gate scaffolding that picks corpus-frequent 4-gram phrases.
+    * Covers the whole corpus at sf ≤ 0.01 (500 docs), so the gate's
+    * winners and hashes there are unchanged; at larger corpora it
+    * caps the scaffolding tokenize at a constant (the SERVE the gate
+    * exists to check remains whole-corpus through the stored
+    * positional index).
+    */
+  private val PhraseDeriveDocs = 2048
+
   /** A pure literal external query — vocabulary words so it retrieves
     * rows at every scale factor; 4 distinct tf-1 terms so the
     * salient-term cut (top 3 by tf desc, term asc) is non-trivial.
@@ -260,7 +270,8 @@ object RetrievalQueries {
        |         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
        |           AS g
        |       FROM win),
-       |per AS (SELECT g, doc_id, count(*) AS c FROM g4 GROUP BY g, doc_id),
+       |per AS (SELECT g, doc_id, count(*) AS c FROM g4
+       |        WHERE doc_id < $PhraseDeriveDocs GROUP BY g, doc_id),
        |st AS (SELECT g, sum(c) AS occ, max(c) AS mx FROM per GROUP BY g),
        |p0 AS (SELECT g FROM st ORDER BY occ DESC, g LIMIT 1),
        |p1 AS (SELECT g FROM st ORDER BY mx DESC, occ DESC, g LIMIT 1),
@@ -2946,7 +2957,14 @@ object RetrievalQueries {
       // window references the array 5 times, and inlining the
       // tokenizer would re-run the regex per reference (the
       // shinglesFromTokens lesson)
+      // winner DERIVATION is gate scaffolding (picking interesting
+      // phrases), not the serve — bound its tokenize to a
+      // deterministic corpus prefix so the gate's cost does not grow
+      // with the corpus (identical winners at the small sfs, where
+      // the prefix covers the whole corpus; the SERVE below stays
+      // whole-corpus through the stored positional index)
       val tok = t(s, dir, "documents")
+        .filter(col("doc_id") < PhraseDeriveDocs)
         .select(col("doc_id"), tokens(lower(col("text"))).as("ts"))
         .filter(size(col("ts")) >= 4)
       val per = tok
