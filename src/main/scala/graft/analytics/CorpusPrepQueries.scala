@@ -101,8 +101,49 @@ object CorpusPrepQueries {
 
   private def dsirWeightsWith(
       docs: DataFrame, isTarget: Column, buckets: Int,
-      bucketOf: Column => Column): DataFrame = {
+      bucketOf: Column => Column): DataFrame =
+    dsirWeightsTwoPass(docs, isTarget, buckets, bucketOf)
+
+  /** ONE corpus feature pass (was two: the bucket model aggregated
+    * the feature frame separately from the per-doc counts, and
+    * Catalyst executes shared subtrees once PER CONSUMER — with the
+    * pre-r17 two-scan dsirBuckets that meant 4 tokenize+sha corpus
+    * scans per serve). The per-doc count frame carries is_t (a
+    * per-doc constant, so adding it to the keys changes no group),
+    * the model derives from that compact frame by an integer sum —
+    * exact, order-independent, same counts as aggregating the feature
+    * instances directly — and the frame is localCheckpoint-
+    * materialized because both the model aggregation and the scoring
+    * join consume it. Checkpoint bytes are O(docs x distinct
+    * buckets/doc) ≤ corpus x 1024 short rows, vs re-running the
+    * scan-stage tokenizer + 2 sha256/token.
+    */
+  private[graft] def dsirWeightsOnePass(
+      docs: DataFrame, isTarget: Column, buckets: Int,
+      bucketOf: Column => Column,
+      checkpoint: Boolean = false): DataFrame = {
     val hb = dsirBuckets(docs, isTarget, buckets, bucketOf)
+    val dcT0 = hb.groupBy(col("doc_id"), col("is_t"), col("b"))
+      .agg(count(lit(1)).cast(LongType).as("n"))
+    val dcT = if (checkpoint) dcT0.localCheckpoint() else dcT0
+    val counts = dcT.groupBy(col("b")).agg(
+      sum(col("n")).cast(LongType).as("rcnt"),
+      coalesce(sum(when(col("is_t"), col("n"))), lit(0L))
+        .cast(LongType).as("tcnt"))
+    dsirScore(docs, dcT.select(col("doc_id"), col("b"), col("n")),
+      counts, buckets)
+  }
+
+  /** The pre-r17 TWO-PASS shape (model aggregation and per-doc counts
+    * each re-execute the feature pass) — kept private for the A/B
+    * probe that justified the one-pass default; not reachable from
+    * the catalog.
+    */
+  private[graft] def dsirWeightsTwoPass(
+      docs: DataFrame, isTarget: Column, buckets: Int,
+      bucketOf: Column => Column, unionBuckets: Boolean = false): DataFrame = {
+    val hb = if (unionBuckets) dsirBucketsUnion(docs, isTarget, buckets, bucketOf)
+      else dsirBuckets(docs, isTarget, buckets, bucketOf)
     val counts = hb.groupBy(col("b")).agg(
       count(lit(1)).cast(LongType).as("rcnt"),
       count(when(col("is_t"), 1)).cast(LongType).as("tcnt"))
@@ -125,6 +166,31 @@ object CorpusPrepQueries {
       bucketOf: Column => Column): DataFrame = {
     val tok = docs.select(col("doc_id"), isTarget.as("is_t"),
       tokens(lower(col("text"))).as("ts"))
+    // uni + bigram feature instances from ONE Generate over the one
+    // materialized token array (was: a Union of two branches, each
+    // re-scanning + re-tokenizing the corpus — 2x the scan pass for
+    // the identical feature multiset; grouping consumers are order-
+    // agnostic, so concatenating the grams per doc changes nothing)
+    val bigrams = when(size(col("ts")) >= 2,
+      zip_with(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    tok.select(col("doc_id"), col("is_t"),
+        explode(concat(col("ts"), bigrams)).as("g"))
+      .select(col("doc_id"), col("is_t"), bucketOf(col("g")).as("b"))
+  }
+
+  /** The pre-r17 TWO-SCAN feature frame (uni and bigram branches each
+    * scan + tokenize the corpus) — kept private for the A/B probe; not
+    * reachable from the catalog.
+    */
+  private[graft] def dsirBucketsUnion(
+      docs: DataFrame, isTarget: Column, buckets: Int,
+      bucketOf: Column => Column): DataFrame = {
+    val tok = docs.select(col("doc_id"), isTarget.as("is_t"),
+      tokens(lower(col("text"))).as("ts"))
     val uni = tok.select(col("doc_id"), col("is_t"), explode(col("ts")).as("g"))
     val bi = tok.filter(size(col("ts")) >= 2)
       .select(col("doc_id"), col("is_t"),
@@ -134,6 +200,28 @@ object CorpusPrepQueries {
           (a, b) => concat(a, lit(" "), b))).as("g"))
     uni.unionByName(bi).select(col("doc_id"), col("is_t"),
       bucketOf(col("g")).as("b"))
+  }
+
+  /** A/B harness hook: the q_select_dsir-shaped result under each
+    * internal weights variant (identical rows; different plan shape —
+    * the DsirAbProbe evidence behind the one-pass default).
+    */
+  private[graft] def dsirAbVariants(
+      s: SparkSession, dir: String): Seq[(String, () => DataFrame)] = {
+    val docs = t(s, dir, "documents")
+    val isT = col("source").isin("src0", "src1")
+    val sb = shaBucket(1024)
+    Seq(
+      "onepass_reuse" -> (() =>
+        dsirTopK(dsirWeightsOnePass(docs, isT, 1024, sb), 100)),
+      "onepass_ckpt" -> (() =>
+        dsirTopK(dsirWeightsOnePass(docs, isT, 1024, sb,
+          checkpoint = true), 100)),
+      "twopass_merged" -> (() =>
+        dsirTopK(dsirWeightsTwoPass(docs, isT, 1024, sb), 100)),
+      "twopass_union" -> (() =>
+        dsirTopK(dsirWeightsTwoPass(docs, isT, 1024, sb,
+          unionBuckets = true), 100)))
   }
 
   /** Score every document against a `(b, rcnt, tcnt)` bucket-count

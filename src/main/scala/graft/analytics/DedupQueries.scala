@@ -321,16 +321,36 @@ object DedupQueries {
     */
   def candidatePairsFromSignatures(
       sig: DataFrame, extra: Seq[String]): DataFrame = {
-    val bands = bandKeys(sig, extra)
-    val cols = Seq("doc_id") ++ extra
-    val a = bands.select((Seq(col("b"), col("bsig")) ++
-      cols.map(c => col(c).as(s"${c}_a"))): _*)
-    val b = bands.select((Seq(col("b").as("b2"), col("bsig").as("bsig2")) ++
-      cols.map(c => col(c).as(s"${c}_b"))): _*)
-    a.join(b, col("b") === col("b2") && col("bsig") === col("bsig2") &&
-        col("doc_id_a") < col("doc_id_b"))
-      .select(cols.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
+    // Pair on BARE ids, attach payloads after the distinct (r17,
+    // guide §2.3/§8 "shuffle keys, not payloads"): the previous shape
+    // carried the `extra` columns — the shingle-set arrays for every
+    // verify consumer — through the 4x band explode, the band
+    // self-join AND the distinct, so the candidate exchange shuffled
+    // (and the distinct hashed/compared) hundred-element string
+    // arrays on both sides. Id-only pairs make the band join + dedup
+    // a few bytes per row; the payload columns then attach by doc_id
+    // join, functionally dependent on the id, so the result rows are
+    // identical. At scale the pair frame is the small side (AQE
+    // broadcasts it) and the signature payloads are never exchanged
+    // at all.
+    val bands = bandKeys(sig, Seq.empty)
+    val a = bands.select(col("b"), col("bsig"), col("doc_id").as("doc_id_a"))
+    val b = bands.select(col("b").as("b2"), col("bsig").as("bsig2"),
+      col("doc_id").as("doc_id_b"))
+    val pairs = a.join(b, col("b") === col("b2") &&
+        col("bsig") === col("bsig2") && col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"))
       .distinct()
+    if (extra.isEmpty) pairs
+    else {
+      val cols = Seq("doc_id") ++ extra
+      val sa = sig.select(col("doc_id").as("doc_id_a") +:
+        extra.map(c => col(c).as(s"${c}_a")): _*)
+      val sb = sig.select(col("doc_id").as("doc_id_b") +:
+        extra.map(c => col(c).as(s"${c}_b")): _*)
+      pairs.join(sa, Seq("doc_id_a")).join(sb, Seq("doc_id_b"))
+        .select(cols.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
+    }
   }
 
   /** Incremental ingest: candidate pairs between a NEW batch's

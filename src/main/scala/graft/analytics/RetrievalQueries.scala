@@ -345,8 +345,28 @@ object RetrievalQueries {
     * integer-exact ranking, no corpus state, so the query side is a
     * pure function of the query docs alone.
     */
-  private def queryTerms(docs: DataFrame, nQueries: Int = NQueries): DataFrame =
-    queryTermsAll(docs.filter(col("doc_id") < nQueries))
+  private def queryTerms(docs: DataFrame, nQueries: Int = NQueries): DataFrame = {
+    val s = docs.sparkSession
+    val qt = queryTermsAll(docs.filter(col("doc_id") < nQueries))
+    val maxLit = s.conf.get(
+      PushdownTermsMaxKey, PushdownTermsMaxDefault.toString).toLong
+    if (nQueries.toLong * TermsPerQuery <= maxLit) {
+      // Driver-sized by the same bound that picks the literal fetch
+      // arm: derive ONCE (one collect job) and serve the term set as a
+      // LocalRelation. Every consumer otherwise re-executes the
+      // tokenize + tf-window subtree per reference — the exact tiers
+      // reference it two-to-three times (scoring join, recompute
+      // semi-join, bucket-literal derivation), each copy costing its
+      // own exchanges and AQE stage jobs (r17 JobProfile: the
+      // interactive walls are job-count x fixed driver overhead, the
+      // round-12 ServeProfile lesson applied to the corpus-derived
+      // query side). Bulk batches past the bound keep the distributed
+      // frame — same escape hatch as the postings JOIN arm.
+      import s.implicits._
+      qt.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        .toDF("q_id", "term")
+    } else qt
+  }
 
   /** Salient terms of EVERY doc in `qdocs` — the un-filtered body
     * behind [[queryTerms]], shared with the external-text search
@@ -1024,11 +1044,20 @@ object RetrievalQueries {
   private def queryPhrases(docs: DataFrame): DataFrame = {
     val wq = Window.partitionBy(col("doc_id"))
       .orderBy(col("cnt").desc, col("bigram"))
-    bigramStream(docs.filter(col("doc_id") < NQueries))
+    val qp = bigramStream(docs.filter(col("doc_id") < NQueries))
       .groupBy(col("doc_id"), col("bigram"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(wq)).filter(col("rk") === 1)
       .select(col("doc_id").as("q_id"), col("bigram").as("phrase"))
+    // one (q_id, phrase) row per query doc — driver-sized BY
+    // DEFINITION: derive once (one collect job) and serve as a
+    // LocalRelation; the serve bodies otherwise re-execute the
+    // query-doc shingle + tf-window subtree per reference (bucket
+    // derivation + rank join — the queryTerms discipline)
+    val s = docs.sparkSession
+    import s.implicits._
+    qp.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      .toDF("q_id", "phrase")
   }
 
   /** The phrase ranking tail shared by the one-shot and served forms:
@@ -2775,6 +2804,10 @@ object RetrievalQueries {
           .agg(count(lit(1)).as("cnt"))
           .withColumn("rk", row_number().over(wq)).filter(col("rk") === 1)
           .select(col("doc_id").as("q_id"), col("trigram").as("phrase"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+          .toDF("q_id", "phrase") // one row per query doc: derive once,
+                                  // serve as a LocalRelation (the
+                                  // queryTerms/queryPhrases discipline)
         // the phrase set is driver-sized (one trigram per query doc):
         // split each into its two constituent bigrams locally and push
         // literal In-filters into the positional scans

@@ -53,6 +53,16 @@ object GraftSession {
       // the scale where a distributed listing wins (thousands of
       // object-store prefixes); such a deployment overrides via --conf.
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "256")
+      // Static conf (JVM-wide Guava cache in CodeGenerator): the
+      // default 100 entries thrash under a 148-query catalog (each
+      // query compiles several codegen units; once the working set
+      // passes the cap, EVERY serve re-runs Janino on the driver —
+      // measured as the dominant inter-job gap in JobProfile). Sized
+      // to hold the whole catalog's units with headroom; driver-memory
+      // only, scale-independent (a production deployment with a large
+      // query library wants the same).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
