@@ -104,19 +104,19 @@ object CorpusPrepQueries {
       bucketOf: Column => Column): DataFrame =
     dsirWeightsTwoPass(docs, isTarget, buckets, bucketOf)
 
-  /** ONE corpus feature pass (was two: the bucket model aggregated
-    * the feature frame separately from the per-doc counts, and
-    * Catalyst executes shared subtrees once PER CONSUMER — with the
-    * pre-r17 two-scan dsirBuckets that meant 4 tokenize+sha corpus
-    * scans per serve). The per-doc count frame carries is_t (a
-    * per-doc constant, so adding it to the keys changes no group),
+  /** ONE corpus feature pass: the per-doc count frame carries is_t (a
+    * per-doc constant, so adding it to the keys changes no group) and
     * the model derives from that compact frame by an integer sum —
     * exact, order-independent, same counts as aggregating the feature
-    * instances directly — and the frame is localCheckpoint-
-    * materialized because both the model aggregation and the scoring
-    * join consume it. Checkpoint bytes are O(docs x distinct
-    * buckets/doc) ≤ corpus x 1024 short rows, vs re-running the
-    * scan-stage tokenizer + 2 sha256/token.
+    * instances directly. With `checkpoint` the frame materializes once
+    * for both consumers; without it the shared (doc_id, is_t, b)
+    * exchange is ReuseExchange-dedupable. MEASURED SLOWER than the
+    * two-pass shape at the bench corpus (DsirAbProbe, same-JVM
+    * interleaved: ckpt 2.97/3.46 s, reuse 3.29/3.57 vs two-pass
+    * 2.39/3.26 min/median) — the materialization/agg machinery costs
+    * more than the tokenize+sha scan it saves at 5 MB. Kept as the
+    * candidate shape for scan-dominated corpora (the builder's sf10
+    * measurement: ~20 s of sha per full pass); NOT the default.
     */
   private[graft] def dsirWeightsOnePass(
       docs: DataFrame, isTarget: Column, buckets: Int,
@@ -134,10 +134,12 @@ object CorpusPrepQueries {
       counts, buckets)
   }
 
-  /** The pre-r17 TWO-PASS shape (model aggregation and per-doc counts
-    * each re-execute the feature pass) — kept private for the A/B
-    * probe that justified the one-pass default; not reachable from
-    * the catalog.
+  /** The TWO-PASS shape (model aggregation and per-doc counts each
+    * execute the feature pass; with the r17 merged dsirBuckets that is
+    * one tokenize+sha scan per pass, two per serve — down from four) —
+    * the shipped default, justified by the DsirAbProbe interleaved A/B
+    * above. `unionBuckets` restores the pre-r17 two-scan feature frame
+    * for the probe.
     */
   private[graft] def dsirWeightsTwoPass(
       docs: DataFrame, isTarget: Column, buckets: Int,
@@ -204,7 +206,7 @@ object CorpusPrepQueries {
 
   /** A/B harness hook: the q_select_dsir-shaped result under each
     * internal weights variant (identical rows; different plan shape —
-    * the DsirAbProbe evidence behind the one-pass default).
+    * the DsirAbProbe evidence behind keeping the two-pass default).
     */
   private[graft] def dsirAbVariants(
       s: SparkSession, dir: String): Seq[(String, () => DataFrame)] = {
