@@ -890,12 +890,15 @@ object CorpusPrepQueries {
         |    AS user_pseudo,
         |  regexp_replace(props, '[0-9]+', '#', 'g') AS props_scrubbed
         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      // sha+regex projection above the sort (the q_normalize_row
+      // discipline): the range sampler otherwise runs it twice
       t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("props"))
+        .orderBy(col("event_id"))
         .select(col("event_id"),
           substring(sha2(concat(lit("pepper|"), col("user_id").cast(StringType)), 256),
             1, 16).as("user_pseudo"),
           regexp_replace(col("props"), "[0-9]+", "#").as("props_scrubbed"))
-        .orderBy(col("event_id"))
     },
 
     // ------------------------------------------------ domain mixture
@@ -1160,11 +1163,16 @@ object CorpusPrepQueries {
         feat, Tables.derivedStateKey(s, dir, "documents"), LrK, LrIters,
         LrEta)
       val sig = lrSigma(w)
-      feat.select(col("doc_id"),
-        (floor(sig * 10000) / 10000).as("score"),
-        when(sig >= 0.5, 1).otherwise(0).cast(IntegerType).as("keep"),
-        col("y").cast(IntegerType).as("label"))
+      // feature+sigma projection ABOVE the sort (the q_normalize_row
+      // discipline): the range sampler otherwise runs the whole
+      // tokenize/regex feature chain twice per serve
+      docs.select(col("doc_id"), col("text"))
         .orderBy(col("doc_id"))
+        .select(col("doc_id"), lrFeatures.as("x"), lrLabel.as("y"))
+        .select(col("doc_id"),
+          (floor(sig * 10000) / 10000).as("score"),
+          when(sig >= 0.5, 1).otherwise(0).cast(IntegerType).as("keep"),
+          col("y").cast(IntegerType).as("label"))
     }
   )
 }

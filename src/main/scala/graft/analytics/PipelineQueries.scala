@@ -40,9 +40,14 @@ object PipelineQueries {
         |      '[0-9]{7,}', '[redacted-number]', 'g'),
         |    1, 300) AS sanitized
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // regex chain ABOVE the sort (the q_normalize_row discipline,
+      // applied catalog-wide in r17): a global orderBy's range sampler
+      // executes its child twice, so a heavy projection below the sort
+      // pays double
       t(s, dir, "documents")
-        .select(col("doc_id"), sanitizeTitle(col("text")).as("sanitized"))
+        .select(col("doc_id"), col("text"))
         .orderBy(col("doc_id"))
+        .select(col("doc_id"), sanitizeTitle(col("text")).as("sanitized"))
     },
 
     // ---------------------------------------------------------------- F6/F8
@@ -55,12 +60,14 @@ object PipelineQueries {
          |  CASE WHEN source IS NULL OR source = '' THEN ''
          |       ELSE sha256('$Salt' || source) END AS source_hash
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // sha projection above the sort (the q_normalize_row discipline)
       t(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
         .select(col("doc_id"),
           saltedSha256(Salt, fullname(lit(null).cast(StringType),
             col("doc_id").cast(StringType))).as("thing_key"),
           saltedSha256(Salt, col("source")).as("source_hash"))
-        .orderBy(col("doc_id"))
     },
 
     // ---------------------------------------------------------------- F7

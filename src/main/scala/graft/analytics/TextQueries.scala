@@ -561,11 +561,14 @@ object TextQueries {
            |      FROM (SELECT doc_id, lang, ${scores.mkString(", ")} FROM documents))
            |ORDER BY doc_id""".stripMargin
       }) { (s, dir) =>
+      // stopword-regex projection above the sort (the q_normalize_row
+      // discipline): the range sampler otherwise runs it twice
       t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+        .orderBy(col("doc_id"))
         .select(col("doc_id"), col("lang"),
           langId(col("text")).as("lang_pred"),
           langScore(col("text"), "en").as("s_en"))
-        .orderBy(col("doc_id"))
     },
 
     // ---------------------------------------------------------- top terms
@@ -718,10 +721,13 @@ object TextQueries {
          |                                      / CAST(length(text) AS DOUBLE)) * 4.0)
          |            ELSE 0.0 END)) * 10000) / 10000 AS quality
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // three-regex score above the sort (the q_normalize_row
+      // discipline): the range sampler otherwise runs it twice
       t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
         .select(col("doc_id"),
           (floor(qualityScore(col("text")) * 10000) / 10000).as("quality"))
-        .orderBy(col("doc_id"))
     },
 
     // -------------------------------------------------- LM perplexity

@@ -291,15 +291,19 @@ object ConnectedComponents {
       aCol: String,
       bCol: String,
       broadcastNew: Boolean = true): DataFrame = {
-    val (lab, newNodes, altMap, release) =
+    val (lab, newNodes, altMap, release, local) =
       foldPieces(labels, newEdges, aCol, bCol, broadcastNew)
     try { // localCheckpoint is eager: materialized before release fires
       val ext = lab.unionByName(newNodes)
-      ext.join(hinted(altMap, broadcastNew),
+      val out = ext.join(hinted(altMap, broadcastNew),
           ext("component") === altMap("aid"), "left")
         .select(ext("id"),
           coalesce(col("acomp"), ext("component")).as("component"))
-        .localCheckpoint()
+      // the driver fold's pieces are all local relations with a no-op
+      // release — nothing downstream depends on persisted inputs, so
+      // the eager checkpoint would only add a materialization job
+      // (r17 JobProfile: 64 near-empty tasks protecting nothing)
+      if (local) out else out.localCheckpoint()
     } finally release()
   }
 
@@ -322,7 +326,7 @@ object ConnectedComponents {
       aCol: String,
       bCol: String,
       broadcastNew: Boolean = true): DataFrame = {
-    val (lab, newNodes, altMap, release) =
+    val (lab, newNodes, altMap, release, local) =
       foldPieces(labels, newEdges, aCol, bCol, broadcastNew)
     try {
       val changedOld = lab.join(hinted(altMap, broadcastNew),
@@ -334,8 +338,11 @@ object ConnectedComponents {
           newNodes("component") === altMap("aid"), "left")
         .select(newNodes("id"),
           coalesce(col("acomp"), newNodes("component")).as("component"))
-      // localCheckpoint is eager: materialized before release fires
-      changedOld.unionByName(fresh).localCheckpoint()
+      val out = changedOld.unionByName(fresh)
+      // localCheckpoint is eager: materialized before release fires;
+      // skipped for the driver fold (local pieces, no-op release —
+      // see incremental)
+      if (local) out else out.localCheckpoint()
     } finally release()
   }
 
@@ -366,7 +373,7 @@ object ConnectedComponents {
       aCol: String,
       bCol: String,
       broadcastNew: Boolean = true):
-      (DataFrame, DataFrame, DataFrame, () => Unit) = {
+      (DataFrame, DataFrame, DataFrame, () => Unit, Boolean) = {
     // self-edges are kept in e0 (node derivation) and dropped only for
     // contraction: a batch node appearing ONLY in self-edges must still
     // get a singleton label row, exactly as [[run]] (whose minLabelLoop
@@ -396,7 +403,11 @@ object ConnectedComponents {
       // fixed floor was job count, not data.
       if (broadcastNew && edgeCount <= driverEdgeCap(labels.sparkSession)) {
         val d = foldPiecesDriver(labels, e0)
-        if (d.isDefined) { release(); return d.get }
+        if (d.isDefined) {
+          release()
+          val (lab, fresh, alt, rel) = d.get
+          return (lab, fresh, alt, rel, true)
+        }
       }
       val lab = labels.select(col("id"), col("component"))
       // ONE broadcast-semi probe of the corpus-sized labels fetches the
@@ -451,7 +462,7 @@ object ConnectedComponents {
       // still reference it. A failing session must not accumulate
       // edge-list copies in executor storage, so the throw path
       // releases too.
-      (lab, newNodes, altMap, release)
+      (lab, newNodes, altMap, release, false)
     } catch { case t: Throwable => release(); throw t }
   }
 
