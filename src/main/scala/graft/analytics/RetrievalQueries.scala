@@ -347,25 +347,29 @@ object RetrievalQueries {
     */
   private def queryTerms(docs: DataFrame, nQueries: Int = NQueries): DataFrame = {
     val s = docs.sparkSession
-    val qt = queryTermsAll(docs.filter(col("doc_id") < nQueries))
     val maxLit = s.conf.get(
       PushdownTermsMaxKey, PushdownTermsMaxDefault.toString).toLong
     if (nQueries.toLong * TermsPerQuery <= maxLit) {
       // Driver-sized by the same bound that picks the literal fetch
-      // arm: derive ONCE (one collect job) and serve the term set as a
-      // LocalRelation. Every consumer otherwise re-executes the
-      // tokenize + tf-window subtree per reference — the exact tiers
-      // reference it two-to-three times (scoring join, recompute
-      // semi-join, bucket-literal derivation), each copy costing its
-      // own exchanges and AQE stage jobs (r17 JobProfile: the
-      // interactive walls are job-count x fixed driver overhead, the
-      // round-12 ServeProfile lesson applied to the corpus-derived
-      // query side). Bulk batches past the bound keep the distributed
-      // frame — same escape hatch as the postings JOIN arm.
+      // arm: ONE slim collect (the query docs' ids + texts behind the
+      // pushed doc_id filter) and the DRIVER-SIDE salient-term cut —
+      // the [[externalQueryTerms]] tokenizer/tie-break, whose identity
+      // with [[queryTermsAll]] is property-pinned (RetrievalSpec) and
+      // hash-gated (q_bm25_text). r17 localized the RESULT of the
+      // distributed tokenize+tf-window subtree (one collect job over a
+      // 3-exchange chain ≈ 4 AQE stage jobs per serve); deriving the
+      // cut on the driver makes it ONE scan job (r18 — the interactive
+      // walls are job-count × driver gap, JobProfile). Bulk batches
+      // past the bound keep the distributed frame — same escape hatch
+      // as the postings JOIN arm.
       import s.implicits._
-      qt.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      docs.filter(col("doc_id") < nQueries)
+        .select(col("doc_id"), col("text")).collect().toSeq
+        .sortBy(_.getLong(0))
+        .flatMap(r => salientTerms(r.getString(1))
+          .map(t => (r.getLong(0), t)))
         .toDF("q_id", "term")
-    } else qt
+    } else queryTermsAll(docs.filter(col("doc_id") < nQueries))
   }
 
   /** Salient terms of EVERY doc in `qdocs` — the un-filtered body
@@ -468,13 +472,42 @@ object RetrievalQueries {
       s: SparkSession, queries: Seq[String]): DataFrame = {
     import s.implicits._
     queries.zipWithIndex.flatMap { case (text, i) =>
-      "\\S+".r.findAllIn(text.toLowerCase(java.util.Locale.ROOT)).toSeq
-        .groupBy(identity).view.mapValues(_.size).toSeq
-        .sortWith { case ((t1, n1), (t2, n2)) =>
-          n1 > n2 || (n1 == n2 && utf8Compare(t1, t2) < 0) }
-        .take(TermsPerQuery)
-        .map { case (t, _) => (-(i + 1).toLong, t) }
+      salientTerms(text).map(t => (-(i + 1).toLong, t))
     }.toDF("q_id", "term")
+  }
+
+  /** The driver-side salient-term cut of one text — THE tokenizer +
+    * tie-break shared by [[externalQueryTerms]] and the localized
+    * [[queryTerms]], factored so the two driver derivations cannot
+    * drift from each other (their identity with the distributed
+    * [[queryTermsAll]] is property-pinned in RetrievalSpec and
+    * hash-gated by q_bm25_text / q_hybrid_text).
+    */
+  private def salientTerms(text: String): Seq[String] =
+    "\\S+".r.findAllIn(text.toLowerCase(java.util.Locale.ROOT)).toSeq
+      .groupBy(identity).view.mapValues(_.size).toSeq
+      .sortWith { case ((t1, n1), (t2, n2)) =>
+        n1 > n2 || (n1 == n2 && utf8Compare(t1, t2) < 0) }
+      .take(TermsPerQuery)
+      .map(_._1)
+
+  /** The most frequent n-shingle of one text (ties by UTF-8 byte
+    * order — the engine's string sort), or None when the text has
+    * fewer than n tokens (shinglesFromTokens then emits nothing and
+    * the grouped form drops the doc). The driver-side mirror of the
+    * queryPhrases / trigram-gate derivations; same tokenizer as
+    * [[salientTerms]], identity with the distributed window form
+    * property-pinned in RetrievalSpec.
+    */
+  private[graft] def topShingle(text: String, n: Int): Option[String] = {
+    val ts = "\\S+".r.findAllIn(text.toLowerCase(java.util.Locale.ROOT))
+      .toSeq
+    if (ts.length < n) None
+    else Some(ts.sliding(n).map(_.mkString(" ")).toSeq
+      .groupBy(identity).view.mapValues(_.size).toSeq
+      .sortWith { case ((g1, c1), (g2, c2)) =>
+        c1 > c2 || (c1 == c2 && utf8Compare(g1, g2) < 0) }
+      .head._1)
   }
 
   /** Unsigned UTF-8 byte comparison — the string order Spark
@@ -1042,21 +1075,20 @@ object RetrievalQueries {
     * docs alone (the [[queryTerms]] discipline).
     */
   private def queryPhrases(docs: DataFrame): DataFrame = {
-    val wq = Window.partitionBy(col("doc_id"))
-      .orderBy(col("cnt").desc, col("bigram"))
-    val qp = bigramStream(docs.filter(col("doc_id") < NQueries))
-      .groupBy(col("doc_id"), col("bigram"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("rk", row_number().over(wq)).filter(col("rk") === 1)
-      .select(col("doc_id").as("q_id"), col("bigram").as("phrase"))
     // one (q_id, phrase) row per query doc — driver-sized BY
-    // DEFINITION: derive once (one collect job) and serve as a
-    // LocalRelation; the serve bodies otherwise re-execute the
-    // query-doc shingle + tf-window subtree per reference (bucket
-    // derivation + rank join — the queryTerms discipline)
+    // DEFINITION: ONE slim collect of the query docs' texts and the
+    // driver-side top-shingle cut ([[topShingle]] — the queryTerms
+    // discipline taken to its end state: r17 collected the RESULT of
+    // the distributed shingle+tf-window subtree, ~4 AQE stage jobs;
+    // this is one pushed-down scan job). Served as a LocalRelation as
+    // before; identity with the window form is property-pinned.
     val s = docs.sparkSession
     import s.implicits._
-    qp.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    docs.filter(col("doc_id") < NQueries)
+      .select(col("doc_id"), col("text")).collect().toSeq
+      .sortBy(_.getLong(0))
+      .flatMap(r => topShingle(r.getString(1), 2)
+        .map(p => (r.getLong(0), p)))
       .toDF("q_id", "phrase")
   }
 
@@ -1107,7 +1139,7 @@ object RetrievalQueries {
       }.toSeq
     }
     val need = triples.map(_._2).distinct
-    val needBkts = Tables.valueBuckets(need.toDF("b"), nb)._2
+    val needBkts = Tables.valueBucketsLocal(need, nb)._2
     val pruned = storedPhraseLive(s, bpstDir)
       .filter(col("bkt").isin(needBkts: _*) && col("bigram").isin(need: _*))
       .select(col("doc_id"), col("bigram"), col("pos"))
@@ -1797,6 +1829,104 @@ object RetrievalQueries {
       .filter(col("rank") <= TopK)
   }
 
+  /** Daemon pool for INDEPENDENT fusion-arm subtrees (guide §2.6:
+    * actions are only sequential because the driver calls them
+    * sequentially — independent jobs submitted from separate threads
+    * back-fill each other's gaps). The interactive hybrid walls are
+    * job-count × per-job driver gap (planning + AQE stage submission;
+    * JobProfile r17/r18), and the two arms share NO subtree, so one
+    * arm's driver gaps overlap the other's jobs. Cached daemon
+    * threads: sized by concurrent serves, never by data.
+    */
+  private lazy val armPool = java.util.concurrent.Executors.newCachedThreadPool(
+    (r: Runnable) => {
+      val th = new Thread(r, "graft-fusion-arm"); th.setDaemon(true); th
+    })
+
+  /** Evaluate `fa` on the arm pool while `fb` runs on the calling
+    * thread; rethrows `fa`'s failure unwrapped.
+    */
+  private def inParallel[A, B](fa: => A, fb: => B): (A, B) = {
+    val f = armPool.submit(new java.util.concurrent.Callable[A] {
+      def call(): A = fa
+    })
+    val b = fb
+    val a = try f.get() catch {
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    }
+    (a, b)
+  }
+
+  /** Construct and collect one fusion arm — rows (q_id, n_id, rank).
+    * By-name so the whole arm (including its construction-time
+    * collects: query-side derivation, ANN probe collect) runs inside
+    * the worker thread.
+    */
+  private def collectArm(mk: => DataFrame): Array[(Long, Long, Int)] =
+    mk.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+
+  /** Driver-side mirror of [[rrfFusedRanked]] over two collected arms:
+    * full-outer merge on (q_id, n_id), rrf = Σ 1/(60+rank) over the
+    * present arms (absent rank ⇒ 0 contribution, exactly the
+    * distributed coalesce), rank by (rrf DESC, n_id) cut at [[TopK]].
+    * Bit-identical arithmetic: 1.0/(60+rank) is one IEEE division of
+    * exact small ints per term and the two-addend sum runs in the
+    * same (bm, cos) order as the distributed expression; ranks are >0
+    * whenever present so 0 is a faithful absent marker. Emits rows
+    * (q_id, n_id, rrf, bm_rank, cos_rank, rank) sorted by (q_id, rank).
+    */
+  private[graft] def rrfFuseLocal(
+      bt: Seq[(Long, Long, Int)], ct: Seq[(Long, Long, Int)])
+      : Seq[(Long, Long, Double, Int, Int, Int)] = {
+    val m = scala.collection.mutable.HashMap.empty[(Long, Long), (Int, Int)]
+    bt.foreach { case (q, n, r) => m.update((q, n), (r, 0)) }
+    ct.foreach { case (q, n, r) =>
+      m.update((q, n), (m.getOrElse((q, n), (0, 0))._1, r))
+    }
+    m.iterator.map { case ((q, n), (bm, cr)) =>
+      val rrf = (if (bm != 0) 1.0 / (60 + bm) else 0.0) +
+        (if (cr != 0) 1.0 / (60 + cr) else 0.0)
+      (q, n, rrf, bm, cr)
+    }.toSeq.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (_, rows) =>
+      rows.sortBy { case (_, n, rrf, _, _) => (-rrf, n) }
+        .take(TopK).zipWithIndex
+        .map { case ((q, n, rrf, bm, cr), i) => (q, n, rrf, bm, cr, i + 1) }
+    }
+  }
+
+  /** [[rrfFuse]]'s output relation assembled from locally fused rows —
+    * same columns, same display floor (floor(rrf·10⁶)/10⁶ via the same
+    * double ops: the exact-integer double from floor divides by the
+    * exact 10⁶), same final ordering.
+    */
+  private def rrfFuseDfLocal(s: SparkSession,
+      fused: Seq[(Long, Long, Double, Int, Int, Int)]): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("q_id", LongType), StructField("n_id", LongType),
+      StructField("rank", IntegerType), StructField("bm_rank", IntegerType),
+      StructField("cos_rank", IntegerType),
+      StructField("rrf_score", DoubleType)))
+    val rows = fused.map { case (q, n, rrf, bm, cr, rk) =>
+      org.apache.spark.sql.Row(q, n, rk, bm, cr,
+        math.floor(rrf * 1000000) / 1000000)
+    }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Size-aware fusion: interactive batches (the [[mmrBulk]] bound —
+    * both arms are ≤ queries × [[FuseDepth]] rows by construction)
+    * collect the two arms CONCURRENTLY and fuse driver-side; bulk
+    * batches keep the distributed full-outer fuse.
+    */
+  private def rrfFuseSized(s: SparkSession, numQueries: Long,
+      mkBt: => DataFrame, mkCt: => DataFrame): DataFrame =
+    if (!mmrBulk(s, numQueries)) {
+      val (btRows, ctRows) = inParallel(collectArm(mkBt), collectArm(mkCt))
+      rrfFuseDfLocal(s, rrfFuseLocal(btRows.toSeq, ctRows.toSeq))
+    } else rrfFuse(mkBt, mkCt)
+
   /** The fusion CTEs (`fu`, `fr`) — `bt`/`ct` expected upstream with
     * the same columns; shared by the fused final SELECT and the
     * diversified chain's candidate CTE.
@@ -2274,10 +2404,11 @@ object RetrievalQueries {
   def relevanceModel(s: SparkSession, pstDir: String, dlDir: String,
       terms: Seq[String]): (DataFrame, DataFrame) = {
     val nb = DedupQueries.tableBuckets(s, pstDir)
-    // all bucket ids in ONE local-relation job (the per-term
-    // Tables.hashBucket loop launched one 1-row Spark job per term)
+    // all bucket ids job-free (the per-term Tables.hashBucket loop
+    // launched one 1-row Spark job per term; the r17 shape one
+    // local-relation job for all of them)
     import s.implicits._
-    val bkts = Tables.valueBuckets(terms.toDF("term"), nb)._2
+    val bkts = Tables.valueBucketsLocal(terms, nb)._2
     // tombstone-filtered like every stored-index read: a taken-down
     // doc must stop counting toward the frozen model's df and scalars
     val dft = graft.sinks.IncrementalParquet
@@ -2326,15 +2457,34 @@ object RetrievalQueries {
     * brute-force cosine arm — the oracle-friendly small-corpus form
     * behind q_hybrid_rrf.
     */
-  def hybridRrfExact(s: SparkSession, dir: String, nQueries: Int): DataFrame = {
+  def hybridRrfExact(s: SparkSession, dir: String, nQueries: Int): DataFrame =
+    // the arms share NO subtree, so the interactive tier collects them
+    // CONCURRENTLY and fuses driver-side (rrfFuseSized): r18's cut of
+    // the job-count × driver-gap wall (24 sequential jobs measured,
+    // task time ≈ half the wall)
+    rrfFuseSized(s, nQueries.toLong,
+      hybridExactBmArm(s, dir, nQueries), hybridExactCosArm(s, dir, nQueries))
+
+  /** The exact tier's BM25 arm (q_id, n_id, bm_rank) — split out so
+    * the plan spec can pin the arm shape now that the interactive
+    * fused output is a local relation.
+    */
+  private[graft] def hybridExactBmArm(
+      s: SparkSession, dir: String, nQueries: Int): DataFrame = {
     val docs = t(s, dir, "documents")
     val qt = queryTerms(docs, nQueries)
     val (pst, dl, gs) = recomputedState(docs, qt)
-    val bt = bm25Ranked(qt, pst, dl, gs)
+    bm25Ranked(qt, pst, dl, gs)
       .filter(col("rank") <= FuseDepth)
       .select(col("q_id"), col("n_id"), col("rank").as("bm_rank"))
-    // exact cosine ranking, q_ann_bruteforce's proven shape: the
-    // query side broadcasts; the corpus never shuffles for the join
+  }
+
+  /** The exact tier's vector arm (q_id, n_id, cos_rank) —
+    * q_ann_bruteforce's proven shape: the query side broadcasts; the
+    * corpus never shuffles for the join.
+    */
+  private[graft] def hybridExactCosArm(
+      s: SparkSession, dir: String, nQueries: Int): DataFrame = {
     val e = t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
@@ -2343,27 +2493,38 @@ object RetrievalQueries {
       l2Norm(col("embedding")).as("cn"))
     val wc = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id"))
-    val ct = c.join(broadcast(q), col("n_id") =!= col("q_id"))
+    c.join(broadcast(q), col("n_id") =!= col("q_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("cos_rank", row_number().over(wc).cast(IntegerType))
       .filter(col("cos_rank") <= FuseDepth)
       .select(col("q_id"), col("n_id"), col("cos_rank"))
-    rrfFuse(bt, ct)
   }
 
   /** The indexed hybrid tier: BOTH arms from stored indexes — the
     * form behind q_hybrid_rrf_indexed.
     */
   def hybridRrfIndexed(
-      s: SparkSession, dir: String, nQueries: Int): DataFrame = {
-    val bt = bm25ServedRanked(s, dir, nQueries)
+      s: SparkSession, dir: String, nQueries: Int): DataFrame =
+    rrfFuseSized(s, nQueries.toLong,
+      hybridIndexedBmArm(s, dir, nQueries),
+      hybridIndexedCosArm(s, dir, nQueries))
+
+  /** The indexed tier's BM25 arm (q_id, n_id, bm_rank) — split out so
+    * the plan spec pins the stored-index serve shape per arm (the
+    * interactive fused output is a local relation since r18).
+    */
+  private[graft] def hybridIndexedBmArm(
+      s: SparkSession, dir: String, nQueries: Int): DataFrame =
+    bm25ServedRanked(s, dir, nQueries)
       .filter(col("rank") <= FuseDepth)
       .select(col("q_id"), col("n_id"), col("rank").as("bm_rank"))
-    val ct = SimilarityQueries.pinnedServedRanked(
+
+  /** The indexed tier's vector arm (q_id, n_id, cos_rank). */
+  private[graft] def hybridIndexedCosArm(
+      s: SparkSession, dir: String, nQueries: Int): DataFrame =
+    SimilarityQueries.pinnedServedRanked(
       s, dir, nQueries, nprobe = 2, topC = 24, depth = FuseDepth)
       .select(col("q_id"), col("n_id"), col("rank").as("cos_rank"))
-    rrfFuse(bt, ct)
-  }
 
   /** Hybrid (RRF) search for EXTERNAL queries — each query a (text,
     * embedding) pair — with BOTH arms served from the stored indexes:
@@ -2377,20 +2538,19 @@ object RetrievalQueries {
     * ids so corpus self-exclusion never fires for external queries.
     */
   def hybridSearch(s: SparkSession, dir: String,
-      queries: Seq[(String, Array[Float])]): DataFrame = {
-    val bt = bm25RankedFromIndex(s, dir,
-        externalQueryTerms(s, queries.map(_._1)),
-        queries.size.toLong * TermsPerQuery)
-      .filter(col("rank") <= FuseDepth)
-      .select(col("q_id"), col("n_id"), col("rank").as("bm_rank"))
-    val ct = SimilarityQueries.annRankedForVectors(
-        s, dir, queries.map(_._2), nprobe = 2, topC = 24,
-        depth = FuseDepth)
-      .select(col("q_id"), col("n_id"), col("rank").as("cos_rank"))
-    rrfFuse(bt, ct)
+      queries: Seq[(String, Array[Float])]): DataFrame =
+    rrfFuseSized(s, queries.size.toLong,
+      bm25RankedFromIndex(s, dir,
+          externalQueryTerms(s, queries.map(_._1)),
+          queries.size.toLong * TermsPerQuery)
+        .filter(col("rank") <= FuseDepth)
+        .select(col("q_id"), col("n_id"), col("rank").as("bm_rank")),
+      SimilarityQueries.annRankedForVectors(
+          s, dir, queries.map(_._2), nprobe = 2, topC = 24,
+          depth = FuseDepth)
+        .select(col("q_id"), col("n_id"), col("rank").as("cos_rank")))
       .withColumn("q_id", -col("q_id") - 1)
       .orderBy(col("q_id"), col("rank"))
-  }
 
   /** Diversified hybrid retrieval — MMR over the RRF-fused candidate
     * list: rel is the RAW fused rrf (IEEE-exact, a sum of at most two
@@ -2409,15 +2569,68 @@ object RetrievalQueries {
     * pinned).
     */
   def hybridDiversified(s: SparkSession, dir: String, nQueries: Int,
-      picks: Int, lam: Double): DataFrame = {
-    val bt = bm25ServedRanked(s, dir, nQueries)
-      .filter(col("rank") <= FuseDepth)
-      .select(col("q_id"), col("n_id"), col("rank").as("bm_rank"))
-    val ct = SimilarityQueries.pinnedServedRanked(
-      s, dir, nQueries, nprobe = 2, topC = 24, depth = FuseDepth)
-      .select(col("q_id"), col("n_id"), col("rank").as("cos_rank"))
-    mmrSelect(fusedCandidates(s, dir, rrfFusedRanked(bt, ct),
-      bulk = mmrBulk(s, nQueries.toLong)), picks, lam, nQueries.toLong)
+      picks: Int, lam: Double): DataFrame =
+    diversifiedSized(s, dir, nQueries.toLong, picks, lam,
+      hybridIndexedBmArm(s, dir, nQueries),
+      hybridIndexedCosArm(s, dir, nQueries))
+
+  /** Size-aware diversified tail over the two fusion arms: the
+    * interactive tier collects the arms CONCURRENTLY, fuses
+    * driver-side ([[rrfFuseLocal]] — rel is the raw fused rrf, exactly
+    * the triples the previous shape collected from the distributed
+    * fuse), point-fetches the candidate vectors in ONE id-pruned job
+    * and runs the shared greedy kernel on the driver
+    * ([[mmrGreedyLocal]]). Bulk batches keep the distributed fuse +
+    * join-fetch + grouped greedy.
+    */
+  private def diversifiedSized(s: SparkSession, dir: String,
+      numQueries: Long, picks: Int, lam: Double,
+      mkBt: => DataFrame, mkCt: => DataFrame): DataFrame =
+    if (mmrBulk(s, numQueries))
+      mmrSelect(fusedCandidates(s, dir, rrfFusedRanked(mkBt, mkCt),
+        bulk = true), picks, lam, numQueries)
+    else {
+      val (btRows, ctRows) = inParallel(collectArm(mkBt), collectArm(mkCt))
+      mmrGreedyLocal(s, dir,
+        rrfFuseLocal(btRows.toSeq, ctRows.toSeq)
+          .map { case (q, n, rrf, _, _, _) => (q, n, rrf) },
+        picks, lam)
+    }
+
+  /** The interactive diversified tail over locally fused (q_id, n_id,
+    * rel) triples: ONE id-pruned embeddings job fetches each distinct
+    * candidate's (vector, norm) — cv/cn computed by the SAME plan-side
+    * l2Norm expression as every other tier — and the shared per-query
+    * kernel [[mmrGreedyPerQuery]] runs on the driver. Candidates
+    * without an embedding row drop out exactly like the previous
+    * shape's inner join. Replaces collect-fused → broadcast-pair join
+    * → collect-candidates (two driver round trips + a join stage) with
+    * one slim fetch.
+    */
+  private def mmrGreedyLocal(s: SparkSession, dir: String,
+      triples: Seq[(Long, Long, Double)], picks: Int,
+      lam: Double): DataFrame = {
+    val ids = triples.map(_._2).distinct
+    val vecs = t(s, dir, "embeddings")
+      .filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("embedding"),
+        l2Norm(col("embedding")).as("cn"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getSeq[Float](1).toArray, r.getDouble(2)))).toMap
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int, Double)]
+    triples.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (q, rs) =>
+      val cs = rs.flatMap { case (_, n, rel) =>
+        vecs.get(n).map { case (cv, cn) => (n, rel, cv, cn) }
+      }.toArray
+      mmrGreedyPerQuery(cs, picks, lam).foreach { case (n, k, m) =>
+        out += ((q, n, k, m))
+      }
+    }
+    import s.implicits._
+    out.toSeq.toDF("q_id", "n_id", "pick", "mmr_score")
+      .orderBy(col("q_id"), col("pick"))
   }
 
   /** Diversified hybrid search for EXTERNAL (text, vector) queries —
@@ -2427,52 +2640,34 @@ object RetrievalQueries {
     */
   def searchDiversified(s: SparkSession, dir: String,
       queries: Seq[(String, Array[Float])], picks: Int = MmrPicks,
-      lam: Double = 0.5): DataFrame = {
-    val bt = bm25RankedFromIndex(s, dir,
-        externalQueryTerms(s, queries.map(_._1)),
-        queries.size.toLong * TermsPerQuery)
-      .filter(col("rank") <= FuseDepth)
-      .select(col("q_id"), col("n_id"), col("rank").as("bm_rank"))
-    val ct = SimilarityQueries.annRankedForVectors(
-        s, dir, queries.map(_._2), nprobe = 2, topC = 24,
-        depth = FuseDepth)
-      .select(col("q_id"), col("n_id"), col("rank").as("cos_rank"))
-    mmrSelect(fusedCandidates(s, dir, rrfFusedRanked(bt, ct),
-        bulk = mmrBulk(s, queries.size.toLong)),
-        picks, lam, queries.size.toLong)
+      lam: Double = 0.5): DataFrame =
+    diversifiedSized(s, dir, queries.size.toLong, picks, lam,
+      bm25RankedFromIndex(s, dir,
+          externalQueryTerms(s, queries.map(_._1)),
+          queries.size.toLong * TermsPerQuery)
+        .filter(col("rank") <= FuseDepth)
+        .select(col("q_id"), col("n_id"), col("rank").as("bm_rank")),
+      SimilarityQueries.annRankedForVectors(
+          s, dir, queries.map(_._2), nprobe = 2, topC = 24,
+          depth = FuseDepth)
+        .select(col("q_id"), col("n_id"), col("rank").as("cos_rank")))
       .withColumn("q_id", -col("q_id") - 1)
       .orderBy(col("q_id"), col("pick"))
-  }
 
-  /** The MMR candidate frame (q_id, n_id, rel, cv, cn) over a fused
-    * ranking. Interactive arm: collect the query-batch-sized (q_id,
-    * n_id, rrf) triples, point-fetch the candidate vectors by id (the
-    * indexed-MMR fetch shape — the embeddings scan prunes to candidate
-    * ids). Bulk arm: the triples stay distributed and the vectors
-    * arrive by un-hinted join (see [[mmrIndexedCandidates]]).
+  /** The BULK MMR candidate frame (q_id, n_id, rel, cv, cn) over a
+    * fused ranking: the triples stay distributed and the vectors
+    * arrive by un-hinted join (see [[mmrIndexedCandidates]]). The
+    * interactive tier no longer builds this frame — it fuses
+    * driver-side and point-fetches inside [[mmrGreedyLocal]] (r18).
     */
   private def fusedCandidates(s: SparkSession, dir: String,
-      fused: DataFrame, bulk: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
-    val cands = t(s, dir, "embeddings")
+      fused: DataFrame, bulk: Boolean = true): DataFrame =
+    t(s, dir, "embeddings")
       .select(col("vec_id").as("n_id"), col("embedding").as("cv"),
         l2Norm(col("embedding")).as("cn"))
-    val joined =
-      if (bulk)
-        cands.join(fused.select(col("q_id"), col("n_id"),
-          col("rrf").as("rel")), Seq("n_id"))
-      else {
-        val rows = fused.select(col("q_id"), col("n_id"), col("rrf"))
-          .collect().toSeq
-        val ids = rows.map(_.getLong(1)).distinct
-        val pairs = s.createDataFrame(
-          java.util.Arrays.asList(rows: _*),
-          StructType(Seq(StructField("q_id", LongType),
-            StructField("n_id", LongType), StructField("rel", DoubleType))))
-        cands.filter(col("n_id").isin(ids: _*)).join(broadcast(pairs), Seq("n_id"))
-      }
-    joined.select(col("q_id"), col("n_id"), col("rel"), col("cv"), col("cn"))
-  }
+      .join(fused.select(col("q_id"), col("n_id"),
+        col("rrf").as("rel")), Seq("n_id"))
+      .select(col("q_id"), col("n_id"), col("rel"), col("cv"), col("cn"))
 
   /** The diversified hybrid oracle: the full fused chain (both index
     * serves re-derived relationally, fusion CTEs) feeding the shared
@@ -2792,35 +2987,30 @@ object RetrievalQueries {
         import s.implicits._
         val docs = t(s, dir, "documents")
         val bpstDir = incrementalPhraseDir(s, dir)
-        // query-side trigram phrases (query docs only, pushed down)
-        val wq = Window.partitionBy(col("doc_id"))
-          .orderBy(col("cnt").desc, col("trigram"))
-        val qp = docs.filter(col("doc_id") < NQueries)
-          .select(col("doc_id"), tokens(lower(col("text"))).as("ts"))
-          .select(col("doc_id"), explode(
-            graft.functions.TextFunctions.shinglesFromTokens(col("ts"), 3))
-            .as("trigram"))
-          .groupBy(col("doc_id"), col("trigram"))
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("rk", row_number().over(wq)).filter(col("rk") === 1)
-          .select(col("doc_id").as("q_id"), col("trigram").as("phrase"))
-          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-          .toDF("q_id", "phrase") // one row per query doc: derive once,
-                                  // serve as a LocalRelation (the
-                                  // queryTerms/queryPhrases discipline)
+        // query-side trigram phrases: one slim collect of the query
+        // docs' texts + the driver-side top-shingle cut — one row per
+        // query doc, served as a LocalRelation (the queryTerms /
+        // queryPhrases discipline; r17 collected the result of the
+        // distributed shingle+tf-window subtree instead, ~4 AQE stage
+        // jobs per serve)
+        val qpPairs = docs.filter(col("doc_id") < NQueries)
+          .select(col("doc_id"), col("text")).collect().toSeq
+          .sortBy(_.getLong(0))
+          .flatMap(r => topShingle(r.getString(1), 3)
+            .map(p => (r.getLong(0), p)))
+        val qp = qpPairs.toDF("q_id", "phrase")
         // the phrase set is driver-sized (one trigram per query doc):
         // split each into its two constituent bigrams locally and push
         // literal In-filters into the positional scans
         val nb = DedupQueries.tableBuckets(s, bpstDir)
-        val pairs = qp.select(col("phrase")).distinct().collect()
-          .map(_.getString(0)).toSeq.map { p =>
+        val pairs = qpPairs.map(_._2).distinct.map { p =>
             val t3 = p.split(' ')
             (p, s"${t3(0)} ${t3(1)}", s"${t3(1)} ${t3(2)}")
           }
         val pairDf = broadcast(pairs.toDF("phrase", "b1", "b2"))
         val need = pairs.flatMap(x => Seq(x._2, x._3)).distinct
         val needBkts = if (need.isEmpty) Seq.empty[Int]
-          else Tables.valueBuckets(need.toDF("b"), nb)._2
+          else Tables.valueBucketsLocal(need, nb)._2
         val pruned = storedPhraseLive(s, bpstDir)
           .filter(col("bkt").isin(needBkts: _*) &&
             col("bigram").isin(need: _*))

@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StringType}
 
 /** Loader for the analytics corpus (repo:TESTDATA.md): one parquet file
   * per table under a scale-factor directory.
@@ -87,12 +87,54 @@ object Tables {
     * reimplementation can never drift from the stored layout.
     */
   def valueBuckets(values: DataFrame, n: Int): (Seq[String], Seq[Int]) = {
-    val c = col(values.columns.head)
-    val rows = values.select(c.as("v"), pmod(hash(c), lit(n)).as("bkt"))
-      .distinct().collect()
-    (rows.map(_.getString(0)).toSeq.distinct,
-      rows.map(_.getInt(1)).toSeq.distinct)
+    // values already ON the driver (a LocalRelation — the localized
+    // query sides since r17) take the job-free arm: same expression,
+    // eagerly evaluated — an interactive serve's bucket derivation
+    // must not cost a scheduler round trip (the job-floor lesson)
+    localStrings(values) match {
+      case Some(vs) => valueBucketsLocal(vs, n)
+      case None =>
+        val c = col(values.columns.head)
+        val rows = values.select(c.as("v"), pmod(hash(c), lit(n)).as("bkt"))
+          .distinct().collect()
+        (rows.map(_.getString(0)).toSeq.distinct,
+          rows.map(_.getInt(1)).toSeq.distinct)
+    }
   }
+
+  /** [[valueBuckets]] for values ALREADY on the driver: the SAME
+    * plan-side expression (pmod∘hash) the incremental writers use,
+    * eagerly evaluated (its children are Literals, so it is resolved
+    * and needs no row) — bit-identical bucket ids with NO Spark job.
+    */
+  def valueBucketsLocal(values: Seq[String], n: Int): (Seq[String], Seq[Int]) = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash, Pmod}
+    val vs = values.distinct
+    // the very expression `pmod(hash(v), n)` resolves to — Murmur3Hash
+    // (seed 42) under Pmod — constructed resolved so it evals eagerly
+    val bkts = vs.map(v =>
+      Pmod(new Murmur3Hash(Seq(Literal.create(v, StringType))), Literal(n))
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        .asInstanceOf[Int]).distinct
+    (vs, bkts)
+  }
+
+  /** The single string column of a frame whose OPTIMIZED plan is a
+    * LocalRelation, extracted without running a job (the optimizer
+    * collapses Project-over-LocalRelation, so `select` of one column
+    * of a localized frame qualifies); None for distributed frames —
+    * callers then fall back to the plan-side derivation.
+    */
+  private def localStrings(df: DataFrame): Option[Seq[String]] =
+    df.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if lr.output.size == 1 &&
+            lr.output.head.dataType ==
+              org.apache.spark.sql.types.StringType =>
+        Some(lr.data.map(r => Option(r.getUTF8String(0))
+          .map(_.toString).orNull).toSeq)
+      case _ => None
+    }
 
   /** Register every table as a temp view (for spark.sql use). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -541,9 +541,24 @@ class PlanSpec extends SparkSpec {
       pstScans.mkString("\n").take(2000))
   }
 
-  test("q_hybrid_rrf: fusion of two top-depth rankings — no cartesian") {
+  test("q_hybrid_rrf: the interactive fused output is a local relation " +
+      "(arms collected concurrently, fused driver-side since r18); " +
+      "each arm's plan keeps its pinned shape") {
     val p = plan("q_hybrid_rrf")
+    assert(p.contains("LocalTableScan"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the BM25 arm: no cartesian, term barrier present
+    val bm = graft.analytics.RetrievalQueries
+      .hybridExactBmArm(spark, dir, 5)
+      .queryExecution.executedPlan.toString
+    assert(!bm.contains("CartesianProduct"), bm.take(2000))
+    assert(bm.contains("REPARTITION_BY_COL"), bm.take(3000))
+    // the vector arm: query side broadcasts, corpus never shuffles
+    val cos = graft.analytics.RetrievalQueries
+      .hybridExactCosArm(spark, dir, 5)
+      .queryExecution.executedPlan.toString
+    assert(cos.contains("BroadcastNestedLoopJoin") ||
+      cos.contains("BroadcastHashJoin"), cos.take(2000))
   }
 
   test("q_phrase_search: broadcast phrase semi-join before the " +
@@ -595,21 +610,31 @@ class PlanSpec extends SparkSpec {
 
   test("q_hybrid_rrf_indexed: both fusion arms are index serves — " +
       "corpus text only behind the query-side pushdown, codes table " +
-      "present, no corpus-side encode kernel") {
+      "present, no corpus-side encode kernel; fused output a local " +
+      "relation since r18 (arms collected concurrently, driver fuse)") {
+    // final plan: the interactive fuse is driver-side — a local relation
     val p = plan("q_hybrid_rrf_indexed")
-    assert(p.contains("graft-postings-incr"), p.take(3000))
-    assert(p.contains("graft-codes-inc"), p.take(3000))
-    val docScans = p.linesIterator
+    assert(p.contains("LocalTableScan"), p.take(2000))
+    // the BM25 arm serves from the stored postings, never corpus text
+    val bm = graft.analytics.RetrievalQueries
+      .hybridIndexedBmArm(spark, dir, 5)
+      .queryExecution.executedPlan.toString
+    assert(bm.contains("graft-postings-incr"), bm.take(3000))
+    val docScans = bm.linesIterator
       .filter(l => l.contains("FileScan") && l.contains("documents.parquet"))
       .toSeq
     // no documents scan at all: the BM25 arm's query terms are a
-    // LocalRelation since r17 (derived once via one collect job)
+    // LocalRelation (driver-derived since r18)
     assert(docScans.isEmpty, docScans.mkString("\n"))
     // the vector arm serves from stored codes: no PQ encode or coarse
     // assignment kernel may touch the corpus side
-    assert(!p.contains("pq_encode"), "corpus-side PQ encode in serve plan")
-    assert(!p.contains("nearest_cell") ||
-      p.indexOf("nearest_cell") == p.lastIndexOf("nearest_cell"),
+    val cos = graft.analytics.RetrievalQueries
+      .hybridIndexedCosArm(spark, dir, 5)
+      .queryExecution.executedPlan.toString
+    assert(cos.contains("graft-codes-inc"), cos.take(3000))
+    assert(!cos.contains("pq_encode"), "corpus-side PQ encode in serve plan")
+    assert(!cos.contains("nearest_cell") ||
+      cos.indexOf("nearest_cell") == cos.lastIndexOf("nearest_cell"),
       "corpus-side coarse assignment in serve plan")
   }
 

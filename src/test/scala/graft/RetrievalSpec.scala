@@ -1029,6 +1029,63 @@ class RetrievalSpec extends SparkSpec {
         s"text #$i '${texts(i.toInt)}': driver ${got(i)} vs spark $terms")
   }
 
+  test("property: driver-side topShingle == the distributed " +
+      "shingle+tf-window derivation on 120+ random unicode texts, " +
+      "n = 2 and 3 (the r18 localized queryPhrases / trigram gate)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(1702)
+    val pool = Vector("a", "b", "zz", "Ab", "AB", "ß", "İ", "ı",
+      "Σα", "ς", "漢字", "😀", "￮", "x😀y", "a1", "1", "!?", "é", "É")
+    val seps = Vector(" ", "  ", "\t", "\n", " \t ", "　")
+    def randText(): String = {
+      val n = rnd.nextInt(28)
+      (0 until n).map(_ => pool(rnd.nextInt(pool.size)))
+        .mkString(seps(rnd.nextInt(seps.size)))
+    }
+    val crafted = Seq("", " ", "one", "one two",
+      // equal-count shingle tie where UTF-16 and UTF-8 orders disagree
+      "￮ x 😀 x ￮ x 😀 x", "a b a b b a")
+    val texts = crafted ++ Seq.fill(120)(randText())
+    for (n <- Seq(2, 3)) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val wq = Window.partitionBy(col("doc_id"))
+        .orderBy(col("cnt").desc, col("g"))
+      val expected = docs
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(lower(col("text"))).as("ts"))
+        .select(col("doc_id"), explode(
+          graft.functions.TextFunctions.shinglesFromTokens(col("ts"), n))
+          .as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(wq)).filter(col("rk") === 1)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val got = texts.zipWithIndex.flatMap { case (t, i) =>
+        RetrievalQueries.topShingle(t, n).map(i.toLong -> _)
+      }.toMap
+      assert(got == expected,
+        s"n=$n: driver-only ${got.toSet.diff(expected.toSet)} / " +
+          s"spark-only ${expected.toSet.diff(got.toSet)}")
+    }
+  }
+
+  test("valueBucketsLocal == the plan-side valueBuckets derivation " +
+      "(same pmod∘hash buckets, no job) on unicode + empty values") {
+    import spark.implicits._
+    val vals = Seq("a", "b", "stream filter", "漢字 😀", "", "É", "ı",
+      "x" * 300)
+    for (n <- Seq(4, 16, 64)) {
+      // repartition defeats the LocalRelation fast path, so v1/b1
+      // exercise the distributed plan-side derivation
+      val (v1, b1) =
+        graft.core.Tables.valueBuckets(vals.toDF("v").repartition(2), n)
+      val (v2, b2) = graft.core.Tables.valueBucketsLocal(vals, n)
+      assert(v1.toSet == v2.toSet && b1.toSet == b2.toSet,
+        s"n=$n: plan ($v1, $b1) vs local ($v2, $b2)")
+    }
+  }
+
   /** Test-local INDEPENDENT reference MMR: a from-scratch re-derivation
     * of the Carbonell & Goldstein recurrence (sorted-argmax form, no
     * shared code with the production kernel) so a kernel edit that
